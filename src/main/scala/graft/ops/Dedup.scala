@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Relational.t
+import graft.stream.Ordered
+
+/** Deduplication suite for training-data pipelines, each variant
+  * designed shuffle-parallel:
+  *
+  *  - exact: hash-groupBy on a fingerprint (one shuffle on a 32-byte
+  *    key — at 100 TB dedup the md5, never the document body).
+  *  - MinHash + LSH: shingle → minhash signature → band buckets →
+  *    candidate pairs from bucket joins → exact-Jaccard verify.
+  *    Candidate generation touches only same-bucket pairs, the classic
+  *    way to avoid the O(n²) cross join at corpus scale.
+  *  - SimHash: 64-bit signature; near-dups = same band in ≥1 of 4
+  *    16-bit bands then hamming ≤ k verify.
+  *  - n-gram Jaccard: exact pairwise similarity via a shingle
+  *    self-join — the ground-truth (quadratic-ish) path used to
+  *    validate the sketches at small SF.
+  *  - embedding cosine: see [[Similarity]].
+  */
+object Dedup {
+
+  /** Word n-gram shingles as a distinct (doc_id, shingle) relation. */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup via content fingerprint, first-wins (lowest doc_id
+    * survives), summarized per lang. */
+  def exactDedupByLang(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    Ordered.firstWins(docs, keys = Seq(col("fp")), ord = Seq(col("doc_id")))
+      .groupBy("lang").agg(count(lit(1)).as("n_unique"))
+      .orderBy("lang")
+  }
+
+  /** Exact duplicate groups: fingerprints appearing more than once,
+    * with their member doc_ids (sorted, comma-joined for oracle
+    * comparability). */
+  def duplicateGroups(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("doc_ids"))
+      .filter(col("n") > 1)
+      .orderBy("fp")
+
+  /** Exact pairwise n-gram Jaccard over shingle self-join: pairs with
+    * J >= `threshold`. Ground truth for the MinHash sketch below. */
+  def ngramJaccardPairs(s: SparkSession, dir: String, n: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    val sh = shingles(t(s, dir, "documents"), n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "sz_a"), "doc_a")
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 3))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures: `numHashes` permutations simulated as
+    * xxhash64(shingle, seed) minima — one narrow agg per doc, no
+    * driver state. */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(docs, n)
+    val hashCols = (0 until numHashes).map { i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+    }
+    sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs, verified with exact
+    * Jaccard. `bands` × `rows` must equal `numHashes`. Probability a
+    * pair with Jaccard j collides: 1 - (1 - j^rows)^bands — with
+    * 16×4 the S-curve knees near j ≈ 0.5. At 100 TB: candidate
+    * generation is a groupBy on (band, bandHash) — only same-bucket
+    * docs ever meet, and AQE handles hot buckets.
+    */
+  def minhashLshPairs(s: SparkSession, dir: String, n: Int = 5,
+      bands: Int = 16, rows: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val numHashes = bands * rows
+    val docs = t(s, dir, "documents")
+    val sig = minhashSignatures(docs, n, numHashes)
+    // band b = hash of (h_{b*rows} ... h_{b*rows+rows-1})
+    val banded = sig.select(col("doc_id") +: (0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+        .as(s"band$b")
+    }: _*)
+    val candidates = (0 until bands).map { b =>
+      val l = banded.select(col("doc_id"), col(s"band$b").as("bk"))
+      val r = l.withColumnRenamed("doc_id", "doc_id_b")
+      l.join(r, Seq("bk")).filter(col("doc_id") < col("doc_id_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
+    }.reduce(_ unionAll _).distinct()
+    // exact-Jaccard verify on candidates only
+    val sh = shingles(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    pairJaccard(candidates, sh, sizes, threshold)
+  }
+
+  /** Exact Jaccard for an explicit candidate-pair set. */
+  private def pairJaccard(pairs: DataFrame, sh: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 3))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document: sign-sum of per-token hash bits,
+    * all in column space (no UDF): explode tokens → per-bit ±1 votes →
+    * sum → sign → reassemble. */
+  def simhashes(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // votes: for bit i, +1 if set else -1; sum over tokens; bit i of
+    // simhash = 1 if sum > 0
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val voted = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: LSH on 4×16-bit bands, then hamming
+    * distance ≤ `maxHamming` verify via bit_count(xor). */
+  def simhashPairs(s: SparkSession, dir: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sig = simhashes(s, dir).cache()
+    val banded = sig.select(Seq(col("doc_id"), col("simhash")) ++ (0 until 4).map { b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as(s"band$b")
+    }: _*)
+    val candidates = (0 until 4).map { b =>
+      val l = banded.select(col("doc_id"), col("simhash"), col(s"band$b").as("bk"))
+      val r = l.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("bk"))
+      l.join(r, Seq("bk")).filter(col("doc_id") < col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b"),
+          col("simhash"), col("sim_b"))
+    }.reduce(_ unionAll _).distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational.t
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The decode/feature-extract kernels are STUBBED (this container has
+  * no image/audio codecs — see builder brief): [[fakeDecode]] is a
+  * deterministic stand-in. Everything Spark-side is real and tested:
+  * the binary column representation, the metadata schema, partition-
+  * sized batching through `mapPartitions`, and the pushdown-friendly
+  * metadata layout (scan metadata columns without touching blob
+  * bytes — at 100 TB the scan must prune the binary column unless the
+  * kernel actually runs).
+  */
+object Multimodal {
+
+  /** Media record: blob + typed metadata. In a real corpus this is the
+    * parquet schema; here we derive blobs deterministically from
+    * documents.text (UTF-8 bytes) so tests are self-contained. */
+  final case class MediaRecord(media_id: Long, kind: String, blob: Array[Byte],
+      byte_len: Long)
+
+  /** Deterministic fake "decode": a real codec would return pixels /
+    * samples; the stub returns (width, height, checksum)-shaped
+    * numbers derived from the bytes. Marked clearly as a stand-in. */
+  def fakeDecode(blob: Array[Byte]): (Int, Int, Long) = {
+    // ??? real kernel: ImageIO/ffmpeg decode. Stub: byte-derived dims.
+    val n = blob.length
+    var cs = 0L
+    var i = 0
+    while (i < n) { cs = cs * 31 + (blob(i) & 0xff); i += 1 }
+    (n % 1024, (n / 1024) + 1, cs)
+  }
+
+  /** Build the binary-column table from documents (blob = utf-8 of
+    * text). Kind is assigned round-robin to model mixed corpora. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("blob"),
+      octet_length(col("text")).cast("long").as("byte_len"))
+
+  /** Metadata-only scan: blob column pruned — verify with explain()
+    * that ReadSchema excludes `text` bytes beyond what's projected. */
+  def mediaMetadata(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum("byte_len").as("total_bytes"),
+        max("byte_len").as("max_bytes"))
+      .orderBy("kind")
+
+  /** Batched "decode" pass: mapPartitions so a real kernel would
+    * amortize model/codec init per partition (the Spark-side shape of
+    * a pandas_udf/mapInPandas batch job). Output: per-media feature
+    * row. */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir).as[MediaRecord]
+    media.mapPartitions { batch =>
+      // per-partition init happens here (codec/model load in the real kernel)
+      batch.map { m =>
+        val (w, h, cs) = fakeDecode(m.blob)
+        (m.media_id, m.kind, w, h, cs)
+      }
+    }.toDF("media_id", "kind", "width", "height", "checksum")
+      .orderBy("media_id")
+  }
+
+  /** Frame-sampling shape: 1→N expansion (a video yields `frames`
+    * rows) — the explode-side of multimodal pipelines. */
+  def sampleFrames(s: SparkSession, dir: String, frames: Int = 4): DataFrame =
+    mediaTable(s, dir)
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("byte_len"),
+        explode(sequence(lit(0), lit(frames - 1))).cast("long").as("frame_no"))
+      .withColumn("frame_offset",
+        col("frame_no") * floor(col("byte_len") / frames).cast("long"))
+      .select("media_id", "frame_no", "frame_offset")
+      .orderBy("media_id", "frame_no")
+}

@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.stream.Ordered
+
+/** Columnar-layer relational queries over the TESTDATA star schema.
+  *
+  * Design rules for 100 TB (SURVEY §7.1): dimension tables (region,
+  * nation, customer, supplier, part) are broadcast — fact-table
+  * shuffles happen only on aggregation keys; every aggregate is
+  * partial-aggregated map-side by Catalyst; filters sit directly on
+  * scans so parquet pushdown applies; every query ends in a total
+  * order so results are deterministic for the DuckDB oracle.
+  */
+object Relational {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Revenue term in exact decimal arithmetic. Money columns are
+    * 2dp-quantized doubles; a double sum of the *product*
+    * ext*(1-disc) is order-dependent in the last bits and can flip a
+    * round(..,2) at a 4dp boundary between engines — decimal
+    * multiply/sum is exact and engine-independent (the DuckDB oracle
+    * uses the identical expression). */
+  val discPrice: Column = expr(
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")
+
+  /** TPC-H Q1-shaped pricing summary — the flagship chain (reference
+    * idioms filter→map→groupby→agg realized as one declarative plan;
+    * SURVEY §7.2 step 1). One shuffle on the 2-key group; all
+    * aggregates map-side partial. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .withColumn("disc_price", discPrice)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum("disc_price").cast("double"), 2).as("sum_disc_price"),
+        round(sum("l_quantity") / count(lit(1)), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q6-shaped single-row revenue forecast: pure scan+filter+agg,
+    * zero shuffle beyond the final 1-row reduce; all three predicates
+    * push down to parquet. */
+  def revenueForecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 10)
+      .agg(round(sum(expr(
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))"))
+        .cast("double"), 2).as("revenue"))
+
+  /** TPC-H Q3-shaped: top unshipped orders by revenue for one market
+    * segment. customer is a broadcast dim; the only shuffle is the
+    * groupBy on o_orderkey. */
+  def topRevenueOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(discPrice).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: revenue per nation inside one region. All four
+    * dims broadcast; lineitem never shuffles until the tiny groupBy on
+    * n_name. */
+  def regionNationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val li = t(s, dir, "lineitem")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(discPrice).cast("double"), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-3 orders per customer by totalprice — ranking window,
+    * key-partitioned (scales: no global sort). */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** First order per customer — the reference's first-wins `distinct`
+    * contract (SURVEY §2.4) on a real key: earliest (o_orderdate,
+    * o_orderkey) survives. */
+  def firstOrderPerCustomer(s: SparkSession, dir: String): DataFrame =
+    Ordered.firstWins(t(s, dir, "orders"),
+        keys = Seq(col("o_custkey")),
+        ord = Seq(col("o_orderdate"), col("o_orderkey")))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+
+  /** skip(100) then truncate(50) in o_orderkey order — reference
+    * stream.py:432-493 over a real ordering column. */
+  def skipTakeOrders(s: SparkSession, dir: String): DataFrame = {
+    val skipped = Ordered.skip(t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice"),
+      ord = Seq(col("o_orderkey")), n = 100)
+    Ordered.truncate(skipped, Seq(col("o_orderkey")), 50)
+      .orderBy("o_orderkey")
+  }
+
+  /** truncate(when=totalprice>490000): stop (exclusive) at the first
+    * expensive order in o_orderkey order. */
+  def takeWhileCheap(s: SparkSession, dir: String): DataFrame =
+    Ordered.takeWhileNot(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        ord = Seq(col("o_orderkey")),
+        p = col("o_totalprice") > 490000)
+      .orderBy("o_orderkey")
+
+  /** Consecutive-only dedup of l_returnflag in (l_orderkey,
+    * l_linenumber) order, aggregated to survivor counts. */
+  def distinctConsecutiveFlags(s: SparkSession, dir: String): DataFrame =
+    Ordered.distinctConsecutive(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag"),
+        ord = Seq(col("l_orderkey"), col("l_linenumber")),
+        key = col("l_returnflag"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP subtotals (capability extension — Spark/DuckDB built-in,
+    * absent in the reference; SURVEY §2.4). */
+  def rollupQuantities(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** JSON scalar extraction from events.props (SURVEY §2.9). */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value") / count(lit(1)), 2).as("avg_value"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Monthly order stats — date functions + group. */
+  def monthlyOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("month")
+
+  /** String-function coverage on part (SURVEY §2.9). */
+  def partStrings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Running revenue per customer — frame-based analytic window,
+    * key-partitioned. */
+  def runningCustomerSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("cum_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Exact count-distinct per group. */
+  def distinctPartsPerFlag(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** group(size=1000) analog: fixed-size chunks in global order,
+    * summarized per chunk (SURVEY §2.4 size-batching). */
+  def chunkedLineitem(s: SparkSession, dir: String): DataFrame =
+    Ordered.chunkBySize(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        ord = Seq(col("l_orderkey"), col("l_linenumber")), size = 1000,
+        chunkCol = "chunk")
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("chunk")
+
+  /** Anti join: customers with no orders, counted per nation. */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Semi join: customers having at least one 'F'-status order. */
+  def customersWithOpenOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Union (`+` concat, SURVEY §2.3): all nation keys appearing on
+    * either side, with source counts. */
+  def nationKeyUnion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .unionAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
+  /** group(by=key) analog surfaced as sorted concatenated groups
+    * (collect_set is the shuffle-parallel replacement for the
+    * reference's in-driver buckets; SURVEY §2.4). */
+  def statusesPerPriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+        .as("statuses"))
+      .orderBy("o_orderpriority")
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational.t
+
+/** Text analysis for large-scale training-data pipelines: language-ID,
+  * quality scoring, token counting, fingerprinting — all as pure
+  * column expressions (whole-stage codegen, no UDFs), embarrassingly
+  * parallel: a single narrow scan stage at 100 TB, pushdown-friendly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count non-overlapping occurrences of literal `marker` via the
+    * length/replace trick — codegen-friendly, replicable in any SQL
+    * dialect (the DuckDB oracle uses the identical formula). */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), "")))
+      / marker.length).cast("int")
+
+  /** Stopword ratio over a fixed small stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, w => w.isin(stopwords: _*))
+    round(size(stops).cast("double") / greatest(size(toks), lit(1)), 4)
+  }
+
+  /** Quality score in [0,1]: rewards reasonable length and penalizes
+    * stopword stuffing — a deterministic analog of the heuristic
+    * filters used in web-corpus cleaning (C4-style length/symbol
+    * rules). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val stopRatio = stopwordRatio(text, Seq("the", "a"))
+    round(lenScore * (lit(1.0) - stopRatio), 4)
+  }
+
+  /** Per-(lang, source) token statistics over documents. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        round(sum("n_tokens") / count(lit(1)), 2).as("avg_tokens"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang", "source")
+
+  /** Quality scoring aggregated per lang. */
+  def qualityByLang(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("q", qualityScore(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(sum("q") / count(lit(1)), 4).as("avg_quality"),
+        round(min("q"), 4).as("min_quality"),
+        round(max("q"), 4).as("max_quality"))
+      .orderBy("lang")
+
+  /** Rule-based language-ID: marker-token votes (an n-gram-profile
+    * heuristic à la textcat, reduced to three deterministic marker
+    * counts so the DuckDB oracle can replicate it bit-for-bit).
+    * Output: claimed lang vs predicted lang confusion counts. */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("sc_en", occurrences(col("text"), "the"))
+      .withColumn("sc_q", occurrences(col("text"), "query"))
+      .withColumn("sc_j", occurrences(col("text"), "join"))
+    val predicted = when(col("sc_en") >= greatest(col("sc_q"), col("sc_j")), lit("en"))
+      .when(col("sc_q") >= col("sc_j"), lit("qq"))
+      .otherwise(lit("jj"))
+    d.withColumn("predicted", predicted)
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase
+    * text — the exact-dedup key for 100 TB corpora (hash once, then
+    * dedup on a 32-byte key instead of the full document). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        col("n_chars"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,111 @@
+package graft.stream
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.util.LongAccumulator
+import scala.reflect.ClassTag
+import scala.util.{Failure, Success, Try}
+
+/** The reference's signature feature: a per-element error channel
+  * (`catch`, streamable/stream.py:112-131, iterators.py:61-95).
+  *
+  * In Spark an uncaught exception in a task kills the job, so the
+  * channel must be *errors-as-data*: risky lambdas are wrapped in
+  * [[Attempt]] columns that flow through downstream operators —
+  * exactly the reference's "an exception does not terminate
+  * iteration" contract (tests/test_stream.py:555-576). At 100 TB this
+  * is also the only sane design: one poison row out of 10^11 must not
+  * cost a 4-hour job.
+  */
+final case class Attempt[T](value: Option[T], errorClass: Option[String],
+    errorMsg: Option[String]) {
+  def isSuccess: Boolean = value.isDefined
+}
+
+object Attempt {
+  def success[T](t: T): Attempt[T] = Attempt(Some(t), None, None)
+  def failure[T](e: Throwable): Attempt[T] =
+    Attempt(None, Some(e.getClass.getName), Some(Option(e.getMessage).getOrElse("")))
+  def of[T](thunk: => T): Attempt[T] = Try(thunk) match {
+    case Success(t) => success(t)
+    case Failure(e) => failure(e)
+  }
+}
+
+object Errors {
+
+  /** Map with the error channel open: failures become `Attempt.failure`
+    * rows instead of task failures. */
+  def mapSafe[T, U](ds: Dataset[T])(f: T => U)(
+      implicit e: Encoder[Attempt[U]]): Dataset[Attempt[U]] =
+    ds.map(t => Attempt.of(f(t)))
+
+  /** `catch(kind, when)` with no replacement: drop failing elements
+    * whose error matches; re-raise others (reference
+    * stream.py:112-131 — non-matching exceptions propagate). */
+  def catchDrop[U](ds: Dataset[Attempt[U]],
+      kind: String => Boolean = _ => true,
+      when: String => Boolean = _ => true)(
+      implicit e: Encoder[U]): Dataset[U] =
+    ds.flatMap {
+      case Attempt(Some(u), _, _) => Some(u)
+      case Attempt(_, Some(k), Some(m)) if kind(k) && when(m) => None
+      case Attempt(_, k, m) =>
+        throw new RuntimeException(s"uncaught stream error ${k.orNull}: ${m.orNull}")
+    }
+
+  /** `catch(replacement=r)`: failing elements are replaced. */
+  def catchReplace[U](ds: Dataset[Attempt[U]], replacement: U,
+      kind: String => Boolean = _ => true)(
+      implicit e: Encoder[U]): Dataset[U] =
+    ds.map {
+      case Attempt(Some(u), _, _) => u
+      case Attempt(_, Some(k), _) if kind(k) => replacement
+      case Attempt(_, k, m) =>
+        throw new RuntimeException(s"uncaught stream error ${k.orNull}: ${m.orNull}")
+    }
+
+  /** `finally_raise=True` (reference iterators.py:83-91: remember the
+    * FIRST caught error, raise at exhaustion): run the pipeline with an
+    * error accumulator; if any element failed, raise after the action
+    * completes. Returns the successful values' count.
+    */
+  def runFinallyRaise[U: ClassTag](spark: SparkSession, ds: Dataset[Attempt[U]])(
+      implicit e: Encoder[Attempt[U]]): Long = {
+    val errCount: LongAccumulator = spark.sparkContext.longAccumulator("graft.errors")
+    val firstErr = new FirstErrorAccumulator
+    spark.sparkContext.register(firstErr, "graft.firstError")
+    val ok = ds.mapPartitions { it =>
+      it.map { a =>
+        if (!a.isSuccess) {
+          errCount.add(1L)
+          firstErr.add(s"${a.errorClass.getOrElse("?")}: ${a.errorMsg.getOrElse("")}")
+        }
+        a
+      }
+    }.filter((a: Attempt[U]) => a.isSuccess).count()
+    if (errCount.value > 0)
+      throw new StreamErrorsException(errCount.value, firstErr.value.getOrElse("?"))
+    ok
+  }
+}
+
+final class StreamErrorsException(val errorCount: Long, val first: String)
+  extends RuntimeException(s"$errorCount element(s) failed; first: $first")
+
+/** Accumulator keeping the first error message seen (merge keeps the
+  * earlier-registered side — "first" across partitions is
+  * best-effort, matching the reference's single-threaded notion only
+  * up to partition order). */
+final class FirstErrorAccumulator
+  extends org.apache.spark.util.AccumulatorV2[String, Option[String]] {
+  private var first: Option[String] = None
+  override def isZero: Boolean = first.isEmpty
+  override def copy(): FirstErrorAccumulator = {
+    val c = new FirstErrorAccumulator; c.first = first; c
+  }
+  override def reset(): Unit = first = None
+  override def add(v: String): Unit = if (first.isEmpty) first = Some(v)
+  override def merge(other: org.apache.spark.util.AccumulatorV2[String, Option[String]]): Unit =
+    if (first.isEmpty) first = other.value
+  override def value: Option[String] = first
+}

@@ -1,0 +1,139 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Order-dependent operators re-grounded on explicit ordering columns.
+  *
+  * The reference is a Python iterator and is inherently ordered; its
+  * skip/truncate/consecutive-distinct ops (streamable/stream.py:432-493,
+  * iterators.py:283-348, :117-133) consume that order. Spark datasets
+  * are unordered, so each op here takes the ordering columns
+  * explicitly.
+  *
+  * Scale note (100 TB): `Window.orderBy(ord)` with no partitionBy
+  * collapses to a single task. The global-order primitives here
+  * instead use [[withRowIndex]] — range-repartition on the ordering
+  * key, sort within partitions, then a two-pass per-partition-offset
+  * index (the classic zipWithIndex pattern): fully parallel, one extra
+  * count job, no single-task bottleneck. Key-partitioned ops
+  * ([[firstWins]], [[distinctConsecutivePerKey]]) use partitioned
+  * windows and need no global pass at all.
+  */
+object Ordered {
+
+  /** Global 0-based row index by `ord` — the scalable replacement for
+    * `row_number() OVER (ORDER BY ord)`. Range-partitions by the
+    * ordering key (so partitions are contiguous runs), sorts within
+    * partitions, then assigns indices with per-partition offsets.
+    */
+  def withRowIndex(df: DataFrame, ord: Seq[Column],
+      idxCol: String = "_ord_idx"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, ord: _*).sortWithinPartitions(ord: _*)
+    val schema = sorted.schema.add(idxCol, LongType, nullable = false)
+    // zipWithIndex runs one count-job over all partitions but the last,
+    // then maps with offsets — no data moves, no single task.
+    val out = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Drop the first `n` rows in `ord` order; reference `skip(count=n)`
+    * (streamable/stream.py:432-446, iterators.py:283-299). */
+  def skip(df: DataFrame, ord: Seq[Column], n: Long): DataFrame = {
+    val idx = "_ord_idx"
+    withRowIndex(df, ord, idx).filter(col(idx) >= n).drop(idx)
+  }
+
+  /** Drop rows until the first one satisfying `p` (that row is kept);
+    * reference `skip(until=p)` (iterators.py:302-315). Implemented as a
+    * running max of the predicate flag over the global order. */
+  def skipUntil(df: DataFrame, ord: Seq[Column], p: Column): DataFrame = {
+    val idx = "_ord_idx"
+    val flag = "_hit"
+    // Two-pass: find the first satisfying index, use it as a filter
+    // bound — parallel everywhere, no global window.
+    val indexed = withRowIndex(df.withColumn(flag, when(p, 1).otherwise(0)), ord, idx)
+      .cache()
+    val firstHit = indexed.filter(col(flag) === 1).agg(min(col(idx))).head()
+    val cut = if (firstHit.isNullAt(0)) Long.MaxValue else firstHit.getLong(0)
+    indexed.filter(col(idx) >= cut).drop(idx, flag)
+  }
+
+  /** Keep only the first `n` rows in `ord` order; reference
+    * `truncate(count=n)` (streamable/stream.py:479-493). */
+  def truncate(df: DataFrame, ord: Seq[Column], n: Long): DataFrame = {
+    val idx = "_ord_idx"
+    withRowIndex(df, ord, idx).filter(col(idx) < n).drop(idx)
+  }
+
+  /** Stop at the first row satisfying `p`, exclusive — the triggering
+    * row is NOT kept; reference `truncate(when=p)`
+    * (iterators.py:334-348). Two-pass: find the first violating index,
+    * broadcast it as a filter bound. */
+  def takeWhileNot(df: DataFrame, ord: Seq[Column], p: Column): DataFrame = {
+    val idx = "_ord_idx"
+    val flag = "_hit"
+    val indexed = withRowIndex(df.withColumn(flag, when(p, 1).otherwise(0)), ord, idx)
+      .cache()
+    val firstHit = indexed.filter(col(flag) === 1).agg(min(col(idx))).head()
+    val cut = if (firstHit.isNullAt(0)) Long.MaxValue else firstHit.getLong(0)
+    indexed.filter(col(idx) < cut).drop(idx, flag)
+  }
+
+  /** takeWhile(p) == takeWhileNot(!p). */
+  def takeWhile(df: DataFrame, ord: Seq[Column], p: Column): DataFrame =
+    takeWhileNot(df, ord, !p)
+
+  /** First-occurrence-wins dedup by `keys` in `ord` order — the
+    * reference `distinct()` contract (first seen survives,
+    * iterators.py:98-114). Key-partitioned window: fully parallel.
+    */
+  def firstWins(df: DataFrame, keys: Seq[Column], ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ord.map(_.asc): _*)
+    val rn = "_rn"
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
+  }
+
+  /** Consecutive-only dedup: keep a row iff its key differs from the
+    * previous row's key in `ord` order; reference
+    * `distinct(consecutive_only=True)` (iterators.py:117-133, O(1)
+    * state). Global order ⇒ needs the lag across the whole frame; for
+    * scale, prefer [[distinctConsecutivePerKey]] when a coarse
+    * partition key exists that consecutive runs never span. */
+  def distinctConsecutive(df: DataFrame, ord: Seq[Column], key: Column): DataFrame = {
+    val w = Window.orderBy(ord.map(_.asc): _*)
+    val prev = "_prev"
+    df.withColumn(prev, lag(key, 1).over(w))
+      .filter(col(prev).isNull || col(prev) =!= key)
+      .drop(prev)
+  }
+
+  /** Consecutive dedup within `part` (runs never span partitions) —
+    * the shuffle-parallel variant. */
+  def distinctConsecutivePerKey(df: DataFrame, part: Seq[Column],
+      ord: Seq[Column], key: Column): DataFrame = {
+    val w = Window.partitionBy(part: _*).orderBy(ord.map(_.asc): _*)
+    val prev = "_prev"
+    df.withColumn(prev, lag(key, 1).over(w))
+      .filter(col(prev).isNull || col(prev) =!= key)
+      .drop(prev)
+  }
+
+  /** Fixed-size chunking in global `ord` order: adds a `_chunk` id so
+    * each chunk holds `size` consecutive rows; reference
+    * `group(size=n)` (iterators.py:183-210). */
+  def chunkBySize(df: DataFrame, ord: Seq[Column], size: Int,
+      chunkCol: String = "_chunk"): DataFrame = {
+    require(size >= 1)
+    val idx = "_ord_idx"
+    withRowIndex(df, ord, idx)
+      .withColumn(chunkCol, (col(idx) / size).cast(LongType))
+      .drop(idx)
+  }
+}

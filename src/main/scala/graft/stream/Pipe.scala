@@ -1,0 +1,141 @@
+package graft.stream
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Typed fluent pipeline mirroring the reference `Stream[T]` algebra
+  * (reference: streamable/stream.py:51-511) as a thin wrapper over
+  * `Dataset[T]`. Every operation is lazy and returns a new immutable
+  * `Pipe` — exactly the reference's composite/linked-list contract
+  * (streamable/stream.py:496-511) — but the "iterator onion" is
+  * replaced by Catalyst logical plans + whole-stage codegen, and all
+  * operator state (dedup sets, group buffers) lives in the shuffle,
+  * not on the driver, which is what makes this hold at 100 TB.
+  *
+  * Order-dependent operators (skip/truncate/consecutive-distinct,
+  * reference stream.py:432-493) need an explicit ordering and live in
+  * [[graft.stream.Ordered]] at the DataFrame layer; the typed layer
+  * here exposes only the order-free core.
+  */
+final case class Pipe[T](ds: Dataset[T]) {
+
+  /** 1→1 transform; reference `map` (streamable/stream.py:372-392). */
+  def map[U: Encoder](f: T => U): Pipe[U] = Pipe(ds.map(f))
+
+  /** `map(concurrency=n, via="thread")` analog
+    * (streamable/stream.py:372-392, iterators.py:489-618): per-element
+    * thread concurrency *inside* each partition with a bounded
+    * in-flight window of exactly `concurrency`, FIFO when `ordered`,
+    * first-done-first-out otherwise. Partition parallelism supplies
+    * the `via="process"` axis. */
+  def mapConcurrent[U: Encoder](f: T => U, concurrency: Int,
+      ordered: Boolean = true): Pipe[U] = {
+    require(concurrency >= 1, "concurrency must be >= 1")
+    if (concurrency == 1) map(f)
+    else Pipe(ds.mapPartitions(it =>
+      new ConcurrentMapIterator(it, f, concurrency, ordered)))
+  }
+
+  /** `amap` analog (streamable/stream.py:394-411, iterators.py:621-685):
+    * `f` launches async work and returns a `Future`; at most
+    * `concurrency` are in flight per partition. */
+  def mapAsync[U: Encoder](f: T => scala.concurrent.Future[U],
+      concurrency: Int, ordered: Boolean = true): Pipe[U] = {
+    require(concurrency >= 1, "concurrency must be >= 1")
+    Pipe(ds.mapPartitions(it =>
+      new AsyncMapIterator(it, f, concurrency, ordered)))
+  }
+
+  /** Side effect per element, element passes through unchanged;
+    * reference `foreach` = `map(sidify(effect))`
+    * (streamable/stream.py:278-299, util/functiontools.py:32-42). */
+  def tap(effect: T => Unit)(implicit e: Encoder[T]): Pipe[T] =
+    Pipe(ds.map { t => effect(t); t })
+
+  /** Keep elements satisfying `p`; reference `filter`
+    * (streamable/stream.py:189-199). */
+  def filter(p: T => Boolean): Pipe[T] = Pipe(ds.filter(p))
+
+  /** Un-nest one level; reference `flatten`
+    * (streamable/stream.py:201-276). The reference's concurrent
+    * round-robin interleaving order is explicitly non-contractual
+    * (tests/test_stream.py:613-617) — partition parallelism covers it. */
+  def flatten[U: Encoder](implicit ev: T => IterableOnce[U]): Pipe[U] =
+    Pipe(ds.flatMap(t => ev(t)))
+
+  /** Generator-shaped 1→N (the reference idiom `map(g).flatten()`). */
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): Pipe[U] =
+    Pipe(ds.flatMap(f))
+
+  /** Ordered concat; reference `a + b` = `Stream((a,b)).flatten()`
+    * (streamable/stream.py:85-89). */
+  def ++(other: Pipe[T]): Pipe[T] = Pipe(ds.union(other.ds))
+  def concat(other: Pipe[T]): Pipe[T] = this ++ other
+
+  /** Global dedup; reference `distinct()` (streamable/stream.py:166-187).
+    * The reference holds the seen-set in driver memory (its documented
+    * scalability ceiling, stream.py:176-178); here it is a shuffle.
+    * Which occurrence survives is arbitrary without an order — for the
+    * reference's first-wins contract use [[Ordered.firstWins]]. */
+  def distinct: Pipe[T] = Pipe(ds.distinct())
+
+  /** Keyed dedup; reference `distinct(key=...)`. Keeps one arbitrary
+    * element per key (first-wins needs an ordering column —
+    * [[Ordered.firstWins]]). */
+  def distinctBy[K: Encoder](key: T => K)(implicit e: Encoder[T]): Pipe[T] =
+    Pipe(ds.groupByKey(key).reduceGroups((a, _) => a).map(_._2))
+
+  /** Batch into fixed-size chunks; reference `group(size=n)`
+    * (streamable/stream.py:321-346, iterators.py:183-210). Chunks are
+    * per-partition (no global order without an ordering column — see
+    * [[Ordered.groupBySize]] for the globally-ordered variant). */
+  def grouped(size: Int)(implicit e: Encoder[Seq[T]]): Pipe[Seq[T]] = {
+    require(size >= 1, "size must be >= 1")
+    Pipe(ds.mapPartitions(_.grouped(size).map(_.toSeq)))
+  }
+
+  /** Co-group by key; reference `groupby(key)`
+    * (streamable/stream.py:348-370): full-exhaustion mode yielding
+    * `(key, all elements of that key)`. Shuffle-based, spill-aware —
+    * the 100 TB replacement for the reference's in-driver buckets. */
+  def groupByKey[K: Encoder](key: T => K)(
+      implicit e: Encoder[(K, Seq[T])]): Pipe[(K, Seq[T])] =
+    Pipe(ds.groupByKey(key).mapGroups((k, it) => (k, it.toSeq)))
+
+  /** `group(by=key)` = groupby then drop keys
+    * (streamable/functions.py:98-109). */
+  def groupedBy[K: Encoder](key: T => K)(
+      implicit e1: Encoder[(K, Seq[T])], e2: Encoder[Seq[T]]): Pipe[Seq[T]] =
+    groupByKey(key).map(_._2)
+
+  /** First n elements (arbitrary order without an ordering column;
+    * ordered variant in [[Ordered]]); reference `truncate(count=n)`
+    * (streamable/stream.py:479-493). */
+  def truncate(n: Int): Pipe[T] = Pipe(ds.limit(n))
+
+  /** Exhausts and counts; reference `count()` (stream.py:133-141). */
+  def count(): Long = ds.count()
+
+  /** Run for side effects; reference `stream()` i.e. `__call__`
+    * (streamable/stream.py:143-151). */
+  def run(): Pipe[T] = { ds.foreach(_ => ()); this }
+
+  /** Terminal foreach (distributed side effects). */
+  def runForeach(effect: T => Unit): Unit = ds.foreach(e => effect(e))
+
+  /** Pull-based consumption preserving the reference's one-element-at-
+    * a-time semantics (streamable/stream.py:91-94). */
+  def iterator: Iterator[T] = {
+    import scala.jdk.CollectionConverters._
+    ds.toLocalIterator().asScala
+  }
+
+  /** Plan rendering; reference `repr/str/display`
+    * (streamable/stream.py:96-104, visitors/representation.py:29-149).
+    * Catalyst's explain is strictly richer than the reference's
+    * pretty-printer. */
+  def explain(): String = ds.queryExecution.toString()
+}
+
+object Pipe {
+  def apply[T](ds: Dataset[T]): Pipe[T] = new Pipe(ds)
+}

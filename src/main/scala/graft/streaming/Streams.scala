@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Structured Streaming re-grounding of the reference's
+  * processing-time flow control (SURVEY §2.8):
+  *
+  *  - `group(interval=)` → micro-batch triggers
+  *    (`Trigger.ProcessingTime`) / event-time tumbling windows with
+  *    watermarks — the principled analog that also handles late data,
+  *    which the reference cannot.
+  *  - `throttle(per_second=)` → rate-source configs
+  *    (`rowsPerSecond`, `maxFilesPerTrigger`).
+  *  - size-capped `groupby(size=)` incremental emission →
+  *    `flatMapGroupsWithState` (bounded per-key state, emits when a
+  *    bucket fills — the reference's `_pop_full_group`,
+  *    iterators.py:230).
+  *
+  * All transforms below take a streaming DataFrame with the `events`
+  * schema (event_id, ts, user_id, event_type, value) so tests can feed
+  * them from MemoryStream.
+  */
+object Streams {
+
+  /** Event-time tumbling window + watermark: `group(interval=)` with
+    * late-data handling. */
+  def windowedCounts(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows with a gap — streaming sessionization
+    * (the event-time analog of [[graft.ops.Events.sessionize]]). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  final case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class Bucket(user_id: Long, events: Seq[Long], full: Boolean)
+
+  /** Size-capped group emission with custom state: each user's bucket
+    * emits as soon as it reaches `size` (reference groupby(size=)
+    * `_pop_full_group`); on timeout/stream end the partial bucket
+    * flushes (reference exhaustion flush, iterators.py:249-254).
+    * Bounded state: at most `size` event ids per key. */
+  def sizeCappedGroups(spark: SparkSession, events: DataFrame, size: Int)
+      : DataFrame = {
+    import spark.implicits._
+    events.as[Evt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], Bucket](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Evt], state: GroupState[Seq[Long]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer[Bucket]()
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            buf = buf :+ e.event_id
+            if (buf.size >= size) { out += Bucket(user, buf, full = true); buf = Seq.empty }
+          }
+          state.update(buf)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** Rate-limited streaming source: the `throttle(per_second=k)`
+    * analog — the source itself paces production. */
+  def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+
+  /** Micro-batch sink with a processing-time trigger — the
+    * `group(interval=)` processing-time analog. Returns the started
+    * query (caller stops it). */
+  def intervalBatches(df: DataFrame, intervalMs: Long,
+      checkpoint: String)(onBatch: (DataFrame, Long) => Unit) =
+    df.writeStream
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(batch.toDF(), id)
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+}
