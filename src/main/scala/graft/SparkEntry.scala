@@ -167,7 +167,8 @@ object SparkEntry {
          GROUP BY chunk ORDER BY chunk""",
     "q17_anti_join" ->
       """SELECT c_nationkey, count(*) AS n FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q18_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer
@@ -253,6 +254,26 @@ object SparkEntry {
            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
            FROM documents)
          GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
+    // d04 oracle = the exact-Jaccard ground truth: MinHash-LSH with
+    // 16 bands x 4 rows has collision probability >0.999 for pairs at
+    // jaccard >= 0.8 (all pairs above the 0.6 output threshold in this
+    // corpus sit at >= 0.9), so the sketch recalls the exact answer.
+    "d04_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+           WHERE len(w) >= 5),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, round(i / (x.n_sh + y.n_sh - i), 3) AS jaccard
+         FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         WHERE round(i / (x.n_sh + y.n_sh - i), 3) >= 0.6
+         ORDER BY doc_a, doc_b""",
     "d03_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Relational.t
+import graft.ops.Relational.{t, events}
 
 /** Event analytics over the `events` table — the batch/event-time
   * re-grounding of the reference's processing-time features
@@ -15,7 +15,7 @@ object Events {
   /** Tumbling-window aggregation (event-time): the principled analog
     * of `group(interval=)` — hourly buckets per event_type. */
   def hourlyStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    events(s, dir)
       .withColumn("hour", date_format(date_trunc("hour", col("ts")),
         "yyyy-MM-dd HH:mm"))
       .groupBy("hour", "event_type")
@@ -30,7 +30,7 @@ object Events {
     // millisecond precision on both sides (the DuckDB oracle uses
     // epoch_ms) — second-truncation would disagree on ~30:00.x gaps
     val gapMs = gapMinutes * 60000L
-    t(s, dir, "events")
+    events(s, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -53,7 +53,7 @@ object Events {
 
   /** Top-10 users by total event value (deterministic tiebreak). */
   def topUsers(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    events(s, dir)
       .groupBy("user_id")
       .agg(round(sum("value"), 2).as("total_value"), count(lit(1)).as("n"))
       .orderBy(col("total_value").desc, col("user_id"))

@@ -79,7 +79,7 @@ object Multimodal {
     mediaTable(s, dir)
       .filter(col("kind") === "video")
       .select(col("media_id"), col("byte_len"),
-        explode(sequence(lit(0), lit(frames - 1))).cast("long").as("frame_no"))
+        explode(sequence(lit(0L), lit(frames - 1L))).as("frame_no"))
       .withColumn("frame_offset",
         col("frame_no") * floor(col("byte_len") / frames).cast("long"))
       .select("media_id", "frame_no", "frame_offset")

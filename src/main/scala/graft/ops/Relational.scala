@@ -19,6 +19,20 @@ object Relational {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` (as raw nanos).
+    * Normalize to a micros timestamp; `div` keeps the arithmetic in
+    * Long (an epoch-nanos value exceeds 2^53, so double division
+    * would corrupt it). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   /** Revenue term in exact decimal arithmetic. Money columns are
     * 2dp-quantized doubles; a double sum of the *product*
     * ext*(1-disc) is order-dependent in the last bits and can flip a
@@ -161,7 +175,7 @@ object Relational {
 
   /** JSON scalar extraction from events.props (SURVEY §2.9). */
   def jsonProps(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -220,10 +234,11 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("chunk")
 
-  /** Anti join: customers with no orders, counted per nation. */
+  /** Anti join: customers with no URGENT order, counted per nation. */
   def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders").select("o_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
       .orderBy("c_nationkey")

@@ -48,37 +48,62 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** Sign-bit sketch: `bits` random hyperplanes, each derived
-    * deterministically from xxhash64(dim, plane) — no driver-side
-    * randomness, identical on every executor. Returns the bucket key
-    * column for an embedding column. */
-  def lshBucket(emb: Column, dim: Int, bits: Int): Column = {
-    // plane p component for dimension d: a deterministic pseudo-random
-    // value in [-1, 1) from xxhash64(d, p)
-    def coeff(d: Int, p: Int): Column =
-      (xxhash64(lit(d), lit(p)).cast("double") / lit(Long.MaxValue.toDouble))
-    val bitCols = (0 until bits).map { p =>
-      val dot = (0 until dim).map { d =>
-        element_at(emb, d + 1).cast("double") * coeff(d, p)
-      }.reduce(_ + _)
-      when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  /** Multi-table random-hyperplane LSH buckets. `tables` independent
+    * hash tables of `bits` sign-bits each; a pair is a candidate if it
+    * collides in ANY table — recall = 1-(1-p^bits)^tables for per-bit
+    * agreement p = 1-θ/π. Hyperplane coefficients are derived
+    * deterministically from xxhash64(dimension, plane): no driver
+    * randomness, identical on every executor, nothing to broadcast.
+    *
+    * Computed via posexplode + one groupBy (tables×bits aggregate
+    * sums) rather than a dim×bits literal expression tree — keeps the
+    * plan small and the work shuffle-parallel at any dimensionality.
+    * Returns (vec_id, b0..b{tables-1}).
+    */
+  def lshBuckets(emb: DataFrame, idCol: String, embCol: String,
+      bits: Int, tables: Int): DataFrame = {
+    val planes = tables * bits
+    val pos = emb.select(col(idCol), posexplode(col(embCol)).as(Seq("pos", "v")))
+    // dot product with plane p: sum over dims of v * coeff(pos, p),
+    // coeff a deterministic pseudo-random value in [-1, 1)
+    val dots = (0 until planes).map { p =>
+      sum(col("v").cast("double") *
+        (xxhash64(col("pos"), lit(p)).cast("double") / Long.MaxValue.toDouble))
+        .as(s"dot$p")
     }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+    val dotted = pos.groupBy(col(idCol)).agg(dots.head, dots.tail: _*)
+    val buckets = (0 until tables).map { tb =>
+      (0 until bits).map { b =>
+        when(col(s"dot${tb * bits + b}") > 0, shiftleft(lit(1L), b))
+          .otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c)).as(s"b$tb")
+    }
+    dotted.select(col(idCol) +: buckets: _*)
   }
 
-  /** LSH-bucketed ANN: score only same-bucket pairs. Approximate —
-    * recall depends on `bits`; smaller buckets = faster + lower
-    * recall. */
+  /** LSH-bucketed ANN: candidates = pairs colliding in any of the
+    * `tables` hash tables; only candidates are scored. Approximate —
+    * the 100 TB path where the brute-force cross product is
+    * impossible; tune bits up (smaller buckets) as the corpus grows.
+    */
   def lshTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      dim: Int = 64, bits: Int = 8): DataFrame = {
+      dim: Int = 64, bits: Int = 4, tables: Int = 8): DataFrame = {
     val emb = t(s, dir, "embeddings")
-      .withColumn("bucket", lshBucket(col("embedding"), dim, bits))
+    val buckets = lshBuckets(emb, "vec_id", "embedding", bits, tables).cache()
+    val qb = buckets.filter(col("vec_id") < nQueries)
+    val candidates = (0 until tables).map { tb =>
+      buckets.select(col("vec_id").as("c_id"), col(s"b$tb").as("bk"))
+        .join(broadcast(qb.select(col("vec_id").as("q_id"), col(s"b$tb").as("bk"))),
+          Seq("bk"))
+        .filter(col("q_id") =!= col("c_id"))
+        .select("q_id", "c_id")
+    }.reduce(_ unionAll _).distinct()
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("bucket"))
-    val scored = corpus.join(broadcast(queries), Seq("bucket"))
-      .filter(col("q_id") =!= col("c_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val scored = candidates
+      .join(broadcast(queries), "q_id")
+      .join(corpus, "c_id")
       .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 4))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))

@@ -1,0 +1,65 @@
+package graft.stream
+
+import graft.SparkSpec
+
+/** Error-channel semantics mirroring the reference catch matrix
+  * (tests/test_stream.py:1301-1443): swallow / replace / selective
+  * re-raise / finally_raise. */
+class ErrorsSpec extends SparkSpec {
+
+  private def risky = {
+    val s = spark
+    import s.implicits._
+    // reference fixture: 1/n over a range with a poison value
+    Errors.mapSafe(s.createDataset(Seq(1, 2, 0, 4)))(x => 12 / x)
+  }
+
+  test("mapSafe turns exceptions into failure rows, not task failures") {
+    val rows = risky.collect()
+    assert(rows.count(_.isSuccess) == 3)
+    val f = rows.find(!_.isSuccess).get
+    assert(f.errorClass.get == "java.lang.ArithmeticException")
+  }
+
+  test("catchDrop swallows matching errors (element dropped)") {
+    val s = spark; import s.implicits._
+    assert(Errors.catchDrop(risky).collect().sorted.toList == List(3, 6, 12))
+  }
+
+  test("catchDrop re-raises non-matching errors") {
+    val s = spark; import s.implicits._
+    val ex = intercept[Exception] {
+      Errors.catchDrop(risky, kind = _.contains("NullPointer")).collect()
+    }
+    assert(ex.getMessage.contains("ArithmeticException") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ArithmeticException")))
+  }
+
+  test("catchReplace substitutes the replacement value") {
+    val s = spark; import s.implicits._
+    assert(Errors.catchReplace(risky, replacement = -1).collect().sorted.toList ==
+      List(-1, 3, 6, 12))
+  }
+
+  test("runFinallyRaise completes the pass then raises with count+first") {
+    val s = spark; import s.implicits._
+    val ex = intercept[StreamErrorsException] { Errors.runFinallyRaise(s, risky) }
+    assert(ex.errorCount == 1)
+    assert(ex.first.contains("ArithmeticException"))
+  }
+
+  test("runFinallyRaise returns success count when clean") {
+    val s = spark; import s.implicits._
+    val clean = Errors.mapSafe(s.createDataset(Seq(1, 2, 3)))(_ * 2)
+    assert(Errors.runFinallyRaise(s, clean) == 3)
+  }
+
+  test("errors flow through downstream ops (exception flow-through)") {
+    val s = spark; import s.implicits._
+    // reference: an exception doesn't terminate iteration; downstream
+    // ops keep consuming (tests/test_stream.py:555-576)
+    val downstream = risky.filter((a: Attempt[Int]) => a.value.forall(_ > 3))
+    assert(downstream.collect().count(_.isSuccess) == 2) // 6, 12
+    assert(downstream.collect().count(!_.isSuccess) == 1) // poison row flows
+  }
+}

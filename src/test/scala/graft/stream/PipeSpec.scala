@@ -1,0 +1,98 @@
+package graft.stream
+
+import graft.SparkSpec
+
+/** Pipe algebra vs Scala-collection oracles — the Spark analog of the
+  * reference's "builtin as oracle" style (tests/test_stream.py:376-381
+  * map-vs-map, :793-806 filter-vs-filter, etc.). */
+class PipeSpec extends SparkSpec {
+
+  private def pipe(n: Int): Pipe[Long] = {
+    val s = spark
+    import s.implicits._
+    Pipe(s.range(n.toLong).as[Long])
+  }
+
+  test("map mirrors builtin map") {
+    val s = spark; import s.implicits._
+    assert(pipe(256).map(_ * 2).ds.collect().sorted.toList ==
+      (0L until 256L).map(_ * 2).toList)
+  }
+
+  test("filter mirrors builtin filter") {
+    val s = spark; import s.implicits._
+    assert(pipe(256).filter(_ % 2 == 0).ds.collect().sorted.toList ==
+      (0L until 256L).filter(_ % 2 == 0).toList)
+  }
+
+  test("flatMap + flatten un-nest one level") {
+    val s = spark; import s.implicits._
+    val nested = Pipe(s.createDataset(Seq(Seq(0, 0), Seq(1, 1, 1), Seq.empty[Int])))
+    assert(nested.flatMap(identity).ds.collect().sorted.toList == List(0, 0, 1, 1, 1))
+  }
+
+  test("concat (++) is unionAll") {
+    val s = spark; import s.implicits._
+    assert((pipe(3) ++ pipe(3)).ds.collect().sorted.toList ==
+      List(0L, 0L, 1L, 1L, 2L, 2L))
+  }
+
+  test("distinct and distinctBy dedup") {
+    val s = spark; import s.implicits._
+    val p = Pipe(s.createDataset(Seq("a", "a", "bb", "cc", "bb")))
+    assert(p.distinct.ds.collect().sorted.toList == List("a", "bb", "cc"))
+    // keyed dedup by length: one survivor per length
+    assert(p.distinctBy(_.length).ds.collect().map(_.length).sorted.toList == List(1, 2))
+  }
+
+  test("grouped batches per partition with exact sizes") {
+    val s = spark; import s.implicits._
+    val groups = pipe(100).grouped(7).ds.collect()
+    assert(groups.map(_.size).sum == 100)
+    assert(groups.forall(_.size <= 7))
+  }
+
+  test("groupByKey collects per-key groups (reference groupby)") {
+    val s = spark; import s.implicits._
+    val got = pipe(10).groupByKey(_ % 3).ds.collect()
+      .map { case (k, vs) => k -> vs.sorted.toList }.toMap
+    assert(got == Map(0L -> List(0L, 3L, 6L, 9L), 1L -> List(1L, 4L, 7L),
+      2L -> List(2L, 5L, 8L)))
+  }
+
+  test("count and truncate") {
+    assert(pipe(42).count() == 42)
+    assert(pipe(100).truncate(5).count() == 5)
+  }
+
+  test("mapConcurrent produces identical results to map") {
+    val s = spark; import s.implicits._
+    assert(pipe(64).mapConcurrent(_ + 1, concurrency = 4).ds.collect().sorted.toList ==
+      (1L to 64L).toList)
+    assert(pipe(64).mapConcurrent(_ + 1, concurrency = 4, ordered = false)
+      .ds.collect().sorted.toList == (1L to 64L).toList)
+  }
+
+  test("mapAsync produces identical results to map") {
+    val s = spark; import s.implicits._
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    assert(pipe(32).mapAsync(x => Future(x * 3), concurrency = 4)
+      .ds.collect().sorted.toList == (0L until 32L).map(_ * 3).toList)
+  }
+
+  test("tap passes elements through unchanged") {
+    val s = spark; import s.implicits._
+    assert(pipe(10).tap(_ => ()).ds.collect().sorted.toList == (0L until 10L).toList)
+  }
+
+  test("iterator pulls lazily (toLocalIterator)") {
+    val it = pipe(10).iterator
+    assert(it.take(3).toList == List(0L, 1L, 2L))
+  }
+
+  test("explain renders the plan") {
+    val s = spark; import s.implicits._
+    assert(pipe(5).map(_ + 1).explain().contains("Physical Plan"))
+  }
+}
