@@ -82,15 +82,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signatures: `numHashes` permutations simulated as
-    * xxhash64(shingle, seed) minima — one narrow agg per doc, no
-    * driver state. */
-  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(docs, n)
+  /** MinHash signatures: hash each shingle string ONCE (xxhash64),
+    * then derive `numHashes` permutations by re-hashing the 8-byte
+    * value with a per-permutation seed — 64 long-hashes per shingle
+    * instead of 64 full string hashes (and no Long-overflow issue
+    * under ANSI mode, unlike the a*h+b universal-hashing trick).
+    * One narrow agg per doc, no driver state. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
     val hashCols = (0 until numHashes).map { i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+      min(xxhash64(lit(i), col("h"))).as(s"h$i")
     }
-    sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    hashed.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs, verified with exact
@@ -105,20 +108,24 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     val numHashes = bands * rows
     val docs = t(s, dir, "documents")
-    val sig = minhashSignatures(docs, n, numHashes)
-    // band b = hash of (h_{b*rows} ... h_{b*rows+rows-1})
-    val banded = sig.select(col("doc_id") +: (0 until bands).map { b =>
-      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
-        .as(s"band$b")
-    }: _*)
-    val candidates = (0 until bands).map { b =>
-      val l = banded.select(col("doc_id"), col(s"band$b").as("bk"))
-      val r = l.withColumnRenamed("doc_id", "doc_id_b")
-      l.join(r, Seq("bk")).filter(col("doc_id") < col("doc_id_b"))
-        .select(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
-    }.reduce(_ unionAll _).distinct()
-    // exact-Jaccard verify on candidates only
     val sh = shingles(docs, n).cache()
+    val sig = minhashSignatures(sh, numHashes)
+    // band b = hash of (h_{b*rows} ... h_{b*rows+rows-1}); melt the
+    // bands into (doc_id, band_idx, band_hash) rows so candidate
+    // generation is ONE groupBy-shaped self-join on (band_idx, hash)
+    // instead of `bands` separate shuffles.
+    val bandCols = (0 until bands).flatMap { b =>
+      Seq(lit(b), xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*))
+    }
+    val melted = sig.select(col("doc_id"),
+      explode(map(bandCols: _*)).as(Seq("band_idx", "bh")))
+    val candidates = melted.as("x")
+      .join(melted.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verify on candidates only
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     pairJaccard(candidates, sh, sizes, threshold)
   }
