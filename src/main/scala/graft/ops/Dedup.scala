@@ -152,18 +152,21 @@ object Dedup {
     * sum → sign → reassemble. */
   def simhashes(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // pre-aggregate repeated tokens: votes become count-weighted, the
+    // wide 64-column agg then runs over |distinct (doc,token)| rows
+    // instead of |tokens| rows
     val toks = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    // votes: for bit i, +1 if set else -1; sum over tokens; bit i of
-    // simhash = 1 if sum > 0
-    val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$i")
-    }
-    val voted = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .groupBy(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    // vote_i = sum(cnt * (bit_i ? +1 : -1)) > 0  ⟺  2*sum(cnt*bit_i)
+    // > sum(cnt); branch-free arithmetic keeps the agg codegen-tight
+    val bitSums = (0 until 64).map { i =>
+      sum(col("cnt") * shiftright(col("h"), i).bitwiseAND(1)).as(s"b$i")
+    } :+ sum(col("cnt")).as("total")
+    val voted = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(col(s"b$i") * 2 > col("total"), shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     voted.select(col("doc_id"), sim.as("simhash"))
   }

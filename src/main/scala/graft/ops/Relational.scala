@@ -134,13 +134,10 @@ object Relational {
 
   /** skip(100) then truncate(50) in o_orderkey order — reference
     * stream.py:432-493 over a real ordering column. */
-  def skipTakeOrders(s: SparkSession, dir: String): DataFrame = {
-    val skipped = Ordered.skip(t(s, dir, "orders")
-        .select("o_orderkey", "o_totalprice"),
-      ord = Seq(col("o_orderkey")), n = 100)
-    Ordered.truncate(skipped, Seq(col("o_orderkey")), 50)
+  def skipTakeOrders(s: SparkSession, dir: String): DataFrame =
+    Ordered.slice(t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        ord = Seq(col("o_orderkey")), from = 100, until = 150)
       .orderBy("o_orderkey")
-  }
 
   /** truncate(when=totalprice>490000): stop (exclusive) at the first
     * expensive order in o_orderkey order. */

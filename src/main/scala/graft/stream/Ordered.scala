@@ -72,6 +72,14 @@ object Ordered {
     withRowIndex(df, ord, idx).filter(col(idx) < n).drop(idx)
   }
 
+  /** skip(from) + truncate(until-from) fused into one indexing pass:
+    * rows with index in [from, until). */
+  def slice(df: DataFrame, ord: Seq[Column], from: Long, until: Long): DataFrame = {
+    val idx = "_ord_idx"
+    withRowIndex(df, ord, idx)
+      .filter(col(idx) >= from && col(idx) < until).drop(idx)
+  }
+
   /** Stop at the first row satisfying `p`, exclusive — the triggering
     * row is NOT kept; reference `truncate(when=p)`
     * (iterators.py:334-348). Two-pass: find the first violating index,
