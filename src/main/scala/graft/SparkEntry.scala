@@ -39,6 +39,10 @@ object SparkEntry {
     "q18_semi_join" -> (Relational.customersWithOpenOrders _),
     "q19_union" -> (Relational.nationKeyUnion _),
     "q20_group_concat" -> (Relational.statusesPerPriority _),
+    "q21_cube" -> (Relational.cubePriorities _),
+    "q22_intersect" -> (Relational.nationKeyIntersect _),
+    "q23_except" -> (Relational.nationKeyExcept _),
+    "q24_approx_distinct" -> (Relational.approxDistinctParts _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -183,6 +187,18 @@ object SparkEntry {
       """SELECT o_orderpriority,
          string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q21_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q22_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "q23_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
     "e01_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value

@@ -259,6 +259,41 @@ object Relational {
       .groupBy("nationkey").agg(count(lit(1)).as("n"))
       .orderBy("nationkey")
 
+  /** CUBE over two dims (capability extension; SURVEY §2.4). */
+  def cubePriorities(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  /** INTERSECT: nation keys present among both customers and
+    * suppliers (set op — absent in the reference, SURVEY §2.3). */
+  def nationKeyIntersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** EXCEPT: nation keys with customers but no suppliers. */
+  def nationKeyExcept(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** approx_count_distinct (HLL++): sketch-based distinct counts —
+    * the 100 TB replacement for exact countDistinct's full shuffle.
+    * Oracle-exempt (DuckDB's approx sketch differs); the companion
+    * exact query q15 is the correctness anchor. */
+  def approxDistinctParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   /** group(by=key) analog surfaced as sorted concatenated groups
     * (collect_set is the shuffle-parallel replacement for the
     * reference's in-driver buckets; SURVEY §2.4). */

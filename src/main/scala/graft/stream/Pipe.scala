@@ -51,6 +51,31 @@ final case class Pipe[T](ds: Dataset[T]) {
   def tap(effect: T => Unit)(implicit e: Encoder[T]): Pipe[T] =
     Pipe(ds.map { t => effect(t); t })
 
+  /** Async side effect, element passes through; reference `aforeach`
+    * = `amap(async_sidify(effect))` (streamable/stream.py:301-319,
+    * util/functiontools.py:45-57). */
+  def tapAsync(effect: T => scala.concurrent.Future[Unit], concurrency: Int,
+      ordered: Boolean = true)(implicit e: Encoder[T]): Pipe[T] =
+    // resolve the ExecutionContext inside the task closure — capturing
+    // it at call time would drag a non-serializable pool into the task
+    mapAsync(t => effect(t).map(_ => t)(scala.concurrent.ExecutionContext.global),
+      concurrency, ordered)
+
+  /** Pairwise zip by position in `ord`-free index order — the
+    * reference defers to builtin `zip` (README.md:481-497); Spark has
+    * no positional identity, so both sides are indexed per-partition
+    * with `zipWithIndex` semantics and hash-joined on the index. For
+    * ordered zips, index both sides with [[Ordered.withRowIndex]]
+    * first and join on that. */
+  def zipByIndex[U](other: Pipe[U])(
+      implicit e: Encoder[(T, U)], ct: scala.reflect.ClassTag[T],
+      cu: scala.reflect.ClassTag[U]): Pipe[(T, U)] = {
+    import org.apache.spark.rdd.RDD.rddToPairRDDFunctions
+    val left = ds.rdd.zipWithIndex().map(_.swap)
+    val right = other.ds.rdd.zipWithIndex().map(_.swap)
+    Pipe(ds.sparkSession.createDataset(left.join(right).values))
+  }
+
   /** Keep elements satisfying `p`; reference `filter`
     * (streamable/stream.py:189-199). */
   def filter(p: T => Boolean): Pipe[T] = Pipe(ds.filter(p))

@@ -97,7 +97,8 @@ class OpsSpec extends SparkSpec {
   }
 
   test("every query name has either an oracle or a documented exemption") {
-    val exempt = Set("d05_simhash_pairs", "s02_lsh_topk", "m02_decode_features")
+    val exempt = Set("d05_simhash_pairs", "s02_lsh_topk", "m02_decode_features",
+      "q24_approx_distinct")
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))

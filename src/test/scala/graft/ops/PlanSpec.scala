@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Physical-plan quality gates — the properties that decide whether a
+  * query survives a 100× scale-up: filters reach the parquet scan,
+  * small dims broadcast (no fact-table sort-merge), aggregates
+  * partial-aggregate map-side, scans prune columns.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: all predicates push down to the parquet scan") {
+    val p = plan(Relational.revenueForecast(spark, sf0001))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("l_shipdate") && p.contains("l_discount"))
+    // projection pruning: scan must not read uninvolved wide columns
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q04: star join uses broadcast, never sort-merge") {
+    val p = plan(Relational.regionNationRevenue(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "dimension joins must broadcast — a fact-table SMJ dies at 100 TB")
+  }
+
+  test("q01: aggregation is map-side partial (two HashAggregate phases)") {
+    val p = plan(Relational.pricingSummary(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "partial+final HashAggregate expected (map-side combine)")
+  }
+
+  test("q01: scan prunes to the referenced columns only") {
+    val p = plan(Relational.pricingSummary(spark, sf0001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_partkey"),
+      s"scan should read only query columns: $readSchema")
+  }
+
+  test("q18: semi join stays a semi join in the physical plan") {
+    val p = plan(Relational.customersWithOpenOrders(spark, sf0001))
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("s01: corpus side never shuffles for the broadcast query set") {
+    val p = plan(Similarity.bruteForceTopK(spark, sf0001))
+    assert(p.contains("Broadcast"))
+  }
+
+  test("whole-stage codegen covers the text-analysis hot path") {
+    // AQE finalizes the plan only after execution
+    val df = TextAnalysis.tokenStats(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n)" markers in the plan string
+    assert(p.contains("*(1)"), s"no codegen span in:\n$p")
+  }
+}

@@ -91,6 +91,21 @@ class PipeSpec extends SparkSpec {
     assert(it.take(3).toList == List(0L, 1L, 2L))
   }
 
+  test("tapAsync passes elements through (aforeach analog)") {
+    val s = spark; import s.implicits._
+    import scala.concurrent.Future
+    assert(pipe(20).tapAsync(_ => Future.successful(()), concurrency = 4)
+      .ds.collect().sorted.toList == (0L until 20L).toList)
+  }
+
+  test("zipByIndex pairs elements positionally") {
+    val s = spark; import s.implicits._
+    val a = Pipe(s.createDataset(Seq(1, 2, 3)).repartition(1).sortWithinPartitions("value").as[Int])
+    val b = Pipe(s.createDataset(Seq("a", "b", "c")).repartition(1).sortWithinPartitions("value").as[String])
+    val got = a.zipByIndex(b).ds.collect().sortBy(_._1).toList
+    assert(got == List((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("explain renders the plan") {
     val s = spark; import s.implicits._
     assert(pipe(5).map(_ + 1).explain().contains("Physical Plan"))
