@@ -111,15 +111,17 @@ object Ordered {
   /** Consecutive-only dedup: keep a row iff its key differs from the
     * previous row's key in `ord` order; reference
     * `distinct(consecutive_only=True)` (iterators.py:117-133, O(1)
-    * state). Global order ⇒ needs the lag across the whole frame; for
-    * scale, prefer [[distinctConsecutivePerKey]] when a coarse
-    * partition key exists that consecutive runs never span. */
+    * state). NOT a global `Window.orderBy` (that collapses to one
+    * task): rows get a dense global index (parallel two-pass), then a
+    * self-equi-join on idx-1 supplies each row's predecessor key —
+    * every stage shuffle-parallel. */
   def distinctConsecutive(df: DataFrame, ord: Seq[Column], key: Column): DataFrame = {
-    val w = Window.orderBy(ord.map(_.asc): _*)
-    val prev = "_prev"
-    df.withColumn(prev, lag(key, 1).over(w))
-      .filter(col(prev).isNull || col(prev) =!= key)
-      .drop(prev)
+    val idx = "_ord_idx"
+    val indexed = withRowIndex(df.withColumn("_k", key), ord, idx)
+    val prev = indexed.select((col(idx) + 1).as(idx), col("_k").as("_prev"))
+    indexed.join(prev, Seq(idx), "left")
+      .filter(col("_prev").isNull || col("_prev") =!= col("_k"))
+      .drop(idx, "_k", "_prev")
   }
 
   /** Consecutive dedup within `part` (runs never span partitions) —
