@@ -70,10 +70,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint on sizes: it is |corpus|-sized (huge at
+    // 100 TB); AQE broadcasts it automatically at small SF
     inter
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "sz_a"), "doc_a")
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "sz_b"), "doc_b")
       .withColumn("jaccard",
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 3))
