@@ -116,12 +116,38 @@ object Ordered {
     * self-equi-join on idx-1 supplies each row's predecessor key —
     * every stage shuffle-parallel. */
   def distinctConsecutive(df: DataFrame, ord: Seq[Column], key: Column): DataFrame = {
-    val idx = "_ord_idx"
-    val indexed = withRowIndex(df.withColumn("_k", key), ord, idx)
-    val prev = indexed.select((col(idx) + 1).as(idx), col("_k").as("_prev"))
-    indexed.join(prev, Seq(idx), "left")
-      .filter(col("_prev").isNull || col("_prev") =!= col("_k"))
-      .drop(idx, "_k", "_prev")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.withColumn("_k", key)
+      .repartitionByRange(parts, ord: _*).sortWithinPartitions(ord: _*)
+    val schema = sorted.schema
+    val kIdx = schema.fieldIndex("_k")
+    val rdd = sorted.rdd
+    // pass 1: last key of each partition (O(partitions) driver data;
+    // the range shuffle's map outputs are reused by pass 2)
+    val lastKeys: Map[Int, Any] = rdd.mapPartitionsWithIndex { (i, it) =>
+      var last: Any = null; var has = false
+      it.foreach { r => last = r.get(kIdx); has = true }
+      if (has) Iterator((i, last)) else Iterator.empty
+    }.collect().toMap
+    val bc = spark.sparkContext.broadcast(lastKeys)
+    // pass 2: within-partition consecutive filter; each partition's
+    // head compares against the nearest non-empty predecessor's last
+    val filtered = rdd.mapPartitionsWithIndex { (i, it) =>
+      val lk = bc.value
+      val predecessor = (i - 1 to 0 by -1).collectFirst {
+        case j if lk.contains(j) => lk(j)
+      }
+      var hasPrev = predecessor.isDefined
+      var prev: Any = predecessor.orNull
+      it.filter { r =>
+        val k = r.get(kIdx)
+        val keep = !hasPrev || k != prev
+        prev = k; hasPrev = true
+        keep
+      }
+    }
+    spark.createDataFrame(filtered, schema).drop("_k")
   }
 
   /** Consecutive dedup within `part` (runs never span partitions) —
