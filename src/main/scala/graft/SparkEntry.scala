@@ -62,6 +62,7 @@ object SparkEntry {
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "s02_lsh_topk" -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
     "s03_label_stats" -> (Similarity.labelCentroidStats _),
+    "s04_native_topk" -> ((s: SparkSession, dir: String) => Similarity.nativeTopK(s, dir)),
     // — multimodal plumbing —
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
@@ -307,6 +308,21 @@ object SparkEntry {
          WHERE round(i / (x.n_sh + y.n_sh - i), 3) >= 0.6
          ORDER BY doc_a, doc_b""",
     "s01_brute_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id < 10),
+         s AS (
+           SELECT q_id, vec_id AS c_id,
+             round(list_cosine_similarity(q_emb, CAST(embedding AS DOUBLE[])), 4) AS sim
+           FROM embeddings, q WHERE vec_id <> q_id),
+         r AS (
+           SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+           FROM s)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // s04 = s01's semantics on the native-expression + bounded-heap
+    // path; identical results, identical oracle
+    "s04_native_topk" ->
       """WITH q AS (
            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
            FROM embeddings WHERE vec_id < 10),

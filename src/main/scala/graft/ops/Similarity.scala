@@ -113,6 +113,35 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Exact top-k like [[bruteForceTopK]] but on the scale path: the
+    * codegen'd native [[graft.functions.CosineSimilarity]] expression
+    * scores pairs, and a bounded-heap
+    * [[graft.functions.TopKAggregator]] replaces the ranking window —
+    * O(k) state and shuffle bytes per query instead of a full
+    * per-group sort. Produces byte-identical results to
+    * [[bruteForceTopK]] (same oracle). */
+  def nativeTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    import graft.functions.{CosineSimilarity, Scored, TopKAggregator}
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(CosineSimilarity(col("q_emb"), col("c_emb")), 4).as("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, r._3))
+      .agg(new TopKAggregator(k).toColumn)
+      .flatMap { case (q, tops) =>
+        tops.zipWithIndex.map { case (sc, i) => (q, (i + 1).toLong, sc.id, sc.score) }
+      }
+      .toDF("q_id", "rnk", "c_id", "sim")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Per-label centroid stats: mean vector norm and intra-label mean
     * cosine-to-centroid — an IVF-style coarse quantization summary
     * (the centroid table is what an IVF index would broadcast). */

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 split the public `Column` API
+  * from Catalyst (Spark Connect); libraries adding native expressions
+  * use this package-private seam (`ExpressionUtils` is
+  * `private[sql]`). Kept to two one-liners so the dependency surface
+  * on Spark internals stays minimal and auditable.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
