@@ -43,6 +43,7 @@ object SparkEntry {
     "q22_intersect" -> (Relational.nationKeyIntersect _),
     "q23_except" -> (Relational.nationKeyExcept _),
     "q24_approx_distinct" -> (Relational.approxDistinctParts _),
+    "q25_quantiles" -> (Relational.priceQuantiles _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -200,6 +201,13 @@ object SparkEntry {
     "q23_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "q25_quantiles" ->
+      """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+         round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+         round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "e01_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value

@@ -294,6 +294,20 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). At 100 TB prefer `approx_percentile`
+    * (t-digest, no full sort) — the exact form is the correctness
+    * anchor. */
+  def priceQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("o_orderpriority")
+
   /** group(by=key) analog surfaced as sorted concatenated groups
     * (collect_set is the shuffle-parallel replacement for the
     * reference's in-driver buckets; SURVEY §2.4). */

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Source/sink format coverage: the reference wraps any Iterable and
+  * consumes via plain Python (SURVEY §2.1 — csv.DictWriter in its ETL
+  * example); here the engine round-trips parquet/csv/json natively. */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-sources").toString
+
+  test("csv round-trip preserves rows and schema") {
+    val df = Relational.t(spark, sf0001, "nation")
+    df.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$tmp/nation_csv")
+    assert(back.count() == df.count())
+    assert(back.columns.sorted.sameElements(df.columns.sorted))
+  }
+
+  test("json lines round-trip preserves values") {
+    val df = Relational.t(spark, sf0001, "region")
+    df.write.mode("overwrite").json(s"$tmp/region_json")
+    val back = spark.read.json(s"$tmp/region_json")
+    val a = df.orderBy("r_regionkey").collect().map(_.getString(1)).toList
+    val b = back.orderBy("r_regionkey").collect()
+      .map(_.getAs[String]("r_name")).toList
+    assert(a == b)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val df = Relational.t(spark, sf0001, "orders")
+      .withColumn("status", col("o_orderstatus"))
+    df.write.mode("overwrite").partitionBy("status").parquet(s"$tmp/orders_part")
+    val back = spark.read.parquet(s"$tmp/orders_part").filter(col("status") === "F")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(back.count() == df.filter(col("o_orderstatus") === "F").count())
+    // partition filter must prune at the source, not post-scan
+    assert(plan.contains("PartitionFilters: [isnotnull(status"), plan)
+  }
+}
