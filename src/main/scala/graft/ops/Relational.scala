@@ -33,6 +33,15 @@ object Relational {
     }
   }
 
+  /** All tables of an sf dir as temp views, enabling the
+    * `spark.sql(...)` entry point over the star schema. */
+  def registerViews(s: SparkSession, dir: String): Unit = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    tables.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    events(s, dir).createOrReplaceTempView("events")
+  }
+
   /** Revenue term in exact decimal arithmetic. Money columns are
     * 2dp-quantized doubles; a double sum of the *product*
     * ext*(1-disc) is order-dependent in the last bits and can flip a

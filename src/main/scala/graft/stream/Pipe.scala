@@ -80,6 +80,12 @@ final case class Pipe[T](ds: Dataset[T]) {
     * (streamable/stream.py:189-199). */
   def filter(p: T => Boolean): Pipe[T] = Pipe(ds.filter(p))
 
+  /** Map with the error channel open — the fluent entry to the
+    * reference's `catch` chain (streamable/stream.py:112-131):
+    * `pipe.mapAttempt(f).catchDrop()` ≈ `stream.map(f).catch()`. */
+  def mapAttempt[U](f: T => U)(implicit e: Encoder[Attempt[U]]): Pipe[Attempt[U]] =
+    Pipe(Errors.mapSafe(ds)(f))
+
   /** Un-nest one level; reference `flatten`
     * (streamable/stream.py:201-276). The reference's concurrent
     * round-robin interleaving order is explicitly non-contractual
@@ -163,4 +169,22 @@ final case class Pipe[T](ds: Dataset[T]) {
 
 object Pipe {
   def apply[T](ds: Dataset[T]): Pipe[T] = new Pipe(ds)
+
+  /** Fluent catch-chain on an attempt pipe (reference stream.py
+    * `catch(kind, when, replacement, finally_raise)` split into the
+    * three orthogonal consumption modes). */
+  implicit final class AttemptPipe[U](private val p: Pipe[Attempt[U]]) extends AnyVal {
+    /** Swallow matching errors (element dropped). */
+    def catchDrop(kind: String => Boolean = _ => true)(
+        implicit e: Encoder[U]): Pipe[U] =
+      Pipe(Errors.catchDrop(p.ds, kind))
+    /** Replace failed elements. */
+    def catchReplace(replacement: U, kind: String => Boolean = _ => true)(
+        implicit e: Encoder[U]): Pipe[U] =
+      Pipe(Errors.catchReplace(p.ds, replacement, kind))
+    /** Run, then raise the first error if any element failed. */
+    def runFinallyRaise()(implicit e: Encoder[Attempt[U]],
+        ct: scala.reflect.ClassTag[U]): Long =
+      Errors.runFinallyRaise(p.ds.sparkSession, p.ds)
+  }
 }

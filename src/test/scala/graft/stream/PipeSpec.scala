@@ -110,4 +110,37 @@ class PipeSpec extends SparkSpec {
     val s = spark; import s.implicits._
     assert(pipe(5).map(_ + 1).explain().contains("Physical Plan"))
   }
+
+  test("fluent catch chain: mapAttempt → catchDrop/catchReplace") {
+    val s = spark; import s.implicits._
+    val risky = Pipe(s.createDataset(Seq(1, 2, 0, 4))).mapAttempt(12 / _)
+    assert(risky.catchDrop().ds.collect().sorted.toList == List(3, 6, 12))
+    assert(risky.catchReplace(-1).ds.collect().sorted.toList == List(-1, 3, 6, 12))
+  }
+
+  test("re-iteration: every action re-executes the source (thunk semantics)") {
+    // reference: a () => Iterable source is re-called per iteration
+    // (streamable/stream.py:54-66); Spark re-runs the plan per action
+    val s = spark; import s.implicits._
+    val passes = s.sparkContext.longAccumulator("passes")
+    val p = pipe(10).tap(_ => passes.add(1))
+    p.count(); p.count()
+    assert(passes.value == 20L)
+  }
+
+  test("queries are also runnable through the spark.sql entry point") {
+    val s = spark
+    graft.ops.Relational.registerViews(s, sf0001)
+    val viaSql = s.sql(
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toList
+    val viaDf = graft.ops.Relational.t(s, sf0001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toList
+    assert(viaSql == viaDf)
+  }
 }
