@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CosineSimilarityExpr
+
+/** Session-extension hook: registers the engine's native expressions
+  * into the SQL function registry, so `spark.sql("SELECT
+  * cosine_similarity(a, b) ...")` works cluster-wide via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
+      GraftExtensions.cosineBuilder))
+  }
+}
+
+object GraftExtensions {
+  private val cosineBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "cosine_similarity(a, b) takes two arguments")
+    CosineSimilarityExpr(exprs(0), exprs(1))
+  }
+
+  /** Register into an already-running session (tests, spark-shell). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "cosine_similarity", cosineBuilder)
+}

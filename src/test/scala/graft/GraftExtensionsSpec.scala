@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native expressions exposed through the SQL function registry —
+  * `GraftExtensions.register` for live sessions, the
+  * `spark.sql.extensions=graft.GraftExtensions` config for cluster
+  * submit (same builder underneath). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("cosine_similarity is callable from SQL after registration") {
+    val s = SparkSpec.session
+    GraftExtensions.register(s)
+    s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_ext")
+    val rows = s.sql(
+      "SELECT cosine_similarity(embedding, embedding) AS self FROM emb_ext LIMIT 5")
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("SQL cosine matches the Column API cosine") {
+    val s = SparkSpec.session
+    GraftExtensions.register(s)
+    s.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+      .createOrReplaceTempView("emb_ext2")
+    val sql = s.sql(
+      """SELECT a.vec_id, b.vec_id, cosine_similarity(a.embedding, b.embedding) AS c
+        |FROM emb_ext2 a JOIN emb_ext2 b ON a.vec_id < b.vec_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    import org.apache.spark.sql.functions._
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    val api = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        graft.functions.CosineSimilarity(col("ea"), col("eb")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(sql.length == api.length)
+    sql.zip(api).foreach { case (x, y) =>
+      assert(x._1 == y._1 && x._2 == y._2 && math.abs(x._3 - y._3) < 1e-12)
+    }
+  }
+}
