@@ -81,7 +81,7 @@ object SparkEntry {
          round(sum(l_quantity), 2) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_base_price,
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
-         round(sum(l_quantity) / count(*), 2) AS avg_qty,
+         floor(sum(l_quantity) / count(*) * 100 + 0.5) / 100 AS avg_qty,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus
@@ -145,7 +145,7 @@ object SparkEntry {
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
     "q11_json_props" ->
-      """SELECT event_type, count(*) AS n, round(sum(value) / count(*), 2) AS avg_value,
+      """SELECT event_type, count(*) AS n, floor(sum(value) / count(*) * 100 + 0.5) / 100 AS avg_value,
          max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q12_monthly_orders" ->
@@ -203,8 +203,8 @@ object SparkEntry {
          EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
     "q25_quantiles" ->
       """SELECT o_orderpriority,
-         round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-         round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+         floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS median_price,
+         floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90_price,
          round(min(o_totalprice), 2) AS min_price,
          round(max(o_totalprice), 2) AS max_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -228,7 +228,7 @@ object SparkEntry {
            FROM y),
          g AS (SELECT user_id, session_id, count(*) AS n_events FROM z GROUP BY 1, 2)
          SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
-           round(sum(n_events) / count(*), 2) AS avg_events_per_session,
+           floor(sum(n_events) / count(*) * 100 + 0.5) / 100 AS avg_events_per_session,
            CAST(max(n_events) AS BIGINT) AS max_session_events
          FROM g GROUP BY user_id ORDER BY user_id""",
     "e03_top_users" ->
@@ -238,19 +238,22 @@ object SparkEntry {
     "t01_token_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
-         round(sum(len(string_split_regex(trim(text), '\s+'))) / count(*), 2) AS avg_tokens,
+         floor(sum(len(string_split_regex(trim(text), '\s+'))) / count(*) * 100 + 0.5) / 100 AS avg_tokens,
          max(n_chars) AS max_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "t02_quality" ->
       """WITH q AS (
            SELECT lang,
-             round(least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) *
-               (1.0 - round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             floor(least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) *
+               (1.0 - floor(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
                  x -> x IN ('the', 'a'))) AS DOUBLE) /
-                 greatest(len(string_split_regex(trim(text), '\s+')), 1), 4)), 4) AS qv
+                 greatest(len(string_split_regex(trim(text), '\s+')), 1) * 10000 + 0.5) / 10000)
+               * 10000 + 0.5) / 10000 AS qv
            FROM documents)
-         SELECT lang, count(*) AS n, round(sum(qv) / count(*), 4) AS avg_quality,
-           round(min(qv), 4) AS min_quality, round(max(qv), 4) AS max_quality
+         SELECT lang, count(*) AS n,
+           floor(sum(qv) / count(*) * 10000 + 0.5) / 10000 AS avg_quality,
+           floor(min(qv) * 10000 + 0.5) / 10000 AS min_quality,
+           floor(max(qv) * 10000 + 0.5) / 10000 AS max_quality
          FROM q GROUP BY lang ORDER BY lang""",
     "t03_langid" ->
       """WITH s AS (
@@ -295,9 +298,9 @@ object SparkEntry {
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
-         SELECT doc_a, doc_b, round(i / (x.n_sh + y.n_sh - i), 3) AS jaccard
+         SELECT doc_a, doc_b, floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 AS jaccard
          FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-         WHERE round(i / (x.n_sh + y.n_sh - i), 3) >= 0.6
+         WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
          ORDER BY doc_a, doc_b""",
     "d03_ngram_jaccard" ->
       """WITH toks AS (
@@ -311,9 +314,9 @@ object SparkEntry {
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
-         SELECT doc_a, doc_b, round(i / (x.n_sh + y.n_sh - i), 3) AS jaccard
+         SELECT doc_a, doc_b, floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 AS jaccard
          FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-         WHERE round(i / (x.n_sh + y.n_sh - i), 3) >= 0.6
+         WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
          ORDER BY doc_a, doc_b""",
     "s01_brute_topk" ->
       """WITH q AS (
@@ -321,7 +324,7 @@ object SparkEntry {
            FROM embeddings WHERE vec_id < 10),
          s AS (
            SELECT q_id, vec_id AS c_id,
-             round(list_cosine_similarity(q_emb, CAST(embedding AS DOUBLE[])), 4) AS sim
+             floor(list_cosine_similarity(q_emb, CAST(embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS sim
            FROM embeddings, q WHERE vec_id <> q_id),
          r AS (
            SELECT q_id, c_id, sim,
@@ -336,7 +339,7 @@ object SparkEntry {
            FROM embeddings WHERE vec_id < 10),
          s AS (
            SELECT q_id, vec_id AS c_id,
-             round(list_cosine_similarity(q_emb, CAST(embedding AS DOUBLE[])), 4) AS sim
+             floor(list_cosine_similarity(q_emb, CAST(embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS sim
            FROM embeddings, q WHERE vec_id <> q_id),
          r AS (
            SELECT q_id, c_id, sim,
@@ -346,10 +349,10 @@ object SparkEntry {
     "s03_label_stats" ->
       """WITH e AS (
            SELECT label,
-             round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS norm
+             floor(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) * 10000 + 0.5) / 10000 AS norm
            FROM embeddings)
-         SELECT label, count(*) AS n, round(sum(norm) / count(*), 4) AS avg_norm,
-           round(min(norm), 4) AS min_norm, round(max(norm), 4) AS max_norm
+         SELECT label, count(*) AS n, floor(sum(norm) / count(*) * 10000 + 0.5) / 10000 AS avg_norm,
+           floor(min(norm) * 10000 + 0.5) / 10000 AS min_norm, floor(max(norm) * 10000 + 0.5) / 10000 AS max_norm
          FROM e GROUP BY label ORDER BY label""",
     "m01_media_meta" ->
       """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Relational.t
+import graft.ops.Relational.{t, r3}
 import graft.stream.Ordered
 
 /** Deduplication suite for training-data pipelines, each variant
@@ -78,7 +78,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "sz_b"), "doc_b")
       .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 3))
+        r3(col("inter") / (col("sz_a") + col("sz_b") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -143,7 +143,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sz_b")), "doc_b")
       .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 3))
+        r3(col("inter") / (col("sz_a") + col("sz_b") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")

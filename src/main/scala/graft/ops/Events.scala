@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Relational.{t, events}
+import graft.ops.Relational.{t, events, r2}
 
 /** Event analytics over the `events` table — the batch/event-time
   * re-grounding of the reference's processing-time features
@@ -47,7 +47,7 @@ object Events {
       .agg(count(lit(1)).as("n_events"))
       .groupBy("user_id")
       .agg(max("session_id").as("n_sessions"),
-        round(sum("n_events") / count(lit(1)), 2).as("avg_events_per_session"),
+        r2(sum("n_events") / count(lit(1))).as("avg_events_per_session"),
         max("n_events").as("max_session_events"))
       .orderBy("user_id")
 

@@ -42,6 +42,20 @@ object Relational {
     events(s, dir).createOrReplaceTempView("events")
   }
 
+  /** Engine-independent rounding for QUOTIENT-derived doubles.
+    *
+    * Spark's `round` converts the double to its shortest decimal
+    * string and half-up-rounds that (82/80 → "1.025" → 1.03); DuckDB
+    * rounds the binary value (1.02499999… → 1.02). Any rounded
+    * average/ratio can diverge. `floor(x*N + 0.5)/N` uses only IEEE
+    * ops that both engines execute identically. Plain `round` stays
+    * correct for cents-quantized sums (fp error ≪ distance to the
+    * .005 boundary), and the DuckDB oracle mirrors whichever form the
+    * query uses. */
+  def r2(c: Column): Column = floor(c * 100 + 0.5) / 100.0
+  def r3(c: Column): Column = floor(c * 1000 + 0.5) / 1000.0
+  def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+
   /** Revenue term in exact decimal arithmetic. Money columns are
     * 2dp-quantized doubles; a double sum of the *product*
     * ext*(1-disc) is order-dependent in the last bits and can flip a
@@ -65,7 +79,7 @@ object Relational {
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
         round(sum("disc_price").cast("double"), 2).as("sum_disc_price"),
-        round(sum("l_quantity") / count(lit(1)), 2).as("avg_qty"),
+        r2(sum("l_quantity") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -185,7 +199,7 @@ object Relational {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        round(sum("value") / count(lit(1)), 2).as("avg_value"),
+        r2(sum("value") / count(lit(1))).as("avg_value"),
         max("k").as("max_k"))
       .orderBy("event_type")
 
@@ -311,8 +325,8 @@ object Relational {
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+        r2(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+        r2(expr("percentile(o_totalprice, 0.9)")).as("p90_price"),
         round(min("o_totalprice"), 2).as("min_price"),
         round(max("o_totalprice"), 2).as("max_price"))
       .orderBy("o_orderpriority")

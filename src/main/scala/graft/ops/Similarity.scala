@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Relational.t
+import graft.ops.Relational.{t, r4}
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (`Array[Float]`), pure column expressions throughout (zip_with +
@@ -39,7 +39,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val scored = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 4))
+      .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -104,7 +104,7 @@ object Similarity {
     val scored = candidates
       .join(broadcast(queries), "q_id")
       .join(corpus, "c_id")
-      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 4))
+      .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -130,7 +130,7 @@ object Similarity {
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(CosineSimilarity(col("q_emb"), col("c_emb")), 4).as("sim"))
+        r4(CosineSimilarity(col("q_emb"), col("c_emb"))).as("sim"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(r => Scored(r._2, r._3))
@@ -148,13 +148,13 @@ object Similarity {
   def labelCentroidStats(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .withColumn("norm",
-        round(sqrt(aggregate(col("embedding"), lit(0.0),
-          (acc, v) => acc + v.cast("double") * v.cast("double"))), 4))
+        r4(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double")))))
     emb.groupBy("label")
       .agg(count(lit(1)).as("n"),
-        round(sum("norm") / count(lit(1)), 4).as("avg_norm"),
-        round(min("norm"), 4).as("min_norm"),
-        round(max("norm"), 4).as("max_norm"))
+        r4(sum("norm") / count(lit(1))).as("avg_norm"),
+        r4(min("norm")).as("min_norm"),
+        r4(max("norm")).as("max_norm"))
       .orderBy("label")
   }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Relational.t
+import graft.ops.Relational.{t, r2, r4}
 
 /** Text analysis for large-scale training-data pipelines: language-ID,
   * quality scoring, token counting, fingerprinting — all as pure
@@ -27,7 +27,7 @@ object TextAnalysis {
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)
     val stops = filter(toks, w => w.isin(stopwords: _*))
-    round(size(stops).cast("double") / greatest(size(toks), lit(1)), 4)
+    r4(size(stops).cast("double") / greatest(size(toks), lit(1)))
   }
 
   /** Quality score in [0,1]: rewards reasonable length and penalizes
@@ -38,7 +38,7 @@ object TextAnalysis {
     val nTok = tokenCount(text).cast("double")
     val lenScore = least(nTok / 100.0, lit(1.0))
     val stopRatio = stopwordRatio(text, Seq("the", "a"))
-    round(lenScore * (lit(1.0) - stopRatio), 4)
+    r4(lenScore * (lit(1.0) - stopRatio))
   }
 
   /** Per-(lang, source) token statistics over documents. */
@@ -48,7 +48,7 @@ object TextAnalysis {
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("sum_tokens"),
-        round(sum("n_tokens") / count(lit(1)), 2).as("avg_tokens"),
+        r2(sum("n_tokens") / count(lit(1))).as("avg_tokens"),
         max("n_chars").as("max_chars"))
       .orderBy("lang", "source")
 
@@ -58,9 +58,9 @@ object TextAnalysis {
       .withColumn("q", qualityScore(col("text")))
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
-        round(sum("q") / count(lit(1)), 4).as("avg_quality"),
-        round(min("q"), 4).as("min_quality"),
-        round(max("q"), 4).as("max_quality"))
+        r4(sum("q") / count(lit(1))).as("avg_quality"),
+        r4(min("q")).as("min_quality"),
+        r4(max("q")).as("max_quality"))
       .orderBy("lang")
 
   /** Rule-based language-ID: marker-token votes (an n-gram-profile
