@@ -16,18 +16,37 @@ import org.apache.spark.sql.functions._
   */
 object Flow {
 
-  /** Token bucket: permits `perSecond` acquisitions per sliding second
-    * and/or a minimum `intervalMs` between acquisitions — the most
-    * restrictive bound wins, matching the reference's composed
-    * iterators (streamable/functions.py:194-203,
-    * tests/test_stream.py:1248-1266). `nowMs` is injectable for
-    * deterministic tests.
+  /** One token bucket per period bound (per-second / per-minute /
+    * per-hour, reference `throttle(per_second, per_minute, per_hour)`
+    * — one composed iterator per bound, streamable/functions.py:
+    * 194-203) plus a minimum `intervalMs` between yields; the most
+    * restrictive constraint wins (tests/test_stream.py:1248-1266).
+    * `nowMs` is injectable for deterministic tests.
     */
-  final class RateLimiter(perSecond: Double, intervalMs: Long = 0,
+  final class RateLimiter(perSecond: Double = 0, intervalMs: Long = 0,
+      perMinute: Double = 0, perHour: Double = 0,
       nowMs: () => Long = () => System.currentTimeMillis()) {
-    require(perSecond > 0 || intervalMs > 0)
-    private var tokens: Double = if (perSecond > 0) 1.0 else 0.0
-    private var lastRefill: Long = -1L
+    require(perSecond > 0 || perMinute > 0 || perHour > 0 || intervalMs > 0)
+
+    private final class Bucket(count: Double, periodMs: Long) {
+      private val rate = count / periodMs // permits per ms
+      private var tokens = 1.0
+      private var lastRefill = -1L
+      /** ms to wait from `now` until a permit is available; consumes it. */
+      def delayFrom(now: Long): Long = {
+        if (lastRefill < 0) lastRefill = now
+        tokens = math.min(1.0 + count, tokens + (now - lastRefill) * rate)
+        lastRefill = now
+        val d = if (tokens < 1.0) math.ceil((1.0 - tokens) / rate).toLong else 0L
+        tokens = tokens + d * rate - 1.0
+        lastRefill = now + d
+        d
+      }
+    }
+
+    private val buckets: Seq[Bucket] =
+      Seq(perSecond -> 1000L, perMinute -> 60000L, perHour -> 3600000L)
+        .collect { case (c, p) if c > 0 => new Bucket(c, p) }
     private var lastYield: Long = -1L
 
     /** Milliseconds the caller must wait before the next element may
@@ -35,15 +54,8 @@ object Flow {
       * the caller waited exactly that long and then yielded. */
     def nextDelayMs(): Long = {
       val now = nowMs()
-      if (lastRefill < 0) lastRefill = now
       var delay = 0L
-      if (perSecond > 0) {
-        tokens = math.min(1.0 + perSecond, tokens + (now - lastRefill) * perSecond / 1000.0)
-        lastRefill = now
-        if (tokens < 1.0) delay = math.ceil((1.0 - tokens) * 1000.0 / perSecond).toLong
-        tokens = tokens + delay * perSecond / 1000.0 - 1.0
-        lastRefill = now + delay
-      }
+      buckets.foreach { b => delay = math.max(delay, b.delayFrom(now)) }
       if (intervalMs > 0 && lastYield >= 0) {
         val gap = now + delay - lastYield
         if (gap < intervalMs) delay += intervalMs - gap
