@@ -1,7 +1,6 @@
 package graft.stream
 
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
-import org.apache.spark.util.LongAccumulator
 import scala.reflect.ClassTag
 import scala.util.{Failure, Success, Try}
 
@@ -65,47 +64,32 @@ object Errors {
     }
 
   /** `finally_raise=True` (reference iterators.py:83-91: remember the
-    * FIRST caught error, raise at exhaustion): run the pipeline with an
-    * error accumulator; if any element failed, raise after the action
-    * completes. Returns the successful values' count.
+    * FIRST caught error, raise at exhaustion): run the pipeline to
+    * exhaustion, then raise if any element failed. Returns the
+    * successful values' count.
+    *
+    * Counts come from a single aggregation action, so they are
+    * exactly-once even under task retries/speculation (accumulators in
+    * transformations are only at-least-once). "First" error is
+    * best-effort across partitions, matching the reference's
+    * single-threaded notion only up to partition order.
     */
   def runFinallyRaise[U: ClassTag](spark: SparkSession, ds: Dataset[Attempt[U]])(
       implicit e: Encoder[Attempt[U]]): Long = {
-    val errCount: LongAccumulator = spark.sparkContext.longAccumulator("graft.errors")
-    val firstErr = new FirstErrorAccumulator
-    spark.sparkContext.register(firstErr, "graft.firstError")
-    val ok = ds.mapPartitions { it =>
-      it.map { a =>
-        if (!a.isSuccess) {
-          errCount.add(1L)
-          firstErr.add(s"${a.errorClass.getOrElse("?")}: ${a.errorMsg.getOrElse("")}")
-        }
-        a
-      }
-    }.filter((a: Attempt[U]) => a.isSuccess).count()
-    if (errCount.value > 0)
-      throw new StreamErrorsException(errCount.value, firstErr.value.getOrElse("?"))
-    ok
+    import org.apache.spark.sql.functions._
+    val row = ds.toDF().select(
+      count(when(col("errorClass").isNull, lit(1))).as("ok"),
+      count(col("errorClass")).as("err"),
+      first(when(col("errorClass").isNotNull,
+        concat_ws(": ", col("errorClass"), col("errorMsg"))),
+        ignoreNulls = true).as("firstErr")
+    ).head()
+    val err = row.getLong(1)
+    if (err > 0)
+      throw new StreamErrorsException(err, Option(row.getString(2)).getOrElse("?"))
+    row.getLong(0)
   }
 }
 
 final class StreamErrorsException(val errorCount: Long, val first: String)
   extends RuntimeException(s"$errorCount element(s) failed; first: $first")
-
-/** Accumulator keeping the first error message seen (merge keeps the
-  * earlier-registered side — "first" across partitions is
-  * best-effort, matching the reference's single-threaded notion only
-  * up to partition order). */
-final class FirstErrorAccumulator
-  extends org.apache.spark.util.AccumulatorV2[String, Option[String]] {
-  private var first: Option[String] = None
-  override def isZero: Boolean = first.isEmpty
-  override def copy(): FirstErrorAccumulator = {
-    val c = new FirstErrorAccumulator; c.first = first; c
-  }
-  override def reset(): Unit = first = None
-  override def add(v: String): Unit = if (first.isEmpty) first = Some(v)
-  override def merge(other: org.apache.spark.util.AccumulatorV2[String, Option[String]]): Unit =
-    if (first.isEmpty) first = other.value
-  override def value: Option[String] = first
-}

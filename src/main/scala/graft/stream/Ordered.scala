@@ -62,6 +62,10 @@ object Ordered {
       .cache()
     val firstHit = indexed.filter(col(flag) === 1).agg(min(col(idx))).head()
     val cut = if (firstHit.isNullAt(0)) Long.MaxValue else firstHit.getLong(0)
+    // release the bound-finding cache now: the returned (lazy) frame
+    // re-derives from the same RDD lineage and reuses its shuffle
+    // files, so no leak and no single-task recompute
+    indexed.unpersist(blocking = false)
     indexed.filter(col(idx) >= cut).drop(idx, flag)
   }
 
@@ -91,6 +95,7 @@ object Ordered {
       .cache()
     val firstHit = indexed.filter(col(flag) === 1).agg(min(col(idx))).head()
     val cut = if (firstHit.isNullAt(0)) Long.MaxValue else firstHit.getLong(0)
+    indexed.unpersist(blocking = false)
     indexed.filter(col(idx) < cut).drop(idx, flag)
   }
 

@@ -54,25 +54,36 @@ object Streams {
 
   /** Size-capped group emission with custom state: each user's bucket
     * emits as soon as it reaches `size` (reference groupby(size=)
-    * `_pop_full_group`); on timeout/stream end the partial bucket
-    * flushes (reference exhaustion flush, iterators.py:249-254).
-    * Bounded state: at most `size` event ids per key. */
-  def sizeCappedGroups(spark: SparkSession, events: DataFrame, size: Int)
-      : DataFrame = {
+    * `_pop_full_group`); when a key goes quiet for `flushAfterMs` the
+    * partial bucket flushes with `full = false` (reference exhaustion
+    * flush, iterators.py:249-254 — a stream has no "end", so quiescence
+    * is the principled analog). Bounded state: at most `size` event ids
+    * per key. */
+  def sizeCappedGroups(spark: SparkSession, events: DataFrame, size: Int,
+      flushAfterMs: Long = 60000L): DataFrame = {
     import spark.implicits._
     events.as[Evt]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[Long], Bucket](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (user: Long, it: Iterator[Evt], state: GroupState[Seq[Long]]) =>
-          var buf = state.getOption.getOrElse(Seq.empty)
-          val out = scala.collection.mutable.ArrayBuffer[Bucket]()
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            buf = buf :+ e.event_id
-            if (buf.size >= size) { out += Bucket(user, buf, full = true); buf = Seq.empty }
+          if (state.hasTimedOut) {
+            // exhaustion flush: emit the partial bucket, clear state
+            val buf = state.getOption.getOrElse(Seq.empty)
+            state.remove()
+            if (buf.nonEmpty) Iterator.single(Bucket(user, buf, full = false))
+            else Iterator.empty
+          } else {
+            var buf = state.getOption.getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ArrayBuffer[Bucket]()
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              buf = buf :+ e.event_id
+              if (buf.size >= size) { out += Bucket(user, buf, full = true); buf = Seq.empty }
+            }
+            state.update(buf)
+            state.setTimeoutDuration(flushAfterMs)
+            out.iterator
           }
-          state.update(buf)
-          out.iterator
       }
       .toDF()
   }

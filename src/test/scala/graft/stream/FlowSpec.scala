@@ -9,7 +9,8 @@ class FlowSpec extends AnyFunSuite {
 
   private def simulate(perSecond: Double, intervalMs: Long, n: Int): Seq[Long] = {
     var now = 0L
-    val rl = new Flow.RateLimiter(perSecond, intervalMs, () => now)
+    val rl = new Flow.RateLimiter(perSecond = perSecond,
+      intervalMs = intervalMs, nowMs = () => now)
     (1 to n).map { _ =>
       val d = rl.nextDelayMs()
       now += d // caller "sleeps" exactly the requested delay
