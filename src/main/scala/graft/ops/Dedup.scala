@@ -35,6 +35,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Shingles reduced to 64-bit hashes — the representation every
+    * join/agg below actually runs on. Hashing happens BEFORE the
+    * distinct so the dedup shuffle, the self-joins and the minhash agg
+    * all move 8-byte longs instead of ~n-word strings (at 100 TB this
+    * is the difference between shuffling the corpus and shuffling a
+    * fingerprint of it). Jaccard over hashed shingle sets equals
+    * Jaccard over the strings up to xxhash64 collisions —
+    * P(any collision) ≈ m²/2⁶⁵ ≈ 10⁻⁸ at a million distinct shingles. */
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("h"))
+      .distinct()
+  }
+
   /** Exact dedup via content fingerprint, first-wins (lowest doc_id
     * survives), summarized per lang. */
   def exactDedupByLang(s: SparkSession, dir: String): DataFrame = {
@@ -62,11 +80,11 @@ object Dedup {
     * J >= `threshold`. Ground truth for the MinHash sketch below. */
   def ngramJaccardPairs(s: SparkSession, dir: String, n: Int = 5,
       threshold: Double = 0.6): DataFrame = {
-    val sh = shingles(t(s, dir, "documents"), n).cache()
+    val sh = shingleHashes(t(s, dir, "documents"), n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
-        col("a.shingle") === col("b.shingle") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -84,18 +102,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signatures: hash each shingle string ONCE (xxhash64),
-    * then derive `numHashes` permutations by re-hashing the 8-byte
-    * value with a per-permutation seed — 64 long-hashes per shingle
-    * instead of 64 full string hashes (and no Long-overflow issue
-    * under ANSI mode, unlike the a*h+b universal-hashing trick).
+  /** MinHash signatures over hashed shingles (`h` column from
+    * [[shingleHashes]]): derive `numHashes` permutations by re-hashing
+    * the 8-byte value with a per-permutation seed — 64 long-hashes per
+    * shingle instead of 64 full string hashes (and no Long-overflow
+    * issue under ANSI mode, unlike the a*h+b universal-hashing trick).
     * One narrow agg per doc, no driver state. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
     val hashCols = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("h"))).as(s"h$i")
     }
-    hashed.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs, verified with exact
@@ -110,7 +127,7 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     val numHashes = bands * rows
     val docs = t(s, dir, "documents")
-    val sh = shingles(docs, n).cache()
+    val sh = shingleHashes(docs, n).cache()
     val sig = minhashSignatures(sh, numHashes)
     // band b = hash of (h_{b*rows} ... h_{b*rows+rows-1}); melt the
     // bands into (doc_id, band_idx, band_hash) rows so candidate
@@ -119,8 +136,10 @@ object Dedup {
     val bandCols = (0 until bands).flatMap { b =>
       Seq(lit(b), xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*))
     }
+    // cached: the candidate self-join consumes `melted` twice, and
+    // without the cache each side re-runs the 64-min signature agg
     val melted = sig.select(col("doc_id"),
-      explode(map(bandCols: _*)).as(Seq("band_idx", "bh")))
+      explode(map(bandCols: _*)).as(Seq("band_idx", "bh"))).cache()
     val candidates = melted.as("x")
       .join(melted.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
@@ -132,12 +151,13 @@ object Dedup {
     pairJaccard(candidates, sh, sizes, threshold)
   }
 
-  /** Exact Jaccard for an explicit candidate-pair set. */
+  /** Exact Jaccard for an explicit candidate-pair set (over hashed
+    * shingles — see [[shingleHashes]]). */
   private def pairJaccard(pairs: DataFrame, sh: DataFrame, sizes: DataFrame,
       threshold: Double): DataFrame = {
-    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("h"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("h"))
+    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sz_a")), "doc_a")

@@ -47,7 +47,7 @@ object Errors {
       implicit e: Encoder[U]): Dataset[U] =
     ds.flatMap {
       case Attempt(Some(u), _, _) => Some(u)
-      case Attempt(_, Some(k), Some(m)) if kind(k) && when(m) => None
+      case Attempt(_, k, m) if kind(k.getOrElse("unknown")) && when(m.getOrElse("")) => None
       case Attempt(_, k, m) =>
         throw new RuntimeException(s"uncaught stream error ${k.orNull}: ${m.orNull}")
     }
@@ -58,7 +58,7 @@ object Errors {
       implicit e: Encoder[U]): Dataset[U] =
     ds.map {
       case Attempt(Some(u), _, _) => u
-      case Attempt(_, Some(k), _) if kind(k) => replacement
+      case Attempt(_, k, _) if kind(k.getOrElse("unknown")) => replacement
       case Attempt(_, k, m) =>
         throw new RuntimeException(s"uncaught stream error ${k.orNull}: ${m.orNull}")
     }
@@ -77,11 +77,15 @@ object Errors {
   def runFinallyRaise[U: ClassTag](spark: SparkSession, ds: Dataset[Attempt[U]])(
       implicit e: Encoder[Attempt[U]]): Long = {
     import org.apache.spark.sql.functions._
+    // ok/err split on the isSuccess invariant (`value` defined), NOT
+    // on errorClass: a hand-built Attempt(None, None, None) is a
+    // failed element with no diagnostics and must still count as one.
     val row = ds.toDF().select(
-      count(when(col("errorClass").isNull, lit(1))).as("ok"),
-      count(col("errorClass")).as("err"),
-      first(when(col("errorClass").isNotNull,
-        concat_ws(": ", col("errorClass"), col("errorMsg"))),
+      count(when(col("value").isNotNull, lit(1))).as("ok"),
+      count(when(col("value").isNull, lit(1))).as("err"),
+      first(when(col("value").isNull,
+        concat_ws(": ", coalesce(col("errorClass"), lit("unknown")),
+          coalesce(col("errorMsg"), lit("")))),
         ignoreNulls = true).as("firstErr")
     ).head()
     val err = row.getLong(1)

@@ -50,24 +50,33 @@ object Ordered {
     withRowIndex(df, ord, idx).filter(col(idx) >= n).drop(idx)
   }
 
-  /** Drop rows until the first one satisfying `p` (that row is kept);
-    * reference `skip(until=p)` (iterators.py:302-315). Implemented as a
-    * running max of the predicate flag over the global order. */
-  def skipUntil(df: DataFrame, ord: Seq[Column], p: Column): DataFrame = {
-    val idx = "_ord_idx"
-    val flag = "_hit"
-    // Two-pass: find the first satisfying index, use it as a filter
-    // bound — parallel everywhere, no global window.
-    val indexed = withRowIndex(df.withColumn(flag, when(p, 1).otherwise(0)), ord, idx)
-      .cache()
-    val firstHit = indexed.filter(col(flag) === 1).agg(min(col(idx))).head()
-    val cut = if (firstHit.isNullAt(0)) Long.MaxValue else firstHit.getLong(0)
-    // release the bound-finding cache now: the returned (lazy) frame
-    // re-derives from the same RDD lineage and reuses its shuffle
-    // files, so no leak and no single-task recompute
-    indexed.unpersist(blocking = false)
-    indexed.filter(col(idx) >= cut).drop(idx, flag)
+  /** The lexicographic boundary of the first `p`-satisfying row: the
+    * minimum ord-tuple among matching rows, re-materialized as a
+    * literal struct so the returned frame filters on *values*, not on
+    * a derived row index. Value-based cuts are deterministic under
+    * plan re-execution (a row index assigned under a non-total `ord`
+    * is not: shuffle fetch order can permute ties between the
+    * bound-finding pass and the consuming pass), need no cache, no
+    * sort and no shuffle — both passes are embarrassingly parallel
+    * scans, and the bound-finding filter pushes down to the source. */
+  private def minOrdWhere(df: DataFrame, ord: Seq[Column], p: Column): Option[Column] = {
+    val hit = df.filter(p).agg(min(struct(ord: _*))).head()
+    if (hit.isNullAt(0)) None
+    else Some(struct(hit.getStruct(0).toSeq.map(lit): _*))
   }
+
+  /** Drop rows until the first one satisfying `p` (that row is kept);
+    * reference `skip(until=p)` (iterators.py:302-315). Keeps every row
+    * whose ord-tuple is >= the first satisfying row's — for a total
+    * `ord` this is exactly the reference semantics; rows *tied* with
+    * the boundary are all kept (deterministic, unlike any
+    * index-assignment tiebreak). No match ⇒ empty (the reference
+    * drops everything when `until` never fires). */
+  def skipUntil(df: DataFrame, ord: Seq[Column], p: Column): DataFrame =
+    minOrdWhere(df, ord, p) match {
+      case None      => df.filter(lit(false))
+      case Some(cut) => df.filter(struct(ord: _*) >= cut)
+    }
 
   /** Keep only the first `n` rows in `ord` order; reference
     * `truncate(count=n)` (streamable/stream.py:479-493). */
@@ -86,18 +95,14 @@ object Ordered {
 
   /** Stop at the first row satisfying `p`, exclusive — the triggering
     * row is NOT kept; reference `truncate(when=p)`
-    * (iterators.py:334-348). Two-pass: find the first violating index,
-    * broadcast it as a filter bound. */
-  def takeWhileNot(df: DataFrame, ord: Seq[Column], p: Column): DataFrame = {
-    val idx = "_ord_idx"
-    val flag = "_hit"
-    val indexed = withRowIndex(df.withColumn(flag, when(p, 1).otherwise(0)), ord, idx)
-      .cache()
-    val firstHit = indexed.filter(col(flag) === 1).agg(min(col(idx))).head()
-    val cut = if (firstHit.isNullAt(0)) Long.MaxValue else firstHit.getLong(0)
-    indexed.unpersist(blocking = false)
-    indexed.filter(col(idx) < cut).drop(idx, flag)
-  }
+    * (iterators.py:334-348). Keeps rows with ord-tuple strictly below
+    * the first satisfying row's (boundary ties are all cut — the
+    * deterministic dual of [[skipUntil]]). No match ⇒ everything. */
+  def takeWhileNot(df: DataFrame, ord: Seq[Column], p: Column): DataFrame =
+    minOrdWhere(df, ord, p) match {
+      case None      => df
+      case Some(cut) => df.filter(struct(ord: _*) < cut)
+    }
 
   /** takeWhile(p) == takeWhileNot(!p). */
   def takeWhile(df: DataFrame, ord: Seq[Column], p: Column): DataFrame =

@@ -54,18 +54,26 @@ object Streams {
 
   /** Size-capped group emission with custom state: each user's bucket
     * emits as soon as it reaches `size` (reference groupby(size=)
-    * `_pop_full_group`); when a key goes quiet for `flushAfterMs` the
-    * partial bucket flushes with `full = false` (reference exhaustion
-    * flush, iterators.py:249-254 — a stream has no "end", so quiescence
-    * is the principled analog). Bounded state: at most `size` event ids
-    * per key. */
+    * `_pop_full_group`); when a key goes quiet — the event-time
+    * watermark passes its newest event by `flushAfterMs` — the partial
+    * bucket flushes with `full = false` (reference exhaustion flush,
+    * iterators.py:249-254: a stream has no "end", so watermark
+    * quiescence is the principled analog). Bounded state: at most
+    * `size` event ids per key.
+    *
+    * Event-time timeout, NOT processing-time: with
+    * ProcessingTimeTimeout Spark re-runs empty micro-batches forever
+    * (`FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is
+    * unconditionally true) — the query never quiesces, wall-clock
+    * flushes are unreplayable, and `processAllAvailable` deadlocks.
+    * Watermark-driven flushes are deterministic under replay. */
   def sizeCappedGroups(spark: SparkSession, events: DataFrame, size: Int,
-      flushAfterMs: Long = 60000L): DataFrame = {
+      flushAfterMs: Long = 60000L, watermarkDelay: String = "10 seconds"): DataFrame = {
     import spark.implicits._
-    events.as[Evt]
+    events.withWatermark("ts", watermarkDelay).as[Evt]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[Long], Bucket](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, it: Iterator[Evt], state: GroupState[Seq[Long]]) =>
           if (state.hasTimedOut) {
             // exhaustion flush: emit the partial bucket, clear state
@@ -76,12 +84,16 @@ object Streams {
           } else {
             var buf = state.getOption.getOrElse(Seq.empty)
             val out = scala.collection.mutable.ArrayBuffer[Bucket]()
-            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val evts = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            evts.foreach { e =>
               buf = buf :+ e.event_id
               if (buf.size >= size) { out += Bucket(user, buf, full = true); buf = Seq.empty }
             }
             state.update(buf)
-            state.setTimeoutDuration(flushAfterMs)
+            // flush once the watermark passes this key's newest event
+            // by the quiescence gap (always > current watermark, which
+            // trails max event time by watermarkDelay)
+            state.setTimeoutTimestamp(evts.map(_.ts.getTime).max + flushAfterMs)
             out.iterator
           }
       }

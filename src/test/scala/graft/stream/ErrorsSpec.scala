@@ -54,6 +54,19 @@ class ErrorsSpec extends SparkSpec {
     assert(Errors.runFinallyRaise(s, clean) == 3)
   }
 
+  test("a diagnostics-free failure (Attempt(None,None,None)) still counts as an error") {
+    val s = spark; import s.implicits._
+    // the isSuccess invariant is value.isDefined; errorClass being
+    // unset must not let a failed element masquerade as success
+    val mixed = s.createDataset(Seq(
+      Attempt.success(1), Attempt[Int](None, None, None)))
+    val ex = intercept[StreamErrorsException] { Errors.runFinallyRaise(s, mixed) }
+    assert(ex.errorCount == 1)
+    assert(Errors.catchDrop(mixed).collect().toList == List(1))
+    assert(Errors.catchReplace(mixed, replacement = -1).collect().sorted.toList ==
+      List(-1, 1))
+  }
+
   test("errors flow through downstream ops (exception flow-through)") {
     val s = spark; import s.implicits._
     // reference: an exception doesn't terminate iteration; downstream

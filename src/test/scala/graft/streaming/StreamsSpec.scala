@@ -68,6 +68,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sizeCappedGroups flushes a partial bucket after quiescence (full=false)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Streams.Evt]
+    // flush a key once the watermark passes its newest event by 1 min
+    val q = Streams.sizeCappedGroups(s, mem.toDF(), size = 10, flushAfterMs = 60000L)
+      .writeStream.format("memory").queryName("flush").outputMode("append").start()
+    try {
+      // user 7 gets one event at 10:01 — far below size, held in state
+      mem.addData(evt(1, 1, 7))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM flush").count() == 0)
+      // an unrelated key's event at 10:50 pushes the watermark past
+      // 10:01 + 1 min → user 7's event-time timeout fires (the
+      // deterministic quiescence flush — no wall clock involved)
+      mem.addData(evt(2, 50, 8))
+      q.processAllAvailable()
+      val flushed = s.sql("SELECT * FROM flush WHERE user_id = 7").collect()
+      assert(flushed.length == 1)
+      assert(!flushed.head.getAs[Boolean]("full"))
+      assert(flushed.head.getSeq[Long](flushed.head.fieldIndex("events")) == Seq(1L))
+      // state was cleared: no double-emit of event 1 on a later batch
+      mem.addData(evt(3, 51, 7))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM flush WHERE user_id = 7").count() == 1)
+    } finally q.stop()
+  }
+
   test("rate source paces production (plan-level check)") {
     val df = Streams.rateSource(spark, rowsPerSecond = 5)
     assert(df.isStreaming)
