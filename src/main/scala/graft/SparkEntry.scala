@@ -44,26 +44,35 @@ object SparkEntry {
     "q23_except" -> (Relational.nationKeyExcept _),
     "q24_approx_distinct" -> (Relational.approxDistinctParts _),
     "q25_quantiles" -> (Relational.priceQuantiles _),
+    "q26_pivot" -> (Relational.orderStatusPivot _),
+    "q27_histogram" -> (Relational.priceHistogram _),
+    "q28_stats" -> (Relational.statsSummary _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
     "e03_top_users" -> (Events.topUsers _),
+    "e04_asof_attribution" -> (Events.purchaseAttribution _),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
     "t03_langid" -> (TextAnalysis.langIdConfusion _),
     "t04_fingerprints" -> (TextAnalysis.fingerprints _),
+    "t05_top_bigrams" -> ((s: SparkSession, dir: String) => TextAnalysis.topBigrams(s, dir)),
+    // — sampling (training-data pipeline) —
+    "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     // — deduplication —
     "d01_exact_dedup" -> (Dedup.exactDedupByLang _),
     "d02_dup_groups" -> (Dedup.duplicateGroups _),
     "d03_ngram_jaccard" -> ((s: SparkSession, dir: String) => Dedup.ngramJaccardPairs(s, dir)),
     "d04_minhash_lsh" -> ((s: SparkSession, dir: String) => Dedup.minhashLshPairs(s, dir)),
     "d05_simhash_pairs" -> ((s: SparkSession, dir: String) => Dedup.simhashPairs(s, dir)),
+    "d06_embedding_neardup" -> ((s: SparkSession, dir: String) => Dedup.embeddingNearDups(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "s02_lsh_topk" -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
     "s03_label_stats" -> (Similarity.labelCentroidStats _),
     "s04_native_topk" -> ((s: SparkSession, dir: String) => Similarity.nativeTopK(s, dir)),
+    "s05_ivf_topk" -> ((s: SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
     // — multimodal plumbing —
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
@@ -208,6 +217,23 @@ object SparkEntry {
          round(min(o_totalprice), 2) AS min_price,
          round(max(o_totalprice), 2) AS max_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q26_pivot" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q27_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+         count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "q28_stats" ->
+      """SELECT l_returnflag,
+         floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS sd_qty,
+         floor(var_samp(l_quantity) * 10000 + 0.5) / 10000 AS var_qty,
+         floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS corr_qty_price,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "e01_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
@@ -235,6 +261,20 @@ object SparkEntry {
       """SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n
          FROM events GROUP BY user_id
          ORDER BY total_value DESC, user_id LIMIT 10""",
+    "e04_asof_attribution" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_tms,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id
+           FROM events)
+         SELECT user_id, count(*) AS n_purchases, count(click_id) AS n_attributed,
+           floor(sum((epoch_ms(ts) - click_tms) / 1000.0) / count(click_id) * 100 + 0.5) / 100 AS avg_lag_sec
+         FROM x WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
     "t01_token_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
@@ -270,6 +310,24 @@ object SparkEntry {
     "t04_fingerprints" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
          n_chars FROM documents ORDER BY doc_id""",
+    "t05_top_bigrams" ->
+      """WITH toks AS (
+           SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         bg AS (
+           SELECT lang, array_to_string(w[i:i+1], ' ') AS bigram
+           FROM toks, UNNEST(range(1, len(w))) AS t(i)
+           WHERE len(w) >= 2),
+         c AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+         r AS (SELECT lang, bigram, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk FROM c)
+         SELECT lang, rnk, bigram, n FROM r WHERE rnk <= 5 ORDER BY lang, rnk""",
+    "p01_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+         floor(sum(n_chars) / count(*) * 100 + 0.5) / 100 AS avg_chars
+         FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
+         GROUP BY lang ORDER BY lang""",
     "d01_exact_dedup" ->
       """SELECT lang, count(*) AS n_unique FROM (
            SELECT lang, row_number() OVER (
@@ -318,6 +376,41 @@ object SparkEntry {
          FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
          WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
          ORDER BY doc_a, doc_b""",
+    "d06_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000 AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000 >= 0.9
+         ORDER BY vec_a, vec_b""",
+    // s05 oracle replicates the same IVF structure (deterministic
+    // centroids, nprobe cells) — approximation is in the algorithm,
+    // not the engines, so results hash-match exactly.
+    "s05_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < 132),
+         ac AS (SELECT a.vec_id AS c_id, cent_id,
+             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e a, cent),
+         assign AS (SELECT c_id, cent_id AS cell FROM (
+           SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         qc AS (SELECT q.vec_id AS q_id, cent_id,
+             floor(list_cosine_similarity(q.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, cent WHERE q.vec_id < 10),
+         probes AS (SELECT q_id, cent_id AS cell FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM qc) WHERE rn <= 4),
+         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
+         sc AS (SELECT q_id, c_id,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "s01_brute_topk" ->
       """WITH q AS (
            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb

@@ -51,6 +51,35 @@ object Events {
         max("n_events").as("max_session_events"))
       .orderBy("user_id")
 
+  /** As-of join realized as the shuffle-parallel "union + carry-forward
+    * window" pattern: attribute each purchase to the user's most recent
+    * strictly-prior click. One shuffle on user_id, no range/theta join,
+    * no per-row probe — the scalable formulation of `ASOF JOIN` (at
+    * 100 TB both event streams shuffle once on the key and each
+    * partition is a single ordered sweep). Strictly-prior = rows
+    * (unboundedPreceding, -1) in (ts, event_id) order, so a click and
+    * purchase sharing a timestamp resolve deterministically. */
+  def purchaseAttribution(s: SparkSession, dir: String): DataFrame = {
+    val byUserPrior = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = events(s, dir)
+      .withColumn("click_tms",
+        last(when(col("event_type") === "click", unix_millis(col("ts"))),
+          ignoreNulls = true).over(byUserPrior))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(byUserPrior))
+    ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("click_id")).as("n_attributed"),
+        r2(sum((unix_millis(col("ts")) - col("click_tms")) / 1000.0) /
+          count(col("click_id"))).as("avg_lag_sec"))
+      .orderBy("user_id")
+  }
+
   /** Top-10 users by total event value (deterministic tiebreak). */
   def topUsers(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

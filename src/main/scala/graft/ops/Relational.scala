@@ -340,4 +340,43 @@ object Relational {
       .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
         .as("statuses"))
       .orderBy("o_orderpriority")
+
+  /** Pivot (long → wide): order counts per priority × status. The
+    * pivot values are given explicitly so the plan is a single
+    * shuffle-free-after-agg pass — with an inferred value list Spark
+    * would first run a distinct job to discover the columns. */
+  def orderStatusPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Equi-width histogram of order totals (50k buckets): the classic
+    * distribution profile — one shuffle on the bucket id, partial
+    * counts map-side. */
+  def priceHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("bucket")
+
+  /** Statistical aggregates per return flag: sample stddev/variance
+    * and quantity↔price correlation. All three are single-pass
+    * merge-able aggregates (Welford-style M2 moments in both Spark and
+    * DuckDB — double-precision drift between the engines is ~1e-12
+    * relative, far inside the 4dp floor-rounding guard). */
+  def statsSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(var_samp(col("l_quantity"))).as("var_qty"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
 }

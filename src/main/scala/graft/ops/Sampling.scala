@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational.{t, r2}
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: resampling after a
+  * repartition (or on a grown corpus) yields an unrelated subset, so
+  * train/eval splits are unreproducible. Content-hash sampling fixes
+  * that: a row is in-sample iff `md5(key)` falls below a rate
+  * threshold — stable under repartitioning, incremental ingestion and
+  * engine changes (any engine with md5 draws the identical sample; the
+  * DuckDB oracle replicates it bit-for-bit). This is the standard
+  * stable-split trick for 100 TB corpora: no shuffle, no state, a
+  * pushdown-friendly filter on a scan.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5(key) — a uniform draw from [0, 16^8). */
+  def hashDraw(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+
+  /** Hex threshold for a sampling rate: keep iff hashDraw < threshold.
+    * The comparison is plain string ordering on fixed-width lowercase
+    * hex — portable across engines with no integer parsing. */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0 && rate <= 1)
+    f"${math.floor(rate * (1L << 32)).toLong}%08x"
+  }
+
+  /** Deterministic uniform sample of `rate` by key. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(hashDraw(key) < lit(rateThreshold(rate)))
+
+  /** Deterministic stratified sample: per-stratum rates (e.g. downsample
+    * a dominant language while keeping the tail) in a single scan —
+    * the when-chain compiles to one codegen'd predicate, no join. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val thr = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (value, rate)) =>
+        when(stratum === value, lit(rateThreshold(rate))).otherwise(acc)
+    }
+    df.filter(hashDraw(key) < thr)
+  }
+
+  /** Stratified document sample: English (the dominant stratum) at
+    * 20%, every other language at 50% — summarized per lang so the
+    * oracle check covers both the membership and the aggregate. */
+  def sampledDocStats(s: SparkSession, dir: String): DataFrame =
+    stratifiedHashSample(t(s, dir, "documents"), col("doc_id"), col("lang"),
+      Map("en" -> 0.2), defaultRate = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        r2(sum("n_chars") / count(lit(1))).as("avg_chars"))
+      .orderBy("lang")
+}

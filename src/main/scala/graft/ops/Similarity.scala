@@ -142,6 +142,57 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into `nlist` cells; a query probes only its `nprobe` nearest
+    * cells. The 100 TB structure: the centroid table is tiny and
+    * broadcast; cell assignment is one broadcast-join scan over the
+    * corpus (in a real index it is precomputed and the corpus is
+    * bucketed/partitioned BY cell, so a query reads nprobe/nlist of
+    * the data — the IVF selectivity story); scoring touches only
+    * probed cells. Centroids here are `nlist` deterministic corpus
+    * vectors (ids [100, 100+nlist)) standing in for a k-means
+    * codebook — the plan shape is identical, and determinism is what
+    * the oracle needs. Approximate by design: recall < 1 vs
+    * [[bruteForceTopK]] when a true neighbor lives in an unprobed
+    * cell; the DuckDB oracle replicates the same IVF logic. */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // cell assignment: nearest centroid by (rounded sim desc, cent_id
+    // asc) — a map-side max of an orderable struct, no window, no
+    // shuffle beyond the groupBy on c_id (which AQE coalesces)
+    val assign = corpus.crossJoin(broadcast(cent))
+      .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
+      .groupBy("c_id")
+      .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("c_id"), (-col("m.nc")).as("cell"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_c").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("sim_c", r4(cosine(col("q_emb"), col("cent_emb"))))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("cent_id").as("cell"))
+    val candidates = assign.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+    val scored = candidates
+      .join(broadcast(queries), "q_id")
+      .join(corpus, "c_id")
+      .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "sim")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Per-label centroid stats: mean vector norm and intra-label mean
     * cosine-to-centroid — an IVF-style coarse quantization summary
     * (the centroid table is what an IVF index would broadcast). */

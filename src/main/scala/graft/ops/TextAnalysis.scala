@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Relational.{t, r2, r4}
 
@@ -79,6 +80,30 @@ object TextAnalysis {
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
+  }
+
+  /** Top-k bigram frequencies per language — the vocabulary/frequency
+    * profile step of corpus analysis. Counting is one partial-agg
+    * shuffle on (lang, bigram) (head bigrams pre-combine map-side, so
+    * Zipf skew never concentrates raw rows); ranking is a window over
+    * the aggregated counts, whose cardinality is |vocab| not |corpus|.
+    */
+  def topBigrams(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = split(lower(trim(col("text"))), "\\s+")
+    val bigrams = docs
+      .select(col("lang"), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(2))))).as("bigram"))
+    val counts = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val rankW = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rnk", row_number().over(rankW).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("lang", "rnk", "bigram", "n")
+      .orderBy("lang", "rnk")
   }
 
   /** Content fingerprint: md5 of the whitespace-normalized lowercase

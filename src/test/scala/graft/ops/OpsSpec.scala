@@ -92,6 +92,87 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_sessions") >= 1))
   }
 
+  test("asof attribution: attributed purchases never exceed purchases, lag non-negative") {
+    val rows = Events.purchaseAttribution(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_attributed") <= r.getAs[Long]("n_purchases")))
+    assert(rows.filter(!_.isNullAt(3)).forall(_.getAs[Double]("avg_lag_sec") >= 0))
+  }
+
+  test("pivot counts partition the orders table") {
+    val rows = Relational.orderStatusPivot(spark, sf0001).collect()
+    val total = Relational.t(spark, sf0001, "orders").count()
+    assert(rows.map(r => r.getAs[Long]("n_f") + r.getAs[Long]("n_o") +
+      r.getAs[Long]("n_p")).sum == total)
+  }
+
+  test("histogram buckets partition the orders table") {
+    val rows = Relational.priceHistogram(spark, sf0001).collect()
+    val total = Relational.t(spark, sf0001, "orders").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    val buckets = rows.map(_.getAs[Long]("bucket"))
+    assert(buckets.toList == buckets.sorted.toList)
+  }
+
+  test("stats summary: variance = stddev squared, corr within [-1,1]") {
+    val rows = Relational.statsSummary(spark, sf0001).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val sd = r.getAs[Double]("sd_qty"); val v = r.getAs[Double]("var_qty")
+      assert(math.abs(sd * sd - v) < 0.1)
+      val c = r.getAs[Double]("corr_qty_price")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
+
+  test("stratified hash sample is deterministic and downsamples en hardest") {
+    val docs = Relational.t(spark, sf0001, "documents")
+    val s1 = Sampling.stratifiedHashSample(docs, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("lang"), Map("en" -> 0.2), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.stratifiedHashSample(docs.repartition(7),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("lang"), Map("en" -> 0.2), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // membership is content-derived: identical across partitionings
+    assert(s1 == s2 && s1.nonEmpty)
+    val byLang = Sampling.sampledDocStats(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_sampled")).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    // en sampled at ~20%, others at ~50% (binomial tolerance)
+    assert(byLang("en").toDouble / full("en") < 0.35)
+  }
+
+  test("top bigrams: k rows per lang, counts non-increasing in rank") {
+    val rows = TextAnalysis.topBigrams(spark, sf0001, k = 5).collect()
+    val perLang = rows.groupBy(_.getString(0))
+    perLang.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val ns = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("n"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("embedding near-dups: empty on this corpus (no pair above 0.9)") {
+    // the synthetic embeddings are near-orthogonal (max cosine ~0.52):
+    // the verified near-dup set must be empty, same as the exact oracle
+    assert(Dedup.embeddingNearDups(spark, sf0001).count() == 0)
+  }
+
+  test("IVF topk: k per query, and probed-cell results overlap brute force") {
+    val ivf = Similarity.ivfTopK(spark, sf0001, nQueries = 5, k = 3)
+      .collect()
+    assert(ivf.length == 15)
+    val brute = Similarity.bruteForceTopK(spark, sf0001, nQueries = 5, k = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val hits = ivf.count(r => brute((r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))))
+    // nprobe=4 of nlist=32 cells: recall is partial by design, but the
+    // probed cells must still surface some true neighbors
+    assert(hits >= 1, s"IVF found no true neighbors: $hits/15")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
