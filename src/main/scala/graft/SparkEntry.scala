@@ -341,9 +341,10 @@ object SparkEntry {
            FROM documents)
          GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
     // d04 oracle = the exact-Jaccard ground truth: MinHash-LSH with
-    // 16 bands x 4 rows has collision probability >0.999 for pairs at
-    // jaccard >= 0.8 (all pairs above the 0.6 output threshold in this
-    // corpus sit at >= 0.9), so the sketch recalls the exact answer.
+    // 16 bands x 2 rows has collision probability 0.9997 at jaccard
+    // 0.6 and 1-3e-8 at 0.8 (all pairs above the 0.6 output threshold
+    // in this corpus sit at >= 0.9), so the sketch recalls the exact
+    // answer; the exact verify keeps precision at 1.
     "d04_minhash_lsh" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

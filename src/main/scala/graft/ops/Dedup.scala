@@ -35,23 +35,32 @@ object Dedup {
       .distinct()
   }
 
-  /** Shingles reduced to 64-bit hashes — the representation every
-    * join/agg below actually runs on. Hashing happens BEFORE the
-    * distinct so the dedup shuffle, the self-joins and the minhash agg
-    * all move 8-byte longs instead of ~n-word strings (at 100 TB this
-    * is the difference between shuffling the corpus and shuffling a
-    * fingerprint of it). Jaccard over hashed shingle sets equals
-    * Jaccard over the strings up to xxhash64 collisions —
-    * P(any collision) ≈ m²/2⁶⁵ ≈ 10⁻⁸ at a million distinct shingles. */
-  def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+  /** Per-doc distinct shingle-hash SETS, map-side: tokenize → n-gram
+    * slices → xxhash64 → `array_distinct`, all inside one narrow
+    * projection. Two scale wins over the naive explode-then-distinct:
+    * (a) everything downstream moves 8-byte longs, never ~n-word
+    * strings; (b) the dedup is per-document by definition, so
+    * `array_distinct` inside the row REPLACES a corpus-wide
+    * `distinct()` shuffle — the set semantics cost zero data movement.
+    * Jaccard over hashed shingle sets equals Jaccard over the strings
+    * up to xxhash64 collisions — P(any collision) ≈ m²/2⁶⁵ ≈ 10⁻⁸ at a
+    * million distinct shingles. Output: (doc_id, hs Array[Long],
+    * n_sh). */
+  def shingleHashSets(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     docs.select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("w")) - n),
-          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("h"))
-      .distinct()
+        array_distinct(transform(sequence(lit(0), size(col("w")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("hs"))
+      .withColumn("n_sh", size(col("hs")).cast("long"))
   }
+
+  /** Exploded (doc_id, h) relation from [[shingleHashSets]] — the
+    * shape the intersection self-joins consume. Already distinct, no
+    * shuffle spent on it. */
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+    shingleHashSets(docs, n).select(col("doc_id"), explode(col("hs")).as("h"))
 
   /** Exact dedup via content fingerprint, first-wins (lowest doc_id
     * survives), summarized per lang. */
@@ -80,8 +89,10 @@ object Dedup {
     * J >= `threshold`. Ground truth for the MinHash sketch below. */
   def ngramJaccardPairs(s: SparkSession, dir: String, n: Int = 5,
       threshold: Double = 0.6): DataFrame = {
-    val sh = shingleHashes(t(s, dir, "documents"), n).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sets = shingleHashSets(t(s, dir, "documents"), n).cache()
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    // sizes are carried on the set rows — no counting aggregation
+    val sizes = sets.select(col("doc_id"), col("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
         col("a.h") === col("b.h") &&
@@ -102,33 +113,39 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signatures over hashed shingles (`h` column from
-    * [[shingleHashes]]): derive `numHashes` permutations by re-hashing
-    * the 8-byte value with a per-permutation seed — 64 long-hashes per
-    * shingle instead of 64 full string hashes (and no Long-overflow
-    * issue under ANSI mode, unlike the a*h+b universal-hashing trick).
-    * One narrow agg per doc, no driver state. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+  /** MinHash signatures over per-doc shingle-hash sets (`hs` column
+    * from [[shingleHashSets]]): permutation i's value is
+    * `array_min(transform(hs, h => xxhash64(i, h)))` — 64 long-hashes
+    * per shingle (no Long-overflow issue under ANSI mode, unlike the
+    * a*h+b universal-hashing trick), computed ENTIRELY map-side. The
+    * shingle sets are already row-local, so the signature needs no
+    * groupBy: zero shuffle, the signature stage fuses into the scan
+    * projection. */
+  def minhashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
     val hashCols = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"h$i")
+      array_min(transform(col("hs"), h => xxhash64(lit(i), h))).as(s"h$i")
     }
-    sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    sets.select(col("doc_id") +: hashCols: _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs, verified with exact
     * Jaccard. `bands` × `rows` must equal `numHashes`. Probability a
-    * pair with Jaccard j collides: 1 - (1 - j^rows)^bands — with
-    * 16×4 the S-curve knees near j ≈ 0.5. At 100 TB: candidate
-    * generation is a groupBy on (band, bandHash) — only same-bucket
-    * docs ever meet, and AQE handles hot buckets.
-    */
+    * pair with Jaccard j collides: 1 - (1 - j^rows)^bands — 16×2
+    * recalls j ≥ 0.6 w.p. 0.9997 (and ≥ 0.8 w.p. 1-3e-8) at half the
+    * hashing cost of 16×4; the exact verify pass discards the extra
+    * low-j candidates short bands admit, so precision is unaffected.
+    * At 100 TB: candidate generation is a self-join on
+    * (band, bandHash) — only same-bucket docs ever meet, and AQE
+    * handles hot buckets. `sets` is deliberately NOT cached: it is a
+    * map-side projection of the scan, and recomputing a scan stage
+    * beats materializing corpus-sized shingle arrays. */
   def minhashLshPairs(s: SparkSession, dir: String, n: Int = 5,
-      bands: Int = 16, rows: Int = 4,
+      bands: Int = 16, rows: Int = 2,
       threshold: Double = 0.6): DataFrame = {
     val numHashes = bands * rows
     val docs = t(s, dir, "documents")
-    val sh = shingleHashes(docs, n).cache()
-    val sig = minhashSignatures(sh, numHashes)
+    val sets = shingleHashSets(docs, n)
+    val sig = minhashSignatures(sets, numHashes)
     // band b = hash of (h_{b*rows} ... h_{b*rows+rows-1}); melt the
     // bands into (doc_id, band_idx, band_hash) rows so candidate
     // generation is ONE groupBy-shaped self-join on (band_idx, hash)
@@ -137,7 +154,8 @@ object Dedup {
       Seq(lit(b), xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*))
     }
     // cached: the candidate self-join consumes `melted` twice, and
-    // without the cache each side re-runs the 64-min signature agg
+    // without the cache each side re-runs the map-side signature
+    // projection (64 array passes per doc)
     val melted = sig.select(col("doc_id"),
       explode(map(bandCols: _*)).as(Seq("band_idx", "bh"))).cache()
     val candidates = melted.as("x")
@@ -147,21 +165,23 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // exact-Jaccard verify on candidates only
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    pairJaccard(candidates, sh, sizes, threshold)
+    pairJaccard(candidates, sets, threshold)
   }
 
-  /** Exact Jaccard for an explicit candidate-pair set (over hashed
-    * shingles — see [[shingleHashes]]). */
-  private def pairJaccard(pairs: DataFrame, sh: DataFrame, sizes: DataFrame,
+  /** Exact Jaccard for an explicit candidate-pair set: each pair pulls
+    * both docs' shingle-hash ARRAYS (two equi-joins on doc_id) and
+    * intersects them in place — |pairs| rows of O(n+m) hash
+    * intersections, no exploded-shingle shuffle, no re-grouping. The
+    * verify cost scales with the candidate set (which LSH already made
+    * ≪ n²), not with the corpus. */
+  private def pairJaccard(pairs: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
-    val shA = sh.select(col("doc_id").as("doc_a"), col("h"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("h"))
-    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sz_b")), "doc_b")
+    val sa = sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+      col("n_sh").as("sz_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+      col("n_sh").as("sz_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("jaccard",
         r3(col("inter") / (col("sz_a") + col("sz_b") - col("inter"))))
       .filter(col("jaccard") >= threshold)
@@ -203,23 +223,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: sign-sum of per-token hash bits,
-    * all in column space (no UDF): explode tokens → per-bit ±1 votes →
-    * sum → sign → reassemble. */
+    * all in column space (no UDF) and ENTIRELY map-side: tokens hash
+    * once into an array, then 64 per-bit fold-sums over that array —
+    * vote_i = (2·Σ bit_i) > T. A document's simhash depends only on
+    * its own tokens, so (like [[shingleHashSets]]) there is nothing to
+    * shuffle: the old explode → groupBy formulation moved |tokens|
+    * rows through two exchanges for what one narrow projection
+    * computes in place. At 100 TB the signature stage is pure scan. */
   def simhashes(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // pre-aggregate repeated tokens: votes become count-weighted, the
-    // wide 64-column agg then runs over |distinct (doc,token)| rows
-    // instead of |tokens| rows
-    val toks = docs.select(col("doc_id"),
-      explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .groupBy(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .agg(count(lit(1)).as("cnt"))
-    // vote_i = sum(cnt * (bit_i ? +1 : -1)) > 0  ⟺  2*sum(cnt*bit_i)
-    // > sum(cnt); branch-free arithmetic keeps the agg codegen-tight
+    val hashed = docs.select(col("doc_id"),
+      transform(split(trim(col("text")), "\\s+"), t => xxhash64(t)).as("hs"))
     val bitSums = (0 until 64).map { i =>
-      sum(col("cnt") * shiftright(col("h"), i).bitwiseAND(1)).as(s"b$i")
-    } :+ sum(col("cnt")).as("total")
-    val voted = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1)).as(s"b$i")
+    } :+ size(col("hs")).cast("long").as("total")
+    val voted = hashed.select(col("doc_id") +: bitSums: _*)
     val sim = (0 until 64).map { i =>
       when(col(s"b$i") * 2 > col("total"), shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -227,22 +246,27 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: LSH on 4×16-bit bands, then hamming
-    * distance ≤ `maxHamming` verify via bit_count(xor). */
+    * distance ≤ `maxHamming` verify via bit_count(xor). The bands are
+    * melted to (band_idx, band_value) rows so candidate generation is
+    * ONE self-join (same pattern as [[minhashLshPairs]]) instead of
+    * four band-wise shuffles unioned. */
   def simhashPairs(s: SparkSession, dir: String,
       maxHamming: Int = 6): DataFrame = {
     val sig = simhashes(s, dir).cache()
-    val banded = sig.select(Seq(col("doc_id"), col("simhash")) ++ (0 until 4).map { b =>
-      shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as(s"band$b")
-    }: _*)
-    val candidates = (0 until 4).map { b =>
-      val l = banded.select(col("doc_id"), col("simhash"), col(s"band$b").as("bk"))
-      val r = l.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("bk"))
-      l.join(r, Seq("bk")).filter(col("doc_id") < col("doc_b"))
-        .select(col("doc_id").as("doc_a"), col("doc_b"),
-          col("simhash"), col("sim_b"))
-    }.reduce(_ unionAll _).distinct()
+    val bandCols = (0 until 4).flatMap { b =>
+      Seq(lit(b), shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL))
+    }
+    val melted = sig.select(col("doc_id"), col("simhash"),
+      explode(map(bandCols: _*)).as(Seq("band_idx", "bk")))
+    val candidates = melted.as("x")
+      .join(melted.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      .distinct()
     candidates
-      .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("sim_b"))))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")

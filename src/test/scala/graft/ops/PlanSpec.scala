@@ -50,6 +50,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"))
   }
 
+  test("p01: the sampling predicate pushes into the scan stage (no shuffle)") {
+    val df = Sampling.stratifiedHashSample(
+      Relational.t(spark, sf0001, "documents"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("lang"), Map("en" -> 0.2), 0.5)
+    val p = plan(df)
+    assert(!p.contains("Exchange"),
+      "hash sampling must be a pure scan+filter — no shuffle")
+  }
+
+  test("e04: as-of attribution shuffles once on user_id, no broadcast/range join") {
+    val p = plan(Events.purchaseAttribution(spark, sf0001))
+    // one hashpartitioning exchange for the window, one for the final
+    // groupBy on the same key (Catalyst reuses it), plus the ORDER BY
+    // range exchange for oracle determinism — but no join at all
+    assert(!p.contains("Join"), "as-of via carry-forward window must not join")
+  }
+
+  test("q26: explicit pivot values produce a single-shuffle agg (no Expand/discovery)") {
+    val p = plan(Relational.orderStatusPivot(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(!p.contains("Expand"), "pivot with explicit values should not Expand")
+  }
+
+  test("s05: IVF codebook and probe tables broadcast; corpus never SMJs") {
+    val p = plan(Similarity.ivfTopK(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "IVF probe joins must broadcast — the corpus side cannot shuffle-sort at scale")
+  }
+
   test("whole-stage codegen covers the text-analysis hot path") {
     // AQE finalizes the plan only after execution
     val df = TextAnalysis.tokenStats(spark, sf0001)
