@@ -16,10 +16,12 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * [[graft.stream.Ordered]] at the DataFrame layer; the typed layer
   * here exposes only the order-free core.
   */
-final case class Pipe[T](ds: Dataset[T]) {
+final case class Pipe[T](ds: Dataset[T], chain: List[String] = Nil) {
+
+  private def derive[U](d: Dataset[U], op: String): Pipe[U] = Pipe(d, chain :+ op)
 
   /** 1→1 transform; reference `map` (streamable/stream.py:372-392). */
-  def map[U: Encoder](f: T => U): Pipe[U] = Pipe(ds.map(f))
+  def map[U: Encoder](f: T => U): Pipe[U] = derive(ds.map(f), "map(<function>)")
 
   /** `map(concurrency=n, via="thread")` analog
     * (streamable/stream.py:372-392, iterators.py:489-618): per-element
@@ -31,8 +33,9 @@ final case class Pipe[T](ds: Dataset[T]) {
       ordered: Boolean = true): Pipe[U] = {
     require(concurrency >= 1, "concurrency must be >= 1")
     if (concurrency == 1) map(f)
-    else Pipe(ds.mapPartitions(it =>
-      new ConcurrentMapIterator(it, f, concurrency, ordered)))
+    else derive(ds.mapPartitions(it =>
+      new ConcurrentMapIterator(it, f, concurrency, ordered)),
+      s"map(<function>, concurrency=$concurrency, ordered=$ordered)")
   }
 
   /** `amap` analog (streamable/stream.py:394-411, iterators.py:621-685):
@@ -41,15 +44,16 @@ final case class Pipe[T](ds: Dataset[T]) {
   def mapAsync[U: Encoder](f: T => scala.concurrent.Future[U],
       concurrency: Int, ordered: Boolean = true): Pipe[U] = {
     require(concurrency >= 1, "concurrency must be >= 1")
-    Pipe(ds.mapPartitions(it =>
-      new AsyncMapIterator(it, f, concurrency, ordered)))
+    derive(ds.mapPartitions(it =>
+      new AsyncMapIterator(it, f, concurrency, ordered)),
+      s"amap(<function>, concurrency=$concurrency, ordered=$ordered)")
   }
 
   /** Side effect per element, element passes through unchanged;
     * reference `foreach` = `map(sidify(effect))`
     * (streamable/stream.py:278-299, util/functiontools.py:32-42). */
   def tap(effect: T => Unit)(implicit e: Encoder[T]): Pipe[T] =
-    Pipe(ds.map { t => effect(t); t })
+    derive(ds.map { t => effect(t); t }, "foreach(<function>)")
 
   /** Async side effect, element passes through; reference `aforeach`
     * = `amap(async_sidify(effect))` (streamable/stream.py:301-319,
@@ -73,33 +77,35 @@ final case class Pipe[T](ds: Dataset[T]) {
     import org.apache.spark.rdd.RDD.rddToPairRDDFunctions
     val left = ds.rdd.zipWithIndex().map(_.swap)
     val right = other.ds.rdd.zipWithIndex().map(_.swap)
-    Pipe(ds.sparkSession.createDataset(left.join(right).values))
+    derive(ds.sparkSession.createDataset(left.join(right).values),
+      "zip(<pipe>)")
   }
 
   /** Keep elements satisfying `p`; reference `filter`
     * (streamable/stream.py:189-199). */
-  def filter(p: T => Boolean): Pipe[T] = Pipe(ds.filter(p))
+  def filter(p: T => Boolean): Pipe[T] =
+    derive(ds.filter(p), "filter(<function>)")
 
   /** Map with the error channel open — the fluent entry to the
     * reference's `catch` chain (streamable/stream.py:112-131):
     * `pipe.mapAttempt(f).catchDrop()` ≈ `stream.map(f).catch()`. */
   def mapAttempt[U](f: T => U)(implicit e: Encoder[Attempt[U]]): Pipe[Attempt[U]] =
-    Pipe(Errors.mapSafe(ds)(f))
+    derive(Errors.mapSafe(ds)(f), "map(<function>) # attempt channel open")
 
   /** Un-nest one level; reference `flatten`
     * (streamable/stream.py:201-276). The reference's concurrent
     * round-robin interleaving order is explicitly non-contractual
     * (tests/test_stream.py:613-617) — partition parallelism covers it. */
   def flatten[U: Encoder](implicit ev: T => IterableOnce[U]): Pipe[U] =
-    Pipe(ds.flatMap(t => ev(t)))
+    derive(ds.flatMap(t => ev(t)), "flatten()")
 
   /** Generator-shaped 1→N (the reference idiom `map(g).flatten()`). */
   def flatMap[U: Encoder](f: T => IterableOnce[U]): Pipe[U] =
-    Pipe(ds.flatMap(f))
+    derive(ds.flatMap(f), "map(<function>).flatten()")
 
   /** Ordered concat; reference `a + b` = `Stream((a,b)).flatten()`
     * (streamable/stream.py:85-89). */
-  def ++(other: Pipe[T]): Pipe[T] = Pipe(ds.union(other.ds))
+  def ++(other: Pipe[T]): Pipe[T] = derive(ds.union(other.ds), "concat(<pipe>)")
   def concat(other: Pipe[T]): Pipe[T] = this ++ other
 
   /** Global dedup; reference `distinct()` (streamable/stream.py:166-187).
@@ -107,13 +113,14 @@ final case class Pipe[T](ds: Dataset[T]) {
     * scalability ceiling, stream.py:176-178); here it is a shuffle.
     * Which occurrence survives is arbitrary without an order — for the
     * reference's first-wins contract use [[Ordered.firstWins]]. */
-  def distinct: Pipe[T] = Pipe(ds.distinct())
+  def distinct: Pipe[T] = derive(ds.distinct(), "distinct()")
 
   /** Keyed dedup; reference `distinct(key=...)`. Keeps one arbitrary
     * element per key (first-wins needs an ordering column —
     * [[Ordered.firstWins]]). */
   def distinctBy[K: Encoder](key: T => K)(implicit e: Encoder[T]): Pipe[T] =
-    Pipe(ds.groupByKey(key).reduceGroups((a, _) => a).map(_._2))
+    derive(ds.groupByKey(key).reduceGroups((a, _) => a).map(_._2),
+      "distinct(<function>)")
 
   /** Batch into fixed-size chunks; reference `group(size=n)`
     * (streamable/stream.py:321-346, iterators.py:183-210). Chunks are
@@ -121,7 +128,7 @@ final case class Pipe[T](ds: Dataset[T]) {
     * [[Ordered.groupBySize]] for the globally-ordered variant). */
   def grouped(size: Int)(implicit e: Encoder[Seq[T]]): Pipe[Seq[T]] = {
     require(size >= 1, "size must be >= 1")
-    Pipe(ds.mapPartitions(_.grouped(size).map(_.toSeq)))
+    derive(ds.mapPartitions(_.grouped(size).map(_.toSeq)), s"group(size=$size)")
   }
 
   /** Co-group by key; reference `groupby(key)`
@@ -130,7 +137,8 @@ final case class Pipe[T](ds: Dataset[T]) {
     * the 100 TB replacement for the reference's in-driver buckets. */
   def groupByKey[K: Encoder](key: T => K)(
       implicit e: Encoder[(K, Seq[T])]): Pipe[(K, Seq[T])] =
-    Pipe(ds.groupByKey(key).mapGroups((k, it) => (k, it.toSeq)))
+    derive(ds.groupByKey(key).mapGroups((k, it) => (k, it.toSeq)),
+      "groupby(<function>)")
 
   /** `group(by=key)` = groupby then drop keys
     * (streamable/functions.py:98-109). */
@@ -141,7 +149,7 @@ final case class Pipe[T](ds: Dataset[T]) {
   /** First n elements (arbitrary order without an ordering column;
     * ordered variant in [[Ordered]]); reference `truncate(count=n)`
     * (streamable/stream.py:479-493). */
-  def truncate(n: Int): Pipe[T] = Pipe(ds.limit(n))
+  def truncate(n: Int): Pipe[T] = derive(ds.limit(n), s"truncate(count=$n)")
 
   /** Exhausts and counts; reference `count()` (stream.py:133-141). */
   def count(): Long = ds.count()
@@ -165,6 +173,16 @@ final case class Pipe[T](ds: Dataset[T]) {
     * Catalyst's explain is strictly richer than the reference's
     * pretty-printer. */
   def explain(): String = ds.queryExecution.toString()
+
+  /** Reference-style chain rendering: `repr(stream)` prints
+    * `Stream(source)` then one line per operator in source→sink order
+    * with callables shortened to placeholders
+    * (streamable/stream.py:96-104, visitors/representation.py:29-149,
+    * golden test tests/test_stream.py:242-285). Catalyst's `explain`
+    * shows the optimized truth; `describe` shows the user's fluent
+    * chain — both views exist in the reference. */
+  def describe: String =
+    ("Pipe(source)" :: chain.map("  ." + _)).mkString("\n")
 }
 
 object Pipe {
@@ -177,11 +195,12 @@ object Pipe {
     /** Swallow matching errors (element dropped). */
     def catchDrop(kind: String => Boolean = _ => true)(
         implicit e: Encoder[U]): Pipe[U] =
-      Pipe(Errors.catchDrop(p.ds, kind))
+      Pipe(Errors.catchDrop(p.ds, kind), p.chain :+ "catch(<function>)")
     /** Replace failed elements. */
     def catchReplace(replacement: U, kind: String => Boolean = _ => true)(
         implicit e: Encoder[U]): Pipe[U] =
-      Pipe(Errors.catchReplace(p.ds, replacement, kind))
+      Pipe(Errors.catchReplace(p.ds, replacement, kind),
+        p.chain :+ s"catch(<function>, replacement=$replacement)")
     /** Run, then raise the first error if any element failed. */
     def runFinallyRaise()(implicit e: Encoder[Attempt[U]],
         ct: scala.reflect.ClassTag[U]): Long =

@@ -128,6 +128,32 @@ class PipeSpec extends SparkSpec {
     assert(passes.value == 20L)
   }
 
+  test("describe renders the fluent chain in reference repr style (golden)") {
+    val s = spark; import s.implicits._
+    val p = pipe(4)
+      .map(_ * 2)
+      .filter(_ > 2)
+      .mapConcurrent(identity, concurrency = 2, ordered = false)
+      .grouped(3)
+      .flatten[Long]
+      .distinct
+      .truncate(10)
+    // mirrors the reference golden-string contract
+    // (tests/test_stream.py:242-285): one line per op, source->sink
+    assert(p.describe ==
+      """Pipe(source)
+        |  .map(<function>)
+        |  .filter(<function>)
+        |  .map(<function>, concurrency=2, ordered=false)
+        |  .group(size=3)
+        |  .flatten()
+        |  .distinct()
+        |  .truncate(count=10)""".stripMargin)
+    // and the catch chain renders through the implicit extension
+    val c = pipe(3).mapAttempt(x => 6 / x).catchReplace(-1)
+    assert(c.describe.endsWith(".catch(<function>, replacement=-1)"))
+  }
+
   test("queries are also runnable through the spark.sql entry point") {
     val s = spark
     graft.ops.Relational.registerViews(s, sf0001)
