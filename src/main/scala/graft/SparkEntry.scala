@@ -377,6 +377,13 @@ object SparkEntry {
          FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
          WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
          ORDER BY doc_a, doc_b""",
+    // d06's oracle is the exact brute force. Unlike d04 (whose S-curve
+    // argument holds at ANY corpus), LSH recall at cosine 0.9 is ~0.93
+    // per true pair, so on a corpus dense in borderline near-dups the
+    // sketch could drop a pair the oracle keeps; on THIS corpus (max
+    // pair cosine 0.52) both sides are exactly empty, and the planted-
+    // pair spec in OpsSpec asserts recall 1.0 on synthetic dups — the
+    // honest statement of what the hash-match certifies.
     "d06_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -24,17 +24,6 @@ import graft.stream.Ordered
   */
 object Dedup {
 
-  /** Word n-gram shingles as a distinct (doc_id, shingle) relation. */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    docs.select(col("doc_id"), toks.as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("w")) - n),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("shingle"))
-      .distinct()
-  }
-
   /** Per-doc distinct shingle-hash SETS, map-side: tokenize → n-gram
     * slices → xxhash64 → `array_distinct`, all inside one narrow
     * projection. Two scale wins over the naive explode-then-distinct:
@@ -55,12 +44,6 @@ object Dedup {
           i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("hs"))
       .withColumn("n_sh", size(col("hs")).cast("long"))
   }
-
-  /** Exploded (doc_id, h) relation from [[shingleHashSets]] — the
-    * shape the intersection self-joins consume. Already distinct, no
-    * shuffle spent on it. */
-  def shingleHashes(docs: DataFrame, n: Int): DataFrame =
-    shingleHashSets(docs, n).select(col("doc_id"), explode(col("hs")).as("h"))
 
   /** Exact dedup via content fingerprint, first-wins (lowest doc_id
     * survives), summarized per lang. */
@@ -203,16 +186,26 @@ object Dedup {
     * no pair exceeds cosine 0.52, so the verified result is empty —
     * matching the brute-force oracle.) */
   def embeddingNearDups(s: SparkSession, dir: String, bits: Int = 8,
-      tables: Int = 8, threshold: Double = 0.9): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+      tables: Int = 8, threshold: Double = 0.9): DataFrame =
+    embeddingNearDupPairs(t(s, dir, "embeddings"), bits, tables, threshold)
+
+  /** Core of [[embeddingNearDups]] over any (vec_id, embedding) frame
+    * — also the seam the planted-pair recall spec drives. */
+  def embeddingNearDupPairs(emb: DataFrame, bits: Int,
+      tables: Int, threshold: Double): DataFrame = {
     val buckets = Similarity.lshBuckets(emb, "vec_id", "embedding", bits, tables)
-      .cache()
-    val candidates = (0 until tables).map { tb =>
-      val l = buckets.select(col("vec_id").as("vec_a"), col(s"b$tb").as("bk"))
-      val r = buckets.select(col("vec_id").as("vec_b"), col(s"b$tb").as("bk"))
-      l.join(r, Seq("bk")).filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b")
-    }.reduce(_ unionAll _).distinct()
+    // melt the tables into (table_idx, bucket) rows: candidate
+    // generation is ONE self-join (same shape as [[minhashLshPairs]] /
+    // [[simhashPairs]]) instead of `tables` band-wise joins unioned
+    val tblCols = (0 until tables).flatMap(tb => Seq(lit(tb), col(s"b$tb")))
+    val melted = buckets.select(col("vec_id"),
+      explode(map(tblCols: _*)).as(Seq("tbl", "bk"))).cache()
+    val candidates = melted.as("x")
+      .join(melted.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bk") === col("y.bk") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
     val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     candidates.join(ea, "vec_a").join(eb, "vec_b")

@@ -23,10 +23,14 @@ object Sampling {
 
   /** Hex threshold for a sampling rate: keep iff hashDraw < threshold.
     * The comparison is plain string ordering on fixed-width lowercase
-    * hex — portable across engines with no integer parsing. */
+    * hex — portable across engines with no integer parsing. rate=1.0
+    * would format as the 9-char "100000000", which string-compares
+    * BELOW most 8-char draws; "g" (> every hex char) is the keep-all
+    * threshold that preserves the fixed-width comparison. */
   def rateThreshold(rate: Double): String = {
     require(rate >= 0 && rate <= 1)
-    f"${math.floor(rate * (1L << 32)).toLong}%08x"
+    val v = math.floor(rate * (1L << 32)).toLong
+    if (v >= (1L << 32)) "g" else f"$v%08x"
   }
 
   /** Deterministic uniform sample of `rate` by key. */

@@ -24,7 +24,17 @@ object Attempt {
   def success[T](t: T): Attempt[T] = Attempt(Some(t), None, None)
   def failure[T](e: Throwable): Attempt[T] =
     Attempt(None, Some(e.getClass.getName), Some(Option(e.getMessage).getOrElse("")))
+  /** A null success is CONVERTED TO A FAILURE: `Some(null)` and `None`
+    * encode to the same SQL NULL in the Dataset column, so a null
+    * "success" would be indistinguishable from a failed element on the
+    * DataFrame side (and would mask real failures in
+    * [[Errors.runFinallyRaise]]'s value-is-null split). The channel's
+    * contract is therefore: successes are non-null; map null to a
+    * sentinel value before mapSafe if it is a legitimate result. */
   def of[T](thunk: => T): Attempt[T] = Try(thunk) match {
+    case Success(null) =>
+      failure(new NullPointerException(
+        "null success is not representable in the Attempt channel"))
     case Success(t) => success(t)
     case Failure(e) => failure(e)
   }

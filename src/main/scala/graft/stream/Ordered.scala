@@ -60,6 +60,17 @@ object Ordered {
     * sort and no shuffle — both passes are embarrassingly parallel
     * scans, and the bound-finding filter pushes down to the source. */
   private def minOrdWhere(df: DataFrame, ord: Seq[Column], p: Column): Option[Column] = {
+    // value-based cuts compare struct(ord) tuples, which only works
+    // for plain ascending, non-null expressions — a SortOrder (.desc /
+    // .asc_nulls_last) cannot be wrapped in a struct. Fail fast with
+    // guidance instead of a confusing analysis error. (skip/truncate
+    // route ord through a sort and do accept SortOrder; descending
+    // cuts here: pass a descending-encoded expression, e.g. negate.)
+    ord.foreach { c =>
+      require(!c.toString.matches("(?s).*(ASC|DESC) NULLS (FIRST|LAST)$"),
+        "skipUntil/takeWhile require plain ascending ord expressions " +
+          s"(got sort order '$c'); encode descending order in the value, e.g. -col")
+    }
     val hit = df.filter(p).agg(min(struct(ord: _*))).head()
     if (hit.isNullAt(0)) None
     else Some(struct(hit.getStruct(0).toSeq.map(lit): _*))

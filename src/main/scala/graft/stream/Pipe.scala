@@ -59,11 +59,16 @@ final case class Pipe[T](ds: Dataset[T], chain: List[String] = Nil) {
     * = `amap(async_sidify(effect))` (streamable/stream.py:301-319,
     * util/functiontools.py:45-57). */
   def tapAsync(effect: T => scala.concurrent.Future[Unit], concurrency: Int,
-      ordered: Boolean = true)(implicit e: Encoder[T]): Pipe[T] =
+      ordered: Boolean = true)(implicit e: Encoder[T]): Pipe[T] = {
     // resolve the ExecutionContext inside the task closure — capturing
     // it at call time would drag a non-serializable pool into the task
-    mapAsync(t => effect(t).map(_ => t)(scala.concurrent.ExecutionContext.global),
+    val inner = mapAsync(
+      t => effect(t).map(_ => t)(scala.concurrent.ExecutionContext.global),
       concurrency, ordered)
+    // re-label: the user wrote aforeach, not the amap it desugars to
+    Pipe(inner.ds,
+      chain :+ s"aforeach(<function>, concurrency=$concurrency, ordered=$ordered)")
+  }
 
   /** Pairwise zip by position in `ord`-free index order — the
     * reference defers to builtin `zip` (README.md:481-497); Spark has
@@ -144,7 +149,8 @@ final case class Pipe[T](ds: Dataset[T], chain: List[String] = Nil) {
     * (streamable/functions.py:98-109). */
   def groupedBy[K: Encoder](key: T => K)(
       implicit e1: Encoder[(K, Seq[T])], e2: Encoder[Seq[T]]): Pipe[Seq[T]] =
-    groupByKey(key).map(_._2)
+    // re-label the desugared groupby+map as the single op the user wrote
+    Pipe(groupByKey(key).map(_._2).ds, chain :+ "group(by=<function>)")
 
   /** First n elements (arbitrary order without an ordering column;
     * ordered variant in [[Ordered]]); reference `truncate(count=n)`

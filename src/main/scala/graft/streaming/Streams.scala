@@ -51,6 +51,10 @@ object Streams {
   final case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class Bucket(user_id: Long, events: Seq[Long], full: Boolean)
+  /** Per-key state: open bucket + newest event time ever seen for the
+    * key (so a late-but-valid event cannot move the flush deadline
+    * backwards). */
+  final case class BucketState(events: Seq[Long], newestTs: Long)
 
   /** Size-capped group emission with custom state: each user's bucket
     * emits as soon as it reaches `size` (reference groupby(size=)
@@ -72,28 +76,33 @@ object Streams {
     import spark.implicits._
     events.withWatermark("ts", watermarkDelay).as[Evt]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Seq[Long], Bucket](
+      .flatMapGroupsWithState[BucketState, Bucket](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, it: Iterator[Evt], state: GroupState[Seq[Long]]) =>
+        (user: Long, it: Iterator[Evt], state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
             // exhaustion flush: emit the partial bucket, clear state
-            val buf = state.getOption.getOrElse(Seq.empty)
+            val buf = state.getOption.map(_.events).getOrElse(Seq.empty)
             state.remove()
             if (buf.nonEmpty) Iterator.single(Bucket(user, buf, full = false))
             else Iterator.empty
           } else {
-            var buf = state.getOption.getOrElse(Seq.empty)
+            val prior = state.getOption.getOrElse(BucketState(Seq.empty, Long.MinValue))
+            var buf = prior.events
             val out = scala.collection.mutable.ArrayBuffer[Bucket]()
             val evts = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             evts.foreach { e =>
               buf = buf :+ e.event_id
               if (buf.size >= size) { out += Bucket(user, buf, full = true); buf = Seq.empty }
             }
-            state.update(buf)
-            // flush once the watermark passes this key's newest event
+            // newest event time EVER seen for the key, not just this
+            // batch's max: a late (but above-watermark) event arriving
+            // after a newer one must not pull the deadline backwards
+            val newest = math.max(prior.newestTs, evts.map(_.ts.getTime).max)
+            state.update(BucketState(buf, newest))
+            // flush once the watermark passes the key's newest event
             // by the quiescence gap (always > current watermark, which
             // trails max event time by watermarkDelay)
-            state.setTimeoutTimestamp(evts.map(_.ts.getTime).max + flushAfterMs)
+            state.setTimeoutTimestamp(newest + flushAfterMs)
             out.iterator
           }
       }

@@ -14,7 +14,8 @@ class BucketingSpec extends SparkSpec {
 
   test("join of two tables bucketed on the key runs without a shuffle") {
     val s = spark
-    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    try {
     s.sql("DROP TABLE IF EXISTS b_orders")
     s.sql("DROP TABLE IF EXISTS b_customer")
     Relational.t(s, sf0001, "orders")
@@ -46,7 +47,13 @@ class BucketingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == expected)
-    s.sql("DROP TABLE IF EXISTS b_orders")
-    s.sql("DROP TABLE IF EXISTS b_customer")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS b_orders")
+      s.sql("DROP TABLE IF EXISTS b_customer")
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(wh.toFile)
+    }
   }
 }

@@ -161,6 +161,25 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.embeddingNearDups(spark, sf0001).count() == 0)
   }
 
+  test("embedding near-dups: planted duplicates are recalled at cosine ~1") {
+    // the corpus has no real near-dups, so the oracle match is vacuous
+    // there — plant some: 20 base vectors, each duplicated with a tiny
+    // deterministic perturbation (cosine ≈ 0.9999). Recall must be 1.
+    val s = spark; import s.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => (((seed * 2654435761L + i * 40503L) % 1000) / 500.0f - 1f))
+    val rows = (0 until 20).flatMap { k =>
+      val v = vec(k)
+      Seq((k.toLong * 2, v), (k.toLong * 2 + 1, v.updated(0, v.head + 0.001f)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDupPairs(emb, bits = 8, tables = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(k => (k.toLong * 2, k.toLong * 2 + 1)).toSet
+    assert(planted.subsetOf(found),
+      s"LSH missed planted near-dups: ${planted -- found}")
+  }
+
   test("IVF topk: k per query, and probed-cell results overlap brute force") {
     val ivf = Similarity.ivfTopK(spark, sf0001, nQueries = 5, k = 3)
       .collect()

@@ -67,6 +67,18 @@ class ErrorsSpec extends SparkSpec {
       List(-1, 1))
   }
 
+  test("a null 'success' becomes a channel failure, never a silent masked row") {
+    val s = spark; import s.implicits._
+    // Some(null) and None encode to the same SQL NULL, so Attempt.of
+    // converts null results to failures (documented contract)
+    val a = graft.stream.Attempt.of[String](null)
+    assert(!a.isSuccess && a.errorClass.get == "java.lang.NullPointerException")
+    val ds = s.createDataset(Seq(graft.stream.Attempt.of[String]("ok"),
+      graft.stream.Attempt.of[String](null)))
+    val ex = intercept[StreamErrorsException] { Errors.runFinallyRaise(s, ds) }
+    assert(ex.errorCount == 1)
+  }
+
   test("errors flow through downstream ops (exception flow-through)") {
     val s = spark; import s.implicits._
     // reference: an exception doesn't terminate iteration; downstream

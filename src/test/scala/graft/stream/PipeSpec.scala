@@ -152,6 +152,10 @@ class PipeSpec extends SparkSpec {
     // and the catch chain renders through the implicit extension
     val c = pipe(3).mapAttempt(x => 6 / x).catchReplace(-1)
     assert(c.describe.endsWith(".catch(<function>, replacement=-1)"))
+    // desugared ops re-label as the single op the user wrote
+    assert(pipe(3).groupedBy(_ % 2).describe.endsWith(".group(by=<function>)"))
+    assert(pipe(3).tapAsync(_ => scala.concurrent.Future.unit, concurrency = 2)
+      .describe.endsWith(".aforeach(<function>, concurrency=2, ordered=true)"))
   }
 
   test("queries are also runnable through the spark.sql entry point") {
