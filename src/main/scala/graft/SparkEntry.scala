@@ -47,6 +47,7 @@ object SparkEntry {
     "q26_pivot" -> (Relational.orderStatusPivot _),
     "q27_histogram" -> (Relational.priceHistogram _),
     "q28_stats" -> (Relational.statsSummary _),
+    "q29_try_divide" -> (Relational.safeArithmetic _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -233,6 +234,11 @@ object SparkEntry {
          floor(var_samp(l_quantity) * 10000 + 0.5) / 10000 AS var_qty,
          floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS corr_qty_price,
          count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q29_try_divide" ->
+      """SELECT l_returnflag,
+         CAST(sum(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
+         floor(avg(l_extendedprice / NULLIF(l_quantity - 1, 0)) * 100 + 0.5) / 100 AS avg_ratio
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "e01_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,

@@ -365,6 +365,21 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
       .orderBy("bucket")
 
+  /** The error channel in the columnar layer: under ANSI mode (Spark 4
+    * default) `x / 0` is a task-killing error; `try_divide` turns it
+    * into NULL-as-data — the whole-stage-codegen analog of the typed
+    * [[graft.stream.Errors]] channel (same philosophy: one poison row
+    * must cost a null, not a job). Aggregates then count the failures
+    * and average over the successes. */
+  def safeArithmetic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("ratio", expr("try_divide(l_extendedprice, l_quantity - 1)"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(col("ratio").isNull, 1)).as("n_div_zero"),
+        r2(avg("ratio")).as("avg_ratio"))
+      .orderBy("l_returnflag")
+
   /** Statistical aggregates per return flag: sample stddev/variance
     * and quantity↔price correlation. All three are single-pass
     * merge-able aggregates (Welford-style M2 moments in both Spark and

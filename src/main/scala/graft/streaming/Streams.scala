@@ -109,6 +109,16 @@ object Streams {
       .toDF()
   }
 
+  /** Streaming exact dedup — the reference `distinct()` (§2.4) on an
+    * unbounded stream. `dropDuplicatesWithinWatermark` keeps per-key
+    * state only until the watermark passes it, so state is bounded by
+    * the watermark horizon instead of growing forever (the streaming
+    * fix for the reference's unbounded in-driver seen-set,
+    * streamable/stream.py:176-178). */
+  def dedupedStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   /** Rate-limited streaming source: the `throttle(per_second=k)`
     * analog — the source itself paces production. */
   def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =

@@ -192,6 +192,15 @@ class OpsSpec extends SparkSpec {
     assert(hits >= 1, s"IVF found no true neighbors: $hits/15")
   }
 
+  test("try_divide channels divide-by-zero into counted nulls, not task failures") {
+    val rows = Relational.safeArithmetic(spark, sf0001).collect()
+    assert(rows.length == 3)
+    // qty=1 rows exist in every flag group and become nulls, the query
+    // still completes (under ANSI a plain division would kill the job)
+    assert(rows.map(_.getAs[Long]("n_div_zero")).sum > 0)
+    assert(rows.forall(_.getAs[Double]("avg_ratio") > 0))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

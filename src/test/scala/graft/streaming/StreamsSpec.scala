@@ -97,6 +97,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedStream drops duplicate event ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Streams.Evt]
+    val q = Streams.dedupedStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(evt(1, 1, 7), evt(1, 1, 7), evt(2, 2, 7))
+      q.processAllAvailable()
+      mem.addData(evt(2, 3, 7), evt(3, 3, 8))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.toList == List(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("rate source paces production (plan-level check)") {
     val df = Streams.rateSource(spark, rowsPerSecond = 5)
     assert(df.isStreaming)
