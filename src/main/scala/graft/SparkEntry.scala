@@ -48,6 +48,7 @@ object SparkEntry {
     "q27_histogram" -> (Relational.priceHistogram _),
     "q28_stats" -> (Relational.statsSummary _),
     "q29_try_divide" -> (Relational.safeArithmetic _),
+    "q30_salted_distinct" -> (Relational.saltedDistinctParts _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
     "m03_frames" -> ((s: SparkSession, dir: String) => Multimodal.sampleFrames(s, dir)),
+    "m04_resize" -> ((s: SparkSession, dir: String) => Multimodal.resizeMeta(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -466,6 +468,18 @@ object SparkEntry {
          count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
          FROM documents GROUP BY 1 ORDER BY kind""",
+    "q30_salted_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "m04_resize" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) % 1024 AS BIGINT) AS w,
+         CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS h,
+         CAST(floor((octet_length(encode(text)) % 1024) *
+           least(1.0, 256.0 / greatest(octet_length(encode(text)) % 1024, 1))) AS BIGINT) AS out_w,
+         CAST(floor((octet_length(encode(text)) // 1024 + 1) *
+           least(1.0, 256.0 / greatest(octet_length(encode(text)) % 1024, 1))) AS BIGINT) AS out_h
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
     "m03_frames" ->
       """SELECT doc_id AS media_id, CAST(f.frame_no AS BIGINT) AS frame_no,
          CAST(f.frame_no * floor(octet_length(encode(text)) / 4) AS BIGINT) AS frame_offset

@@ -73,6 +73,29 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Resize pass over the image subset: the same batched-kernel shape
+    * as [[decodeFeatures]], but the stub arithmetic (aspect-preserving
+    * downscale to `target` width) is deliberately SQL-replicable so
+    * this one HAS a DuckDB oracle — the plumbing (kind dispatch,
+    * per-partition kernel, metadata-only scan) is what's real; a
+    * production kernel swaps the arithmetic for an image op. */
+  def resizeMeta(s: SparkSession, dir: String, target: Int = 256): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).filter(col("kind") === "image").as[MediaRecord]
+      .mapPartitions { batch =>
+        // per-partition init (real kernel: load the resize codec once)
+        batch.map { m =>
+          val w = (m.byte_len % 1024).toInt
+          val h = (m.byte_len / 1024 + 1).toInt
+          // ??? real kernel: decode + resample. Stub: dimension math.
+          val scale = math.min(1.0, target.toDouble / math.max(w, 1))
+          (m.media_id, w.toLong, h.toLong,
+            math.floor(w * scale).toLong, math.floor(h * scale).toLong)
+        }
+      }.toDF("media_id", "w", "h", "out_w", "out_h")
+      .orderBy("media_id")
+  }
+
   /** Frame-sampling shape: 1→N expansion (a video yields `frames`
     * rows) — the explode-side of multimodal pipelines. */
   def sampleFrames(s: SparkSession, dir: String, frames: Int = 4): DataFrame =

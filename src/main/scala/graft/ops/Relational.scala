@@ -380,6 +380,17 @@ object Relational {
         r2(avg("ratio")).as("avg_ratio"))
       .orderBy("l_returnflag")
 
+  /** Exact distinct-count via explicit value-hash salting
+    * ([[Skew.saltedCountDistinct]]): the two-phase form for when one
+    * hot group would blow a single reducer's distinct-set buffer.
+    * Deterministic and exactly equal to the plain COUNT(DISTINCT) —
+    * which is what the oracle checks. */
+  def saltedDistinctParts(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedCountDistinct(t(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_partkey"), buckets = 16)
+      .withColumnRenamed("k", "l_returnflag")
+      .orderBy("l_returnflag")
+
   /** Statistical aggregates per return flag: sample stddev/variance
     * and quantity↔price correlation. All three are single-pass
     * merge-able aggregates (Welford-style M2 moments in both Spark and

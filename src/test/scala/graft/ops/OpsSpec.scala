@@ -201,6 +201,26 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("avg_ratio") > 0))
   }
 
+  test("salted count distinct equals the plain countDistinct exactly") {
+    val plain = Relational.t(spark, sf0001, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val salted = Relational.saltedDistinctParts(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    assert(salted == plain)
+  }
+
+  test("resize stub preserves aspect and never upscales") {
+    val rows = Multimodal.resizeMeta(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("w"); val outW = r.getAs[Long]("out_w")
+      assert(outW <= math.max(w, 256))
+      assert(outW <= 256 || w <= 256)
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
