@@ -475,10 +475,10 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) % 1024 AS BIGINT) AS w,
          CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS h,
-         CAST(floor((octet_length(encode(text)) % 1024) *
-           least(1.0, 256.0 / greatest(octet_length(encode(text)) % 1024, 1))) AS BIGINT) AS out_w,
-         CAST(floor((octet_length(encode(text)) // 1024 + 1) *
-           least(1.0, 256.0 / greatest(octet_length(encode(text)) % 1024, 1))) AS BIGINT) AS out_h
+         greatest(1, CAST(floor((octet_length(encode(text)) % 1024) *
+           least(1.0, 256.0 / greatest(octet_length(encode(text)) % 1024, 1))) AS BIGINT)) AS out_w,
+         greatest(1, CAST(floor((octet_length(encode(text)) // 1024 + 1) *
+           least(1.0, 256.0 / greatest(octet_length(encode(text)) % 1024, 1))) AS BIGINT)) AS out_h
          FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
     "m03_frames" ->
       """SELECT doc_id AS media_id, CAST(f.frame_no AS BIGINT) AS frame_no,

@@ -24,6 +24,12 @@ object Multimodal {
   final case class MediaRecord(media_id: Long, kind: String, blob: Array[Byte],
       byte_len: Long)
 
+  /** Stub "image dimensions" from a byte length — the single source of
+    * truth shared by [[fakeDecode]], [[resizeMeta]] and the m04 oracle
+    * SQL (three copies of this formula would silently diverge). */
+  def stubDims(byteLen: Long): (Int, Int) =
+    ((byteLen % 1024).toInt, (byteLen / 1024).toInt + 1)
+
   /** Deterministic fake "decode": a real codec would return pixels /
     * samples; the stub returns (width, height, checksum)-shaped
     * numbers derived from the bytes. Marked clearly as a stand-in. */
@@ -33,7 +39,8 @@ object Multimodal {
     var cs = 0L
     var i = 0
     while (i < n) { cs = cs * 31 + (blob(i) & 0xff); i += 1 }
-    (n % 1024, (n / 1024) + 1, cs)
+    val (w, h) = stubDims(n.toLong)
+    (w, h, cs)
   }
 
   /** Build the binary-column table from documents (blob = utf-8 of
@@ -81,16 +88,25 @@ object Multimodal {
     * production kernel swaps the arithmetic for an image op. */
   def resizeMeta(s: SparkSession, dir: String, target: Int = 256): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir).filter(col("kind") === "image").as[MediaRecord]
+    // project to (id, byte_len) BEFORE the kernel: the stub needs no
+    // pixels, so the blob bytes never materialize into the kernel rows
+    // (no per-row encode/copy). On a REAL media table with a physical
+    // binary column this projection prunes the blob from the scan
+    // itself; on this text-derived fixture the scan still reads text
+    // because byte_len is computed from it. A real resize kernel would
+    // select the blob instead — and pay for it.
+    mediaTable(s, dir).filter(col("kind") === "image")
+      .select(col("media_id"), col("byte_len")).as[(Long, Long)]
       .mapPartitions { batch =>
         // per-partition init (real kernel: load the resize codec once)
-        batch.map { m =>
-          val w = (m.byte_len % 1024).toInt
-          val h = (m.byte_len / 1024 + 1).toInt
+        batch.map { case (id, byteLen) =>
+          val (w, h) = stubDims(byteLen)
           // ??? real kernel: decode + resample. Stub: dimension math.
+          // Dimensions clamp to >= 1: a 256x0 "image" is not a resize.
           val scale = math.min(1.0, target.toDouble / math.max(w, 1))
-          (m.media_id, w.toLong, h.toLong,
-            math.floor(w * scale).toLong, math.floor(h * scale).toLong)
+          (id, w.toLong, h.toLong,
+            math.max(1L, math.floor(w * scale).toLong),
+            math.max(1L, math.floor(h * scale).toLong))
         }
       }.toDF("media_id", "w", "h", "out_w", "out_h")
       .orderBy("media_id")

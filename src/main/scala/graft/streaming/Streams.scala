@@ -109,12 +109,17 @@ object Streams {
       .toDF()
   }
 
-  /** Streaming exact dedup — the reference `distinct()` (§2.4) on an
-    * unbounded stream. `dropDuplicatesWithinWatermark` keeps per-key
-    * state only until the watermark passes it, so state is bounded by
-    * the watermark horizon instead of growing forever (the streaming
-    * fix for the reference's unbounded in-driver seen-set,
-    * streamable/stream.py:176-178). */
+  /** Streaming dedup, exact WITHIN the watermark horizon — the
+    * reference `distinct()` (§2.4) on an unbounded stream.
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until
+    * the watermark passes it, so state is bounded instead of growing
+    * forever (the streaming fix for the reference's unbounded
+    * in-driver seen-set, streamable/stream.py:176-178). The trade is
+    * explicit: duplicates whose event times are farther apart than
+    * `watermarkDelay` are re-emitted — global exactness on an
+    * unbounded stream requires unbounded state, which is exactly the
+    * reference's scalability ceiling; choose the horizon to cover the
+    * realistic duplicate window. */
   def dedupedStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("event_id"))

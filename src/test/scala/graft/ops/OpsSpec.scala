@@ -211,13 +211,20 @@ class OpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("resize stub preserves aspect and never upscales") {
+  test("resize stub never upscales, clamps to >=1, and preserves aspect") {
     val rows = Multimodal.resizeMeta(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val w = r.getAs[Long]("w"); val outW = r.getAs[Long]("out_w")
-      assert(outW <= math.max(w, 256))
-      assert(outW <= 256 || w <= 256)
+      val w = r.getAs[Long]("w"); val h = r.getAs[Long]("h")
+      val outW = r.getAs[Long]("out_w"); val outH = r.getAs[Long]("out_h")
+      // no upscale: output dims never exceed the (clamped) input dims
+      assert(outW <= math.max(w, 1) && outH <= math.max(h, 1),
+        s"upscaled: ${w}x$h -> ${outW}x$outH")
+      assert(outW >= 1 && outH >= 1, s"degenerate dims: ${outW}x$outH")
+      // aspect: recompute from the kernel's formula
+      val scale = math.min(1.0, 256.0 / math.max(w, 1))
+      assert(outW == math.max(1L, math.floor(w * scale).toLong))
+      assert(outH == math.max(1L, math.floor(h * scale).toLong))
     }
   }
 
