@@ -90,14 +90,20 @@ object Similarity {
       dim: Int = 64, bits: Int = 4, tables: Int = 8): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val buckets = lshBuckets(emb, "vec_id", "embedding", bits, tables).cache()
-    val qb = buckets.filter(col("vec_id") < nQueries)
-    val candidates = (0 until tables).map { tb =>
-      buckets.select(col("vec_id").as("c_id"), col(s"b$tb").as("bk"))
-        .join(broadcast(qb.select(col("vec_id").as("q_id"), col(s"b$tb").as("bk"))),
-          Seq("bk"))
-        .filter(col("q_id") =!= col("c_id"))
-        .select("q_id", "c_id")
-    }.reduce(_ unionAll _).distinct()
+    // melt the tables to (tbl, bk) rows so candidate generation is ONE
+    // broadcast join of the (tiny) query buckets against the corpus
+    // buckets — instead of `tables` band-wise joins unioned (the same
+    // melt shape as the dedup sketches; 8× fewer stages)
+    val tblCols = (0 until tables).flatMap(tb => Seq(lit(tb), col(s"b$tb")))
+    val melted = buckets.select(col("vec_id"),
+      explode(map(tblCols: _*)).as(Seq("tbl", "bk")))
+    val qmelt = melted.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bk"))
+    val candidates = melted.select(col("vec_id").as("c_id"), col("tbl"), col("bk"))
+      .join(broadcast(qmelt), Seq("tbl", "bk"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+      .distinct()
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))

@@ -81,6 +81,21 @@ class PlanSpec extends SparkSpec {
       "IVF probe joins must broadcast — the corpus side cannot shuffle-sort at scale")
   }
 
+  test("no query in the registry plans a CartesianProduct or a SortMergeJoin") {
+    // the global gate behind the per-query ones above: every join in
+    // the 55-query set broadcasts (or is a broadcast nested loop for
+    // deliberate small-side non-equi joins) — a cartesian or fact-side
+    // SMJ anywhere is a 100 TB plan bug. Runs on sf0.001 for speed.
+    val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val flags = Seq(
+        if (p.contains("CartesianProduct")) Some("CartesianProduct") else None,
+        if (p.contains("SortMergeJoin")) Some("SortMergeJoin") else None).flatten
+      if (flags.nonEmpty) Some(s"$name: ${flags.mkString(",")}") else None
+    }
+    assert(bad.isEmpty, s"plan regressions:\n${bad.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the text-analysis hot path") {
     // AQE finalizes the plan only after execution
     val df = TextAnalysis.tokenStats(spark, sf0001)
