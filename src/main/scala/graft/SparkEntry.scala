@@ -60,6 +60,7 @@ object SparkEntry {
     "t03_langid" -> (TextAnalysis.langIdConfusion _),
     "t04_fingerprints" -> (TextAnalysis.fingerprints _),
     "t05_top_bigrams" -> ((s: SparkSession, dir: String) => TextAnalysis.topBigrams(s, dir)),
+    "t06_regex_tokens" -> (TextAnalysis.regexTokenStats _),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     // — deduplication —
@@ -329,6 +330,13 @@ object SparkEntry {
          r AS (SELECT lang, bigram, n,
            row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk FROM c)
          SELECT lang, rnk, bigram, n FROM r WHERE rnk <= 5 ORDER BY lang, rnk""",
+    "t06_regex_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_ws_tokens,
+         CAST(sum(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+'))) AS BIGINT) AS sum_bpe_tokens,
+         floor(sum(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+'))) /
+           sum(len(string_split_regex(trim(text), '\s+'))) * 100 + 0.5) / 100 AS bpe_per_ws
+         FROM documents GROUP BY lang ORDER BY lang""",
     "p01_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,
          floor(sum(n_chars) / count(*) * 100 + 0.5) / 100 AS avg_chars

@@ -82,6 +82,31 @@ object TextAnalysis {
       .orderBy("lang", "predicted")
   }
 
+  /** BPE-ish regex tokenization: letter runs / digit runs / punctuation
+    * runs (the class split a byte-pair pre-tokenizer makes before
+    * merges). Deliberately free of alternation overlap and lookahead
+    * so Java regex (Spark) and RE2 (DuckDB oracle) match identically —
+    * every position belongs to exactly one class, making
+    * leftmost-first ≡ leftmost-longest. */
+  val bpeTokenPattern: String = "[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Whitespace vs regex token counts per lang — the two counting
+    * regimes a data pipeline budgets with (whitespace for quick stats,
+    * subword-ish regex for model-token estimates). */
+  def regexTokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_ws", tokenCount(col("text")))
+      .withColumn("n_bpe", bpeTokenCount(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws").as("sum_ws_tokens"),
+        sum("n_bpe").as("sum_bpe_tokens"),
+        r2(sum("n_bpe") / sum("n_ws")).as("bpe_per_ws"))
+      .orderBy("lang")
+
   /** Top-k bigram frequencies per language — the vocabulary/frequency
     * profile step of corpus analysis. Counting is one partial-agg
     * shuffle on (lang, bigram) (head bigrams pre-combine map-side, so

@@ -228,6 +228,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("BPE-ish regex tokens: golden split and more tokens than whitespace") {
+    val s2 = spark; import s2.implicits._
+    val got = Seq("don't add 2.5x more-tokens!").toDF("text")
+      .select(org.apache.spark.sql.functions.regexp_extract_all(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit(TextAnalysis.bpeTokenPattern),
+        org.apache.spark.sql.functions.lit(0)))
+      .collect().head.getSeq[String](0).toList
+    // same golden split DuckDB's RE2 produces (cross-engine contract)
+    assert(got == List("don", "'", "t", "add", "2", ".", "5", "x", "more", "-", "tokens", "!"))
+    val rows = TextAnalysis.regexTokenStats(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getAs[Long]("sum_bpe_tokens") >= r.getAs[Long]("sum_ws_tokens")))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
