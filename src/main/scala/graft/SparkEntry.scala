@@ -331,12 +331,17 @@ object SparkEntry {
            row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk FROM c)
          SELECT lang, rnk, bigram, n FROM r WHERE rnk <= 5 ORDER BY lang, rnk""",
     "t06_regex_tokens" ->
-      """SELECT lang, count(*) AS n_docs,
-         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_ws_tokens,
-         CAST(sum(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+'))) AS BIGINT) AS sum_bpe_tokens,
-         floor(sum(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+'))) /
-           sum(len(string_split_regex(trim(text), '\s+'))) * 100 + 0.5) / 100 AS bpe_per_ws
-         FROM documents GROUP BY lang ORDER BY lang""",
+      """WITH m AS (
+           SELECT lang,
+             concat(text, ' v', CAST(doc_id % 100 AS VARCHAR), '.',
+               CAST(n_chars % 10 AS VARCHAR), '!') AS marked
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(marked), '\s+'))) AS BIGINT) AS sum_ws_tokens,
+         CAST(sum(len(regexp_extract_all(marked, '[\p{L}]+|[\p{N}]+|[^ \t\n\f\r\p{L}\p{N}]+'))) AS BIGINT) AS sum_bpe_tokens,
+         floor(sum(len(regexp_extract_all(marked, '[\p{L}]+|[\p{N}]+|[^ \t\n\f\r\p{L}\p{N}]+'))) /
+           sum(len(string_split_regex(trim(marked), '\s+'))) * 100 + 0.5) / 100 AS bpe_per_ws
+         FROM m GROUP BY lang ORDER BY lang""",
     "p01_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,
          floor(sum(n_chars) / count(*) * 100 + 0.5) / 100 AS avg_chars

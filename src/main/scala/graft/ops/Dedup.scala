@@ -24,6 +24,18 @@ import graft.stream.Ordered
   */
 object Dedup {
 
+  /** Melt `n` per-row sketch columns `f(0)..f(n-1)` into
+    * (idCols..., idxName, valName) rows — the shared LSH-banding shape:
+    * candidate generation over ANY multi-table sketch becomes ONE
+    * self-join on (idx, value) instead of `n` band-wise joins unioned.
+    * Used by MinHash bands, SimHash bands, hyperplane tables
+    * ([[Similarity.lshTopK]]). */
+  def meltSketch(df: DataFrame, idCols: Seq[Column], n: Int,
+      f: Int => Column, idxName: String, valName: String): DataFrame = {
+    val entries = (0 until n).flatMap(i => Seq(lit(i), f(i)))
+    df.select(idCols :+ explode(map(entries: _*)).as(Seq(idxName, valName)): _*)
+  }
+
   /** Per-doc distinct shingle-hash SETS, map-side: tokenize → n-gram
     * slices → xxhash64 → `array_distinct`, all inside one narrow
     * projection. Two scale wins over the naive explode-then-distinct:
@@ -133,14 +145,12 @@ object Dedup {
     // bands into (doc_id, band_idx, band_hash) rows so candidate
     // generation is ONE groupBy-shaped self-join on (band_idx, hash)
     // instead of `bands` separate shuffles.
-    val bandCols = (0 until bands).flatMap { b =>
-      Seq(lit(b), xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*))
-    }
     // cached: the candidate self-join consumes `melted` twice, and
     // without the cache each side re-runs the map-side signature
     // projection (64 array passes per doc)
-    val melted = sig.select(col("doc_id"),
-      explode(map(bandCols: _*)).as(Seq("band_idx", "bh"))).cache()
+    val melted = meltSketch(sig, Seq(col("doc_id")), bands,
+      b => xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*),
+      "band_idx", "bh").cache()
     val candidates = melted.as("x")
       .join(melted.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
@@ -197,9 +207,8 @@ object Dedup {
     // melt the tables into (table_idx, bucket) rows: candidate
     // generation is ONE self-join (same shape as [[minhashLshPairs]] /
     // [[simhashPairs]]) instead of `tables` band-wise joins unioned
-    val tblCols = (0 until tables).flatMap(tb => Seq(lit(tb), col(s"b$tb")))
-    val melted = buckets.select(col("vec_id"),
-      explode(map(tblCols: _*)).as(Seq("tbl", "bk"))).cache()
+    val melted = meltSketch(buckets, Seq(col("vec_id")), tables,
+      tb => col(s"b$tb"), "tbl", "bk").cache()
     val candidates = melted.as("x")
       .join(melted.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bk") === col("y.bk") &&
@@ -246,11 +255,9 @@ object Dedup {
   def simhashPairs(s: SparkSession, dir: String,
       maxHamming: Int = 6): DataFrame = {
     val sig = simhashes(s, dir).cache()
-    val bandCols = (0 until 4).flatMap { b =>
-      Seq(lit(b), shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL))
-    }
-    val melted = sig.select(col("doc_id"), col("simhash"),
-      explode(map(bandCols: _*)).as(Seq("band_idx", "bk")))
+    val melted = meltSketch(sig, Seq(col("doc_id"), col("simhash")), 4,
+      b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL),
+      "band_idx", "bk")
     val candidates = melted.as("x")
       .join(melted.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.bk") === col("y.bk") &&

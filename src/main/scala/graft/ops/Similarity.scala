@@ -87,16 +87,15 @@ object Similarity {
     * impossible; tune bits up (smaller buckets) as the corpus grows.
     */
   def lshTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      dim: Int = 64, bits: Int = 4, tables: Int = 8): DataFrame = {
+      bits: Int = 4, tables: Int = 8): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val buckets = lshBuckets(emb, "vec_id", "embedding", bits, tables).cache()
     // melt the tables to (tbl, bk) rows so candidate generation is ONE
     // broadcast join of the (tiny) query buckets against the corpus
     // buckets — instead of `tables` band-wise joins unioned (the same
     // melt shape as the dedup sketches; 8× fewer stages)
-    val tblCols = (0 until tables).flatMap(tb => Seq(lit(tb), col(s"b$tb")))
-    val melted = buckets.select(col("vec_id"),
-      explode(map(tblCols: _*)).as(Seq("tbl", "bk")))
+    val melted = Dedup.meltSketch(buckets, Seq(col("vec_id")), tables,
+      tb => col(s"b$tb"), "tbl", "bk")
     val qmelt = melted.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bk"))
     val candidates = melted.select(col("vec_id").as("c_id"), col("tbl"), col("bk"))

@@ -87,19 +87,33 @@ object TextAnalysis {
     * merges). Deliberately free of alternation overlap and lookahead
     * so Java regex (Spark) and RE2 (DuckDB oracle) match identically —
     * every position belongs to exactly one class, making
-    * leftmost-first ≡ leftmost-longest. */
-  val bpeTokenPattern: String = "[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+    * leftmost-first ≡ leftmost-longest. The whitespace exclusion is
+    * the EXPLICIT RE2 set [\t\n\f\r ], not Java's \s: Java counts
+    * U+000B as \s while RE2 does not, so a \s-based class would
+    * diverge on vertical tab; with the explicit set both engines put
+    * every character in the same class. (The \s+ whitespace SPLIT used
+    * for ws-token counts still carries that latent divergence — absent
+    * from this corpus — documented rather than hidden.) */
+  val bpeTokenPattern: String = "[\\p{L}]+|[\\p{N}]+|[^ \\t\\n\\f\\r\\p{L}\\p{N}]+"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
   /** Whitespace vs regex token counts per lang — the two counting
     * regimes a data pipeline budgets with (whitespace for quick stats,
-    * subword-ish regex for model-token estimates). */
+    * subword-ish regex for model-token estimates). The corpus text is
+    * pure space-separated words (no digits/punctuation), which would
+    * make the regex vacuously equal to the whitespace split — so each
+    * doc gets a deterministic marker like " v42.7!" appended, making
+    * the class-split logic load-bearing in the oracle hash: a wrong
+    * pattern shifts sum_bpe_tokens and fails the compare. */
   def regexTokenStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("n_ws", tokenCount(col("text")))
-      .withColumn("n_bpe", bpeTokenCount(col("text")))
+      .withColumn("marked", concat(col("text"), lit(" v"),
+        (col("doc_id") % 100).cast("string"), lit("."),
+        (col("n_chars") % 10).cast("string"), lit("!")))
+      .withColumn("n_ws", tokenCount(col("marked")))
+      .withColumn("n_bpe", bpeTokenCount(col("marked")))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_ws").as("sum_ws_tokens"),

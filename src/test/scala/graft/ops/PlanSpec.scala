@@ -83,11 +83,16 @@ class PlanSpec extends SparkSpec {
 
   test("no query in the registry plans a CartesianProduct or a SortMergeJoin") {
     // the global gate behind the per-query ones above: every join in
-    // the 55-query set broadcasts (or is a broadcast nested loop for
-    // deliberate small-side non-equi joins) — a cartesian or fact-side
-    // SMJ anywhere is a 100 TB plan bug. Runs on sf0.001 for speed.
+    // the full query registry broadcasts (or is a broadcast nested
+    // loop for deliberate small-side non-equi joins) — a cartesian or
+    // fact-side SMJ anywhere is a 100 TB plan bug. Each query is
+    // EXECUTED first so AQE finalizes the plan (pre-execution,
+    // executedPlan is only the stats-based initial guess — the runtime
+    // plan is the one that matters). Runs on sf0.001 for speed.
     val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val df = fn(spark, sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
       val flags = Seq(
         if (p.contains("CartesianProduct")) Some("CartesianProduct") else None,
         if (p.contains("SortMergeJoin")) Some("SortMergeJoin") else None).flatten
