@@ -61,6 +61,7 @@ object SparkEntry {
     "t04_fingerprints" -> (TextAnalysis.fingerprints _),
     "t05_top_bigrams" -> ((s: SparkSession, dir: String) => TextAnalysis.topBigrams(s, dir)),
     "t06_regex_tokens" -> (TextAnalysis.regexTokenStats _),
+    "t07_repetition" -> ((s: SparkSession, dir: String) => TextAnalysis.repetitionStats(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     // — deduplication —
@@ -342,6 +343,17 @@ object SparkEntry {
          floor(sum(len(regexp_extract_all(marked, '[\p{L}]+|[\p{N}]+|[^ \t\n\f\r\p{L}\p{N}]+'))) /
            sum(len(string_split_regex(trim(marked), '\s+'))) * 100 + 0.5) / 100 AS bpe_per_ws
          FROM m GROUP BY lang ORDER BY lang""",
+    "t07_repetition" ->
+      """WITH x AS (
+           SELECT lang,
+             floor(len(list_distinct(string_split_regex(trim(text), '\s+'))) /
+               greatest(len(string_split_regex(trim(text), '\s+')), 1) * 10000 + 0.5) / 10000 AS ttr
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           floor(sum(ttr) / count(*) * 10000 + 0.5) / 10000 AS avg_ttr,
+           floor(min(ttr) * 10000 + 0.5) / 10000 AS min_ttr,
+           CAST(sum(CASE WHEN ttr < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_repetition
+         FROM x GROUP BY lang ORDER BY lang""",
     "p01_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled,
          floor(sum(n_chars) / count(*) * 100 + 0.5) / 100 AS avg_chars

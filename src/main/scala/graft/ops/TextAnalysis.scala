@@ -121,6 +121,29 @@ object TextAnalysis {
         r2(sum("n_bpe") / sum("n_ws")).as("bpe_per_ws"))
       .orderBy("lang")
 
+  /** Type-token ratio: |distinct tokens| / |tokens| — the C4-style
+    * doc-internal repetition signal (boilerplate and generated spam
+    * repeat themselves; prose does not). Map-side `array_distinct`
+    * like [[Dedup.shingleHashSets]] — no shuffle. */
+  def typeTokenRatio(text: Column): Column = {
+    val w = tokens(text)
+    r4(size(array_distinct(w)).cast("double") / greatest(size(w), lit(1)))
+  }
+
+  /** Per-lang repetition profile: mean/min type-token ratio and the
+    * count of high-repetition docs (TTR < `threshold`) — the rows a
+    * quality-filtering pipeline would drop. */
+  def repetitionStats(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ttr", typeTokenRatio(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(sum("ttr") / count(lit(1))).as("avg_ttr"),
+        r4(min("ttr")).as("min_ttr"),
+        count(when(col("ttr") < threshold, 1)).as("n_high_repetition"))
+      .orderBy("lang")
+
   /** Top-k bigram frequencies per language — the vocabulary/frequency
     * profile step of corpus analysis. Counting is one partial-agg
     * shuffle on (lang, bigram) (head bigrams pre-combine map-side, so

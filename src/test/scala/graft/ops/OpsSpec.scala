@@ -243,6 +243,22 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("sum_bpe_tokens") >= r.getAs[Long]("sum_ws_tokens")))
   }
 
+  test("type-token ratio: bounded in (0,1], repeated text scores low") {
+    val s2 = spark; import s2.implicits._
+    val ttr = Seq("a a a a a a a a", "the quick brown fox jumps")
+      .toDF("text")
+      .select(TextAnalysis.typeTokenRatio(
+        org.apache.spark.sql.functions.col("text")).as("ttr"))
+      .collect().map(_.getDouble(0))
+    assert(ttr(0) == 0.125 && ttr(1) == 1.0)
+    val rows = TextAnalysis.repetitionStats(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_ttr")
+      assert(avg > 0 && avg <= 1.0001)
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
