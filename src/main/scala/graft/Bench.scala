@@ -24,18 +24,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
+    // A query that throws records -1.0 (NOT its elapsed-to-exception
+    // time): a fast failure must be distinguishable from a fast
+    // success in the JSON, and min-of-passes must not launder it.
     def steadyPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       spark.catalog.clearCache()
       name -> dt
     }
     val (p1, p2) = (steadyPass(), steadyPass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
     val qs = results.toMap.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total spans successful queries only; failed ones are the -1.0
+    // entries in the per-query map (don't let them subtract from it)
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

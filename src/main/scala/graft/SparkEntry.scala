@@ -374,8 +374,8 @@ object SparkEntry {
            FROM documents)
          GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
     // d04 oracle = the exact-Jaccard ground truth: MinHash-LSH with
-    // 16 bands x 2 rows has collision probability 0.9997 at jaccard
-    // 0.6 and 1-3e-8 at 0.8 (all pairs above the 0.6 output threshold
+    // 16 bands x 2 rows has collision probability 0.9992 at jaccard
+    // 0.6 and 1-8e-8 at 0.8 (all pairs above the 0.6 output threshold
     // in this corpus sit at >= 0.9), so the sketch recalls the exact
     // answer; the exact verify keeps precision at 1.
     "d04_minhash_lsh" ->

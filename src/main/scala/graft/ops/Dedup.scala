@@ -84,7 +84,11 @@ object Dedup {
     * J >= `threshold`. Ground truth for the MinHash sketch below. */
   def ngramJaccardPairs(s: SparkSession, dir: String, n: Int = 5,
       threshold: Double = 0.6): DataFrame = {
-    val sets = shingleHashSets(t(s, dir, "documents"), n).cache()
+    // localCheckpoint, not cache(): consumed four times below (two
+    // join sides + two size lookups) but a cache() entry would leak
+    // into the caller's session for the life of the SparkSession (see
+    // [[minhashLshPairs]]); checkpointed blocks are GC-cleaned.
+    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     // sizes are carried on the set rows — no counting aggregation
     val sizes = sets.select(col("doc_id"), col("n_sh"))
@@ -126,9 +130,15 @@ object Dedup {
   /** MinHash-LSH near-dup candidate pairs, verified with exact
     * Jaccard. `bands` × `rows` must equal `numHashes`. Probability a
     * pair with Jaccard j collides: 1 - (1 - j^rows)^bands — 16×2
-    * recalls j ≥ 0.6 w.p. 0.9997 (and ≥ 0.8 w.p. 1-3e-8) at half the
-    * hashing cost of 16×4; the exact verify pass discards the extra
-    * low-j candidates short bands admit, so precision is unaffected.
+    * recalls j ≥ 0.6 w.p. 0.9992 (and ≥ 0.8 w.p. 1 - 8e-8) at half
+    * the hashing cost of 16×4. The trade for the shorter bands is a
+    * wider candidate funnel: pairs at j ≈ 0.3 collide ~78% of the
+    * time (vs ~12% under 16×4), so on a corpus with much moderate
+    * cross-doc similarity the exact-verify stage scales with that
+    * admitted-candidate volume, not with the near-dup count — if
+    * verify dominates, move back to 16×4 (same recall at the 0.6
+    * threshold to three decimals, far sharper low-j rejection).
+    * Precision is unaffected either way: verify is exact.
     * At 100 TB: candidate generation is a self-join on
     * (band, bandHash) — only same-bucket docs ever meet, and AQE
     * handles hot buckets. `sets` is deliberately NOT cached: it is a
@@ -145,12 +155,17 @@ object Dedup {
     // bands into (doc_id, band_idx, band_hash) rows so candidate
     // generation is ONE groupBy-shaped self-join on (band_idx, hash)
     // instead of `bands` separate shuffles.
-    // cached: the candidate self-join consumes `melted` twice, and
-    // without the cache each side re-runs the map-side signature
-    // projection (64 array passes per doc)
+    // localCheckpoint (eager), not cache(): the candidate self-join
+    // consumes `melted` twice, and without materialization each side
+    // re-runs the map-side signature projection (64 array passes per
+    // doc). A cache() entry would outlive this call in the session's
+    // CacheManager (the returned frame is lazy, so the library can
+    // never unpersist it); the checkpointed blocks are instead
+    // released by the ContextCleaner once the result frame is GC'd —
+    // no caller-side clearCache() contract.
     val melted = meltSketch(sig, Seq(col("doc_id")), bands,
       b => xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*),
-      "band_idx", "bh").cache()
+      "band_idx", "bh").localCheckpoint()
     val candidates = melted.as("x")
       .join(melted.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
@@ -207,8 +222,10 @@ object Dedup {
     // melt the tables into (table_idx, bucket) rows: candidate
     // generation is ONE self-join (same shape as [[minhashLshPairs]] /
     // [[simhashPairs]]) instead of `tables` band-wise joins unioned
+    // eager localCheckpoint — consumed by both self-join sides; see
+    // [[minhashLshPairs]] for why not cache()
     val melted = meltSketch(buckets, Seq(col("vec_id")), tables,
-      tb => col(s"b$tb"), "tbl", "bk").cache()
+      tb => col(s"b$tb"), "tbl", "bk").localCheckpoint()
     val candidates = melted.as("x")
       .join(melted.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bk") === col("y.bk") &&
@@ -222,6 +239,73 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Connected components over an undirected edge list (src, dst) —
+    * the step that turns pairwise near-dup EDGES into duplicate
+    * CLUSTERS (keep one doc per component, drop the rest: the actual
+    * dedup decision at corpus scale). Iterative min-label propagation:
+    * every vertex starts labeled with itself; each round, each vertex
+    * takes the min label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Each round is one shuffle
+    * (join + groupBy on vertex id) and the frontier frame is
+    * `localCheckpoint`ed so lineage stays O(1) across iterations —
+    * the classic iterative-algorithm-on-Spark discipline. Duplicate
+    * clusters have tiny diameters (near-dup graphs are
+    * quasi-cliques: most members share a bucket with most others), so
+    * the loop exits in 2-3 rounds in practice; the alternating
+    * large-star/small-star optimization (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") would bound rounds at
+    * O(log d) for pathological chain-shaped graphs.
+    *
+    * Returns (id, cluster) with cluster = min vertex id in the
+    * component. Eager (runs jobs at call time, like the checkpoints
+    * it is built on). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // undirected: propagate both ways
+    val bi = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = bi.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // neighbor labels flow along edges; keep the min per vertex
+      val msgs = bi.join(labels, bi("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.select("id", "cluster").union(msgs)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Duplicate clusters: near-dup pairs from the SCALE path
+    * ([[minhashLshPairs]]: sketch candidates + exact-Jaccard verify)
+    * become edges; [[connectedComponents]] merges transitive pairs
+    * (a~b, b~c ⇒ {a,b,c} even when a,c never collided) into clusters.
+    * One row per cluster: its min doc_id, size, and sorted members —
+    * a dedup pipeline keeps `cluster` (the canonical doc) and drops
+    * the other members. The oracle recomputes the same clusters from
+    * the EXACT pairwise-Jaccard edges via a recursive CTE, so the
+    * hash-match certifies sketch edges ≡ exact edges AND the
+    * transitive closure. */
+  def dupClusters(s: SparkSession, dir: String, n: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashLshPairs(s, dir, n, threshold = threshold)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(edges)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(array_sort(collect_list(col("id"))),
+          x => x.cast("string")), ",").as("doc_ids"))
+      .orderBy("cluster")
   }
 
   /** 64-bit SimHash per document: sign-sum of per-token hash bits,
@@ -254,7 +338,9 @@ object Dedup {
     * four band-wise shuffles unioned. */
   def simhashPairs(s: SparkSession, dir: String,
       maxHamming: Int = 6): DataFrame = {
-    val sig = simhashes(s, dir).cache()
+    // eager localCheckpoint — melted bands are consumed by both
+    // self-join sides; see [[minhashLshPairs]] for why not cache()
+    val sig = simhashes(s, dir).localCheckpoint()
     val melted = meltSketch(sig, Seq(col("doc_id"), col("simhash")), 4,
       b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL),
       "band_idx", "bk")

@@ -89,7 +89,12 @@ object Similarity {
   def lshTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       bits: Int = 4, tables: Int = 8): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val buckets = lshBuckets(emb, "vec_id", "embedding", bits, tables).cache()
+    // eager localCheckpoint, not cache(): `melted` below is consumed
+    // by both the query filter and the corpus side, but a cache()
+    // entry would outlive this call in the session's CacheManager
+    // (the returned frame is lazy so the library can't unpersist it);
+    // checkpointed blocks are GC-cleaned with the result frame.
+    val buckets = lshBuckets(emb, "vec_id", "embedding", bits, tables).localCheckpoint()
     // melt the tables to (tbl, bk) rows so candidate generation is ONE
     // broadcast join of the (tiny) query buckets against the corpus
     // buckets — instead of `tables` band-wise joins unioned (the same

@@ -73,7 +73,20 @@ object Ordered {
     }
     val hit = df.filter(p).agg(min(struct(ord: _*))).head()
     if (hit.isNullAt(0)) None
-    else Some(struct(hit.getStruct(0).toSeq.map(lit): _*))
+    else {
+      val boundary = hit.getStruct(0)
+      // a NULL ord field on the boundary row would become lit(null):
+      // the struct comparison below then yields NULL for EVERY row and
+      // the cut silently selects nothing/everything. min(struct) puts
+      // nulls first, so the min row is exactly where a null surfaces —
+      // fail loudly instead. (Same root as the SortOrder guard above:
+      // value-based cuts need total, non-null ord values.)
+      require(!boundary.anyNull,
+        "skipUntil/takeWhile boundary row has a NULL ord value; " +
+          s"ord expressions must be non-null (boundary = $boundary) — " +
+          "coalesce() the ord columns to totalize the order")
+      Some(struct(boundary.toSeq.map(lit): _*))
+    }
   }
 
   /** Drop rows until the first one satisfying `p` (that row is kept);
