@@ -70,7 +70,9 @@ object SparkEntry {
     "d03_ngram_jaccard" -> ((s: SparkSession, dir: String) => Dedup.ngramJaccardPairs(s, dir)),
     "d04_minhash_lsh" -> ((s: SparkSession, dir: String) => Dedup.minhashLshPairs(s, dir)),
     "d05_simhash_pairs" -> ((s: SparkSession, dir: String) => Dedup.simhashPairs(s, dir)),
+    "d05b_simhash_verified" -> ((s: SparkSession, dir: String) => Dedup.simhashVerifiedPairs(s, dir)),
     "d06_embedding_neardup" -> ((s: SparkSession, dir: String) => Dedup.embeddingNearDups(s, dir)),
+    "d07_dup_clusters" -> ((s: SparkSession, dir: String) => Dedup.dupClusters(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "s02_lsh_topk" -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
@@ -86,8 +88,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (weaker rows-only check):
-    * d04/d05/s02 (hash-sketch internals not replicable in SQL),
-    * m02 (JVM checksum kernel).
+    * d05/s02/q24 (hash-sketch internals not replicable in SQL — but
+    * d05's verify stage IS oracled via d05b), m02 (JVM checksum
+    * kernel).
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -410,6 +413,61 @@ object SparkEntry {
          FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
          WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
          ORDER BY doc_a, doc_b""",
+    // d05b: the simhash sketch's verify stage against exact n-gram
+    // Jaccard — on this corpus every J >= 0.6 pair sits at hamming <= 6
+    // (OpsSpec asserts the precondition at the gate SF), so the result
+    // equals the exact pairwise answer: the oracle is d03's SQL and
+    // the hash-match certifies the sketch's precision AND its recall
+    // at the operating point (the d04 ground-truth pattern).
+    "d05b_simhash_verified" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+           WHERE len(w) >= 5),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 AS jaccard
+         FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
+         ORDER BY doc_a, doc_b""",
+    // d07: clusters from the SCALE path (MinHash-LSH edges + iterative
+    // min-label propagation) vs a recursive-CTE transitive closure over
+    // the EXACT-Jaccard edges — the hash-match certifies both that the
+    // sketch edges equal the exact edges (d04's argument) and that the
+    // Spark-side label propagation computes the true connected
+    // components.
+    "d07_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+           WHERE len(w) >= 5),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT x.id, e.dst FROM reach x JOIN edges e ON e.src = x.r),
+         labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         SELECT cluster, count(*) AS n_members,
+           string_agg(id, ',' ORDER BY id) AS doc_ids
+         FROM labels GROUP BY cluster ORDER BY cluster""",
     // d06's oracle is the exact brute force. Unlike d04 (whose S-curve
     // argument holds at ANY corpus), LSH recall at cosine 0.9 is ~0.93
     // per true pair, so on a corpus dense in borderline near-dups the

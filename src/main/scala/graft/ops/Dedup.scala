@@ -136,36 +136,54 @@ object Dedup {
     * time (vs ~12% under 16×4), so on a corpus with much moderate
     * cross-doc similarity the exact-verify stage scales with that
     * admitted-candidate volume, not with the near-dup count — if
-    * verify dominates, move back to 16×4 (same recall at the 0.6
-    * threshold to three decimals, far sharper low-j rejection).
-    * Precision is unaffected either way: verify is exact.
+    * verify dominates, move to 16×4 for its far sharper low-j
+    * rejection. 16×4 trades recall at the threshold itself: it
+    * collides a j = 0.6 pair w.p. only 1-(1-0.6⁴)^16 ≈ 0.891 (vs
+    * 16×2's 0.9992), so it is recall-equivalent only on corpora whose
+    * true near-dups sit at j ≥ 0.9 (both ≥ 0.99996 there) — like this
+    * one. Precision is unaffected either way: verify is exact.
     * At 100 TB: candidate generation is a self-join on
     * (band, bandHash) — only same-bucket docs ever meet, and AQE
-    * handles hot buckets. `sets` is deliberately NOT cached: it is a
-    * map-side projection of the scan, and recomputing a scan stage
-    * beats materializing corpus-sized shingle arrays. */
+    * handles hot buckets.
+    *
+    * Materialization strategy (canonical note — the other sketches
+    * reference it): exactly ONE frame per sketch pipeline is
+    * materialized, the narrowest one consumed more than once — here
+    * `sets` (one row per doc; feeds the signature projection once and
+    * the exact-verify twice). The fat melted band frame is NOT
+    * materialized: both self-join sides shuffle it on the same
+    * (band, hash) key from the in-memory sets, and Spark's
+    * ReuseExchange collapses the identical map stages, so
+    * materializing it only adds a write+read of a ×bands-sized frame
+    * (measured +30% on d04 in r4). `localCheckpoint` rather than
+    * `cache()` because a cache() entry outlives the call in the
+    * session's CacheManager (the returned frame is lazy, so the
+    * library can never unpersist it), while checkpointed blocks are
+    * released by the ContextCleaner once the result frame is GC'd.
+    * The trade: localCheckpoint truncates lineage and stores
+    * UNREPLICATED executor-local blocks — disk-backed against
+    * eviction (the default level keeps disk), but on a multi-node
+    * cluster an executor loss or dynamic-allocation decommission
+    * makes them unrecoverable and fails the job (rerun it). Long-lived
+    * production pipelines should either disable executor decommission
+    * around these stages or swap in reliable `checkpoint()` to a
+    * cluster store; the plan shape is unchanged. */
   def minhashLshPairs(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 16, rows: Int = 2,
       threshold: Double = 0.6): DataFrame = {
     val numHashes = bands * rows
     val docs = t(s, dir, "documents")
-    val sets = shingleHashSets(docs, n)
+    // the one materialized frame: narrow, consumed 3× (see scaladoc)
+    val sets = shingleHashSets(docs, n).localCheckpoint()
     val sig = minhashSignatures(sets, numHashes)
     // band b = hash of (h_{b*rows} ... h_{b*rows+rows-1}); melt the
     // bands into (doc_id, band_idx, band_hash) rows so candidate
     // generation is ONE groupBy-shaped self-join on (band_idx, hash)
-    // instead of `bands` separate shuffles.
-    // localCheckpoint (eager), not cache(): the candidate self-join
-    // consumes `melted` twice, and without materialization each side
-    // re-runs the map-side signature projection (64 array passes per
-    // doc). A cache() entry would outlive this call in the session's
-    // CacheManager (the returned frame is lazy, so the library can
-    // never unpersist it); the checkpointed blocks are instead
-    // released by the ContextCleaner once the result frame is GC'd —
-    // no caller-side clearCache() contract.
+    // instead of `bands` separate shuffles. Deliberately NOT
+    // materialized — ReuseExchange computes the map side once.
     val melted = meltSketch(sig, Seq(col("doc_id")), bands,
       b => xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*),
-      "band_idx", "bh").localCheckpoint()
+      "band_idx", "bh")
     val candidates = melted.as("x")
       .join(melted.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
@@ -218,14 +236,16 @@ object Dedup {
     * — also the seam the planted-pair recall spec drives. */
   def embeddingNearDupPairs(emb: DataFrame, bits: Int,
       tables: Int, threshold: Double): DataFrame = {
-    val buckets = Similarity.lshBuckets(emb, "vec_id", "embedding", bits, tables)
+    // the one materialized frame: the narrow per-vector bucket table
+    // (the expensive posexplode+groupBy stage behind it runs once);
+    // the melted frame below is left to ReuseExchange — see the
+    // materialization note on [[minhashLshPairs]]
+    val buckets = Similarity.lshBuckets(emb, "vec_id", "embedding", bits, tables).localCheckpoint()
     // melt the tables into (table_idx, bucket) rows: candidate
     // generation is ONE self-join (same shape as [[minhashLshPairs]] /
     // [[simhashPairs]]) instead of `tables` band-wise joins unioned
-    // eager localCheckpoint — consumed by both self-join sides; see
-    // [[minhashLshPairs]] for why not cache()
     val melted = meltSketch(buckets, Seq(col("vec_id")), tables,
-      tb => col(s"b$tb"), "tbl", "bk").localCheckpoint()
+      tb => col(s"b$tb"), "tbl", "bk")
     val candidates = melted.as("x")
       .join(melted.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bk") === col("y.bk") &&
@@ -331,30 +351,76 @@ object Dedup {
     voted.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: LSH on 4×16-bit bands, then hamming
-    * distance ≤ `maxHamming` verify via bit_count(xor). The bands are
-    * melted to (band_idx, band_value) rows so candidate generation is
-    * ONE self-join (same pattern as [[minhashLshPairs]]) instead of
-    * four band-wise shuffles unioned. */
+  /** SimHash near-dup pairs: LSH on `bands` equal bit-slices of the
+    * 64-bit signature, then hamming distance ≤ `maxHamming` verify via
+    * bit_count(xor). The bands are melted to (band_idx, band_value)
+    * rows so candidate generation is ONE self-join (same pattern as
+    * [[minhashLshPairs]]) instead of band-wise shuffles unioned.
+    *
+    * Banding is chosen for a DETERMINISTIC completeness guarantee
+    * (pigeonhole): a pair at hamming ≤ bands-1 cannot have flipped a
+    * bit in every band, so it collides in at least one — with
+    * maxHamming < bands the emitted set is EXACTLY
+    * {pairs : hamming ≤ maxHamming}, no probabilistic recall curve
+    * (unlike MinHash's S-curve). The previous 4×16 banding looked
+    * cheaper (random band collision 2⁻¹⁶ vs 2⁻⁸) but provably drops
+    * pairs as close as hamming 4 whenever the flipped bits spread
+    * across all four bands — measured on this corpus: two
+    * Jaccard ≥ 0.95 pairs missed. The funnel trade is fundamental to
+    * bit-sampling LSH: admitting every hamming ≤ k pair requires
+    * > k bands, and shorter bands widen the random-collision funnel
+    * (~n²·bands/2^bandBits pairs into the cheap bit_count verify);
+    * at corpus scale, raise maxHamming's dual knob `bands` only as
+    * far as the completeness bound you actually need. */
   def simhashPairs(s: SparkSession, dir: String,
-      maxHamming: Int = 6): DataFrame = {
-    // eager localCheckpoint — melted bands are consumed by both
-    // self-join sides; see [[minhashLshPairs]] for why not cache()
+      maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"completeness guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    // the one materialized frame: the narrow per-doc signature (64
+    // aggregate folds per doc run once); the melted bands are left to
+    // ReuseExchange — see the materialization note on
+    // [[minhashLshPairs]]
     val sig = simhashes(s, dir).localCheckpoint()
-    val melted = meltSketch(sig, Seq(col("doc_id"), col("simhash")), 4,
-      b => shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL),
+    val melted = meltSketch(sig, Seq(col("doc_id"), col("simhash")), bands,
+      b => shiftright(col("simhash"), b * bandBits).bitwiseAND(mask),
       "band_idx", "bk")
-    val candidates = melted.as("x")
+    // hamming verify BEFORE the pair-dedup distinct: bit_count is a
+    // few cycles per (possibly duplicated) band collision, while
+    // distinct is a shuffle — filtering first shrinks the shuffled set
+    // from the full band-collision funnel (~n²·bands/2^bandBits) to
+    // just the surviving near-dup pairs
+    melted.as("x")
       .join(melted.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
-      .distinct()
-    candidates
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The d05 sketch's verify stage made oracle-visible: every
+    * [[simhashPairs]] pair is joined to its EXACT n-gram Jaccard and
+    * kept iff J ≥ `threshold` — the output is the subset of near-dup
+    * pairs the simhash funnel admitted AND exact verification
+    * confirms. On corpora whose J ≥ threshold pairs all sit at
+    * hamming ≤ maxHamming (this testdata at the sf0.01 gate: max
+    * observed hamming among exact pairs is 5 — asserted by OpsSpec so
+    * a corpus change fails loudly in CI, not at the gate), the result
+    * EQUALS the exact pairwise answer, so the DuckDB oracle is the
+    * same exact-Jaccard SQL as d03 and the hash-match certifies the
+    * sketch's precision and its recall at the operating point — the
+    * d04 ground-truth-oracle pattern applied to SimHash. */
+  def simhashVerifiedPairs(s: SparkSession, dir: String, n: Int = 5,
+      maxHamming: Int = 6, threshold: Double = 0.6): DataFrame = {
+    val pairs = simhashPairs(s, dir, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    // narrow, consumed by both verify joins — see [[minhashLshPairs]]
+    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
+    pairJaccard(pairs, sets, threshold)
   }
 }

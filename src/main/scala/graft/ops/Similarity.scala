@@ -81,8 +81,34 @@ object Similarity {
     dotted.select(col(idCol) +: buckets: _*)
   }
 
+  /** Rank a (q_id, c_id, sim) frame to top-k per query with the
+    * bounded-heap [[graft.functions.TopKAggregator]] — O(k) state and
+    * shuffle bytes per query on BOTH the partial (map) and final
+    * (reduce) aggregation sides, where the `row_number` window must
+    * shuffle and sort every candidate of a group before cutting at k.
+    * At 100 TB ANN scoring (millions of candidates behind a hot query)
+    * that is the difference between a spilling sort and a pipeline.
+    * Ties break on ascending c_id — identical to the window's
+    * `ORDER BY sim DESC, c_id` contract, so swapping the two
+    * formulations is byte-identical. */
+  private def topKPerQuery(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    scored.select(col("q_id"), col("c_id"), col("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, r._3))
+      .agg(new TopKAggregator(k).toColumn)
+      .flatMap { case (q, tops) =>
+        tops.zipWithIndex.map { case (sc, i) => (q, (i + 1).toLong, sc.id, sc.score) }
+      }
+      .toDF("q_id", "rnk", "c_id", "sim")
+      .orderBy("q_id", "rnk")
+  }
+
   /** LSH-bucketed ANN: candidates = pairs colliding in any of the
-    * `tables` hash tables; only candidates are scored. Approximate —
+    * `tables` hash tables; only candidates are scored and ranking is
+    * the bounded-heap [[topKPerQuery]] (no window sort). Approximate —
     * the 100 TB path where the brute-force cross product is
     * impossible; tune bits up (smaller buckets) as the corpus grows.
     */
@@ -115,12 +141,7 @@ object Similarity {
       .join(broadcast(queries), "q_id")
       .join(corpus, "c_id")
       .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_id", "rnk", "c_id", "sim")
-      .orderBy("q_id", "rnk")
+    topKPerQuery(s, scored, k)
   }
 
   /** Exact top-k like [[bruteForceTopK]] but on the scale path: the
@@ -132,24 +153,15 @@ object Similarity {
     * [[bruteForceTopK]] (same oracle). */
   def nativeTopK(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5): DataFrame = {
-    import s.implicits._
-    import graft.functions.{CosineSimilarity, Scored, TopKAggregator}
+    import graft.functions.CosineSimilarity
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         r4(CosineSimilarity(col("q_emb"), col("c_emb"))).as("sim"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => Scored(r._2, r._3))
-      .agg(new TopKAggregator(k).toColumn)
-      .flatMap { case (q, tops) =>
-        tops.zipWithIndex.map { case (sc, i) => (q, (i + 1).toLong, sc.id, sc.score) }
-      }
-      .toDF("q_id", "rnk", "c_id", "sim")
-      .orderBy("q_id", "rnk")
+    topKPerQuery(s, scored, k)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
@@ -181,13 +193,14 @@ object Similarity {
       .select(col("c_id"), (-col("m.nc")).as("cell"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim_c").desc, col("cent_id"))
-    val probes = queries.crossJoin(broadcast(cent))
-      .withColumn("sim_c", r4(cosine(col("q_emb"), col("cent_emb"))))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("cent_id").as("cell"))
+    // probe selection is itself a top-k (k = nprobe) — same bounded
+    // heap, no window even on the tiny query×centroid frame
+    val probes = topKPerQuery(s,
+      queries.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("cent_id").as("c_id"),
+          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
+      nprobe)
+      .select(col("q_id"), col("c_id").as("cell"))
     val candidates = assign.join(broadcast(probes), "cell")
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id")
@@ -195,12 +208,7 @@ object Similarity {
       .join(broadcast(queries), "q_id")
       .join(corpus, "c_id")
       .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_id", "rnk", "c_id", "sim")
-      .orderBy("q_id", "rnk")
+    topKPerQuery(s, scored, k)
   }
 
   /** Per-label centroid stats: mean vector norm and intra-label mean

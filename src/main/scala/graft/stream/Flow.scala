@@ -71,14 +71,31 @@ object Flow {
     }
   }
 
+  /** Per-partition rate share for [[throttledForeach]]: the global
+    * rate divided by the number of partitions that can actually run
+    * CONCURRENTLY — `min(parts, maxConcurrent)` — not by the raw
+    * partition count. With 1000 partitions on 32 cores, dividing by
+    * 1000 realizes ~32/1000 of the requested global rate (only 32
+    * buckets are ever draining at once); dividing by the concurrent
+    * slots keeps the realized rate ≈ global. Still an approximation:
+    * uneven waves (a tail of fewer running partitions) transiently
+    * undershoot, and task overlap at wave boundaries can transiently
+    * overshoot by one wave's worth — the exact global rate would need
+    * cross-executor coordination, which does not scale. */
+  private[graft] def partitionShare(globalPerSecond: Double, parts: Int,
+      maxConcurrent: Int): Double =
+    globalPerSecond / math.max(1, math.min(parts, maxConcurrent))
+
   /** Rate-limited distributed side-effect: each partition gets its own
-    * bucket with a per-partition share of the global rate — total
+    * bucket with a [[partitionShare]] of the global rate — total
     * cluster-wide rate ≈ `globalPerSecond` without any coordination
-    * (coordination-free = scales to 1000 executors). */
+    * (coordination-free = scales to 1000 executors; see
+    * [[partitionShare]] for the accuracy envelope). */
   def throttledForeach[T](ds: Dataset[T], globalPerSecond: Double)(
       effect: T => Unit): Unit = {
-    val parts = math.max(1, ds.rdd.getNumPartitions)
-    val perPartition = globalPerSecond / parts
+    val sc = ds.sparkSession.sparkContext
+    val perPartition = partitionShare(globalPerSecond,
+      math.max(1, ds.rdd.getNumPartitions), sc.defaultParallelism)
     ds.foreachPartition { (it: Iterator[T]) =>
       val rl = new RateLimiter(perPartition)
       it.foreach { t => rl.acquire(); effect(t) }
@@ -91,6 +108,19 @@ object Flow {
     * the data, unlike the reference's wrapping iterator. */
   def observed[T](ds: Dataset[T], name: String): Dataset[T] =
     ds.observe(name, count(lit(1)).as("count"))
+
+  /** Error-aware `observe` over the [[Errors]] Attempt channel: the
+    * reference's observe logs yields AND errors in one wrapper
+    * (iterators.py:351-394); here one `observe` carries both counts —
+    * a failed element encodes as a null `value` (see
+    * [[graft.stream.Attempt]]'s non-null-success contract), so the
+    * ok/error split is a column predicate, no extra pass and no
+    * second action. */
+  def observedAttempts[U](ds: Dataset[graft.stream.Attempt[U]],
+      name: String): Dataset[graft.stream.Attempt[U]] =
+    ds.observe(name,
+      count(when(col("value").isNotNull, 1)).as("ok"),
+      count(when(col("value").isNull, 1)).as("errors"))
 
   /** Exponential log cadence check (reference iterators.py:376-393:
     * log at 1, 2, 4, 8... yields to avoid flooding). Pure function for

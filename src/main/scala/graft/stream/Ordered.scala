@@ -132,6 +132,44 @@ object Ordered {
   def takeWhile(df: DataFrame, ord: Seq[Column], p: Column): DataFrame =
     takeWhileNot(df, ord, !p)
 
+  /** Reference `truncate(count=, when=)` with BOTH bounds allowed —
+    * truncation happens at whichever is satisfied first
+    * (stream.py:479-493; tests/test_stream.py:937-947:
+    * `truncate(6, when = _ == 5)` ≡ `truncate(5, when = _ == 6)` ≡
+    * first 5). The count bound is one [[withRowIndex]] pass; the
+    * `when` bound stays value-based ([[minOrdWhere]]) so it is
+    * deterministic under plan re-execution even when `ord` ties at
+    * the boundary — the two filters compose conjunctively, which IS
+    * "first satisfied wins" (each alone keeps a prefix; the
+    * intersection of two prefixes is the shorter one). */
+  def truncate(df: DataFrame, ord: Seq[Column], count: Option[Long],
+      when: Option[Column]): DataFrame = {
+    require(count.nonEmpty || when.nonEmpty,
+      "`count` and `when` cannot both be None")
+    (count, when) match {
+      case (Some(n), None)    => truncate(df, ord, n)
+      case (None, Some(p))    => takeWhileNot(df, ord, p)
+      case (Some(n), Some(p)) =>
+        val cut = minOrdWhere(df, ord, p)
+        val base = truncate(df, ord, n)
+        cut.fold(base)(c => base.filter(struct(ord: _*) < c))
+      case (None, None)       => df // unreachable (require above)
+    }
+  }
+
+  /** Reference `skip(count=, until=)` dispatch: the reference REJECTS
+    * both bounds set at once (util/validationtools.py:70-79 raises
+    * ValueError) — mirror that contract instead of inventing a fused
+    * semantics the reference doesn't have. */
+  def skip(df: DataFrame, ord: Seq[Column], count: Option[Long],
+      until: Option[Column]): DataFrame = {
+    require(count.isEmpty || until.isEmpty,
+      "`count` and `until` cannot both be set")
+    require(count.nonEmpty || until.nonEmpty,
+      "`count` and `until` cannot both be None")
+    count.fold(skipUntil(df, ord, until.get))(n => skip(df, ord, n))
+  }
+
   /** First-occurrence-wins dedup by `keys` in `ord` order — the
     * reference `distinct()` contract (first seen survives,
     * iterators.py:98-114). Key-partitioned window: fully parallel.

@@ -52,13 +52,71 @@ class OpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
-  test("simhash near-dup pairs overlap the jaccard near-dups") {
+  test("simhash emits EVERY pair at hamming <= maxHamming (pigeonhole completeness)") {
     val sim = Dedup.simhashPairs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.simhashes(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exact = Dedup.ngramJaccardPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty)
+    // 8 bands x 8 bits guarantee: every hamming<=6 pair band-collides,
+    // so no close exact pair may be missing (the 4x16 banding this
+    // replaced dropped hamming-4 pairs)
+    val close = exact.filter { case (a, b) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 6
+    }
+    assert(close.nonEmpty && close.forall(sim.contains),
+      s"simhash missed close pairs: ${close.filterNot(sim.contains).toList}")
+  }
+
+  test("d05b oracle precondition: verified simhash pairs == exact answer at gate SF") {
+    // the d05b DuckDB oracle is d03's exact-Jaccard SQL; that is only
+    // sound if, at the gate's sf0.01, every J>=0.6 pair sits at
+    // hamming<=6 so the sketch funnel admits it — assert exactly that
+    val sf = "/root/testdata/sf0.01"
+    val ver = Dedup.simhashVerifiedPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // sketches disagree at the margin but must find the bulk
-    assert(exact.nonEmpty && (exact intersect sim).size >= exact.size / 2)
+    val exact = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ver == exact,
+      s"missed=${(exact -- ver).toList} spurious=${(ver -- exact).toList}")
+  }
+
+  test("connected components: chain, clique, pair — isolated vertex absent") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle {10,11,12}, pair {20,21};
+    // vertex 30 never appears in an edge so it has no label row
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("src", "dst")
+    val labels = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(!labels.contains(30L))
+  }
+
+  test("connected components: maxIter bound fails loudly before convergence") {
+    import spark.implicits._
+    // min-label needs ~4 rounds to cross a 5-edge chain; 1 is too few
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+  }
+
+  test("dup clusters: >=2 members, labeled by min doc_id, members sorted") {
+    val clusters = Dedup.dupClusters(spark, sf0001).collect()
+    assert(clusters.nonEmpty)
+    assert(clusters.forall(_.getAs[Long]("n_members") >= 2))
+    assert(clusters.forall { r =>
+      val ids = r.getAs[String]("doc_ids").split(",").map(_.toLong)
+      ids.head == r.getAs[Long]("cluster") && ids.sameElements(ids.sorted)
+    })
+    // clusters partition the near-dup vertices: members appear once
+    val all = clusters.flatMap(_.getAs[String]("doc_ids").split(",").map(_.toLong))
+    assert(all.distinct.length == all.length)
   }
 
   test("brute-force topk returns k neighbors per query, sim in [-1,1]") {

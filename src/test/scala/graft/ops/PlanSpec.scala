@@ -81,6 +81,22 @@ class PlanSpec extends SparkSpec {
       "IVF probe joins must broadcast — the corpus side cannot shuffle-sort at scale")
   }
 
+  test("ANN ranking uses the bounded-heap aggregate, never a window sort") {
+    // s01 keeps the window formulation as the didactic baseline; every
+    // scale-path ranker (s02 LSH, s04 native, s05 IVF — including the
+    // IVF probe selection) must plan the O(k) TopKAggregator instead:
+    // a per-query window sorts ALL candidates of a hot query before
+    // cutting at k, which at 100 TB is a spilling sort, not a pipeline.
+    Seq("s02" -> Similarity.lshTopK(spark, sf0001),
+        "s04" -> Similarity.nativeTopK(spark, sf0001),
+        "s05" -> Similarity.ivfTopK(spark, sf0001)).foreach { case (name, df) =>
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$name plans a Window sort")
+      assert(p.contains("TopKAggregator"), s"$name missing the typed top-k aggregate")
+    }
+  }
+
   test("no query in the registry plans a CartesianProduct or a SortMergeJoin") {
     // the global gate behind the per-query ones above: every join in
     // the full query registry broadcasts (or is a broadcast nested

@@ -31,6 +31,31 @@ class FlowSparkSpec extends SparkSpec {
     } finally s.listenerManager.unregister(listener)
   }
 
+  test("observedAttempts reports ok and error counts from one action") {
+    val s = spark
+    import s.implicits._
+    @volatile var seen: Option[(Long, Long)] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        qe.observedMetrics.get("attempt-progress").foreach { row =>
+          seen = Some((row.getAs[Long]("ok"), row.getAs[Long]("errors")))
+        }
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      // 100 elements, every 7th fails: 14 failures among 0..99
+      val attempts = Errors.mapSafe(s.range(100).as[Long]) { i =>
+        if (i % 7 == 0) throw new IllegalStateException(s"poison $i") else i * 2
+      }
+      Flow.observedAttempts(attempts, "attempt-progress").collect()
+      val deadline = System.currentTimeMillis() + 10000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(seen.contains((85L, 15L)))
+    } finally s.listenerManager.unregister(listener)
+  }
+
   test("throttledForeach delivers every element exactly once") {
     val s = spark
     import s.implicits._

@@ -47,4 +47,14 @@ class FlowSpec extends AnyFunSuite {
     val fired = (1L to 64L).filter(Flow.shouldLog)
     assert(fired == Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
   }
+
+  test("partitionShare divides by CONCURRENT partitions, not total") {
+    // 1000 partitions on 32 cores: only 32 buckets drain at once, so
+    // the share must be global/32 — global/1000 would realize ~3% of
+    // the requested rate
+    assert(Flow.partitionShare(320.0, parts = 1000, maxConcurrent = 32) == 10.0)
+    // fewer partitions than cores: every partition runs, divide by all
+    assert(Flow.partitionShare(100.0, parts = 4, maxConcurrent = 32) == 25.0)
+    assert(Flow.partitionShare(5.0, parts = 0, maxConcurrent = 0) == 5.0)
+  }
 }

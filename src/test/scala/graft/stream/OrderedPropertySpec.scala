@@ -59,6 +59,17 @@ class OrderedPropertySpec extends SparkSpec {
     }
   }
 
+  test("truncate(count, when) ≡ List.take(n) ∩ takeWhile(!p) — first-satisfied wins") {
+    cases(8).foreach { case (xs, n) =>
+      val t = (n % 70) - 35
+      val got = Ordered.truncate(df(xs), Seq(col("ord")),
+          Some(n.toLong), Some(col("v") > t))
+        .orderBy("ord").collect().map(_.getInt(1)).toList
+      // the fused reference semantics: stop at whichever bound first
+      assert(got == xs.takeWhile(_ <= t).take(n), s"xs=$xs n=$n t=$t")
+    }
+  }
+
   test("distinctConsecutive ≡ run-length head extraction") {
     cases(8).foreach { case (xs0, _) =>
       val xs = xs0.map(_ % 5) // induce runs

@@ -34,6 +34,40 @@ class OrderedSpec extends SparkSpec {
     assert(got == (0 until 50).take(7))
   }
 
+  test("truncate(count, when) both set: first satisfied wins (reference golden)") {
+    // mirrors tests/test_stream.py:937-947 on src = range(10)
+    val a = Ordered.truncate(df(10), Seq(col("v")), Some(6L), Some(col("v") === 5))
+      .collect().map(_.getInt(0)).sorted.toList
+    assert(a == (0 until 5).toList, "when fires first")
+    val b = Ordered.truncate(df(10), Seq(col("v")), Some(5L), Some(col("v") === 6))
+      .collect().map(_.getInt(0)).sorted.toList
+    assert(b == (0 until 5).toList, "count fires first")
+    // single-bound dispatch still matches the dedicated ops
+    val c = Ordered.truncate(df(10), Seq(col("v")), Some(3L), None)
+      .collect().map(_.getInt(0)).sorted.toList
+    assert(c == List(0, 1, 2))
+    val d = Ordered.truncate(df(10), Seq(col("v")), None, Some(col("v") === 3))
+      .collect().map(_.getInt(0)).sorted.toList
+    assert(d == List(0, 1, 2))
+    intercept[IllegalArgumentException] {
+      Ordered.truncate(df(10), Seq(col("v")), None, None)
+    }
+  }
+
+  test("skip(count, until) rejects both bounds like the reference") {
+    // validate_skip_args raises ValueError when both are set
+    // (util/validationtools.py:70-79)
+    intercept[IllegalArgumentException] {
+      Ordered.skip(df(10), Seq(col("v")), Some(2L), Some(col("v") === 5))
+    }
+    val a = Ordered.skip(df(10), Seq(col("v")), Some(4L), None)
+      .collect().map(_.getInt(0)).sorted.toList
+    assert(a == (4 until 10).toList)
+    val b = Ordered.skip(df(10), Seq(col("v")), None, Some(col("v") === 4))
+      .collect().map(_.getInt(0)).sorted.toList
+    assert(b == (4 until 10).toList)
+  }
+
   test("skipUntil keeps from the first satisfying element (inclusive)") {
     val got = Ordered.skipUntil(df(30), Seq(col("v")), col("v") >= 12)
       .collect().map(_.getInt(0)).sorted.toList
