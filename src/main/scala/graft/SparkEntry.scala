@@ -73,6 +73,7 @@ object SparkEntry {
     "d05b_simhash_verified" -> ((s: SparkSession, dir: String) => Dedup.simhashVerifiedPairs(s, dir)),
     "d06_embedding_neardup" -> ((s: SparkSession, dir: String) => Dedup.embeddingNearDups(s, dir)),
     "d07_dup_clusters" -> ((s: SparkSession, dir: String) => Dedup.dupClusters(s, dir)),
+    "d08_dedup_survivors" -> ((s: SparkSession, dir: String) => Dedup.dedupSurvivors(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "s02_lsh_topk" -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
@@ -468,6 +469,38 @@ object SparkEntry {
          SELECT cluster, count(*) AS n_members,
            string_agg(id, ',' ORDER BY id) AS doc_ids
          FROM labels GROUP BY cluster ORDER BY cluster""",
+    // d08: the end-state dedup — survivors after dropping every
+    // non-canonical cluster member; same recursive-CTE closure as d07
+    // plus an anti-join, so the hash-match certifies the actual
+    // "which documents remain" decision.
+    "d08_dedup_survivors" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+           WHERE len(w) >= 5),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT x.id, e.dst FROM reach x JOIN edges e ON e.src = x.r),
+         labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         dropped AS (SELECT id FROM labels WHERE id <> cluster)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+         GROUP BY lang ORDER BY lang""",
     // d06's oracle is the exact brute force. Unlike d04 (whose S-curve
     // argument holds at ANY corpus), LSH recall at cosine 0.9 is ~0.93
     // per true pair, so on a corpus dense in borderline near-dups the

@@ -15,8 +15,9 @@ import graft.stream.Ordered
   *    candidate pairs from bucket joins → exact-Jaccard verify.
   *    Candidate generation touches only same-bucket pairs, the classic
   *    way to avoid the O(n²) cross join at corpus scale.
-  *  - SimHash: 64-bit signature; near-dups = same band in ≥1 of 4
-  *    16-bit bands then hamming ≤ k verify.
+  *  - SimHash: 64-bit signature; near-dups = same band in ≥1 of 8
+  *    8-bit bands (pigeonhole-complete for hamming ≤ 7) then
+  *    hamming ≤ k verify.
   *  - n-gram Jaccard: exact pairwise similarity via a shingle
   *    self-join — the ground-truth (quadratic-ish) path used to
   *    validate the sketches at small SF.
@@ -220,27 +221,37 @@ object Dedup {
     * verifies. The semantic-dedup member of the family (exact /
     * Jaccard / MinHash / SimHash cover lexical duplication; this
     * catches paraphrases that share an embedding). At the near-dup
-    * operating point (cosine ≥ 0.9, per-bit agreement p ≥ 0.86) the
-    * 8-bit × 8-table sketch recalls a true pair w.p. ≥ 1-(1-p⁸)⁸ ≈
-    * 0.93, → 0.9996 at 0.95 — while random pairs collide at only
-    * 2⁻⁸/table, so candidate volume stays ~n·8/256 ≪ n². The corpus
-    * never self-joins un-bucketed; at 100 TB only same-bucket pairs
-    * meet, and AQE splits any hot bucket. (On the synthetic testdata
-    * no pair exceeds cosine 0.52, so the verified result is empty —
+    * operating point (cosine ≥ 0.9, per-bit agreement p ≥ 0.856) the
+    * 12-bit × 16-table sketch recalls a true pair w.p.
+    * 1-(1-p¹²)¹⁶ ≈ 0.93, → 0.994 at cosine 0.95 — while random pairs
+    * collide at only 2⁻¹²/table, so candidate volume stays
+    * ~n²·16/2¹³ ≪ n². The corpus never self-joins un-bucketed; at
+    * 100 TB only same-bucket pairs meet, and AQE splits any hot
+    * bucket.
+    *
+    * Banding must TRACK CORPUS SIZE: expected random candidates grow
+    * n²·tables/2^bits, so bits is a log₂(n)-scale knob — ScaleCheck
+    * measured the old 8×8 default going 14× superlinear at a ×16
+    * corpus while 12×16 (same 0.93 recall, funnel 8× sharper) stayed
+    * near-linear AND ran 2× faster at ×1; raise bits further (adding
+    * tables to hold recall) as n grows. (On the synthetic testdata no
+    * pair exceeds cosine 0.52, so the verified result is empty —
     * matching the brute-force oracle.) */
-  def embeddingNearDups(s: SparkSession, dir: String, bits: Int = 8,
-      tables: Int = 8, threshold: Double = 0.9): DataFrame =
+  def embeddingNearDups(s: SparkSession, dir: String, bits: Int = 12,
+      tables: Int = 16, threshold: Double = 0.9): DataFrame =
     embeddingNearDupPairs(t(s, dir, "embeddings"), bits, tables, threshold)
 
   /** Core of [[embeddingNearDups]] over any (vec_id, embedding) frame
     * — also the seam the planted-pair recall spec drives. */
   def embeddingNearDupPairs(emb: DataFrame, bits: Int,
       tables: Int, threshold: Double): DataFrame = {
-    // the one materialized frame: the narrow per-vector bucket table
-    // (the expensive posexplode+groupBy stage behind it runs once);
-    // the melted frame below is left to ReuseExchange — see the
-    // materialization note on [[minhashLshPairs]]
-    val buckets = Similarity.lshBuckets(emb, "vec_id", "embedding", bits, tables).localCheckpoint()
+    // NOTHING is materialized in this pipeline: bucketing is the
+    // codegen'd map-side HyperplaneBuckets kernel (cheap to recompute,
+    // and the self-join sides collapse under ReuseExchange anyway), so
+    // unlike the shingle sketches there is no expensive narrow frame
+    // worth a checkpoint — see the materialization note on
+    // [[minhashLshPairs]]
+    val buckets = Similarity.lshBuckets(emb, "vec_id", "embedding", bits, tables)
     // melt the tables into (table_idx, bucket) rows: candidate
     // generation is ONE self-join (same shape as [[minhashLshPairs]] /
     // [[simhashPairs]]) instead of `tables` band-wise joins unioned
@@ -326,6 +337,30 @@ object Dedup {
         array_join(transform(array_sort(collect_list(col("id"))),
           x => x.cast("string")), ",").as("doc_ids"))
       .orderBy("cluster")
+  }
+
+  /** The dedup pipeline's END STATE — the reference `distinct()`
+    * decision (streamable/stream.py:166-187: one survivor per
+    * duplicate group) taken to corpus scale: [[dupClusters]] elects
+    * each cluster's min doc_id canonical, every OTHER member is
+    * dropped from the corpus via one left_anti join on doc_id, and
+    * the surviving corpus is summarized per lang. At 100 TB the
+    * drop-list is tiny relative to the corpus (near-dup members
+    * only), so the anti join broadcasts it and the corpus never
+    * shuffles — deduping 100 TB costs one scan after the sketch
+    * pipeline. */
+  def dedupSurvivors(s: SparkSession, dir: String, n: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashLshPairs(s, dir, n, threshold = threshold)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val dropped = connectedComponents(edges)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+    t(s, dir, "documents")
+      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
   }
 
   /** 64-bit SimHash per document: sign-sum of per-token hash bits,

@@ -55,30 +55,21 @@ object Similarity {
     * deterministically from xxhash64(dimension, plane): no driver
     * randomness, identical on every executor, nothing to broadcast.
     *
-    * Computed via posexplode + one groupBy (tables×bits aggregate
-    * sums) rather than a dim×bits literal expression tree — keeps the
-    * plan small and the work shuffle-parallel at any dimensionality.
+    * Computed ENTIRELY map-side by the codegen'd
+    * [[graft.functions.HyperplaneBuckets]] kernel — one fused
+    * primitive loop per row, so the bucket stage fuses into the scan
+    * projection with zero shuffle (the same signature-is-row-local
+    * argument as [[Dedup.simhashes]]; see the kernel's scaladoc for
+    * why the two column-algebra formulations lose).
     * Returns (vec_id, b0..b{tables-1}).
     */
   def lshBuckets(emb: DataFrame, idCol: String, embCol: String,
       bits: Int, tables: Int): DataFrame = {
-    val planes = tables * bits
-    val pos = emb.select(col(idCol), posexplode(col(embCol)).as(Seq("pos", "v")))
-    // dot product with plane p: sum over dims of v * coeff(pos, p),
-    // coeff a deterministic pseudo-random value in [-1, 1)
-    val dots = (0 until planes).map { p =>
-      sum(col("v").cast("double") *
-        (xxhash64(col("pos"), lit(p)).cast("double") / Long.MaxValue.toDouble))
-        .as(s"dot$p")
-    }
-    val dotted = pos.groupBy(col(idCol)).agg(dots.head, dots.tail: _*)
-    val buckets = (0 until tables).map { tb =>
-      (0 until bits).map { b =>
-        when(col(s"dot${tb * bits + b}") > 0, shiftleft(lit(1L), b))
-          .otherwise(lit(0L))
-      }.reduce((a, c) => a.bitwiseOR(c)).as(s"b$tb")
-    }
-    dotted.select(col(idCol) +: buckets: _*)
+    import graft.functions.HyperplaneBuckets
+    val bucketed = emb.select(col(idCol),
+      HyperplaneBuckets(col(embCol), bits, tables).as("_bk"))
+    bucketed.select(col(idCol) +:
+      (0 until tables).map(tb => element_at(col("_bk"), tb + 1).as(s"b$tb")): _*)
   }
 
   /** Rank a (q_id, c_id, sim) frame to top-k per query with the

@@ -106,6 +106,15 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup survivors: total docs minus non-canonical cluster members") {
+    val survivors = Dedup.dedupSurvivors(spark, sf0001).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    val total = Relational.t(spark, sf0001, "documents").count()
+    val droppedExpected = Dedup.dupClusters(spark, sf0001).collect()
+      .map(_.getAs[Long]("n_members") - 1).sum
+    assert(survivors == total - droppedExpected)
+  }
+
   test("dup clusters: >=2 members, labeled by min doc_id, members sorted") {
     val clusters = Dedup.dupClusters(spark, sf0001).collect()
     assert(clusters.nonEmpty)
@@ -231,7 +240,7 @@ class OpsSpec extends SparkSpec {
       Seq((k.toLong * 2, v), (k.toLong * 2 + 1, v.updated(0, v.head + 0.001f)))
     }
     val emb = rows.toDF("vec_id", "embedding")
-    val found = Dedup.embeddingNearDupPairs(emb, bits = 8, tables = 8, threshold = 0.9)
+    val found = Dedup.embeddingNearDupPairs(emb, bits = 12, tables = 16, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = (0 until 20).map(k => (k.toLong * 2, k.toLong * 2 + 1)).toSet
     assert(planted.subsetOf(found),
