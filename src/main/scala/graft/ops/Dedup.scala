@@ -275,19 +275,24 @@ object Dedup {
   /** Connected components over an undirected edge list (src, dst) —
     * the step that turns pairwise near-dup EDGES into duplicate
     * CLUSTERS (keep one doc per component, drop the rest: the actual
-    * dedup decision at corpus scale). Iterative min-label propagation:
-    * every vertex starts labeled with itself; each round, each vertex
-    * takes the min label among itself and its neighbors; converges in
-    * O(component diameter) rounds. Each round is one shuffle
-    * (join + groupBy on vertex id) and the frontier frame is
-    * `localCheckpoint`ed so lineage stays O(1) across iterations —
-    * the classic iterative-algorithm-on-Spark discipline. Duplicate
-    * clusters have tiny diameters (near-dup graphs are
-    * quasi-cliques: most members share a bucket with most others), so
-    * the loop exits in 2-3 rounds in practice; the alternating
-    * large-star/small-star optimization (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") would bound rounds at
-    * O(log d) for pathological chain-shaped graphs.
+    * dedup decision at corpus scale). Iterative min-label propagation
+    * WITH pointer doubling: every vertex starts labeled with itself;
+    * each round, each vertex takes the min label among itself and its
+    * neighbors (one edge hop), then follows its label's label (a
+    * pointer-jumping hop — labels are vertex ids, so the label table
+    * indexes itself). The edge hop alone converges in O(component
+    * diameter) rounds; the doubling hop compresses label chains
+    * geometrically, bounding the loop at O(log diameter) — the same
+    * round bound as the alternating large-star/small-star scheme of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * at two shuffles per round. A 200-vertex chain converges in 9
+    * rounds (OpsSpec pins ≤ 12 via maxIter) where plain propagation
+    * needs ~200. Each round's frontier is `localCheckpoint`ed so
+    * lineage stays O(1) across iterations — the classic
+    * iterative-algorithm-on-Spark discipline. Duplicate-cluster
+    * graphs are quasi-cliques (tiny diameters) that exit in 2-3
+    * rounds; the doubling is what keeps the pathological chain case
+    * from blowing the round budget at corpus scale.
     *
     * Returns (id, cluster) with cluster = min vertex id in the
     * component. Eager (runs jobs at call time, like the checkpoints
@@ -302,11 +307,22 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // neighbor labels flow along edges; keep the min per vertex
+      // hop 1: neighbor labels flow along edges; keep the min
       val msgs = bi.join(labels, bi("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
-      val next = labels.select("id", "cluster").union(msgs)
+      // checkpoint the edge-hop frontier before the doubling self-join
+      // (also sidesteps Catalyst's self-join ambiguity on a derived
+      // union plan)
+      val hopped = labels.select("id", "cluster").union(msgs)
         .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      // hop 2 (pointer doubling): follow the label's own label; every
+      // label value is a vertex id present in `hopped`, and labels
+      // only decrease, so the lookup always lands and never regresses
+      val next = hopped
+        .join(hopped.select(col("id").as("cluster"),
+          col("cluster").as("cluster2")), "cluster")
+        .select(col("id"), least(col("cluster"), col("cluster2")).as("cluster"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).count()

