@@ -202,6 +202,60 @@ object Similarity {
     topKPerQuery(s, scored, k)
   }
 
+  /** Materialize the IVF index [[ivfTopK]] recomputes per query: the
+    * corpus is written PARTITIONED BY cell (one directory per coarse
+    * cell), so the index layout IS the inverted file. A query then
+    * touches only its `nprobe` cells through partition pruning —
+    * reading nprobe/nlist of the data, the selectivity that makes IVF
+    * an index rather than a scan strategy. At 100 TB: build once
+    * (one broadcast-join scan + one partitioned write), amortize over
+    * every query batch. */
+  def buildIvfIndex(s: SparkSession, dir: String, indexPath: String,
+      nlist: Int = 32): Unit = {
+    val emb = t(s, dir, "embeddings")
+    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    corpus.crossJoin(broadcast(cent))
+      .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
+      .groupBy("c_id")
+      .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"),
+        first(col("c_emb")).as("c_emb"))
+      .select(col("c_id"), col("c_emb"), (-col("m.nc")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+  }
+
+  /** [[ivfTopK]] against a [[buildIvfIndex]] layout: identical
+    * results (same codebook, same probes, same exact re-ranking), but
+    * the candidate scan is the nprobe PARTITIONS the probe table
+    * selects — Spark's dynamic partition pruning turns the broadcast
+    * probe join into a partition filter on the index's `cell`
+    * directories (IvfIndexSpec asserts the pruning subquery in the
+    * executed plan), so the un-probed (nlist - nprobe)/nlist of the
+    * corpus is never read. This is the persisted-index counterpart of
+    * s05's compute-the-index-per-query plan shape. */
+  def ivfTopKIndexed(s: SparkSession, dir: String, indexPath: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 4,
+      nlist: Int = 32): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = topKPerQuery(s,
+      queries.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("cent_id").as("c_id"),
+          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
+      nprobe)
+      .select(col("q_id"), col("c_id").as("cell"))
+    val idx = s.read.parquet(indexPath)
+    val scored = idx.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(queries), "q_id")
+      .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
+    topKPerQuery(s, scored, k)
+  }
+
   /** Per-label centroid stats: mean vector norm and intra-label mean
     * cosine-to-centroid — an IVF-style coarse quantization summary
     * (the centroid table is what an IVF index would broadcast). */

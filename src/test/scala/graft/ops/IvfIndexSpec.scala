@@ -1,0 +1,31 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Persisted IVF index: layout-as-inverted-file. The value claim is
+  * twofold — (a) results are byte-identical to the per-query plan
+  * (same codebook, probes, exact re-rank), (b) the probe join prunes
+  * the scan to the probed cell PARTITIONS (dynamic partition
+  * pruning), which is the nprobe/nlist selectivity that makes a
+  * persisted index pay at corpus scale. */
+class IvfIndexSpec extends SparkSpec {
+
+  test("indexed IVF equals the per-query IVF result exactly") {
+    val idxPath = "/tmp/graft_ivf_index_spec"
+    Similarity.buildIvfIndex(spark, sf0001, idxPath)
+    val direct = Similarity.ivfTopK(spark, sf0001).collect().map(_.toSeq).toList
+    val viaIdx = Similarity.ivfTopKIndexed(spark, sf0001, idxPath)
+      .collect().map(_.toSeq).toList
+    assert(viaIdx == direct)
+  }
+
+  test("probe join prunes the index scan to probed cell partitions") {
+    val idxPath = "/tmp/graft_ivf_index_spec"
+    Similarity.buildIvfIndex(spark, sf0001, idxPath)
+    val df = Similarity.ivfTopKIndexed(spark, sf0001, idxPath)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the index scan:\n$p")
+  }
+}
