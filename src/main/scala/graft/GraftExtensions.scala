@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarityExpr
+import graft.functions.{CosineSimilarityExpr, HyperplaneBucketsExpr}
 
 /** Session-extension hook: registers the engine's native expressions
   * into the SQL function registry, so `spark.sql("SELECT
@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
       GraftExtensions.cosineBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBucketsExpr].getName, "hyperplane_buckets"),
+      GraftExtensions.bucketsBuilder))
   }
 }
 
@@ -25,8 +29,23 @@ object GraftExtensions {
     CosineSimilarityExpr(exprs(0), exprs(1))
   }
 
+  private val bucketsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      "hyperplane_buckets(emb, bits, tables) takes three arguments")
+    def intLit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_buckets: $name must be an integer literal, got $other")
+    }
+    HyperplaneBucketsExpr(exprs(0),
+      intLit(exprs(1), "bits"), intLit(exprs(2), "tables"))
+  }
+
   /** Register into an already-running session (tests, spark-shell). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftBridge.registerFunction(
       spark, "cosine_similarity", cosineBuilder)
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "hyperplane_buckets", bucketsBuilder)
+  }
 }

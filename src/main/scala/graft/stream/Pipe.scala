@@ -157,6 +157,27 @@ final case class Pipe[T](ds: Dataset[T], chain: List[String] = Nil) {
     * (streamable/stream.py:479-493). */
   def truncate(n: Int): Pipe[T] = derive(ds.limit(n), s"truncate(count=$n)")
 
+  /** All but the first n elements (same arbitrary-order caveat as
+    * [[truncate]]; ordered variant in [[Ordered.skip]]); reference
+    * `skip(count=n)` (streamable/stream.py:432-446). */
+  def skip(n: Int): Pipe[T] = derive(ds.offset(n), s"skip(count=$n)")
+
+  /** Named progress metric attached to the plan — counted during the
+    * next action, no extra pass; reference `observe(what)`
+    * (streamable/stream.py:413-430, log-cadence analog in
+    * [[Flow.shouldLog]]). Metrics surface via QueryExecutionListener
+    * (see FlowSparkSpec). */
+  def observe(name: String): Pipe[T] =
+    derive(Flow.observed(ds, name), s"observe($name)")
+
+  /** Terminal foreach under a cluster-wide rate cap; reference
+    * `throttle(per_second=)` + `foreach` composed
+    * (streamable/stream.py:448-477) — see
+    * [[Flow.throttledForeach]]/[[Flow.partitionShare]] for the
+    * coordination-free rate math. */
+  def runForeachThrottled(globalPerSecond: Double)(effect: T => Unit): Unit =
+    Flow.throttledForeach(ds, globalPerSecond)(effect)
+
   /** Exhausts and counts; reference `count()` (stream.py:133-141). */
   def count(): Long = ds.count()
 
@@ -211,5 +232,10 @@ object Pipe {
     def runFinallyRaise()(implicit e: Encoder[Attempt[U]],
         ct: scala.reflect.ClassTag[U]): Long =
       Errors.runFinallyRaise(p.ds.sparkSession, p.ds)
+    /** Error-aware observe: ok + error counts in one named metric
+      * (reference observe logs yields AND errors,
+      * iterators.py:351-394). */
+    def observeAttempts(name: String): Pipe[Attempt[U]] =
+      Pipe(Flow.observedAttempts(p.ds, name), p.chain :+ s"observe($name)")
   }
 }

@@ -42,4 +42,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(x._1 == y._1 && x._2 == y._2 && math.abs(x._3 - y._3) < 1e-12)
     }
   }
+
+  test("hyperplane_buckets is callable from SQL and matches the Column API") {
+    val s = SparkSpec.session
+    GraftExtensions.register(s)
+    s.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+      .createOrReplaceTempView("emb_ext3")
+    val sql = s.sql(
+      "SELECT vec_id, hyperplane_buckets(embedding, 4, 8) AS bk FROM emb_ext3")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    import org.apache.spark.sql.functions._
+    val api = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+      .select(col("vec_id"),
+        graft.functions.HyperplaneBuckets(col("embedding"), 4, 8).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(sql == api && sql.size == 20)
+    sql.values.foreach(bks => assert(bks.length == 8 && bks.forall(b => b >= 0 && b < 16)))
+  }
 }

@@ -65,6 +65,24 @@ class PipeSpec extends SparkSpec {
     assert(pipe(100).truncate(5).count() == 5)
   }
 
+  test("skip drops the first n; composes with truncate like the reference") {
+    assert(pipe(100).skip(30).count() == 70)
+    assert(pipe(100).skip(120).count() == 0)
+    assert(pipe(100).skip(10).truncate(5).count() == 5)
+  }
+
+  test("observe passes elements through and renders in the chain") {
+    val p = pipe(25).observe("rows")
+    assert(p.count() == 25)
+    assert(p.describe.contains(".observe(rows)"))
+  }
+
+  test("runForeachThrottled delivers every element exactly once") {
+    val acc = spark.sparkContext.longAccumulator("thr")
+    pipe(150).runForeachThrottled(1e6)(_ => acc.add(1))
+    assert(acc.value == 150L)
+  }
+
   test("mapConcurrent produces identical results to map") {
     val s = spark; import s.implicits._
     assert(pipe(64).mapConcurrent(_ + 1, concurrency = 4).ds.collect().sorted.toList ==
