@@ -115,17 +115,19 @@ object Dedup {
 
   /** MinHash signatures over per-doc shingle-hash sets (`hs` column
     * from [[shingleHashSets]]): permutation i's value is
-    * `array_min(transform(hs, h => xxhash64(i, h)))` — 64 long-hashes
-    * per shingle (no Long-overflow issue under ANSI mode, unlike the
-    * a*h+b universal-hashing trick), computed ENTIRELY map-side. The
-    * shingle sets are already row-local, so the signature needs no
-    * groupBy: zero shuffle, the signature stage fuses into the scan
-    * projection. */
+    * xxhash64(i, h) minimized over the set — computed by the fused
+    * [[graft.functions.MinHashSig]] kernel (one JVM loop per row;
+    * value-IDENTICAL to the composable
+    * `array_min(transform(hs, h => xxhash64(i, h)))`, which evaluates
+    * numHashes interpreted lambdas per shingle — FunctionsSpec
+    * asserts bit-equality). The shingle sets are already row-local,
+    * so the signature needs no groupBy: zero shuffle, the signature
+    * stage fuses into the scan projection. */
   def minhashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
-    val hashCols = (0 until numHashes).map { i =>
-      array_min(transform(col("hs"), h => xxhash64(lit(i), h))).as(s"h$i")
-    }
-    sets.select(col("doc_id") +: hashCols: _*)
+    import graft.functions.MinHashSig
+    sets.select(col("doc_id"), MinHashSig(col("hs"), numHashes).as("_sig"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("_sig"), i + 1).as(s"h$i")): _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs, verified with exact
@@ -379,27 +381,20 @@ object Dedup {
       .orderBy("lang")
   }
 
-  /** 64-bit SimHash per document: sign-sum of per-token hash bits,
-    * all in column space (no UDF) and ENTIRELY map-side: tokens hash
-    * once into an array, then 64 per-bit fold-sums over that array —
-    * vote_i = (2·Σ bit_i) > T. A document's simhash depends only on
-    * its own tokens, so (like [[shingleHashSets]]) there is nothing to
-    * shuffle: the old explode → groupBy formulation moved |tokens|
-    * rows through two exchanges for what one narrow projection
-    * computes in place. At 100 TB the signature stage is pure scan. */
+  /** 64-bit SimHash per document: per-bit majority votes over the
+    * token hashes — vote_i = (2·Σ bit_i) > T — computed by the fused
+    * [[graft.functions.SimHash]] kernel (one JVM loop per row;
+    * value-identical to the composable 64-fold `aggregate` +
+    * threshold formulation, which evaluates 64 interpreted lambdas
+    * per token — FunctionsSpec asserts bit-equality). A document's
+    * simhash depends only on its own tokens, so (like
+    * [[shingleHashSets]]) there is nothing to shuffle: the signature
+    * stage is pure scan at 100 TB. */
   def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val hashed = docs.select(col("doc_id"),
-      transform(split(trim(col("text")), "\\s+"), t => xxhash64(t)).as("hs"))
-    val bitSums = (0 until 64).map { i =>
-      aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(1)).as(s"b$i")
-    } :+ size(col("hs")).cast("long").as("total")
-    val voted = hashed.select(col("doc_id") +: bitSums: _*)
-    val sim = (0 until 64).map { i =>
-      when(col(s"b$i") * 2 > col("total"), shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    voted.select(col("doc_id"), sim.as("simhash"))
+    import graft.functions.SimHash
+    t(s, dir, "documents").select(col("doc_id"),
+      SimHash(transform(split(trim(col("text")), "\\s+"), t => xxhash64(t)))
+        .as("simhash"))
   }
 
   /** SimHash near-dup pairs: LSH on `bands` equal bit-slices of the

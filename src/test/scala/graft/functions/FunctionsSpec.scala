@@ -42,6 +42,40 @@ class FunctionsSpec extends SparkSpec {
       ex.getMessage.toLowerCase.contains("data type"))
   }
 
+  test("MinHashSig kernel is bit-identical to the composable xxhash64 formulation") {
+    import org.apache.spark.sql.functions._
+    val sets = graft.ops.Dedup.shingleHashSets(
+      graft.ops.Relational.t(spark, "/root/testdata/sf0.001", "documents"), 5)
+    val n = 32
+    val kernel = sets.select(col("doc_id"), MinHashSig(col("hs"), n).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val composable = sets.select(col("doc_id") +: (0 until n).map { i =>
+        array_min(transform(col("hs"), h => xxhash64(lit(i), h))).as(s"h$i")
+      }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to n).map(r.getLong).toList).toMap
+    assert(kernel.nonEmpty && kernel == composable)
+  }
+
+  test("SimHash kernel is bit-identical to the composable fold formulation") {
+    import org.apache.spark.sql.functions._
+    val hashed = graft.ops.Relational.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        transform(split(trim(col("text")), "\\s+"), t => xxhash64(t)).as("hs"))
+    val kernel = hashed.select(col("doc_id"), SimHash(col("hs")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bitSums = (0 until 64).map { i =>
+      aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1)).as(s"b$i")
+    } :+ size(col("hs")).cast("long").as("total")
+    val sim = (0 until 64).map { i =>
+      when(col(s"b$i") * 2 > col("total"), shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val composable = hashed.select(col("doc_id") +: bitSums: _*)
+      .select(col("doc_id"), sim.as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel.nonEmpty && kernel == composable)
+  }
+
   test("TopKAggregator matches the sort-then-take model exactly") {
     val s = spark
     import s.implicits._
