@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.ops.Relational.{t, r4}
 
 /** Approximate-nearest-neighbor search over embedding columns
-  * (`Array[Float]`), pure column expressions throughout (zip_with +
-  * aggregate fold = codegen'd dot product; no UDF in the hot path).
+  * (`Array[Float]`), no UDF in any hot path: similarity kernels are
+  * native codegen'd Catalyst expressions ([[graft.functions.CosineSimilarity]],
+  * [[graft.functions.HyperplaneBuckets]]); the composable zip_with +
+  * aggregate formulation survives as s01's didactic baseline (Catalyst
+  * higher-order lambdas are interpreted, so the kernels are the scale
+  * path).
   *
   *  - [[bruteForceTopK]]: exact cosine top-k via a broadcast of the
   *    query set — the baseline. Scales linearly in corpus size when
@@ -19,9 +23,21 @@ import graft.ops.Relational.{t, r4}
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, in double
-    * precision (stable vs the DuckDB oracle). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two float-array columns — the
+    * codegen'd [[graft.functions.CosineSimilarity]] kernel (double-
+    * precision accumulation). Value-identical to [[cosineComposable]]
+    * (same left-to-right float loop), so the two are interchangeable
+    * under the oracles; the kernel avoids three interpreted
+    * higher-order-function evaluations per row and is what every
+    * scale path uses. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** The column-algebra formulation (zip_with + aggregate folds) —
+    * kept as the didactic baseline that [[bruteForceTopK]] (s01)
+    * runs; [[nativeTopK]] (s04) is its kernel twin and hash-matches
+    * the same oracle, which certifies the value equivalence. */
+  def cosineComposable(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
@@ -39,7 +55,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val scored = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
+      .withColumn("sim", r4(cosineComposable(col("q_emb"), col("c_emb"))))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -106,12 +122,11 @@ object Similarity {
   def lshTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       bits: Int = 4, tables: Int = 8): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    // eager localCheckpoint, not cache(): `melted` below is consumed
-    // by both the query filter and the corpus side, but a cache()
-    // entry would outlive this call in the session's CacheManager
-    // (the returned frame is lazy so the library can't unpersist it);
-    // checkpointed blocks are GC-cleaned with the result frame.
-    val buckets = lshBuckets(emb, "vec_id", "embedding", bits, tables).localCheckpoint()
+    // nothing materialized: bucketing is the cheap map-side kernel,
+    // so recomputing it for the query melt and the corpus melt beats
+    // an eager checkpoint write+read (same reasoning as
+    // [[Dedup.embeddingNearDupPairs]])
+    val buckets = lshBuckets(emb, "vec_id", "embedding", bits, tables)
     // melt the tables to (tbl, bk) rows so candidate generation is ONE
     // broadcast join of the (tiny) query buckets against the corpus
     // buckets — instead of `tables` band-wise joins unioned (the same
