@@ -304,8 +304,13 @@ object Dedup {
     val bi = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = bi.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+    // init fused with the first edge hop: label₀(v) = min(v, minimum
+    // neighbor) — the same single shuffle the plain vertex-set
+    // distinct() would cost, but one full propagation round ahead
+    var labels = bi
+      .select(col("src").as("id"), least(col("src"), col("dst")).as("cluster"))
+      .groupBy("id").agg(min("cluster").as("cluster"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {

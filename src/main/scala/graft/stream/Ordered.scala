@@ -194,9 +194,13 @@ object Ordered {
       .repartitionByRange(parts, ord: _*).sortWithinPartitions(ord: _*)
     val schema = sorted.schema
     val kIdx = schema.fieldIndex("_k")
+    // NOT checkpointed: pass 2 re-runs only the reduce-side sort (the
+    // range shuffle's map outputs are reused), and materializing the
+    // sorted partitions costs as much as re-sorting them — measured a
+    // wash at sf0.1, and skipping the truncated-lineage block keeps
+    // the op fault-tolerant on executor loss
     val rdd = sorted.rdd
-    // pass 1: last key of each partition (O(partitions) driver data;
-    // the range shuffle's map outputs are reused by pass 2)
+    // pass 1: last key of each partition (O(partitions) driver data)
     val lastKeys: Map[Int, Any] = rdd.mapPartitionsWithIndex { (i, it) =>
       var last: Any = null; var has = false
       it.foreach { r => last = r.get(kIdx); has = true }

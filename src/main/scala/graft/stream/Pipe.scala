@@ -201,6 +201,13 @@ final case class Pipe[T](ds: Dataset[T], chain: List[String] = Nil) {
     * pretty-printer. */
   def explain(): String = ds.queryExecution.toString()
 
+  /** Log the chain rendering and return this pipe unchanged;
+    * reference `display(level)` (streamable/stream.py:153-165). */
+  def display(): Pipe[T] = {
+    org.slf4j.LoggerFactory.getLogger(classOf[Pipe[_]]).info(describe)
+    this
+  }
+
   /** Reference-style chain rendering: `repr(stream)` prints
     * `Stream(source)` then one line per operator in source→sink order
     * with callables shortened to placeholders

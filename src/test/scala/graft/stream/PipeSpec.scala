@@ -71,6 +71,12 @@ class PipeSpec extends SparkSpec {
     assert(pipe(100).skip(10).truncate(5).count() == 5)
   }
 
+  test("display logs the chain and returns the pipe unchanged") {
+    val p = pipe(10).truncate(4)
+    val ret = p.display()
+    assert((ret eq p) && ret.count() == 4)
+  }
+
   test("observe passes elements through and renders in the chain") {
     val p = pipe(25).observe("rows")
     assert(p.count() == 25)
