@@ -43,6 +43,7 @@ object SparkEntry {
     "q22_intersect" -> (Relational.nationKeyIntersect _),
     "q23_except" -> (Relational.nationKeyExcept _),
     "q24_approx_distinct" -> (Relational.approxDistinctParts _),
+    "q24b_approx_tolerance" -> (Relational.approxDistinctWithinTolerance _),
     "q25_quantiles" -> (Relational.priceQuantiles _),
     "q26_pivot" -> (Relational.orderStatusPivot _),
     "q27_histogram" -> (Relational.priceHistogram _),
@@ -219,6 +220,13 @@ object SparkEntry {
     "q23_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    // q24b: the HLL numbers themselves differ per engine, but the
+    // approximation contract (within 5% of exact per group) holds in
+    // any compliant engine — Spark computes both sides; the oracle
+    // derives the same group list expecting `true` everywhere.
+    "q24b_approx_tolerance" ->
+      """SELECT DISTINCT l_returnflag, CAST(1 AS BOOLEAN) AS within_5pct
+         FROM lineitem ORDER BY l_returnflag""",
     "q25_quantiles" ->
       """SELECT o_orderpriority,
          floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS median_price,

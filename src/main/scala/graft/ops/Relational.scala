@@ -317,6 +317,24 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** q24's HLL values are engine-specific (not oracle-able), but the
+    * approximation CONTRACT is: per group, the sketch must land
+    * within its documented rsd envelope of the exact count. This
+    * query emits that boolean per group, computing BOTH sides in
+    * Spark; the DuckDB oracle independently derives the group list
+    * and expects `true` everywhere — the d05b companion-oracle
+    * pattern (certify the claim, not the sketch internals). 5% is
+    * generous vs approx_count_distinct's default 1% rsd target, so
+    * the check is stable across SFs, not tuned to one corpus. */
+  def approxDistinctWithinTolerance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+        countDistinct(col("l_partkey")).as("e"))
+      .select(col("l_returnflag"),
+        (abs(col("a") - col("e")) <= col("e") * 0.05).as("within_5pct"))
+      .orderBy("l_returnflag")
+
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`). At 100 TB prefer `approx_percentile`
     * (t-digest, no full sort) — the exact form is the correctness
