@@ -107,6 +107,12 @@ class OpsSpec extends SparkSpec {
     assert(labels.size == 200 && labels.values.forall(_ == 1L))
   }
 
+  test("connected components: empty edge set yields empty labels (no dup pairs case)") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Dedup.connectedComponents(none).collect().isEmpty)
+  }
+
   test("connected components: maxIter bound fails loudly before convergence") {
     import spark.implicits._
     // min-label needs ~4 rounds to cross a 5-edge chain; 1 is too few
