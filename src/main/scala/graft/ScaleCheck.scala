@@ -45,11 +45,16 @@ object ScaleCheck {
       if (r == 0) emb
       else emb
         .withColumn("vec_id", col("vec_id") + lit(r.toLong * 10000000L))
-        // deterministic ±1 mask per replica: flip dim i iff (i+r) has
-        // an odd low bit pattern — orthogonal, structure-preserving
+        // deterministic ±1 mask per replica: flip dim i iff
+        // xxhash64(i, r) is odd. Hash-derived masks are distinct per
+        // replica (a periodic mask like (i+r) mod 3 repeats every 3
+        // replicas, planting exact cosine-1.0 twins across same-mask
+        // replicas — the quadratic workload distortion this harness
+        // exists to prevent); orthogonal, so intra-replica cosines
+        // are preserved exactly while replicas decorrelate
         .withColumn("embedding",
           transform(col("embedding"), (v, i) =>
-            when(pmod(i + lit(r), lit(3)) === 0, -v).otherwise(v)))
+            when(pmod(xxhash64(i, lit(r)), lit(2)) === 0, -v).otherwise(v)))
     }.reduce(_ unionAll _)
 
   def main(args: Array[String]): Unit = {

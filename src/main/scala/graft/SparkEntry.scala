@@ -88,6 +88,49 @@ object SparkEntry {
     "m04_resize" -> ((s: SparkSession, dir: String) => Multimodal.resizeMeta(s, dir)),
   )
 
+  /** Shared DuckDB CTE prefix for every shingle-based oracle:
+    * tokenize -> distinct 5-gram shingles -> set sizes -> pairwise
+    * intersection counts. ONE definition interpolated into
+    * d03/d04/d05b/d07/d08 so a change to the shingle semantics cannot
+    * silently desynchronize one oracle from the others. */
+  private val shingleCtes =
+    """toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+           WHERE len(w) >= 5),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)"""
+
+  /** Exact-Jaccard pair select over [[shingleCtes]] (threshold 0.6,
+    * 3-decimal rounding - mirrors `Dedup.pairJaccard`/`r3`). */
+  private val exactJaccardSelect =
+    """SELECT doc_a, doc_b, floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 AS jaccard
+         FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
+         ORDER BY doc_a, doc_b"""
+
+  /** Transitive-closure CTEs over the exact near-dup pairs (the d07/
+    * d08 recursive min-label closure; composes after [[shingleCtes]]
+    * under WITH RECURSIVE). */
+  private val closureCtes =
+    """pairs AS (
+           SELECT doc_a, doc_b
+           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT x.id, e.dst FROM reach x JOIN edges e ON e.src = x.r),
+         labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (weaker rows-only check):
     * d05/s02/q24 (hash-sketch internals not replicable in SQL — but
@@ -391,37 +434,11 @@ object SparkEntry {
     // in this corpus sit at >= 0.9), so the sketch recalls the exact
     // answer; the exact verify keeps precision at 1.
     "d04_minhash_lsh" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-           FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
-           WHERE len(w) >= 5),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b, floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 AS jaccard
-         FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-         WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
-         ORDER BY doc_a, doc_b""",
+      s"""WITH $shingleCtes
+         $exactJaccardSelect""",
     "d03_ngram_jaccard" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-           FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
-           WHERE len(w) >= 5),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b, floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 AS jaccard
-         FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-         WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
-         ORDER BY doc_a, doc_b""",
+      s"""WITH $shingleCtes
+         $exactJaccardSelect""",
     // d05b: the simhash sketch's verify stage against exact n-gram
     // Jaccard — on this corpus every J >= 0.6 pair sits at hamming <= 6
     // (OpsSpec asserts the precondition at the gate SF), so the result
@@ -429,21 +446,8 @@ object SparkEntry {
     // the hash-match certifies the sketch's precision AND its recall
     // at the operating point (the d04 ground-truth pattern).
     "d05b_simhash_verified" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-           FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
-           WHERE len(w) >= 5),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b, floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 AS jaccard
-         FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-         WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
-         ORDER BY doc_a, doc_b""",
+      s"""WITH $shingleCtes
+         $exactJaccardSelect""",
     // d07: clusters from the SCALE path (MinHash-LSH edges + iterative
     // min-label propagation) vs a recursive-CTE transitive closure over
     // the EXACT-Jaccard edges — the hash-match certifies both that the
@@ -451,29 +455,8 @@ object SparkEntry {
     // Spark-side label propagation computes the true connected
     // components.
     "d07_dup_clusters" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-           FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
-           WHERE len(w) >= 5),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS (
-           SELECT doc_a, doc_b
-           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-           WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6),
-         edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs),
-         reach(id, r) AS (
-           SELECT src, src FROM edges
-           UNION
-           SELECT x.id, e.dst FROM reach x JOIN edges e ON e.src = x.r),
-         labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $shingleCtes,
+         $closureCtes
          SELECT cluster, count(*) AS n_members,
            string_agg(id, ',' ORDER BY id) AS doc_ids
          FROM labels GROUP BY cluster ORDER BY cluster""",
@@ -482,29 +465,8 @@ object SparkEntry {
     // plus an anti-join, so the hash-match certifies the actual
     // "which documents remain" decision.
     "d08_dedup_survivors" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-           FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
-           WHERE len(w) >= 5),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS (
-           SELECT doc_a, doc_b
-           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-           WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6),
-         edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs),
-         reach(id, r) AS (
-           SELECT src, src FROM edges
-           UNION
-           SELECT x.id, e.dst FROM reach x JOIN edges e ON e.src = x.r),
-         labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      s"""WITH RECURSIVE $shingleCtes,
+         $closureCtes,
          dropped AS (SELECT id FROM labels WHERE id <> cluster)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)

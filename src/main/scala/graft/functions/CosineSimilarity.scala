@@ -16,10 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * rung of the builder brief, used where the similarity kernel is the
   * hot inner loop of a 100 TB ANN scoring stage.
   *
-  * Null/length contract: null if either side is null; mismatched
-  * lengths score over the common prefix (caller guarantees equal dims
-  * in practice); zero-norm inputs yield null (matches SQL division
-  * semantics rather than NaN).
+  * Null/length contract: null if either side is null OR any scored
+  * element is null (a corrupt row surfaces as null instead of
+  * silently scoring with 0.0 dims); mismatched lengths score over
+  * the common prefix (caller guarantees equal dims in practice);
+  * zero-norm inputs yield null (matches SQL division semantics
+  * rather than NaN).
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -46,6 +48,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv
@@ -64,17 +67,23 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val bad = ctx.freshName("bad")
       val denom = ctx.freshName("denom")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $x.getFloat($i);
-         |  double $yv = (double) $y.getFloat($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; }
+         |  else {
+         |    double $xv = (double) $x.getFloat($i);
+         |    double $yv = (double) $y.getFloat($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
          |}
          |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+         |if ($bad || $denom == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })
 

@@ -42,15 +42,18 @@ case class HyperplaneBucketsExpr(child: Expression, bits: Int, tables: Int)
           s"hyperplane_buckets expects array<float>, got ${other.simpleString}")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
   override def prettyName: String = "hyperplane_buckets"
+
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any): Any =
     HyperplaneBuckets.compute(a.asInstanceOf[ArrayData], bits, tables)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.HyperplaneBuckets.compute($x, $bits, $tables);")
+    nullSafeCodeGen(ctx, ev, x => s"""
+      |${ev.value} = graft.functions.HyperplaneBuckets.compute($x, $bits, $tables);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+    """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression)
       : HyperplaneBucketsExpr = copy(child = newChild)
@@ -82,9 +85,19 @@ object HyperplaneBuckets {
       }
     })
 
-  /** The per-row kernel (also called from generated code). */
+  /** The per-row kernel (also called from generated code). Returns
+    * null for an empty array or any null element — a corrupt row must
+    * surface as null downstream, not silently bucket as if the
+    * missing dims were 0.0 (this expression is reachable from
+    * arbitrary user data via the SQL `hyperplane_buckets`). */
   def compute(arr: ArrayData, bits: Int, tables: Int): ArrayData = {
     val dims = arr.numElements()
+    if (dims == 0) return null
+    var c = 0
+    while (c < dims) {
+      if (arr.isNullAt(c)) return null
+      c += 1
+    }
     val planes = bits * tables
     val coef = coeffs(planes, dims)
     val out = new Array[Long](tables)

@@ -35,15 +35,17 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
           s"minhash_sig expects array<long>, got ${other.simpleString}")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(a: Any): Any =
     MinHashSig.compute(a.asInstanceOf[ArrayData], numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.MinHashSig.compute($x, $numHashes);")
+    nullSafeCodeGen(ctx, ev, x => s"""
+      |${ev.value} = graft.functions.MinHashSig.compute($x, $numHashes);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+    """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression)
       : MinHashSigExpr = copy(child = newChild)
@@ -61,11 +63,24 @@ object MinHashSig {
     seedCache.computeIfAbsent(n,
       _ => Array.tabulate(n)(i => XXH64.hashInt(i, 42L)))
 
-  /** The per-row kernel (also called from generated code). */
+  /** The per-row kernel (also called from generated code). Returns
+    * null for an empty array or any null element: an empty shingle
+    * set has no minimum (`array_min` of an empty array is null —
+    * emitting Long.MaxValue sentinels instead would make every empty
+    * doc band-collide with every other), and a null element marks a
+    * corrupt row that must surface rather than hash as garbage.
+    * `element_at` on the null array yields null per signature column,
+    * matching the composable formulation's per-column nulls. */
   def compute(hs: ArrayData, numHashes: Int): ArrayData = {
+    val m = hs.numElements()
+    if (m == 0) return null
+    var c = 0
+    while (c < m) {
+      if (hs.isNullAt(c)) return null
+      c += 1
+    }
     val sd = seeds(numHashes)
     val out = Array.fill(numHashes)(Long.MaxValue)
-    val m = hs.numElements()
     var j = 0
     while (j < m) {
       val h = hs.getLong(j)
@@ -97,15 +112,19 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
           s"simhash expects array<long>, got ${other.simpleString}")
     }
   override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash"
 
-  override def nullSafeEval(a: Any): Any =
-    SimHash.compute(a.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (SimHash.hasNullElement(arr)) null else SimHash.compute(arr)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.SimHash.compute($x);")
+    nullSafeCodeGen(ctx, ev, x => s"""
+      |if (graft.functions.SimHash.hasNullElement($x)) { ${ev.isNull} = true; }
+      |else { ${ev.value} = graft.functions.SimHash.compute($x); }
+    """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression)
       : SimHashExpr = copy(child = newChild)
@@ -114,6 +133,19 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
 object SimHash {
   def apply(tokenHashes: Column): Column =
     GraftBridge.column(SimHashExpr(GraftBridge.expression(tokenHashes)))
+
+  /** Null-element guard: a corrupt row surfaces as null rather than
+    * voting with garbage bits (empty arrays are fine — all-zero votes
+    * yield simhash 0, identical to the composable folds). */
+  def hasNullElement(hs: ArrayData): Boolean = {
+    val m = hs.numElements()
+    var i = 0
+    while (i < m) {
+      if (hs.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
 
   /** The per-row kernel (also called from generated code). */
   def compute(hs: ArrayData): Long = {

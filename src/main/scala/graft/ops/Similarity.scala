@@ -98,10 +98,11 @@ object Similarity {
     * Ties break on ascending c_id — identical to the window's
     * `ORDER BY sim DESC, c_id` contract, so swapping the two
     * formulations is byte-identical. */
-  private def topKPerQuery(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+  private def topKPerQuery(s: SparkSession, scored: DataFrame, k: Int,
+      sorted: Boolean = true): DataFrame = {
     import s.implicits._
     import graft.functions.{Scored, TopKAggregator}
-    scored.select(col("q_id"), col("c_id"), col("sim"))
+    val ranked = scored.select(col("q_id"), col("c_id"), col("sim"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(r => Scored(r._2, r._3))
@@ -110,7 +111,10 @@ object Similarity {
         tops.zipWithIndex.map { case (sc, i) => (q, (i + 1).toLong, sc.id, sc.score) }
       }
       .toDF("q_id", "rnk", "c_id", "sim")
-      .orderBy("q_id", "rnk")
+    // the presentation sort is for terminal results only — mid-plan
+    // callers (IVF probe selection) immediately re-join and would pay
+    // the exchange+sort for nothing
+    if (sorted) ranked.orderBy("q_id", "rnk") else ranked
   }
 
   /** LSH-bucketed ANN: candidates = pairs colliding in any of the
@@ -205,7 +209,7 @@ object Similarity {
       queries.crossJoin(broadcast(cent))
         .select(col("q_id"), col("cent_id").as("c_id"),
           r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
-      nprobe)
+      nprobe, sorted = false)
       .select(col("q_id"), col("c_id").as("cell"))
     val candidates = assign.join(broadcast(probes), "cell")
       .filter(col("q_id") =!= col("c_id"))
@@ -261,7 +265,7 @@ object Similarity {
       queries.crossJoin(broadcast(cent))
         .select(col("q_id"), col("cent_id").as("c_id"),
           r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
-      nprobe)
+      nprobe, sorted = false)
       .select(col("q_id"), col("c_id").as("cell"))
     val idx = s.read.parquet(indexPath)
     val scored = idx.join(broadcast(probes), "cell")

@@ -90,12 +90,25 @@ object Flow {
     * bucket with a [[partitionShare]] of the global rate — total
     * cluster-wide rate ≈ `globalPerSecond` without any coordination
     * (coordination-free = scales to 1000 executors; see
-    * [[partitionShare]] for the accuracy envelope). */
-  def throttledForeach[T](ds: Dataset[T], globalPerSecond: Double)(
-      effect: T => Unit): Unit = {
+    * [[partitionShare]] for the accuracy envelope).
+    *
+    * `maxConcurrent` is the task-concurrency estimate the share
+    * divides by; the default 0 means "snapshot
+    * `sparkContext.defaultParallelism` now". CAUTION: that snapshot
+    * can be STALE under dynamic allocation (executors still
+    * registering report a tiny parallelism, and the job then scales
+    * out — the cap would be divided by 2 but run 64-wide, OVERSHOOTING
+    * the global rate ~32×). A rate cap protecting a fragile external
+    * service must never overshoot: on elastic clusters pass
+    * `maxConcurrent = ds.rdd.getNumPartitions` (the pre-r5 behavior —
+    * undershoots when partitions exceed cores, but is a guaranteed
+    * upper bound on concurrency). */
+  def throttledForeach[T](ds: Dataset[T], globalPerSecond: Double,
+      maxConcurrent: Int = 0)(effect: T => Unit): Unit = {
     val sc = ds.sparkSession.sparkContext
+    val slots = if (maxConcurrent > 0) maxConcurrent else sc.defaultParallelism
     val perPartition = partitionShare(globalPerSecond,
-      math.max(1, ds.rdd.getNumPartitions), sc.defaultParallelism)
+      math.max(1, ds.rdd.getNumPartitions), slots)
     ds.foreachPartition { (it: Iterator[T]) =>
       val rl = new RateLimiter(perPartition)
       it.foreach { t => rl.acquire(); effect(t) }

@@ -76,6 +76,38 @@ class FunctionsSpec extends SparkSpec {
     assert(kernel.nonEmpty && kernel == composable)
   }
 
+  test("kernels surface corrupt rows as null (empty arrays, null elements)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("emb", ArrayType(FloatType, containsNull = true)),
+      StructField("hs", ArrayType(LongType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Long](3L, 4L)),
+      Row(2L, Array[java.lang.Float](1.0f, null), Array[java.lang.Long](3L, null)),
+      Row(3L, Array.empty[java.lang.Float], Array.empty[java.lang.Long]))
+    val df = s.createDataFrame(rows, schema)
+    val out = df.select(col("id"),
+      HyperplaneBuckets(col("emb"), 4, 2).as("bk"),
+      MinHashSig(col("hs"), 4).as("sig"),
+      SimHash(col("hs")).as("sim"),
+      CosineSimilarity(col("emb"), col("emb")).as("cos"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // clean row: everything defined
+    assert(!out(1L).isNullAt(1) && !out(1L).isNullAt(2) && !out(1L).isNullAt(3) && !out(1L).isNullAt(4))
+    // null element: every kernel surfaces null, none hashes garbage
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2) && out(2L).isNullAt(3) && out(2L).isNullAt(4))
+    // empty arrays: buckets/minhash null (no minimum to take), simhash
+    // is the all-zero vote word (composable-identical), cosine null
+    // (zero norm)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2))
+    assert(!out(3L).isNullAt(3) && out(3L).getLong(3) == 0L)
+    assert(out(3L).isNullAt(4))
+  }
+
   test("TopKAggregator matches the sort-then-take model exactly") {
     val s = spark
     import s.implicits._

@@ -45,7 +45,8 @@ class FlowSparkSpec extends SparkSpec {
     }
     s.listenerManager.register(listener)
     try {
-      // 100 elements, every 7th fails: 14 failures among 0..99
+      // 100 elements, every 7th fails: 15 failures among 0..99
+      // (0, 7, ..., 98)
       val attempts = Errors.mapSafe(s.range(100).as[Long]) { i =>
         if (i % 7 == 0) throw new IllegalStateException(s"poison $i") else i * 2
       }
