@@ -76,6 +76,50 @@ class FunctionsSpec extends SparkSpec {
     assert(kernel.nonEmpty && kernel == composable)
   }
 
+  test("kernel/composable equality holds on randomized inputs, not just the corpus") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(20260812L)
+    // varied lengths incl. singletons; values span the full Long range
+    val hsRows = (1 to 40).map { i =>
+      (i.toLong, Array.fill(1 + rnd.nextInt(50))(rnd.nextLong()))
+    }
+    val hsDf = hsRows.toDF("id", "hs")
+    val mhKernel = hsDf.select($"id", MinHashSig($"hs", 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val mhComposable = hsDf.select($"id" +: (0 until 16).map { i =>
+        array_min(transform($"hs", h => xxhash64(lit(i), h))).as(s"h$i")
+      }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toList).toMap
+    assert(mhKernel == mhComposable)
+
+    val shKernel = hsDf.select($"id", SimHash($"hs").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bitSums = (0 until 64).map { i =>
+      aggregate($"hs", lit(0L), (acc, h) => acc + shiftright(h, i).bitwiseAND(1)).as(s"b$i")
+    } :+ size($"hs").cast("long").as("total")
+    val vote = (0 until 64).map { i =>
+      when(col(s"b$i") * 2 > col("total"), shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val shComposable = hsDf.select($"id" +: bitSums: _*).select($"id", vote.as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shKernel == shComposable)
+
+    val embRows = (1 to 40).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat() * 2 - 1),
+        Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    }
+    val embDf = embRows.toDF("id", "a", "b")
+    val cosKernel = embDf.select($"id", CosineSimilarity($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cosComposable = embDf
+      .select($"id", graft.ops.Similarity.cosineComposable($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same left-to-right accumulation order: EXACT equality, no epsilon
+    assert(cosKernel == cosComposable)
+  }
+
   test("kernels surface corrupt rows as null (empty arrays, null elements)") {
     val s = spark
     import org.apache.spark.sql.functions._
