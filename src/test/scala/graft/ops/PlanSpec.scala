@@ -81,6 +81,25 @@ class PlanSpec extends SparkSpec {
       "IVF probe joins must broadcast — the corpus side cannot shuffle-sort at scale")
   }
 
+  test("sketch signatures run as native kernels, not interpreted lambda folds") {
+    // regression gate: the fused Expression kernels must stay in the
+    // plans — a revert to transform/aggregate higher-order functions
+    // (interpreted per element) would pass every value test and
+    // silently cost ~5× on the signature stages
+    Seq("d04" -> Dedup.minhashLshPairs(spark, sf0001),
+        "d05" -> Dedup.simhashPairs(spark, sf0001),
+        "s02" -> Similarity.lshTopK(spark, sf0001)).foreach { case (name, df) =>
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val expected = name match {
+        case "d04" => "minhash_sig"
+        case "d05" => "simhash"
+        case _     => "hyperplane_buckets"
+      }
+      assert(p.contains(expected), s"$name plan lost the $expected kernel")
+    }
+  }
+
   test("ANN ranking uses the bounded-heap aggregate, never a window sort") {
     // s01 keeps the window formulation as the didactic baseline; every
     // scale-path ranker (s02 LSH, s04 native, s05 IVF — including the
