@@ -24,21 +24,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  // builder validation throws AnalysisException (via the bridge — the
+  // message constructor is private[sql]) so SQL callers get a
+  // positioned analysis error, not a raw IllegalArgumentException
+  // escaping function resolution
+  private def analysisError(msg: String): Nothing =
+    throw org.apache.spark.sql.GraftBridge.analysisException(msg)
+
   private val cosineBuilder: Seq[Expression] => Expression = { exprs =>
-    require(exprs.length == 2, "cosine_similarity(a, b) takes two arguments")
+    if (exprs.length != 2)
+      analysisError(s"cosine_similarity(a, b) takes two arguments; got ${exprs.length}")
     CosineSimilarityExpr(exprs(0), exprs(1))
   }
 
   private val bucketsBuilder: Seq[Expression] => Expression = { exprs =>
-    require(exprs.length == 3,
-      "hyperplane_buckets(emb, bits, tables) takes three arguments")
+    if (exprs.length != 3)
+      analysisError(
+        s"hyperplane_buckets(emb, bits, tables) takes three arguments; got ${exprs.length}")
     def intLit(e: Expression, name: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"hyperplane_buckets: $name must be an integer literal, got $other")
+      case other => analysisError(
+        s"hyperplane_buckets: $name must be an integer literal, got ${other.sql}")
     }
-    HyperplaneBucketsExpr(exprs(0),
-      intLit(exprs(1), "bits"), intLit(exprs(2), "tables"))
+    val bits = intLit(exprs(1), "bits")
+    val tables = intLit(exprs(2), "tables")
+    if (bits < 1 || bits > 63 || tables < 1)
+      analysisError(
+        s"hyperplane_buckets: bits must be in [1, 63] and tables >= 1; got bits=$bits, tables=$tables")
+    HyperplaneBucketsExpr(exprs(0), bits, tables)
   }
 
   /** Register into an already-running session (tests, spark-shell). */

@@ -16,11 +16,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 
 /** MinHash signature of a shingle-hash set: `array<long>` of
-  * `numHashes` minima, value-IDENTICAL to the composable
-  * `array_min(transform(hs, h => xxhash64(lit(i), h)))` formulation —
-  * the kernel replays Spark's own XXH64 chain (seed 42 → hashInt(i)
-  * → hashLong(h)), so swapping formulations changes no signature
-  * bit (FunctionsSpec asserts equality). */
+  * `numHashes` minima, value-identical FOR NULL-FREE ARRAYS to the
+  * composable `array_min(transform(hs, h => xxhash64(lit(i), h)))`
+  * formulation — the kernel replays Spark's own XXH64 chain (seed 42
+  * → hashInt(i) → hashLong(h)), so on clean input swapping
+  * formulations changes no signature bit (FunctionsSpec asserts
+  * equality). Null ELEMENTS diverge deliberately: the kernel returns
+  * null (corrupt row surfaces downstream, same contract as
+  * [[HyperplaneBuckets.compute]]), whereas Spark's hash functions
+  * skip null inputs and the composable form would silently sign the
+  * remaining elements. Dedup's shingle pipeline never produces null
+  * elements, so the scale paths see only the identical regime. */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
   extends UnaryExpression {
   require(numHashes >= 1)

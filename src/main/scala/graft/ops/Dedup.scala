@@ -367,11 +367,13 @@ object Dedup {
     * duplicate group) taken to corpus scale: [[dupClusters]] elects
     * each cluster's min doc_id canonical, every OTHER member is
     * dropped from the corpus via one left_anti join on doc_id, and
-    * the surviving corpus is summarized per lang. At 100 TB the
-    * drop-list is tiny relative to the corpus (near-dup members
-    * only), so the anti join broadcasts it and the corpus never
-    * shuffles — deduping 100 TB costs one scan after the sketch
-    * pipeline. */
+    * the surviving corpus is summarized per lang. The join strategy
+    * is deliberately left to AQE: when the drop-list is small (a
+    * lightly-duplicated corpus) AQE broadcasts it and the corpus
+    * never shuffles, but real web corpora drop 20-50% of docs in
+    * near-dup dedup — billions of ids at 100 TB — and a forced
+    * `broadcast()` hint would OOM the driver instead of degrading to
+    * a shuffle join. Runtime statistics, not a hint, pick the path. */
   def dedupSurvivors(s: SparkSession, dir: String, n: Int = 5,
       threshold: Double = 0.6): DataFrame = {
     val pairs = minhashLshPairs(s, dir, n, threshold = threshold)
@@ -380,7 +382,7 @@ object Dedup {
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("doc_id"))
     t(s, dir, "documents")
-      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .join(dropped, Seq("doc_id"), "left_anti")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("lang")

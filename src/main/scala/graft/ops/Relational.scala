@@ -323,13 +323,15 @@ object Relational {
     * query emits that boolean per group, computing BOTH sides in
     * Spark; the DuckDB oracle independently derives the group list
     * and expects `true` everywhere — the d05b companion-oracle
-    * pattern (certify the claim, not the sketch internals). 5% is
-    * generous vs approx_count_distinct's default 1% rsd target, so
-    * the check is stable across SFs, not tuned to one corpus. */
+    * pattern (certify the claim, not the sketch internals). The
+    * sketch runs at rsd=0.01 (NOT the 0.05 default — a 5% envelope
+    * around a 5%-rsd sketch is only ~1σ and would legitimately fail
+    * at larger SFs), so the 5% gate sits at 5σ of the configured
+    * error: stable across SFs, not tuned to one corpus. */
   def approxDistinctWithinTolerance(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"),
         countDistinct(col("l_partkey")).as("e"))
       .select(col("l_returnflag"),
         (abs(col("a") - col("e")) <= col("e") * 0.05).as("within_5pct"))

@@ -174,9 +174,13 @@ final case class Pipe[T](ds: Dataset[T], chain: List[String] = Nil) {
     * `throttle(per_second=)` + `foreach` composed
     * (streamable/stream.py:448-477) — see
     * [[Flow.throttledForeach]]/[[Flow.partitionShare]] for the
-    * coordination-free rate math. */
-  def runForeachThrottled(globalPerSecond: Double)(effect: T => Unit): Unit =
-    Flow.throttledForeach(ds, globalPerSecond)(effect)
+    * coordination-free rate math. `maxConcurrent` (default 0 =
+    * snapshot `defaultParallelism`) is forwarded verbatim: on elastic
+    * clusters pass the partition count for the guaranteed-no-overshoot
+    * mode Flow's scaladoc documents. */
+  def runForeachThrottled(globalPerSecond: Double, maxConcurrent: Int = 0)(
+      effect: T => Unit): Unit =
+    Flow.throttledForeach(ds, globalPerSecond, maxConcurrent)(effect)
 
   /** Exhausts and counts; reference `count()` (stream.py:133-141). */
   def count(): Long = ds.count()

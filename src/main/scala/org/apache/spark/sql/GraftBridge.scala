@@ -20,4 +20,13 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** A positioned analysis error for function-builder validation
+    * (arity / literal-ness checks in [[graft.GraftExtensions]]): SQL
+    * callers get an `AnalysisException` with query context instead of
+    * a raw `IllegalArgumentException` escaping resolution. The
+    * message-only constructor is `private[sql]`, hence bridged here. */
+  def analysisException(message: String): AnalysisException =
+    new AnalysisException(
+      message, None, None, None, None, Map.empty, Array.empty)
 }

@@ -59,4 +59,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql == api && sql.size == 20)
     sql.values.foreach(bks => assert(bks.length == 8 && bks.forall(b => b >= 0 && b < 16)))
   }
+
+  test("builder misuse surfaces as AnalysisException, not a raw runtime error") {
+    val s = SparkSpec.session
+    GraftExtensions.register(s)
+    s.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(1)
+      .createOrReplaceTempView("emb_ext4")
+    import org.apache.spark.sql.AnalysisException
+    // wrong arity
+    val e1 = intercept[AnalysisException](
+      s.sql("SELECT hyperplane_buckets(embedding, 4) FROM emb_ext4").collect())
+    assert(e1.getMessage.contains("three arguments"))
+    // non-literal bits argument
+    val e2 = intercept[AnalysisException](
+      s.sql("SELECT hyperplane_buckets(embedding, CAST(vec_id AS INT), 8) FROM emb_ext4").collect())
+    assert(e2.getMessage.contains("integer literal"))
+    // out-of-range bits
+    val e3 = intercept[AnalysisException](
+      s.sql("SELECT hyperplane_buckets(embedding, 64, 8) FROM emb_ext4").collect())
+    assert(e3.getMessage.contains("[1, 63]"))
+    val e4 = intercept[AnalysisException](
+      s.sql("SELECT cosine_similarity(embedding) FROM emb_ext4").collect())
+    assert(e4.getMessage.contains("two arguments"))
+  }
 }

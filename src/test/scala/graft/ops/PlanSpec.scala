@@ -9,8 +9,19 @@ import graft.SparkSpec
   */
 class PlanSpec extends SparkSpec {
 
+  /** Plan string with any AQE "Initial Plan" section stripped: once a
+    * query runs, `AdaptiveSparkPlan.toString` prints the FINAL plan
+    * followed by the pre-execution guess — asserting on the raw string
+    * would flag joins AQE already replanned away (e.g. d08's anti join,
+    * which AQE demotes from the stats-blind SortMergeJoin guess to a
+    * BroadcastHashJoin at runtime). */
+  private def finalOnly(p: String): String = {
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
   private def plan(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.toString
+    finalOnly(df.queryExecution.executedPlan.toString)
 
   test("q02: all predicates push down to the parquet scan") {
     val p = plan(Relational.revenueForecast(spark, sf0001))
@@ -110,7 +121,7 @@ class PlanSpec extends SparkSpec {
         "s04" -> Similarity.nativeTopK(spark, sf0001),
         "s05" -> Similarity.ivfTopK(spark, sf0001)).foreach { case (name, df) =>
       df.collect()
-      val p = df.queryExecution.executedPlan.toString
+      val p = finalOnly(df.queryExecution.executedPlan.toString)
       assert(!p.contains("Window"), s"$name plans a Window sort")
       assert(p.contains("TopKAggregator"), s"$name missing the typed top-k aggregate")
     }
@@ -127,7 +138,7 @@ class PlanSpec extends SparkSpec {
     val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sf0001)
       df.collect()
-      val p = df.queryExecution.executedPlan.toString
+      val p = finalOnly(df.queryExecution.executedPlan.toString)
       val flags = Seq(
         if (p.contains("CartesianProduct")) Some("CartesianProduct") else None,
         if (p.contains("SortMergeJoin")) Some("SortMergeJoin") else None).flatten
