@@ -131,13 +131,101 @@ object SparkEntry {
            SELECT x.id, e.dst FROM reach x JOIN edges e ON e.src = x.r),
          labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)"""
 
+  /** DuckDB replica of the [[graft.functions.HyperplaneBuckets]]
+    * kernel for the s02 oracle — the s05 pattern (replicate the
+    * deterministic index structure, so approximation lives in the
+    * ALGORITHM, not the engines). splitmix64 is 64-bit wrapping
+    * arithmetic; DuckDB BIGINT/HUGEINT raise on overflow, so the
+    * multiply is done in 32-bit halves under HUGEINT with explicit
+    * `% 2^64` (verified value-identical to the JVM kernel for every
+    * sf0.01 vector, buckets AND final top-k). The dot products match
+    * bit-for-bit because both engines fold the dimensions in array
+    * order (`list_dot_product` ≡ the kernel's ascending-i loop).
+    */
+  private def splitmix64Sql: String = {
+    def mulmod(a: String, b: BigInt): String = {
+      val bl = b & 0xFFFFFFFFL
+      val bh = b >> 32
+      s"((($a) % 4294967296 * $bl + ((($a) % 4294967296 * $bh + (($a) // 4294967296) * $bl) % 4294967296) * 4294967296) % 18446744073709551616)"
+    }
+    def xs(z: String, n: Int): String =
+      s"CAST(xor(CAST($z AS UBIGINT), CAST($z AS UBIGINT) >> $n) AS HUGEINT)"
+    val z0 = "((CAST(p * 1000003 + i AS HUGEINT) + 11400714819323198485) % 18446744073709551616)"
+    val z1 = mulmod(xs(z0, 30), BigInt("BF58476D1CE4E5B9", 16))
+    val z2 = mulmod(xs(z1, 27), BigInt("94D049BB133111EB", 16))
+    xs(z2, 31)
+  }
+
+  /** s02's full LSH oracle: hyperplane coefficients from
+    * [[splitmix64Sql]], sign-bit buckets per table, any-table
+    * collision candidates, exact rerank — the hash-match certifies
+    * the kernel's determinism cross-engine AND the candidate/rank
+    * pipeline (recall loss vs s01 is identical on both sides because
+    * both replay the same hyperplanes). */
+  private def s02OracleSql(bits: Int, tables: Int): String = {
+    val z = splitmix64Sql
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  len(embedding) AS dims FROM embeddings),
+       grid AS (SELECT p, i FROM (SELECT UNNEST(range(${bits * tables})) AS p),
+                                 (SELECT UNNEST(range((SELECT max(dims) FROM e))) AS i)),
+       co AS (SELECT p, i,
+         CAST(CASE WHEN $z >= 9223372036854775808 THEN $z - 18446744073709551616 ELSE $z END AS BIGINT)
+           / 9223372036854775807.0 AS c FROM grid),
+       cl AS (SELECT p, list(c ORDER BY i) AS coef FROM co GROUP BY p),
+       dots AS (SELECT vec_id, p, list_dot_product(emb, coef) AS dot FROM e, cl),
+       bks AS (SELECT vec_id, p // $bits AS tb,
+                      sum(CASE WHEN dot > 0 THEN 1 << (p % $bits) ELSE 0 END) AS bucket
+               FROM dots GROUP BY 1, 2),
+       cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+                FROM bks q JOIN bks c ON q.tb = c.tb AND q.bucket = c.bucket
+                WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       sc AS (SELECT q_id, c_id,
+                floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+              FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+       r AS (SELECT q_id, c_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+       SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (weaker rows-only check):
-    * d05/s02/q24 (hash-sketch internals not replicable in SQL — but
-    * d05's verify stage IS oracled via d05b), m02 (JVM checksum
-    * kernel).
+    * d05/q24 (hash-sketch internals whose CLAIMS are oracled via the
+    * d05b/q24b companions).
     */
   def oracleSql: Map[String, String] = Map(
+    "s02_lsh_topk" -> s02OracleSql(bits = 4, tables = 8),
+    // m02: the stub "decode" checksum is a 64-bit wrapping polynomial
+    // hash over the blob's UTF-8 bytes (fakeDecode's cs*31+byte loop) —
+    // replicated exactly: bytes via hex(), positional 31^k powers via a
+    // recursive CTE, HUGEINT sums with explicit % 2^64 (same wrapping
+    // trick as the s02 oracle). The hash-match certifies the batched
+    // mapPartitions kernel plumbing end-to-end; a real codec swaps the
+    // arithmetic and keeps the plumbing.
+    "m02_decode_features" ->
+      """WITH RECURSIVE
+         maxlen AS (SELECT max(octet_length(encode(text))) AS m FROM documents),
+         pow(k, v) AS (
+           SELECT 0, CAST(1 AS HUGEINT)
+           UNION ALL
+           SELECT k + 1, (v * 31) % 18446744073709551616 FROM pow WHERE k < (SELECT m FROM maxlen)),
+         b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+         bytes AS (
+           SELECT doc_id, n, i,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16 +
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS byte
+           FROM b, UNNEST(range(0, n)) AS t(i)),
+         cs AS (
+           SELECT doc_id, any_value(n) AS n,
+             sum(CAST(byte AS HUGEINT) * p.v) % 18446744073709551616 AS u
+           FROM bytes JOIN pow p ON p.k = n - 1 - i
+           GROUP BY doc_id)
+         SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(n % 1024 AS INT) AS width,
+           CAST(n // 1024 + 1 AS INT) AS height,
+           CASE WHEN u >= 9223372036854775808 THEN CAST(u - 18446744073709551616 AS BIGINT)
+                ELSE CAST(u AS BIGINT) END AS checksum
+         FROM cs ORDER BY media_id""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
