@@ -65,6 +65,11 @@ object SparkEntry {
     "t07_repetition" -> ((s: SparkSession, dir: String) => TextAnalysis.repetitionStats(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
+    "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
+    // — corpus curation (training-data pipeline) —
+    "c01_contamination" -> ((s: SparkSession, dir: String) => Curation.contaminationReport(s, dir)),
+    "c02_seq_packing" -> ((s: SparkSession, dir: String) => Curation.packingStats(s, dir)),
+    "c03_blocklist_scrub" -> ((s: SparkSession, dir: String) => Curation.blocklistScrubStats(s, dir)),
     // — deduplication —
     "d01_exact_dedup" -> (Dedup.exactDedupByLang _),
     "d02_dup_groups" -> (Dedup.duplicateGroups _),
@@ -95,9 +100,9 @@ object SparkEntry {
     * silently desynchronize one oracle from the others. */
   private val shingleCtes =
     """toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+           SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
          sh AS (
-           SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+           SELECT DISTINCT doc_id, source, array_to_string(w[i:i+4], ' ') AS shingle
            FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
            WHERE len(w) >= 5),
          sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -194,6 +199,47 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "s02_lsh_topk" -> s02OracleSql(bits = 4, tables = 8),
+    // c01: contamination vs the src0 "benchmark" — string shingles in
+    // the oracle vs xxhash64 shingles in Spark (the d03 equivalence
+    // argument: distinct-set sizes match absent 64-bit collisions)
+    "c01_contamination" ->
+      s"""WITH $shingleCtes,
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+         corpus AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+         hits AS (SELECT c.doc_id, count(*) AS n_hit
+                  FROM corpus c JOIN bench b USING (shingle) GROUP BY 1)
+         SELECT h.doc_id, z.n_sh, h.n_hit,
+           floor(h.n_hit / z.n_sh * 1000 + 0.5) / 1000 AS overlap
+         FROM hits h JOIN sz z ON z.doc_id = h.doc_id
+         WHERE floor(h.n_hit / z.n_sh * 1000 + 0.5) / 1000 >= 0.5
+         ORDER BY h.doc_id""",
+    "p02_train_val_test" ->
+      s"""SELECT CASE
+           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.rateThreshold(0.8)}' THEN 'train'
+           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.rateThreshold(0.9)}' THEN 'val'
+           ELSE 'test' END AS split,
+         lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1, 2 ORDER BY split, lang""",
+    "c02_seq_packing" ->
+      """WITH d AS (SELECT doc_id, lang,
+           len(string_split_regex(trim(text), '\s+')) AS n_tok FROM documents),
+         c AS (SELECT lang, n_tok,
+           sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+           FROM d)
+         SELECT lang, CAST(start // 2048 AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""",
+    "c03_blocklist_scrub" ->
+      """WITH d AS (SELECT lang,
+           len(string_split_regex(trim(text), '\s+')) AS n_tok,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> t NOT IN ('spark', 'hash'))) AS n_kept
+           FROM documents)
+         SELECT lang, count(*) FILTER (n_tok <> n_kept) AS n_docs_hit,
+           CAST(sum(n_tok - n_kept) AS BIGINT) AS tokens_removed,
+           CAST(sum(n_kept) AS BIGINT) AS tokens_after
+         FROM d GROUP BY lang ORDER BY lang""",
     // m02: the stub "decode" checksum is a 64-bit wrapping polynomial
     // hash over the blob's UTF-8 bytes (fakeDecode's cs*31+byte loop) —
     // replicated exactly: bytes via hex(), positional 31^k powers via a

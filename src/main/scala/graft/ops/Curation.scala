@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Relational.{t, r3}
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * runs between ingestion and tokenization: benchmark-contamination
+  * checks, deterministic dataset splits, sequence packing, and
+  * vocabulary blocklist scrubbing. Reference analog: these are the
+  * `filter`/`map`/`group` stages of the reference's ETL chains
+  * (streamable/stream.py:230-326) specialized to the corpus-prep
+  * domain, re-expressed shuffle-parallel.
+  */
+object Curation {
+
+  /** Benchmark-contamination report: for every corpus document, the
+    * fraction of its distinct n-gram shingles that also occur in the
+    * benchmark set (here: docs from `benchSource`, standing in for an
+    * eval suite); docs at or above `minOverlap` are flagged.
+    *
+    * Scale design (100 TB corpus, MB-scale benchmarks): the benchmark
+    * shingle set is explicitly `broadcast()` — eval suites are tiny by
+    * construction, and the broadcast turns the overlap test into a
+    * map-side semi join (the corpus never shuffles its shingles
+    * against the benchmark). Only the HIT rows (rare) reach the
+    * per-doc count aggregation, so the one shuffle moves a vanishing
+    * fraction of the corpus. Shingle sets are the same hashed,
+    * per-row-distinct [[Dedup.shingleHashSets]] projection the dedup
+    * pipeline uses — longs on the wire, never shingle strings.
+    */
+  def contaminationReport(s: SparkSession, dir: String,
+      benchSource: String = "src0", n: Int = 5,
+      minOverlap: Double = 0.5): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val sets = Dedup.shingleHashSets(docs, n).join(src, "doc_id")
+    val bench = sets.filter(col("source") === benchSource)
+      .select(explode(col("hs")).as("h")).distinct()
+    val corpus = sets.filter(col("source") =!= benchSource)
+    val hits = corpus.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.select("doc_id", "n_sh").join(hits, "doc_id")
+      .withColumn("overlap", r3(col("n_hit") / col("n_sh")))
+      .filter(col("overlap") >= minOverlap)
+      .select("doc_id", "n_sh", "n_hit", "overlap")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test assignment by content hash — the
+    * same stable-split property as [[Sampling.hashSample]] (a doc's
+    * split never changes under repartitioning, incremental ingestion,
+    * or engine swap; any engine with md5 derives the identical split).
+    * Thresholds partition the [0, 2^32) draw space:
+    * [0, train) → train, [train, train+val) → val, rest → test. */
+  def splitAssign(key: Column, trainFrac: Double, valFrac: Double): Column = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1)
+    val draw = Sampling.hashDraw(key)
+    when(draw < lit(Sampling.rateThreshold(trainFrac)), "train")
+      .when(draw < lit(Sampling.rateThreshold(trainFrac + valFrac)), "val")
+      .otherwise("test")
+  }
+
+  /** Split summary per (split, lang): a pure map-side assignment (the
+    * md5 predicate fuses into the scan; zero shuffle before the final
+    * tiny aggregation) — splitting 100 TB costs one scan. */
+  def splitStats(s: SparkSession, dir: String, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("split", splitAssign(col("doc_id"), trainFrac, valFrac))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+
+  /** Greedy sequence packing (concat-and-chunk): documents are laid
+    * end-to-end in (stream, position) order and the token stream is
+    * cut every `budget` tokens; a document belongs to the pack where
+    * it STARTS (straddlers count once). pack_id = floor(start/budget)
+    * where start = cumulative tokens before the doc.
+    *
+    * The packing stream is per-lang — matching how real pipelines
+    * pack (per language/domain shard), and what makes the op
+    * shuffle-parallel: the cumulative sum is a window partitioned by
+    * `lang`, never a global single-task sort. A 100 TB corpus packs
+    * as thousands of independent streams; for a single giant stream,
+    * re-key by (lang, shard) first — the semantics compose because
+    * each stream is packed independently. */
+  def packingStats(s: SparkSession, dir: String, budget: Long = 2048): DataFrame = {
+    require(budget >= 1)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("start", sum("n_tok").over(w) - col("n_tok"))
+      .withColumn("pack_id", floor(col("start") / budget).cast("long"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("lang", "pack_id")
+  }
+
+  /** Blocklist scrub: drop blocklisted TOKENS from every document (the
+    * vocabulary-filter stage — banned terms, boilerplate markers).
+    * Token-based (array `filter`, not regex) so the semantics are
+    * exact and engine-portable; pure per-row column algebra — scans,
+    * filters in-row, zero shuffle before the summary aggregation.
+    * Summarized per lang: docs touched, tokens removed, corpus token
+    * count after the scrub. */
+  def blocklistScrubStats(s: SparkSession, dir: String,
+      blocklist: Seq[String] = Seq("spark", "hash")): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val kept = filter(toks, tk => !tk.isInCollection(blocklist))
+    t(s, dir, "documents")
+      .select(col("lang"), size(toks).as("n_tok"), size(kept).as("n_kept"))
+      .groupBy("lang")
+      .agg(count(when(col("n_tok") =!= col("n_kept"), 1)).as("n_docs_hit"),
+        sum(col("n_tok") - col("n_kept")).as("tokens_removed"),
+        sum("n_kept").as("tokens_after"))
+      .orderBy("lang")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Curation operators against a crafted corpus with hand-computed
+  * expectations (the sf0.01 DuckDB oracles cover the synthetic-corpus
+  * path; these pin the SEMANTICS on minimal inputs). */
+class CurationSpec extends SparkSpec {
+
+  /** Write a tiny documents.parquet under a temp dir and return the
+    * dir — the ops read `dir/documents.parquet` like any SF dir. */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("contamination: full-overlap doc flagged, partial below threshold clean") {
+    val dir = docsDir(Seq(
+      (0L, "a b c d e f g", "en", "src0"),          // the benchmark doc
+      (1L, "a b c d e f g", "en", "src1"),          // verbatim leak: overlap 1.0
+      (2L, "p q r s t u v w", "en", "src1"),        // disjoint: no hits
+      (3L, "a b c d e x y z w q", "en", "src1")))   // 1 of 6 shingles: 0.167
+    val out = Curation.contaminationReport(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 3L, 3L, 1.0)))
+  }
+
+  test("contamination: benchmark docs are never in the report") {
+    val dir = docsDir(Seq(
+      (0L, "a b c d e f g", "en", "src0"),
+      (1L, "a b c d e f g", "en", "src0")))  // dup WITHIN the benchmark
+    assert(Curation.contaminationReport(spark, dir).count() == 0)
+  }
+
+  test("split assignment: deterministic, complete, near the requested fractions") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("doc_id")
+    val split = ids.withColumn("split",
+      Curation.splitAssign(col("doc_id"), trainFrac = 0.8, valFrac = 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)
+    // md5 draws are uniform: 3-sigma tolerance at n=10000 is ~1.2%
+    assert(math.abs(counts("train") - 8000L) < 150, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 100, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 1000L) < 100, s"test=${counts("test")}")
+    // stable under repartitioning — the whole point vs df.sample()
+    val again = split.repartition(13).groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("packing: docs land in the pack where they start; straddlers count once") {
+    val five = "w w w w w"
+    val dir = docsDir(Seq(
+      (1L, five, "en", "s"), (2L, five, "en", "s"),
+      (3L, five, "en", "s"), (4L, five, "en", "s"),
+      (5L, five, "fr", "s")))
+    // budget 8: en starts 0,5,10,15 -> packs 0,0,1,1; fr its own stream
+    val out = Curation.packingStats(spark, dir, budget = 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("en", 0L, 2L, 10L), ("en", 1L, 2L, 10L),
+      ("fr", 0L, 1L, 5L)))
+  }
+
+  test("packing: an over-budget doc owns its start pack; pack ids may skip") {
+    val dir = docsDir(Seq(
+      (1L, Seq.fill(20)("w").mkString(" "), "en", "s"),  // starts pack 0, spans past 2
+      (2L, "w w w", "en", "s")))                          // starts at 20 -> pack 2
+    val out = Curation.packingStats(spark, dir, budget = 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("en", 0L, 1L, 20L), ("en", 2L, 1L, 3L)))
+  }
+
+  test("packing conserves documents and tokens per stream") {
+    val out = Curation.packingStats(spark, sf0001)
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val packed = out.groupBy("lang")
+      .agg(fsum("n_docs").as("d"), fsum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = Relational.t(spark, sf0001, "documents")
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy("lang").agg(count(lit(1)).as("d"), fsum("n").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed == direct)
+  }
+
+  test("blocklist scrub: exact token removals, untouched docs not counted") {
+    val dir = docsDir(Seq(
+      (1L, "spark is fast and spark scales", "en", "s"),  // 2 removals
+      (2L, "hash the key", "en", "s"),                     // 1 removal
+      (3L, "plain words only", "en", "s"),                 // untouched
+      (4L, "sparkle hashes stay", "fr", "s")))             // substrings do NOT match
+    val out = Curation.blocklistScrubStats(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // en: 6+3+3=12 tokens, 3 removed, 9 kept, 2 docs hit; fr untouched
+    assert(out.toSeq == Seq(("en", 2L, 3L, 9L), ("fr", 0L, 0L, 3L)))
+  }
+}

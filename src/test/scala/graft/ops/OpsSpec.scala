@@ -348,8 +348,10 @@ class OpsSpec extends SparkSpec {
   }
 
   test("every query name has either an oracle or a documented exemption") {
-    val exempt = Set("d05_simhash_pairs", "s02_lsh_topk", "m02_decode_features",
-      "q24_approx_distinct")
+    // the two remaining exemptions both carry companion-oracle
+    // certificates of their claims (d05b / q24b); s02 and m02 gained
+    // exact cross-engine oracles in r6
+    val exempt = Set("d05_simhash_pairs", "q24_approx_distinct")
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
