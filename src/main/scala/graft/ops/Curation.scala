@@ -33,9 +33,15 @@ object Curation {
   def contaminationReport(s: SparkSession, dir: String,
       benchSource: String = "src0", n: Int = 5,
       minOverlap: Double = 0.5): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val src = docs.select(col("doc_id"), col("source"))
-    val sets = Dedup.shingleHashSets(docs, n).join(src, "doc_id")
+    // source rides the shingle projection (one pass over text) and the
+    // sets are checkpointed ONCE for their three consumers (benchmark
+    // set, hit counting, per-doc sizes) — without it the tokenize+hash
+    // pipeline re-runs per consumer, tripling the dominant scan (the
+    // same lineage discipline as [[Dedup.ngramJaccardPairs]]; at
+    // 100 TB the checkpoint holds 8-byte shingle hashes, a few % of
+    // corpus bytes)
+    val sets = Dedup.shingleHashSets(t(s, dir, "documents"), n,
+      carry = Seq("source")).localCheckpoint()
     val bench = sets.filter(col("source") === benchSource)
       .select(explode(col("hs")).as("h")).distinct()
     val corpus = sets.filter(col("source") =!= benchSource)

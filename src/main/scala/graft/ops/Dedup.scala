@@ -48,13 +48,15 @@ object Dedup {
     * up to xxhash64 collisions — P(any collision) ≈ m²/2⁶⁵ ≈ 10⁻⁸ at a
     * million distinct shingles. Output: (doc_id, hs Array[Long],
     * n_sh). */
-  def shingleHashSets(docs: DataFrame, n: Int): DataFrame = {
+  def shingleHashSets(docs: DataFrame, n: Int,
+      carry: Seq[String] = Seq.empty): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
-    docs.select(col("doc_id"), toks.as("w"))
+    val carried = carry.map(col)
+    docs.select(col("doc_id") +: carried :+ toks.as("w"): _*)
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: carried :+
         array_distinct(transform(sequence(lit(0), size(col("w")) - n),
-          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("hs"))
+          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("hs"): _*)
       .withColumn("n_sh", size(col("hs")).cast("long"))
   }
 
