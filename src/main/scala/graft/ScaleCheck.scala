@@ -92,7 +92,14 @@ object ScaleCheck {
       // re-measurable
       "d06_neardup_b8t8_legacy" -> ((ss: SparkSession, d: String) => ops.Dedup.embeddingNearDups(ss, d, bits = 8, tables = 8)),
       "s02_lsh_topk" -> ((ss: SparkSession, d: String) => ops.Similarity.lshTopK(ss, d)),
-      "d08_dedup_survivors" -> ((ss: SparkSession, d: String) => ops.Dedup.dedupSurvivors(ss, d)))
+      "d08_dedup_survivors" -> ((ss: SparkSession, d: String) => ops.Dedup.dedupSurvivors(ss, d)),
+      // r6 curation: c01's benchmark side grows with the corpus here
+      // (every replica carries a src0 slice) — a harsher test than the
+      // production fixed-size benchmark, so ratio ≲ K still certifies
+      // the broadcast-semi-join shape; c02's packing streams stay 5
+      // langs wide while rows grow ×K (per-stream sweep cost scales)
+      "c01_contamination" -> ((ss: SparkSession, d: String) => ops.Curation.contaminationReport(ss, d)),
+      "c02_seq_packing" -> ((ss: SparkSession, d: String) => ops.Curation.packingStats(ss, d)))
 
     val timed: Map[Int, Seq[(String, Double)]] = scales.map { s =>
       val dir = s"$base/x$s"
