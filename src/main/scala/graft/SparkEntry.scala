@@ -70,6 +70,8 @@ object SparkEntry {
     "c01_contamination" -> ((s: SparkSession, dir: String) => Curation.contaminationReport(s, dir)),
     "c02_seq_packing" -> ((s: SparkSession, dir: String) => Curation.packingStats(s, dir)),
     "c03_blocklist_scrub" -> ((s: SparkSession, dir: String) => Curation.blocklistScrubStats(s, dir)),
+    "c04_decontaminated" -> ((s: SparkSession, dir: String) => Curation.decontaminatedStats(s, dir)),
+    "c05_quality_quota" -> ((s: SparkSession, dir: String) => Curation.qualityQuota(s, dir)),
     // — deduplication —
     "d01_exact_dedup" -> (Dedup.exactDedupByLang _),
     "d02_dup_groups" -> (Dedup.duplicateGroups _),
@@ -213,6 +215,37 @@ object SparkEntry {
          FROM hits h JOIN sz z ON z.doc_id = h.doc_id
          WHERE floor(h.n_hit / z.n_sh * 1000 + 0.5) / 1000 >= 0.5
          ORDER BY h.doc_id""",
+    // c04: the decontamination end state — same CTEs as c01, then the
+    // anti-join drop and per-lang survivor summary
+    "c04_decontaminated" ->
+      s"""WITH $shingleCtes,
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+         corpus AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+         hits AS (SELECT c.doc_id, count(*) AS n_hit
+                  FROM corpus c JOIN bench b USING (shingle) GROUP BY 1),
+         flagged AS (SELECT h.doc_id FROM hits h JOIN sz z ON z.doc_id = h.doc_id
+                     WHERE floor(h.n_hit / z.n_sh * 1000 + 0.5) / 1000 >= 0.5)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM flagged)
+         GROUP BY lang ORDER BY lang""",
+    // c05: per-lang quality top-k — the window formulation is the
+    // oracle for the bounded-heap TopKAggregator path (identical
+    // tie-break contract: quality desc, doc_id asc)
+    "c05_quality_quota" ->
+      """WITH q AS (
+           SELECT lang, doc_id,
+             floor(least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) *
+               (1.0 - floor(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x IN ('the', 'a'))) AS DOUBLE) /
+                 greatest(len(string_split_regex(trim(text), '\s+')), 1) * 10000 + 0.5) / 10000)
+               * 10000 + 0.5) / 10000 AS quality
+           FROM documents),
+         r AS (SELECT lang, doc_id, quality,
+                 row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk
+               FROM q)
+         SELECT lang, rnk, doc_id, quality FROM r WHERE rnk <= 3
+         ORDER BY lang, rnk""",
     "p02_train_val_test" ->
       s"""SELECT CASE
            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.rateThreshold(0.8)}' THEN 'train'

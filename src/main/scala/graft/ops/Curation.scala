@@ -55,6 +55,54 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The decontamination END STATE (the d08 pattern): corpus docs at
+    * or above `minOverlap` benchmark overlap are DROPPED via one
+    * left-anti join, and the surviving training corpus is summarized
+    * per lang. The flagged list is contamination-sized (rare), so AQE
+    * broadcasts it and the corpus never shuffles — decontaminating
+    * 100 TB costs one scan after the overlap pipeline. Docs too short
+    * to shingle (< n tokens) carry no contamination evidence and
+    * survive by definition. */
+  def decontaminatedStats(s: SparkSession, dir: String,
+      benchSource: String = "src0", n: Int = 5,
+      minOverlap: Double = 0.5): DataFrame = {
+    val flagged = contaminationReport(s, dir, benchSource, n, minOverlap)
+      .select("doc_id")
+    t(s, dir, "documents").filter(col("source") =!= benchSource)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** Per-stratum quality quota: keep the `k` highest-quality docs per
+    * lang — the "best N per domain" curation stage. Ranking reuses the
+    * bounded-heap [[graft.functions.TopKAggregator]] (O(k) state and
+    * shuffle bytes per stratum on both aggregation sides) rather than
+    * a per-lang window: at 100 TB a stratum holds billions of docs and
+    * a window would sort ALL of them to cut at k. Tie-break (quality
+    * desc, doc_id asc) is the aggregator's contract — identical to the
+    * window's `ORDER BY q DESC, doc_id`, which is what the DuckDB
+    * oracle runs. */
+  def qualityQuota(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, r._3))
+      .agg(new TopKAggregator(k).toColumn)
+      .flatMap { case (lang, tops) =>
+        tops.zipWithIndex.map { case (sc, i) =>
+          (lang, (i + 1).toLong, sc.id, sc.score)
+        }
+      }
+      .toDF("lang", "rnk", "doc_id", "quality")
+      .orderBy("lang", "rnk")
+  }
+
   /** Deterministic train/val/test assignment by content hash — the
     * same stable-split property as [[Sampling.hashSample]] (a doc's
     * split never changes under repartitioning, incremental ingestion,

@@ -90,6 +90,30 @@ class CurationSpec extends SparkSpec {
     assert(packed == direct)
   }
 
+  test("decontamination drops flagged docs, keeps short and clean ones") {
+    val dir = docsDir(Seq(
+      (0L, "a b c d e f g", "en", "src0"),      // benchmark: never in the corpus
+      (1L, "a b c d e f g", "en", "src1"),      // verbatim leak: dropped
+      (2L, "p q r s t u v w", "en", "src1"),    // clean: survives
+      (3L, "x y", "fr", "src1")))               // too short to shingle: survives
+    val out = Curation.decontaminatedStats(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("en", 1L, 15L), ("fr", 1L, 3L)))
+  }
+
+  test("quality quota: bounded-heap rank matches window semantics incl ties") {
+    val rich = (1 to 50).map(i => s"w$i").mkString(" ")   // 50 tokens, no stopwords
+    val poor = "the a the a"                               // stopword-stuffed
+    val dir = docsDir(Seq(
+      (10L, poor, "en", "s"), (11L, rich, "en", "s"),
+      (12L, rich, "en", "s"), (13L, rich, "en", "s"),      // tie on quality
+      (14L, rich, "en", "s")))
+    val out = Curation.qualityQuota(spark, dir, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // ties break on ascending doc_id: 11, 12, 13 (14 cut, 10 far below)
+    assert(out.toSeq == Seq(("en", 1L, 11L), ("en", 2L, 12L), ("en", 3L, 13L)))
+  }
+
   test("blocklist scrub: exact token removals, untouched docs not counted") {
     val dir = docsDir(Seq(
       (1L, "spark is fast and spark scales", "en", "s"),  // 2 removals
