@@ -114,6 +114,36 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == Seq(("en", 1L, 11L), ("en", 2L, 12L), ("en", 3L, 13L)))
   }
 
+  test("packing ≡ sequential fold model on randomized corpora") {
+    // fixed-seed generation (the OrderedPropertySpec discipline): the
+    // window formulation must agree with the obvious one-stream fold
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 4).foreach { _ =>
+      val budget = 1 + rnd.nextInt(12)
+      val docs = (0 until 30).map { i =>
+        val nTok = 1 + rnd.nextInt(3 * budget) // includes over-budget docs
+        (i.toLong, Seq.fill(nTok)("w").mkString(" "),
+          s"l${rnd.nextInt(3)}", "s")
+      }
+      val dir = docsDir(docs)
+      val got = Curation.packingStats(spark, dir, budget.toLong)
+        .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+      // model: per lang, docs in doc_id order; pack = floor(start/budget)
+      val model = docs.groupBy(_._3).toSeq.flatMap { case (lang, ds) =>
+        var start = 0L
+        ds.sortBy(_._1).map { case (_, text, _, _) =>
+          val n = text.split(" ").length.toLong
+          val pack = start / budget
+          start += n
+          (lang, pack) -> n
+        }
+      }.groupBy(_._1).map { case (k, vs) =>
+        k -> (vs.size.toLong, vs.map(_._2).sum)
+      }
+      assert(got == model, s"budget=$budget")
+    }
+  }
+
   test("blocklist scrub: exact token removals, untouched docs not counted") {
     val dir = docsDir(Seq(
       (1L, "spark is fast and spark scales", "en", "s"),  // 2 removals
