@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarityExpr, HyperplaneBucketsExpr}
+import graft.functions.{CosineSimilarityExpr, HyperplaneBucketsExpr, MinHashSigExpr, SimHashExpr}
 
 /** Session-extension hook: registers the engine's native expressions
   * into the SQL function registry, so `spark.sql("SELECT
@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBucketsExpr].getName, "hyperplane_buckets"),
       GraftExtensions.bucketsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      GraftExtensions.minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash"),
+      GraftExtensions.simhashBuilder))
   }
 }
 
@@ -54,11 +62,35 @@ object GraftExtensions {
     HyperplaneBucketsExpr(exprs(0), bits, tables)
   }
 
+  private val minhashBuilder: Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2)
+      analysisError(
+        s"minhash_sig(hashes, num_hashes) takes two arguments; got ${exprs.length}")
+    val n = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => analysisError(
+        s"minhash_sig: num_hashes must be an integer literal, got ${other.sql}")
+    }
+    if (n < 1)
+      analysisError(s"minhash_sig: num_hashes must be >= 1; got $n")
+    MinHashSigExpr(exprs(0), n)
+  }
+
+  private val simhashBuilder: Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 1)
+      analysisError(s"simhash(token_hashes) takes one argument; got ${exprs.length}")
+    SimHashExpr(exprs(0))
+  }
+
   /** Register into an already-running session (tests, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftBridge.registerFunction(
       spark, "cosine_similarity", cosineBuilder)
     org.apache.spark.sql.GraftBridge.registerFunction(
       spark, "hyperplane_buckets", bucketsBuilder)
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "minhash_sig", minhashBuilder)
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "simhash", simhashBuilder)
   }
 }

@@ -60,6 +60,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     sql.values.foreach(bks => assert(bks.length == 8 && bks.forall(b => b >= 0 && b < 16)))
   }
 
+  test("minhash_sig and simhash are callable from SQL and match the Column API") {
+    val s = SparkSpec.session
+    GraftExtensions.register(s)
+    import org.apache.spark.sql.functions._
+    graft.ops.Dedup.shingleHashSets(
+        s.read.parquet("/root/testdata/sf0.001/documents.parquet"), 5)
+      .limit(20).createOrReplaceTempView("sh_ext")
+    val sql = s.sql(
+      "SELECT doc_id, minhash_sig(hs, 16) AS mh, simhash(hs) AS sh FROM sh_ext")
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1).toList, r.getLong(2)))).toMap
+    val api = s.sql("SELECT doc_id, hs FROM sh_ext")
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("hs"), 16).as("mh"),
+        graft.functions.SimHash(col("hs")).as("sh"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1).toList, r.getLong(2)))).toMap
+    assert(sql == api && sql.nonEmpty)
+  }
+
   test("builder misuse surfaces as AnalysisException, not a raw runtime error") {
     val s = SparkSpec.session
     GraftExtensions.register(s)

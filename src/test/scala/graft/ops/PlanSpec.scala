@@ -119,7 +119,8 @@ class PlanSpec extends SparkSpec {
     // cutting at k, which at 100 TB is a spilling sort, not a pipeline.
     Seq("s02" -> Similarity.lshTopK(spark, sf0001),
         "s04" -> Similarity.nativeTopK(spark, sf0001),
-        "s05" -> Similarity.ivfTopK(spark, sf0001)).foreach { case (name, df) =>
+        "s05" -> Similarity.ivfTopK(spark, sf0001),
+        "c05" -> Curation.qualityQuota(spark, sf0001)).foreach { case (name, df) =>
       df.collect()
       val p = finalOnly(df.queryExecution.executedPlan.toString)
       assert(!p.contains("Window"), s"$name plans a Window sort")
