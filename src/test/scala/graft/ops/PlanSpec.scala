@@ -128,6 +128,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c01: benchmark shingle set broadcasts; overlap test is a semi join") {
+    val df = Curation.contaminationReport(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastExchange"), "benchmark set must broadcast")
+    assert(p.contains("LeftSemi"), "overlap test must be a semi join")
+  }
+
+  test("p02: split assignment plans no shuffle before the summary aggregation") {
+    // the md5-threshold CASE is a pure projection: exactly ONE exchange
+    // (the groupBy), nothing upstream of it
+    val df = Curation.splitStats(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert("Exchange".r.findAllIn(p).length <= 2, // partial->final agg + presentation sort
+      s"split assignment must stay map-side:\n$p")
+  }
+
   test("no query in the registry plans a CartesianProduct or a SortMergeJoin") {
     // the global gate behind the per-query ones above: every join in
     // the full query registry broadcasts (or is a broadcast nested
