@@ -45,6 +45,7 @@ object SparkEntry {
     "q24_approx_distinct" -> (Relational.approxDistinctParts _),
     "q24b_approx_tolerance" -> (Relational.approxDistinctWithinTolerance _),
     "q25_quantiles" -> (Relational.priceQuantiles _),
+    "q25b_approx_quantile" -> (Relational.approxQuantileWithinTolerance _),
     "q26_pivot" -> (Relational.orderStatusPivot _),
     "q27_histogram" -> (Relational.priceHistogram _),
     "q28_stats" -> (Relational.statsSummary _),
@@ -437,6 +438,9 @@ object SparkEntry {
     "q24b_approx_tolerance" ->
       """SELECT DISTINCT l_returnflag, CAST(1 AS BOOLEAN) AS within_5pct
          FROM lineitem ORDER BY l_returnflag""",
+    "q25b_approx_quantile" ->
+      """SELECT DISTINCT o_orderpriority, CAST(1 AS BOOLEAN) AS within_rank_5pct
+         FROM orders ORDER BY o_orderpriority""",
     "q25_quantiles" ->
       """SELECT o_orderpriority,
          floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS median_price,

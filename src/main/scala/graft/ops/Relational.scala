@@ -337,6 +337,24 @@ object Relational {
         (abs(col("a") - col("e")) <= col("e") * 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
 
+  /** q25's scale-path companion (the q24b pattern): the sketch query
+    * 100 TB actually runs is `approx_percentile`, whose CONTRACT is a
+    * RANK guarantee — with accuracy a, the returned value's rank is
+    * within n/a of the target rank. This certifies it: the approx
+    * median must lie between the exact 45th and 55th percentiles
+    * (±5% rank envelope vs a guaranteed n/10000 = 0.01% rank error —
+    * 500× slack, stable at any SF). The DuckDB oracle independently
+    * derives the group list and expects `true` everywhere. */
+  def approxQuantileWithinTolerance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap"),
+        expr("percentile(o_totalprice, 0.45)").as("lo"),
+        expr("percentile(o_totalprice, 0.55)").as("hi"))
+      .select(col("o_orderpriority"),
+        (col("ap") >= col("lo") && col("ap") <= col("hi")).as("within_rank_5pct"))
+      .orderBy("o_orderpriority")
+
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`). At 100 TB prefer `approx_percentile`
     * (t-digest, no full sort) — the exact form is the correctness
