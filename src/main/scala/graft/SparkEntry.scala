@@ -51,6 +51,7 @@ object SparkEntry {
     "q28_stats" -> (Relational.statsSummary _),
     "q29_try_divide" -> (Relational.safeArithmetic _),
     "q30_salted_distinct" -> (Relational.saltedDistinctParts _),
+    "q31_zip" -> ((s: SparkSession, dir: String) => Relational.zipTopOrdersFirstCustomers(s, dir)),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -438,6 +439,14 @@ object SparkEntry {
     "q24b_approx_tolerance" ->
       """SELECT DISTINCT l_returnflag, CAST(1 AS BOOLEAN) AS within_5pct
          FROM lineitem ORDER BY l_returnflag""",
+    "q31_zip" ->
+      """WITH o AS (SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS pos
+           FROM orders),
+         c AS (SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS pos
+           FROM customer)
+         SELECT pos, o_orderkey, c_custkey FROM o JOIN c USING (pos)
+         WHERE pos < 100 ORDER BY pos""",
     "q25b_approx_quantile" ->
       """SELECT DISTINCT o_orderpriority, CAST(1 AS BOOLEAN) AS within_rank_5pct
          FROM orders ORDER BY o_orderpriority""",

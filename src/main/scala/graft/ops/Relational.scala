@@ -155,6 +155,30 @@ object Relational {
       .select("o_custkey", "o_orderkey", "o_totalprice")
       .orderBy("o_custkey")
 
+  /** Reference `zip` (SURVEY §2.3; the reference defers to builtin
+    * zip, README.md:481-497) re-grounded on explicit total orders:
+    * the most expensive orders zipped positionally with the first
+    * customers. Both sides get a parallel two-pass
+    * [[graft.stream.Ordered.withRowIndex]] (range-repartition, never
+    * a global single-task window) and hash-join on the position; the
+    * inner join truncates at the shorter side exactly like builtin
+    * zip. Orders use (price desc, orderkey) so the order is TOTAL —
+    * a tie-ambiguous index would be nondeterministic under
+    * re-execution. */
+  def zipTopOrdersFirstCustomers(s: SparkSession, dir: String,
+      k: Int = 100): DataFrame = {
+    val o = Ordered.withRowIndex(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), "pos")
+      .filter(col("pos") < k)
+    val c = Ordered.withRowIndex(
+      t(s, dir, "customer").select(col("c_custkey")),
+      Seq(col("c_custkey")), "pos")
+    o.join(c, "pos")
+      .select(col("pos"), col("o_orderkey"), col("c_custkey"))
+      .orderBy("pos")
+  }
+
   /** skip(100) then truncate(50) in o_orderkey order — reference
     * stream.py:432-493 over a real ordering column. */
   def skipTakeOrders(s: SparkSession, dir: String): DataFrame =
