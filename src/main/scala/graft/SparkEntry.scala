@@ -90,6 +90,7 @@ object SparkEntry {
     "s03_label_stats" -> (Similarity.labelCentroidStats _),
     "s04_native_topk" -> ((s: SparkSession, dir: String) => Similarity.nativeTopK(s, dir)),
     "s05_ivf_topk" -> ((s: SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
+    "s06_kmeans_codebook" -> ((s: SparkSession, dir: String) => Similarity.kmeansCodebook(s, dir)),
     // — multimodal plumbing —
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
@@ -196,12 +197,55 @@ object SparkEntry {
        SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
   }
 
+  /** s06's oracle: `iters` Lloyd rounds UNROLLED as CTE blocks —
+    * possible because the Spark side made every step cross-engine
+    * deterministic (decimal-exact component sums, in-order cosine
+    * folds, r4-rounded sims with explicit tie-breaks; see
+    * [[graft.ops.Similarity.kmeansCodebook]]). Approximation lives in
+    * the algorithm (finite rounds), not the engines — the s05/s02
+    * replicate-the-structure pattern applied to an iterative
+    * training loop. */
+  private def s06OracleSql(nlist: Int, iters: Int): String = {
+    def r4(x: String) = s"floor($x * 10000 + 0.5) / 10000"
+    def assignCte(name: String, carr: String) =
+      s"""$name AS (SELECT vec_id, cell FROM (
+         SELECT q.vec_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ${r4(s"list_cosine_similarity(q.emb, c.cemb)")} DESC, c.cell) AS rn
+         FROM e q, $carr c) WHERE rn = 1)"""
+    val rounds = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", if (i == 1) "c0a" else s"c${i - 1}a")},
+         u$i AS (SELECT a$i.cell, m.dim,
+           CAST(sum(CAST(m.v AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS cval
+         FROM m JOIN a$i USING (vec_id) GROUP BY 1, 2),
+         c${i}m AS (SELECT * FROM u$i
+           UNION ALL
+           SELECT * FROM c${i - 1}m WHERE cell NOT IN (SELECT DISTINCT cell FROM u$i)),
+         c${i}a AS (SELECT cell, list(cval ORDER BY dim) AS cemb FROM c${i}m GROUP BY cell)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       m AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim, emb[CAST(i AS INT)] AS v
+             FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)),
+       c0a AS (SELECT vec_id - 100 AS cell, emb AS cemb FROM e
+               WHERE vec_id >= 100 AND vec_id < ${100 + nlist}),
+       c0m AS (SELECT vec_id - 100 AS cell, dim, v AS cval FROM m
+               WHERE vec_id >= 100 AND vec_id < ${100 + nlist}),
+       $rounds,
+       ${assignCte("af", s"c${iters}a")},
+       cnt AS (SELECT cell, count(*) AS n_members FROM af GROUP BY cell)
+       SELECT c${iters}m.cell, COALESCE(cnt.n_members, 0) AS n_members,
+         CAST(c${iters}m.dim AS BIGINT) AS dim, ${r4(s"c${iters}m.cval")} AS cval
+       FROM c${iters}m LEFT JOIN cnt ON cnt.cell = c${iters}m.cell
+       ORDER BY c${iters}m.cell, dim"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (weaker rows-only check):
     * d05/q24 (hash-sketch internals whose CLAIMS are oracled via the
     * d05b/q24b companions).
     */
   def oracleSql: Map[String, String] = Map(
+    "s06_kmeans_codebook" -> s06OracleSql(nlist = 32, iters = 2),
     "s02_lsh_topk" -> s02OracleSql(bits = 4, tables = 8),
     // c01: contamination vs the src0 "benchmark" — string shingles in
     // the oracle vs xxhash64 shingles in Spark (the d03 equivalence

@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: cosine similarity of two FLOAT arrays.
+/** Native Catalyst expression: cosine similarity of two float or
+  * double arrays (each side independently — a float corpus scored
+  * against double k-means centroids stays in the kernel).
   *
   * The composable formulation (`zip_with` + `aggregate`, see
   * [[graft.ops.Similarity.cosine]]) builds three higher-order-function
@@ -26,22 +28,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarityExpr(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  private def elementType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(e => elementType(e).isDefined)
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"cosine_similarity expects two array<float> args, got " +
+      s"cosine_similarity expects array<float>/array<double> args, got " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
+  // element accessors resolved ONCE from the static child types (both
+  // eval and codegen branch at plan time, not per element)
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
+    val xIsF = elementType(left).contains(FloatType)
+    val yIsF = elementType(right).contains(FloatType)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
@@ -49,8 +61,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = get(x, i, xIsF)
+      val yv = get(y, i, yIsF)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -60,6 +72,9 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      def getter(arr: String, i: String, e: Expression): String =
+        if (elementType(e).contains(FloatType)) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
@@ -76,8 +91,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |for (int $i = 0; $i < $n && !$bad; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; }
          |  else {
-         |    double $xv = (double) $x.getFloat($i);
-         |    double $yv = (double) $y.getFloat($i);
+         |    double $xv = ${getter(x, i, left)};
+         |    double $yv = ${getter(y, i, right)};
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
          |}

@@ -275,6 +275,89 @@ object Similarity {
     topKPerQuery(s, scored, k)
   }
 
+  /** Trained IVF codebook: `iters` rounds of Lloyd's k-means over the
+    * corpus, upgrading [[ivfTopK]]'s seeded stand-in codebook to the
+    * real thing — the missing piece between "IVF plan shape" and "IVF
+    * index you would actually ship". Each round is the classic
+    * two-step as declarative Spark:
+    *
+    *  - ASSIGN: argmax cosine(v, c_j) via one broadcast of the (tiny)
+    *    centroid table against the corpus — a map-side scan, the same
+    *    shape as [[ivfTopK]]'s cell assignment (max of an orderable
+    *    struct, ties to the lowest cell id; no window).
+    *  - UPDATE: per-(cell, dim) mean of member components over the
+    *    melted corpus — one shuffle on (cell, dim), fully parallel.
+    *
+    * Cross-engine determinism (what makes this ORACLE-able, which an
+    * ML-library kmeans is not): component sums run in
+    * DECIMAL(20,10) — decimal addition is exact and associative, so
+    * the shuffle's reduction order cannot change a ULP, and DuckDB's
+    * decimal sum lands on the identical value; the mean then casts to
+    * double once (deterministic) and cosines fold dimensions in array
+    * order on both engines. At 100 TB you would run plain double
+    * sums (a ULP of centroid drift is immaterial to recall) — the
+    * decimal path costs ~2× on the update shuffle and buys exact
+    * reproducibility, the right trade for a certified index build.
+    * Empty cells keep their previous centroid (standard Lloyd
+    * degeneracy handling), mirrored in the oracle.
+    *
+    * Output: the final codebook melted to (cell, n_members, dim,
+    * cval) — n_members from the final assignment, cval r4-rounded.
+    * Per-round `localCheckpoint` keeps lineage O(1) across
+    * iterations (the [[graft.ops.Dedup.connectedComponents]]
+    * discipline). */
+  def kmeansCodebook(s: SparkSession, dir: String, nlist: Int = 32,
+      iters: Int = 2): DataFrame = {
+    require(nlist >= 1 && iters >= 1)
+    val emb = t(s, dir, "embeddings")
+    // melted corpus: (vec_id, dim, v) — v widened to double (exact).
+    // NOT checkpointed: the melt is a narrow projection off the scan
+    // (cheap to recompute per consumer), and measured, materializing
+    // it costs more than the re-reads — the [[embeddingNearDupPairs]]
+    // reasoning; only the ITERATED frame (cent) needs the lineage cut
+    val m = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v0")))
+      .select(col("vec_id"), col("dim"), col("v0").cast("double").as("v"))
+    val corpus = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("demb"))
+    // round-0 codebook: the s05 seed vectors (ids [100, 100+nlist))
+    var cent = m.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
+      .select((col("vec_id") - 100).as("cell"), col("dim"), col("v").as("cval"))
+      .localCheckpoint()
+
+    def assign(c: DataFrame): DataFrame = {
+      val carr = c.groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("p"))
+        .select(col("cell"), transform(col("p"), x => x("cval")).as("cemb"))
+      corpus.crossJoin(broadcast(carr))
+        .select(col("vec_id"), col("cell"),
+          r4(cosine(col("demb"), col("cemb"))).as("sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim").as("s"), (-col("cell")).as("nc"))).as("x"))
+        .select(col("vec_id"), (-col("x.nc")).as("cell"))
+    }
+
+    (1 to iters).foreach { _ =>
+      val a = assign(cent)
+      val updated = m.join(a, "vec_id")
+        .groupBy("cell", "dim")
+        .agg((sum(col("v").cast("decimal(20,10)")).cast("double") /
+          count(lit(1))).as("cval"))
+      // Lloyd degeneracy: a cell that attracted no members keeps its
+      // previous centroid rather than vanishing
+      val kept = cent.join(updated.select("cell").distinct(),
+        Seq("cell"), "left_anti")
+      cent = updated.unionByName(kept).localCheckpoint()
+    }
+
+    val finalAssign = assign(cent)
+    val counts = finalAssign.groupBy("cell").agg(count(lit(1)).as("n_members"))
+    cent.join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("dim").cast("long").as("dim"), r4(col("cval")).as("cval"))
+      .orderBy("cell", "dim")
+  }
+
   /** Per-label centroid stats: mean vector norm and intra-label mean
     * cosine-to-centroid — an IVF-style coarse quantization summary
     * (the centroid table is what an IVF index would broadcast). */
