@@ -99,7 +99,11 @@ object ScaleCheck {
       // the broadcast-semi-join shape; c02's packing streams stay 5
       // langs wide while rows grow ×K (per-stream sweep cost scales)
       "c01_contamination" -> ((ss: SparkSession, d: String) => ops.Curation.contaminationReport(ss, d)),
-      "c02_seq_packing" -> ((ss: SparkSession, d: String) => ops.Curation.packingStats(ss, d)))
+      "c02_seq_packing" -> ((ss: SparkSession, d: String) => ops.Curation.packingStats(ss, d)),
+      // s06: only replica 0 carries the seed ids, so the codebook stays
+      // nlist-wide while the corpus grows ×K — the assignment scan and
+      // the (cell, dim) update shuffle should both scale ~linearly
+      "s06_kmeans_codebook" -> ((ss: SparkSession, d: String) => ops.Similarity.kmeansCodebook(ss, d)))
 
     val timed: Map[Int, Seq[(String, Double)]] = scales.map { s =>
       val dir = s"$base/x$s"
