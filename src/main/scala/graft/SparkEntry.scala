@@ -91,6 +91,7 @@ object SparkEntry {
     "s04_native_topk" -> ((s: SparkSession, dir: String) => Similarity.nativeTopK(s, dir)),
     "s05_ivf_topk" -> ((s: SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
     "s06_kmeans_codebook" -> ((s: SparkSession, dir: String) => Similarity.kmeansCodebook(s, dir)),
+    "s07_ivf_trained" -> ((s: SparkSession, dir: String) => Similarity.ivfTopKTrained(s, dir)),
     // — multimodal plumbing —
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
@@ -205,16 +206,22 @@ object SparkEntry {
     * the algorithm (finite rounds), not the engines — the s05/s02
     * replicate-the-structure pattern applied to an iterative
     * training loop. */
-  private def s06OracleSql(nlist: Int, iters: Int): String = {
-    def r4(x: String) = s"floor($x * 10000 + 0.5) / 10000"
-    def assignCte(name: String, carr: String) =
-      s"""$name AS (SELECT vec_id, cell FROM (
-         SELECT q.vec_id, c.cell,
-           row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY ${r4(s"list_cosine_similarity(q.emb, c.cemb)")} DESC, c.cell) AS rn
-         FROM e q, $carr c) WHERE rn = 1)"""
+  private def oracleR4(x: String) = s"floor($x * 10000 + 0.5) / 10000"
+
+  private def kmeansAssignCte(name: String, carr: String) =
+    s"""$name AS (SELECT vec_id, cell FROM (
+       SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY ${oracleR4(s"list_cosine_similarity(q.emb, c.cemb)")} DESC, c.cell) AS rn
+       FROM e q, $carr c) WHERE rn = 1)"""
+
+  /** The shared Lloyd-round CTE chain (melted corpus, seed codebook,
+    * `iters` unrolled assign/update/degeneracy rounds ending at
+    * c{iters}m / c{iters}a) — one definition interpolated into the s06
+    * and s07 oracles so the two cannot desynchronize. */
+  private def kmeansCtes(nlist: Int, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
-      s"""${assignCte(s"a$i", if (i == 1) "c0a" else s"c${i - 1}a")},
+      s"""${kmeansAssignCte(s"a$i", if (i == 1) "c0a" else s"c${i - 1}a")},
          u$i AS (SELECT a$i.cell, m.dim,
            CAST(sum(CAST(m.v AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS cval
          FROM m JOIN a$i USING (vec_id) GROUP BY 1, 2),
@@ -223,21 +230,55 @@ object SparkEntry {
            SELECT * FROM c${i - 1}m WHERE cell NOT IN (SELECT DISTINCT cell FROM u$i)),
          c${i}a AS (SELECT cell, list(cval ORDER BY dim) AS cemb FROM c${i}m GROUP BY cell)"""
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        m AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim, emb[CAST(i AS INT)] AS v
              FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)),
        c0a AS (SELECT vec_id - 100 AS cell, emb AS cemb FROM e
                WHERE vec_id >= 100 AND vec_id < ${100 + nlist}),
        c0m AS (SELECT vec_id - 100 AS cell, dim, v AS cval FROM m
                WHERE vec_id >= 100 AND vec_id < ${100 + nlist}),
-       $rounds,
-       ${assignCte("af", s"c${iters}a")},
+       $rounds"""
+  }
+
+  private def s06OracleSql(nlist: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(nlist, iters)},
+       ${kmeansAssignCte("af", s"c${iters}a")},
        cnt AS (SELECT cell, count(*) AS n_members FROM af GROUP BY cell)
        SELECT c${iters}m.cell, COALESCE(cnt.n_members, 0) AS n_members,
-         CAST(c${iters}m.dim AS BIGINT) AS dim, ${r4(s"c${iters}m.cval")} AS cval
+         CAST(c${iters}m.dim AS BIGINT) AS dim, ${oracleR4(s"c${iters}m.cval")} AS cval
        FROM c${iters}m LEFT JOIN cnt ON cnt.cell = c${iters}m.cell
        ORDER BY c${iters}m.cell, dim"""
-  }
+
+  /** s07's oracle: the trained codebook (quantized to the same r4
+    * published precision the Spark side consumes) driving s05's IVF
+    * probe/score/rank structure — train → index → query, one SQL. */
+  private def s07OracleSql(nlist: Int, iters: Int, nQueries: Int, k: Int,
+      nprobe: Int): String =
+    s"""WITH ${kmeansCtes(nlist, iters)},
+       cta AS (SELECT cell AS cent_id,
+           list(${oracleR4("cval")} ORDER BY dim) AS cemb
+         FROM c${iters}m GROUP BY cell),
+       ac AS (SELECT a.vec_id AS c_id, cent_id,
+           ${oracleR4("list_cosine_similarity(a.emb, cta.cemb)")} AS sim_c
+         FROM e a, cta),
+       assign AS (SELECT c_id, cent_id AS cell FROM (
+         SELECT c_id, cent_id,
+           row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+         FROM ac) WHERE rn = 1),
+       qc AS (SELECT q.vec_id AS q_id, cent_id,
+           ${oracleR4("list_cosine_similarity(q.emb, cta.cemb)")} AS sim_c
+         FROM e q, cta WHERE q.vec_id < $nQueries),
+       probes AS (SELECT q_id, cent_id AS cell FROM (
+         SELECT q_id, cent_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
+         FROM qc) WHERE rn <= $nprobe),
+       cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
+       sc AS (SELECT q_id, c_id,
+           ${oracleR4("list_cosine_similarity(q.emb, c.emb)")} AS sim
+         FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+       r AS (SELECT q_id, c_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+       SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= $k ORDER BY q_id, rnk"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (weaker rows-only check):
@@ -246,6 +287,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "s06_kmeans_codebook" -> s06OracleSql(nlist = 32, iters = 2),
+    "s07_ivf_trained" -> s07OracleSql(nlist = 32, iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "s02_lsh_topk" -> s02OracleSql(bits = 4, tables = 8),
     // c01: contamination vs the src0 "benchmark" — string shingles in
     // the oracle vs xxhash64 shingles in Spark (the d03 equivalence

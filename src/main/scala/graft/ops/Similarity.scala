@@ -358,6 +358,48 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  /** The closed loop: IVF top-k over the TRAINED [[kmeansCodebook]]
+    * instead of [[ivfTopK]]'s seed stand-ins — train → index → query,
+    * every stage certified (the s07 oracle composes s06's unrolled
+    * Lloyd CTEs with s05's probe/score/rank structure). Plan shape is
+    * identical to [[ivfTopK]]: codebook broadcasts (it is nlist-wide
+    * regardless of corpus size), cell assignment is one scan, probes
+    * and final ranking use the bounded-heap [[topKPerQuery]]. The
+    * float corpus scores against the double trained centroids inside
+    * the codegen'd cosine kernel (mixed-type support). */
+  def ivfTopKTrained(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // trained codebook, melted → per-cell double arrays (cvals are the
+    // r4-rounded published codebook — the oracle quantizes identically)
+    val cent = kmeansCodebook(s, dir, nlist, iters)
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("p"))
+      .select(col("cell").as("cent_id"), transform(col("p"), x => x("cval")).as("cent_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assign = corpus.crossJoin(broadcast(cent))
+      .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
+      .groupBy("c_id")
+      .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("c_id"), (-col("m.nc")).as("cell"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = topKPerQuery(s,
+      queries.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("cent_id").as("c_id"),
+          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
+      nprobe, sorted = false)
+      .select(col("q_id"), col("c_id").as("cell"))
+    val candidates = assign.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+    val scored = candidates
+      .join(broadcast(queries), "q_id")
+      .join(corpus, "c_id")
+      .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
+    topKPerQuery(s, scored, k)
+  }
+
   /** Per-label centroid stats: mean vector norm and intra-label mean
     * cosine-to-centroid — an IVF-style coarse quantization summary
     * (the centroid table is what an IVF index would broadcast). */
