@@ -74,6 +74,7 @@ object SparkEntry {
     "c03_blocklist_scrub" -> ((s: SparkSession, dir: String) => Curation.blocklistScrubStats(s, dir)),
     "c04_decontaminated" -> ((s: SparkSession, dir: String) => Curation.decontaminatedStats(s, dir)),
     "c05_quality_quota" -> ((s: SparkSession, dir: String) => Curation.qualityQuota(s, dir)),
+    "c06_full_curation" -> ((s: SparkSession, dir: String) => Curation.fullCurationStats(s, dir)),
     // — deduplication —
     "d01_exact_dedup" -> (Dedup.exactDedupByLang _),
     "d02_dup_groups" -> (Dedup.duplicateGroups _),
@@ -303,6 +304,43 @@ object SparkEntry {
          FROM hits h JOIN sz z ON z.doc_id = h.doc_id
          WHERE floor(h.n_hit / z.n_sh * 1000 + 0.5) / 1000 >= 0.5
          ORDER BY h.doc_id""",
+    // c06: the whole curation chain in one recursive-CTE statement —
+    // decontaminate, then near-dup closure over the CLEAN corpus only
+    // (pairs restricted to unflagged docs), then split + summarize
+    "c06_full_curation" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+         corpus AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+         hits AS (SELECT c.doc_id, count(*) AS n_hit
+                  FROM corpus c JOIN bench b USING (shingle) GROUP BY 1),
+         flagged AS (SELECT h.doc_id FROM hits h JOIN sz z ON z.doc_id = h.doc_id
+                     WHERE floor(h.n_hit / z.n_sh * 1000 + 0.5) / 1000 >= 0.5),
+         clean AS (SELECT doc_id FROM documents WHERE source <> 'src0'
+                   AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+         cpairs AS (
+           SELECT doc_a, doc_b
+           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
+             AND doc_a IN (SELECT doc_id FROM clean)
+             AND doc_b IN (SELECT doc_id FROM clean)),
+         cedges AS (SELECT doc_a AS src, doc_b AS dst FROM cpairs
+                    UNION SELECT doc_b, doc_a FROM cpairs),
+         creach(id, r) AS (
+           SELECT src, src FROM cedges
+           UNION
+           SELECT x.id, e.dst FROM creach x JOIN cedges e ON e.src = x.r),
+         clabels AS (SELECT id, min(r) AS cluster FROM creach GROUP BY id),
+         cdropped AS (SELECT id FROM clabels WHERE id <> cluster),
+         surv AS (SELECT * FROM documents WHERE source <> 'src0'
+                  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+                  AND doc_id NOT IN (SELECT id FROM cdropped))
+         SELECT CASE
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.rateThreshold(0.8)}' THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.rateThreshold(0.9)}' THEN 'val'
+             ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens
+         FROM surv GROUP BY 1, 2 ORDER BY split, lang""",
     // c04: the decontamination end state — same CTEs as c01, then the
     // anti-join drop and per-lang survivor summary
     "c04_decontaminated" ->

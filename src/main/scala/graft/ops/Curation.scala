@@ -154,6 +154,43 @@ object Curation {
       .orderBy("lang", "pack_id")
   }
 
+  /** The END-TO-END curation pipeline as ONE composed query — what a
+    * user of the reference actually chains
+    * (`filter → distinct → map → group`, streamable/stream.py) at
+    * corpus scale: drop benchmark-contaminated docs, near-dup-dedup
+    * the SURVIVORS (dedup must run on the decontaminated corpus —
+    * order matters: a contaminated doc must not elect itself the
+    * canonical of a cluster and drag clean near-dups down with it),
+    * then assign stable train/val/test splits and summarize. Every
+    * stage is the already-certified operator ([[contaminationReport]],
+    * [[graft.ops.Dedup.minhashLshPairsOf]] +
+    * [[graft.ops.Dedup.connectedComponents]], [[splitAssign]]); the
+    * composition itself is what this query certifies — the oracle
+    * replays the whole chain in one recursive-CTE SQL. Scale story is
+    * the sum of its parts: broadcast benchmark, bucketed sketch
+    * self-join, O(log diameter) closure rounds, map-side split; the
+    * corpus-wide joins are left to AQE (drop lists can be huge). */
+  def fullCurationStats(s: SparkSession, dir: String,
+      benchSource: String = "src0", n: Int = 5, minOverlap: Double = 0.5,
+      threshold: Double = 0.6, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("source") =!= benchSource)
+    val flagged = contaminationReport(s, dir, benchSource, n, minOverlap)
+      .select("doc_id")
+    val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
+    val pairs = Dedup.minhashLshPairsOf(clean, n, threshold = threshold)
+    val dropped = Dedup.connectedComponents(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+    clean.join(dropped, Seq("doc_id"), "left_anti")
+      .withColumn("split", splitAssign(col("doc_id"), trainFrac, valFrac))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("sum_tokens"))
+      .orderBy("split", "lang")
+  }
+
   /** Blocklist scrub: drop blocklisted TOKENS from every document (the
     * vocabulary-filter stage — banned terms, boilerplate markers).
     * Token-based (array `filter`, not regex) so the semantics are

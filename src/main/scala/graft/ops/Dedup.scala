@@ -175,9 +175,16 @@ object Dedup {
     * cluster store; the plan shape is unchanged. */
   def minhashLshPairs(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 16, rows: Int = 2,
+      threshold: Double = 0.6): DataFrame =
+    minhashLshPairsOf(t(s, dir, "documents"), n, bands, rows, threshold)
+
+  /** [[minhashLshPairs]] over any (doc_id, text) frame — the seam the
+    * composed curation pipeline drives (dedup over the DECONTAMINATED
+    * corpus, not the raw table). */
+  def minhashLshPairsOf(docs: DataFrame, n: Int = 5,
+      bands: Int = 16, rows: Int = 2,
       threshold: Double = 0.6): DataFrame = {
     val numHashes = bands * rows
-    val docs = t(s, dir, "documents")
     // the one materialized frame: narrow, consumed 3× (see scaladoc)
     val sets = shingleHashSets(docs, n).localCheckpoint()
     val sig = minhashSignatures(sets, numHashes)

@@ -144,6 +144,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("full curation chain: contaminated dropped, near-dup deduped, short survives") {
+    val dir = docsDir(Seq(
+      (0L, "a b c d e f g", "en", "src0"),        // benchmark
+      (1L, "a b c d e f g", "en", "src1"),        // verbatim leak → dropped
+      (2L, "p q r s t u v w x", "en", "src1"),    // clean canonical → survives
+      (3L, "p q r s t u v w y", "en", "src1"),    // J(2,3)=4/6≥0.6 → deduped away
+      (4L, "x y", "fr", "src1")))                 // too short to shingle → survives
+    val out = Curation.fullCurationStats(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // aggregate across splits: survivors are exactly docs 2 (en) and 4 (fr)
+    val byLang = out.groupBy(_._1).view.mapValues(rs =>
+      (rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+    assert(byLang == Map("en" -> ((1L, 17L, 9L)), "fr" -> ((1L, 3L, 2L))))
+  }
+
   test("blocklist scrub: exact token removals, untouched docs not counted") {
     val dir = docsDir(Seq(
       (1L, "spark is fast and spark scales", "en", "s"),  // 2 removals

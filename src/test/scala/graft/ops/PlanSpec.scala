@@ -120,6 +120,7 @@ class PlanSpec extends SparkSpec {
     Seq("s02" -> Similarity.lshTopK(spark, sf0001),
         "s04" -> Similarity.nativeTopK(spark, sf0001),
         "s05" -> Similarity.ivfTopK(spark, sf0001),
+        "s07" -> Similarity.ivfTopKTrained(spark, sf0001),
         "c05" -> Curation.qualityQuota(spark, sf0001)).foreach { case (name, df) =>
       df.collect()
       val p = finalOnly(df.queryExecution.executedPlan.toString)
