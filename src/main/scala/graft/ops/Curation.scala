@@ -42,6 +42,18 @@ object Curation {
     // corpus bytes)
     val sets = Dedup.shingleHashSets(t(s, dir, "documents"), n,
       carry = Seq("source")).localCheckpoint()
+    overlapFlags(sets, benchSource, minOverlap)
+      .select("doc_id", "n_sh", "n_hit", "overlap")
+      .orderBy("doc_id")
+  }
+
+  /** Contamination core over a MATERIALIZED (doc_id, source, hs, n_sh)
+    * frame: corpus docs at or above `minOverlap` benchmark-shingle
+    * overlap. The seam lets the composed pipeline feed contamination
+    * and dedup from one shingle pass (see
+    * [[Dedup.minhashLshPairsFromSets]] for the contract). */
+  private def overlapFlags(sets: DataFrame, benchSource: String,
+      minOverlap: Double): DataFrame = {
     val bench = sets.filter(col("source") === benchSource)
       .select(explode(col("hs")).as("h")).distinct()
     val corpus = sets.filter(col("source") =!= benchSource)
@@ -51,8 +63,6 @@ object Curation {
     corpus.select("doc_id", "n_sh").join(hits, "doc_id")
       .withColumn("overlap", r3(col("n_hit") / col("n_sh")))
       .filter(col("overlap") >= minOverlap)
-      .select("doc_id", "n_sh", "n_hit", "overlap")
-      .orderBy("doc_id")
   }
 
   /** The decontamination END STATE (the d08 pattern): corpus docs at
@@ -174,16 +184,28 @@ object Curation {
       benchSource: String = "src0", n: Int = 5, minOverlap: Double = 0.5,
       threshold: Double = 0.6, trainFrac: Double = 0.8,
       valFrac: Double = 0.1): DataFrame = {
-    val corpus = t(s, dir, "documents").filter(col("source") =!= benchSource)
-    val flagged = contaminationReport(s, dir, benchSource, n, minOverlap)
-      .select("doc_id")
-    val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
-    val pairs = Dedup.minhashLshPairsOf(clean, n, threshold = threshold)
+    val docs = t(s, dir, "documents")
+    // ONE tokenize+hash pass feeds BOTH contamination and dedup: the
+    // checkpointed sets frame is the pipeline's working index (at
+    // 100 TB this is the difference between one and two corpus scans)
+    val sets = Dedup.shingleHashSets(docs, n, carry = Seq("source"))
+      .localCheckpoint()
+    val flagged = overlapFlags(sets, benchSource, minOverlap).select("doc_id")
+    // checkpointed: minhashLshPairsFromSets consumes its sets three
+    // times, and re-deriving them re-runs the contamination semi-join
+    // per consumer (the FromSets contract — caller materializes)
+    val cleanSets = sets.filter(col("source") =!= benchSource)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select("doc_id", "hs", "n_sh")
+      .localCheckpoint()
+    val pairs = Dedup.minhashLshPairsFromSets(cleanSets, threshold = threshold)
     val dropped = Dedup.connectedComponents(
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("doc_id"))
-    clean.join(dropped, Seq("doc_id"), "left_anti")
+    docs.filter(col("source") =!= benchSource)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .join(dropped, Seq("doc_id"), "left_anti")
       .withColumn("split", splitAssign(col("doc_id"), trainFrac, valFrac))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),

@@ -183,10 +183,22 @@ object Dedup {
     * corpus, not the raw table). */
   def minhashLshPairsOf(docs: DataFrame, n: Int = 5,
       bands: Int = 16, rows: Int = 2,
+      threshold: Double = 0.6): DataFrame =
+    // the one materialized frame: narrow, consumed 3× (see scaladoc)
+    minhashLshPairsFromSets(shingleHashSets(docs, n).localCheckpoint(),
+      bands, rows, threshold)
+
+  /** The sets-level seam: near-dup pairs from an ALREADY-MATERIALIZED
+    * (doc_id, hs, n_sh) frame — the caller owns the checkpoint, so a
+    * pipeline that computed shingle sets for another stage (the
+    * composed curation chain's contamination pass) feeds dedup from
+    * the same single tokenize+hash pass instead of re-scanning the
+    * corpus text. Contract: `sets` must be materialized (checkpoint/
+    * persist) — it is consumed three times below. */
+  def minhashLshPairsFromSets(sets: DataFrame,
+      bands: Int = 16, rows: Int = 2,
       threshold: Double = 0.6): DataFrame = {
     val numHashes = bands * rows
-    // the one materialized frame: narrow, consumed 3× (see scaladoc)
-    val sets = shingleHashSets(docs, n).localCheckpoint()
     val sig = minhashSignatures(sets, numHashes)
     // band b = hash of (h_{b*rows} ... h_{b*rows+rows-1}); melt the
     // bands into (doc_id, band_idx, band_hash) rows so candidate
