@@ -103,7 +103,10 @@ object ScaleCheck {
       // s06: only replica 0 carries the seed ids, so the codebook stays
       // nlist-wide while the corpus grows ×K — the assignment scan and
       // the (cell, dim) update shuffle should both scale ~linearly
-      "s06_kmeans_codebook" -> ((ss: SparkSession, d: String) => ops.Similarity.kmeansCodebook(ss, d)))
+      "s06_kmeans_codebook" -> ((ss: SparkSession, d: String) => ops.Similarity.kmeansCodebook(ss, d)),
+      // the composed end-to-end pipeline: one number that says the
+      // whole curation chain (contaminate → dedup → split) scales
+      "c06_full_curation" -> ((ss: SparkSession, d: String) => ops.Curation.fullCurationStats(ss, d)))
 
     val timed: Map[Int, Seq[(String, Double)]] = scales.map { s =>
       val dir = s"$base/x$s"
