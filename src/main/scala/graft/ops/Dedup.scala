@@ -49,12 +49,29 @@ object Dedup {
     * million distinct shingles. Output: (doc_id, hs Array[Long],
     * n_sh). */
   def shingleHashSets(docs: DataFrame, n: Int,
-      carry: Seq[String] = Seq.empty): DataFrame = {
+      carry: Seq[String] = Seq.empty): DataFrame =
+    sketchSets(docs, n, carry, withSimhash = false)
+
+  /** Shared builder for the per-doc text sketches: distinct shingle
+    * hashes, optionally fused with the 64-bit SimHash — BOTH derive
+    * from the same tokenize, so a pipeline needing both (d05b's
+    * sketch + exact-verify) computes them in ONE projection over one
+    * corpus scan instead of two. Restricting the simhash to docs with
+    * ≥ n tokens is output-neutral for the verified pipeline: a pair
+    * involving a doc too short to shingle can never survive the
+    * exact-Jaccard verify's inner join. */
+  private def sketchSets(docs: DataFrame, n: Int, carry: Seq[String],
+      withSimhash: Boolean): DataFrame = {
+    import graft.functions.SimHash
     val toks = split(trim(col("text")), "\\s+")
     val carried = carry.map(col)
+    val sim =
+      if (withSimhash)
+        Seq(SimHash(transform(col("w"), t => xxhash64(t))).as("simhash"))
+      else Nil
     docs.select(col("doc_id") +: carried :+ toks.as("w"): _*)
       .filter(size(col("w")) >= n)
-      .select(col("doc_id") +: carried :+
+      .select(col("doc_id") +: (carried ++ sim) :+
         array_distinct(transform(sequence(lit(0), size(col("w")) - n),
           i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("hs"): _*)
       .withColumn("n_sh", size(col("hs")).cast("long"))
@@ -447,17 +464,25 @@ object Dedup {
     * at corpus scale, raise maxHamming's dual knob `bands` only as
     * far as the completeness bound you actually need. */
   def simhashPairs(s: SparkSession, dir: String,
+      maxHamming: Int = 6, bands: Int = 8): DataFrame =
+    // the one materialized frame: the narrow per-doc signature (64
+    // aggregate folds per doc run once); the melted bands are left to
+    // ReuseExchange — see the materialization note on
+    // [[minhashLshPairs]]
+    simhashPairsFromSig(simhashes(s, dir).localCheckpoint(),
+      maxHamming, bands)
+
+  /** [[simhashPairs]] over an already-materialized (doc_id, simhash)
+    * frame (same caller-owns-the-checkpoint contract as
+    * [[minhashLshPairsFromSets]]) — d05b feeds it from the fused
+    * one-scan sketch frame. */
+  def simhashPairsFromSig(sig: DataFrame,
       maxHamming: Int = 6, bands: Int = 8): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     require(maxHamming < bands,
       s"completeness guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
     val bandBits = 64 / bands
     val mask = (1L << bandBits) - 1
-    // the one materialized frame: the narrow per-doc signature (64
-    // aggregate folds per doc run once); the melted bands are left to
-    // ReuseExchange — see the materialization note on
-    // [[minhashLshPairs]]
-    val sig = simhashes(s, dir).localCheckpoint()
     val melted = meltSketch(sig, Seq(col("doc_id"), col("simhash")), bands,
       b => shiftright(col("simhash"), b * bandBits).bitwiseAND(mask),
       "band_idx", "bk")
@@ -491,10 +516,17 @@ object Dedup {
     * d04 ground-truth-oracle pattern applied to SimHash. */
   def simhashVerifiedPairs(s: SparkSession, dir: String, n: Int = 5,
       maxHamming: Int = 6, threshold: Double = 0.6): DataFrame = {
-    val pairs = simhashPairs(s, dir, maxHamming)
+    // ONE corpus scan: simhash + shingle sets fused in a single
+    // checkpointed projection ([[sketchSets]]) feeding the band
+    // pipeline AND both exact-verify joins. Dropping the sub-n-token
+    // docs from the simhash side is output-neutral (they cannot
+    // survive the verify inner join) — at 100 TB this halves the
+    // pipeline's text reads.
+    val fused = sketchSets(t(s, dir, "documents"), n, Seq.empty,
+      withSimhash = true).localCheckpoint()
+    val pairs = simhashPairsFromSig(fused.select("doc_id", "simhash"),
+        maxHamming)
       .select(col("doc_a"), col("doc_b"))
-    // narrow, consumed by both verify joins — see [[minhashLshPairs]]
-    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
-    pairJaccard(pairs, sets, threshold)
+    pairJaccard(pairs, fused.select("doc_id", "hs", "n_sh"), threshold)
   }
 }
