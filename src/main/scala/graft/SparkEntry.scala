@@ -65,9 +65,11 @@ object SparkEntry {
     "t05_top_bigrams" -> ((s: SparkSession, dir: String) => TextAnalysis.topBigrams(s, dir)),
     "t06_regex_tokens" -> (TextAnalysis.regexTokenStats _),
     "t07_repetition" -> ((s: SparkSession, dir: String) => TextAnalysis.repetitionStats(s, dir)),
+    "t08_gopher_rules" -> ((s: SparkSession, dir: String) => TextAnalysis.gopherRuleStats(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
+    "p03_temperature_mix" -> ((s: SparkSession, dir: String) => Sampling.temperatureMixStats(s, dir)),
     // — corpus curation (training-data pipeline) —
     "c01_contamination" -> ((s: SparkSession, dir: String) => Curation.contaminationReport(s, dir)),
     "c02_seq_packing" -> ((s: SparkSession, dir: String) => Curation.packingStats(s, dir)),
@@ -93,6 +95,7 @@ object SparkEntry {
     "s05_ivf_topk" -> ((s: SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
     "s06_kmeans_codebook" -> ((s: SparkSession, dir: String) => Similarity.kmeansCodebook(s, dir)),
     "s07_ivf_trained" -> ((s: SparkSession, dir: String) => Similarity.ivfTopKTrained(s, dir)),
+    "s08_sq_topk" -> ((s: SparkSession, dir: String) => Similarity.sqTopK(s, dir)),
     // — multimodal plumbing —
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
@@ -720,6 +723,50 @@ object SparkEntry {
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
            CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
          GROUP BY lang ORDER BY lang""",
+    "t08_gopher_rules" ->
+      """WITH x AS (
+           SELECT lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_w,
+             CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+               x -> length(x))) AS DOUBLE) /
+               greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_len,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x IN ('the', 'a'))) AS n_stop,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+               greatest(len(string_split_regex(trim(text), '\s+')), 1) AS alpha_ratio
+           FROM documents),
+         f AS (
+           SELECT lang,
+             (n_w < 50 OR n_w > 100000) AS f_words,
+             (mean_len < 3.0 OR mean_len > 10.0) AS f_wordlen,
+             (n_stop < 2) AS f_stop,
+             (alpha_ratio < 0.8) AS f_alpha
+           FROM x)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+           CAST(sum(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+           CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+           CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+           CAST(sum(CASE WHEN NOT f_words AND NOT f_wordlen AND NOT f_stop
+             AND NOT f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         FROM f GROUP BY lang ORDER BY lang""",
+    "p03_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         r AS (SELECT lang, n_docs,
+             least(1.0, 0.35 * sqrt(CAST((SELECT max(n_docs) FROM c) AS DOUBLE)
+               / n_docs)) AS rate
+           FROM c),
+         s AS (SELECT d.lang, count(*) AS n_sampled
+           FROM documents d JOIN r USING (lang)
+           WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+             CASE WHEN rate >= 1.0 THEN 'g'
+               ELSE printf('%08x', CAST(floor(rate * 4294967296) AS BIGINT)) END
+           GROUP BY d.lang)
+         SELECT r.lang, r.n_docs,
+           floor(r.rate * 10000 + 0.5) / 10000 AS rate,
+           coalesce(s.n_sampled, 0) AS n_sampled
+         FROM r LEFT JOIN s ON r.lang = s.lang ORDER BY r.lang""",
     "d01_exact_dedup" ->
       """SELECT lang, count(*) AS n_unique FROM (
            SELECT lang, row_number() OVER (
@@ -814,6 +861,30 @@ object SparkEntry {
          sc AS (SELECT q_id, c_id,
              floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
            FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // s08: scalar quantization is deterministic arithmetic (per-dim
+    // min/max, floor(x+0.5) code assignment, dequantized cosine), so
+    // the oracle replicates the whole quantize → dequantize → rank
+    // path and the hash-match certifies it bit-for-bit — approximation
+    // lives in the ALGORITHM, not the engines (the s05 pattern).
+    "s08_sq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         dims AS (SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+           FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i) GROUP BY i),
+         params AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+           FROM dims),
+         dq AS (SELECT vec_id,
+             list_transform(range(1, len(emb) + 1), i ->
+               CASE WHEN maxs[i] = mins[i] THEN mins[i]
+                 ELSE mins[i] + floor((emb[i] - mins[i]) / (maxs[i] - mins[i]) * 254 + 0.5)
+                   * (maxs[i] - mins[i]) / 254 END) AS dq
+           FROM e, params),
+         q AS (SELECT vec_id AS q_id, dq AS q_dq FROM dq WHERE vec_id < 10),
+         sc AS (SELECT q_id, vec_id AS c_id,
+             floor(list_cosine_similarity(q_dq, dq) * 10000 + 0.5) / 10000 AS sim
+           FROM dq, q WHERE vec_id <> q_id),
          r AS (SELECT q_id, c_id, sim,
            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
          SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",

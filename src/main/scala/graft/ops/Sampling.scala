@@ -49,6 +49,49 @@ object Sampling {
     df.filter(hashDraw(key) < thr)
   }
 
+  /** Data-dependent hex threshold (column form of [[rateThreshold]]):
+    * keep iff [[hashDraw]] < this. `%08x` renders the same fixed-width
+    * lowercase hex in Spark (java.util.Formatter) and DuckDB (printf),
+    * so the oracle replicates the comparison bit-for-bit; rate ≥ 1
+    * maps to "g" (> every hex char) exactly like the literal path. */
+  def rateThresholdCol(rate: Column): Column =
+    when(rate >= 1.0, lit("g"))
+      .otherwise(format_string("%08x",
+        floor(rate * lit(4294967296.0)).cast("long")))
+
+  /** Temperature-based mixture sampling over a skewed stratum (lang
+    * here): the multilingual-corpus rebalancing rule p_i ∝ n_i^α with
+    * α = 0.5, anchored so the LARGEST stratum samples at `baseRate` —
+    * i.e. rate_i = min(1, baseRate · sqrt(n_max / n_i)), which
+    * upsamples tail strata toward uniform while the head is
+    * downsampled hardest. Deterministic end to end: stratum counts →
+    * rates is max-anchored (no order-sensitive float summation across
+    * strata, so the DuckDB oracle lands on identical doubles — sqrt
+    * and the division are correctly-rounded IEEE ops), and membership
+    * is the [[hashDraw]] content-hash, stable under repartitioning.
+    *
+    * At 100 TB: the rate table is |strata|-sized (broadcast), the
+    * corpus never shuffles — membership is a codegen'd filter on the
+    * scan, same as [[stratifiedHashSample]] but with rates COMPUTED
+    * from corpus statistics instead of configured. */
+  def temperatureMixStats(s: SparkSession, dir: String,
+      baseRate: Double = 0.35): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max("n_docs").as("n_max"))))
+      .withColumn("rate", least(lit(1.0),
+        lit(baseRate) * sqrt(col("n_max").cast("double") / col("n_docs"))))
+      .select("lang", "n_docs", "rate")
+    val sampled = docs.join(broadcast(rates), "lang")
+      .filter(hashDraw(col("doc_id")) < rateThresholdCol(col("rate")))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    rates.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), Relational.r4(col("rate")).as("rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   /** Stratified document sample: English (the dominant stratum) at
     * 20%, every other language at 50% — summarized per lang so the
     * oracle check covers both the membership and the aggregate. */

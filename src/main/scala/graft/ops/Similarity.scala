@@ -400,6 +400,59 @@ object Similarity {
     topKPerQuery(s, scored, k)
   }
 
+  /** Scalar-quantized (int8) exact-rerank-free top-k: the ANN
+    * memory/bandwidth play — each dimension is affinely mapped to a
+    * [-127, 127] code against PER-DIMENSION corpus min/max, shrinking
+    * the vector table 4× (int8 vs float32; 8× vs the double math),
+    * which at 100 TB is the difference between an in-memory and a
+    * spilling scan. Search scores DEQUANTIZED codes, so results are
+    * approximate exactly to the quantization error and NOTHING else —
+    * which is what makes it oracle-able: the DuckDB oracle replicates
+    * the same min/max, the same floor(x+0.5) code assignment and the
+    * same dequantized cosine, so the hash-match certifies the whole
+    * quantize → dequantize → rank path bit-for-bit.
+    *
+    * Plan shape at scale: the per-dim stats are one posexplode +
+    * partial-agg shuffle of d-row output (runs ONCE at index build —
+    * here inline for the certified query); the (mins, maxs) row is a
+    * broadcast-NLJ constant; quantization fuses into the scan
+    * projection; ranking is the bounded-heap [[topKPerQuery]]. A
+    * constant dimension (mx == mn) dequantizes to that constant. */
+  def sqTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("emb"))
+    val params = emb
+      .select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("pn"),
+        array_sort(collect_list(struct(col("dim"), col("mx")))).as("px"))
+      .select(transform(col("pn"), x => x("mn")).as("mins"),
+        transform(col("px"), x => x("mx")).as("maxs"))
+    // dequantized vector: deq_i = mn_i + code_i * (mx_i - mn_i) / 254,
+    // code_i = floor((v_i - mn_i) / (mx_i - mn_i) * 254 + 0.5) ∈ [0,254]
+    // (stored int8 as code_i - 127; the shift cancels in dequant)
+    def dequant(v: Column): Column =
+      transform(sequence(lit(0), size(v) - 1), i => {
+        val x = element_at(v, i + 1)
+        val mn = element_at(col("mins"), i + 1)
+        val mx = element_at(col("maxs"), i + 1)
+        when(mx === mn, mn).otherwise(
+          mn + floor((x - mn) / (mx - mn) * 254 + 0.5) * (mx - mn) / 254)
+      })
+    val dq = emb.crossJoin(broadcast(params))
+      .select(col("vec_id"), dequant(col("emb")).as("dq"))
+    val queries = dq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("dq").as("q_dq"))
+    val corpus = dq.select(col("vec_id").as("c_id"), col("dq").as("c_dq"))
+    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        r4(cosine(col("q_dq"), col("c_dq"))).as("sim"))
+    topKPerQuery(s, scored, k)
+  }
+
   /** Per-label centroid stats: mean vector norm and intra-label mean
     * cosine-to-centroid — an IVF-style coarse quantization summary
     * (the centroid table is what an IVF index would broadcast). */

@@ -168,6 +168,54 @@ object TextAnalysis {
       .orderBy("lang", "rnk")
   }
 
+  /** Gopher-style rule filter (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A —
+    * the word-level subset that is deterministic over whitespace
+    * tokens): a document passes iff
+    *
+    *  - word count ∈ [minWords, maxWords]           (length rule)
+    *  - mean word length ∈ [3, 10]                  (gibberish rule)
+    *  - ≥ 2 stopword tokens ('the'/'a' here — the corpus' stopword
+    *    inventory; Gopher uses an 8-word list)       (stopword rule)
+    *  - ≥ 80% of words contain an alphabetic char   (symbol rule)
+    *
+    * Per-doc the rules are pure column expressions over ONE tokenize
+    * (codegen, no shuffle); the report aggregates failure counts per
+    * rule and the pass count per lang — the numbers a curation run
+    * reports before dropping. Rules compose with AND, so `n_pass` is
+    * NOT n_docs minus the failure columns (a doc can fail several).
+    * All comparisons are on integer-derived doubles (sums and counts
+    * of lengths), so the DuckDB oracle lands on bit-identical
+    * decisions. */
+  def gopherRuleStats(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val w = tokens(col("text"))
+    val nW = size(w).cast("double")
+    val meanLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / greatest(size(w), lit(1))
+    val nStop = size(filter(w, x => x.isin("the", "a")))
+    val alphaRatio = size(filter(w, x => x.rlike("[A-Za-z]")))
+      .cast("double") / greatest(size(w), lit(1))
+    val failWords = nW < minWords || nW > maxWords
+    val failWordLen = meanLen < 3.0 || meanLen > 10.0
+    val failStop = nStop < 2
+    val failAlpha = alphaRatio < 0.8
+    t(s, dir, "documents")
+      .withColumn("f_words", failWords)
+      .withColumn("f_wordlen", failWordLen)
+      .withColumn("f_stop", failStop)
+      .withColumn("f_alpha", failAlpha)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("f_words"), 1)).as("n_fail_words"),
+        count(when(col("f_wordlen"), 1)).as("n_fail_wordlen"),
+        count(when(col("f_stop"), 1)).as("n_fail_stop"),
+        count(when(col("f_alpha"), 1)).as("n_fail_alpha"),
+        count(when(!col("f_words") && !col("f_wordlen") &&
+          !col("f_stop") && !col("f_alpha"), 1)).as("n_pass"))
+      .orderBy("lang")
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase
     * text — the exact-dedup key for 100 TB corpora (hash once, then
     * dedup on a 32-byte key instead of the full document). */

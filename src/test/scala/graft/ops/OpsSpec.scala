@@ -343,6 +343,62 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: counts match a plain-Scala recompute of every rule") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    case class Acc(n: Int = 0, fw: Int = 0, fl: Int = 0, fs: Int = 0,
+      fa: Int = 0, pass: Int = 0)
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      val acc = rows.foldLeft(Acc()) { case (a, (_, text)) =>
+        val w = text.trim.split("\\s+")
+        val meanLen = w.map(_.length).sum.toDouble / math.max(w.length, 1)
+        val fWords = w.length < 50 || w.length > 100000
+        val fLen = meanLen < 3.0 || meanLen > 10.0
+        val fStop = w.count(t => t == "the" || t == "a") < 2
+        val fAlpha = w.count(_.exists(_.isLetter)).toDouble /
+          math.max(w.length, 1) < 0.8
+        Acc(a.n + 1, a.fw + (if (fWords) 1 else 0), a.fl + (if (fLen) 1 else 0),
+          a.fs + (if (fStop) 1 else 0), a.fa + (if (fAlpha) 1 else 0),
+          a.pass + (if (!fWords && !fLen && !fStop && !fAlpha) 1 else 0))
+      }
+      lang -> acc
+    }
+    val got = TextAnalysis.gopherRuleStats(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) ==
+        (e.n.toLong, e.fw.toLong, e.fl.toLong, e.fs.toLong, e.fa.toLong,
+          e.pass.toLong), s"lang ${r.getString(0)}")
+    }
+    // the length and stopword rules must actually fire on this corpus —
+    // a filter whose rules never trigger certifies nothing
+    assert(got.map(_.getLong(2)).sum > 0, "word-count rule never fired")
+    assert(got.map(_.getLong(4)).sum > 0, "stopword rule never fired")
+  }
+
+  test("SQ topk: quantization error bounded, high agreement with brute force") {
+    val sq = Similarity.sqTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(sq.length == 50)
+    val brute = Similarity.bruteForceTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val bruteSim = brute.map(t => (t._1, t._3) -> t._4).toMap
+    // int8 over per-dim ranges: dequantized sims track exact sims tightly
+    val shared = sq.flatMap(t => bruteSim.get((t._1, t._3)).map(b => (t._4, b)))
+    assert(shared.nonEmpty)
+    shared.foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.02, s"sq $a vs exact $b drifted")
+    }
+    // top-1 agreement on most queries (quantization can flip near-ties)
+    val top1Sq = sq.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    val top1Br = brute.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    val agree = top1Sq.count { case (q, c) => top1Br.get(q).contains(c) }
+    assert(agree >= 8, s"only $agree/10 top-1 agreements")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

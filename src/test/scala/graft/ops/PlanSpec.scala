@@ -147,6 +147,35 @@ class PlanSpec extends SparkSpec {
       s"split assignment must stay map-side:\n$p")
   }
 
+  test("t08: the rule filter plans no shuffle before the per-lang summary") {
+    // all four rules evaluate inside one scan projection: exactly the
+    // partial->final agg exchange plus the presentation sort
+    val df = TextAnalysis.gopherRuleStats(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"gopher rules must stay map-side:\n$p")
+  }
+
+  test("p03: rate table broadcasts; the corpus never shuffles for membership") {
+    val df = Sampling.temperatureMixStats(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side SMJ on the rate join dies at 100 TB")
+  }
+
+  test("s08: quantization params broadcast and ranking is the bounded heap") {
+    val df = Similarity.sqTopK(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the (mins,maxs) row must broadcast")
+    assert(!p.contains("Window"), "s08 plans a Window sort")
+    assert(p.contains("TopKAggregator"), "s08 missing the typed top-k aggregate")
+  }
+
   test("no query in the registry plans a CartesianProduct or a SortMergeJoin") {
     // the global gate behind the per-query ones above: every join in
     // the full query registry broadcasts (or is a broadcast nested

@@ -19,6 +19,42 @@ class SamplingSpec extends SparkSpec {
     assert(got > 0.2 && got < 0.4, s"rate 0.3 drew $got")
   }
 
+  test("rateThresholdCol matches the literal rateThreshold rendering") {
+    import org.apache.spark.sql.functions.lit
+    val rates = Seq(0.0, 0.1, 0.35, 0.6457, 0.999999, 1.0)
+    val df = spark.range(1).select(
+      rates.zipWithIndex.map { case (r, i) =>
+        Sampling.rateThresholdCol(lit(r)).as(s"t$i")
+      }: _*)
+    val row = df.collect()(0)
+    rates.zipWithIndex.foreach { case (r, i) =>
+      assert(row.getString(i) == Sampling.rateThreshold(r),
+        s"rate $r: col ${row.getString(i)} vs literal ${Sampling.rateThreshold(r)}")
+    }
+  }
+
+  test("temperature mix: head lang anchors at baseRate, tail upsampled, members consistent") {
+    val stats = Sampling.temperatureMixStats(spark, sf0001, baseRate = 0.35)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byLang = stats.map(s => s._1 -> s).toMap
+    val nMax = stats.map(_._2).max
+    val head = stats.find(_._2 == nMax).get
+    assert(math.abs(head._3 - 0.35) < 1e-9, s"head rate ${head._3}")
+    stats.filter(_._2 < nMax).foreach { case (lang, _, rate, _) =>
+      assert(rate > 0.35, s"tail $lang rate $rate not upsampled")
+    }
+    // membership must equal a literal-threshold hashSample at the
+    // published (pre-rounding differences are below the r4 grid only
+    // if we recompute the exact rate) per-lang rate
+    val docs = Relational.t(spark, sf0001, "documents")
+    stats.foreach { case (lang, nDocs, _, nSampled) =>
+      val exact = math.min(1.0, 0.35 * math.sqrt(nMax.toDouble / nDocs))
+      val expected = Sampling.hashSample(
+        docs.filter(col("lang") === lang), col("doc_id"), exact).count()
+      assert(nSampled == expected, s"$lang: $nSampled vs $expected")
+    }
+  }
+
   test("nested sample property: a 10% sample is a subset of the 50% sample") {
     // thresholds nest, so rate r1 < r2 => sample(r1) ⊆ sample(r2) —
     // the property that makes hash splits stable as rates are tuned
