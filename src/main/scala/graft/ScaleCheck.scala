@@ -106,7 +106,12 @@ object ScaleCheck {
       "s06_kmeans_codebook" -> ((ss: SparkSession, d: String) => ops.Similarity.kmeansCodebook(ss, d)),
       // the composed end-to-end pipeline: one number that says the
       // whole curation chain (contaminate → dedup → split) scales
-      "c06_full_curation" -> ((ss: SparkSession, d: String) => ops.Curation.fullCurationStats(ss, d)))
+      "c06_full_curation" -> ((ss: SparkSession, d: String) => ops.Curation.fullCurationStats(ss, d)),
+      // s08: per-dim stats output stays d rows while the corpus grows
+      // ×K; quantize is map-side and the query set is fixed (only
+      // replica 0 carries vec_id < 10), so the scored-pair count —
+      // and the whole query — should scale ~linearly
+      "s08_sq_topk" -> ((ss: SparkSession, d: String) => ops.Similarity.sqTopK(ss, d)))
 
     val timed: Map[Int, Seq[(String, Double)]] = scales.map { s =>
       val dir = s"$base/x$s"

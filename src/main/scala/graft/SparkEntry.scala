@@ -52,6 +52,7 @@ object SparkEntry {
     "q29_try_divide" -> (Relational.safeArithmetic _),
     "q30_salted_distinct" -> (Relational.saltedDistinctParts _),
     "q31_zip" -> ((s: SparkSession, dir: String) => Relational.zipTopOrdersFirstCustomers(s, dir)),
+    "q32_order_cadence" -> ((s: SparkSession, dir: String) => Relational.orderCadence(s, dir)),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "c04_decontaminated" -> ((s: SparkSession, dir: String) => Curation.decontaminatedStats(s, dir)),
     "c05_quality_quota" -> ((s: SparkSession, dir: String) => Curation.qualityQuota(s, dir)),
     "c06_full_curation" -> ((s: SparkSession, dir: String) => Curation.fullCurationStats(s, dir)),
+    "c07_pii_redaction" -> ((s: SparkSession, dir: String) => Curation.piiRedactionStats(s, dir)),
     // — deduplication —
     "d01_exact_dedup" -> (Dedup.exactDedupByLang _),
     "d02_dup_groups" -> (Dedup.duplicateGroups _),
@@ -574,6 +576,42 @@ object SparkEntry {
            FROM customer)
          SELECT pos, o_orderkey, c_custkey FROM o JOIN c USING (pos)
          WHERE pos < 100 ORDER BY pos""",
+    "q32_order_cadence" ->
+      """WITH g AS (
+           SELECT o_custkey,
+             CAST(date_diff('day',
+               CAST(lag(o_orderdate) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+           FROM orders)
+         SELECT o_custkey, count(*) AS n_orders,
+           max(gap_days) AS max_gap_days,
+           floor(avg(gap_days) * 100 + 0.5) / 100 AS avg_gap_days
+         FROM g GROUP BY o_custkey HAVING count(*) >= 12
+         ORDER BY o_custkey""",
+    "c07_pii_redaction" ->
+      """WITH m AS (
+           SELECT lang, concat(text,
+             CASE WHEN doc_id % 3 = 0
+               THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com')
+               ELSE '' END,
+             CASE WHEN doc_id % 5 = 0
+               THEN concat(' tel 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+               ELSE '' END) AS m
+           FROM documents),
+         x AS (
+           SELECT lang, m,
+             len(regexp_extract_all(m, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_em,
+             len(regexp_extract_all(m, '555-[0-9]{4}')) AS n_ph,
+             length(m) - length(regexp_replace(regexp_replace(m,
+               '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+               '555-[0-9]{4}', '<PHONE>', 'g')) AS removed
+           FROM m)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_em) AS BIGINT) AS n_emails,
+           CAST(sum(n_ph) AS BIGINT) AS n_phones,
+           CAST(sum(removed) AS BIGINT) AS chars_removed
+         FROM x GROUP BY lang ORDER BY lang""",
     "q25b_approx_quantile" ->
       """SELECT DISTINCT o_orderpriority, CAST(1 AS BOOLEAN) AS within_rank_5pct
          FROM orders ORDER BY o_orderpriority""",

@@ -232,4 +232,53 @@ object Curation {
         sum("n_kept").as("tokens_after"))
       .orderBy("lang")
   }
+
+  /** Email pattern shared by the scrub and its oracle: greedy
+    * character-class quantifiers with no alternation or lookaround, so
+    * Java's leftmost-FIRST backtracking and RE2's leftmost-LONGEST
+    * automaton select the identical match (the t06 single-class
+    * argument applied to regex REPLACE). */
+  val emailPattern = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+
+  /** Phone pattern: fixed-width, trivially engine-portable. */
+  val phonePattern = "555-[0-9]{4}"
+
+  /** PII redaction — the scrub stage every training-data pipeline runs
+    * before text leaves curation: emails and phone numbers are
+    * replaced with typed placeholder tags. The corpus text is
+    * synthetic space-separated words with no PII, so each doc is
+    * first MARKED with deterministic doc_id-derived PII (an email on
+    * doc_id % 3 == 0, a phone on doc_id % 5 == 0 — the t06
+    * make-the-rule-load-bearing trick): the oracle replays the same
+    * marking, so a wrong pattern or a non-global replace shifts every
+    * count and fails the hash.
+    *
+    * Per-row column algebra only (regexp_extract_all counts,
+    * regexp_replace scrub) — zero shuffle before the per-lang summary;
+    * at 100 TB the scrub fuses into the scan like c03. */
+  def piiRedactionStats(s: SparkSession, dir: String): DataFrame = {
+    val marked = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val scrubbed = regexp_replace(
+      regexp_replace(col("m"), emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+    t(s, dir, "documents")
+      .select(col("lang"), marked.as("m"))
+      .select(col("lang"), col("m"),
+        size(regexp_extract_all(col("m"), lit(emailPattern), lit(0))).as("n_em"),
+        size(regexp_extract_all(col("m"), lit(phonePattern), lit(0))).as("n_ph"),
+        (length(col("m")) - length(scrubbed)).as("removed"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_em").as("n_emails"),
+        sum("n_ph").as("n_phones"),
+        sum("removed").as("chars_removed"))
+      .orderBy("lang")
+  }
 }

@@ -179,6 +179,33 @@ object Relational {
       .orderBy("pos")
   }
 
+  /** Per-customer order cadence via lag windows: gap in days between
+    * consecutive orders (by order date, orderkey tie-break — a TOTAL
+    * order, so the lag is deterministic), aggregated to count /
+    * max-gap / mean-gap per customer with ≥ `minOrders` orders. The
+    * window partitions by customer — thousands of independent
+    * per-key sweeps at scale, never a global orderBy. Gap days are
+    * calendar-date differences (datediff over the NTZ timestamp's
+    * date part — timezone-free, so both engines count the identical
+    * days). */
+  def orderCadence(s: SparkSession, dir: String,
+      minOrders: Int = 12): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(to_date(col("o_orderdate")), to_date(col("prev")))
+          .cast("long"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        max("gap_days").as("max_gap_days"),
+        r2(avg("gap_days")).as("avg_gap_days"))
+      .filter(col("n_orders") >= minOrders)
+      .orderBy("o_custkey")
+  }
+
   /** skip(100) then truncate(50) in o_orderkey order — reference
     * stream.py:432-493 over a real ordering column. */
   def skipTakeOrders(s: SparkSession, dir: String): DataFrame =

@@ -399,6 +399,56 @@ class OpsSpec extends SparkSpec {
     assert(agree >= 8, s"only $agree/10 top-1 agreements")
   }
 
+  test("order cadence: per-customer gaps match a plain-Scala lag recompute") {
+    val orders = Relational.t(spark, sf0001, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toLocalDate))
+    val expected = orders.groupBy(_._1).flatMap { case (cust, rows) =>
+      val sorted = rows.sortBy(r => (r._3.toEpochDay, r._2))
+      val gaps = sorted.sliding(2).collect {
+        case Array(a, b) => b._3.toEpochDay - a._3.toEpochDay
+      }.toSeq
+      if (sorted.length >= 12)
+        Some(cust -> (sorted.length.toLong, gaps.max,
+          math.floor(gaps.sum.toDouble / gaps.length * 100 + 0.5) / 100))
+      else None
+    }
+    val got = Relational.orderCadence(spark, sf0001).collect()
+    assert(got.length == expected.size, s"${got.length} vs ${expected.size}")
+    got.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == e,
+        s"customer ${r.getLong(0)}")
+    }
+  }
+
+  test("pii redaction: counts match the deterministic marking exactly") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      val emails = rows.count(_._2 % 3 == 0)
+      val phones = rows.count(_._2 % 5 == 0)
+      // email " contact user<id>@example.com" → match "user<id>@example.com"
+      // replaced by 7-char <EMAIL>; phone match "555-dddd" (8) → <PHONE> (7)
+      val removed = rows.map { case (_, id) =>
+        (if (id % 3 == 0) s"user$id@example.com".length - 7 else 0) +
+          (if (id % 5 == 0) 1 else 0)
+      }.sum
+      lang -> (rows.length.toLong, emails.toLong, phones.toLong, removed.toLong)
+    }
+    val got = Curation.piiRedactionStats(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == e,
+        s"lang ${r.getString(0)}")
+    }
+    assert(got.map(_.getLong(2)).sum > 0 && got.map(_.getLong(3)).sum > 0,
+      "markers must fire")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
