@@ -67,6 +67,7 @@ object SparkEntry {
     "t06_regex_tokens" -> (TextAnalysis.regexTokenStats _),
     "t07_repetition" -> ((s: SparkSession, dir: String) => TextAnalysis.repetitionStats(s, dir)),
     "t08_gopher_rules" -> ((s: SparkSession, dir: String) => TextAnalysis.gopherRuleStats(s, dir)),
+    "t09_zipf_rank" -> ((s: SparkSession, dir: String) => TextAnalysis.zipfRankStats(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -789,6 +790,23 @@ object SparkEntry {
            CAST(sum(CASE WHEN NOT f_words AND NOT f_wordlen AND NOT f_stop
              AND NOT f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
          FROM f GROUP BY lang ORDER BY lang""",
+    "t09_zipf_rank" ->
+      """WITH toks AS (
+           SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+         vocab AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+           FROM cnt ORDER BY n DESC, tok LIMIT 30),
+         r AS (SELECT t.lang, coalesce(v.rnk, 31) AS rnk
+           FROM toks t LEFT JOIN vocab v USING (tok)),
+         d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         g AS (SELECT lang, count(*) AS total_tokens,
+             floor(CAST(sum(rnk) AS DOUBLE) / count(*) * 100 + 0.5) / 100 AS avg_rank,
+             floor(CAST(sum(CASE WHEN rnk = 31 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) * 10000 + 0.5) / 10000 AS oov_ratio
+           FROM r GROUP BY lang)
+         SELECT d.lang, d.n_docs, g.total_tokens, g.avg_rank, g.oov_ratio
+         FROM d JOIN g USING (lang) ORDER BY d.lang""",
     "p03_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          r AS (SELECT lang, n_docs,

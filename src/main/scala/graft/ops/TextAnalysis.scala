@@ -216,6 +216,46 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Zipf-rank lexical commonness: score documents against CORPUS
+    * statistics (the perplexity-shaped quality signal, made
+    * cross-engine deterministic by ranking instead of log-probability
+    * — glibc/JVM `log` are not correctly-rounded, integer ranks are).
+    * A top-`v` vocabulary is ranked by (count desc, token asc); every
+    * token maps to its rank, out-of-vocabulary tokens to v+1; per-lang
+    * mean token rank and OOV ratio summarize lexical commonness
+    * (boilerplate scores low, rare-word text high).
+    *
+    * All sums are LONG (order-independent) with exactly one double
+    * division per output column. Scale shape: the vocab build is one
+    * token shuffle with map-side combine (the Zipf head pre-combines
+    * hard), top-v is a distributed TakeOrdered; the v-row ranking
+    * window is single-task BY DESIGN (v is a constant, not corpus
+    * data); the rank map broadcasts and scoring is in-row — the
+    * corpus is never shuffled or exploded on the scoring path. */
+  def zipfRankStats(s: SparkSession, dir: String, v: Int = 30): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val counts = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val rankW = Window.orderBy(col("n").desc, col("tok"))
+    val vocab = counts.orderBy(col("n").desc, col("tok")).limit(v)
+      .withColumn("rnk", row_number().over(rankW))
+    val vmap = vocab.agg(map_from_entries(
+      collect_list(struct(col("tok"), col("rnk")))).as("vm"))
+    docs.crossJoin(broadcast(vmap))
+      .select(col("lang"), transform(tokens(col("text")),
+        x => coalesce(try_element_at(col("vm"), x), lit(v + 1))).as("ranks"))
+      .select(col("lang"),
+        aggregate(col("ranks"), lit(0L), (a, r) => a + r).as("sum_rank"),
+        size(col("ranks")).cast("long").as("n_tok"),
+        size(filter(col("ranks"), r => r === v + 1)).cast("long").as("n_oov"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        r2(sum("sum_rank") / sum("n_tok")).as("avg_rank"),
+        r4(sum("n_oov") / sum("n_tok")).as("oov_ratio"))
+      .orderBy("lang")
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase
     * text — the exact-dedup key for 100 TB corpora (hash once, then
     * dedup on a 32-byte key instead of the full document). */

@@ -449,6 +449,30 @@ class OpsSpec extends SparkSpec {
       "markers must fire")
   }
 
+  test("zipf rank: matches plain-Scala vocab ranking, OOV path fires") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").toSeq))
+    val vocab = docs.flatMap(_._2).groupBy(identity).map { case (t, o) => (t, o.length) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(30)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      val ranks = rows.flatMap(_._2).map(t => vocab.getOrElse(t, 31))
+      lang -> (rows.length.toLong, ranks.length.toLong,
+        math.floor(ranks.map(_.toLong).sum.toDouble / ranks.length * 100 + 0.5) / 100,
+        math.floor(ranks.count(_ == 31).toDouble / ranks.length * 10000 + 0.5) / 10000)
+    }
+    val got = TextAnalysis.zipfRankStats(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)) == e,
+        s"lang ${r.getString(0)}")
+    }
+    // the corpus vocabulary exceeds 30 tokens, so OOV must actually fire
+    assert(got.exists(_.getDouble(4) > 0), "OOV ratio never fired")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
