@@ -30,6 +30,21 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("orc round-trip preserves values and pushes filters to the scan") {
+    val df = Relational.t(spark, sf0001, "supplier")
+    df.write.mode("overwrite").orc(s"$tmp/supplier_orc")
+    val back = spark.read.orc(s"$tmp/supplier_orc")
+      .filter(col("s_nationkey") === 3)
+    val expected = df.filter(col("s_nationkey") === 3)
+      .orderBy("s_suppkey").collect().map(_.getLong(0)).toList
+    assert(back.orderBy("s_suppkey").collect()
+      .map(_.getAs[Long]("s_suppkey")).toList == expected)
+    // ORC supports predicate pushdown like parquet — the filter must
+    // reach the scan, not evaluate post-read
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("s_nationkey"), plan)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val df = Relational.t(spark, sf0001, "orders")
       .withColumn("status", col("o_orderstatus"))
