@@ -308,6 +308,26 @@ object Similarity {
     * discipline). */
   def kmeansCodebook(s: SparkSession, dir: String, nlist: Int = 32,
       iters: Int = 2): DataFrame = {
+    val (cent, assign) = trainedCentroids(s, dir, nlist, iters)
+    // n_members needs one extra assignment pass — the PUBLISHED
+    // codebook carries it, but [[ivfTopKTrained]] (which immediately
+    // re-assigns the corpus anyway) skips straight to the centroids:
+    // at 100 TB this pass is a full corpus×nlist cosine scan, paid
+    // only where the counts are actually consumed
+    val counts = assign.groupBy("cell").agg(count(lit(1)).as("n_members"))
+    cent.join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("dim").cast("long").as("dim"), r4(col("cval")).as("cval"))
+      .orderBy("cell", "dim")
+  }
+
+  /** The Lloyd-training core shared by [[kmeansCodebook]] (publishes
+    * centroids + member counts) and [[ivfTopKTrained]] (needs only the
+    * centroids — skipping the counts saves a whole corpus assignment
+    * pass). Returns (melted centroid frame (cell, dim, cval — raw
+    * doubles, NOT r4-rounded), a LAZY final-assignment frame). */
+  private def trainedCentroids(s: SparkSession, dir: String,
+      nlist: Int, iters: Int): (DataFrame, DataFrame) = {
     require(nlist >= 1 && iters >= 1)
     val emb = t(s, dir, "embeddings")
     // melted corpus: (vec_id, dim, v) — v widened to double (exact).
@@ -350,12 +370,7 @@ object Similarity {
       cent = updated.unionByName(kept).localCheckpoint()
     }
 
-    val finalAssign = assign(cent)
-    val counts = finalAssign.groupBy("cell").agg(count(lit(1)).as("n_members"))
-    cent.join(counts, Seq("cell"), "left")
-      .select(col("cell"), coalesce(col("n_members"), lit(0L)).as("n_members"),
-        col("dim").cast("long").as("dim"), r4(col("cval")).as("cval"))
-      .orderBy("cell", "dim")
+    (cent, assign(cent))
   }
 
   /** The closed loop: IVF top-k over the TRAINED [[kmeansCodebook]]
@@ -370,11 +385,15 @@ object Similarity {
   def ivfTopKTrained(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, nlist: Int = 32, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    // trained codebook, melted → per-cell double arrays (cvals are the
-    // r4-rounded published codebook — the oracle quantizes identically)
-    val cent = kmeansCodebook(s, dir, nlist, iters)
+    // trained codebook, melted → per-cell double arrays. cvals are
+    // r4-rounded exactly like the PUBLISHED codebook (the oracle
+    // quantizes identically), but via [[trainedCentroids]] directly:
+    // the published n_members requires a whole extra corpus
+    // assignment pass that this query — which re-assigns the corpus
+    // itself two lines down — would pay for nothing
+    val cent = trainedCentroids(s, dir, nlist, iters)._1
       .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("p"))
+      .agg(array_sort(collect_list(struct(col("dim"), r4(col("cval")).as("cval")))).as("p"))
       .select(col("cell").as("cent_id"), transform(col("p"), x => x("cval")).as("cent_emb"))
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val assign = corpus.crossJoin(broadcast(cent))
