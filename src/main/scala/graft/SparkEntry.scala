@@ -99,6 +99,7 @@ object SparkEntry {
     "s06_kmeans_codebook" -> ((s: SparkSession, dir: String) => Similarity.kmeansCodebook(s, dir)),
     "s07_ivf_trained" -> ((s: SparkSession, dir: String) => Similarity.ivfTopKTrained(s, dir)),
     "s08_sq_topk" -> ((s: SparkSession, dir: String) => Similarity.sqTopK(s, dir)),
+    "s09_pq_topk" -> ((s: SparkSession, dir: String) => Similarity.pqTopK(s, dir)),
     // — multimodal plumbing —
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
@@ -943,6 +944,50 @@ object SparkEntry {
            FROM dq, q WHERE vec_id <> q_id),
          r AS (SELECT q_id, c_id, sim,
            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // s09: PQ is deterministic arithmetic end to end (seed-sliced
+    // codebooks, r4-pinned argmin encode, j-ordered ADC folds), so the
+    // oracle replays codebook → encode → ADC → rank and the hash-match
+    // certifies the whole compressed-search path (the s05/s08 pattern).
+    "s09_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cb AS (SELECT j, vec_id - 100 AS c, list_slice(emb, j*8 + 1, j*8 + 8) AS cw
+           FROM e, UNNEST(range(0, 8)) AS t(j)
+           WHERE vec_id >= 100 AND vec_id < 116),
+         cbn AS (SELECT j, c, cw,
+             list_sum(list_transform(cw, x -> x * x)) AS norm2 FROM cb),
+         sub AS (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
+           FROM e, UNNEST(range(0, 8)) AS t(j)),
+         dmat AS (SELECT vec_id, j, c, norm2,
+             floor(list_sum(list_transform(range(1, 9),
+               i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 10000 + 0.5) / 10000 AS dr
+           FROM sub JOIN cbn USING (j)),
+         enc AS (SELECT vec_id, j, c AS code, norm2 FROM (
+             SELECT vec_id, j, c, norm2,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dr, c) AS rn
+             FROM dmat) WHERE rn = 1),
+         vn AS (SELECT vec_id, list_sum(list(norm2 ORDER BY j)) AS vnorm2
+           FROM enc GROUP BY vec_id),
+         qnorm AS (SELECT vec_id AS q_id,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn
+           FROM e WHERE vec_id < 10),
+         qd AS (SELECT qs.vec_id AS q_id, qs.j, cbn.c,
+             list_sum(list_transform(range(1, 9), i -> sv[i] * cw[i])) AS dq
+           FROM (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
+                 FROM e, UNNEST(range(0, 8)) AS t(j) WHERE vec_id < 10) qs
+           JOIN cbn USING (j)),
+         sc AS (SELECT qd.q_id, enc.vec_id AS c_id,
+             list_sum(list(dq ORDER BY qd.j)) AS sumdot
+           FROM enc JOIN qd ON enc.j = qd.j AND enc.code = qd.c
+           WHERE qd.q_id <> enc.vec_id
+           GROUP BY qd.q_id, enc.vec_id),
+         sim AS (SELECT sc.q_id, c_id,
+             floor(sumdot / (qnorm.qn * sqrt(vn.vnorm2)) * 10000 + 0.5) / 10000 AS sim
+           FROM sc JOIN qnorm ON qnorm.q_id = sc.q_id
+           JOIN vn ON vn.vec_id = sc.c_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+           FROM sim)
          SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "s01_brute_topk" ->
       """WITH q AS (

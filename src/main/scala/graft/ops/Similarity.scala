@@ -472,6 +472,99 @@ object Similarity {
     topKPerQuery(s, scored, k)
   }
 
+  /** Product-quantized (PQ) top-k with ADC (asymmetric distance
+    * computation) — the OTHER big quantization family next to [[sqTopK]]'s
+    * scalar codes: the vector splits into `m` subspaces, each encoded as
+    * its nearest codeword id in a per-subspace codebook of
+    * `codebookSize` entries, so a 64-dim float vector compresses to
+    * m = 8 BYTES (32× smaller than float32 — the memory story that
+    * makes billion-scale ANN fit in RAM). Search never decodes the
+    * corpus: a query precomputes its dot product against every
+    * codeword (m × codebookSize values, broadcast as a lookup map) and
+    * a candidate's approximate cosine is m in-row lookups — zero
+    * arithmetic per dimension at scan time.
+    *
+    * Codebooks are the s05 determinism pattern: the `codebookSize`
+    * seed vectors' subspace slices (a real index trains them per
+    * subspace with k-means — [[kmeansCodebook]] shows that machinery;
+    * deterministic codebooks are what make this ORACLE-able).
+    * Encoding assigns each subvector by (r4-rounded L2 distance,
+    * codeword id) — the rounding pins cross-engine tie order. Every
+    * reduction folds in a deterministic order (in-row index-order
+    * aggregates on the Spark side, `list_sum(list(... ORDER BY j))` in
+    * the oracle), so the hash-match certifies codebook → encode → ADC
+    * → rank bit-for-bit; approximation lives in the algorithm only.
+    *
+    * Scale shape: the codebook (m × codebookSize rows) broadcasts;
+    * encoding is one corpus melt (×m rows) + an argmin partial-agg
+    * back to one row per vector — an index-build cost, here inline for
+    * the certified query; the ADC scan crossJoins the tiny per-query
+    * lookup maps and shuffles nothing; ranking is the bounded-heap
+    * [[topKPerQuery]]. */
+  def pqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      m: Int = 8, codebookSize: Int = 16): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("emb"))
+    // subspace width from the (fixed) embedding dim; require clean split
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val w = dim / m
+    def subspaces(v: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)),
+        j => struct(j.cast("long").as("j"), slice(v, j * w + 1, lit(w)).as("sv")))
+    // codebook: seed vectors' subspace slices + codeword norms
+    val cb = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + codebookSize)
+      .select((col("vec_id") - 100).as("c"), explode(subspaces(col("emb"))).as("s"))
+      .select(col("s.j").as("j"), col("c"), col("s.sv").as("cw"))
+      .withColumn("norm2", dot(col("cw"), col("cw")))
+    // encode: per (vec, subspace) argmin over the broadcast codebook —
+    // min of an orderable struct (r4(L2²), codeword id), the ivfTopK
+    // assignment shape per subspace
+    val enc = emb
+      .select(col("vec_id"), explode(subspaces(col("emb"))).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+      .join(broadcast(cb), "j")
+      .select(col("vec_id"), col("j"),
+        struct(r4(dot(zip_with(col("sv"), col("cw"), (x, y) => x - y),
+          zip_with(col("sv"), col("cw"), (x, y) => x - y))).as("d"),
+          col("c"), col("norm2")).as("cand"))
+      .groupBy("vec_id", "j").agg(min("cand").as("best"))
+      .select(col("vec_id"), col("j"), col("best.c").as("code"),
+        col("best.norm2").as("n2"))
+    // one row per vector: j-ordered code array + reconstructed norm²
+    // (folded in j order — deterministic, matching the oracle's
+    // list_sum over an ORDER BY j list)
+    val codes = enc.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("code"), col("n2")))).as("cj"))
+      .select(col("vec_id"),
+        transform(col("cj"), x => x("code")).as("codes"),
+        aggregate(transform(col("cj"), x => x("n2")), lit(0.0),
+          (acc, v) => acc + v).as("vnorm2"))
+    // per-query ADC table: dot(query subvector, codeword) for every
+    // (subspace, codeword), as a broadcastable lookup map; plus ‖q‖
+    val qtab = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb"),
+        explode(subspaces(col("emb"))).as("s"))
+      .join(broadcast(cb), col("s.j") === cb("j"))
+      .groupBy("q_id")
+      .agg(map_from_entries(collect_list(struct(
+          (col("j") * codebookSize + col("c")).as("key"),
+          dot(col("s.sv"), col("cw")).as("dq")))).as("tab"),
+        first(sqrt(dot(col("emb"), col("emb")))).as("qn"))
+    // ADC scan: m in-row map lookups per candidate, summed in j order
+    val scored = codes.crossJoin(broadcast(qtab))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        r4(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("tab"),
+            j.cast("long") * codebookSize + element_at(col("codes"), j + 1)))
+          / (col("qn") * sqrt(col("vnorm2")))).as("sim"))
+    topKPerQuery(s, scored, k)
+  }
+
   /** Per-label centroid stats: mean vector norm and intra-label mean
     * cosine-to-centroid — an IVF-style coarse quantization summary
     * (the centroid table is what an IVF index would broadcast). */

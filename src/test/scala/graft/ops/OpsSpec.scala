@@ -473,6 +473,30 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(_.getDouble(4) > 0), "OOV ratio never fired")
   }
 
+  test("PQ topk: well-formed ranking with nonzero brute-force overlap") {
+    // fidelity caveat, asserted honestly: 16 seed codewords over
+    // 8-dim subspaces of RANDOM gaussian vectors is PQ's worst case
+    // (no cluster structure to exploit), so top-5 overlap with brute
+    // force is low — the oracle certifies the codebook→encode→ADC→rank
+    // COMPUTATION, and real recall comes from trained subspace
+    // codebooks (the s06 machinery). The overlap floor just proves the
+    // scores carry signal rather than noise.
+    val pq = Similarity.pqTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.length == 50)
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1L to 5L), s"ranks for $q")
+      rows.foreach { r => assert(r._4 >= -1.0001 && r._4 <= 1.0001) }
+    }
+    val br = Similarity.bruteForceTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val overlap = pq.groupBy(_._1).map { case (q, rows) =>
+      rows.map(_._3).toSet.intersect(br(q)).size
+    }.sum
+    assert(overlap >= 5, s"total top-5 overlap $overlap/50 is noise-level")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
