@@ -176,6 +176,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKAggregator"), "s08 missing the typed top-k aggregate")
   }
 
+  test("s09: codebook and ADC tables broadcast; ranking is the bounded heap") {
+    val df = Similarity.pqTopK(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastExchange"), "codebook/ADC tables must broadcast")
+    assert(!p.contains("Window"), "s09 plans a Window sort")
+    assert(p.contains("TopKAggregator"), "s09 missing the typed top-k aggregate")
+  }
+
+  test("c07: the PII scrub plans no shuffle before the per-lang summary") {
+    val df = Curation.piiRedactionStats(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"pii scrub must stay map-side:\n$p")
+  }
+
+  test("t09: the scoring path is a broadcast-fed scan (no corpus explode)") {
+    // the vocab build legitimately shuffles (token partial-agg +
+    // TakeOrdered); the SCORING side must consume the rank map via
+    // broadcast with in-row lookups — no second corpus-wide exchange
+    // keyed on tokens
+    val df = TextAnalysis.zipfRankStats(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "rank map must broadcast")
+  }
+
   test("no query in the registry plans a CartesianProduct or a SortMergeJoin") {
     // the global gate behind the per-query ones above: every join in
     // the full query registry broadcasts (or is a broadcast nested
