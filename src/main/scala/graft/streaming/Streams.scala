@@ -131,6 +131,47 @@ object Streams {
       .option("rowsPerSecond", rowsPerSecond)
       .load()
 
+  /** Stream-static enrichment: a streaming fact joined to a static
+    * dimension — the canonical streaming-curation shape (events
+    * against a user/blocklist/quality table). The static side is
+    * explicitly `broadcast()`: per micro-batch the join is map-side
+    * over the batch, the stream never shuffles, and no streaming
+    * state accrues (unlike stream-stream joins). Spark re-resolves
+    * FILE-based static sides per batch, so a refreshed dimension
+    * snapshot is picked up without restarting the query. */
+  def enrichedStream(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Watermarked stream-stream interval join: purchases attributed to
+    * the clicks that preceded them within `maxLagSec` — the streaming
+    * analog of the batch as-of attribution
+    * ([[graft.ops.Events.purchaseAttribution]], e04), with the
+    * streaming-specific contract made explicit: BOTH sides carry
+    * watermarks and the join condition bounds the event-time distance,
+    * which is what lets Spark EVICT buffered rows once the watermark
+    * passes them — an unbounded-condition stream-stream join would
+    * hold both streams' full history in state forever. Inner interval
+    * joins emit every qualifying (click, purchase) pair (a purchase
+    * with several recent clicks emits once per click; the batch as-of
+    * picks the latest — run the batch query for exact as-of
+    * semantics, this one for bounded-state continuous attribution). */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame,
+      maxLagSec: Long = 3600, watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        c("click_ts") <= p("purchase_ts") &&
+        c("click_ts") >= p("purchase_ts") - expr(s"INTERVAL $maxLagSec SECONDS"))
+      .select(p("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Micro-batch sink with a processing-time trigger — the
     * `group(interval=)` processing-time analog. Returns the started
     * query (caller stops it). */

@@ -119,4 +119,44 @@ class StreamsSpec extends SparkSpec {
     assert(df.isStreaming)
     assert(df.schema.fieldNames.contains("value"))
   }
+
+  test("enrichedStream joins a static dim per batch without streaming state") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Streams.Evt]
+    val q = Streams.enrichedStream(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      mem.addData(evt(1, 1, 7), evt(2, 2, 9))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT event_id, tier FROM enrich ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      // left join: unknown user 9 survives with a null tier
+      assert(rows.toList == List((1L, Some("gold")), (2L, None)))
+    } finally q.stop()
+  }
+
+  test("attributedPurchases: interval join emits in-window pairs only") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val clicks = MemoryStream[Streams.Evt]
+    val purchases = MemoryStream[Streams.Evt]
+    val q = Streams.attributedPurchases(clicks.toDF(), purchases.toDF(),
+        maxLagSec = 600)
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // user 7: click at 10:01 and 10:05; purchase at 10:08 → both
+      // clicks in the 10-minute window. user 8: click at 10:00,
+      // purchase at 10:30 → outside the window, no attribution.
+      clicks.addData(evt(1, 1, 7), evt(2, 5, 7), evt(3, 0, 8))
+      purchases.addData(evt(100, 8, 7, "purchase"), evt(101, 30, 8, "purchase"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT purchase_id, click_id FROM attr ORDER BY click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toList == List((100L, 1L), (100L, 2L)))
+    } finally q.stop()
+  }
 }
