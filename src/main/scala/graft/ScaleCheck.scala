@@ -111,7 +111,11 @@ object ScaleCheck {
       // ×K; quantize is map-side and the query set is fixed (only
       // replica 0 carries vec_id < 10), so the scored-pair count —
       // and the whole query — should scale ~linearly
-      "s08_sq_topk" -> ((ss: SparkSession, d: String) => ops.Similarity.sqTopK(ss, d)))
+      "s08_sq_topk" -> ((ss: SparkSession, d: String) => ops.Similarity.sqTopK(ss, d)),
+      // s09: the encode stage melts the corpus ×m and argmin-aggregates
+      // back to one row per vector (linear); codebook and ADC tables
+      // are corpus-size-independent broadcasts
+      "s09_pq_topk" -> ((ss: SparkSession, d: String) => ops.Similarity.pqTopK(ss, d)))
 
     val timed: Map[Int, Seq[(String, Double)]] = scales.map { s =>
       val dir = s"$base/x$s"

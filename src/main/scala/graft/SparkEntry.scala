@@ -431,13 +431,14 @@ object SparkEntry {
              sum(CAST(byte AS HUGEINT) * p.v) % 18446744073709551616 AS u
            FROM bytes JOIN pow p ON p.k = n - 1 - i
            GROUP BY doc_id)
-         SELECT doc_id AS media_id,
-           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           CAST(n % 1024 AS INT) AS width,
-           CAST(n // 1024 + 1 AS INT) AS height,
-           CASE WHEN u >= 9223372036854775808 THEN CAST(u - 18446744073709551616 AS BIGINT)
-                ELSE CAST(u AS BIGINT) END AS checksum
-         FROM cs ORDER BY media_id""",
+         SELECT b.doc_id AS media_id,
+           CASE CAST(b.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(b.n % 1024 AS INT) AS width,
+           CAST(b.n // 1024 + 1 AS INT) AS height,
+           CASE WHEN coalesce(cs.u, 0) >= 9223372036854775808
+                THEN CAST(coalesce(cs.u, 0) - 18446744073709551616 AS BIGINT)
+                ELSE CAST(coalesce(cs.u, 0) AS BIGINT) END AS checksum
+         FROM b LEFT JOIN cs USING (doc_id) ORDER BY media_id""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
@@ -817,7 +818,7 @@ object SparkEntry {
          s AS (SELECT d.lang, count(*) AS n_sampled
            FROM documents d JOIN r USING (lang)
            WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
-             CASE WHEN rate >= 1.0 THEN 'g'
+             CASE WHEN CAST(floor(rate * 4294967296) AS BIGINT) >= 4294967296 THEN 'g'
                ELSE printf('%08x', CAST(floor(rate * 4294967296) AS BIGINT)) END
            GROUP BY d.lang)
          SELECT r.lang, r.n_docs,

@@ -54,6 +54,11 @@ object Curation {
     * [[Dedup.minhashLshPairsFromSets]] for the contract). */
   private def overlapFlags(sets: DataFrame, benchSource: String,
       minOverlap: Double): DataFrame = {
+    // zero-hit docs never enter the hit aggregation (that sparsity IS
+    // the scale design), so a 0.0 threshold — "flag everything" —
+    // cannot be answered by this plan shape; reject it loudly
+    require(minOverlap > 0.0,
+      s"minOverlap must be > 0 (zero-hit docs are structurally absent); got $minOverlap")
     val bench = sets.filter(col("source") === benchSource)
       .select(explode(col("hs")).as("h")).distinct()
     val corpus = sets.filter(col("source") =!= benchSource)
@@ -190,7 +195,13 @@ object Curation {
     // 100 TB this is the difference between one and two corpus scans)
     val sets = Dedup.shingleHashSets(docs, n, carry = Seq("source"))
       .localCheckpoint()
-    val flagged = overlapFlags(sets, benchSource, minOverlap).select("doc_id")
+    // checkpointed: consumed by BOTH the cleanSets anti-join and the
+    // final corpus anti-join — left lazy, the second consumer would
+    // re-run the whole contamination semi-join + count pass (the exact
+    // re-derivation the sets checkpoint exists to avoid); the flagged
+    // list is contamination-sized, so materializing it is cheap
+    val flagged = overlapFlags(sets, benchSource, minOverlap)
+      .select("doc_id").localCheckpoint()
     // checkpointed: minhashLshPairsFromSets consumes its sets three
     // times, and re-deriving them re-runs the contamination semi-join
     // per consumer (the FromSets contract — caller materializes)

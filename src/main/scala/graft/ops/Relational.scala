@@ -158,21 +158,27 @@ object Relational {
   /** Reference `zip` (SURVEY §2.3; the reference defers to builtin
     * zip, README.md:481-497) re-grounded on explicit total orders:
     * the most expensive orders zipped positionally with the first
-    * customers. Both sides get a parallel two-pass
-    * [[graft.stream.Ordered.withRowIndex]] (range-repartition, never
-    * a global single-task window) and hash-join on the position; the
-    * inner join truncates at the shorter side exactly like builtin
-    * zip. Orders use (price desc, orderkey) so the order is TOTAL —
-    * a tie-ambiguous index would be nondeterministic under
-    * re-execution. */
+    * customers. A k-BOUNDED zip prefix-limits each side FIRST
+    * (distributed TakeOrdered — O(k) result, no corpus-wide pass;
+    * indexing the full table and filtering pos < k afterwards costs
+    * two full range shuffles for a 100-row answer), then indexes the
+    * k-row prefixes with the two-pass
+    * [[graft.stream.Ordered.withRowIndex]] and hash-joins on
+    * position; the inner join truncates at the shorter side exactly
+    * like builtin zip. The UNBOUNDED general form is
+    * [[graft.stream.Pipe.zipByIndex]], where the full parallel
+    * indexing is the right plan. Orders use (price desc, orderkey) so
+    * the order is TOTAL — a tie-ambiguous index would be
+    * nondeterministic under re-execution. */
   def zipTopOrdersFirstCustomers(s: SparkSession, dir: String,
       k: Int = 100): DataFrame = {
     val o = Ordered.withRowIndex(
-      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(k),
       Seq(col("o_totalprice").desc, col("o_orderkey")), "pos")
-      .filter(col("pos") < k)
     val c = Ordered.withRowIndex(
-      t(s, dir, "customer").select(col("c_custkey")),
+      t(s, dir, "customer").select(col("c_custkey"))
+        .orderBy(col("c_custkey")).limit(k),
       Seq(col("c_custkey")), "pos")
     o.join(c, "pos")
       .select(col("pos"), col("o_orderkey"), col("c_custkey"))

@@ -54,10 +54,14 @@ object Sampling {
     * lowercase hex in Spark (java.util.Formatter) and DuckDB (printf),
     * so the oracle replicates the comparison bit-for-bit; rate ≥ 1
     * maps to "g" (> every hex char) exactly like the literal path. */
-  def rateThresholdCol(rate: Column): Column =
-    when(rate >= 1.0, lit("g"))
-      .otherwise(format_string("%08x",
-        floor(rate * lit(4294967296.0)).cast("long")))
+  def rateThresholdCol(rate: Column): Column = {
+    // guard on the FLOORED value, exactly like [[rateThreshold]]: a
+    // rate one ulp below 1.0 rounds up to 2³² under the multiply, and
+    // formatting THAT yields a 9-char "100000000" which breaks the
+    // fixed-width string compare — it must render "g" instead
+    val v = floor(rate * lit(4294967296.0)).cast("long")
+    when(v >= 4294967296L, lit("g")).otherwise(format_string("%08x", v))
+  }
 
   /** Temperature-based mixture sampling over a skewed stratum (lang
     * here): the multilingual-corpus rebalancing rule p_i ∝ n_i^α with

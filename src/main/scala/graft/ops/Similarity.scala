@@ -508,8 +508,11 @@ object Similarity {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"),
         x => x.cast("double")).as("emb"))
-    // subspace width from the (fixed) embedding dim; require clean split
-    val dim = 64
+    // subspace width from the ACTUAL embedding dim (one head() job at
+    // build time — an index build knows its dim); a hardcoded dim on a
+    // mismatched corpus would slice short subvectors and return
+    // arbitrary codes with no error
+    val dim = emb.select(size(col("emb"))).head.getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val w = dim / m
     def subspaces(v: Column): Column =

@@ -64,9 +64,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val s = SparkSpec.session
     GraftExtensions.register(s)
     import org.apache.spark.sql.functions._
+    // orderBy before limit: the view's plan re-executes per query
+    // below, and an unordered GlobalLimit may pick different rows per
+    // execution once the file splits into multiple partitions
     graft.ops.Dedup.shingleHashSets(
         s.read.parquet("/root/testdata/sf0.001/documents.parquet"), 5)
-      .limit(20).createOrReplaceTempView("sh_ext")
+      .orderBy("doc_id").limit(20).createOrReplaceTempView("sh_ext")
     val sql = s.sql(
       "SELECT doc_id, minhash_sig(hs, 16) AS mh, simhash(hs) AS sh FROM sh_ext")
       .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1).toList, r.getLong(2)))).toMap
