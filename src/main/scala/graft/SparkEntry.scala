@@ -90,6 +90,7 @@ object SparkEntry {
     "d06_embedding_neardup" -> ((s: SparkSession, dir: String) => Dedup.embeddingNearDups(s, dir)),
     "d07_dup_clusters" -> ((s: SparkSession, dir: String) => Dedup.dupClusters(s, dir)),
     "d08_dedup_survivors" -> ((s: SparkSession, dir: String) => Dedup.dedupSurvivors(s, dir)),
+    "d09_incremental_dedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalNearDups(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "s02_lsh_topk" -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
@@ -857,6 +858,17 @@ object SparkEntry {
     "d05b_simhash_verified" ->
       s"""WITH $shingleCtes
          $exactJaccardSelect""",
+    // d09: the exact pair universe restricted to pairs whose LATER doc
+    // is in the new batch (doc_b >= 400) — the d04 ground-truth-oracle
+    // argument applies unchanged (the sketch recalls all J >= 0.6
+    // pairs on this corpus; verify is exact).
+    "d09_incremental_dedup" ->
+      s"""WITH $shingleCtes
+         SELECT doc_a, doc_b, floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 AS jaccard
+         FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6
+           AND doc_b >= 400
+         ORDER BY doc_a, doc_b""",
     // d07: clusters from the SCALE path (MinHash-LSH edges + iterative
     // min-label propagation) vs a recursive-CTE transitive closure over
     // the EXACT-Jaccard edges — the hash-match certifies both that the

@@ -438,6 +438,43 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** Incremental near-dup dedup: a NEW ingestion batch (doc_id >=
+    * `splitId` — standing in for "today's crawl") is checked against
+    * the EXISTING corpus index AND itself, without re-running the
+    * corpus-wide self-join. This is the shape continuous ingestion
+    * actually needs: the corpus side's banded signatures are an INDEX
+    * (in production: precomputed once, stored bucketed by (band,
+    * hash), appended per batch — the plan below recomputes them
+    * inline because the certified query must be self-contained), and
+    * candidate generation joins the small batch's bands against it —
+    * cost scales with |batch| × bucket occupancy, not |corpus|².
+    * Emitted pairs: (a, b) with a < b and b in the new batch — every
+    * duplication a batch ingest can introduce (new-vs-corpus and
+    * new-vs-new), never corpus-internal pairs (those were settled when
+    * THEIR batches landed). Exact-Jaccard verify on candidates only;
+    * the oracle replays the same pair universe exactly. */
+  def incrementalNearDups(s: SparkSession, dir: String, splitId: Long = 400,
+      n: Int = 5, bands: Int = 16, rows: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    val numHashes = bands * rows
+    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
+    val sig = minhashSignatures(sets, numHashes)
+    val melted = meltSketch(sig, Seq(col("doc_id")), bands,
+      b => xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*),
+      "band_idx", "bh")
+    // index side: ALL docs (in production, read from the stored band
+    // table); probe side: the new batch only — the join is
+    // batch-sized, the a < b predicate de-dups the new-vs-new pairs
+    val probe = melted.filter(col("doc_id") >= splitId)
+    val candidates = melted.as("x")
+      .join(probe.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairJaccard(candidates, sets, threshold)
+  }
+
   /** 64-bit SimHash per document: per-bit majority votes over the
     * token hashes — vote_i = (2·Σ bit_i) > T — computed by the fused
     * [[graft.functions.SimHash]] kernel (one JVM loop per row;

@@ -497,6 +497,19 @@ class OpsSpec extends SparkSpec {
     assert(overlap >= 5, s"total top-5 overlap $overlap/50 is noise-level")
   }
 
+  test("incremental dedup equals the full self-join restricted to the new batch") {
+    val split = 30L
+    val inc = Dedup.incrementalNearDups(spark, sf0001, splitId = split)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashLshPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._2 >= split).toSet
+    assert(inc == full, s"inc ${inc.size} vs restricted full ${full.size}")
+    assert(inc.nonEmpty, "split chosen so the batch actually has dup pairs")
+    // never a corpus-internal pair: the later doc is always in the batch
+    inc.foreach { case (a, b, _) => assert(b >= split && a < b) }
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
