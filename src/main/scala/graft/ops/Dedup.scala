@@ -448,6 +448,11 @@ object Dedup {
     * inline because the certified query must be self-contained), and
     * candidate generation joins the small batch's bands against it —
     * cost scales with |batch| × bucket occupancy, not |corpus|².
+    * Storage layout for the real index: a bucketed+sorted table on the
+    * band hash, so a LARGE probe batch (bucketed the same way) joins
+    * with no exchange on either side — BucketingSpec proves that
+    * write-once/join-forever contract; a small batch simply
+    * broadcasts its bands instead.
     * Emitted pairs: (a, b) with a < b and b in the new batch — every
     * duplication a batch ingest can introduce (new-vs-corpus and
     * new-vs-new), never corpus-internal pairs (those were settled when
