@@ -510,6 +510,32 @@ class OpsSpec extends SparkSpec {
     inc.foreach { case (a, b, _) => assert(b >= split && a < b) }
   }
 
+  test("connected components match a union-find model on random graphs") {
+    import scala.util.Random
+    val s = spark
+    import s.implicits._
+    (0 until 3).foreach { trial =>
+      val rnd = new Random(42 + trial)
+      val nV = 60
+      val edges = (0 until 80).map { _ =>
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong)
+      }.filter { case (a, b) => a != b }
+      // reference model: plain union-find with min-label roots
+      val parent = Array.tabulate(nV.toInt)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = touched.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -21,7 +21,11 @@ class SamplingSpec extends SparkSpec {
 
   test("rateThresholdCol matches the literal rateThreshold rendering") {
     import org.apache.spark.sql.functions.lit
-    val rates = Seq(0.0, 0.1, 0.35, 0.6457, 0.999999, 1.0)
+    // math.nextDown(1.0) is the regression pin: rate*2^32 rounds UP to
+    // exactly 2^32, so the column path must take the "g" branch like
+    // the literal path (a 9-char "100000000" breaks the fixed-width
+    // compare)
+    val rates = Seq(0.0, 0.1, 0.35, 0.6457, 0.999999, math.nextDown(1.0), 1.0)
     val df = spark.range(1).select(
       rates.zipWithIndex.map { case (r, i) =>
         Sampling.rateThresholdCol(lit(r)).as(s"t$i")
