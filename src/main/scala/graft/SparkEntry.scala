@@ -80,6 +80,7 @@ object SparkEntry {
     "c05_quality_quota" -> ((s: SparkSession, dir: String) => Curation.qualityQuota(s, dir)),
     "c06_full_curation" -> ((s: SparkSession, dir: String) => Curation.fullCurationStats(s, dir)),
     "c07_pii_redaction" -> ((s: SparkSession, dir: String) => Curation.piiRedactionStats(s, dir)),
+    "c08_packed_ids" -> ((s: SparkSession, dir: String) => Curation.packedIdsStats(s, dir)),
     // — deduplication —
     "d01_exact_dedup" -> (Dedup.exactDedupByLang _),
     "d02_dup_groups" -> (Dedup.duplicateGroups _),
@@ -397,6 +398,33 @@ object SparkEntry {
          SELECT lang, CAST(start // 2048 AS BIGINT) AS pack_id,
            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""",
+    // c08: vocab ranks (t09's CTE) turn tokens into ids; docs pack per
+    // lang exactly like c02; each pack's comma-joined id sequence is
+    // hash-matched, so the oracle certifies the exact trainer-visible
+    // token stream (doc order, then token order).
+    "c08_packed_ids" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         cnt AS (SELECT tok, count(*) AS n
+           FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok),
+         vocab AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+           FROM cnt ORDER BY n DESC, tok LIMIT 30),
+         ex AS (SELECT doc_id, lang, i, w[i] AS tok, len(w) AS n_tok
+           FROM toks, UNNEST(range(1, len(w) + 1)) AS u(i)),
+         ids AS (SELECT e.doc_id, any_value(e.lang) AS lang,
+             list(coalesce(v.rnk, 31) ORDER BY e.i) AS ids,
+             any_value(e.n_tok) AS n_tok
+           FROM ex e LEFT JOIN vocab v ON v.tok = e.tok
+           GROUP BY e.doc_id),
+         packed AS (SELECT doc_id, lang, ids, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+           FROM ids)
+         SELECT lang, CAST(start // 2048 AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(ids, ','), ',' ORDER BY doc_id) AS ids_csv
+         FROM packed GROUP BY 1, 2 ORDER BY lang, pack_id""",
     "c03_blocklist_scrub" ->
       """WITH d AS (SELECT lang,
            len(string_split_regex(trim(text), '\s+')) AS n_tok,

@@ -244,6 +244,54 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** The corpus → training-sequences END STATE: tokens map to integer
+    * ids against a ranked vocabulary (the [[graft.ops.TextAnalysis.zipfRankStats]]
+    * vocab machinery — top-`v` by (count desc, token asc), OOV → v+1),
+    * documents lay end-to-end per language stream in doc_id order
+    * ([[packingStats]]' pack assignment), and each pack emits its
+    * concatenated id sequence — what a trainer would actually read.
+    * Ids render as a comma-joined string so the oracle can hash-match
+    * the exact sequence (id ORDER inside the pack is the contract:
+    * doc order, then token order within the doc).
+    *
+    * Scale shape: vocab build as in t09 (one token shuffle, map-side
+    * combined; the rank map broadcasts); id-mapping is in-row; the
+    * only corpus shuffle is the per-(lang) packing window + the final
+    * per-pack aggregation — and packs are bounded (`budget` tokens),
+    * so no aggregation group can outgrow an executor no matter the
+    * corpus size. */
+  def packedIdsStats(s: SparkSession, dir: String, budget: Long = 2048,
+      v: Int = 30): DataFrame = {
+    import graft.ops.TextAnalysis.tokens
+    val docs = t(s, dir, "documents")
+    val counts = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok"))
+    val vocab = counts.orderBy(col("n").desc, col("tok")).limit(v)
+      .withColumn("rnk", row_number().over(rankW))
+    val vmap = vocab.agg(map_from_entries(
+      collect_list(struct(col("tok"), col("rnk")))).as("vm"))
+    val withIds = docs.crossJoin(broadcast(vmap))
+      .select(col("doc_id"), col("lang"),
+        transform(tokens(col("text")),
+          x => coalesce(try_element_at(col("vm"), x), lit(v + 1))).as("ids"))
+      .withColumn("n_tok", size(col("ids")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withIds
+      .withColumn("start", sum("n_tok").over(w) - col("n_tok"))
+      .withColumn("pack_id", floor(col("start") / budget).cast("long"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+          x => transform(x("ids"), i => i.cast("string")))), ",").as("ids_csv"))
+      .orderBy("lang", "pack_id")
+  }
+
   /** Email pattern shared by the scrub and its oracle: greedy
     * character-class quantifiers with no alternation or lookaround, so
     * Java's leftmost-FIRST backtracking and RE2's leftmost-LONGEST

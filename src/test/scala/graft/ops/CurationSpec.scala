@@ -159,6 +159,25 @@ class CurationSpec extends SparkSpec {
     assert(byLang == Map("en" -> ((1L, 17L, 9L)), "fr" -> ((1L, 3L, 2L))))
   }
 
+  test("packed ids: pack structure matches packingStats; sequences well-formed") {
+    val packed = Curation.packedIdsStats(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getString(4))))
+    val plain = Curation.packingStats(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(packed.map(_._1).toSet == plain.keySet)
+    packed.foreach { case (key, (nDocs, nTokens, csv)) =>
+      assert((nDocs, nTokens) == plain(key), s"pack $key counts diverge")
+      val ids = csv.split(",").map(_.toInt)
+      // every token got an id, ids are vocab ranks or the OOV code 31
+      assert(ids.length.toLong == nTokens, s"pack $key id count")
+      assert(ids.forall(i => i >= 1 && i <= 31), s"pack $key id range")
+    }
+    // OOV code must actually appear (vocab is capped at 30 tokens)
+    assert(packed.exists(_._2._3.split(",").contains("31")))
+  }
+
   test("blocklist scrub: exact token removals, untouched docs not counted") {
     val dir = docsDir(Seq(
       (1L, "spark is fast and spark scales", "en", "s"),  // 2 removals
