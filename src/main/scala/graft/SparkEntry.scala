@@ -81,6 +81,7 @@ object SparkEntry {
     "c06_full_curation" -> ((s: SparkSession, dir: String) => Curation.fullCurationStats(s, dir)),
     "c07_pii_redaction" -> ((s: SparkSession, dir: String) => Curation.piiRedactionStats(s, dir)),
     "c08_packed_ids" -> ((s: SparkSession, dir: String) => Curation.packedIdsStats(s, dir)),
+    "c09_chunking" -> ((s: SparkSession, dir: String) => Curation.chunkStats(s, dir)),
     // — deduplication —
     "d01_exact_dedup" -> (Dedup.exactDedupByLang _),
     "d02_dup_groups" -> (Dedup.duplicateGroups _),
@@ -425,6 +426,28 @@ object SparkEntry {
            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            string_agg(array_to_string(ids, ','), ',' ORDER BY doc_id) AS ids_csv
          FROM packed GROUP BY 1, 2 ORDER BY lang, pack_id""",
+    // c09: window count via exact double floor; list_slice's inclusive
+    // (begin, end) equals Spark slice's (start, length) here; md5 of
+    // the space-joined chunk certifies boundaries + content.
+    "c09_chunking" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+           FROM documents),
+         wins AS (
+           SELECT doc_id, lang, w, k
+           FROM toks, UNNEST(range(0, CAST(greatest(1,
+             floor((n_tok - 128 + 63) / 64.0) + 1) AS BIGINT))) AS t(k)),
+         ch AS (
+           SELECT doc_id, lang,
+             md5(array_to_string(list_slice(w, k*64 + 1, k*64 + 128), ' ')) AS fp,
+             len(list_slice(w, k*64 + 1, k*64 + 128)) AS clen
+           FROM wins)
+         SELECT lang, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           count(DISTINCT fp) AS n_distinct_chunks,
+           CAST(sum(clen) AS BIGINT) AS sum_chunk_tokens
+         FROM ch GROUP BY lang ORDER BY lang""",
     "c03_blocklist_scrub" ->
       """WITH d AS (SELECT lang,
            len(string_split_regex(trim(text), '\s+')) AS n_tok,

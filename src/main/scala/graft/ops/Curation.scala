@@ -292,6 +292,42 @@ object Curation {
       .orderBy("lang", "pack_id")
   }
 
+  /** Sliding-window chunking — the RAG / long-context restructuring
+    * op: each document yields token windows of `chunk` tokens starting
+    * every `stride` (overlap = chunk - stride; the tail window may be
+    * short; every doc yields at least one). Window count is
+    * max(1, floor((n_tok - chunk + stride - 1)/stride) + 1) — integer
+    * arithmetic via exact double floor, identical in the oracle.
+    * The summary carries an md5 fingerprint COUNT per chunk text, so
+    * the hash-match certifies chunk boundaries AND content (and the
+    * distinct count is the cross-doc chunk-dedup signal — repeated
+    * boilerplate collapses). All chunk construction is in-row
+    * (transform + slice + explode): the corpus never shuffles until
+    * the per-lang summary. */
+  def chunkStats(s: SparkSession, dir: String, chunk: Int = 128,
+      stride: Int = 64): DataFrame = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk)
+    val w = TextAnalysis.tokens(col("text"))
+    val nWin = greatest(lit(1),
+      (floor((col("n_tok") - chunk + stride - 1) / lit(stride.toDouble)) + 1)
+        .cast("int"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), w.as("w"))
+      .withColumn("n_tok", size(col("w")))
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0), nWin - 1),
+          k => slice(col("w"), k * stride + 1, lit(chunk)))).as("cw"))
+      .select(col("doc_id"), col("lang"),
+        md5(concat_ws(" ", col("cw"))).as("fp"),
+        size(col("cw")).cast("long").as("clen"))
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_distinct_chunks"),
+        sum("clen").as("sum_chunk_tokens"))
+      .orderBy("lang")
+  }
+
   /** Email pattern shared by the scrub and its oracle: greedy
     * character-class quantifiers with no alternation or lookaround, so
     * Java's leftmost-FIRST backtracking and RE2's leftmost-LONGEST

@@ -178,6 +178,42 @@ class CurationSpec extends SparkSpec {
     assert(packed.exists(_._2._3.split(",").contains("31")))
   }
 
+  test("chunking: windows match a plain-Scala slicer incl fingerprints") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").toSeq))
+    // small windows so this corpus' short docs actually produce
+    // multiple overlapping chunks (the default 128/64 yields one
+    // window per sub-128-token doc — boundary math untested)
+    val chunk = 16; val stride = 8
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      val chunks = rows.flatMap { case (_, w) =>
+        val nWin = math.max(1,
+          math.floor((w.length - chunk + stride - 1).toDouble / stride).toInt + 1)
+        (0 until nWin).map { k =>
+          val cw = w.slice(k * stride, k * stride + chunk)
+          (md5hex(cw.mkString(" ")), cw.length.toLong)
+        }
+      }
+      lang -> (rows.length.toLong, chunks.length.toLong,
+        chunks.map(_._1).distinct.length.toLong, chunks.map(_._2).sum)
+    }
+    val got = Curation.chunkStats(spark, sf0001, chunk = chunk,
+      stride = stride).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == e,
+        s"lang ${r.getString(0)}")
+    }
+    // overlap must produce more chunk-tokens than corpus tokens
+    val corpusTokens = docs.map(_._2.length.toLong).sum
+    assert(got.map(_.getLong(4)).sum > corpusTokens)
+  }
+
   test("blocklist scrub: exact token removals, untouched docs not counted") {
     val dir = docsDir(Seq(
       (1L, "spark is fast and spark scales", "en", "s"),  // 2 removals
