@@ -58,6 +58,7 @@ object SparkEntry {
     "e02_sessions" -> (Events.sessionStats _),
     "e03_top_users" -> (Events.topUsers _),
     "e04_asof_attribution" -> (Events.purchaseAttribution _),
+    "e05_interval_join" -> ((s: SparkSession, dir: String) => Events.purchasesInSessions(s, dir)),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -740,6 +741,30 @@ object SparkEntry {
            floor(sum((epoch_ms(ts) - click_tms) / 1000.0) / count(click_id) * 100 + 0.5) / 100 AS avg_lag_sec
          FROM x WHERE event_type = 'purchase'
          GROUP BY user_id ORDER BY user_id""",
+    // e05: the oracle runs the PLAIN BETWEEN containment join — the
+    // binned (user, hour-bucket) equi-join plan must reproduce it
+    // exactly, which is precisely what the bucketing trick claims.
+    "e05_interval_join" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, epoch_ms(ts) AS tms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tms
+           FROM events WHERE event_type = 'click'),
+         n AS (
+           SELECT user_id, ts,
+             sum(CASE WHEN prev_tms IS NULL OR tms - prev_tms > 1800000
+               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM x),
+         sess AS (SELECT user_id, session_id, min(ts) AS st,
+             max(ts) + INTERVAL 30 MINUTES AS en
+           FROM n GROUP BY 1, 2),
+         p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, count(*) AS n_purchases,
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM sess s
+             WHERE s.user_id = p.user_id AND p.ts >= s.st AND p.ts <= s.en)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_in_session
+         FROM p GROUP BY p.user_id ORDER BY p.user_id""",
     "t01_token_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,

@@ -25,12 +25,17 @@ object Events {
   /** Gap-based sessionization (30-min inactivity): lag per user →
     * session boundaries → running session ids — key-partitioned
     * windows only, scales with user cardinality. */
-  def sessionize(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    sessionizeFrame(events(s, dir), gapMinutes)
+
+  /** [[sessionize]] over any events-shaped frame — the seam that lets
+    * [[purchasesInSessions]] sessionize the click stream alone. */
+  def sessionizeFrame(ev: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     // millisecond precision on both sides (the DuckDB oracle uses
     // epoch_ms) — second-truncation would disagree on ~30:00.x gaps
     val gapMs = gapMinutes * 60000L
-    events(s, dir)
+    ev
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -38,6 +43,49 @@ object Events {
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Interval-containment (range) join, bucketed — the join family
+    * Spark has no native operator for, realized scale-correctly:
+    * purchases land in the CLICK session interval that contains them.
+    * The naive plan is a per-user theta join (BroadcastNestedLoop or
+    * a cartesian per key — dead at 100 TB); the scalable shape BINS
+    * the time axis: each session interval explodes into the hour
+    * buckets it covers (intervals are short, so this is a small
+    * constant fan-out), purchases carry their own hour bucket, and
+    * the join becomes EQUI on (user_id, bucket) with an exact
+    * containment filter after — hash join, no theta probe. Gap-based
+    * sessions are disjoint per user, and a purchase has exactly one
+    * bucket, so no post-join dedup is needed. The oracle runs the
+    * plain BETWEEN containment — same semantics, certifying the
+    * binned plan against the declarative definition. */
+  def purchasesInSessions(s: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val ev = events(s, dir)
+    // the session interval is OPEN until its inactivity gap expires
+    // (that is what gap-based sessionization means), so containment
+    // runs against [first click, last click + gap] — without the gap
+    // extension only purchases strictly BETWEEN two clicks could ever
+    // match, which on sparse purchase streams is ~never
+    val sess = sessionizeFrame(ev.filter(col("event_type") === "click"),
+        gapMinutes)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("start_ts"),
+        (max("ts") + expr(s"INTERVAL $gapMinutes MINUTES")).as("end_ts"))
+    val sessB = sess.withColumn("hb",
+      explode(sequence(date_trunc("hour", col("start_ts")),
+        date_trunc("hour", col("end_ts")), expr("INTERVAL 1 HOUR"))))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("hb", date_trunc("hour", col("ts")))
+    val matched = purch.join(sessB, Seq("user_id", "hb"))
+      .filter(col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_in_session"))
+    purch.groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+      .join(matched, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_purchases"),
+        coalesce(col("n_in_session"), lit(0L)).as("n_in_session"))
+      .orderBy("user_id")
   }
 
   /** Per-user session stats from [[sessionize]]. */

@@ -536,6 +536,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("interval join: binned plan equals a plain-Scala containment check") {
+    val ev = Relational.events(spark, sf0001)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp](2).getTime, r.getString(3)))
+    val sessions = ev.filter(_._4 == "click").groupBy(_._1).flatMap {
+      case (user, clicks) =>
+        val sorted = clicks.sortBy(c => (c._3, c._2)).map(_._3)
+        val bounds = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        sorted.foreach { t =>
+          if (bounds.nonEmpty && t - bounds.last._2 <= 1800000L)
+            bounds(bounds.length - 1) = (bounds.last._1, t)
+          else bounds += ((t, t))
+        }
+        // the interval stays open for the inactivity gap past the
+        // last click — mirroring purchasesInSessions' end extension
+        bounds.map { case (st, en) => (user, st, en + 1800000L) }
+    }.toSeq
+    val expected = ev.filter(_._4 == "purchase").groupBy(_._1).map {
+      case (user, ps) =>
+        val inS = ps.count(p => sessions.exists(s =>
+          s._1 == user && p._3 >= s._2 && p._3 <= s._3))
+        user -> (ps.length.toLong, inS.toLong)
+    }
+    val got = Events.purchasesInSessions(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2)) == e, s"user ${r.getLong(0)}")
+    }
+    assert(got.map(_.getLong(2)).sum > 0, "no purchase ever landed in a session")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

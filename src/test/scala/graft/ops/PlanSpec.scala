@@ -205,6 +205,14 @@ class PlanSpec extends SparkSpec {
       "rank map must broadcast")
   }
 
+  test("e05: interval containment runs as an equi hash join, never a theta probe") {
+    val df = Events.purchasesInSessions(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned range join must not theta-probe:\n$p")
+  }
+
   test("no query in the registry plans a CartesianProduct or a SortMergeJoin") {
     // the global gate behind the per-query ones above: every join in
     // the full query registry broadcasts (or is a broadcast nested
