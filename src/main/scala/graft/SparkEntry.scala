@@ -104,6 +104,7 @@ object SparkEntry {
     "s07_ivf_trained" -> ((s: SparkSession, dir: String) => Similarity.ivfTopKTrained(s, dir)),
     "s08_sq_topk" -> ((s: SparkSession, dir: String) => Similarity.sqTopK(s, dir)),
     "s09_pq_topk" -> ((s: SparkSession, dir: String) => Similarity.pqTopK(s, dir)),
+    "s10_filtered_topk" -> ((s: SparkSession, dir: String) => Similarity.filteredTopK(s, dir)),
     // — multimodal plumbing —
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
@@ -1033,6 +1034,23 @@ object SparkEntry {
            FROM dq, q WHERE vec_id <> q_id),
          r AS (SELECT q_id, c_id, sim,
            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // s10: s01's exact-cosine structure with the metadata PRE-filter in
+    // the candidate CTE — the oracle certifies that filtered search
+    // filters before ranking (a post-filtered top-k would hash-differ
+    // whenever a query's unfiltered neighborhood is label-diverse).
+    "s10_filtered_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id < 10),
+         s AS (
+           SELECT q_id, vec_id AS c_id,
+             floor(list_cosine_similarity(q_emb, CAST(embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS sim
+           FROM embeddings, q WHERE vec_id <> q_id AND label = 2),
+         r AS (
+           SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+           FROM s)
          SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
     // s09: PQ is deterministic arithmetic end to end (seed-sliced
     // codebooks, r4-pinned argmin encode, j-ordered ADC folds), so the

@@ -568,6 +568,31 @@ object Similarity {
     topKPerQuery(s, scored, k)
   }
 
+  /** Filtered vector search — top-k restricted to candidates matching
+    * a metadata predicate (here label), the composition every retrieval
+    * stack needs and most ANN libraries bolt on badly. The declarative
+    * engine gets it right for free: the predicate PRE-filters the
+    * corpus (pushed to the parquet scan — at 100 TB with
+    * label-partitioned or z-ordered storage that is pruned I/O, not a
+    * scan), and ranking sees only qualifying candidates, so top-k is
+    * never starved the way post-filtering a fixed-k result is (filter
+    * after rank returns < k rows whenever the neighborhood is
+    * label-diverse). Same kernel + bounded-heap shape as
+    * [[nativeTopK]]. */
+  def filteredTopK(s: SparkSession, dir: String, label: Int = 2,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import graft.functions.CosineSimilarity
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.filter(col("label") === label)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        r4(CosineSimilarity(col("q_emb"), col("c_emb"))).as("sim"))
+    topKPerQuery(s, scored, k)
+  }
+
   /** Per-label centroid stats: mean vector norm and intra-label mean
     * cosine-to-centroid — an IVF-style coarse quantization summary
     * (the centroid table is what an IVF index would broadcast). */

@@ -569,6 +569,23 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum > 0, "no purchase ever landed in a session")
   }
 
+  test("filtered topk: every neighbor carries the label; pre-filter beats post-filter") {
+    val emb = Relational.t(spark, sf0001, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val filtered = Similarity.filteredTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(filtered.length == 50)
+    filtered.foreach { case (_, c) => assert(emb(c) == 2, s"neighbor $c label") }
+    // pre-filtering must surface neighbors a post-filtered unrestricted
+    // top-k would never see (the unfiltered top-5 is label-diverse)
+    val unfiltered = Similarity.bruteForceTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val novel = filtered.count { case (q, c) => !unfiltered(q).contains(c) }
+    assert(novel > 0, "filtered results identical to unfiltered — filter vacuous")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
