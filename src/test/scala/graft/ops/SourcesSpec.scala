@@ -45,6 +45,19 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [") && plan.contains("s_nationkey"), plan)
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    val df = Relational.t(spark, sf0001, "region")
+    df.write.mode("overwrite").parquet(s"$tmp/evo/v1")
+    df.withColumn("r_tier", col("r_regionkey") % 2)
+      .write.mode("overwrite").parquet(s"$tmp/evo/v2")
+    val back = spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/evo/v1", s"$tmp/evo/v2")
+    assert(back.columns.contains("r_tier"))
+    assert(back.count() == 2 * df.count())
+    // rows from the pre-evolution files surface the new column as null
+    assert(back.filter(col("r_tier").isNull).count() == df.count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val df = Relational.t(spark, sf0001, "orders")
       .withColumn("status", col("o_orderstatus"))
