@@ -366,9 +366,13 @@ object Dedup {
       // hop 1: neighbor labels flow along edges; keep the min
       val msgs = bi.join(labels, bi("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
-      // checkpoint the edge-hop frontier before the doubling self-join
-      // (also sidesteps Catalyst's self-join ambiguity on a derived
-      // union plan)
+      // checkpoint the edge-hop frontier before the doubling self-join.
+      // LOAD-BEARING, not just a lineage cut: self-joining the derived
+      // union plan lazily dies inside Catalyst's Union constraint
+      // rewrite (AttributeMap key-not-found on the deduplicated
+      // attributes — re-verified on Spark 4.1.2; aliasing both sides
+      // does not dodge it), so the frontier must be materialized into
+      // a fresh leaf before it can meet itself in a join
       val hopped = labels.select("id", "cluster").union(msgs)
         .groupBy("id").agg(min("cluster").as("cluster"))
         .localCheckpoint()
