@@ -58,6 +58,27 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("r_tier").isNull).count() == df.count())
   }
 
+  test("compaction: fragmented parquet rewrites to few sorted files, content intact") {
+    val df = Relational.t(spark, sf0001, "orders")
+    // fragment: 64 shuffled partitions → 64 small files
+    df.repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
+    val fragFiles = spark.read.parquet(s"$tmp/frag").inputFiles.length
+    assert(fragFiles >= 32, s"fragmentation setup produced only $fragFiles files")
+    val n = Sinks.compactParquet(spark, s"$tmp/frag", s"$tmp/compacted",
+      targetFileBytes = 512L << 20, sortCols = Seq("o_orderkey"))
+    assert(n == 1, s"everything fits one target file, chose $n")
+    val back = spark.read.parquet(s"$tmp/compacted")
+    assert(back.inputFiles.length == 1)
+    // content identical
+    assert(back.count() == df.count())
+    val a = back.agg(org.apache.spark.sql.functions.sum("o_totalprice")).head.getDouble(0)
+    val b = df.agg(org.apache.spark.sql.functions.sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+    // sorted layout: rows inside the file are key-ordered
+    val keys = back.limit(500).collect().map(_.getLong(0))
+    assert(keys.sameElements(keys.sorted), "compacted file not internally sorted")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val df = Relational.t(spark, sf0001, "orders")
       .withColumn("status", col("o_orderstatus"))
