@@ -131,6 +131,27 @@ object Streams {
       .option("rowsPerSecond", rowsPerSecond)
       .load()
 
+  final case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
+
+  /** Streaming curation: the batch curation operators composed on an
+    * unbounded document stream — length filtering and exact dedup are
+    * pure column expressions ([[graft.ops.TextAnalysis.tokens]] /
+    * [[graft.ops.TextAnalysis.fingerprint]]), so they run unchanged
+    * inside a streaming plan; dedup state is bounded by the watermark
+    * horizon ([[dedupedStream]]'s contract — duplicates farther apart
+    * than the horizon re-emit by design, the price of bounded state on
+    * an unbounded corpus). This is the continuous-ingestion front door
+    * to the batch pipeline: survivors land in the lake, where d09's
+    * incremental batch-vs-index near-dup pass picks them up. */
+  def curatedDocStream(docs: DataFrame, minWords: Int = 5,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.ops.TextAnalysis
+    docs.withWatermark("ts", watermarkDelay)
+      .filter(size(TextAnalysis.tokens(col("text"))) >= minWords)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+  }
+
   /** Stream-static enrichment: a streaming fact joined to a static
     * dimension — the canonical streaming-curation shape (events
     * against a user/blocklist/quality table). The static side is

@@ -120,6 +120,26 @@ class StreamsSpec extends SparkSpec {
     assert(df.schema.fieldNames.contains("value"))
   }
 
+  test("curatedDocStream drops short docs and exact duplicates, keeps the rest") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Streams.Doc]
+    val q = Streams.curatedDocStream(mem.toDF(), minWords = 5)
+      .writeStream.format("memory").queryName("curated").outputMode("append").start()
+    try {
+      mem.addData(
+        Streams.Doc(1, ts(1), "en", "one two three four five six"),
+        Streams.Doc(2, ts(2), "en", "too short"),
+        Streams.Doc(3, ts(3), "en", "one  two three four five six"), // ws-normalized dup of 1
+        Streams.Doc(4, ts(4), "de", "sieben acht neun zehn elf zwoelf"))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM curated").collect().map(_.getLong(0)).sorted
+      assert(ids.toList == List(1L, 4L),
+        s"expected short doc 2 and normalized dup 3 dropped, got ${ids.toList}")
+    } finally q.stop()
+  }
+
   test("enrichedStream joins a static dim per batch without streaming state") {
     val s = spark
     import s.implicits._
