@@ -157,16 +157,25 @@ object Curation {
     * re-key by (lang, shard) first — the semantics compose because
     * each stream is packed independently. */
   def packingStats(s: SparkSession, dir: String, budget: Long = 2048): DataFrame = {
-    require(budget >= 1)
     val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("start", sum("n_tok").over(w) - col("n_tok"))
-      .withColumn("pack_id", floor(col("start") / budget).cast("long"))
+    withPackId(docs, budget)
       .groupBy("lang", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
       .orderBy("lang", "pack_id")
+  }
+
+  /** Pack assignment shared by [[packingStats]] and [[packedIdsStats]]
+    * (one definition so the stream/order/boundary contract — and both
+    * oracles — cannot desynchronize): cumulative token start per
+    * (lang, doc_id order), pack_id = floor(start / budget). Expects
+    * (lang, doc_id, n_tok) columns. */
+  private def withPackId(df: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 1)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("start", sum("n_tok").over(w) - col("n_tok"))
+      .withColumn("pack_id", floor(col("start") / budget).cast("long"))
   }
 
   /** The END-TO-END curation pipeline as ONE composed query — what a
@@ -262,28 +271,13 @@ object Curation {
     * corpus size. */
   def packedIdsStats(s: SparkSession, dir: String, budget: Long = 2048,
       v: Int = 30): DataFrame = {
-    import graft.ops.TextAnalysis.tokens
+    import graft.ops.TextAnalysis.{vocabRankMap, tokenIdsCol}
     val docs = t(s, dir, "documents")
-    val counts = docs.select(explode(tokens(col("text"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("n"))
-    val rankW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("tok"))
-    val vocab = counts.orderBy(col("n").desc, col("tok")).limit(v)
-      .withColumn("rnk", row_number().over(rankW))
-    val vmap = vocab.agg(map_from_entries(
-      collect_list(struct(col("tok"), col("rnk")))).as("vm"))
-    val withIds = docs.crossJoin(broadcast(vmap))
+    val withIds = docs.crossJoin(broadcast(vocabRankMap(docs, v)))
       .select(col("doc_id"), col("lang"),
-        transform(tokens(col("text")),
-          x => coalesce(try_element_at(col("vm"), x), lit(v + 1))).as("ids"))
+        tokenIdsCol(col("text"), col("vm"), v).as("ids"))
       .withColumn("n_tok", size(col("ids")).cast("long"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    withIds
-      .withColumn("start", sum("n_tok").over(w) - col("n_tok"))
-      .withColumn("pack_id", floor(col("start") / budget).cast("long"))
+    withPackId(withIds, budget)
       .groupBy("lang", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
         array_join(flatten(transform(

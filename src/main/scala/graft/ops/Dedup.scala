@@ -214,7 +214,8 @@ object Dedup {
     * persist) — it is consumed three times below. */
   def minhashLshPairsFromSets(sets: DataFrame,
       bands: Int = 16, rows: Int = 2,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      probeFilter: Option[Column] = None): DataFrame = {
     val numHashes = bands * rows
     val sig = minhashSignatures(sets, numHashes)
     // band b = hash of (h_{b*rows} ... h_{b*rows+rows-1}); melt the
@@ -225,8 +226,12 @@ object Dedup {
     val melted = meltSketch(sig, Seq(col("doc_id")), bands,
       b => xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*),
       "band_idx", "bh")
+    // probeFilter restricts the LATER-doc side of every emitted pair —
+    // the incremental batch-vs-index seam (d09): the full melted frame
+    // is the index, the filtered side is the probing batch
+    val probe = probeFilter.fold(melted)(melted.filter)
     val candidates = melted.as("x")
-      .join(melted.as("y"),
+      .join(probe.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -465,23 +470,13 @@ object Dedup {
   def incrementalNearDups(s: SparkSession, dir: String, splitId: Long = 400,
       n: Int = 5, bands: Int = 16, rows: Int = 2,
       threshold: Double = 0.6): DataFrame = {
-    val numHashes = bands * rows
+    // the shared LSH pipeline with the probe side restricted to the
+    // batch: index = ALL docs' bands (in production, the stored band
+    // table); probe = the batch — the join is batch-sized, and the
+    // a < b predicate de-dups the new-vs-new pairs
     val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
-    val sig = minhashSignatures(sets, numHashes)
-    val melted = meltSketch(sig, Seq(col("doc_id")), bands,
-      b => xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*),
-      "band_idx", "bh")
-    // index side: ALL docs (in production, read from the stored band
-    // table); probe side: the new batch only — the join is
-    // batch-sized, the a < b predicate de-dups the new-vs-new pairs
-    val probe = melted.filter(col("doc_id") >= splitId)
-    val candidates = melted.as("x")
-      .join(probe.as("y"),
-        col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    pairJaccard(candidates, sets, threshold)
+    minhashLshPairsFromSets(sets, bands, rows, threshold,
+      probeFilter = Some(col("doc_id") >= splitId))
   }
 
   /** 64-bit SimHash per document: per-bit majority votes over the

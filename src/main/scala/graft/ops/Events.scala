@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Relational.{t, events, r2}
@@ -72,12 +72,17 @@ object Events {
       .groupBy("user_id", "session_id")
       .agg(min("ts").as("start_ts"),
         (max("ts") + expr(s"INTERVAL $gapMinutes MINUTES")).as("end_ts"))
+    // buckets are EPOCH-hour integers, not date_trunc wall-clock hours:
+    // truncation in a session timezone with a fractional-hour DST
+    // shift steps out of phase with interval arithmetic and drops
+    // in-session purchases at the transition — integer division of
+    // epoch millis is timezone-free on both join sides by construction
+    def epochHour(ts: Column): Column = floor(unix_millis(ts) / 3600000L)
     val sessB = sess.withColumn("hb",
-      explode(sequence(date_trunc("hour", col("start_ts")),
-        date_trunc("hour", col("end_ts")), expr("INTERVAL 1 HOUR"))))
+      explode(sequence(epochHour(col("start_ts")), epochHour(col("end_ts")))))
     val purch = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"))
-      .withColumn("hb", date_trunc("hour", col("ts")))
+      .withColumn("hb", epochHour(col("ts")))
     val matched = purch.join(sessB, Seq("user_id", "hb"))
       .filter(col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
       .groupBy("user_id").agg(count(lit(1)).as("n_in_session"))

@@ -162,12 +162,15 @@ object Similarity {
     * per-group sort. Produces byte-identical results to
     * [[bruteForceTopK]] (same oracle). */
   def nativeTopK(s: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, corpusFilter: Option[Column] = None): DataFrame = {
     import graft.functions.CosineSimilarity
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // corpusFilter PRE-filters candidates before scoring/ranking — the
+    // filtered-search seam (s10); pushed to the scan by Catalyst
+    val corpus = corpusFilter.fold(emb)(emb.filter)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val scored = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         r4(CosineSimilarity(col("q_emb"), col("c_emb"))).as("sim"))
@@ -580,18 +583,9 @@ object Similarity {
     * label-diverse). Same kernel + bounded-heap shape as
     * [[nativeTopK]]. */
   def filteredTopK(s: SparkSession, dir: String, label: Int = 2,
-      nQueries: Int = 10, k: Int = 5): DataFrame = {
-    import graft.functions.CosineSimilarity
-    val emb = t(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val corpus = emb.filter(col("label") === label)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        r4(CosineSimilarity(col("q_emb"), col("c_emb"))).as("sim"))
-    topKPerQuery(s, scored, k)
-  }
+      nQueries: Int = 10, k: Int = 5): DataFrame =
+    nativeTopK(s, dir, nQueries, k,
+      corpusFilter = Some(col("label") === label))
 
   /** Per-label centroid stats: mean vector norm and intra-label mean
     * cosine-to-centroid — an IVF-style coarse quantization summary

@@ -14,15 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** Estimated on-disk bytes of the files backing `df` (compressed
-    * size — the right basis for output-file sizing, since the rewrite
-    * re-compresses to roughly the same ratio). */
-  def inputBytes(df: DataFrame): Long =
-    df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-        .getFileStatus(p).getLen
-    }.sum
+  /** On-disk bytes under `dir` (compressed size — the right basis for
+    * output-file sizing, since the rewrite re-compresses to roughly
+    * the same ratio). ONE recursive content-summary call, not a
+    * per-file getFileStatus loop: against an object store holding the
+    * millions of small files compaction exists to fix, serial
+    * driver-side HEADs per file would cost more than the rewrite. */
+  def inputBytes(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
 
   /** Compact `inDir`'s parquet into ~`targetFileBytes` files at
     * `outDir`. With `sortCols`, data is range-repartitioned and sorted
@@ -37,7 +39,7 @@ object Sinks {
     require(targetFileBytes > 0)
     val df = s.read.parquet(inDir)
     val nFiles = math.max(1,
-      math.ceil(inputBytes(df).toDouble / targetFileBytes).toInt)
+      math.ceil(inputBytes(s, inDir).toDouble / targetFileBytes).toInt)
     val out =
       if (sortCols.nonEmpty)
         df.repartitionByRange(nFiles, sortCols.map(col): _*)

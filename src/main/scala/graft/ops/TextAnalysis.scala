@@ -232,18 +232,34 @@ object TextAnalysis {
     * window is single-task BY DESIGN (v is a constant, not corpus
     * data); the rank map broadcasts and scoring is in-row — the
     * corpus is never shuffled or exploded on the scoring path. */
-  def zipfRankStats(s: SparkSession, dir: String, v: Int = 30): DataFrame = {
-    val docs = t(s, dir, "documents")
+  /** One-row frame holding the top-`v` vocabulary as a token → rank
+    * map (rank = row_number over (count desc, token asc); the v-row
+    * ranking window is single-task BY DESIGN — v is a constant).
+    * Cross-join + broadcast this against the corpus and map tokens
+    * with [[tokenIdsCol]]. Shared by [[zipfRankStats]] and
+    * [[graft.ops.Curation.packedIdsStats]] so the tie contract and
+    * OOV code can never desynchronize between them (both oracles
+    * encode it). */
+  def vocabRankMap(docs: DataFrame, v: Int): DataFrame = {
     val counts = docs.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
     val rankW = Window.orderBy(col("n").desc, col("tok"))
-    val vocab = counts.orderBy(col("n").desc, col("tok")).limit(v)
+    counts.orderBy(col("n").desc, col("tok")).limit(v)
       .withColumn("rnk", row_number().over(rankW))
-    val vmap = vocab.agg(map_from_entries(
-      collect_list(struct(col("tok"), col("rnk")))).as("vm"))
-    docs.crossJoin(broadcast(vmap))
-      .select(col("lang"), transform(tokens(col("text")),
-        x => coalesce(try_element_at(col("vm"), x), lit(v + 1))).as("ranks"))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("rnk")))).as("vm"))
+  }
+
+  /** Token-id array over `text`: the token's [[vocabRankMap]] rank, or
+    * the OOV code v+1. `vm` is the map column from the cross-joined
+    * one-row vocab frame. */
+  def tokenIdsCol(text: Column, vm: Column, v: Int): Column =
+    transform(tokens(text), x => coalesce(try_element_at(vm, x), lit(v + 1)))
+
+  def zipfRankStats(s: SparkSession, dir: String, v: Int = 30): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs.crossJoin(broadcast(vocabRankMap(docs, v)))
+      .select(col("lang"),
+        tokenIdsCol(col("text"), col("vm"), v).as("ranks"))
       .select(col("lang"),
         aggregate(col("ranks"), lit(0L), (a, r) => a + r).as("sum_rank"),
         size(col("ranks")).cast("long").as("n_tok"),

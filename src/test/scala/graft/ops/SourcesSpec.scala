@@ -74,9 +74,15 @@ class SourcesSpec extends SparkSpec {
     val a = back.agg(org.apache.spark.sql.functions.sum("o_totalprice")).head.getDouble(0)
     val b = df.agg(org.apache.spark.sql.functions.sum("o_totalprice")).head.getDouble(0)
     assert(math.abs(a - b) < 1e-6)
-    // sorted layout: rows inside the file are key-ordered
-    val keys = back.limit(500).collect().map(_.getLong(0))
-    assert(keys.sameElements(keys.sorted), "compacted file not internally sorted")
+    // sorted layout: every read split is internally key-ordered (limit
+    // + collect would depend on partition interleaving order, which
+    // Dataset.limit does not contractually fix)
+    val allSorted = back.select("o_orderkey").rdd
+      .mapPartitions { it =>
+        val keys = it.map(_.getLong(0)).toArray
+        Iterator.single(keys.sameElements(keys.sorted))
+      }.collect()
+    assert(allSorted.forall(identity), "compacted file not internally sorted")
   }
 
   test("partitioned parquet write prunes partitions on read") {
