@@ -441,11 +441,12 @@ object SparkEntry {
            FROM toks, UNNEST(range(0, CAST(greatest(1,
              floor((n_tok - 128 + 63) / 64.0) + 1) AS BIGINT))) AS t(k)),
          ch AS (
-           SELECT doc_id, lang,
+           SELECT doc_id, lang, k,
              md5(array_to_string(list_slice(w, k*64 + 1, k*64 + 128), ' ')) AS fp,
              len(list_slice(w, k*64 + 1, k*64 + 128)) AS clen
            FROM wins)
-         SELECT lang, count(DISTINCT doc_id) AS n_docs,
+         SELECT lang,
+           CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
            count(*) AS n_chunks,
            count(DISTINCT fp) AS n_distinct_chunks,
            CAST(sum(clen) AS BIGINT) AS sum_chunk_tokens

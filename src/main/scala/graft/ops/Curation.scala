@@ -309,13 +309,17 @@ object Curation {
       .select(col("doc_id"), col("lang"), w.as("w"))
       .withColumn("n_tok", size(col("w")))
       .select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(0), nWin - 1),
-          k => slice(col("w"), k * stride + 1, lit(chunk)))).as("cw"))
-      .select(col("doc_id"), col("lang"),
+        posexplode(transform(sequence(lit(0), nWin - 1),
+          k => slice(col("w"), k * stride + 1, lit(chunk)))).as(Seq("k", "cw")))
+      .select(col("lang"), col("k"),
         md5(concat_ws(" ", col("cw"))).as("fp"),
         size(col("cw")).cast("long").as("clen"))
       .groupBy("lang")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
+      // every doc emits exactly one k=0 chunk, so counting those IS the
+      // doc count — countDistinct(doc_id) here would pair with the fp
+      // distinct and trigger the multi-distinct Expand (3× every chunk
+      // row through the shuffle)
+      .agg(count(when(col("k") === 0, 1)).as("n_docs"),
         count(lit(1)).as("n_chunks"),
         countDistinct(col("fp")).as("n_distinct_chunks"),
         sum("clen").as("sum_chunk_tokens"))

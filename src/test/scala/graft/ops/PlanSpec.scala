@@ -213,6 +213,30 @@ class PlanSpec extends SparkSpec {
       s"binned range join must not theta-probe:\n$p")
   }
 
+  test("c08: vocab map broadcasts; packing window is lang-partitioned") {
+    val df = Curation.packedIdsStats(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "vocab rank map must broadcast")
+    assert(p.contains("hashpartitioning(lang"),
+      "packing window must partition by the stream key, not sort globally")
+  }
+
+  test("c09: chunk construction stays in-row before the per-lang summary") {
+    val df = Curation.chunkStats(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    // the single fp-distinct plans (lang, fp) + (lang) exchanges plus
+    // the presentation sort — and crucially NO Expand: a second
+    // distinct column would multiply every chunk row through the
+    // shuffle (the multi-distinct rewrite c09 deliberately avoids by
+    // counting k=0 chunks instead of distinct doc ids)
+    assert("Exchange".r.findAllIn(p).length <= 3,
+      s"chunking must stay map-side:\n$p")
+    assert(!p.contains("Expand"), s"multi-distinct Expand crept back in:\n$p")
+  }
+
   test("no query in the registry plans a CartesianProduct or a SortMergeJoin") {
     // the global gate behind the per-query ones above: every join in
     // the full query registry broadcasts (or is a broadcast nested
