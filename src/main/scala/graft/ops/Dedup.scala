@@ -566,7 +566,17 @@ object Dedup {
     * EQUALS the exact pairwise answer, so the DuckDB oracle is the
     * same exact-Jaccard SQL as d03 and the hash-match certifies the
     * sketch's precision and its recall at the operating point — the
-    * d04 ground-truth-oracle pattern applied to SimHash. */
+    * d04 ground-truth-oracle pattern applied to SimHash.
+    *
+    * The precondition is a GATE-CORPUS fact, not a tunable: measured
+    * at sf0.1 the exact pairs' hamming tail stretches to 12 (19/256
+    * pairs above 6 — recall 237/256 ≈ 0.93 at the operating point),
+    * and no maxHamming < bands can cover a tail ≥ 8, so at larger SF
+    * d05b is honestly the sketch-recalled SUBSET of the exact answer.
+    * That loosening hamming↔Jaccard correlation on bigger corpora is
+    * exactly why MinHash (d04), whose collision probability is a
+    * direct function of Jaccard itself, is the primary near-dup
+    * sketch and SimHash the cheap 8-bytes-per-doc alternative. */
   def simhashVerifiedPairs(s: SparkSession, dir: String, n: Int = 5,
       maxHamming: Int = 6, threshold: Double = 0.6): DataFrame = {
     // ONE corpus scan: simhash + shingle sets fused in a single
