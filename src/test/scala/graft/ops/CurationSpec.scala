@@ -214,6 +214,32 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_.getLong(4)).sum > corpusTokens)
   }
 
+  test("chunk window-count formula matches the sequential model for random params") {
+    // pure JVM property: the closed-form max(1, floor((n-chunk+stride-1)/stride)+1)
+    // must equal "step starts by stride while start=0 or start < n-?" —
+    // the sequential definition: windows start at 0, stride, 2*stride, …
+    // and we stop once a window's start reaches or passes the point
+    // where the PREVIOUS window already covered the tail (start + chunk >= n)
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val n = rnd.nextInt(201)
+      val chunk = 1 + rnd.nextInt(50)
+      val stride = 1 + rnd.nextInt(chunk)
+      var count = 0
+      var start = 0
+      var done = false
+      while (!done) {
+        count += 1
+        done = start + chunk >= n
+        start += stride
+      }
+      val formula = math.max(1,
+        math.floor((n - chunk + stride - 1).toDouble / stride).toInt + 1)
+      assert(formula == count,
+        s"n=$n chunk=$chunk stride=$stride: formula $formula vs model $count")
+    }
+  }
+
   test("blocklist scrub: exact token removals, untouched docs not counted") {
     val dir = docsDir(Seq(
       (1L, "spark is fast and spark scales", "en", "s"),  // 2 removals
