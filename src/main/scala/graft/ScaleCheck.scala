@@ -115,7 +115,15 @@ object ScaleCheck {
       // s09: the encode stage melts the corpus ×m and argmin-aggregates
       // back to one row per vector (linear); codebook and ADC tables
       // are corpus-size-independent broadcasts
-      "s09_pq_topk" -> ((ss: SparkSession, d: String) => ops.Similarity.pqTopK(ss, d)))
+      "s09_pq_topk" -> ((ss: SparkSession, d: String) => ops.Similarity.pqTopK(ss, d)),
+      // d09: probe side = docs >= 400 — under replication that is most
+      // of every replica, so BOTH index and batch grow ×K: a harsher
+      // setup than production (small daily batch vs big index), making
+      // ~linear here a strong claim
+      "d09_incremental_dedup" -> ((ss: SparkSession, d: String) => ops.Dedup.incrementalNearDups(ss, d)),
+      // c09: in-row window construction — the fan-out is per-doc
+      // constant, so the chunk stream grows exactly ×K
+      "c09_chunking" -> ((ss: SparkSession, d: String) => ops.Curation.chunkStats(ss, d)))
 
     val timed: Map[Int, Seq[(String, Double)]] = scales.map { s =>
       val dir = s"$base/x$s"

@@ -170,6 +170,21 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("checksum") != 0))
   }
 
+  test("multimodal decode: an empty blob yields a row, not a dropout") {
+    // the oracle left-joins checksums back to all docs for exactly this
+    // case — pin the Spark side's contract on a synthesized corpus
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Seq((0L, "", "en", "src0", 0L), (1L, "some words", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.decodeFeatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(rows(0L) == ((0, 1, 0L)), s"empty doc decoded as ${rows(0L)}")
+    assert(rows(1L)._3 != 0L)
+  }
+
   test("sessionization: session ids are dense per user") {
     val rows = Events.sessionStats(spark, sf0001).collect()
     assert(rows.nonEmpty)
