@@ -59,6 +59,7 @@ object SparkEntry {
     "e03_top_users" -> (Events.topUsers _),
     "e04_asof_attribution" -> (Events.purchaseAttribution _),
     "e05_interval_join" -> ((s: SparkSession, dir: String) => Events.purchasesInSessions(s, dir)),
+    "e06_funnel" -> (Events.clickPurchaseFunnel _),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -743,6 +744,24 @@ object SparkEntry {
            floor(sum((epoch_ms(ts) - click_tms) / 1000.0) / count(click_id) * 100 + 0.5) / 100 AS avg_lag_sec
          FROM x WHERE event_type = 'purchase'
          GROUP BY user_id ORDER BY user_id""",
+    "e06_funnel" ->
+      """WITH u AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS first_click,
+             count(*) AS n_events
+           FROM events GROUP BY user_id),
+         c AS (
+           SELECT p.user_id, min(epoch_ms(p.ts) - u.first_click) AS lag_ms
+           FROM events p JOIN u USING (user_id)
+           WHERE p.event_type = 'purchase' AND u.first_click IS NOT NULL
+             AND epoch_ms(p.ts) >= u.first_click
+           GROUP BY p.user_id)
+         SELECT count(*) AS n_users,
+           count(u.first_click) AS n_clicked,
+           count(c.lag_ms) AS n_converted,
+           floor(CAST(sum(c.lag_ms) AS DOUBLE) / (count(c.lag_ms) * 3600000.0)
+             * 100 + 0.5) / 100 AS avg_hours_to_convert
+         FROM u LEFT JOIN c ON u.user_id = c.user_id""",
     // e05: the oracle runs the PLAIN BETWEEN containment join — the
     // binned (user, hour-bucket) equi-join plan must reproduce it
     // exactly, which is precisely what the bucketing trick claims.

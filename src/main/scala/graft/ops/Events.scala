@@ -104,6 +104,40 @@ object Events {
         max("n_events").as("max_session_events"))
       .orderBy("user_id")
 
+  /** Funnel analysis — ordered-sequence conversion (click → purchase):
+    * a user converts iff some purchase follows their FIRST click. Pure
+    * per-key aggregation: min click ts and min purchase-after-click ts
+    * per user (conditional min over the same scan — no join, no
+    * window), then one tiny rollup. The scale shape every funnel at
+    * 100 TB wants: the event stream shuffles ONCE on user_id with
+    * map-side partial mins, output is |users| rows then 1. Lag to
+    * convert is reported in epoch-ms arithmetic (timezone-free). */
+  def clickPurchaseFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val perUser = ev
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "click", unix_millis(col("ts"))))
+          .as("first_click"),
+        count(lit(1)).as("n_events"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("pms"))
+    val converted = purchases.join(perUser, "user_id")
+      .filter(col("first_click").isNotNull && col("pms") >= col("first_click"))
+      .groupBy("user_id")
+      .agg(min(col("pms") - col("first_click")).as("lag_ms"))
+    perUser
+      .join(converted, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_users"),
+        count(col("first_click")).as("n_clicked"),
+        count(col("lag_ms")).as("n_converted"),
+        // LONG sum then ONE double division — order-independent where
+        // summing per-user double hours would be reduction-order
+        // sensitive in the last ulp
+        r2(sum("lag_ms") / (count(col("lag_ms")) * lit(3600000.0)))
+          .as("avg_hours_to_convert"))
+  }
+
   /** As-of join realized as the shuffle-parallel "union + carry-forward
     * window" pattern: attribute each purchase to the user's most recent
     * strictly-prior click. One shuffle on user_id, no range/theta join,

@@ -601,6 +601,31 @@ class OpsSpec extends SparkSpec {
     assert(novel > 0, "filtered results identical to unfiltered — filter vacuous")
   }
 
+  test("funnel: counts and lag match a plain-Scala recompute") {
+    val ev = Relational.events(spark, sf0001)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1).getTime,
+        r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val firstClick = byUser.view.mapValues(
+      _.filter(_._3 == "click").map(_._2).minOption).toMap
+    val lags = byUser.flatMap { case (u, rows) =>
+      firstClick(u).flatMap { fc =>
+        rows.filter(r => r._3 == "purchase" && r._2 >= fc)
+          .map(_._2 - fc).minOption
+      }.map(u -> _)
+    }
+    val nUsers = byUser.size.toLong
+    val nClicked = firstClick.count(_._2.isDefined).toLong
+    val nConv = lags.size.toLong
+    val avgH = math.floor(lags.values.sum.toDouble / (nConv * 3600000.0)
+      * 100 + 0.5) / 100
+    val r = Events.clickPurchaseFunnel(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      (nUsers, nClicked, nConv, avgH))
+    assert(nConv > 0 && nConv <= nClicked && nClicked <= nUsers)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
