@@ -60,6 +60,7 @@ object SparkEntry {
     "e04_asof_attribution" -> (Events.purchaseAttribution _),
     "e05_interval_join" -> ((s: SparkSession, dir: String) => Events.purchasesInSessions(s, dir)),
     "e06_funnel" -> (Events.clickPurchaseFunnel _),
+    "e07_retention" -> (Events.retentionCohorts _),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -744,6 +745,18 @@ object SparkEntry {
            floor(sum((epoch_ms(ts) - click_tms) / 1000.0) / count(click_id) * 100 + 0.5) / 100 AS avg_lag_sec
          FROM x WHERE event_type = 'purchase'
          GROUP BY user_id ORDER BY user_id""",
+    "e07_retention" ->
+      """WITH w AS (
+           SELECT user_id,
+             CAST(floor(epoch_ms(ts) / 604800000.0) AS BIGINT) AS week
+           FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+         cells AS (
+           SELECT DISTINCT c.cohort_week, w.week - c.cohort_week AS week_offset,
+             w.user_id
+           FROM w JOIN c USING (user_id))
+         SELECT cohort_week, week_offset, count(*) AS n_active
+         FROM cells GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "e06_funnel" ->
       """WITH u AS (
            SELECT user_id,

@@ -138,6 +138,28 @@ object Events {
           .as("avg_hours_to_convert"))
   }
 
+  /** Retention cohorts: users bucketed by first-activity week; each
+    * (cohort_week, week_offset) cell counts the cohort's users still
+    * active that week — the classic retention matrix. Weeks are
+    * epoch-day/7 integer arithmetic (timezone-free, same on both
+    * engines). Two shuffles total at any scale: first-activity per
+    * user (map-side partial min on user_id), then the
+    * (cohort, offset, user) distinct → cell counts — both keyed
+    * aggregations, no windows. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / lit(604800000.0)).cast("long").as("week"))
+    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** As-of join realized as the shuffle-parallel "union + carry-forward
     * window" pattern: attribute each purchase to the user's most recent
     * strictly-prior click. One shuffle on user_id, no range/theta join,

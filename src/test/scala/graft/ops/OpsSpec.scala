@@ -626,6 +626,22 @@ class OpsSpec extends SparkSpec {
     assert(nConv > 0 && nConv <= nClicked && nClicked <= nUsers)
   }
 
+  test("retention: offset-0 cells cover every user exactly once") {
+    val rows = Events.retentionCohorts(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n) => assert(off >= 0 && n > 0) }
+    // every user is active in their own cohort week, so Σ offset-0
+    // cells == distinct users; later offsets can only shrink per cohort
+    val users = Relational.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._3).sum == users)
+    rows.groupBy(_._1).foreach { case (cw, cells) =>
+      val zero = cells.find(_._2 == 0L).map(_._3).getOrElse(0L)
+      cells.foreach { case (_, _, n) => assert(n <= zero, s"cohort $cw") }
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
