@@ -760,8 +760,7 @@ object SparkEntry {
     "e06_funnel" ->
       """WITH u AS (
            SELECT user_id,
-             min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS first_click,
-             count(*) AS n_events
+             min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS first_click
            FROM events GROUP BY user_id),
          c AS (
            SELECT p.user_id, min(epoch_ms(p.ts) - u.first_click) AS lag_ms

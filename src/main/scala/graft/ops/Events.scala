@@ -105,29 +105,28 @@ object Events {
       .orderBy("user_id")
 
   /** Funnel analysis — ordered-sequence conversion (click → purchase):
-    * a user converts iff some purchase follows their FIRST click. Pure
-    * per-key aggregation: min click ts and min purchase-after-click ts
-    * per user (conditional min over the same scan — no join, no
-    * window), then one tiny rollup. The scale shape every funnel at
-    * 100 TB wants: the event stream shuffles ONCE on user_id with
-    * map-side partial mins, output is |users| rows then 1. Lag to
-    * convert is reported in epoch-ms arithmetic (timezone-free). */
+    * a user converts iff some purchase is at or after their FIRST
+    * click. ONE shuffle on user_id, genuinely: an UNORDERED per-user
+    * window (whole-partition frame — exchange, no sort) attaches each
+    * user's global first-click epoch to every row, purchase rows
+    * derive their lag in place, and the per-user then global
+    * aggregations reuse the window's partitioning (a user-keyed JOIN
+    * of purchases against a per-user aggregate would instead go
+    * SortMergeJoin once |users| outgrows broadcast). Lag to convert
+    * is epoch-ms arithmetic (timezone-free). */
   def clickPurchaseFunnel(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
     val ev = events(s, dir)
-    val perUser = ev
-      .groupBy("user_id")
-      .agg(
+      .withColumn("first_click",
         min(when(col("event_type") === "click", unix_millis(col("ts"))))
-          .as("first_click"),
-        count(lit(1)).as("n_events"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), unix_millis(col("ts")).as("pms"))
-    val converted = purchases.join(perUser, "user_id")
-      .filter(col("first_click").isNotNull && col("pms") >= col("first_click"))
-      .groupBy("user_id")
-      .agg(min(col("pms") - col("first_click")).as("lag_ms"))
-    perUser
-      .join(converted, Seq("user_id"), "left")
+          .over(byUser))
+      .withColumn("lag_ms",
+        when(col("event_type") === "purchase" && col("first_click").isNotNull &&
+          unix_millis(col("ts")) >= col("first_click"),
+          unix_millis(col("ts")) - col("first_click")))
+    ev.groupBy("user_id")
+      .agg(first(col("first_click")).as("first_click"),
+        min("lag_ms").as("lag_ms"))
       .agg(count(lit(1)).as("n_users"),
         count(col("first_click")).as("n_clicked"),
         count(col("lag_ms")).as("n_converted"),
@@ -141,17 +140,18 @@ object Events {
   /** Retention cohorts: users bucketed by first-activity week; each
     * (cohort_week, week_offset) cell counts the cohort's users still
     * active that week — the classic retention matrix. Weeks are
-    * epoch-day/7 integer arithmetic (timezone-free, same on both
-    * engines). Two shuffles total at any scale: first-activity per
-    * user (map-side partial min on user_id), then the
-    * (cohort, offset, user) distinct → cell counts — both keyed
-    * aggregations, no windows. */
+    * epoch-ms/604800000 integer arithmetic (timezone-free, same on
+    * both engines). No join: the cohort week attaches via an UNORDERED
+    * per-user window (one user_id exchange, no sort — joining a
+    * per-user cohort table back would go SortMergeJoin at scale);
+    * then the (cohort, offset, user) distinct and the cell counts are
+    * two more keyed aggregations, plus the presentation sort. */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+    events(s, dir)
       .select(col("user_id"),
         floor(unix_millis(col("ts")) / lit(604800000.0)).cast("long").as("week"))
-    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
-    ev.join(cohorts, "user_id")
+      .withColumn("cohort_week", min("week").over(byUser))
       .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
         col("user_id"))
       .distinct()

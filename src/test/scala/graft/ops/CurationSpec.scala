@@ -216,10 +216,9 @@ class CurationSpec extends SparkSpec {
 
   test("chunk window-count formula matches the sequential model for random params") {
     // pure JVM property: the closed-form max(1, floor((n-chunk+stride-1)/stride)+1)
-    // must equal "step starts by stride while start=0 or start < n-?" —
-    // the sequential definition: windows start at 0, stride, 2*stride, …
-    // and we stop once a window's start reaches or passes the point
-    // where the PREVIOUS window already covered the tail (start + chunk >= n)
+    // must equal the sequential definition — windows start at
+    // 0, stride, 2*stride, …, and emission stops with the first window
+    // that covers the tail (its start + chunk >= n)
     val rnd = new scala.util.Random(7)
     (0 until 500).foreach { _ =>
       val n = rnd.nextInt(201)
