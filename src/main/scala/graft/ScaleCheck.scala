@@ -57,6 +57,19 @@ object ScaleCheck {
             when(pmod(xxhash64(i, lit(r)), lit(2)) === 0, -v).otherwise(v)))
     }.reduce(_ unionAll _)
 
+  /** events: replica r shifts user_id and event_id into a disjoint id
+    * space — per-user event sequences (sessions, funnels, cohorts) are
+    * preserved exactly, the user population grows ×K. Timestamps are
+    * untouched, so per-key windows get K× more keys of the same
+    * per-key size: the exact claim the event ops make. */
+  private def replicateEvents(ev: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      if (r == 0) ev
+      else ev
+        .withColumn("user_id", col("user_id") + lit(r.toLong * 10000000L))
+        .withColumn("event_id", col("event_id") + lit(r.toLong * 1000000000L))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(4)
     val seed = "/root/testdata/sf0.1"
@@ -77,6 +90,8 @@ object ScaleCheck {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       replicateEmb(spark.read.parquet(s"$seed/embeddings.parquet"), s)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      replicateEvents(spark.read.parquet(s"$seed/events.parquet"), s)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
 
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -123,7 +138,13 @@ object ScaleCheck {
       "d09_incremental_dedup" -> ((ss: SparkSession, d: String) => ops.Dedup.incrementalNearDups(ss, d)),
       // c09: in-row window construction — the fan-out is per-doc
       // constant, so the chunk stream grows exactly ×K
-      "c09_chunking" -> ((ss: SparkSession, d: String) => ops.Curation.chunkStats(ss, d)))
+      "c09_chunking" -> ((ss: SparkSession, d: String) => ops.Curation.chunkStats(ss, d)),
+      // event ops: user population grows ×K with identical per-user
+      // sequences — the per-key window/aggregation shapes should
+      // absorb it linearly
+      "e02_sessions" -> (ops.Events.sessionStats _),
+      "e06_funnel" -> (ops.Events.clickPurchaseFunnel _),
+      "e07_retention" -> (ops.Events.retentionCohorts _))
 
     val timed: Map[Int, Seq[(String, Double)]] = scales.map { s =>
       val dir = s"$base/x$s"
