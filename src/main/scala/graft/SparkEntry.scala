@@ -53,6 +53,7 @@ object SparkEntry {
     "q30_salted_distinct" -> (Relational.saltedDistinctParts _),
     "q31_zip" -> ((s: SparkSession, dir: String) => Relational.zipTopOrdersFirstCustomers(s, dir)),
     "q32_order_cadence" -> ((s: SparkSession, dir: String) => Relational.orderCadence(s, dir)),
+    "q33_sql_entry" -> (Relational.sqlEntry _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -636,6 +637,9 @@ object SparkEntry {
            FROM customer)
          SELECT pos, o_orderkey, c_custkey FROM o JOIN c USING (pos)
          WHERE pos < 100 ORDER BY pos""",
+    // q33: the oracle IS the Spark-side SQL text — one string, two
+    // engines, hash-equal results (the portability claim made literal).
+    "q33_sql_entry" -> graft.ops.Relational.topSupplierNationsSql,
     "q32_order_cadence" ->
       """WITH g AS (
            SELECT o_custkey,
