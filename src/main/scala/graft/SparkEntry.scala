@@ -113,6 +113,7 @@ object SparkEntry {
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
     "m03_frames" -> ((s: SparkSession, dir: String) => Multimodal.sampleFrames(s, dir)),
     "m04_resize" -> ((s: SparkSession, dir: String) => Multimodal.resizeMeta(s, dir)),
+    "m05_audio_decode" -> (Multimodal.decodeAudio _),
   )
 
   /** Shared DuckDB CTE prefix for every shingle-based oracle:
@@ -464,39 +465,27 @@ object SparkEntry {
            CAST(sum(n_tok - n_kept) AS BIGINT) AS tokens_removed,
            CAST(sum(n_kept) AS BIGINT) AS tokens_after
          FROM d GROUP BY lang ORDER BY lang""",
-    // m02: the stub "decode" checksum is a 64-bit wrapping polynomial
-    // hash over the blob's UTF-8 bytes (fakeDecode's cs*31+byte loop) —
-    // replicated exactly: bytes via hex(), positional 31^k powers via a
-    // recursive CTE, HUGEINT sums with explicit % 2^64 (same wrapping
-    // trick as the s02 oracle). The hash-match certifies the batched
-    // mapPartitions kernel plumbing end-to-end; a real codec swaps the
-    // arithmetic and keeps the plumbing.
+    // m02: the Spark side encodes REAL PNG/BMP files from a doc_id-
+    // derived pixel formula, then ImageIO-DECODES the bytes and reports
+    // width/height/bands/pixel_sum from the decoded raster only. The
+    // oracle recomputes the formula directly (lateral UNNEST over the
+    // pixel grid), so a hash match certifies the codec round-trip: a
+    // stubbed, wrong, or lossy decode would diverge on pixel_sum.
     "m02_decode_features" ->
-      """WITH RECURSIVE
-         maxlen AS (SELECT max(octet_length(encode(text))) AS m FROM documents),
-         pow(k, v) AS (
-           SELECT 0, CAST(1 AS HUGEINT)
-           UNION ALL
-           SELECT k + 1, (v * 31) % 18446744073709551616 FROM pow WHERE k < (SELECT m FROM maxlen)),
-         b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
-         bytes AS (
-           SELECT doc_id, n, i,
-             (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16 +
-             (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS byte
-           FROM b, UNNEST(range(0, n)) AS t(i)),
-         cs AS (
-           SELECT doc_id, any_value(n) AS n,
-             sum(CAST(byte AS HUGEINT) * p.v) % 18446744073709551616 AS u
-           FROM bytes JOIN pow p ON p.k = n - 1 - i
+      """WITH img AS (
+           SELECT doc_id, (doc_id % 29) + 4 AS w, (doc_id % 19) + 4 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+             CASE WHEN doc_id % 4 < 2 THEN 'png' ELSE 'bmp' END AS fmt
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (
+           SELECT doc_id, sum((7*x.v + 13*y.v + 17*b.v + doc_id) % 256) AS psum
+           FROM img, UNNEST(range(0, w)) AS x(v), UNNEST(range(0, h)) AS y(v),
+                UNNEST(range(0, ch)) AS b(v)
            GROUP BY doc_id)
-         SELECT b.doc_id AS media_id,
-           CASE CAST(b.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           CAST(b.n % 1024 AS INT) AS width,
-           CAST(b.n // 1024 + 1 AS INT) AS height,
-           CASE WHEN coalesce(cs.u, 0) >= 9223372036854775808
-                THEN CAST(coalesce(cs.u, 0) - 18446744073709551616 AS BIGINT)
-                ELSE CAST(coalesce(cs.u, 0) AS BIGINT) END AS checksum
-         FROM b LEFT JOIN cs USING (doc_id) ORDER BY media_id""",
+         SELECT i.doc_id AS media_id, i.fmt, CAST(i.w AS INT) AS width,
+           CAST(i.h AS INT) AS height, CAST(i.ch AS INT) AS channels,
+           CAST(px.psum AS BIGINT) AS pixel_sum
+         FROM img i JOIN px USING (doc_id) ORDER BY media_id""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
@@ -1176,15 +1165,44 @@ object SparkEntry {
     "q30_salted_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // m04: real ImageIO decode + integer nearest-neighbor downscale;
+    // the oracle replicates the NN source-pixel selection (x*w//out_w)
+    // over the formula pixels, so out_pixel_sum certifies the resample
+    // read real decoded pixels, not metadata.
     "m04_resize" ->
-      """SELECT doc_id AS media_id,
-         CAST(octet_length(encode(text)) % 1024 AS BIGINT) AS w,
-         CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS h,
-         greatest(1, CAST(floor((octet_length(encode(text)) % 1024) *
-           least(1.0, 256.0 / greatest(octet_length(encode(text)) % 1024, 1))) AS BIGINT)) AS out_w,
-         greatest(1, CAST(floor((octet_length(encode(text)) // 1024 + 1) *
-           least(1.0, 256.0 / greatest(octet_length(encode(text)) % 1024, 1))) AS BIGINT)) AS out_h
-         FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
+      """WITH img AS (
+           SELECT doc_id, (doc_id % 29) + 4 AS w, (doc_id % 19) + 4 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+           FROM documents WHERE doc_id % 3 = 0),
+         dims AS (
+           SELECT doc_id, w, h, ch, least(w, 8) AS out_w,
+             greatest(1, (h * least(w, 8)) // w) AS out_h
+           FROM img),
+         px AS (
+           SELECT doc_id,
+             sum((7*((x.v*w)//out_w) + 13*((y.v*h)//out_h) + 17*b.v + doc_id) % 256) AS psum
+           FROM dims, UNNEST(range(0, out_w)) AS x(v), UNNEST(range(0, out_h)) AS y(v),
+                UNNEST(range(0, ch)) AS b(v)
+           GROUP BY doc_id)
+         SELECT d.doc_id AS media_id, CAST(d.w AS BIGINT) AS w,
+           CAST(d.h AS BIGINT) AS h, CAST(d.out_w AS BIGINT) AS out_w,
+           CAST(d.out_h AS BIGINT) AS out_h, CAST(px.psum AS BIGINT) AS out_pixel_sum
+         FROM dims d JOIN px USING (doc_id) ORDER BY media_id""",
+    // m05: real WAV round-trip — javax.sound writes RIFF/PCM-16 files
+    // from a doc_id-derived sample formula, then parses them back; the
+    // oracle recomputes the formula sum.
+    "m05_audio_decode" ->
+      """WITH au AS (
+           SELECT doc_id, (doc_id % 50) + 10 AS frames
+           FROM documents WHERE doc_id % 3 = 1),
+         sm AS (
+           SELECT doc_id, sum(((doc_id * 31 + t.v * 7) % 65536) - 32768) AS ssum
+           FROM au, UNNEST(range(0, frames)) AS t(v)
+           GROUP BY doc_id)
+         SELECT a.doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+           16 AS bits, CAST(a.frames AS BIGINT) AS n_frames,
+           CAST(sm.ssum AS BIGINT) AS sample_sum
+         FROM au a JOIN sm USING (doc_id) ORDER BY media_id""",
     "m03_frames" ->
       """SELECT doc_id AS media_id, CAST(f.frame_no AS BIGINT) AS frame_no,
          CAST(f.frame_no * floor(octet_length(encode(text)) / 4) AS BIGINT) AS frame_offset

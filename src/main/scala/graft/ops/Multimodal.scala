@@ -1,5 +1,10 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Relational.t
@@ -7,14 +12,22 @@ import graft.ops.Relational.t
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The decode/feature-extract kernels are STUBBED (this container has
-  * no image/audio codecs — see builder brief): [[fakeDecode]] is a
-  * deterministic stand-in. Everything Spark-side is real and tested:
-  * the binary column representation, the metadata schema, partition-
-  * sized batching through `mapPartitions`, and the pushdown-friendly
-  * metadata layout (scan metadata columns without touching blob
-  * bytes — at 100 TB the scan must prune the binary column unless the
-  * kernel actually runs).
+  * The image and audio kernels are REAL JDK codecs — `javax.imageio`
+  * (PNG + BMP, both lossless) and `javax.sound.sampled` (WAV/PCM) —
+  * run through the batched `mapPartitions` seam a production pipeline
+  * would use for any decode/feature-extract kernel. Because the
+  * driver's parquet corpus has no physical media column, the blob
+  * FIXTURE is synthesized: an encode kernel renders each doc's pixels
+  * (a deterministic formula over doc_id) into actual PNG/BMP files,
+  * and the decode kernels read ONLY those bytes — never the formula —
+  * so the DuckDB oracle recomputing the formula certifies the codec
+  * round-trip end-to-end (a stubbed or wrong decode would hash-
+  * mismatch on `pixel_sum`). Video decode stays metadata-only
+  * ([[sampleFrames]] frame-offset math): no video codec ships with
+  * the JDK and the brief says stub what the container lacks.
+  *
+  * Reference analog: the per-element I/O work kioss runs under
+  * `map(concurrency=)` in its ETL example (README.md:541-576).
   */
 object Multimodal {
 
@@ -24,24 +37,26 @@ object Multimodal {
   final case class MediaRecord(media_id: Long, kind: String, blob: Array[Byte],
       byte_len: Long)
 
-  /** Stub "image dimensions" from a byte length — the single source of
-    * truth shared by [[fakeDecode]], [[resizeMeta]] and the m04 oracle
-    * SQL (three copies of this formula would silently diverge). */
-  def stubDims(byteLen: Long): (Int, Int) =
-    ((byteLen % 1024).toInt, (byteLen / 1024).toInt + 1)
+  /** A synthesized-but-real image file: `blob` holds actual PNG or BMP
+    * bytes (magic number, headers, filters/RLE, the lot). */
+  final case class ImageBlob(media_id: Long, fmt: String, blob: Array[Byte])
 
-  /** Deterministic fake "decode": a real codec would return pixels /
-    * samples; the stub returns (width, height, checksum)-shaped
-    * numbers derived from the bytes. Marked clearly as a stand-in. */
-  def fakeDecode(blob: Array[Byte]): (Int, Int, Long) = {
-    // ??? real kernel: ImageIO/ffmpeg decode. Stub: byte-derived dims.
-    val n = blob.length
-    var cs = 0L
-    var i = 0
-    while (i < n) { cs = cs * 31 + (blob(i) & 0xff); i += 1 }
-    val (w, h) = stubDims(n.toLong)
-    (w, h, cs)
+  /** Image fixture geometry, all derived from doc_id so the oracle can
+    * recompute it without touching bytes: 4..32 wide, 4..22 tall,
+    * grayscale or RGB, PNG or BMP. */
+  private def imgParams(id: Long): (Int, Int, Int, String) = {
+    val w = (id % 29 + 4).toInt
+    val h = (id % 19 + 4).toInt
+    val ch = if (id % 2 == 0) 1 else 3
+    val fmt = if (id % 4 < 2) "png" else "bmp"
+    (w, h, ch, fmt)
   }
+
+  /** The fixture's pixel formula — used ONLY on the encode side (and
+    * replicated in the m02/m04 oracle SQL). The decode kernels never
+    * see it. */
+  private def pixelValue(x: Int, y: Int, band: Int, id: Long): Int =
+    ((7 * x + 13 * y + 17 * band + id) % 256).toInt
 
   /** Build the binary-column table from documents (blob = utf-8 of
     * text). Kind is assigned round-robin to model mixed corpora. */
@@ -63,52 +78,168 @@ object Multimodal {
         max("byte_len").as("max_bytes"))
       .orderBy("kind")
 
-  /** Batched "decode" pass: mapPartitions so a real kernel would
-    * amortize model/codec init per partition (the Spark-side shape of
-    * a pandas_udf/mapInPandas batch job). Output: per-media feature
-    * row. */
+  /** The image-kind corpus as REAL image files: a batched encode
+    * kernel (ImageIO writer init amortized per partition) renders the
+    * formula pixels into PNG/BMP bytes. Scans only `doc_id` — column
+    * pruning leaves text on disk; on a real corpus this projection is
+    * the parquet binary column instead. */
+  def imageTable(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[ImageBlob] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h, ch, fmt) = imgParams(id)
+          val imgType = if (ch == 1) BufferedImage.TYPE_BYTE_GRAY
+                        else BufferedImage.TYPE_3BYTE_BGR
+          val img = new BufferedImage(w, h, imgType)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < ch) {
+                raster.setSample(x, y, b, pixelValue(x, y, b, id))
+                b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          require(ImageIO.write(img, fmt, bos), s"no $fmt writer for media $id")
+          ImageBlob(id, fmt, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Batched REAL decode pass: `ImageIO.read` on the blob bytes (PNG
+    * and BMP dispatch on the magic number), features computed from the
+    * DECODED raster only — width/height/bands from the codec's output,
+    * pixel_sum by walking decoded samples. mapPartitions so codec
+    * state amortizes per partition; at 100 TB the blob column is the
+    * scan's only wide column and the output is a few numeric columns
+    * per media (the classic decode-heavy, output-narrow kernel). */
   def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = mediaTable(s, dir).as[MediaRecord]
-    media.mapPartitions { batch =>
-      // per-partition init happens here (codec/model load in the real kernel)
+    imageTable(s, dir).mapPartitions { batch =>
       batch.map { m =>
-        val (w, h, cs) = fakeDecode(m.blob)
-        (m.media_id, m.kind, w, h, cs)
+        val img = ImageIO.read(new ByteArrayInputStream(m.blob))
+        require(img != null, s"undecodable blob for media ${m.media_id}")
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        (m.media_id, m.fmt, w, h, bands, sum)
       }
-    }.toDF("media_id", "kind", "width", "height", "checksum")
+    }.toDF("media_id", "fmt", "width", "height", "channels", "pixel_sum")
       .orderBy("media_id")
   }
 
-  /** Resize pass over the image subset: the same batched-kernel shape
-    * as [[decodeFeatures]], but the stub arithmetic (aspect-preserving
-    * downscale to `target` width) is deliberately SQL-replicable so
-    * this one HAS a DuckDB oracle — the plumbing (kind dispatch,
-    * per-partition kernel, metadata-only scan) is what's real; a
-    * production kernel swaps the arithmetic for an image op. */
-  def resizeMeta(s: SparkSession, dir: String, target: Int = 256): DataFrame = {
+  /** REAL decode + aspect-preserving nearest-neighbor downscale. The
+    * decode is ImageIO; the resample is an explicit integer-math NN
+    * kernel over the decoded raster (src_x = x*w/out_w) rather than
+    * `AffineTransformOp` so the oracle can replicate the pixel
+    * selection exactly — interpolation choice is the kernel's seam; a
+    * production pipeline swaps in bilinear and keeps the plumbing.
+    * Integer dims: out_w = min(w, target), out_h = max(1, h*out_w/w).
+    * out_pixel_sum sums the resampled (decoded) samples across bands,
+    * certifying the resample read real pixels. */
+  def resizeMeta(s: SparkSession, dir: String, target: Int = 8): DataFrame = {
     import s.implicits._
-    // project to (id, byte_len) BEFORE the kernel: the stub needs no
-    // pixels, so the blob bytes never materialize into the kernel rows
-    // (no per-row encode/copy). On a REAL media table with a physical
-    // binary column this projection prunes the blob from the scan
-    // itself; on this text-derived fixture the scan still reads text
-    // because byte_len is computed from it. A real resize kernel would
-    // select the blob instead — and pay for it.
-    mediaTable(s, dir).filter(col("kind") === "image")
-      .select(col("media_id"), col("byte_len")).as[(Long, Long)]
-      .mapPartitions { batch =>
-        // per-partition init (real kernel: load the resize codec once)
-        batch.map { case (id, byteLen) =>
-          val (w, h) = stubDims(byteLen)
-          // ??? real kernel: decode + resample. Stub: dimension math.
-          // Dimensions clamp to >= 1: a 256x0 "image" is not a resize.
-          val scale = math.min(1.0, target.toDouble / math.max(w, 1))
-          (id, w.toLong, h.toLong,
-            math.max(1L, math.floor(w * scale).toLong),
-            math.max(1L, math.floor(h * scale).toLong))
+    imageTable(s, dir).mapPartitions { batch =>
+      batch.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.blob))
+        require(img != null, s"undecodable blob for media ${m.media_id}")
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val outW = math.min(w, target)
+        val outH = math.max(1, h * outW / w)
+        var sum = 0L
+        var y = 0
+        while (y < outH) {
+          val srcY = y * h / outH
+          var x = 0
+          while (x < outW) {
+            val srcX = x * w / outW
+            var b = 0
+            while (b < bands) { sum += raster.getSample(srcX, srcY, b); b += 1 }
+            x += 1
+          }
+          y += 1
         }
-      }.toDF("media_id", "w", "h", "out_w", "out_h")
+        (m.media_id, w.toLong, h.toLong, outW.toLong, outH.toLong, sum)
+      }
+    }.toDF("media_id", "w", "h", "out_w", "out_h", "out_pixel_sum")
+      .orderBy("media_id")
+  }
+
+  /** Audio fixture parameters: frame count and a 16-bit PCM sample
+    * formula, both doc_id-derived for oracle replication. */
+  private def audioFrames(id: Long): Int = (id % 50 + 10).toInt
+  private def audioSample(t: Int, id: Long): Int =
+    (((id * 31 + t * 7) % 65536) - 32768).toInt
+
+  /** The audio-kind corpus as REAL WAV files (RIFF header + 16-bit
+    * little-endian mono PCM), written by `javax.sound.sampled`. */
+  def audioTable(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[ImageBlob] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val frames = audioFrames(id)
+          val pcm = new Array[Byte](frames * 2)
+          var t = 0
+          while (t < frames) {
+            val v = audioSample(t, id)
+            pcm(2 * t) = (v & 0xff).toByte
+            pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+            t += 1
+          }
+          val fmt = new AudioFormat(8000f, 16, 1, true, false)
+          val ais = new AudioInputStream(
+            new ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val bos = new ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          ImageBlob(id, "wav", bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL WAV decode: `AudioSystem.getAudioInputStream` parses the
+    * RIFF container; format fields and the signed-16-bit sample sum
+    * come from the DECODED stream. The oracle recomputes the sample
+    * formula, so a hash match certifies header parse + PCM decode. */
+  def decodeAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioTable(s, dir).mapPartitions { batch =>
+      batch.map { m =>
+        val dec = AudioSystem.getAudioInputStream(new ByteArrayInputStream(m.blob))
+        val f = dec.getFormat
+        val bytes = dec.readAllBytes()
+        var sum = 0L
+        var t = 0
+        while (t < bytes.length / 2) {
+          sum += ((bytes(2 * t + 1).toInt << 8) | (bytes(2 * t) & 0xff))
+          t += 1
+        }
+        (m.media_id, f.getSampleRate.toInt, f.getChannels,
+          f.getSampleSizeInBits, dec.getFrameLength, sum)
+      }
+    }.toDF("media_id", "sample_rate", "channels", "bits", "n_frames", "sample_sum")
       .orderBy("media_id")
   }
 

@@ -164,25 +164,49 @@ class OpsSpec extends SparkSpec {
     assert(hits >= 4, s"recall@1 too low: $hits/10")
   }
 
-  test("multimodal decode runs batched and yields one row per media") {
+  test("multimodal decode: one row per image, real codec output") {
     val rows = Multimodal.decodeFeatures(spark, sf0001).collect()
-    assert(rows.length == 500)
-    assert(rows.forall(_.getAs[Long]("checksum") != 0))
+    // image kind = doc_id % 3 == 0 over 500 docs
+    assert(rows.length == 167)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") == (id % 29 + 4).toInt)
+      assert(r.getAs[Int]("height") == (id % 19 + 4).toInt)
+      assert(r.getAs[Int]("channels") == (if (id % 2 == 0) 1 else 3))
+      assert(r.getAs[Long]("pixel_sum") > 0)
+    }
   }
 
-  test("multimodal decode: an empty blob yields a row, not a dropout") {
-    // the oracle left-joins checksums back to all docs for exactly this
-    // case — pin the Spark side's contract on a synthesized corpus
-    val s = spark
-    import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
-    Seq((0L, "", "en", "src0", 0L), (1L, "some words", "en", "src0", 10L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val rows = Multimodal.decodeFeatures(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
-    assert(rows(0L) == ((0, 1, 0L)), s"empty doc decoded as ${rows(0L)}")
-    assert(rows(1L)._3 != 0L)
+  test("multimodal blobs are real image files (PNG/BMP magic numbers)") {
+    val blobs = Multimodal.imageTable(spark, sf0001).take(20)
+    assert(blobs.nonEmpty)
+    blobs.foreach { m =>
+      val b = m.blob
+      m.fmt match {
+        case "png" =>
+          assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G',
+            s"media ${m.media_id}: not a PNG header")
+        case "bmp" =>
+          assert(b(0) == 'B' && b(1) == 'M', s"media ${m.media_id}: not a BMP header")
+      }
+    }
+    // decode-side golden row: doc 0 is a 4x4 grayscale PNG whose
+    // formula pixel sum is 480 (hand-computed; also the oracle's value)
+    val d0 = Multimodal.decodeFeatures(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("media_id") === 0L).head
+    assert((d0.getInt(2), d0.getInt(3), d0.getInt(4), d0.getLong(5)) == ((4, 4, 1, 480L)))
+  }
+
+  test("audio decode: WAV round-trip reports format and frame count") {
+    val rows = Multimodal.decodeAudio(spark, sf0001).collect()
+    assert(rows.length == 167) // doc_id % 3 == 1 over 500 docs
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Int]("bits") == 16)
+      assert(r.getAs[Long]("n_frames") == id % 50 + 10)
+    }
   }
 
   test("sessionization: session ids are dense per user") {
@@ -310,20 +334,20 @@ class OpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("resize stub never upscales, clamps to >=1, and preserves aspect") {
+  test("resize never upscales, clamps to >=1, and preserves aspect") {
     val rows = Multimodal.resizeMeta(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val w = r.getAs[Long]("w"); val h = r.getAs[Long]("h")
       val outW = r.getAs[Long]("out_w"); val outH = r.getAs[Long]("out_h")
-      // no upscale: output dims never exceed the (clamped) input dims
-      assert(outW <= math.max(w, 1) && outH <= math.max(h, 1),
-        s"upscaled: ${w}x$h -> ${outW}x$outH")
+      // no upscale: output dims never exceed the input dims
+      assert(outW <= w && outH <= h, s"upscaled: ${w}x$h -> ${outW}x$outH")
       assert(outW >= 1 && outH >= 1, s"degenerate dims: ${outW}x$outH")
-      // aspect: recompute from the kernel's formula
-      val scale = math.min(1.0, 256.0 / math.max(w, 1))
-      assert(outW == math.max(1L, math.floor(w * scale).toLong))
-      assert(outH == math.max(1L, math.floor(h * scale).toLong))
+      // integer aspect math: out_w = min(w, 8), out_h = h*out_w/w
+      assert(outW == math.min(w, 8L))
+      assert(outH == math.max(1L, h * outW / w))
+      // the resample read real decoded pixels
+      assert(r.getAs[Long]("out_pixel_sum") > 0)
     }
   }
 
