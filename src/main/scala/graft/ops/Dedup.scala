@@ -341,8 +341,34 @@ object Dedup {
     *
     * Returns (id, cluster) with cluster = min vertex id in the
     * component. Eager (runs jobs at call time, like the checkpoints
-    * it is built on). */
+    * it is built on).
+    *
+    * Driver-chattiness contract: ONE action per round. Each round's
+    * whole lineage (edge hop + doubling hop) materializes in a single
+    * `localCheckpoint` job, and the convergence sum rides that same
+    * job via `observe()` (a CollectMetrics accumulator) instead of a
+    * separate `.head` — on a 1000-executor cluster the loop costs
+    * rounds+2 scheduler round-trips, not 3× that. The edge hop is
+    * deliberately union-free (left join + `least` over the full label
+    * set, which is total over the vertex set by construction): the
+    * old `labels.union(msgs)` shape crashed Catalyst's Union
+    * constraint rewrite when the frontier later met itself in the
+    * doubling self-join (AttributeMap key-not-found, re-verified on
+    * Spark 4.1.2), which is what used to force a second per-round
+    * checkpoint. OpsSpec pins the action count with a
+    * QueryExecutionListener. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.Observation
+    // Convergence metric: labels only ever DECREASE, so Σ cluster (as
+    // decimal — a Long sum can wrap at billions of 2⁶³-scale ids) is
+    // strictly decreasing until the fixpoint.
+    def sumExpr = coalesce(sum(col("cluster").cast("decimal(38,0)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("label_sum")
+    def observedCheckpoint(df: DataFrame, name: String): (DataFrame, java.math.BigDecimal) = {
+      val obs = Observation(name)
+      val ckpt = df.observe(obs, sumExpr).localCheckpoint()
+      (ckpt, obs.get("label_sum").asInstanceOf[java.math.BigDecimal])
+    }
     // undirected: propagate both ways
     val bi = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -350,46 +376,30 @@ object Dedup {
     // init fused with the first edge hop: label₀(v) = min(v, minimum
     // neighbor) — the same single shuffle the plain vertex-set
     // distinct() would cost, but one full propagation round ahead
-    var labels = bi
-      .select(col("src").as("id"), least(col("src"), col("dst")).as("cluster"))
-      .groupBy("id").agg(min("cluster").as("cluster"))
-      .localCheckpoint()
-    // Convergence check: labels only ever DECREASE, so Σ cluster (as
-    // decimal — a Long sum can wrap at billions of 2⁶³-scale ids) is
-    // strictly decreasing until the fixpoint. Comparing the sum costs
-    // one agg over the round's already-checkpointed frame, replacing
-    // the old per-round join-with-previous-labels + count (a shuffle
-    // per round, ~30% of the loop's cost at small graphs).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO)).as("s"))
-        .head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = observedCheckpoint(
+      bi.select(col("src").as("id"), least(col("src"), col("dst")).as("cluster"))
+        .groupBy("id").agg(min("cluster").as("cluster")),
+      "cc_init")
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      // hop 1: neighbor labels flow along edges; keep the min
-      val msgs = bi.join(labels, bi("src") === labels("id"))
-        .select(col("dst").as("id"), col("cluster"))
-      // checkpoint the edge-hop frontier before the doubling self-join.
-      // LOAD-BEARING, not just a lineage cut: self-joining the derived
-      // union plan lazily dies inside Catalyst's Union constraint
-      // rewrite (AttributeMap key-not-found on the deduplicated
-      // attributes — re-verified on Spark 4.1.2; aliasing both sides
-      // does not dodge it), so the frontier must be materialized into
-      // a fresh leaf before it can meet itself in a join
-      val hopped = labels.select("id", "cluster").union(msgs)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
+      // hop 1: neighbor labels flow along edges; keep the min. `labels`
+      // is total over the vertex set, so a left join + least covers
+      // both "kept own label" and "took a neighbor's" without a union.
+      val msgMin = bi.join(labels, bi("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min("cluster").as("msg"))
+      val hopped = labels.join(msgMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("msg"), col("cluster"))).as("cluster"))
       // hop 2 (pointer doubling): follow the label's own label; every
       // label value is a vertex id present in `hopped`, and labels
       // only decrease, so the lookup always lands and never regresses
-      val next = hopped
-        .join(hopped.select(col("id").as("cluster"),
-          col("cluster").as("cluster2")), "cluster")
-        .select(col("id"), least(col("cluster"), col("cluster2")).as("cluster"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val (next, nextSum) = observedCheckpoint(
+        hopped
+          .join(hopped.select(col("id").as("cluster"),
+            col("cluster").as("cluster2")), "cluster")
+          .select(col("id"), least(col("cluster"), col("cluster2")).as("cluster")),
+        s"cc_round_$iter")
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
       labels = next

@@ -107,6 +107,41 @@ class OpsSpec extends SparkSpec {
     assert(labels.size == 200 && labels.values.forall(_ == 1L))
   }
 
+  test("connected components run ONE action per round (driver-chattiness contract)") {
+    import spark.implicits._
+    // the convergence sum rides each round's checkpoint job via
+    // observe(); a regression to per-round .head/.count actions would
+    // push the count back toward 3/round (old shape: 3r+3)
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val chain = (1 until 200).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+      Dedup.connectedComponents(chain, maxIter = 12)
+      // the final round's Observation.get blocks on the same ordered
+      // listener bus, so all prior action events have been delivered;
+      // one short stabilization poll guards the straggler
+      var last = -1
+      var stable = 0
+      while (stable < 3 && last < 20) {
+        val now = actions.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(100)
+      }
+      // bi checkpoint + init checkpoint + one checkpoint per round
+      // (≤ 12 rounds for the 200-chain, measured 9) = rounds + 2
+      assert(actions.get() <= 14, s"${actions.get()} actions — loop is chatty again")
+      assert(actions.get() >= 5)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("connected components: empty edge set yields empty labels (no dup pairs case)") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("src", "dst")
