@@ -47,11 +47,14 @@ object Relational {
     * [[registerViews]] + `spark.sql`) and as its own DuckDB oracle.
     * This is the portability claim behind the whole oracle suite made
     * judge-visible as a query: an engine user can hand the engine the
-    * SQL they already run elsewhere. */
+    * SQL they already run elsewhere. Rounding uses the engine-
+    * independent `floor(x*100+0.5)/100` form (see [[r2]]) rather than
+    * native `round`, so a 4dp sum landing exactly on .xx50 cannot hit
+    * the Spark-shortest-string vs DuckDB-binary-round divergence. */
   val topSupplierNationsSql: String =
     """SELECT n_name,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-         (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
        FROM lineitem
        JOIN orders ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey

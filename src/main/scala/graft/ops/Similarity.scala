@@ -505,19 +505,26 @@ object Similarity {
     * lookup maps and shuffles nothing; ranking is the bounded-heap
     * [[topKPerQuery]]. */
   def pqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      m: Int = 8, codebookSize: Int = 16): DataFrame = {
+      m: Int = 8, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val w = dim / m
+    // `dim` is a declared parameter (an index build knows its dim), not
+    // a probe — the old `head()` probe cost a driver-blocking job per
+    // call (PlanSpec pins construction at zero actions). A mismatched
+    // corpus still fails LOUDLY, inside the query itself: every row
+    // checks its length before slicing (codegen'd branch, no extra
+    // job); a hardcoded dim on short vectors would otherwise slice
+    // short subvectors and return arbitrary codes with no error.
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"),
         x => x.cast("double")).as("emb"))
-    // subspace width from the ACTUAL embedding dim (one head() job at
-    // build time — an index build knows its dim); a hardcoded dim on a
-    // mismatched corpus would slice short subvectors and return
-    // arbitrary codes with no error
-    val dim = emb.select(size(col("emb"))).head.getInt(0)
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val w = dim / m
+      .select(col("vec_id"),
+        when(size(col("emb")) === dim, col("emb"))
+          .otherwise(raise_error(concat(
+            lit(s"pqTopK: expected dim=$dim, row has "),
+            size(col("emb")).cast("string")))).as("emb"))
     def subspaces(v: Column): Column =
       transform(sequence(lit(0), lit(m - 1)),
         j => struct(j.cast("long").as("j"), slice(v, j * w + 1, lit(w)).as("sv")))
@@ -526,19 +533,33 @@ object Similarity {
       .select((col("vec_id") - 100).as("c"), explode(subspaces(col("emb"))).as("s"))
       .select(col("s.j").as("j"), col("c"), col("s.sv").as("cw"))
       .withColumn("norm2", dot(col("cw"), col("cw")))
+    // Presence guard, mirroring the dim check's fail-loudly contract: a
+    // corpus lacking the seed vec_ids yields a partial/empty codebook
+    // and inner joins would silently return degraded or empty results.
+    // The guard lives INSIDE the encode/query aggregations (left join +
+    // per-group codeword count) rather than as a separate assertion
+    // subtree: AQE's empty-relation propagation would skip a detached
+    // check once an inner join's build side came up empty, and a
+    // detached count would cost a driver job. Here the error is a data
+    // dependency of the output columns — unprunable, zero extra jobs.
     // encode: per (vec, subspace) argmin over the broadcast codebook —
     // min of an orderable struct (r4(L2²), codeword id), the ivfTopK
     // assignment shape per subspace
     val enc = emb
       .select(col("vec_id"), explode(subspaces(col("emb"))).as("s"))
       .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-      .join(broadcast(cb), "j")
+      .join(broadcast(cb), Seq("j"), "left")
       .select(col("vec_id"), col("j"),
         struct(r4(dot(zip_with(col("sv"), col("cw"), (x, y) => x - y),
           zip_with(col("sv"), col("cw"), (x, y) => x - y))).as("d"),
           col("c"), col("norm2")).as("cand"))
-      .groupBy("vec_id", "j").agg(min("cand").as("best"))
-      .select(col("vec_id"), col("j"), col("best.c").as("code"),
+      .groupBy("vec_id", "j")
+      .agg(min("cand").as("best"), count(col("cand.c")).as("ncb"))
+      .select(col("vec_id"), col("j"),
+        when(col("ncb") === codebookSize, col("best.c"))
+          .otherwise(raise_error(concat(
+            lit(s"pqTopK: codebook incomplete — expected $codebookSize codewords per subspace, got "),
+            col("ncb").cast("string")))).as("code"),
         col("best.norm2").as("n2"))
     // one row per vector: j-ordered code array + reconstructed norm²
     // (folded in j order — deterministic, matching the oracle's
@@ -554,12 +575,20 @@ object Similarity {
     val qtab = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb"),
         explode(subspaces(col("emb"))).as("s"))
-      .join(broadcast(cb), col("s.j") === cb("j"))
+      .join(broadcast(cb), col("s.j") === cb("j"), "left")
       .groupBy("q_id")
       .agg(map_from_entries(collect_list(struct(
-          (col("j") * codebookSize + col("c")).as("key"),
+          when(col("c").isNull, raise_error(lit(
+            s"pqTopK: codebook empty — seed vec_ids [100, ${100 + codebookSize}) missing from corpus")))
+            .otherwise(col("j") * codebookSize + col("c")).as("key"),
           dot(col("s.sv"), col("cw")).as("dq")))).as("tab"),
         first(sqrt(dot(col("emb"), col("emb")))).as("qn"))
+      .select(col("q_id"),
+        when(size(col("tab")) === m * codebookSize, col("tab"))
+          .otherwise(raise_error(concat(
+            lit(s"pqTopK: codebook incomplete — expected ${m * codebookSize} ADC entries, got "),
+            size(col("tab")).cast("string")))).as("tab"),
+        col("qn"))
     // ADC scan: m in-row map lookups per candidate, summed in j order
     val scored = codes.crossJoin(broadcast(qtab))
       .filter(col("q_id") =!= col("vec_id"))

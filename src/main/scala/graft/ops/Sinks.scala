@@ -37,6 +37,17 @@ object Sinks {
       targetFileBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil): Int = {
     require(targetFileBytes > 0)
+    // overwrite-while-reading the source directory deletes input files
+    // mid-scan and loses data — compare fully-qualified paths so
+    // relative/absolute spellings of the same dir can't slip through
+    val conf = s.sparkContext.hadoopConfiguration
+    def qualified(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      // URI.normalize resolves ../. segments, which Hadoop Path keeps
+      p.getFileSystem(conf).makeQualified(p).toUri.normalize()
+    }
+    require(qualified(inDir) != qualified(outDir),
+      s"compactParquet: outDir must differ from inDir ($inDir)")
     val df = s.read.parquet(inDir)
     val nFiles = math.max(1,
       math.ceil(inputBytes(s, inDir).toDouble / targetFileBytes).toInt)

@@ -104,13 +104,27 @@ object Flow {
     * undershoots when partitions exceed cores, but is a guaranteed
     * upper bound on concurrency). */
   def throttledForeach[T](ds: Dataset[T], globalPerSecond: Double,
-      maxConcurrent: Int = 0)(effect: T => Unit): Unit = {
+      maxConcurrent: Int = 0, globalPerMinute: Double = 0,
+      globalPerHour: Double = 0, globalIntervalMs: Long = 0)(
+      effect: T => Unit): Unit = {
+    require(globalPerSecond > 0 || globalPerMinute > 0 || globalPerHour > 0 ||
+      globalIntervalMs > 0, "at least one rate bound required")
     val sc = ds.sparkSession.sparkContext
     val slots = if (maxConcurrent > 0) maxConcurrent else sc.defaultParallelism
-    val perPartition = partitionShare(globalPerSecond,
-      math.max(1, ds.rdd.getNumPartitions), slots)
+    val parts = math.max(1, ds.rdd.getNumPartitions)
+    // every bound shares the same way: rates divide by the concurrent
+    // slot count, a min-interval (an inverse rate) multiplies by it —
+    // most-restrictive-wins then happens inside each partition's
+    // RateLimiter, matching the reference's composed per-bound
+    // iterators (streamable/functions.py:194-203)
+    def share(global: Double) =
+      if (global > 0) partitionShare(global, parts, slots) else 0.0
+    val conc = math.max(1, math.min(parts, slots))
+    val perPartitionInterval = globalIntervalMs * conc
+    val (ps, pm, ph) =
+      (share(globalPerSecond), share(globalPerMinute), share(globalPerHour))
     ds.foreachPartition { (it: Iterator[T]) =>
-      val rl = new RateLimiter(perPartition)
+      val rl = new RateLimiter(ps, perPartitionInterval, pm, ph)
       it.foreach { t => rl.acquire(); effect(t) }
     }
   }

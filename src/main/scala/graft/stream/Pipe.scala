@@ -171,16 +171,19 @@ final case class Pipe[T](ds: Dataset[T], chain: List[String] = Nil) {
     derive(Flow.observed(ds, name), s"observe($name)")
 
   /** Terminal foreach under a cluster-wide rate cap; reference
-    * `throttle(per_second=)` + `foreach` composed
-    * (streamable/stream.py:448-477) — see
+    * `throttle(per_second, per_minute, per_hour, interval)` + `foreach`
+    * composed (streamable/stream.py:448-477) — see
     * [[Flow.throttledForeach]]/[[Flow.partitionShare]] for the
-    * coordination-free rate math. `maxConcurrent` (default 0 =
-    * snapshot `defaultParallelism`) is forwarded verbatim: on elastic
-    * clusters pass the partition count for the guaranteed-no-overshoot
-    * mode Flow's scaladoc documents. */
-  def runForeachThrottled(globalPerSecond: Double, maxConcurrent: Int = 0)(
-      effect: T => Unit): Unit =
-    Flow.throttledForeach(ds, globalPerSecond, maxConcurrent)(effect)
+    * coordination-free rate math. All four reference bounds are
+    * reachable fluently; most restrictive wins. `maxConcurrent`
+    * (default 0 = snapshot `defaultParallelism`) is forwarded
+    * verbatim: on elastic clusters pass the partition count for the
+    * guaranteed-no-overshoot mode Flow's scaladoc documents. */
+  def runForeachThrottled(globalPerSecond: Double, maxConcurrent: Int = 0,
+      globalPerMinute: Double = 0, globalPerHour: Double = 0,
+      globalIntervalMs: Long = 0)(effect: T => Unit): Unit =
+    Flow.throttledForeach(ds, globalPerSecond, maxConcurrent,
+      globalPerMinute, globalPerHour, globalIntervalMs)(effect)
 
   /** Exhausts and counts; reference `count()` (stream.py:133-141). */
   def count(): Long = ds.count()

@@ -571,6 +571,42 @@ class OpsSpec extends SparkSpec {
     assert(overlap >= 5, s"total top-5 overlap $overlap/50 is noise-level")
   }
 
+  test("PQ topk: construction runs zero driver actions; bad corpora fail loudly") {
+    import spark.implicits._
+    // (1) building the DataFrame must not probe the corpus (the old
+    // dim-head shape cost one job per call)
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Similarity.pqTopK(spark, sf0001)
+      Thread.sleep(300)
+      assert(actions.get() == 0, s"pqTopK construction ran ${actions.get()} job(s)")
+    } finally spark.listenerManager.unregister(listener)
+    // (2) a corpus missing the codebook seed ids errors instead of
+    // silently returning empty results
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    (0L until 50L).map(i => (i, Array.fill(64)(0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e1 = intercept[Exception] { Similarity.pqTopK(spark, dir).collect() }
+    assert(e1.getMessage != null)
+    // (3) a wrong-dim corpus errors in-row instead of slicing short
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pq2").toString
+    (0L until 200L).map(i => (i, Array.fill(32)(0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val e2 = intercept[Exception] { Similarity.pqTopK(spark, dir2).collect() }
+    assert(e2.getMessage != null)
+  }
+
   test("incremental dedup equals the full self-join restricted to the new batch") {
     val split = 30L
     val inc = Dedup.incrementalNearDups(spark, sf0001, splitId = split)

@@ -85,6 +85,20 @@ class SourcesSpec extends SparkSpec {
     assert(allSorted.forall(identity), "compacted file not internally sorted")
   }
 
+  test("compaction refuses outDir == inDir (overwrite-while-reading loses data)") {
+    val df = Relational.t(spark, sf0001, "region")
+    df.write.mode("overwrite").parquet(s"$tmp/selfcompact")
+    intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, s"$tmp/selfcompact", s"$tmp/selfcompact")
+    }
+    // relative vs qualified spelling of the same dir is also caught
+    intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, s"$tmp/selfcompact", s"$tmp/../${new java.io.File(tmp).getName}/selfcompact")
+    }
+    // source intact after the refusals
+    assert(spark.read.parquet(s"$tmp/selfcompact").count() == df.count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val df = Relational.t(spark, sf0001, "orders")
       .withColumn("status", col("o_orderstatus"))

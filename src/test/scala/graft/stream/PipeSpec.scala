@@ -89,6 +89,28 @@ class PipeSpec extends SparkSpec {
     assert(acc.value == 150L)
   }
 
+  test("full fluent chain: transform → observe → throttled sink, all reference bounds reachable") {
+    // the reference ETL shape end to end: map/filter → observe →
+    // rate-capped foreach with per-minute + interval bounds composed
+    // (most restrictive wins inside each partition's RateLimiter);
+    // wall-clock is deliberately not asserted (SURVEY §7.3) — the
+    // bucket math has its own deterministic FlowSpec contracts
+    val s = spark; import s.implicits._
+    val acc = spark.sparkContext.longAccumulator("chain")
+    pipe(60)
+      .map(_ * 2)
+      .filter(_ % 4 == 0)
+      .observe("kept")
+      .runForeachThrottled(1e6, maxConcurrent = 4,
+        globalPerMinute = 6e7, globalPerHour = 3.6e9,
+        globalIntervalMs = 0)(_ => acc.add(1))
+    assert(acc.value == 30L)
+    // a pure-interval bound (no rate) is also a valid fluent config
+    val acc2 = spark.sparkContext.longAccumulator("chain2")
+    pipe(8).runForeachThrottled(0, globalIntervalMs = 1)(_ => acc2.add(1))
+    assert(acc2.value == 8L)
+  }
+
   test("mapConcurrent produces identical results to map") {
     val s = spark; import s.implicits._
     assert(pipe(64).mapConcurrent(_ + 1, concurrency = 4).ds.collect().sorted.toList ==
