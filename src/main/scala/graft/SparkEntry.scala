@@ -108,6 +108,12 @@ object SparkEntry {
     "s08_sq_topk" -> ((s: SparkSession, dir: String) => Similarity.sqTopK(s, dir)),
     "s09_pq_topk" -> ((s: SparkSession, dir: String) => Similarity.pqTopK(s, dir)),
     "s10_filtered_topk" -> ((s: SparkSession, dir: String) => Similarity.filteredTopK(s, dir)),
+    // s11 reads the PERSISTED index layout (built once in Verify/Bench
+    // setup via ensureIvfIndex — the call here is an idempotent no-op
+    // when the index exists); results are identical to s05 by
+    // construction, so the s05 oracle certifies the persisted path too
+    "s11_ivf_indexed" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfTopKIndexed(s, dir, Similarity.ensureIvfIndex(s, dir))),
     // — multimodal plumbing —
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
@@ -1011,6 +1017,35 @@ object SparkEntry {
     // s05 oracle replicates the same IVF structure (deterministic
     // centroids, nprobe cells) — approximation is in the algorithm,
     // not the engines, so results hash-match exactly.
+    // s11: the persisted-index query returns byte-identical results to
+    // s05 (same codebook, same probes, same exact re-rank — only the
+    // candidate scan changes, to partition-pruned index directories),
+    // so its oracle is the s05 IVF replication verbatim.
+    "s11_ivf_indexed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < 132),
+         ac AS (SELECT a.vec_id AS c_id, cent_id,
+             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e a, cent),
+         assign AS (SELECT c_id, cent_id AS cell FROM (
+           SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         qc AS (SELECT q.vec_id AS q_id, cent_id,
+             floor(list_cosine_similarity(q.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, cent WHERE q.vec_id < 10),
+         probes AS (SELECT q_id, cent_id AS cell FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM qc) WHERE rn <= 4),
+         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
+         sc AS (SELECT q_id, c_id,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "s05_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e

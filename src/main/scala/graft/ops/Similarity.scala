@@ -247,6 +247,27 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
   }
 
+  /** Deterministic per-corpus location for the persisted IVF index,
+    * under the session's warehouse dir — the write-once/probe-forever
+    * storage contract made addressable from just the corpus dir (what
+    * lets a pure `(spark, dir) => DataFrame` query find its index). */
+  def ivfIndexPath(s: SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${s.conf.get("spark.sql.warehouse.dir")}/graft_ivf_index/$safe"
+  }
+
+  /** Idempotent build: writes the [[buildIvfIndex]] layout for `dir`
+    * at [[ivfIndexPath]] unless a completed index (_SUCCESS marker) is
+    * already there. Call once in job setup; queries then stay pure
+    * readers. */
+  def ensureIvfIndex(s: SparkSession, dir: String, nlist: Int = 32): String = {
+    val path = ivfIndexPath(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) buildIvfIndex(s, dir, path, nlist)
+    path
+  }
+
   /** [[ivfTopK]] against a [[buildIvfIndex]] layout: identical
     * results (same codebook, same probes, same exact re-ranking), but
     * the candidate scan is the nprobe PARTITIONS the probe table

@@ -19,6 +19,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(viaIdx == direct)
   }
 
+  test("ensureIvfIndex is idempotent and addressable from the corpus dir alone") {
+    val path = Similarity.ensureIvfIndex(spark, sf0001)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker))
+    val mtime = fs.getFileStatus(marker).getModificationTime
+    // second call is a no-op read of the marker, not a rebuild
+    assert(Similarity.ensureIvfIndex(spark, sf0001) == path)
+    assert(fs.getFileStatus(marker).getModificationTime == mtime)
+    // the s11 registration shape: pure-reader query over the layout
+    val viaIdx = Similarity.ivfTopKIndexed(spark, sf0001, path)
+      .collect().map(_.toSeq).toList
+    val direct = Similarity.ivfTopK(spark, sf0001).collect().map(_.toSeq).toList
+    assert(viaIdx == direct)
+  }
+
   test("probe join prunes the index scan to probed cell partitions") {
     val idxPath = "/tmp/graft_ivf_index_spec"
     Similarity.buildIvfIndex(spark, sf0001, idxPath)
