@@ -602,4 +602,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     pairJaccard(pairs, fused.select("doc_id", "hs", "n_sh"), threshold)
   }
+
+  /** Advisory diagnostic for choosing SimHash's `maxHamming`/`bands`
+    * operating point: computes, from the EXACT near-dup pairs
+    * (J ≥ `threshold` ground truth — on a real corpus, run it over a
+    * sampled partition; the distribution is what matters, not the
+    * census), the hamming-distance distribution of their signatures
+    * and the recall each candidate `maxHamming` would achieve. One
+    * row per observed hamming h: how many exact pairs sit at h,
+    * cumulative recall with maxHamming = h, and whether that
+    * operating point is REACHABLE under `bands` (pigeonhole
+    * completeness needs h < bands; a tail at h ≥ bands cannot be
+    * recalled by any compliant banding and argues for MinHash
+    * instead). This turns the d05b scaladoc's measured sf0.1 figure
+    * (19/256 pairs above hamming 6 → recall 237/256 ≈ 0.93) into a
+    * reusable measurement — OpsSpec reproduces exactly that table.
+    *
+    * The cumulative window runs on the ≤65-row aggregated hamming
+    * histogram, not the corpus — a single-partition window there is
+    * deliberate, not a scale hazard. */
+  def simhashRecallAdvisory(s: SparkSession, dir: String, n: Int = 5,
+      threshold: Double = 0.6, bands: Int = 8): DataFrame = {
+    val fused = sketchSets(t(s, dir, "documents"), n, Seq.empty,
+      withSimhash = true).localCheckpoint()
+    val exact = ngramJaccardPairs(s, dir, n, threshold)
+      .select("doc_a", "doc_b")
+    val sig = fused.select("doc_id", "simhash")
+    val hist = exact
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
+      .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy("hamming")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_pairs", sum("n_pairs").over(w))
+      .withColumn("total_pairs", sum("n_pairs").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("recall", r3(col("cum_pairs") / col("total_pairs")))
+      .withColumn("reachable", col("hamming") < bands)
+      .orderBy("hamming")
+  }
 }

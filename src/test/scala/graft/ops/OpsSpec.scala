@@ -607,6 +607,25 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage != null)
   }
 
+  test("simhash recall advisory reproduces the documented sf0.1 operating point") {
+    // the d05b scaladoc's honesty note as a measurement: at sf0.1 the
+    // exact J>=0.6 pairs number 256, their hamming tail stretches past
+    // 6, and the gate banding (maxHamming=6, bands=8) recalls 237/256
+    val rows = Dedup.simhashRecallAdvisory(spark, "/root/testdata/sf0.1").collect()
+    val total = rows.head.getAs[Long]("total_pairs")
+    assert(total == 256L, s"exact-pair census moved: $total")
+    val at6 = rows.filter(_.getAs[Int]("hamming") <= 6)
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(at6 == 237L, s"recall numerator at maxHamming=6 moved: $at6")
+    val r6row = rows.reverse.find(_.getAs[Int]("hamming") <= 6).get
+    assert(math.abs(r6row.getAs[Double]("recall") - 237.0 / 256) < 1e-3)
+    // operating points beyond the banding's pigeonhole bound are
+    // flagged unreachable
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("reachable") == (r.getAs[Int]("hamming") < 8))
+    }
+  }
+
   test("incremental dedup equals the full self-join restricted to the new batch") {
     val split = 30L
     val inc = Dedup.incrementalNearDups(spark, sf0001, splitId = split)
