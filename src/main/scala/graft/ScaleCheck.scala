@@ -70,6 +70,14 @@ object ScaleCheck {
         .withColumn("event_id", col("event_id") + lit(r.toLong * 1000000000L))
     }.reduce(_ unionAll _)
 
+  /** sf0.1 seed embedding count — the n the banding rules size
+    * against; `scaleOf` parses the xK suffix this harness itself
+    * wrote, so the `_sized` rows know n without an extra count job
+    * inside the timed region. */
+  private val embSeedRows = 2000L
+  private def scaleOf(dir: String): Long =
+    "x(\\d+)$".r.findFirstMatchIn(dir).map(_.group(1).toLong).getOrElse(1L)
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(4)
     val seed = "/root/testdata/sf0.1"
@@ -100,13 +108,29 @@ object ScaleCheck {
       "d04_minhash_lsh" -> ((ss: SparkSession, d: String) => ops.Dedup.minhashLshPairs(ss, d)),
       "d05_simhash_pairs" -> ((ss: SparkSession, d: String) => ops.Dedup.simhashPairs(ss, d)),
       "d06_embedding_neardup" -> ((ss: SparkSession, d: String) => ops.Dedup.embeddingNearDups(ss, d)),
-      // the legacy 8×8 banding for contrast: same ~0.93 recall at
-      // cosine 0.9 but a 2⁴× wider random funnel per table — measured
-      // 14× superlinear at ×16 where the 12×16 default stays
-      // near-linear (see SCALING.md); kept here so the regression is
-      // re-measurable
-      "d06_neardup_b8t8_legacy" -> ((ss: SparkSession, d: String) => ops.Dedup.embeddingNearDups(ss, d, bits = 8, tables = 8)),
+      // the 12×16 default re-banded per scale by the sizedBanding rule
+      // (bits tracks log₂(n), tables restores the 0.93 recall): the
+      // fixed-banding row above measures the quadratic collision term
+      // the scaladoc warns about (42× at ×64); this row measures the
+      // configuration the warning tells a 100 TB operator to run
+      "d06_neardup_sized" -> ((ss: SparkSession, d: String) => {
+        val (bits, tables) = ops.Dedup.sizedBanding(embSeedRows * scaleOf(d))
+        ops.Dedup.embeddingNearDups(ss, d, bits = bits, tables = tables)
+      }),
       "s02_lsh_topk" -> ((ss: SparkSession, d: String) => ops.Similarity.lshTopK(ss, d)),
+      // same treatment for top-k search: hold per-bucket occupancy at
+      // ~32 so per-query candidate volume stays bounded while n grows
+      "s02_lsh_topk_sized" -> ((ss: SparkSession, d: String) => {
+        val (bits, tables) = ops.Dedup.sizedBanding(embSeedRows * scaleOf(d),
+          targetRecall = 0.98, occupancy = 32.0)
+        ops.Similarity.lshTopK(ss, d, bits = bits, tables = tables)
+      }),
+      // d07 explicitly, not just via d08: the CC pointer-doubling loop
+      // is the engine's only iterative driver loop. Replication never
+      // merges components across replicas, so the round count (O(log
+      // diameter)) stays FLAT while per-round work grows ×K — the
+      // ratio should track K/cores, not K·rounds
+      "d07_dup_clusters" -> ((ss: SparkSession, d: String) => ops.Dedup.dupClusters(ss, d)),
       "d08_dedup_survivors" -> ((ss: SparkSession, d: String) => ops.Dedup.dedupSurvivors(ss, d)),
       // r6 curation: c01's benchmark side grows with the corpus here
       // (every replica carries a src0 slice) — a harsher test than the
@@ -139,20 +163,53 @@ object ScaleCheck {
       // c09: in-row window construction — the fan-out is per-doc
       // constant, so the chunk stream grows exactly ×K
       "c09_chunking" -> ((ss: SparkSession, d: String) => ops.Curation.chunkStats(ss, d)),
+      // c10: the budget stays FIXED while the corpus grows ×K — the
+      // selected slice shrinks to the top strata but the histogram
+      // pass still scans everything: cost must track the scan (~K),
+      // never the boundary stratum's global-sort degenerate case
+      "c10_token_budget" -> ((ss: SparkSession, d: String) => ops.Curation.tokenBudgetStats(ss, d)),
       // event ops: user population grows ×K with identical per-user
       // sequences — the per-key window/aggregation shapes should
       // absorb it linearly
       "e02_sessions" -> (ops.Events.sessionStats _),
       "e06_funnel" -> (ops.Events.clickPurchaseFunnel _),
-      "e07_retention" -> (ops.Events.retentionCohorts _))
+      "e07_retention" -> (ops.Events.retentionCohorts _)) ++
+      // the legacy 8×8 banding for contrast: same ~0.93 recall at
+      // cosine 0.9 but a 2⁴× wider random funnel per table — measured
+      // 14× superlinear at ×16 and 1857× at ×64 (~17 min/pass: the
+      // quadratic term in full bloom). The ×64 figure is on record in
+      // SCALING.md, so re-measuring it is gated to k ≤ 16 — NOT
+      // silently dropped: the skip is announced below
+      (if (k <= 16)
+        Seq("d06_neardup_b8t8_legacy" -> ((ss: SparkSession, d: String) =>
+          ops.Dedup.embeddingNearDups(ss, d, bits = 8, tables = 8)))
+      else Seq.empty)
+    if (k > 16) println(s"[scalecheck-note] d06_neardup_b8t8_legacy skipped at k=$k " +
+      "(by-design-quadratic demo, ~17 min/pass at x64 — measured 1856x in SCALING.md)")
+
+    // Release blocks between queries: the sketch pipelines and the CC
+    // loop localCheckpoint intermediates, and those RDD blocks are NOT
+    // covered by catalog.clearCache() — without this scrub a query's
+    // timing inherits the storage pressure of everything before it
+    // (the first ×64 run measured d07 at 54 s vs d08 — a superset of
+    // the same CC work — at 14 s, with the legacy row having filled
+    // storage right before d07: exactly this pollution)
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
 
     val timed: Map[Int, Seq[(String, Double)]] = scales.map { s =>
       val dir = s"$base/x$s"
       s -> queries.map { case (name, fn) =>
         fn(spark, dir).count() // warmup
+        scrub()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        scrub()
+        name -> dt
       }
     }.toMap
 

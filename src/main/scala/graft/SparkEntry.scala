@@ -86,6 +86,7 @@ object SparkEntry {
     "c07_pii_redaction" -> ((s: SparkSession, dir: String) => Curation.piiRedactionStats(s, dir)),
     "c08_packed_ids" -> ((s: SparkSession, dir: String) => Curation.packedIdsStats(s, dir)),
     "c09_chunking" -> ((s: SparkSession, dir: String) => Curation.chunkStats(s, dir)),
+    "c10_token_budget" -> ((s: SparkSession, dir: String) => Curation.tokenBudgetStats(s, dir)),
     // — deduplication —
     "d01_exact_dedup" -> (Dedup.exactDedupByLang _),
     "d02_dup_groups" -> (Dedup.duplicateGroups _),
@@ -461,6 +462,27 @@ object SparkEntry {
            count(DISTINCT fp) AS n_distinct_chunks,
            CAST(sum(clen) AS BIGINT) AS sum_chunk_tokens
          FROM ch GROUP BY lang ORDER BY lang""",
+    // c10: the oracle IS the naive global-window formulation the Spark
+    // side's histogram-threshold design replaces — equality certifies
+    // both the selection contract (prior-tokens < budget in quality
+    // desc, doc_id asc order) and the stratum decomposition
+    "c10_token_budget" ->
+      """WITH q AS (
+           SELECT lang, doc_id,
+             floor(least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) *
+               (1.0 - floor(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x IN ('the', 'a'))) AS DOUBLE) /
+                 greatest(len(string_split_regex(trim(text), '\s+')), 1) * 10000 + 0.5) / 10000)
+               * 10000 + 0.5) / 10000 AS q,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+           FROM documents),
+         r AS (SELECT lang, q, n_tok,
+                 sum(n_tok) OVER (ORDER BY q DESC, doc_id) - n_tok AS prior
+               FROM q)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens, min(q) AS min_quality
+         FROM r WHERE prior < 15000
+         GROUP BY lang ORDER BY lang""",
     "c03_blocklist_scrub" ->
       """WITH d AS (SELECT lang,
            len(string_split_regex(trim(text), '\s+')) AS n_tok,

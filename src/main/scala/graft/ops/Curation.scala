@@ -374,4 +374,63 @@ object Curation {
         sum("removed").as("chars_removed"))
       .orderBy("lang")
   }
+
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * until a global token budget fills. Contract (first-fit greedy): in
+    * (quality desc, doc_id asc) order, a doc is selected iff the token
+    * sum of all strictly-prior docs is `< budget` — so the last
+    * selected doc may overflow the budget, and selection is
+    * deterministic under any physical row order. This is the "pick the
+    * best N tokens for this training run" step that follows scoring.
+    *
+    * 100 TB shape — the naive formulation is a GLOBAL window cumsum
+    * over the corpus sorted by quality: a total sort of everything.
+    * Instead, exploit the 4dp quantization the score already has
+    * (`r4` ⇒ ≤10001 distinct values regardless of corpus size):
+    *  1. histogram token mass by quality — one partial-agg shuffle
+    *     down to ≤10001 rows;
+    *  2. a window over that TINY table (single-partition by design,
+    *     like [[Dedup.simhashRecallAdvisory]]'s histogram) classifies
+    *     each stratum: `tokens_above >= budget` → wholly out,
+    *     `tokens_above + bucket_tokens < budget` → wholly in, else
+    *     the one BOUNDARY stratum;
+    *  3. broadcast the ≤10001-row classification back onto the corpus
+    *     (map-side join) and run the per-doc ordered cumsum only
+    *     inside the boundary stratum — in expectation corpus/#strata
+    *     of the data; the wholesale strata never sort.
+    * Degenerate worst case (every doc identical quality) falls back to
+    * the naive single-stratum sort — same cost as the formulation it
+    * replaces, never worse. Equality with the naive global window is
+    * CurationSpec-proven; the c10 oracle IS the naive formulation. */
+  def tokenBudgetStats(s: SparkSession, dir: String,
+      budget: Long = 15000L): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+    val hist = d.groupBy("q").agg(sum("n_tok").as("bucket_tokens"))
+    val wq = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val classed = hist
+      .withColumn("tokens_above",
+        sum("bucket_tokens").over(wq) - col("bucket_tokens"))
+      .withColumn("cls",
+        when(col("tokens_above") >= budget, lit("out"))
+          .when(col("tokens_above") + col("bucket_tokens") < budget, lit("in"))
+          .otherwise(lit("boundary")))
+      .select("q", "tokens_above", "cls")
+    val joined = d.join(broadcast(classed), "q")
+    val wb = Window.partitionBy("q").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.where(col("cls") === "boundary")
+      .withColumn("prior_in_bucket", sum("n_tok").over(wb) - col("n_tok"))
+      .where(col("tokens_above") + col("prior_in_bucket") < budget)
+      .drop("prior_in_bucket")
+    joined.where(col("cls") === "in").unionByName(boundary)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        min("q").as("min_quality"))
+      .orderBy("lang")
+  }
 }

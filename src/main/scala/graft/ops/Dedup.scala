@@ -286,6 +286,30 @@ object Dedup {
       tables: Int = 16, threshold: Double = 0.9): DataFrame =
     embeddingNearDupPairs(t(s, dir, "embeddings"), bits, tables, threshold)
 
+  /** The "banding must track corpus size" rule of
+    * [[embeddingNearDups]] as executable math. `bits` holds per-bucket
+    * occupancy constant (`ceil(log₂(n/occupancy))`), which keeps the
+    * random-collision candidate volume `n²·tables/2^bits` linear in n;
+    * `tables` is then the smallest count whose OR-construction recall
+    * `1-(1-p^bits)^tables` meets `targetRecall` at the per-bit
+    * agreement `pBit` of the operating point (0.856 ⇔ cosine 0.9).
+    * Reproduces the shipped 12×16 default exactly at the sf0.1 seed
+    * (n=2000, occupancy ½) — OpsSpec pins that, so the default and
+    * the formula cannot drift apart. ScaleCheck's `_sized` rows run
+    * this at each scale: the fixed-banding rows are the measured
+    * warning (quadratic collision term at ×64), these are the
+    * production configuration the warning demands. */
+  def sizedBanding(n: Long, pBit: Double = 0.856, targetRecall: Double = 0.93,
+      occupancy: Double = 0.5): (Int, Int) = {
+    require(n > 0 && pBit > 0 && pBit < 1 && targetRecall > 0 && targetRecall < 1)
+    val bits = math.max(1,
+      math.ceil(math.log(n / occupancy) / math.log(2)).toInt)
+    val pTable = math.pow(pBit, bits)
+    val tables = math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable)).toInt)
+    (bits, tables)
+  }
+
   /** Core of [[embeddingNearDups]] over any (vec_id, embedding) frame
     * — also the seam the planted-pair recall spec drives. */
   def embeddingNearDupPairs(emb: DataFrame, bits: Int,

@@ -239,6 +239,66 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("token budget: histogram-threshold selection equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    // the naive formulation the scale path replaces: one global-sort
+    // window cumsum, selected iff prior < budget
+    def naive(budget: Long) = {
+      val d = Relational.t(spark, sf0001, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      val w = Window.orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("prior", sum("n_tok").over(w) - col("n_tok"))
+        .where(col("prior") < budget)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+          min("q").as("min_quality"))
+        .orderBy("lang")
+    }
+    for (budget <- Seq(1L, 137L, 1500L, 1000000L)) {
+      val got = Curation.tokenBudgetStats(spark, sf0001, budget).collect().toSeq
+      val exp = naive(budget).collect().toSeq
+      assert(got == exp, s"budget=$budget")
+    }
+    // budget=1 is first-fit greedy's edge: exactly the single
+    // best-quality doc (prior 0 < 1), regardless of its own size
+    assert(Curation.tokenBudgetStats(spark, sf0001, 1L)
+      .agg(sum("n_docs")).head.getLong(0) == 1L)
+    // huge budget selects the whole corpus
+    val all = Relational.t(spark, sf0001, "documents").count()
+    assert(Curation.tokenBudgetStats(spark, sf0001, 1000000L)
+      .agg(sum("n_docs")).head.getLong(0) == all)
+  }
+
+  test("token budget: overflow doc is kept, nothing after it is") {
+    // 4 docs, quality strictly ordered by construction is fragile on
+    // synthetic text — instead derive the contract from whatever order
+    // quality induces: walking docs in (q desc, doc_id) order, the
+    // selected set must be exactly a prefix, and dropping its last
+    // element must bring tokens strictly under budget
+    val budget = 120L
+    val d = Relational.t(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    val prefix = d.scanLeft(0L) { case (acc, (_, _, n)) => acc + n }
+    val expectedIds = d.zip(prefix).collect {
+      case ((id, _, _), prior) if prior < budget => id
+    }.toSet
+    val selTokens = d.filter(t => expectedIds(t._1)).map(_._3).sum
+    assert(selTokens >= budget, "selection must reach the budget")
+    assert(selTokens - d.filter(t => expectedIds(t._1)).map(_._3).last < budget
+      || expectedIds.size == 1)
+    val stats = Curation.tokenBudgetStats(spark, sf0001, budget)
+      .agg(sum("n_docs"), sum("sum_tokens")).head
+    assert(stats.getLong(0) == expectedIds.size)
+    assert(stats.getLong(1) == selTokens)
+  }
+
   test("blocklist scrub: exact token removals, untouched docs not counted") {
     val dir = docsDir(Seq(
       (1L, "spark is fast and spark scales", "en", "s"),  // 2 removals

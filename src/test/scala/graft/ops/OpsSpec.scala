@@ -626,6 +626,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sizedBanding reproduces the shipped 12x16 default at the sf0.1 seed") {
+    // the formula and the default must not drift apart: n=2000 at the
+    // documented operating point (pBit 0.856, recall 0.93, occupancy
+    // 1/2) is exactly the embeddingNearDups default banding
+    assert(Dedup.sizedBanding(2000L) == (12, 16))
+    // bits tracks log2(n): +6 bits at x64 keeps bucket occupancy flat,
+    // and tables grows to hold the recall floor
+    val (b64, t64) = Dedup.sizedBanding(2000L * 64)
+    assert(b64 == 18, s"bits at x64: $b64")
+    assert(math.pow(1 - math.pow(0.856, b64), t64) <= 1 - 0.93 + 1e-12,
+      s"recall floor violated at x64: bits=$b64 tables=$t64")
+    // recall bound is tight-ish: one fewer table must drop below it
+    assert(math.pow(1 - math.pow(0.856, b64), t64 - 1) > 1 - 0.93)
+  }
+
   test("incremental dedup equals the full self-join restricted to the new batch") {
     val split = 30L
     val inc = Dedup.incrementalNearDups(spark, sf0001, splitId = split)
