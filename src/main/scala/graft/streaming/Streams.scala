@@ -152,6 +152,69 @@ object Streams {
       .dropDuplicatesWithinWatermark(Seq("fp"))
   }
 
+  /** Streaming near-dup ingestion gate: each micro-batch of incoming
+    * documents probes a STATIC corpus band index — [[graft.ops.Dedup
+    * .incrementalNearDups]]'s batch-vs-index shape (d09) as a
+    * Structured Streaming stage, closing the loop the
+    * [[curatedDocStream]] scaladoc describes. Entirely STATELESS:
+    * sketching (shingles → minhash → banded melt) is per-row column
+    * algebra that runs unchanged in a streaming plan, candidate
+    * generation is a stream-static equijoin on (band_idx, band_hash),
+    * and the exact-Jaccard verify is in-row from the shingle sets
+    * both sides carry. No watermark and no state store — a probe
+    * batch touches only its own band buckets, and a pair's emission
+    * depends on nothing outside its own row.
+    *
+    * Streaming `distinct()` would need unbounded state, so candidate
+    * uniqueness uses the FIRST-COLLIDING-BAND rule instead: both
+    * sides carry their full band vector, and a candidate row survives
+    * only when no band before the colliding one also matches — each
+    * true pair is emitted from exactly one band, with zero state
+    * (identical docs collide in all 16 bands; the rule keeps row 1).
+    *
+    * Scope: new-vs-CORPUS pairs only. New-vs-new pairs within a batch
+    * are a batch concern (run d09 in `foreachBatch`, or downstream
+    * once the batch lands) — a stateless streaming stage cannot
+    * self-join the stream. At 100 TB the static side is the stored
+    * band index bucketed by (band, hash) — the BucketingSpec
+    * write-once/join-forever contract; here it is built inline from
+    * the corpus frame so the op is self-contained, and carrying
+    * (hs, band vector) through the melt trades ×bands payload for
+    * the joins a streaming plan cannot do. */
+  def nearDupProbeStream(docs: DataFrame, corpus: DataFrame, n: Int = 5,
+      bands: Int = 16, rows: Int = 2, threshold: Double = 0.6): DataFrame = {
+    import graft.functions.MinHashSig
+    import graft.ops.{Dedup, Relational}
+    val numHashes = bands * rows
+    // one narrow projection per side: shingle sets → signature →
+    // band vector, everything kept in-row for the stateless verify
+    def sketched(d: DataFrame, idAs: String, suffix: String): DataFrame =
+      Dedup.shingleHashSets(d, n)
+        .withColumn("_sig", MinHashSig(col("hs"), numHashes))
+        .select(col("doc_id").as(idAs),
+          col("hs").as(s"hs$suffix"), col("n_sh").as(s"sz$suffix"),
+          array((0 until bands).map(b =>
+            xxhash64((b * rows until (b + 1) * rows).map(i =>
+              element_at(col("_sig"), i + 1)): _*)): _*).as(s"bv$suffix"))
+    def melted(d: DataFrame, suffix: String): DataFrame =
+      d.select(d.columns.map(col) :+
+        posexplode(col(s"bv$suffix")).as(Seq("band_idx", "bh")): _*)
+    val index = melted(sketched(corpus, "doc_a", "_a"), "_a")
+    val probe = melted(sketched(docs, "doc_b", "_b"), "_b")
+    val noEarlierCollision = size(filter(
+      zip_with(slice(col("bv_a"), lit(1), col("band_idx")),
+        slice(col("bv_b"), lit(1), col("band_idx")), (a, b) => a === b),
+      x => x)) === 0
+    probe.join(index, Seq("band_idx", "bh"))
+      .filter(noEarlierCollision)
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard",
+        Relational.r3(col("inter") / (col("sz_a") + col("sz_b") - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Stream-static enrichment: a streaming fact joined to a static
     * dimension — the canonical streaming-curation shape (events
     * against a user/blocklist/quality table). The static side is

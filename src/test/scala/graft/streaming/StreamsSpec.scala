@@ -158,6 +158,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupProbeStream: micro-batches probe the static band index statelessly") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // static corpus: two docs with disjoint 5-gram universes
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w")).toDF("doc_id", "text")
+    val mem = MemoryStream[Streams.Doc]
+    val q = Streams.nearDupProbeStream(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("probe").outputMode("append").start()
+    try {
+      mem.addData(
+        // identical to corpus doc 1: collides in ALL 16 bands — the
+        // first-colliding-band rule must emit exactly ONE row
+        Streams.Doc(101, ts(1), "en", "a b c d e f g h"),
+        // no shared shingles with either corpus doc
+        Streams.Doc(102, ts(2), "en", "z y x m l k j i"),
+        // 4 shingles each, 3 shared, union 5: j = 0.6 — the inclusive
+        // threshold boundary must be emitted
+        Streams.Doc(103, ts(3), "en", "a b c d e f g X"),
+        // 2 of 6 shingles shared with doc 1 (union 8): j = 0.25 — a
+        // banding-eligible candidate the exact verify must REJECT
+        Streams.Doc(105, ts(3), "en", "a b c d e f Y Z Q W"))
+      q.processAllAvailable()
+      val batch1 = s.sql("SELECT doc_a, doc_b, jaccard FROM probe ORDER BY doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(batch1.toList == List((1L, 101L, 1.0), (1L, 103L, 0.6)))
+      // a later batch probes the same index independently (no state)
+      mem.addData(Streams.Doc(104, ts(4), "en", "p q r s t u v w"))
+      q.processAllAvailable()
+      val all = s.sql("SELECT doc_a, doc_b, jaccard FROM probe ORDER BY doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(all.toList ==
+        List((1L, 101L, 1.0), (1L, 103L, 0.6), (2L, 104L, 1.0)))
+    } finally q.stop()
+  }
+
   test("attributedPurchases: interval join emits in-window pairs only") {
     val s = spark
     import s.implicits._
