@@ -98,6 +98,7 @@ object SparkEntry {
     "d07_dup_clusters" -> ((s: SparkSession, dir: String) => Dedup.dupClusters(s, dir)),
     "d08_dedup_survivors" -> ((s: SparkSession, dir: String) => Dedup.dedupSurvivors(s, dir)),
     "d09_incremental_dedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalNearDups(s, dir)),
+    "d10_survivors_by_quality" -> ((s: SparkSession, dir: String) => Dedup.dedupSurvivorsByQuality(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "s02_lsh_topk" -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
@@ -1021,6 +1022,31 @@ object SparkEntry {
          dropped AS (SELECT id FROM labels WHERE id <> cluster)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+         GROUP BY lang ORDER BY lang""",
+    // d10: d08's closure with the quality-aware canonical election —
+    // rank cluster members by (quality desc, doc_id asc) and drop all
+    // but rank 1; survivor avg quality is in the output, so the hash
+    // certifies WHICH member each cluster kept, not just how many
+    "d10_survivors_by_quality" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         $closureCtes,
+         qual AS (
+           SELECT doc_id,
+             floor(least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) *
+               (1.0 - floor(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x IN ('the', 'a'))) AS DOUBLE) /
+                 greatest(len(string_split_regex(trim(text), '\\s+')), 1) * 10000 + 0.5) / 10000)
+               * 10000 + 0.5) / 10000 AS q
+           FROM documents),
+         ranked AS (
+           SELECT l.id,
+             row_number() OVER (PARTITION BY l.cluster ORDER BY q.q DESC, l.id) AS rnk
+           FROM labels l JOIN qual q ON q.doc_id = l.id),
+         dropped AS (SELECT id FROM ranked WHERE rnk > 1)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           floor(sum(q.q) / count(*) * 10000 + 0.5) / 10000 AS avg_quality
+         FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+         WHERE d.doc_id NOT IN (SELECT id FROM dropped)
          GROUP BY lang ORDER BY lang""",
     // d06's oracle is the exact brute force. Unlike d04 (whose S-curve
     // argument holds at ANY corpus), LSH recall at cosine 0.9 is ~0.93

@@ -404,10 +404,16 @@ object Curation {
     * CurationSpec-proven; the c10 oracle IS the naive formulation. */
   def tokenBudgetStats(s: SparkSession, dir: String,
       budget: Long = 15000L): DataFrame = {
+    // the one materialized frame (the canonical sketch-pipeline note,
+    // [[Dedup.minhashLshPairs]]): (doc_id, lang, q, n_tok) is ~20
+    // bytes/doc and feeds the histogram AND both selection branches —
+    // without it the corpus is scanned and re-TOKENIZED three times
+    // (measured at sf0.1: ~1.2 s three-scan vs ~0.6 s checkpointed)
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("q"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .localCheckpoint()
     val hist = d.groupBy("q").agg(sum("n_tok").as("bucket_tokens"))
     val wq = Window.orderBy(col("q").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

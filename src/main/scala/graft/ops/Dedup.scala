@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Relational.{t, r3}
+import graft.ops.Relational.{t, r3, r4}
 import graft.stream.Ordered
 
 /** Deduplication suite for training-data pipelines, each variant
@@ -478,6 +478,45 @@ object Dedup {
       .join(dropped, Seq("doc_id"), "left_anti")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** [[dedupSurvivors]] with a QUALITY-aware canonical election: each
+    * near-dup cluster keeps its highest-quality member (ties → min
+    * doc_id, keeping the election total and deterministic) instead of
+    * the reference's first-wins min-id. This is the knob production
+    * dedup actually runs — when a page was crawled twice, keep the
+    * cleaner extraction, not the smaller id.
+    *
+    * The election is one `max(struct(q, -id))` groupBy per cluster —
+    * partial-aggregable (map-side combine) with O(1) state per
+    * cluster, never a per-cluster sort/window; everything else
+    * (sketch pipeline, CC, AQE-chosen anti join) is d08's machinery
+    * unchanged. Survivor avg quality is reported so the election is
+    * visible in the output (and in the oracle hash). */
+  def dedupSurvivorsByQuality(s: SparkSession, dir: String, n: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashLshPairs(s, dir, n, threshold = threshold)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val quality = t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val members = connectedComponents(edges)
+      .join(quality, col("id") === quality("doc_id"))
+      .select(col("id"), col("cluster"), col("q"))
+    val canon = members.groupBy("cluster")
+      .agg(max(struct(col("q"), (-col("id")).as("neg_id"))).as("m"))
+      .select(col("cluster"), (-col("m.neg_id")).as("keep_id"))
+    val dropped = members.join(canon, "cluster")
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("doc_id"))
+    t(s, dir, "documents")
+      .join(quality.select(col("doc_id").as("qid"), col("q")),
+        col("doc_id") === col("qid"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        r4(sum("q") / count(lit(1))).as("avg_quality"))
       .orderBy("lang")
   }
 

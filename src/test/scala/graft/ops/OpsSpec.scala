@@ -641,6 +641,35 @@ class OpsSpec extends SparkSpec {
     assert(math.pow(1 - math.pow(0.856, b64), t64 - 1) > 1 - 0.93)
   }
 
+  test("quality-aware survivors elect the best member, not the smallest id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two near-dup docs where the HIGHER id has the higher quality
+    // (longer text → higher length score): d08's min-id election and
+    // d10's quality election must disagree on who survives
+    val long1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("d10").toString
+    Seq(
+      (1L, long1, "en", "s"),                       // near-dup of 2, shorter
+      (2L, long1 + " " + long1, "en", "s"),          // ~2x tokens: higher q
+      (9L, "the the the unrelated words here stay", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // sanity: docs 1 and 2 really are a near-dup pair
+    val pair = Dedup.ngramJaccardPairs(spark, dir).collect()
+    assert(pair.map(r => (r.getLong(0), r.getLong(1))).toList == List((1L, 2L)))
+    val byQ = Dedup.dedupSurvivorsByQuality(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val byId = Dedup.dedupSurvivors(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    // both keep 2 docs, but quality keeps doc 2 (more chars), min-id
+    // keeps doc 1 — visible through sum_chars
+    assert(byQ.map(_._2) == List(2L) && byId.map(_._2) == List(2L))
+    assert(byQ.head._3 > byId.head._3,
+      s"quality election should keep the longer doc: $byQ vs $byId")
+  }
+
   test("incremental dedup equals the full self-join restricted to the new batch") {
     val split = 30L
     val inc = Dedup.incrementalNearDups(spark, sf0001, splitId = split)
