@@ -122,6 +122,7 @@ object SparkEntry {
     "m03_frames" -> ((s: SparkSession, dir: String) => Multimodal.sampleFrames(s, dir)),
     "m04_resize" -> ((s: SparkSession, dir: String) => Multimodal.resizeMeta(s, dir)),
     "m05_audio_decode" -> (Multimodal.decodeAudio _),
+    "m06_gif_frames" -> (Multimodal.decodeFrames _),
   )
 
   /** Shared DuckDB CTE prefix for every shingle-based oracle:
@@ -1286,6 +1287,29 @@ object SparkEntry {
            16 AS bits, CAST(a.frames AS BIGINT) AS n_frames,
            CAST(sm.ssum AS BIGINT) AS sample_sum
          FROM au a JOIN sm USING (doc_id) ORDER BY media_id""",
+    // m06: real multi-frame round-trip — the Spark side writes animated
+    // GIFs (JDK sequence writer, identity gray palette) and decodes
+    // them back frame by frame, with the frame COUNT read from the
+    // container; the oracle replays the per-frame pixel formula, so
+    // the hash certifies count, dimensions, and every decoded sample
+    "m06_gif_frames" ->
+      """WITH vid AS (
+           SELECT doc_id, (doc_id % 15) + 4 AS w, (doc_id % 9) + 4 AS h,
+             (doc_id % 4) + 2 AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+         fr AS (
+           SELECT doc_id, w, h, f.v AS frame_no
+           FROM vid, UNNEST(range(0, nf)) AS f(v)),
+         px AS (
+           SELECT doc_id, frame_no,
+             sum((7*x.v + 13*y.v + 23*frame_no + doc_id) % 256) AS psum
+           FROM fr, UNNEST(range(0, w)) AS x(v), UNNEST(range(0, h)) AS y(v)
+           GROUP BY doc_id, frame_no)
+         SELECT f.doc_id AS media_id, CAST(f.frame_no AS BIGINT) AS frame_no,
+           CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height,
+           CAST(px.psum AS BIGINT) AS pixel_sum
+         FROM fr f JOIN px ON px.doc_id = f.doc_id AND px.frame_no = f.frame_no
+         ORDER BY media_id, frame_no""",
     "m03_frames" ->
       """SELECT doc_id AS media_id, CAST(f.frame_no AS BIGINT) AS frame_no,
          CAST(f.frame_no * floor(octet_length(encode(text)) / 4) AS BIGINT) AS frame_offset

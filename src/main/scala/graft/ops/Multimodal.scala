@@ -254,4 +254,97 @@ object Multimodal {
         col("frame_no") * floor(col("byte_len") / frames).cast("long"))
       .select("media_id", "frame_no", "frame_offset")
       .orderBy("media_id", "frame_no")
+
+  // ——— multi-frame (video-kind) media: REAL animated GIF ———
+
+  /** Video fixture geometry, doc_id-derived like [[imgParams]]:
+    * 4..18 wide, 4..12 tall, 2..5 frames. Grayscale only — GIF is
+    * palette-indexed, and the JDK writer emits an identity 256-gray
+    * palette for TYPE_BYTE_GRAY input, so every sample round-trips
+    * byte-exactly (probed across the full 0..255 range) where
+    * arbitrary RGB would be quantized. */
+  private def vidParams(id: Long): (Int, Int, Int) = {
+    val w = (id % 15 + 4).toInt
+    val h = (id % 9 + 4).toInt
+    val nf = (id % 4 + 2).toInt
+    (w, h, nf)
+  }
+
+  /** Per-frame pixel formula — the encode side and the m06 oracle
+    * only; the decode kernel never sees it. */
+  private def framePixel(x: Int, y: Int, f: Int, id: Long): Int =
+    ((7 * x + 13 * y + 23 * f + id) % 256).toInt
+
+  /** The video-kind corpus as REAL multi-frame media files: animated
+    * GIFs (header + N image descriptors + trailer) written with the
+    * JDK's sequence writer, one writer instance amortized per
+    * partition — the [[imageTable]] batched-kernel shape with a
+    * stateful multi-frame encoder. */
+  def videoTable(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[ImageBlob] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        ids.map { id =>
+          val (w, h, nf) = vidParams(id)
+          val bos = new ByteArrayOutputStream()
+          val ios = ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, framePixel(x, y, f, id))
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          ImageBlob(id, "gif", bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL multi-frame decode: the GIF sequence reader reports the
+    * frame COUNT from the container and each frame decodes
+    * independently — [[sampleFrames]]'s 1→N expansion with N coming
+    * from the CODEC, not metadata. Per-frame stats walk the decoded
+    * palette via `getRGB` (robust to index ordering); flatMap-shaped
+    * kernel — decode-heavy input, a few numeric columns per frame
+    * out. */
+  def decodeFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    videoTable(s, dir).mapPartitions { batch =>
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      batch.flatMap { m =>
+        reader.setInput(ImageIO.createImageInputStream(
+          new ByteArrayInputStream(m.blob)))
+        val n = reader.getNumImages(true)
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+            y += 1
+          }
+          (m.media_id, f.toLong, w, h, sum)
+        }
+      }
+    }.toDF("media_id", "frame_no", "width", "height", "pixel_sum")
+      .orderBy("media_id", "frame_no")
+  }
 }

@@ -232,6 +232,29 @@ class OpsSpec extends SparkSpec {
     assert((d0.getInt(2), d0.getInt(3), d0.getInt(4), d0.getLong(5)) == ((4, 4, 1, 480L)))
   }
 
+  test("gif frames: multi-frame round-trip decodes count, dims, and every sample") {
+    val rows = Multimodal.decodeFrames(spark, sf0001).collect()
+    // video kind = doc_id % 3 == 2 over 500 docs, 2..5 frames each
+    val byMedia = rows.groupBy(_.getAs[Long]("media_id"))
+    assert(byMedia.size == 166)
+    byMedia.foreach { case (id, frames) =>
+      // frame count comes from the CODEC's container parse — it must
+      // equal what the encoder wrote
+      assert(frames.length == (id % 4 + 2).toInt, s"media $id")
+      frames.foreach { r =>
+        val f = r.getAs[Long]("frame_no").toInt
+        val w = (id % 15 + 4).toInt
+        val h = (id % 9 + 4).toInt
+        assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+        // decoded-sample sum equals the encode formula: the palette
+        // round-trip is byte-exact
+        val expected = (for { y <- 0 until h; x <- 0 until w }
+          yield ((7 * x + 13 * y + 23 * f + id) % 256)).sum
+        assert(r.getAs[Long]("pixel_sum") == expected, s"media $id frame $f")
+      }
+    }
+  }
+
   test("audio decode: WAV round-trip reports format and frame count") {
     val rows = Multimodal.decodeAudio(spark, sf0001).collect()
     assert(rows.length == 167) // doc_id % 3 == 1 over 500 docs
