@@ -237,6 +237,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), s"multi-distinct Expand crept back in:\n$p")
   }
 
+  test("c10: stratum classification broadcasts; only the boundary stratum windows") {
+    val df = Curation.tokenBudgetStats(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastExchange"),
+      "the <=10001-row classification must broadcast back onto the corpus")
+    // exactly ONE per-doc window (the boundary stratum's cumsum,
+    // recognizable by its doc_id ordering) — a second would mean a
+    // wholesale branch is sorting documents it admits unconditionally.
+    // The ≤10001-row histogram window appears once per union branch
+    // (each branch rebuilds the tiny classification; duplication of a
+    // 10001-row window is free, duplication of a corpus sort is not).
+    val docWindows = p.linesIterator
+      .filter(l => l.contains("Window [") && l.contains("doc_id")).length
+    assert(docWindows == 1, s"expected 1 per-doc window, got $docWindows:\n$p")
+    // and that one window is q-partitioned (one stratum), never a
+    // global total sort of the corpus
+    assert(p.contains("hashpartitioning(q"),
+      s"boundary window must partition by the quality stratum:\n$p")
+  }
+
+  test("d10: the canonical election is a partial agg, never a per-cluster sort") {
+    val df = Dedup.dedupSurvivorsByQuality(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(p.contains("partial_max"),
+      s"election must be map-side partial max(struct(q, -id)):\n$p")
+    assert(!p.contains("Window ["),
+      s"election must not window-sort cluster members:\n$p")
+  }
+
   test("no query in the registry plans a CartesianProduct or a SortMergeJoin") {
     // the global gate behind the per-query ones above: every join in
     // the full query registry broadcasts (or is a broadcast nested
