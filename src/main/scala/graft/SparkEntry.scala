@@ -1045,7 +1045,8 @@ object SparkEntry {
            FROM labels l JOIN qual q ON q.doc_id = l.id),
          dropped AS (SELECT id FROM ranked WHERE rnk > 1)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-           floor(sum(q.q) / count(*) * 10000 + 0.5) / 10000 AS avg_quality
+           floor(sum(CAST(floor(q.q * 10000 + 0.5) AS BIGINT)) / 10000.0
+             / count(*) * 10000 + 0.5) / 10000 AS avg_quality
          FROM documents d JOIN qual q ON q.doc_id = d.doc_id
          WHERE d.doc_id NOT IN (SELECT id FROM dropped)
          GROUP BY lang ORDER BY lang""",

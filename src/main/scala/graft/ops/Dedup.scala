@@ -516,7 +516,12 @@ object Dedup {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"),
-        r4(sum("q") / count(lit(1))).as("avg_quality"))
+        // q is 4dp-quantized, so Σ floor(q·10⁴+½) is an exact integer
+        // sum — immune to the engine-dependent double-summation order
+        // that a plain sum(q)/count would hash-flake on (the q33/r2
+        // cross-engine rounding discipline, applied to an average)
+        r4(sum(floor(col("q") * 10000 + 0.5).cast("long")) / 10000.0 /
+          count(lit(1))).as("avg_quality"))
       .orderBy("lang")
   }
 
