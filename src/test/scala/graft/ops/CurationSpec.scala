@@ -144,6 +144,45 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("token budget ≡ greedy model on randomized corpora with fat strata") {
+    // few distinct token counts → many quality ties → the boundary
+    // stratum genuinely holds multiple docs and the within-stratum
+    // doc_id tie-break is load-bearing (fixed-seed generation, the
+    // packing-model discipline above)
+    val rnd = new scala.util.Random(20260813L)
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    (1 to 4).foreach { _ =>
+      val docs = (0 until 40).map { i =>
+        val nTok = Seq(5, 9, 14, 20)(rnd.nextInt(4))
+        val nStop = rnd.nextInt(3)
+        val words = Seq.fill(nStop)("the") ++ Seq.fill(nTok - nStop)("w")
+        (i.toLong, words.mkString(" "), s"l${rnd.nextInt(2)}", "s")
+      }
+      val dir = docsDir(docs)
+      val budget = 20L + rnd.nextInt(300)
+      val model = docs.map { case (id, text, lang, _) =>
+        val toks = text.split("\\s+")
+        val n = toks.length
+        val stop = toks.count(t => t == "the" || t == "a")
+        val q = r4d(math.min(n / 100.0, 1.0) *
+          (1.0 - r4d(stop.toDouble / math.max(n, 1))))
+        (id, lang, q, n.toLong)
+      }.sortBy { case (id, _, q, _) => (-q, id) }
+      val prefix = model.scanLeft(0L)(_ + _._4)
+      val sel = model.zip(prefix).collect {
+        case ((_, lang, q, n), prior) if prior < budget => (lang, q, n)
+      }
+      val expected = sel.groupBy(_._1).map { case (lang, vs) =>
+        lang -> (vs.size.toLong, vs.map(_._3).sum, vs.map(_._2).min)
+      }
+      val got = Curation.tokenBudgetStats(spark, dir, budget)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got == expected, s"budget=$budget")
+    }
+  }
+
   test("full curation chain: contaminated dropped, near-dup deduped, short survives") {
     val dir = docsDir(Seq(
       (0L, "a b c d e f g", "en", "src0"),        // benchmark
