@@ -123,6 +123,7 @@ object SparkEntry {
     "m04_resize" -> ((s: SparkSession, dir: String) => Multimodal.resizeMeta(s, dir)),
     "m05_audio_decode" -> (Multimodal.decodeAudio _),
     "m06_gif_frames" -> (Multimodal.decodeFrames _),
+    "m07_scene_deltas" -> (Multimodal.sceneDeltas _),
   )
 
   /** Shared DuckDB CTE prefix for every shingle-based oracle:
@@ -1309,6 +1310,28 @@ object SparkEntry {
          SELECT f.doc_id AS media_id, CAST(f.frame_no AS BIGINT) AS frame_no,
            CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height,
            CAST(px.psum AS BIGINT) AS pixel_sum
+         FROM fr f JOIN px ON px.doc_id = f.doc_id AND px.frame_no = f.frame_no
+         ORDER BY media_id, frame_no""",
+    // m07: consecutive-frame absolute pixel deltas over the decoded
+    // GIF sequence — the oracle replays the per-frame formula's
+    // difference, so the hash certifies the temporal pairing AND both
+    // frames' decoded samples
+    "m07_scene_deltas" ->
+      """WITH vid AS (
+           SELECT doc_id, (doc_id % 15) + 4 AS w, (doc_id % 9) + 4 AS h,
+             (doc_id % 4) + 2 AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+         fr AS (
+           SELECT doc_id, w, h, f.v AS frame_no
+           FROM vid, UNNEST(range(1, nf)) AS f(v)),
+         px AS (
+           SELECT doc_id, frame_no,
+             sum(abs((7*x.v + 13*y.v + 23*frame_no + doc_id) % 256
+                   - (7*x.v + 13*y.v + 23*(frame_no-1) + doc_id) % 256)) AS dsum
+           FROM fr, UNNEST(range(0, w)) AS x(v), UNNEST(range(0, h)) AS y(v)
+           GROUP BY doc_id, frame_no)
+         SELECT f.doc_id AS media_id, CAST(f.frame_no AS BIGINT) AS frame_no,
+           CAST(px.dsum AS BIGINT) AS delta_sum
          FROM fr f JOIN px ON px.doc_id = f.doc_id AND px.frame_no = f.frame_no
          ORDER BY media_id, frame_no""",
     "m03_frames" ->

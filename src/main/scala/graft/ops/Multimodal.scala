@@ -347,4 +347,48 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "width", "height", "pixel_sum")
       .orderBy("media_id", "frame_no")
   }
+
+  /** Temporal kernel over the decoded sequence: per consecutive frame
+    * pair, the summed absolute pixel delta — the scene-change /
+    * motion-estimate signal. This is the shape that distinguishes
+    * video kernels from independent image decodes: the kernel streams
+    * the sequence holding exactly ONE previous frame per media
+    * (bounded memory however long the video), and each output row
+    * depends on two adjacent decodes. `frame_no` is the LATER frame
+    * (1..nf-1). */
+  def sceneDeltas(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    videoTable(s, dir).mapPartitions { batch =>
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      batch.flatMap { m =>
+        reader.setInput(ImageIO.createImageInputStream(
+          new ByteArrayInputStream(m.blob)))
+        val n = reader.getNumImages(true)
+        var prev: Array[Int] = null
+        (0 until n).flatMap { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val cur = new Array[Int](w * h)
+          var i = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { cur(i) = (img.getRGB(x, y) >> 16) & 0xFF; x += 1; i += 1 }
+            y += 1
+          }
+          val out =
+            if (prev == null) Seq.empty
+            else {
+              var d = 0L
+              var j = 0
+              while (j < cur.length) { d += math.abs(cur(j) - prev(j)); j += 1 }
+              Seq((m.media_id, f.toLong, d))
+            }
+          prev = cur
+          out
+        }
+      }
+    }.toDF("media_id", "frame_no", "delta_sum")
+      .orderBy("media_id", "frame_no")
+  }
 }

@@ -255,6 +255,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("scene deltas: temporal frame diffs match the formula, one row per adjacent pair") {
+    val rows = Multimodal.sceneDeltas(spark, sf0001).collect()
+    val byMedia = rows.groupBy(_.getAs[Long]("media_id"))
+    assert(byMedia.size == 166)
+    byMedia.foreach { case (id, deltas) =>
+      // nf frames → nf-1 adjacent pairs
+      assert(deltas.length == (id % 4 + 2).toInt - 1, s"media $id")
+      deltas.foreach { r =>
+        val f = r.getAs[Long]("frame_no").toInt
+        assert(f >= 1)
+        val w = (id % 15 + 4).toInt
+        val h = (id % 9 + 4).toInt
+        val expected = (for { y <- 0 until h; x <- 0 until w } yield math.abs(
+          ((7 * x + 13 * y + 23 * f + id) % 256) -
+            ((7 * x + 13 * y + 23 * (f - 1) + id) % 256))).sum
+        assert(r.getAs[Long]("delta_sum") == expected, s"media $id frame $f")
+      }
+    }
+  }
+
   test("audio decode: WAV round-trip reports format and frame count") {
     val rows = Multimodal.decodeAudio(spark, sf0001).collect()
     assert(rows.length == 167) // doc_id % 3 == 1 over 500 docs
