@@ -182,25 +182,30 @@ object Streams {
     * (hs, band vector) through the melt trades ×bands payload for
     * the joins a streaming plan cannot do. */
   def nearDupProbeStream(docs: DataFrame, corpus: DataFrame, n: Int = 5,
-      bands: Int = 16, rows: Int = 2, threshold: Double = 0.6): DataFrame = {
-    import graft.functions.MinHashSig
-    import graft.ops.{Dedup, Relational}
-    val numHashes = bands * rows
-    // one narrow projection per side: shingle sets → signature →
-    // band vector, everything kept in-row for the stateless verify
-    def sketched(d: DataFrame, idAs: String, suffix: String): DataFrame =
-      Dedup.shingleHashSets(d, n)
-        .withColumn("_sig", MinHashSig(col("hs"), numHashes))
-        .select(col("doc_id").as(idAs),
-          col("hs").as(s"hs$suffix"), col("n_sh").as(s"sz$suffix"),
-          array((0 until bands).map(b =>
-            xxhash64((b * rows until (b + 1) * rows).map(i =>
-              element_at(col("_sig"), i + 1)): _*)): _*).as(s"bv$suffix"))
-    def melted(d: DataFrame, suffix: String): DataFrame =
-      d.select(d.columns.map(col) :+
-        posexplode(col(s"bv$suffix")).as(Seq("band_idx", "bh")): _*)
-    val index = melted(sketched(corpus, "doc_a", "_a"), "_a")
-    val probe = melted(sketched(docs, "doc_b", "_b"), "_b")
+      bands: Int = 16, rows: Int = 2, threshold: Double = 0.6): DataFrame =
+    nearDupProbeStreamIndexed(docs,
+      nearDupBandIndex(corpus, n, bands, rows), n, bands, rows, threshold)
+
+  /** The static band index [[nearDupProbeStream]] probes, as a
+    * first-class value: (doc_a, hs_a, sz_a, bv_a, band_idx, bh). The
+    * static side of a stream-static join is RE-EVALUATED every
+    * micro-batch, so the inline-built index re-sketches the corpus per
+    * batch — fine for a demo, wrong for production. Build this once,
+    * `persist()` it (or write it bucketed by (band_idx, bh) — the
+    * BucketingSpec contract — and read it back), and pass it to
+    * [[nearDupProbeStreamIndexed]]: the per-batch static cost drops to
+    * a table lookup. */
+  def nearDupBandIndex(corpus: DataFrame, n: Int = 5, bands: Int = 16,
+      rows: Int = 2): DataFrame =
+    melted(sketched(corpus, n, bands, rows, "doc_a", "_a"), "_a")
+
+  /** [[nearDupProbeStream]] against a prebuilt (persisted or stored)
+    * band index from [[nearDupBandIndex]]. */
+  def nearDupProbeStreamIndexed(docs: DataFrame, index: DataFrame,
+      n: Int = 5, bands: Int = 16, rows: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    import graft.ops.Relational
+    val probe = melted(sketched(docs, n, bands, rows, "doc_b", "_b"), "_b")
     val noEarlierCollision = size(filter(
       zip_with(slice(col("bv_a"), lit(1), col("band_idx")),
         slice(col("bv_b"), lit(1), col("band_idx")), (a, b) => a === b),
@@ -214,6 +219,27 @@ object Streams {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** One narrow projection per side of the near-dup probe: shingle
+    * sets → minhash signature → band vector, everything kept in-row
+    * for the stateless verify. */
+  private def sketched(d: DataFrame, n: Int, bands: Int, rows: Int,
+      idAs: String, suffix: String): DataFrame = {
+    import graft.functions.MinHashSig
+    import graft.ops.Dedup
+    val numHashes = bands * rows
+    Dedup.shingleHashSets(d, n)
+      .withColumn("_sig", MinHashSig(col("hs"), numHashes))
+      .select(col("doc_id").as(idAs),
+        col("hs").as(s"hs$suffix"), col("n_sh").as(s"sz$suffix"),
+        array((0 until bands).map(b =>
+          xxhash64((b * rows until (b + 1) * rows).map(i =>
+            element_at(col("_sig"), i + 1)): _*)): _*).as(s"bv$suffix"))
+  }
+
+  private def melted(d: DataFrame, suffix: String): DataFrame =
+    d.select(d.columns.map(col) :+
+      posexplode(col(s"bv$suffix")).as(Seq("band_idx", "bh")): _*)
 
   /** Stream-static enrichment: a streaming fact joined to a static
     * dimension — the canonical streaming-curation shape (events

@@ -196,6 +196,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupProbeStreamIndexed: a persisted prebuilt index gives identical results") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w")).toDF("doc_id", "text")
+    // the production shape: build the band index ONCE and persist it —
+    // the stream-static join re-evaluates its static side every
+    // micro-batch, so this is what keeps the corpus from re-sketching
+    val index = Streams.nearDupBandIndex(corpus).persist()
+    try {
+      index.count()
+      val mem = MemoryStream[Streams.Doc]
+      val q = Streams.nearDupProbeStreamIndexed(mem.toDF(), index)
+        .writeStream.format("memory").queryName("probe_idx").outputMode("append").start()
+      try {
+        mem.addData(Streams.Doc(101, ts(1), "en", "a b c d e f g h"))
+        q.processAllAvailable()
+        mem.addData(Streams.Doc(104, ts(2), "en", "p q r s t u v w"))
+        q.processAllAvailable()
+        val all = s.sql("SELECT doc_a, doc_b, jaccard FROM probe_idx ORDER BY doc_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        assert(all.toList == List((1L, 101L, 1.0), (2L, 104L, 1.0)))
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
   test("attributedPurchases: interval join emits in-window pairs only") {
     val s = spark
     import s.implicits._
