@@ -76,6 +76,7 @@ object SparkEntry {
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
     "p03_temperature_mix" -> ((s: SparkSession, dir: String) => Sampling.temperatureMixStats(s, dir)),
+    "p04_fixed_sample" -> ((s: SparkSession, dir: String) => Sampling.fixedSample(s, dir)),
     // — corpus curation (training-data pipeline) —
     "c01_contamination" -> ((s: SparkSession, dir: String) => Curation.contaminationReport(s, dir)),
     "c02_seq_packing" -> ((s: SparkSession, dir: String) => Curation.packingStats(s, dir)),
@@ -959,6 +960,16 @@ object SparkEntry {
            floor(r.rate * 10000 + 0.5) / 10000 AS rate,
            coalesce(s.n_sampled, 0) AS n_sampled
          FROM r LEFT JOIN s ON r.lang = s.lang ORDER BY r.lang""",
+    // p04: the exact-n deterministic draw — both engines take the n
+    // smallest md5(doc_id) values, so the hash certifies the exact
+    // membership (and with it the cross-engine stability contract)
+    "p04_fixed_sample" ->
+      """WITH drawn AS (
+           SELECT doc_id, lang FROM documents
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100)
+         SELECT lang, count(*) AS n_docs,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+         FROM drawn GROUP BY lang ORDER BY lang""",
     "d01_exact_dedup" ->
       """SELECT lang, count(*) AS n_unique FROM (
            SELECT lang, row_number() OVER (

@@ -106,4 +106,31 @@ object Sampling {
       .agg(count(lit(1)).as("n_sampled"),
         r2(sum("n_chars") / count(lit(1))).as("avg_chars"))
       .orderBy("lang")
+
+  /** EXACT-size deterministic sample: the `n` documents with the
+    * smallest md5(doc_id) — the fixed-budget eval-set draw that
+    * rate-based [[hashSample]] cannot deliver (a rate hits n only in
+    * expectation). Same stability contract: the draw order is
+    * content-derived, so the same n docs come back under any
+    * partitioning, ingestion order, or engine.
+    *
+    * 100 TB shape: global top-n by a key plans as
+    * TakeOrderedAndProject — every partition keeps its local n in a
+    * bounded heap and the driver merges partition heads. No global
+    * sort, no full shuffle, O(n) driver memory at any corpus size
+    * (PlanSpec gates the plan). Growing the corpus only EVICTS drawn
+    * docs (new smaller hashes push old ones out), it never reshuffles
+    * the survivors' relative order — the eval set evolves by
+    * replacement, not churn. */
+  def fixedSample(s: SparkSession, dir: String, n: Int = 100): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("draw"))
+      .orderBy("draw")
+      .limit(n)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("doc_ids"))
+      .orderBy("lang")
 }

@@ -268,6 +268,17 @@ class PlanSpec extends SparkSpec {
       s"election must not window-sort cluster members:\n$p")
   }
 
+  test("p04: the exact-n draw plans as TakeOrderedAndProject, never a global sort") {
+    val df = Sampling.fixedSample(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-n by hash must be the bounded-heap take, not sort+limit:\n$p")
+    // no draw-ordered global sort: the only Sort allowed is the 5-row
+    // presentation ORDER BY lang after aggregation
+    assert(!p.contains("Sort [draw"), s"global sort on the draw crept in:\n$p")
+  }
+
   test("no query in the registry plans a CartesianProduct or a SortMergeJoin") {
     // the global gate behind the per-query ones above: every join in
     // the full query registry broadcasts (or is a broadcast nested

@@ -69,4 +69,24 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s10.subsetOf(s50))
   }
+
+  test("fixed sample: exactly n docs, and they are the n smallest md5 draws") {
+    val n = 25
+    val got = Sampling.fixedSample(spark, sf0001, n).collect()
+    val gotIds = got.flatMap(_.getAs[String]("doc_ids").split(",").map(_.toLong)).toSet
+    assert(got.map(_.getAs[Long]("n_docs")).sum == n)
+    // model: recompute the draw order driver-side with Java's md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = Relational.t(spark, sf0001, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+      .sortBy(hex).take(n).toSet
+    assert(gotIds == expected)
+    // nesting: the 10-draw is a strict prefix of the 25-draw — growth
+    // evolves the set by eviction, never by reshuffle
+    val got10 = Sampling.fixedSample(spark, sf0001, 10).collect()
+      .flatMap(_.getAs[String]("doc_ids").split(",").map(_.toLong)).toSet
+    assert(got10.subsetOf(gotIds))
+  }
 }
