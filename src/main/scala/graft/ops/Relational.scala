@@ -121,8 +121,13 @@ object Relational {
         .cast("double"), 2).as("revenue"))
 
   /** TPC-H Q3-shaped: top unshipped orders by revenue for one market
-    * segment. customer is a broadcast dim; the only shuffle is the
-    * groupBy on o_orderkey. */
+    * segment. orders and customer are FACT-proportional (the date/
+    * segment filters cut constant fractions, not to dim scale), so
+    * neither side carries a broadcast hint — a forced hint is honored
+    * regardless of size and would OOM the driver at 100 TB. AQE picks
+    * BroadcastHashJoin from runtime sizes at small SF (PlanSpec-gated)
+    * and degrades to shuffled joins when the sides outgrow the
+    * threshold. */
   def topRevenueOrders(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -130,7 +135,7 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+    li.join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(round(sum(discPrice).cast("double"), 2).as("revenue"))
@@ -138,9 +143,12 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-shaped: revenue per nation inside one region. All four
-    * dims broadcast; lineitem never shuffles until the tiny groupBy on
-    * n_name. */
+  /** TPC-H Q5-shaped: revenue per nation inside one region. region and
+    * nation are TRUE dims (25/5 rows at any SF) and keep their
+    * broadcast hints; orders and customer grow with the fact tables,
+    * so they carry none — AQE broadcasts them while they fit
+    * (PlanSpec-gated at test SF) and falls back to shuffled joins at
+    * scale instead of OOMing the driver on a forced hint. */
   def regionNationRevenue(s: SparkSession, dir: String): DataFrame = {
     val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val nation = t(s, dir, "nation")
@@ -149,8 +157,8 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01") &&
         col("o_orderdate") < lit("1998-01-01"))
     val li = t(s, dir, "lineitem")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))

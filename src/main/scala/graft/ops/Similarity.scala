@@ -526,61 +526,79 @@ object Similarity {
     * lookup maps and shuffles nothing; ranking is the bounded-heap
     * [[topKPerQuery]]. */
   def pqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      m: Int = 8, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
+      m: Int = 8, codebookSize: Int = 16, dimParam: Int = 0): DataFrame = {
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    // dimParam=0 (default) resolves from session conf `graft.pq.dim`
+    // (itself defaulting to the testdata's 64), so a non-64-dim corpus
+    // is a config change, not a code change, for every caller
+    // including the s09 registry entry. Resolution reads a conf —
+    // zero driver jobs, construction stays action-free.
+    val dim = if (dimParam > 0) dimParam else s.conf.get("graft.pq.dim", "64").toInt
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val w = dim / m
     // `dim` is a declared parameter (an index build knows its dim), not
     // a probe — the old `head()` probe cost a driver-blocking job per
     // call (PlanSpec pins construction at zero actions). A mismatched
-    // corpus still fails LOUDLY, inside the query itself: every row
-    // checks its length before slicing (codegen'd branch, no extra
-    // job); a hardcoded dim on short vectors would otherwise slice
-    // short subvectors and return arbitrary codes with no error.
+    // corpus still fails LOUDLY, inside the query itself, via a FILTER
+    // on the raw array's size: one integer comparison per row. (r7
+    // instead wrapped the emb column itself in when/raise_error; every
+    // downstream subspace slice then re-branched through that
+    // conditional and s09 doubled — the guard must cost a predicate,
+    // not an expression tree around the data.) A hardcoded dim on
+    // short vectors would otherwise slice short subvectors and return
+    // arbitrary codes with no error.
     val emb = t(s, dir, "embeddings")
+      .filter(when(size(col("embedding")) === dim, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"pqTopK: expected dim=$dim, row has "),
+          size(col("embedding")).cast("string")))))
       .select(col("vec_id"), transform(col("embedding"),
         x => x.cast("double")).as("emb"))
-      .select(col("vec_id"),
-        when(size(col("emb")) === dim, col("emb"))
-          .otherwise(raise_error(concat(
-            lit(s"pqTopK: expected dim=$dim, row has "),
-            size(col("emb")).cast("string")))).as("emb"))
     def subspaces(v: Column): Column =
       transform(sequence(lit(0), lit(m - 1)),
         j => struct(j.cast("long").as("j"), slice(v, j * w + 1, lit(w)).as("sv")))
     // codebook: seed vectors' subspace slices + codeword norms
-    val cb = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + codebookSize)
+    val cbRaw = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + codebookSize)
       .select((col("vec_id") - 100).as("c"), explode(subspaces(col("emb"))).as("s"))
       .select(col("s.j").as("j"), col("c"), col("s.sv").as("cw"))
       .withColumn("norm2", dot(col("cw"), col("cw")))
-    // Presence guard, mirroring the dim check's fail-loudly contract: a
-    // corpus lacking the seed vec_ids yields a partial/empty codebook
-    // and inner joins would silently return degraded or empty results.
-    // The guard lives INSIDE the encode/query aggregations (left join +
-    // per-group codeword count) rather than as a separate assertion
-    // subtree: AQE's empty-relation propagation would skip a detached
-    // check once an inner join's build side came up empty, and a
-    // detached count would cost a driver job. Here the error is a data
-    // dependency of the output columns — unprunable, zero extra jobs.
+    // Codebook-presence guard, validated ONCE and structurally: a
+    // corpus lacking seed vec_ids yields a partial/empty codebook, and
+    // inner joins would silently return degraded or empty results. The
+    // EXPECTED codeword ids (a literal sequence — never empty) left-
+    // join the seed-derived rows, so any missing codeword becomes a
+    // null that raises while this tiny frame materializes — BEFORE the
+    // encode/ADC inner joins can drop anything. Both downstream paths
+    // share `cb`, the check costs codebookSize branch evaluations and
+    // zero driver jobs, and AQE cannot empty-propagate around it: the
+    // expected side always has rows, unlike a guard hung off the
+    // corpus-derived frames (an empty corpus-side stage would let AQE
+    // cancel the checking stage entirely — observed in testing). r7
+    // instead threaded per-group counts + raise_error branches through
+    // the corpus-sized encode aggregation and s09 doubled; the hot
+    // path must stay guard-free.
+    val cb = s.range(1)
+      .select(explode(sequence(lit(0), lit(codebookSize - 1))).as("cexp"))
+      .join(cbRaw, col("cexp") === col("c"), "left")
+      .select(col("j"),
+        when(col("c").isNull, raise_error(lit(
+          s"pqTopK: codebook incomplete — seed vec_ids [100, ${100 + codebookSize}) missing from corpus")))
+          .otherwise(col("c")).as("c"),
+        col("cw"), col("norm2"))
     // encode: per (vec, subspace) argmin over the broadcast codebook —
     // min of an orderable struct (r4(L2²), codeword id), the ivfTopK
     // assignment shape per subspace
     val enc = emb
       .select(col("vec_id"), explode(subspaces(col("emb"))).as("s"))
       .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-      .join(broadcast(cb), Seq("j"), "left")
+      .join(broadcast(cb), "j")
       .select(col("vec_id"), col("j"),
         struct(r4(dot(zip_with(col("sv"), col("cw"), (x, y) => x - y),
           zip_with(col("sv"), col("cw"), (x, y) => x - y))).as("d"),
           col("c"), col("norm2")).as("cand"))
-      .groupBy("vec_id", "j")
-      .agg(min("cand").as("best"), count(col("cand.c")).as("ncb"))
-      .select(col("vec_id"), col("j"),
-        when(col("ncb") === codebookSize, col("best.c"))
-          .otherwise(raise_error(concat(
-            lit(s"pqTopK: codebook incomplete — expected $codebookSize codewords per subspace, got "),
-            col("ncb").cast("string")))).as("code"),
+      .groupBy("vec_id", "j").agg(min("cand").as("best"))
+      .select(col("vec_id"), col("j"), col("best.c").as("code"),
         col("best.norm2").as("n2"))
     // one row per vector: j-ordered code array + reconstructed norm²
     // (folded in j order — deterministic, matching the oracle's
@@ -592,24 +610,17 @@ object Similarity {
         aggregate(transform(col("cj"), x => x("n2")), lit(0.0),
           (acc, v) => acc + v).as("vnorm2"))
     // per-query ADC table: dot(query subvector, codeword) for every
-    // (subspace, codeword), as a broadcastable lookup map; plus ‖q‖
+    // (subspace, codeword), as a broadcastable lookup map; plus ‖q‖.
+    // Plain inner join: `cb` already certified itself complete above.
     val qtab = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb"),
         explode(subspaces(col("emb"))).as("s"))
-      .join(broadcast(cb), col("s.j") === cb("j"), "left")
+      .join(broadcast(cb), col("s.j") === cb("j"))
       .groupBy("q_id")
       .agg(map_from_entries(collect_list(struct(
-          when(col("c").isNull, raise_error(lit(
-            s"pqTopK: codebook empty — seed vec_ids [100, ${100 + codebookSize}) missing from corpus")))
-            .otherwise(col("j") * codebookSize + col("c")).as("key"),
+          (col("j") * codebookSize + col("c")).as("key"),
           dot(col("s.sv"), col("cw")).as("dq")))).as("tab"),
         first(sqrt(dot(col("emb"), col("emb")))).as("qn"))
-      .select(col("q_id"),
-        when(size(col("tab")) === m * codebookSize, col("tab"))
-          .otherwise(raise_error(concat(
-            lit(s"pqTopK: codebook incomplete — expected ${m * codebookSize} ADC entries, got "),
-            size(col("tab")).cast("string")))).as("tab"),
-        col("qn"))
     // ADC scan: m in-row map lookups per candidate, summed in j order
     val scored = codes.crossJoin(broadcast(qtab))
       .filter(col("q_id") =!= col("vec_id"))

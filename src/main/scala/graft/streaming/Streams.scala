@@ -211,6 +211,10 @@ object Streams {
         slice(col("bv_b"), lit(1), col("band_idx")), (a, b) => a === b),
       x => x)) === 0
     probe.join(index, Seq("band_idx", "bh"))
+      // a probe doc whose doc_id already sits in the index would emit
+      // a degenerate self-pair at jaccard 1.0 — same disjoint
+      // batch-vs-index contract as d09's incremental dedup
+      .filter(col("doc_a") =!= col("doc_b"))
       .filter(noEarlierCollision)
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))

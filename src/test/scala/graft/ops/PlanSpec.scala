@@ -31,11 +31,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_comment"))
   }
 
-  test("q04: star join uses broadcast, never sort-merge") {
-    val p = plan(Relational.regionNationRevenue(spark, sf0001))
+  test("q04: star join broadcasts via AQE/stats, never sort-merge, with no fact-side hints") {
+    val df = Relational.regionNationRevenue(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"),
-      "dimension joins must broadcast — a fact-table SMJ dies at 100 TB")
+      "at test SF every side fits the broadcast threshold — AQE/stats must pick BHJ")
+    // the broadcasts must come from size estimates, not forced hints:
+    // a forced hint is honored regardless of size, so one on the
+    // fact-proportional orders/customer sides would OOM the driver at
+    // scale. Only the two true dims (nation, region) may carry hints.
+    val hints = "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
+    assert(hints == 2, s"expected hints on nation+region only, found $hints")
+  }
+
+  test("q03: joins broadcast via AQE/stats at test SF, no forced fact-side hints") {
+    val df = Relational.topRevenueOrders(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "at test SF the filtered orders⋈customer side fits the broadcast threshold")
+    val hints = "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
+    assert(hints == 0, s"q03 must carry no forced broadcast hints, found $hints")
   }
 
   test("q01: aggregation is map-side partial (two HashAggregate phases)") {

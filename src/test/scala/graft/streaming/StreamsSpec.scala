@@ -215,7 +215,12 @@ class StreamsSpec extends SparkSpec {
       try {
         mem.addData(Streams.Doc(101, ts(1), "en", "a b c d e f g h"))
         q.processAllAvailable()
-        mem.addData(Streams.Doc(104, ts(2), "en", "p q r s t u v w"))
+        mem.addData(
+          Streams.Doc(104, ts(2), "en", "p q r s t u v w"),
+          // doc_id 1 ALREADY EXISTS in the index: a replayed/duplicate
+          // ingest must not emit a degenerate (1,1,1.0) self-pair —
+          // d09's disjoint batch-vs-index contract
+          Streams.Doc(1, ts(2), "en", "a b c d e f g h"))
         q.processAllAvailable()
         val all = s.sql("SELECT doc_a, doc_b, jaccard FROM probe_idx ORDER BY doc_b")
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
