@@ -11,6 +11,20 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Scale-run knobs (defaults preserve the certified sf0.1 protocol
+    // exactly): SPARK_GRAFT_SESSION_CONF="k=v;k=v" sets session confs
+    // (e.g. graft.neardup.n / graft.pq.dim for a derived corpus);
+    // SPARK_GRAFT_SKIP="name,name" excludes queries — ANNOUNCED in
+    // the total line's "skipped" list, never silent (the only
+    // intended use is the declared-quadratic small-SF validators,
+    // e.g. d03, on a ×K corpus); SPARK_GRAFT_PASSES=1 drops the
+    // second steady pass for long scale runs ("passes" ships in the
+    // total line so a reader knows min-of-how-many produced it).
+    sys.env.get("SPARK_GRAFT_SESSION_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+    val skipped = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     // Warmup pass: run every query once (codegen compilation, parquet
     // page-cache, executor-thread spin-up), then time TWO steady-state
     // passes and report the per-query minimum — JIT/GC/scheduler noise
@@ -23,6 +37,7 @@ object Bench {
     try graft.ops.Similarity.ensureIvfIndex(spark, sfDir)
     catch { case _: Throwable => }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skipped.contains(n) }
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       spark.catalog.clearCache()
@@ -37,7 +52,8 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val (p1, p2) = (steadyPass(), steadyPass())
+    val p1 = steadyPass()
+    val p2 = if (passes >= 2) steadyPass() else p1
     // Noise self-diagnosis: min-of-two cannot defend against a WHOLE
     // run on a contended host (the r6 artifact reported 18s for a 2s
     // query). Queries whose two passes disagree >2x (and aren't sub-
@@ -83,7 +99,12 @@ object Bench {
     // queries map plus the whole final line.
     println(s"""{"metric":"spread","spread":$spreadJson}""")
     println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"noisy":$noisyJson,"sf":"$sfDir"}""")
+    // `schema` versions the three-line contract (spread/detail/total,
+    // per-query seconds in the `detail` line rounded to 3dp) so a
+    // consumer of the old single-line shape fails loudly on a version
+    // check instead of silently missing `queries`/`spread`.
+    val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","schema":"graft-bench-v2","value":${r3(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"passes":$passes,"skipped":$skippedJson,"noisy":$noisyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

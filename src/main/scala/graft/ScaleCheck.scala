@@ -70,6 +70,36 @@ object ScaleCheck {
         .withColumn("event_id", col("event_id") + lit(r.toLong * 1000000000L))
     }.reduce(_ unionAll _)
 
+  /** TPC-H star-schema replication for full-Bench-at-scale: replica r
+    * shifts every synthetic key (+r·10⁷) on the fact/dim tables whose
+    * population grows, and leaves region/nation — the small fixed
+    * dims every replica shares — untouched. Joins therefore never
+    * cross replicas (per-replica join fan-out preserved exactly)
+    * while nation/region aggregations see ×K bigger groups: the
+    * workload a ×K cluster-scale corpus actually presents. */
+  private def replicateTpch(spark: SparkSession, seed: String, dir: String,
+      k: Int): Unit = {
+    def shift(df: DataFrame, r: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c) + lit(r.toLong * 10000000L)))
+    def rep(table: String, keys: String*): Unit =
+      (0 until k).map { r =>
+        val base = spark.read.parquet(s"$seed/$table.parquet")
+        if (r == 0) base else shift(base, r, keys: _*)
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    // shared fixed dims: copied once, NOT replicated — duplicate
+    // un-shifted dim rows would multiply every dim join ×k
+    Seq("region", "nation").foreach(t =>
+      spark.read.parquet(s"$seed/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet"))
+    rep("customer", "c_custkey")
+    rep("supplier", "s_suppkey")
+    rep("part", "p_partkey")
+    rep("orders", "o_orderkey", "o_custkey")
+    rep("lineitem", "l_orderkey", "l_partkey", "l_suppkey")
+  }
+
   /** sf0.1 seed embedding count — the n the banding rules size
     * against; `scaleOf` parses the xK suffix this harness itself
     * wrote, so the `_sized` rows know n without an extra count job
@@ -91,6 +121,12 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `full` additionally derives the TPC-H star schema at each scale
+    // (same dirs), making /tmp/graft_scale/x{1,K} a complete sf-dir
+    // Bench can run ALL queries against; derivation-only mode
+    // `deriveonly` then skips the timed subset below (the full-Bench
+    // artifact is the measurement, no need to pay a second one).
+    val full = args.contains("full") || args.contains("deriveonly")
     val scales = Seq(1, k)
     scales.foreach { s =>
       val dir = s"$base/x$s"
@@ -100,7 +136,9 @@ object ScaleCheck {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       replicateEvents(spark.read.parquet(s"$seed/events.parquet"), s)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      if (full) replicateTpch(spark, seed, dir, s)
     }
+    if (args.contains("deriveonly")) { spark.stop(); return }
 
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "t01_token_stats" -> (ops.TextAnalysis.tokenStats _),

@@ -54,6 +54,7 @@ object SparkEntry {
     "q31_zip" -> ((s: SparkSession, dir: String) => Relational.zipTopOrdersFirstCustomers(s, dir)),
     "q32_order_cadence" -> ((s: SparkSession, dir: String) => Relational.orderCadence(s, dir)),
     "q33_sql_entry" -> (Relational.sqlEntry _),
+    "q34_skip_until" -> (Relational.skipUntilExpensive _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -661,6 +662,16 @@ object SparkEntry {
     // q33: the oracle IS the Spark-side SQL text — one string, two
     // engines, hash-equal results (the portability claim made literal).
     "q33_sql_entry" -> graft.ops.Relational.topSupplierNationsSql,
+    // q34: skip(until=) as a running-max flag — the flag flips to 1 at
+    // the first expensive order and stays, exactly the ">= first
+    // satisfying row" value-cut semantics (triggering row kept).
+    "q34_skip_until" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+           SELECT o_orderkey, o_totalprice,
+             max(CASE WHEN o_totalprice > 499000 THEN 1 ELSE 0 END)
+               OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit
+           FROM orders) WHERE hit = 1
+         ORDER BY o_orderkey""",
     "q32_order_cadence" ->
       """WITH g AS (
            SELECT o_custkey,

@@ -278,13 +278,31 @@ object Dedup {
     * n²·tables/2^bits, so bits is a log₂(n)-scale knob — ScaleCheck
     * measured the old 8×8 default going 14× superlinear at a ×16
     * corpus while 12×16 (same 0.93 recall, funnel 8× sharper) stayed
-    * near-linear AND ran 2× faster at ×1; raise bits further (adding
-    * tables to hold recall) as n grows. (On the synthetic testdata no
-    * pair exceeds cosine 0.52, so the verified result is empty —
-    * matching the brute-force oracle.) */
-  def embeddingNearDups(s: SparkSession, dir: String, bits: Int = 12,
-      tables: Int = 16, threshold: Double = 0.9): DataFrame =
-    embeddingNearDupPairs(t(s, dir, "embeddings"), bits, tables, threshold)
+    * near-linear AND ran 2× faster at ×1, and fixed 12×16 itself
+    * going 48× at ×64 where [[sizedBanding]] held 7.6×. The DEFAULT
+    * therefore consults corpus size: bits/tables of 0 (the default)
+    * resolve via [[sizedBanding]] at the declared corpus size `n` —
+    * a parameter or the session conf `graft.neardup.n` (defaulting
+    * to the sf0.1 seed 2000, which sizedBanding maps to exactly the
+    * long-shipped 12×16), the pqTopK dim-via-conf pattern: a bigger
+    * corpus is a config change, not a code change, and resolution
+    * reads a conf — zero driver jobs. Explicit bits+tables still
+    * override (ScaleCheck's fixed-banding warning rows use this).
+    * (On the synthetic testdata no pair exceeds cosine 0.52, so the
+    * verified result is empty — matching the brute-force oracle.) */
+  def embeddingNearDups(s: SparkSession, dir: String, bits: Int = 0,
+      tables: Int = 0, threshold: Double = 0.9, nParam: Long = 0): DataFrame = {
+    val (b, tb) =
+      if (bits > 0 && tables > 0) (bits, tables)
+      else {
+        require(bits == 0 && tables == 0,
+          "embeddingNearDups: set both bits and tables, or neither (sized default)")
+        val n = if (nParam > 0) nParam
+          else s.conf.get("graft.neardup.n", "2000").toLong
+        sizedBanding(n)
+      }
+    embeddingNearDupPairs(t(s, dir, "embeddings"), b, tb, threshold)
+  }
 
   /** The "banding must track corpus size" rule of
     * [[embeddingNearDups]] as executable math. `bits` holds per-bucket

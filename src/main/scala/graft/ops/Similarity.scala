@@ -563,29 +563,32 @@ object Similarity {
       .select((col("vec_id") - 100).as("c"), explode(subspaces(col("emb"))).as("s"))
       .select(col("s.j").as("j"), col("c"), col("s.sv").as("cw"))
       .withColumn("norm2", dot(col("cw"), col("cw")))
-    // Codebook-presence guard, validated ONCE and structurally: a
-    // corpus lacking seed vec_ids yields a partial/empty codebook, and
-    // inner joins would silently return degraded or empty results. The
-    // EXPECTED codeword ids (a literal sequence — never empty) left-
-    // join the seed-derived rows, so any missing codeword becomes a
-    // null that raises while this tiny frame materializes — BEFORE the
-    // encode/ADC inner joins can drop anything. Both downstream paths
-    // share `cb`, the check costs codebookSize branch evaluations and
-    // zero driver jobs, and AQE cannot empty-propagate around it: the
-    // expected side always has rows, unlike a guard hung off the
-    // corpus-derived frames (an empty corpus-side stage would let AQE
-    // cancel the checking stage entirely — observed in testing). r7
-    // instead threaded per-group counts + raise_error branches through
-    // the corpus-sized encode aggregation and s09 doubled; the hot
-    // path must stay guard-free.
+    // Codebook-presence guard, validated structurally: a corpus
+    // lacking seed vec_ids yields a partial/empty codebook, and inner
+    // joins would silently return degraded or empty results. The full
+    // EXPECTED (subspace, codeword) grid — m × codebookSize literal
+    // rows, never empty — left-joins the seed-derived rows on BOTH
+    // keys, and the frame's output keys come from the GRID side, so
+    // they are provably non-null: the downstream inner joins'
+    // inferred IsNotNull(j) cannot prune the guard rows (the r8 shape
+    // keyed the frame on nullable cbRaw.j, and Catalyst pushed the
+    // null-pruning filter below the projection — the guard was dead
+    // code and missing seeds returned silently-empty results). The
+    // raise_error lives INSIDE `cw`/`norm2`, which feed the encode
+    // and ADC dot products — a data dependency of every output row,
+    // unprunable. Check costs m×codebookSize branch evaluations,
+    // zero driver jobs; the corpus-sized hot path stays guard-free
+    // (r7 instead threaded per-group counts through the encode
+    // aggregation and s09 doubled).
+    val missingMsg = lit(s"pqTopK: codebook incomplete — seed vec_ids " +
+      s"[100, ${100 + codebookSize}) missing from corpus")
     val cb = s.range(1)
-      .select(explode(sequence(lit(0), lit(codebookSize - 1))).as("cexp"))
-      .join(cbRaw, col("cexp") === col("c"), "left")
-      .select(col("j"),
-        when(col("c").isNull, raise_error(lit(
-          s"pqTopK: codebook incomplete — seed vec_ids [100, ${100 + codebookSize}) missing from corpus")))
-          .otherwise(col("c")).as("c"),
-        col("cw"), col("norm2"))
+      .select(explode(sequence(lit(0L), lit(m - 1L))).as("jexp"))
+      .select(col("jexp"), explode(sequence(lit(0L), lit(codebookSize - 1L))).as("cexp"))
+      .join(cbRaw, col("jexp") === col("j") && col("cexp") === col("c"), "left")
+      .select(col("jexp").as("j"), col("cexp").as("c"),
+        when(col("cw").isNull, raise_error(missingMsg)).otherwise(col("cw")).as("cw"),
+        when(col("cw").isNull, raise_error(missingMsg)).otherwise(col("norm2")).as("norm2"))
     // encode: per (vec, subspace) argmin over the broadcast codebook —
     // min of an orderable struct (r4(L2²), codeword id), the ivfTopK
     // assignment shape per subspace

@@ -213,7 +213,15 @@ object Streams {
     probe.join(index, Seq("band_idx", "bh"))
       // a probe doc whose doc_id already sits in the index would emit
       // a degenerate self-pair at jaccard 1.0 — same disjoint
-      // batch-vs-index contract as d09's incremental dedup
+      // batch-vs-index contract as d09's incremental dedup. NOTE the
+      // id filter suppresses ALL same-id pairs, not just identical
+      // content: a re-ingested doc whose text CHANGED under the same
+      // doc_id matches nothing against its own stale index entry, and
+      // no other pair reveals the staleness — stale-index updates are
+      // invisible BY CONTRACT here (the index is append-only truth
+      // keyed by id). A pipeline that must detect updated docs should
+      // key the index on a content fingerprint (e.g. t04's md5) and
+      // compare that instead of / alongside the id.
       .filter(col("doc_a") =!= col("doc_b"))
       .filter(noEarlierCollision)
       .withColumn("inter",

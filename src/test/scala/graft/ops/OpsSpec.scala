@@ -684,6 +684,38 @@ class OpsSpec extends SparkSpec {
     assert(math.pow(1 - math.pow(0.856, b64), t64 - 1) > 1 - 0.93)
   }
 
+  test("embeddingNearDups defaults to the sized banding at the declared n") {
+    // the sized rule IS the shipped default: at a non-default corpus
+    // size the default path must band wider than 12x16 — the x64 n
+    // resolves (via param or conf) to sizedBanding's (b64, t64), and
+    // the sketch kernel's literal args `hyperplane_buckets(emb, bits,
+    // tables)` in the analyzed plan prove which banding built it
+    // (construction only, nothing executed; the melt's b0..bN column
+    // list is NOT a reliable witness — plan printing truncates wide
+    // projections to "... N more fields")
+    val (b64, t64) = Dedup.sizedBanding(2000L * 64)
+    def banding(df: org.apache.spark.sql.DataFrame): String = {
+      val m = s"hyperplane_buckets\\(\\S+, (\\d+), (\\d+)\\)".r
+        .findFirstMatchIn(df.queryExecution.analyzed.toString)
+      m.map(x => s"${x.group(1)}x${x.group(2)}").getOrElse("absent")
+    }
+    val viaParam = Dedup.embeddingNearDups(spark, sf0001, nParam = 2000L * 64)
+    assert(banding(viaParam) == s"${b64}x$t64",
+      s"param path should band to $b64 bits x $t64 tables")
+    spark.conf.set("graft.neardup.n", (2000L * 64).toString)
+    try {
+      val viaConf = Dedup.embeddingNearDups(spark, sf0001)
+      assert(banding(viaConf) == s"${b64}x$t64",
+        s"conf path should band to $b64 bits x $t64 tables")
+    } finally spark.conf.unset("graft.neardup.n")
+    // default-default (no param, no conf) stays the certified 12x16
+    assert(banding(Dedup.embeddingNearDups(spark, sf0001)) == "12x16")
+    // half-set overrides are a contract violation, not a silent guess
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(spark, sf0001, bits = 12)
+    }
+  }
+
   test("quality-aware survivors elect the best member, not the smallest id") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
