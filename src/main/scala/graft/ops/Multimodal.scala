@@ -3,7 +3,8 @@ package graft.ops
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -109,7 +110,14 @@ object Multimodal {
             y += 1
           }
           val bos = new ByteArrayOutputStream()
-          require(ImageIO.write(img, fmt, bos), s"no $fmt writer for media $id")
+          // memory-cached stream: ImageIO's default OutputStream path
+          // disk-caches through a /tmp file per image — pure overhead
+          // (and executor-local /tmp churn) when the sink is already
+          // an in-memory buffer
+          val ios = new MemoryCacheImageOutputStream(bos)
+          val ok = ImageIO.write(img, fmt, ios)
+          ios.close()
+          require(ok, s"no $fmt writer for media $id")
           ImageBlob(id, fmt, bos.toByteArray)
         }
       }
@@ -126,7 +134,10 @@ object Multimodal {
     import s.implicits._
     imageTable(s, dir).mapPartitions { batch =>
       batch.map { m =>
-        val img = ImageIO.read(new ByteArrayInputStream(m.blob))
+        // ImageIO.read(ImageInputStream) closes the stream when done;
+        // memory-cached so no /tmp cache file per decode
+        val img = ImageIO.read(new MemoryCacheImageInputStream(
+          new ByteArrayInputStream(m.blob)))
         require(img != null, s"undecodable blob for media ${m.media_id}")
         val raster = img.getRaster
         val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
@@ -160,7 +171,8 @@ object Multimodal {
     import s.implicits._
     imageTable(s, dir).mapPartitions { batch =>
       batch.map { m =>
-        val img = ImageIO.read(new ByteArrayInputStream(m.blob))
+        val img = ImageIO.read(new MemoryCacheImageInputStream(
+          new ByteArrayInputStream(m.blob)))
         require(img != null, s"undecodable blob for media ${m.media_id}")
         val raster = img.getRaster
         val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
@@ -191,14 +203,42 @@ object Multimodal {
   private def audioSample(t: Int, id: Long): Int =
     (((id * 31 + t * 7) % 65536) - 32768).toInt
 
+  /** The per-partition resolved `javax.sound.sampled.spi` codec lists.
+    * `AudioSystem.write`/`getAudioInputStream` re-run provider lookup
+    * (synchronized registry + per-call format probing) on EVERY call:
+    * measured on a ×16 corpus (26.7k tiny WAVs, 32 threads) the
+    * AudioSystem path ran 32 threads SLOWER than one (0.7× "speedup",
+    * whole-query 6.8 s) while these SPI objects — the same underlying
+    * `com.sun.media.sound.WaveFile{Writer,Reader}` codecs — encode the
+    * same corpus in 0.09 s and scale with threads. At 100 TB the
+    * per-call registry walk would serialize every executor core; the
+    * amortize-per-partition seam these kernels already use for ImageIO
+    * is the fix here too. */
+  private def audioWriters(): List[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var l = List.empty[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) l = it.next() :: l
+    l.reverse
+  }
+  private def audioReaders(): List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var l = List.empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) l = it.next() :: l
+    l.reverse
+  }
+
   /** The audio-kind corpus as REAL WAV files (RIFF header + 16-bit
-    * little-endian mono PCM), written by `javax.sound.sampled`. */
+    * little-endian mono PCM), written by the `javax.sound.sampled.spi`
+    * WAV codec (resolved once per partition — see [[audioWriters]]). */
   def audioTable(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[ImageBlob] = {
     import s.implicits._
     t(s, dir, "documents")
       .filter(col("doc_id") % 3 === 1)
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
+        val writers = audioWriters()
         ids.map { id =>
           val frames = audioFrames(id)
           val pcm = new Array[Byte](frames * 2)
@@ -213,21 +253,36 @@ object Multimodal {
           val ais = new AudioInputStream(
             new ByteArrayInputStream(pcm), fmt, frames.toLong)
           val bos = new ByteArrayOutputStream()
-          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          // AudioSystem.write's own selection rule: first writer that
+          // supports WAVE for THIS stream's format
+          writers.find(_.getAudioFileTypes(ais).contains(AudioFileFormat.Type.WAVE))
+            .getOrElse(sys.error(s"no WAVE writer for media $id"))
+            .write(ais, AudioFileFormat.Type.WAVE, bos)
           ImageBlob(id, "wav", bos.toByteArray)
         }
       }
   }
 
-  /** REAL WAV decode: `AudioSystem.getAudioInputStream` parses the
-    * RIFF container; format fields and the signed-16-bit sample sum
-    * come from the DECODED stream. The oracle recomputes the sample
-    * formula, so a hash match certifies header parse + PCM decode. */
+  /** REAL WAV decode: the SPI WAV reader (resolved once per partition,
+    * `AudioSystem.getAudioInputStream`'s first-that-accepts rule)
+    * parses the RIFF container; format fields and the signed-16-bit
+    * sample sum come from the DECODED stream. The oracle recomputes
+    * the sample formula, so a hash match certifies header parse + PCM
+    * decode. */
   def decodeAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     audioTable(s, dir).mapPartitions { batch =>
+      val readers = audioReaders()
       batch.map { m =>
-        val dec = AudioSystem.getAudioInputStream(new ByteArrayInputStream(m.blob))
+        val bais = new ByteArrayInputStream(m.blob)
+        val dec = readers.view.flatMap { r =>
+          try Some(r.getAudioInputStream(bais))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              bais.reset(); None
+          }
+        }.headOption.getOrElse(
+          sys.error(s"undecodable audio blob for media ${m.media_id}"))
         val f = dec.getFormat
         val bytes = dec.readAllBytes()
         var sum = 0L
@@ -290,7 +345,7 @@ object Multimodal {
         ids.map { id =>
           val (w, h, nf) = vidParams(id)
           val bos = new ByteArrayOutputStream()
-          val ios = ImageIO.createImageOutputStream(bos)
+          val ios = new MemoryCacheImageOutputStream(bos)
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           var f = 0
@@ -328,10 +383,17 @@ object Multimodal {
     videoTable(s, dir).mapPartitions { batch =>
       val reader = ImageIO.getImageReadersByFormatName("gif").next()
       batch.flatMap { m =>
-        reader.setInput(ImageIO.createImageInputStream(
-          new ByteArrayInputStream(m.blob)))
+        // memory-cached + explicitly closed once the media's frames
+        // are decoded: ImageIO.createImageInputStream disk-caches (a
+        // /tmp file AND an open fd per media), and with per-media
+        // streams left to the GC a ×16 corpus exhausted the executor
+        // JVM's fd table mid-bench — taking down unrelated queries'
+        // shuffle writes alongside m06/m07
+        val iis = new MemoryCacheImageInputStream(
+          new ByteArrayInputStream(m.blob))
+        reader.setInput(iis)
         val n = reader.getNumImages(true)
-        (0 until n).map { f =>
+        val rows = (0 until n).map { f =>
           val img = reader.read(f)
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L
@@ -343,6 +405,8 @@ object Multimodal {
           }
           (m.media_id, f.toLong, w, h, sum)
         }
+        iis.close()
+        rows
       }
     }.toDF("media_id", "frame_no", "width", "height", "pixel_sum")
       .orderBy("media_id", "frame_no")
@@ -361,11 +425,13 @@ object Multimodal {
     videoTable(s, dir).mapPartitions { batch =>
       val reader = ImageIO.getImageReadersByFormatName("gif").next()
       batch.flatMap { m =>
-        reader.setInput(ImageIO.createImageInputStream(
-          new ByteArrayInputStream(m.blob)))
+        // same memory-cached + closed contract as [[decodeFrames]]
+        val iis = new MemoryCacheImageInputStream(
+          new ByteArrayInputStream(m.blob))
+        reader.setInput(iis)
         val n = reader.getNumImages(true)
         var prev: Array[Int] = null
-        (0 until n).flatMap { f =>
+        val rows = (0 until n).flatMap { f =>
           val img = reader.read(f)
           val (w, h) = (img.getWidth, img.getHeight)
           val cur = new Array[Int](w * h)
@@ -387,6 +453,8 @@ object Multimodal {
           prev = cur
           out
         }
+        iis.close()
+        rows
       }
     }.toDF("media_id", "frame_no", "delta_sum")
       .orderBy("media_id", "frame_no")
