@@ -89,6 +89,7 @@ object SparkEntry {
     "c08_packed_ids" -> ((s: SparkSession, dir: String) => Curation.packedIdsStats(s, dir)),
     "c09_chunking" -> ((s: SparkSession, dir: String) => Curation.chunkStats(s, dir)),
     "c10_token_budget" -> ((s: SparkSession, dir: String) => Curation.tokenBudgetStats(s, dir)),
+    "c11_bloom_decontam" -> ((s: SparkSession, dir: String) => Curation.bloomDecontaminatedStats(s, dir)),
     // — deduplication —
     "d01_exact_dedup" -> (Dedup.exactDedupByLang _),
     "d02_dup_groups" -> (Dedup.duplicateGroups _),
@@ -379,6 +380,23 @@ object SparkEntry {
                   FROM corpus c JOIN bench b USING (shingle) GROUP BY 1),
          flagged AS (SELECT h.doc_id FROM hits h JOIN sz z ON z.doc_id = h.doc_id
                      WHERE floor(h.n_hit / z.n_sh * 1000 + 0.5) / 1000 >= 0.5)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM flagged)
+         GROUP BY lang ORDER BY lang""",
+    // c11: Bloom-prefiltered decontamination — the oracle is the SAME
+    // exact-overlap formulation as c04 (threshold 0.4): the bloom is a
+    // no-false-negative PRUNE whose false positives die in the exact
+    // verify join, so the two-phase plan must reproduce the exact
+    // answer bit-for-bit
+    "c11_bloom_decontam" ->
+      s"""WITH $shingleCtes,
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+         corpus AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+         hits AS (SELECT c.doc_id, count(*) AS n_hit
+                  FROM corpus c JOIN bench b USING (shingle) GROUP BY 1),
+         flagged AS (SELECT h.doc_id FROM hits h JOIN sz z ON z.doc_id = h.doc_id
+                     WHERE floor(h.n_hit / z.n_sh * 1000 + 0.5) / 1000 >= 0.4)
          SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents
          WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM flagged)

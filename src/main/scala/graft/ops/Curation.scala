@@ -439,4 +439,124 @@ object Curation {
         min("q").as("min_quality"))
       .orderBy("lang")
   }
+
+  /** The 64 single-bit masks as a literal array: Spark's column-valued
+    * shift amounts aren't expressible in the Scala `functions` API, so
+    * bit `b` of a long tests via `element_at(BIT_MASKS, b+1)` instead
+    * of `1L << b` — keeping the Bloom probe a pure (codegen'd) column
+    * expression, lambda-compatible inside `forall`. */
+  private val BIT_MASKS = lit((0 until 64).map(b => 1L << b).toArray)
+
+  /** The `k` Bloom bit positions of a 64-bit shingle hash, by double
+    * hashing (Kirsch–Mitzenmacher: pos_i = h1 + i·h2 mod m, h2 forced
+    * odd so every stride cycles the power-of-two table). One xxhash64
+    * derives h2 from h — no per-i rehash. Both terms reduce mod m
+    * BEFORE combining: ANSI mode (the Spark 4 default) raises on long
+    * overflow, and full-width h + i·h2 overflows on arbitrary 64-bit
+    * hashes — post-reduction every intermediate is < (k+1)·m. */
+  private def bloomPositions(h: Column, mBits: Long, k: Int): Column = {
+    val m = lit(mBits)
+    val h1 = pmod(h, m)
+    val h2 = pmod(xxhash64(h, lit(0x9E3779B97F4A7C15L)), m).bitwiseOR(lit(1L))
+    transform(sequence(lit(0L), lit(k - 1L)), i => pmod(h1 + i * h2, m))
+  }
+
+  /** Bit test of a Bloom bitset column (array<long>, word `pos/64`,
+    * bit `pos%64`; m is a power of two so the modulo is a mask). */
+  private def bloomHit(bits: Column, pos: Column): Column =
+    element_at(bits, shiftright(pos, 6).cast("int") + 1)
+      .bitwiseAND(element_at(BIT_MASKS,
+        pos.bitwiseAND(lit(63L)).cast("int") + 1)) =!= 0
+
+  /** One-row (bits: array<long>) Bloom filter over a column of 64-bit
+    * hashes, built ENTIRELY as an aggregation — no driver-side filter
+    * object, no collect: explode each hash to its k (word, mask)
+    * contributions, `bit_or` per word, left-join onto the full word
+    * range (absent words are 0), assemble in word order. Shuffle
+    * volume is k·|set| 12-byte rows into m/64 reducers — linear in
+    * the set with tiny rows, and the result broadcasts as ordinary
+    * query data. */
+  private[ops] def bloomOf(hashes: DataFrame, hashCol: String, mBits: Long,
+      k: Int): DataFrame = {
+    require(mBits % 64 == 0 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two (got $mBits)")
+    val s = hashes.sparkSession
+    val wm = hashes
+      .select(explode(bloomPositions(col(hashCol), mBits, k)).as("pos"))
+      .select(shiftright(col("pos"), 6).cast("int").as("w"),
+        element_at(BIT_MASKS, col("pos").bitwiseAND(lit(63L)).cast("int") + 1).as("m"))
+      .groupBy("w").agg(bit_or(col("m")).as("bits"))
+    s.range(mBits / 64).select(col("id").cast("int").as("w"))
+      .join(wm, Seq("w"), "left")
+      .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
+      .agg(array_sort(collect_list(struct(col("w"), col("bits")))).as("wb"))
+      .select(transform(col("wb"), x => x("bits")).as("bits"))
+  }
+
+  /** The prune predicate of [[bloomDecontaminatedStats]] as a seam:
+    * rows of `hashes` (column `h`) whose hash passes the broadcast
+    * one-row `bloom` — also what the no-false-negative spec drives. */
+  private[ops] def bloomDecontamProbe(hashes: DataFrame, bloom: DataFrame,
+      mBits: Long, k: Int): DataFrame =
+    hashes.crossJoin(broadcast(bloom))
+      .filter(forall(bloomPositions(col("h"), mBits, k),
+        p => bloomHit(col("bits"), p)))
+      .drop("bits")
+
+  /** Decontamination when the do-not-train set is TOO BIG TO
+    * BROADCAST exactly — the missing rung above [[contaminationReport]]
+    * / [[decontaminatedStats]], whose broadcast-semi-join design
+    * assumes an eval-suite-sized benchmark. A held-out split of the
+    * web (billions of shingles) breaks that assumption: exact 8-byte
+    * hashes at 10⁹ shingles are 10s of GB with set overhead, far past
+    * any broadcast budget.
+    *
+    * Two phases, and the result is EXACTLY [[decontaminatedStats]]
+    * (the oracle is the same exact-overlap SQL):
+    *  1. PRUNE — a Bloom filter over the benchmark shingles
+    *     ([[bloomOf]]: built as an aggregation, zero driver actions;
+    *     bits/shingle ≈ mBits/|bench|, i.e. ~10-20× smaller than the
+    *     exact set, back under the broadcast budget) cross-joins the
+    *     corpus shingle stream and keeps the maybe-hits. No false
+    *     negatives, so nothing contaminated escapes; false positives
+    *     pass ε·|corpus| extra rows at ε = (1-e^(-k·n/m))^k.
+    *  2. VERIFY — the survivors (true hits + ε noise, a vanishing
+    *     corpus fraction) semi-join the exact benchmark set WITHOUT a
+    *     broadcast hint: the shuffle moves |bench| + |survivors| rows
+    *     — linear in the benchmark, decoupled from corpus size. FPs
+    *     die here, restoring exactness.
+    * At truly astronomical benchmark sizes the bitset itself outgrows
+    * broadcast; then partition the bloom by hash range and probe
+    * per-range — same shapes, one more join key. Corpus-side cost is
+    * one scan + the bloom's k element_at probes per shingle, all
+    * inside codegen. */
+  def bloomDecontaminatedStats(s: SparkSession, dir: String,
+      benchSource: String = "src0", n: Int = 5, minOverlap: Double = 0.4,
+      mBits: Long = 1L << 17, k: Int = 5): DataFrame = {
+    require(minOverlap > 0.0,
+      s"minOverlap must be > 0 (zero-hit docs are structurally absent); got $minOverlap")
+    val sets = Dedup.shingleHashSets(t(s, dir, "documents"), n,
+      carry = Seq("source")).localCheckpoint()
+    val bench = sets.filter(col("source") === benchSource)
+      .select(explode(col("hs")).as("h")).distinct()
+    val bloom = bloomOf(bench, "h", mBits, k)
+    val corpus = sets.filter(col("source") =!= benchSource)
+    val maybeHits = bloomDecontamProbe(
+      corpus.select(col("doc_id"), explode(col("hs")).as("h")),
+      bloom, mBits, k)
+    // exact phase: NO broadcast hint on bench — it is huge by premise;
+    // the shuffle is benchmark-sized, never corpus-sized (PlanSpec
+    // asserts the only hint in this query is the one-row bloom)
+    val hits = maybeHits.join(bench, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val flagged = corpus.select("doc_id", "n_sh").join(hits, "doc_id")
+      .withColumn("overlap", r3(col("n_hit") / col("n_sh")))
+      .filter(col("overlap") >= minOverlap)
+      .select("doc_id")
+    t(s, dir, "documents").filter(col("source") =!= benchSource)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
 }

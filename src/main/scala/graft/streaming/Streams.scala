@@ -182,9 +182,11 @@ object Streams {
     * (hs, band vector) through the melt trades ×bands payload for
     * the joins a streaming plan cannot do. */
   def nearDupProbeStream(docs: DataFrame, corpus: DataFrame, n: Int = 5,
-      bands: Int = 16, rows: Int = 2, threshold: Double = 0.6): DataFrame =
+      bands: Int = 16, rows: Int = 2, threshold: Double = 0.6,
+      withFingerprint: Boolean = false): DataFrame =
     nearDupProbeStreamIndexed(docs,
-      nearDupBandIndex(corpus, n, bands, rows), n, bands, rows, threshold)
+      nearDupBandIndex(corpus, n, bands, rows, withFingerprint),
+      n, bands, rows, threshold)
 
   /** The static band index [[nearDupProbeStream]] probes, as a
     * first-class value: (doc_a, hs_a, sz_a, bv_a, band_idx, bh). The
@@ -196,8 +198,9 @@ object Streams {
     * [[nearDupProbeStreamIndexed]]: the per-batch static cost drops to
     * a table lookup. */
   def nearDupBandIndex(corpus: DataFrame, n: Int = 5, bands: Int = 16,
-      rows: Int = 2): DataFrame =
-    melted(sketched(corpus, n, bands, rows, "doc_a", "_a"), "_a")
+      rows: Int = 2, withFingerprint: Boolean = false): DataFrame =
+    melted(sketched(corpus, n, bands, rows, "doc_a", "_a",
+      withFingerprint), "_a")
 
   /** [[nearDupProbeStream]] against a prebuilt (persisted or stored)
     * band index from [[nearDupBandIndex]]. */
@@ -205,24 +208,30 @@ object Streams {
       n: Int = 5, bands: Int = 16, rows: Int = 2,
       threshold: Double = 0.6): DataFrame = {
     import graft.ops.Relational
-    val probe = melted(sketched(docs, n, bands, rows, "doc_b", "_b"), "_b")
+    // fingerprint-keyed suppression is OPT-IN via the index schema: an
+    // index built with withFingerprint=true carries fp_a, the probe
+    // side then computes fp_b, and a same-id pair survives when the
+    // CONTENT differs — a re-ingested doc whose text changed under the
+    // same doc_id surfaces as a near-dup of its own stale index entry
+    // instead of vanishing. Without fingerprints the id filter
+    // suppresses ALL same-id pairs regardless of content (stale-index
+    // updates invisible by contract — the index is append-only truth
+    // keyed by id).
+    val fpKeyed = index.columns.contains("fp_a")
+    val probe = melted(sketched(docs, n, bands, rows, "doc_b", "_b",
+      fpKeyed), "_b")
     val noEarlierCollision = size(filter(
       zip_with(slice(col("bv_a"), lit(1), col("band_idx")),
         slice(col("bv_b"), lit(1), col("band_idx")), (a, b) => a === b),
       x => x)) === 0
+    val selfPair =
+      if (fpKeyed) col("doc_a") === col("doc_b") && col("fp_a") === col("fp_b")
+      else col("doc_a") === col("doc_b")
     probe.join(index, Seq("band_idx", "bh"))
-      // a probe doc whose doc_id already sits in the index would emit
-      // a degenerate self-pair at jaccard 1.0 — same disjoint
-      // batch-vs-index contract as d09's incremental dedup. NOTE the
-      // id filter suppresses ALL same-id pairs, not just identical
-      // content: a re-ingested doc whose text CHANGED under the same
-      // doc_id matches nothing against its own stale index entry, and
-      // no other pair reveals the staleness — stale-index updates are
-      // invisible BY CONTRACT here (the index is append-only truth
-      // keyed by id). A pipeline that must detect updated docs should
-      // key the index on a content fingerprint (e.g. t04's md5) and
-      // compare that instead of / alongside the id.
-      .filter(col("doc_a") =!= col("doc_b"))
+      // a probe doc already in the index with IDENTICAL content would
+      // emit a degenerate self-pair at jaccard 1.0 — same disjoint
+      // batch-vs-index contract as d09's incremental dedup
+      .filter(!selfPair)
       .filter(noEarlierCollision)
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
@@ -236,17 +245,24 @@ object Streams {
     * sets → minhash signature → band vector, everything kept in-row
     * for the stateless verify. */
   private def sketched(d: DataFrame, n: Int, bands: Int, rows: Int,
-      idAs: String, suffix: String): DataFrame = {
+      idAs: String, suffix: String,
+      withFingerprint: Boolean = false): DataFrame = {
     import graft.functions.MinHashSig
-    import graft.ops.Dedup
+    import graft.ops.{Dedup, TextAnalysis}
     val numHashes = bands * rows
-    Dedup.shingleHashSets(d, n)
+    val src = if (withFingerprint)
+      d.withColumn("_fp", TextAnalysis.fingerprint(col("text"))) else d
+    val fpCol = if (withFingerprint)
+      Seq(col("_fp").as(s"fp$suffix")) else Nil
+    Dedup.shingleHashSets(src, n,
+        carry = if (withFingerprint) Seq("_fp") else Nil)
       .withColumn("_sig", MinHashSig(col("hs"), numHashes))
-      .select(col("doc_id").as(idAs),
+      .select(Seq(col("doc_id").as(idAs),
         col("hs").as(s"hs$suffix"), col("n_sh").as(s"sz$suffix"),
         array((0 until bands).map(b =>
           xxhash64((b * rows until (b + 1) * rows).map(i =>
-            element_at(col("_sig"), i + 1)): _*)): _*).as(s"bv$suffix"))
+            element_at(col("_sig"), i + 1)): _*)): _*).as(s"bv$suffix")) ++
+        fpCol: _*)
   }
 
   private def melted(d: DataFrame, suffix: String): DataFrame =

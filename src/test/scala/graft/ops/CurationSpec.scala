@@ -349,4 +349,51 @@ class CurationSpec extends SparkSpec {
     // en: 6+3+3=12 tokens, 3 removed, 9 kept, 2 docs hit; fr untouched
     assert(out.toSeq == Seq(("en", 2L, 3L, 9L), ("fr", 0L, 0L, 3L)))
   }
+
+  test("bloom filter: no false negatives, FP rate within 5x of the formula") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val members = Seq.fill(2000)(rnd.nextLong()).distinct
+    val nonMembers = Seq.fill(20000)(rnd.nextLong()).distinct
+      .filterNot(members.toSet)
+    val mBits = 1L << 15; val k = 5
+    val bloom = Curation.bloomOf(members.toDF("h"), "h", mBits, k)
+    def passCount(xs: Seq[Long]): Long = {
+      // probe through the same column machinery the operator uses
+      val probed = Curation.bloomDecontamProbe(xs.toDF("h"), bloom, mBits, k)
+      probed.count()
+    }
+    // the Bloom contract: EVERY member passes — a false negative would
+    // let contaminated docs through silently
+    assert(passCount(members) == members.size.toLong)
+    // FP rate ~ (1-e^(-kn/m))^k ≈ 2.4e-3 at n=2000, m=32768, k=5;
+    // loose 5x bound guards the hashing is actually spreading
+    val fp = passCount(nonMembers).toDouble / nonMembers.size
+    val expected = math.pow(1 - math.exp(-k.toDouble * members.size / mBits), k)
+    assert(fp < expected * 5 + 1e-4, s"fp=$fp expected≈$expected")
+  }
+
+  test("bloom decontamination equals the exact broadcast formulation") {
+    // same corpus shapes the c04 spec uses, plus extra partial overlaps
+    // so the 0.4 threshold actually bites on both sides of the line
+    val dir = docsDir(Seq(
+      (0L, "a b c d e f g h i j", "en", "src0"),    // benchmark
+      (1L, "a b c d e f g h i j", "en", "src1"),    // verbatim leak: 1.0
+      (2L, "p q r s t u v w x y", "en", "src1"),    // disjoint
+      (3L, "a b c d e f x y z w q r", "fr", "src1"),// 2/8 shingles = 0.25 < 0.4
+      (4L, "a b c d e f g h x y z", "fr", "src1"),  // 4/7 ≈ 0.571 ≥ 0.4
+      (5L, "short", "de", "src1")))                 // unshingleable: survives
+    val exact = Curation.decontaminatedStats(spark, dir, minOverlap = 0.4)
+      .collect().toSeq
+    val bloomed = Curation.bloomDecontaminatedStats(spark, dir)
+      .collect().toSeq
+    assert(bloomed == exact,
+      s"bloom two-phase diverged from exact: $bloomed vs $exact")
+    // and with a DEGENERATE 64-bit bloom (every probe collides — all
+    // corpus shingles pass the prune) the verify phase must still
+    // restore exactness: the bloom is an optimization, never semantics
+    val degenerate = Curation.bloomDecontaminatedStats(spark, dir,
+      mBits = 64, k = 1).collect().toSeq
+    assert(degenerate == exact)
+  }
 }

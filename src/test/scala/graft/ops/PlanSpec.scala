@@ -318,6 +318,19 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"plan regressions:\n${bad.mkString("\n")}")
   }
 
+  test("c11: only the one-row bloom is hinted; the verify join is never hint-forced") {
+    val df = Curation.bloomDecontaminatedStats(spark, sf0001)
+    df.collect()
+    // exactly ONE forced broadcast: the bloom bitset (a one-row frame
+    // by construction). The exact-verify semi join against the
+    // benchmark set must stay hint-free — the benchmark is huge by
+    // this operator's premise, and a forced broadcast there would OOM
+    // the driver at exactly the scale the operator exists for (AQE
+    // may still choose BHJ at test SF from real size estimates).
+    val hints = "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
+    assert(hints == 1, s"expected the bloom hint only, found $hints")
+  }
+
   test("whole-stage codegen covers the text-analysis hot path") {
     // AQE finalizes the plan only after execution
     val df = TextAnalysis.tokenStats(spark, sf0001)

@@ -229,6 +229,38 @@ class StreamsSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("nearDupProbeStream fingerprint-keyed: changed content under a reused id surfaces") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w")).toDF("doc_id", "text")
+    val index = Streams.nearDupBandIndex(corpus, withFingerprint = true).persist()
+    try {
+      index.count()
+      val mem = MemoryStream[Streams.Doc]
+      val q = Streams.nearDupProbeStreamIndexed(mem.toDF(), index)
+        .writeStream.format("memory").queryName("probe_fp").outputMode("append").start()
+      try {
+        mem.addData(
+          // identical replay of corpus doc 1: fingerprints MATCH, the
+          // degenerate self-pair stays suppressed
+          Streams.Doc(1, ts(1), "en", "a b c d e f g h"),
+          // doc 2 RE-INGESTED WITH CHANGED TEXT (one token edited):
+          // same id, different fingerprint — under the id-only rule
+          // this vanished silently; fingerprint-keyed it must surface
+          // as a near-dup of its own stale index entry
+          Streams.Doc(2, ts(1), "en", "p q r s t u v X"))
+        q.processAllAvailable()
+        val all = s.sql("SELECT doc_a, doc_b, jaccard FROM probe_fp ORDER BY doc_a")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(all.toList == List((2L, 2L)),
+          "changed-content re-ingest must match its stale entry; identical replay must not")
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
   test("attributedPurchases: interval join emits in-window pairs only") {
     val s = spark
     import s.implicits._
