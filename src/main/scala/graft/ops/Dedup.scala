@@ -729,4 +729,52 @@ object Dedup {
       .withColumn("reachable", col("hamming") < bands)
       .orderBy("hamming")
   }
+
+  /** Cross-document repeated spans — the primitive under exact
+    * SUBSTRING dedup (Lee et al.'s "Deduplicating Training Data"
+    * suffix-array pass, re-expressed shuffle-parallel): every window
+    * of `w` consecutive tokens that appears verbatim in ≥ 2 distinct
+    * documents, with how many documents carry it. Doc-level dedup
+    * (d01/d04) misses these — boilerplate headers, license blocks,
+    * quoted passages — which is exactly the content an LLM memorizes.
+    *
+    * Scale design: span STRINGS never shuffle. Pass 1 derives per-doc
+    * DISTINCT span hashes in-row ([[sketchSets]]'s projection shape at
+    * window size `w`) and aggregates 8-byte hashes; per-doc
+    * distinctness makes the count a plain `count(1)` — no
+    * `countDistinct` expand. Pass 2 re-derives (span, hash) rows and
+    * keeps only survivors via a broadcast join on the (rare) repeated
+    * hashes — the re-tokenize trades a second narrow scan for never
+    * moving corpus text, the [[Curation.bloomDecontaminatedStats]]
+    * asymmetry argument at the span level. The only reduce-side state
+    * is one row per repeated span. Hash collisions would fuse two
+    * spans' counts (~n²/2⁶⁴ — accepted, same contract as every sketch
+    * in this file). */
+  def repeatedSpans(s: SparkSession, dir: String, w: Int = 8): DataFrame =
+    repeatedSpansOf(t(s, dir, "documents"), w)
+
+  /** [[repeatedSpans]] over any (doc_id, text) frame — the seam the
+    * golden/property specs drive. */
+  def repeatedSpansOf(docs: DataFrame, w: Int): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    def spanStarts(wd: Column): Column = sequence(lit(0), size(wd) - w)
+    val spanHashes = docs
+      .select(col("doc_id"), toks.as("wd"))
+      .filter(size(col("wd")) >= w)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(spanStarts(col("wd")),
+          i => xxhash64(concat_ws(" ", slice(col("wd"), i + 1, lit(w))))))).as("h"))
+    val rep = spanHashes.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+    docs.select(toks.as("wd"))
+      .filter(size(col("wd")) >= w)
+      .select(explode(array_distinct(transform(spanStarts(col("wd")),
+        i => concat_ws(" ", slice(col("wd"), i + 1, lit(w)))))).as("span"))
+      .select(col("span"), xxhash64(col("span")).as("h"))
+      .join(broadcast(rep), "h")
+      .select(col("span"), col("n_docs"), col("first_doc"))
+      .distinct()
+      .orderBy("span")
+  }
 }

@@ -496,6 +496,38 @@ object Similarity {
     topKPerQuery(s, scored, k)
   }
 
+  /** Two-stage retrieval: compressed RETRIEVE → exact RERANK — the
+    * standard production shape every vector stack converges on
+    * (quantized index recall, exact final scores). Stage 1 runs the
+    * [[sqTopK]] scan over the int8-quantized table for an EXPANDED
+    * candidate set (k·expand per query); stage 2 fetches the exact
+    * float vectors for those candidates only and re-scores with true
+    * cosine, cutting back to k.
+    *
+    * Scale story: the full corpus is touched once, through the 4×-
+    * compressed quantized representation; exact vectors — the 100 TB
+    * column — are read for nQueries·k·expand rows, fetched via a
+    * broadcast join on the (tiny by construction) candidate list, so
+    * the corpus neither shuffles nor decompresses. Quantization error
+    * only costs RECALL at the k'→k boundary (a true top-k neighbor
+    * missing from the top-k' candidates); every returned score is
+    * exact — the property the rerank stage exists to buy. */
+  def rerankTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, expand: Int = 4): DataFrame = {
+    val cands = sqTopK(s, dir, nQueries, k * expand).select("q_id", "c_id")
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("emb"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val rescored = emb
+      .join(broadcast(cands), col("vec_id") === col("c_id"))
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("c_id"),
+        r4(cosine(col("q_emb"), col("emb"))).as("sim"))
+    topKPerQuery(s, rescored, k)
+  }
+
   /** Product-quantized (PQ) top-k with ADC (asymmetric distance
     * computation) — the OTHER big quantization family next to [[sqTopK]]'s
     * scalar codes: the vector splits into `m` subspaces, each encoded as

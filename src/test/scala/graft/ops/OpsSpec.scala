@@ -875,6 +875,82 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("repeated spans: goldens — shared block found, sub-window spans, none below w") {
+    import spark.implicits._
+    // docs 1 and 2 share the 9-token block "q w e r t y u i o"; doc 3
+    // is disjoint; doc 4 repeats the block a THIRD time
+    val docs = Seq(
+      (1L, "a b q w e r t y u i o c"),
+      (2L, "q w e r t y u i o z z2 z3"),
+      (3L, "m n b v c x l k j h g f"),
+      (4L, "pre1 pre2 q w e r t y u i o")).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpansOf(docs, w = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a shared 9-token block yields exactly its two 8-token windows,
+    // each in all three carrying docs
+    assert(out.toSeq == Seq(
+      ("q w e r t y u i", 3L, 1L),
+      ("w e r t y u i o", 3L, 1L)))
+    // at w=10 the shared block is too short to window — nothing repeats
+    assert(Dedup.repeatedSpansOf(docs, w = 10).count() == 0)
+  }
+
+  test("repeated spans: within-doc repetition never counts as cross-doc") {
+    import spark.implicits._
+    val docs = Seq(
+      // the same 8-token run appears TWICE in one doc
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8 gap s1 s2 s3 s4 s5 s6 s7 s8"),
+      (2L, "completely different tokens here with no overlap at all")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpansOf(docs, w = 8).count() == 0,
+      "per-doc distinctness must collapse within-doc repeats before counting")
+  }
+
+  test("repeated spans ≡ plain string-grouping model on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // small token alphabet + short docs → natural cross-doc collisions
+    def doc(): String = Seq.fill(6 + rnd.nextInt(10))(
+      s"t${rnd.nextInt(6)}").mkString(" ")
+    val rows = (1L to 40L).map(i => (i, doc()))
+    val w = 3
+    val model = rows
+      .flatMap { case (id, text) =>
+        val ts = text.trim.split("\\s+")
+        if (ts.length < w) Nil
+        else ts.sliding(w).map(_.mkString(" ")).toSeq.distinct.map(sp => (sp, id))
+      }
+      .groupBy(_._1).map { case (sp, xs) => (sp, xs.size.toLong, xs.map(_._2).min) }
+      .filter(_._2 >= 2).toSeq.sortBy(_._1)
+    val got = Dedup.repeatedSpansOf(rows.toDF("doc_id", "text"), w)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == model)
+  }
+
+  test("rerank topk: k exact-scored neighbors per query, subset of SQ candidates") {
+    val k = 5
+    val out = Similarity.rerankTopK(spark, sf0001, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.forall(_._2.length == k))
+    // scores are EXACT cosine — every (q, c, sim) must match the brute
+    // force scoring of the same pair (the property the rerank buys)
+    val brute = Similarity.bruteForceTopK(spark, sf0001, k = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val cands = Similarity.sqTopK(spark, sf0001, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    out.foreach { case (q, _, c, sim) =>
+      assert(cands.contains((q, c)), s"($q,$c) not from the retrieve stage")
+      brute.get((q, c)).foreach(exact =>
+        assert(math.abs(exact - sim) < 1e-9, s"($q,$c): $sim != exact $exact"))
+    }
+    // ranks are contiguous and sims non-increasing per query
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to k).toSeq)
+      assert(sorted.sliding(2).forall(p => p(0)._4 >= p(1)._4))
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
