@@ -90,6 +90,7 @@ object SparkEntry {
     "c09_chunking" -> ((s: SparkSession, dir: String) => Curation.chunkStats(s, dir)),
     "c10_token_budget" -> ((s: SparkSession, dir: String) => Curation.tokenBudgetStats(s, dir)),
     "c11_bloom_decontam" -> ((s: SparkSession, dir: String) => Curation.bloomDecontaminatedStats(s, dir)),
+    "c12_span_scrub" -> ((s: SparkSession, dir: String) => Curation.spanScrubStats(s, dir)),
     // — deduplication —
     "d01_exact_dedup" -> (Dedup.exactDedupByLang _),
     "d02_dup_groups" -> (Dedup.duplicateGroups _),
@@ -403,6 +404,40 @@ object SparkEntry {
          FROM documents
          WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM flagged)
          GROUP BY lang ORDER BY lang""",
+    // c12: span scrubbing — the oracle replays the whole contract on
+    // span STRINGS (find cross-doc repeated 8-token windows, keep the
+    // min-doc_id copy intact, excise covered token indices elsewhere,
+    // rebuild the text in token order), certifying that the Spark
+    // side's hash-only shuffle + in-row higher-order excision equals
+    // plain string manipulation end to end
+    "c12_span_scrub" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS wd FROM documents),
+         wins AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(wd[i:i+7], ' ') AS span
+           FROM toks, UNNEST(range(1, len(wd) - 6)) AS t(i)
+           WHERE len(wd) >= 8),
+         rep AS (
+           SELECT span, min(doc_id) AS first_doc
+           FROM (SELECT DISTINCT doc_id, span FROM wins)
+           GROUP BY span HAVING count(*) >= 2),
+         hits AS (
+           SELECT DISTINCT w.doc_id, w.pos FROM wins w
+           JOIN rep r ON r.span = w.span AND r.first_doc <> w.doc_id),
+         tok_rows AS (
+           SELECT doc_id, i - 1 AS idx, wd[i] AS tok
+           FROM toks, UNNEST(range(1, len(wd) + 1)) AS t(i)),
+         keep AS (
+           SELECT t.doc_id, t.idx, t.tok FROM tok_rows t
+           WHERE NOT EXISTS (SELECT 1 FROM hits h
+             WHERE h.doc_id = t.doc_id AND t.idx BETWEEN h.pos AND h.pos + 7))
+         SELECT z.doc_id, z.n_tokens,
+           z.n_tokens - count(k.idx) AS n_removed,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS scrubbed
+         FROM (SELECT doc_id, len(wd) AS n_tokens FROM toks
+               WHERE doc_id IN (SELECT doc_id FROM hits)) z
+         LEFT JOIN keep k ON k.doc_id = z.doc_id
+         GROUP BY z.doc_id, z.n_tokens ORDER BY z.doc_id""",
     // c05: per-lang quality top-k — the window formulation is the
     // oracle for the bounded-heap TopKAggregator path (identical
     // tie-break contract: quality desc, doc_id asc)

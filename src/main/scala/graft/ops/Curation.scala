@@ -559,4 +559,59 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("lang")
   }
+
+  /** Cross-document span SCRUBBING — the removal half of exact
+    * substring dedup (Lee et al.'s "Deduplicating Training Data":
+    * find duplicated substrings, then cut them, keeping one
+    * occurrence). [[Dedup.repeatedSpans]] (d11) FINDS the repeated
+    * `w`-token windows; this op EXCISES them: the first document
+    * carrying a span (min doc_id) keeps its text verbatim, every
+    * later document loses the covered tokens. Overlapping spans merge
+    * naturally — coverage is per token index, not per window. Returns
+    * one row per MODIFIED document: original token count, tokens
+    * removed, and the rebuilt text.
+    *
+    * Scale design: span strings never shuffle — windows travel as
+    * 8-byte xxhash64 rows (doc_id, pos, h). The repeated-hash frame
+    * carries no hint: AQE broadcasts it at gate scale, and at 100 TB
+    * (where Lee et al. measure ~1% of tokens in repeated spans, too
+    * big to ship to every executor) the hit-marking join degrades to
+    * a shuffle of those narrow rows, never of text. Excision is
+    * in-row: hit START positions aggregate to one `collect_set` per
+    * modified doc (bounded by doc length), and a nested higher-order
+    * filter drops covered tokens without exploding the corpus into
+    * token rows. Hash collisions would scrub a non-repeated span
+    * (~n²/2⁶⁴ — the accepted sketch contract, see
+    * [[Dedup.repeatedSpans]]). */
+  def spanScrubStats(s: SparkSession, dir: String, w: Int = 8): DataFrame =
+    spanScrubOf(t(s, dir, "documents"), w)
+
+  /** [[spanScrubStats]] over any (doc_id, text) frame — the seam the
+    * golden/property specs drive. */
+  def spanScrubOf(docs: DataFrame, w: Int): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val base = docs.select(col("doc_id"), toks.as("wd"))
+    val wins = base.filter(size(col("wd")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("wd")) - w),
+          i => xxhash64(concat_ws(" ", slice(col("wd"), i + 1, lit(w)))))))
+      .toDF("doc_id", "pos", "h")
+    // d11's repeated-hash aggregation, but keeping first_doc for the
+    // keep-the-first-copy contract; per-doc distinctness first so
+    // within-doc repetition never fakes a cross-doc repeat
+    val rep = wins.select("doc_id", "h").distinct()
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+    val starts = wins.join(rep, "h")
+      .filter(col("doc_id") =!= col("first_doc"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    base.join(starts, "doc_id")
+      .withColumn("kept", filter(col("wd"), (_: Column, i: Column) =>
+        !exists(col("starts"), st => i >= st && i < st + w)))
+      .select(col("doc_id"), size(col("wd")).as("n_tokens"),
+        (size(col("wd")) - size(col("kept"))).as("n_removed"),
+        concat_ws(" ", col("kept")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
 }

@@ -396,4 +396,64 @@ class CurationSpec extends SparkSpec {
       mBits = 64, k = 1).collect().toSeq
     assert(degenerate == exact)
   }
+
+  test("span scrub: first doc keeps text, later docs lose merged coverage") {
+    import spark.implicits._
+    // docs 1, 2 and 4 share the 9-token block "q w e r t y u i o"
+    // (the d11 golden corpus); doc 3 is disjoint
+    val docs = Seq(
+      (1L, "a b q w e r t y u i o c"),
+      (2L, "q w e r t y u i o z z2 z3"),
+      (3L, "m n b v c x l k j h g f"),
+      (4L, "pre1 pre2 q w e r t y u i o")).toDF("doc_id", "text")
+    val out = Curation.spanScrubOf(docs, w = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1 is first_doc for both shared windows → untouched → absent;
+    // docs 2 and 4 lose the block's 9 tokens (two overlapping windows
+    // merge into one covered region); doc 3 never repeats → absent
+    assert(out.toSeq == Seq(
+      (2L, 12, 9, "z z2 z3"),
+      (4L, 11, 9, "pre1 pre2")))
+  }
+
+  test("span scrub: within-doc repetition alone scrubs nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8 gap s1 s2 s3 s4 s5 s6 s7 s8"),
+      (2L, "completely different tokens here with no overlap at all")).toDF("doc_id", "text")
+    assert(Curation.spanScrubOf(docs, w = 8).count() == 0)
+  }
+
+  test("span scrub ≡ plain string model on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def doc(): String = Seq.fill(6 + rnd.nextInt(10))(
+      s"t${rnd.nextInt(6)}").mkString(" ")
+    val rows = (1L to 40L).map(i => (i, doc()))
+    val w = 3
+    // model: repeated spans (per-doc distinct, ≥2 docs) with first_doc;
+    // excise covered indices in docs other than first_doc
+    val spansByDoc = rows.map { case (id, text) =>
+      val ts = text.trim.split("\\s+")
+      id -> (if (ts.length < w) Array.empty[String]
+             else ts.sliding(w).map(_.mkString(" ")).toArray)
+    }.toMap
+    val firstDoc = spansByDoc.toSeq
+      .flatMap { case (id, sps) => sps.distinct.map(sp => (sp, id)) }
+      .groupBy(_._1).collect { case (sp, xs) if xs.size >= 2 =>
+        sp -> xs.map(_._2).min }
+    val model = rows.flatMap { case (id, text) =>
+      val ts = text.trim.split("\\s+")
+      val covered = spansByDoc(id).zipWithIndex.collect {
+        case (sp, pos) if firstDoc.get(sp).exists(_ != id) =>
+          pos until (pos + w)
+      }.flatten.toSet
+      val kept = ts.zipWithIndex.collect { case (tk, i) if !covered(i) => tk }
+      if (covered.isEmpty) None
+      else Some((id, ts.length, covered.size, kept.mkString(" ")))
+    }.sortBy(_._1)
+    val got = Curation.spanScrubOf(rows.toDF("doc_id", "text"), w).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(got == model)
+  }
 }
