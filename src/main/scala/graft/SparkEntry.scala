@@ -73,6 +73,7 @@ object SparkEntry {
     "t07_repetition" -> ((s: SparkSession, dir: String) => TextAnalysis.repetitionStats(s, dir)),
     "t08_gopher_rules" -> ((s: SparkSession, dir: String) => TextAnalysis.gopherRuleStats(s, dir)),
     "t09_zipf_rank" -> ((s: SparkSession, dir: String) => TextAnalysis.zipfRankStats(s, dir)),
+    "t10_bm25" -> ((s: SparkSession, dir: String) => TextAnalysis.bm25Search(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -1010,6 +1011,39 @@ object SparkEntry {
            FROM r GROUP BY lang)
          SELECT d.lang, d.n_docs, g.total_tokens, g.avg_rank, g.oov_ratio
          FROM d JOIN g USING (lang) ORDER BY d.lang""",
+    // t10: BM25 over the literal term bag {scan, vector, hash} with
+    // k1=1.2, b=0.75 and Lucene IDF smoothing — the oracle recomputes
+    // the full two-pass formula (global N/avglen/df, then per-doc
+    // score) and must reproduce the top-10 under the identical
+    // rounded-score-then-doc_id tie contract
+    "t10_bm25" ->
+      """WITH base AS (
+           SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'scan')) AS tf0,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'vector')) AS tf1,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'hash')) AS tf2
+           FROM documents),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(n_tokens) AS avg_len,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+           FROM base),
+         scored AS (
+           SELECT b.doc_id, b.n_tokens,
+             floor((
+               ln(1 + (s.n_docs - s.df0 + 0.5) / (s.df0 + 0.5)) * (b.tf0 * 2.2)
+                 / (b.tf0 + 1.2 * (0.25 + 0.75 * b.n_tokens / s.avg_len))
+               + ln(1 + (s.n_docs - s.df1 + 0.5) / (s.df1 + 0.5)) * (b.tf1 * 2.2)
+                 / (b.tf1 + 1.2 * (0.25 + 0.75 * b.n_tokens / s.avg_len))
+               + ln(1 + (s.n_docs - s.df2 + 0.5) / (s.df2 + 0.5)) * (b.tf2 * 2.2)
+                 / (b.tf2 + 1.2 * (0.25 + 0.75 * b.n_tokens / s.avg_len))
+             ) * 10000 + 0.5) / 10000 AS score
+           FROM base b, stats s)
+         SELECT doc_id, n_tokens, score FROM scored WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 10""",
     "p03_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          r AS (SELECT lang, n_docs,

@@ -609,8 +609,8 @@ object Curation {
     base.join(starts, "doc_id")
       .withColumn("kept", filter(col("wd"), (_: Column, i: Column) =>
         !exists(col("starts"), st => i >= st && i < st + w)))
-      .select(col("doc_id"), size(col("wd")).as("n_tokens"),
-        (size(col("wd")) - size(col("kept"))).as("n_removed"),
+      .select(col("doc_id"), size(col("wd")).cast("long").as("n_tokens"),
+        (size(col("wd")) - size(col("kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("kept")).as("scrubbed"))
       .orderBy("doc_id")
   }

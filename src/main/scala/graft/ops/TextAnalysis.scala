@@ -283,4 +283,52 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"),
         col("n_chars"))
       .orderBy("doc_id")
+
+  /** BM25 keyword search: top-`k` documents for a fixed bag of query
+    * terms under the standard Okapi BM25 ranking with Lucene's
+    * non-negative IDF smoothing, `ln(1 + (N - df + ½)/(df + ½))` —
+    * the retrieval scorer every keyword index (Lucene/ES, Tantivy)
+    * ships. Reference analog: the corpus `filter`+rank chains of
+    * streamable/stream.py:230-326, specialized to ranked retrieval.
+    *
+    * Scale design: the query terms are a LITERAL list, so per-doc
+    * term frequencies are in-row array filters on the one narrow text
+    * scan — no explode, no (doc, term) shuffle, no inverted index
+    * needed for ad-hoc scoring. The scan's narrow projection
+    * (doc_id, len, tf…) is localCheckpointed once because BM25 is
+    * inherently two-pass — pass 1 reduces it to ONE global stats row
+    * (N, avglen, per-term df; map-side partials, scalar out), pass 2
+    * broadcasts that row back over it to score — and the checkpoint
+    * (~24 bytes + 8/term per doc) is what keeps the 100 TB text scan
+    * single-pass. Final top-k is TakeOrderedAndProject: per-partition
+    * bounded heaps, never a global sort. */
+  def bm25Search(s: SparkSession, dir: String,
+      terms: Seq[String] = Seq("scan", "vector", "hash"), k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(col("text"))
+    val tfCols = terms.indices.map(i =>
+      size(filter(toks, x => x === terms(i))).cast("double").as(s"tf$i"))
+    val base = t(s, dir, "documents")
+      .select(Seq(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+        ++ tfCols: _*)
+      .localCheckpoint()
+    val statAggs =
+      Seq(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("n_tokens")).as("avg_len")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      idf * (tf * (k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("n_tokens") / col("avg_len")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score", r4(score))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
 }

@@ -407,13 +407,13 @@ class CurationSpec extends SparkSpec {
       (3L, "m n b v c x l k j h g f"),
       (4L, "pre1 pre2 q w e r t y u i o")).toDF("doc_id", "text")
     val out = Curation.spanScrubOf(docs, w = 8).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     // doc 1 is first_doc for both shared windows → untouched → absent;
     // docs 2 and 4 lose the block's 9 tokens (two overlapping windows
     // merge into one covered region); doc 3 never repeats → absent
     assert(out.toSeq == Seq(
-      (2L, 12, 9, "z z2 z3"),
-      (4L, 11, 9, "pre1 pre2")))
+      (2L, 12L, 9L, "z z2 z3"),
+      (4L, 11L, 9L, "pre1 pre2")))
   }
 
   test("span scrub: within-doc repetition alone scrubs nothing") {
@@ -450,10 +450,10 @@ class CurationSpec extends SparkSpec {
       }.flatten.toSet
       val kept = ts.zipWithIndex.collect { case (tk, i) if !covered(i) => tk }
       if (covered.isEmpty) None
-      else Some((id, ts.length, covered.size, kept.mkString(" ")))
+      else Some((id, ts.length.toLong, covered.size.toLong, kept.mkString(" ")))
     }.sortBy(_._1)
     val got = Curation.spanScrubOf(rows.toDF("doc_id", "text"), w).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
     assert(got == model)
   }
 }

@@ -590,6 +590,33 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(_.getDouble(4) > 0), "OOV ratio never fired")
   }
 
+  test("bm25: matches a plain-Scala recompute of the full two-pass formula") {
+    val terms = Seq("scan", "vector", "hash")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val n = docs.length.toDouble
+    val avgLen = docs.map(_._2.length).sum.toDouble / n
+    val tf = docs.map { case (id, ts) =>
+      id -> terms.map(tm => ts.count(_ == tm).toDouble) }.toMap
+    val df = terms.indices.map(i => docs.count(d => tf(d._1)(i) > 0).toDouble)
+    val expected = docs.map { case (id, ts) =>
+      val score = terms.indices.map { i =>
+        val idf = math.log(1.0 + (n - df(i) + 0.5) / (df(i) + 0.5))
+        idf * (tf(id)(i) * (k1 + 1)) /
+          (tf(id)(i) + k1 * (1 - b + b * ts.length / avgLen))
+      }.sum
+      (id, ts.length.toLong, math.floor(score * 10000 + 0.5) / 10000)
+    }.filter(_._3 > 0).sortBy(t => (-t._3, t._1)).take(10).toSeq
+    val got = TextAnalysis.bm25Search(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // ranking must carry signal: the winner outranks the last row
+    assert(got.head._3 > got.last._3,
+      "degenerate scoring: all top-10 scores identical")
+  }
+
   test("PQ topk: well-formed ranking with nonzero brute-force overlap") {
     // fidelity caveat, asserted honestly: 16 seed codewords over
     // 8-dim subspaces of RANDOM gaussian vectors is PQ's worst case
