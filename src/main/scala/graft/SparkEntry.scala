@@ -105,6 +105,7 @@ object SparkEntry {
     "d09_incremental_dedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalNearDups(s, dir)),
     "d10_survivors_by_quality" -> ((s: SparkSession, dir: String) => Dedup.dedupSurvivorsByQuality(s, dir)),
     "d11_repeated_spans" -> ((s: SparkSession, dir: String) => Dedup.repeatedSpans(s, dir)),
+    "d12_semdedup" -> ((s: SparkSession, dir: String) => Dedup.semDedup(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "s02_lsh_topk" -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
@@ -314,6 +315,21 @@ object SparkEntry {
          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
        SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= $k ORDER BY q_id, rnk"""
 
+  /** d12's oracle: trained assignment (the s06 CTE chain) + within-
+    * cluster first-wins pruning at the r4-rounded cosine boundary. */
+  private def d12OracleSql(nlist: Int, iters: Int, threshold: Double): String =
+    s"""WITH ${kmeansCtes(nlist, iters)},
+       ${kmeansAssignCte("af", s"c${iters}a")},
+       w AS (SELECT af.vec_id, af.cell, e.emb FROM af JOIN e USING (vec_id)),
+       dropped AS (SELECT DISTINCT b.cell, b.vec_id FROM w a JOIN w b
+         ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE ${oracleR4("list_cosine_similarity(a.emb, b.emb)")} >= $threshold),
+       cnt AS (SELECT cell, count(*) AS n_members FROM af GROUP BY cell),
+       dc AS (SELECT cell, count(*) AS n_dropped FROM dropped GROUP BY cell)
+       SELECT cnt.cell, cnt.n_members, COALESCE(dc.n_dropped, 0) AS n_dropped
+       FROM cnt LEFT JOIN dc ON dc.cell = cnt.cell
+       ORDER BY cnt.cell"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (weaker rows-only check):
     * d05/q24 (hash-sketch internals whose CLAIMS are oracled via the
@@ -321,6 +337,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "s06_kmeans_codebook" -> s06OracleSql(nlist = 32, iters = 2),
+    // d12: SemDeDup — the oracle replays the identical unrolled Lloyd
+    // rounds (raw-double centroids, the same CTE chain s06/s07
+    // interpolate, so the three cannot desynchronize), re-assigns the
+    // corpus, and prunes within-cluster pairs at the same r4-rounded
+    // cosine boundary with the first-wins (min vec_id) contract
+    "d12_semdedup" -> d12OracleSql(nlist = 32, iters = 2, threshold = 0.4),
     "s07_ivf_trained" -> s07OracleSql(nlist = 32, iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "s02_lsh_topk" -> s02OracleSql(bits = 4, tables = 8),
     // c01: contamination vs the src0 "benchmark" — string shingles in

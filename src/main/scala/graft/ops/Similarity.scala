@@ -350,7 +350,7 @@ object Similarity {
     * centroids — skipping the counts saves a whole corpus assignment
     * pass). Returns (melted centroid frame (cell, dim, cval — raw
     * doubles, NOT r4-rounded), a LAZY final-assignment frame). */
-  private def trainedCentroids(s: SparkSession, dir: String,
+  private[ops] def trainedCentroids(s: SparkSession, dir: String,
       nlist: Int, iters: Int): (DataFrame, DataFrame) = {
     require(nlist >= 1 && iters >= 1)
     val emb = t(s, dir, "embeddings")

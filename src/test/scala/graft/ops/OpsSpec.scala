@@ -953,6 +953,41 @@ class OpsSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("semdedup ≡ first-wins prune recomputed on the trained assignment") {
+    // the assignment itself is s06/s07-certified; this pins the d12
+    // layer on top: within-cluster, a vector drops iff a smaller id
+    // in the SAME cluster sits at r4(cosine) ≥ 0.4 (kernel-identical
+    // left-to-right double accumulation in the model)
+    val cellOf = Similarity.trainedCentroids(spark, sf0001, 32, 2)._2
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val embs = Relational.t(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val model = cellOf.toSeq.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted).toMap
+      .map { case (cell, ids) =>
+        val nDrop = ids.count(b2 => ids.exists(a2 =>
+          a2 < b2 && r4d(cos(embs(a2), embs(b2))) >= 0.4))
+        (cell, ids.length.toLong, nDrop.toLong)
+      }.toSeq.sortBy(_._1)
+    val got = Dedup.semDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == model)
+    // every vector is assigned exactly once; the prune must actually
+    // fire on the planted near-identical pairs
+    assert(got.map(_._2).sum == embs.size)
+    assert(got.map(_._3).sum > 0, "no near-dup dropped — planted pairs missing?")
+  }
+
   test("rerank topk: k exact-scored neighbors per query, subset of SQ candidates") {
     val k = 5
     val out = Similarity.rerankTopK(spark, sf0001, k = k).collect()
