@@ -19,16 +19,25 @@ object Relational {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` (as raw nanos).
-    * Normalize to a micros timestamp; `div` keeps the arithmetic in
-    * Long (an epoch-nanos value exceeds 2^53, so double division
-    * would corrupt it). */
+  /** events.parquet has shipped `ts` in two physical encodings across
+    * testdata generations: TIMESTAMP(NANOS) (readable only with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, arriving as a raw
+    * nanos Long) and TIMESTAMP(MICROS) without timezone (arriving as
+    * TIMESTAMP_NTZ, which `unix_millis`/window arithmetic reject).
+    * Normalize BOTH to a plain TIMESTAMP here so every event-time
+    * operator sees one type. The session timezone is UTC (the nanos
+    * era certified epoch arithmetic against DuckDB's naive
+    * timestamps), so the NTZ cast is value-preserving. `div` keeps
+    * the nanos arithmetic in Long (an epoch-nanos value exceeds 2^53,
+    * so double division would corrupt it). */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
