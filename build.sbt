@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness json-parses ONE complete line out of the last
+// ~2000 chars of stdout; sbt's default LoggedOutput decorates every
+// forked-process line with "[info] ", which breaks a strict JSON
+// parse (BENCH_r10's headline line printed complete and in-window,
+// yet "parsed" stayed null). StdoutOutput pipes the forked JVM's
+// stdout through verbatim, no logger prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

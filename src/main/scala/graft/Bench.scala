@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC explicitly, not via build.sbt's forked -D flag: the NTZ
+      // events cast (Relational.events) is value-preserving only
+      // under a UTC session — an entry point launched outside the
+      // sbt fork (spark-submit) must not silently shift event time
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -119,9 +124,16 @@ object Bench {
       "q25_quantiles", "s01_brute_topk", "s02_lsh_topk",
       "s03_label_stats", "s04_native_topk", "t01_token_stats",
       "t02_quality", "t03_langid", "t04_fingerprints")
+    // a renamed/removed query must not silently drop out of the
+    // judge's comparison prefix — drift fails loudly here
+    val missing = baselineSet -- results.map(_._1).toSet
+    require(missing.isEmpty,
+      s"baselineSet drift — queries gone from the registry: ${missing.toSeq.sorted.mkString(",")}")
     val lineBudget = 1850
+    // both portions descending-cost so a forced truncation sheds the
+    // cheapest (least informative) timings first, baseline included
     val prioritized =
-      results.filter(r => baselineSet.contains(r._1)) ++
+      results.filter(r => baselineSet.contains(r._1)).sortBy(-_._2) ++
       results.filterNot(r => baselineSet.contains(r._1)).sortBy(-_._2)
     def totalLine(m: Seq[(String, Double)]): String = {
       val qj = m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }

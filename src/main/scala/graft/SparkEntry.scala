@@ -106,6 +106,7 @@ object SparkEntry {
     "d10_survivors_by_quality" -> ((s: SparkSession, dir: String) => Dedup.dedupSurvivorsByQuality(s, dir)),
     "d11_repeated_spans" -> ((s: SparkSession, dir: String) => Dedup.repeatedSpans(s, dir)),
     "d12_semdedup" -> ((s: SparkSession, dir: String) => Dedup.semDedup(s, dir)),
+    "d13_semdedup_recall" -> ((s: SparkSession, dir: String) => Dedup.semDedupRecallAdvisory(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "s02_lsh_topk" -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
@@ -330,6 +331,25 @@ object SparkEntry {
        FROM cnt LEFT JOIN dc ON dc.cell = cnt.cell
        ORDER BY cnt.cell"""
 
+  /** d13's oracle: the identical unrolled-Lloyd assignment, a
+    * brute-force pair scan at the r4-rounded cosine boundary, and the
+    * per-decile captured-pair recall — the SQL restatement of "which
+    * near-dup pairs does within-cluster-only pruning even see". */
+  private def d13OracleSql(nlist: Int, iters: Int, threshold: Double): String =
+    s"""WITH ${kmeansCtes(nlist, iters)},
+       ${kmeansAssignCte("af", s"c${iters}a")},
+       p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+           ${oracleR4("list_cosine_similarity(a.emb, b.emb)")} AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id),
+       f AS (SELECT sim, CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END AS cap
+         FROM p JOIN af ca ON ca.vec_id = p.ia JOIN af cb ON cb.vec_id = p.ib
+         WHERE sim >= $threshold)
+       SELECT floor(sim * 10) / 10 AS sim_bin,
+         count(*) AS n_pairs,
+         CAST(sum(cap) AS BIGINT) AS n_captured,
+         floor(CAST(sum(cap) AS DOUBLE) / count(*) * 1000 + 0.5) / 1000 AS recall
+       FROM f GROUP BY 1 ORDER BY 1"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (weaker rows-only check):
     * d05/q24 (hash-sketch internals whose CLAIMS are oracled via the
@@ -343,6 +363,10 @@ object SparkEntry {
     // corpus, and prunes within-cluster pairs at the same r4-rounded
     // cosine boundary with the first-wins (min vec_id) contract
     "d12_semdedup" -> d12OracleSql(nlist = 32, iters = 2, threshold = 0.4),
+    // d13: the measured recall of d12's within-cluster-only trade —
+    // same Lloyd CTEs, brute-force pair ground truth, per-decile
+    // captured fraction
+    "d13_semdedup_recall" -> d13OracleSql(nlist = 32, iters = 2, threshold = 0.4),
     "s07_ivf_trained" -> s07OracleSql(nlist = 32, iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "s02_lsh_topk" -> s02OracleSql(bits = 4, tables = 8),
     // c01: contamination vs the src0 "benchmark" — string shingles in

@@ -770,35 +770,127 @@ object Dedup {
     * dead in every gate run — production corpora run 0.9+.
     *
     * Scale design: centroids broadcast (nlist-wide regardless of
-    * corpus size); assignment is the one map-side corpus scan every
-    * IVF query already pays; the within-cluster self-join shuffles the
-    * corpus ONCE on cell, and `nlist` is the knob that keeps
-    * Σ|cell|² bounded — SemDeDup at production scale runs tens of
-    * thousands of clusters precisely so each stays pair-join-sized
-    * (the paper's own argument, here the same lever as
-    * [[Similarity.ivfTopK]]'s cell granularity). Cross-cluster
-    * near-dups are invisible BY DESIGN — that recall trade is the
-    * paper's, not an implementation shortcut (d06's banded LSH is the
-    * cross-partition-complete alternative). */
-  def semDedup(s: SparkSession, dir: String, nlist: Int = 32,
+    * corpus size); assignment is ONE map-side corpus scan with the
+    * cell argmax computed in-row ([[Similarity.trainedAssignedVectors]]
+    * — no corpus×corpus vec_id join); the pairwise prune is ONE
+    * shuffle of (cell, vec_id, emb) rows into per-cell groups and a
+    * tight `mapGroups` double loop — no self-join exists, so no
+    * sort-merge join can ever appear in the plan (the repo's PlanSpec
+    * gate executes this and asserts exactly that). Per-pair cosines
+    * reuse precomputed member norms; the arithmetic (left-to-right
+    * double dot, sqrt·sqrt denominator, r4 rounding) is
+    * operation-for-operation the kernel's, which is what keeps the
+    * DuckDB oracle hash-exact. `nlist` is the knob that bounds
+    * Σ|cell|²: the DEFAULT (param 0) resolves via session conf
+    * `graft.semdedup.nlist`, else [[sizedNlist]] at the declared
+    * corpus size (`graft.neardup.n`, the d06 convention) — expected
+    * occupancy stays ~64 vectors/cell, so per-group work is a
+    * constant ~64²·dim and reduce parallelism GROWS as n/64 with the
+    * corpus instead of capping at a fixed cluster count (SemDeDup at
+    * production scale runs tens of thousands of clusters for exactly
+    * this reason — the paper's own argument, here the same lever as
+    * [[Similarity.ivfTopK]]'s cell granularity). At the sf0.1 seed
+    * n=2000 the rule lands on the long-certified 32, so default
+    * behavior and oracle are unchanged. Per-group memory is
+    * |cell|·dim·8 B (~32 KB at occupancy 64) — executor-bounded by
+    * the same knob. Cross-cluster near-dups are invisible BY DESIGN —
+    * that recall trade is the paper's, not an implementation shortcut
+    * (d06's banded LSH is the cross-partition-complete alternative),
+    * and [[semDedupRecallAdvisory]] (d13) measures it. */
+  def semDedup(s: SparkSession, dir: String, nlist: Int = 0,
       iters: Int = 2, threshold: Double = 0.4): DataFrame = {
-    val (_, assign) = Similarity.trainedCentroids(s, dir, nlist, iters)
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("emb"))
-    val w = emb.join(assign, "vec_id")
-    val a = w.select(col("cell"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
-    val b = w.select(col("cell"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
-    val dropped = a.join(b, "cell")
-      .filter(col("a_id") < col("b_id"))
-      .filter(r4(Similarity.cosine(col("a_emb"), col("b_emb"))) >= threshold)
-      .select(col("cell"), col("b_id")).distinct()
-    assign.groupBy("cell").agg(count(lit(1)).as("n_members"))
-      .join(dropped.groupBy("cell").agg(count(lit(1)).as("n_dropped")),
-        Seq("cell"), "left")
-      .select(col("cell"), col("n_members"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+    import s.implicits._
+    val k = resolvedNlist(s, nlist)
+    val assigned = Similarity.trainedAssignedVectors(s, dir, k, iters)
+    assigned.select(col("cell"), col("vec_id"), col("emb"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val members = it.toArray.sortBy(_._2)
+        val es = members.map(_._3)
+        val norms = es.map { e =>
+          var s2 = 0.0; var i = 0
+          while (i < e.length) { s2 += e(i) * e(i); i += 1 }
+          math.sqrt(s2)
+        }
+        var dropped = 0L
+        var b = 1
+        while (b < members.length) {
+          var a = 0; var hit = false
+          while (a < b && !hit) {
+            val ea = es(a); val eb = es(b)
+            var dot = 0.0; var i = 0
+            while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
+            val sim = math.floor(dot / (norms(a) * norms(b)) * 10000 + 0.5) / 10000.0
+            if (sim >= threshold) { hit = true; dropped += 1 }
+            a += 1
+          }
+          b += 1
+        }
+        (cell, members.length.toLong, dropped)
+      }
+      .toDF("cell", "n_members", "n_dropped")
       .orderBy("cell")
+  }
+
+  /** d12's "cluster count must track corpus size" rule as executable
+    * math (the [[sizedBanding]] pattern): hold expected cell
+    * occupancy constant so per-group pairwise work is a constant
+    * occupancy²·dim and group count — the shuffle's reduce-side
+    * parallelism — grows linearly with the corpus. Reproduces the
+    * long-certified default exactly at the sf0.1 seed
+    * (n=2000 → 32), so the rule and the shipped default cannot
+    * drift apart — OpsSpec pins that. */
+  def sizedNlist(n: Long, occupancy: Int = 64): Int = {
+    require(n > 0 && occupancy > 0)
+    math.max(1, math.ceil(n.toDouble / occupancy)).toInt
+  }
+
+  /** d12 nlist resolution: explicit param > session conf
+    * `graft.semdedup.nlist` > [[sizedNlist]] at the declared corpus
+    * size `graft.neardup.n` (the [[embeddingNearDups]] convention —
+    * a bigger corpus is a config change, not a code change; zero
+    * driver jobs). */
+  private def resolvedNlist(s: SparkSession, param: Int): Int =
+    if (param > 0) param
+    else {
+      val conf = s.conf.get("graft.semdedup.nlist", "0").toInt
+      if (conf > 0) conf
+      else sizedNlist(s.conf.get("graft.neardup.n", "2000").toLong)
+    }
+
+  /** The recall side of d12's within-cluster-only trade, measured
+    * (d13; the [[simhashRecallAdvisory]] discipline): every pair at
+    * r4(cosine) ≥ `threshold`, binned by similarity decile, with the
+    * fraction the shipped clustering CAPTURES (both endpoints in one
+    * cell — the only pairs [[semDedup]] can ever prune). What the
+    * paper asserts qualitatively ("most near-duplicates share a
+    * cluster") becomes a per-bin measured table, and a low bin is the
+    * printed argument for d06's banded LSH instead. Ground truth is
+    * the brute-force pair scan — a DECLARED-QUADRATIC small-SF
+    * validator exactly like [[ngramJaccardPairs]] (d03): skipped on
+    * ×K scale runs, announced, never silently sampled. The pair join
+    * is hint-free (AQE broadcasts the sub-MB embedding frame at
+    * validator SF); assignment is checkpointed once and consumed as
+    * both join sides. */
+  def semDedupRecallAdvisory(s: SparkSession, dir: String, nlist: Int = 0,
+      iters: Int = 2, threshold: Double = 0.4): DataFrame = {
+    val k = resolvedNlist(s, nlist)
+    val assigned = Similarity.trainedAssignedVectors(s, dir, k, iters)
+      .localCheckpoint()
+    val a = assigned.select(col("vec_id").as("ia"), col("emb").as("ea"),
+      col("cell").as("ca"))
+    val b = assigned.select(col("vec_id").as("ib"), col("emb").as("eb"),
+      col("cell").as("cb"))
+    a.join(b, col("ia") < col("ib"))
+      .withColumn("sim", r4(Similarity.cosine(col("ea"), col("eb"))))
+      .filter(col("sim") >= threshold)
+      .select((floor(col("sim") * 10) / 10.0).as("sim_bin"),
+        (col("ca") === col("cb")).cast("long").as("cap"))
+      .groupBy("sim_bin")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cap")).as("n_captured"))
+      .withColumn("recall", r3(col("n_captured") / col("n_pairs")))
+      .orderBy("sim_bin")
   }
 
   /** [[repeatedSpans]] over any (doc_id, text) frame — the seam the

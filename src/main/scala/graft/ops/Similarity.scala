@@ -397,6 +397,39 @@ object Similarity {
     (cent, assign(cent))
   }
 
+  /** Final trained assignment with the vector carried IN-ROW:
+    * (vec_id, cell, emb as double[]). [[trainedCentroids]]'s lazy
+    * assignment frame drops the embedding at its argmax aggregation,
+    * so a consumer that needs (cell, emb) together — d12's
+    * within-cluster pairwise pass — would have to join the corpus
+    * back to it on vec_id: a corpus×corpus equi-join that AQE saves
+    * at test SF but that becomes a genuine sort-merge shuffle at
+    * 100 TB. Here the argmax runs per-row instead: the trained
+    * codebook collapses to ONE row (nlist × dim doubles — bounded by
+    * the codebook, not the corpus), broadcasts, and a higher-order
+    * `array_max` over struct(sim, -cell) picks each vector's cell
+    * inside the projection — value-identical to `assign`'s
+    * max(struct) aggregation (same r4-rounded kernel cosine, same
+    * highest-sim-then-lowest-cell tie-break, certified against the
+    * same unrolled-Lloyd oracle CTEs) with zero joins and zero
+    * shuffles: one corpus scan, embeddings never leave their row. */
+  private[ops] def trainedAssignedVectors(s: SparkSession, dir: String,
+      nlist: Int, iters: Int): DataFrame = {
+    val (cent, _) = trainedCentroids(s, dir, nlist, iters)
+    val carr = cent.groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("p"))
+      .select(col("cell"), transform(col("p"), x => x("cval")).as("cemb"))
+    val cents = carr.agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(r4(cosine(col("emb"), c("cemb"))).as("s"),
+          (-c("cell")).as("nc")))))
+      .select(col("vec_id"), (-col("best.nc")).as("cell"), col("emb"))
+  }
+
   /** The closed loop: IVF top-k over the TRAINED [[kmeansCodebook]]
     * instead of [[ivfTopK]]'s seed stand-ins — train → index → query,
     * every stage certified (the s07 oracle composes s06's unrolled

@@ -988,6 +988,84 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0, "no near-dup dropped — planted pairs missing?")
   }
 
+  test("semdedup nlist sizing: rule pins the default; conf and param override") {
+    // the sizedBanding discipline applied to d12: the rule reproduces
+    // the long-certified 32 at the sf0.1 seed, holds occupancy ~64
+    // as the corpus grows (parallelism scales as n/64, never a fixed
+    // 32-key shuffle), and explicit param / session conf override it
+    assert(Dedup.sizedNlist(2000) == 32)
+    assert(Dedup.sizedNlist(2000 * 16) == 500)
+    assert(Dedup.sizedNlist(2000 * 64) == 2000)
+    // the oracle-checked contract must hold at a NON-default cluster
+    // count too: recompute the first-wins model on the nlist=16
+    // trained assignment
+    val cellOf = Similarity.trainedCentroids(spark, sf0001, 16, 2)._2
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val embs = Relational.t(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val model = cellOf.toSeq.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted).toMap
+      .map { case (cell, ids) =>
+        val nDrop = ids.count(b2 => ids.exists(a2 =>
+          a2 < b2 && r4d(cos(embs(a2), embs(b2))) >= 0.4))
+        (cell, ids.length.toLong, nDrop.toLong)
+      }.toSeq.sortBy(_._1)
+    def run() = Dedup.semDedup(spark, sf0001, nlist = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run() == model)
+    assert(model.size == 16 && model.map(_._2).sum == embs.size)
+    // session-conf resolution reaches the same place as the param
+    spark.conf.set("graft.semdedup.nlist", "16")
+    try {
+      val viaConf = Dedup.semDedup(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(viaConf == model)
+    } finally spark.conf.unset("graft.semdedup.nlist")
+  }
+
+  test("semdedup recall advisory ≡ brute-force captured-pair model (d13)") {
+    // d12's within-cluster-only trade, measured: for every pair at
+    // r4(cosine) ≥ 0.4, is it visible to the prune (same cell)?
+    val cellOf = Similarity.trainedCentroids(spark, sf0001, 32, 2)._2
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val embs = Relational.t(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val ids = embs.keys.toSeq.sorted
+    val pairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      sim = r4d(cos(embs(ids(i)), embs(ids(j)))) if sim >= 0.4
+    } yield (math.floor(sim * 10) / 10.0, cellOf(ids(i)) == cellOf(ids(j)))
+    assert(pairs.nonEmpty, "no pairs above threshold — planted near-dups missing?")
+    val model = pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, xs) =>
+      val cap = xs.count(_._2).toLong
+      (bin, xs.size.toLong, cap,
+        math.floor(cap.toDouble / xs.size * 1000 + 0.5) / 1000)
+    }
+    val got = Dedup.semDedupRecallAdvisory(spark, sf0001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == model)
+  }
+
   test("rerank topk: k exact-scored neighbors per query, subset of SQ candidates") {
     val k = 5
     val out = Similarity.rerankTopK(spark, sf0001, k = k).collect()

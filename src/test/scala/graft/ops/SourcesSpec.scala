@@ -45,6 +45,48 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [") && plan.contains("s_nationkey"), plan)
   }
 
+  test("events ts normalization: NTZ-micros and raw-nanos encodings land on identical timestamps") {
+    // events.parquet has shipped `ts` two ways across testdata
+    // generations (Relational.events): TIMESTAMP(NANOS) surfacing as
+    // an epoch-nanos Long under the legacy reader, and naive
+    // TIMESTAMP(MICROS) surfacing as TIMESTAMP_NTZ. Both physical
+    // encodings must normalize to the SAME plain TIMESTAMP rows —
+    // this pins the NTZ branch so a testdata flip can never land on
+    // untested code.
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-03-01T10:15:30.123456", 7L, "click", 1.5, "{}"),
+      (2L, "2024-07-04T23:59:59.999999", 8L, "view", 2.5, "{}"))
+    val base = rows.toDF("event_id", "s", "user_id", "event_type", "value", "props")
+    base.withColumn("ts", to_timestamp_ntz(col("s"))).drop("s")
+      .write.mode("overwrite").parquet(s"$tmp/ntz/events.parquet")
+    base.withColumn("ts",
+        unix_micros(to_timestamp(col("s"))) * 1000).drop("s")
+      .write.mode("overwrite").parquet(s"$tmp/nanos/events.parquet")
+    val ntz = Relational.events(spark, s"$tmp/ntz")
+    val nanos = Relational.events(spark, s"$tmp/nanos")
+    // the written encodings really are the two branch triggers
+    assert(spark.read.parquet(s"$tmp/ntz/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(spark.read.parquet(s"$tmp/nanos/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // both normalize to plain TIMESTAMP…
+    assert(ntz.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(nanos.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    // …with identical, UTC-pinned absolute instants (the session tz
+    // is UTC; a tz-shifting cast would break this equality)
+    def vals(df: org.apache.spark.sql.DataFrame): List[Long] =
+      df.orderBy("event_id").select(unix_micros(col("ts")))
+        .collect().map(_.getLong(0)).toList
+    val expect = rows.map { case (_, s2, _, _, _, _) =>
+      val i = java.time.LocalDateTime.parse(s2)
+        .toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }.toList
+    assert(vals(ntz) == expect)
+    assert(vals(nanos) == expect)
+  }
+
   test("parquet schema evolution: mergeSchema unions old and new columns") {
     val df = Relational.t(spark, sf0001, "region")
     df.write.mode("overwrite").parquet(s"$tmp/evo/v1")
