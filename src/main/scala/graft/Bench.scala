@@ -125,8 +125,10 @@ object Bench {
       "s03_label_stats", "s04_native_topk", "t01_token_stats",
       "t02_quality", "t03_langid", "t04_fingerprints")
     // a renamed/removed query must not silently drop out of the
-    // judge's comparison prefix — drift fails loudly here
-    val missing = baselineSet -- results.map(_._1).toSet
+    // judge's comparison prefix — drift fails loudly here. Checked
+    // against the REGISTRY, not this run's results: an announced
+    // SPARK_GRAFT_SKIP (e.g. d03 on ×K scale runs) is not drift.
+    val missing = baselineSet -- SparkEntry.queries.keySet
     require(missing.isEmpty,
       s"baselineSet drift — queries gone from the registry: ${missing.toSeq.sorted.mkString(",")}")
     val lineBudget = 1850

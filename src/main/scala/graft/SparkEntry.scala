@@ -74,6 +74,7 @@ object SparkEntry {
     "t08_gopher_rules" -> ((s: SparkSession, dir: String) => TextAnalysis.gopherRuleStats(s, dir)),
     "t09_zipf_rank" -> ((s: SparkSession, dir: String) => TextAnalysis.zipfRankStats(s, dir)),
     "t10_bm25" -> ((s: SparkSession, dir: String) => TextAnalysis.bm25Search(s, dir)),
+    "t11_unigram_ce" -> ((s: SparkSession, dir: String) => TextAnalysis.unigramCrossEntropy(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -1090,6 +1091,38 @@ object SparkEntry {
            FROM base b, stats s)
          SELECT doc_id, n_tokens, score FROM scored WHERE score > 0
          ORDER BY score DESC, doc_id LIMIT 10""",
+    // t11: unigram-LM cross-entropy — the oracle trains the identical
+    // add-one-smoothed top-24 unigram model (vocab sized to the
+    // 31-distinct-token gate corpus so the OOV class is live) and replays the
+    // micronat-scaled (floor(v*1e6+0.5) as BIGINT) order-free
+    // summation, so every float total is exact integer arithmetic on
+    // both engines; ln sees identical double inputs (the t10
+    // precedent: exact-integer-valued ratios)
+    "t11_unigram_ce" ->
+      """WITH tk AS (SELECT doc_id, lang, source,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         nn AS (SELECT sum(c) AS n FROM cnt),
+         vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 24),
+         tv AS (SELECT tk.doc_id, tk.lang, tk.source,
+             CAST(floor(ln(CAST(nn.n + 25 AS DOUBLE)
+                 / CAST(COALESCE(vocab.c, 0) + 1 AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS vs,
+             CASE WHEN vocab.c IS NULL THEN 0 ELSE 1 END AS iv
+           FROM tk LEFT JOIN vocab USING (tok) CROSS JOIN nn),
+         doc AS (SELECT doc_id, lang, source,
+             count(*) AS n_tok, CAST(sum(iv) AS BIGINT) AS n_iv,
+             CAST(sum(vs) AS DOUBLE) / 1000000 / count(*) AS ce
+           FROM tv GROUP BY 1, 2, 3)
+         SELECT lang, source, count(*) AS n_docs,
+           floor(CAST(sum(CAST(floor(ce * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / count(*) * 1000 + 0.5) / 1000 AS avg_ce,
+           floor(min(ce) * 1000 + 0.5) / 1000 AS min_ce,
+           floor(max(ce) * 1000 + 0.5) / 1000 AS max_ce,
+           floor((1 - CAST(sum(n_iv) AS DOUBLE) / sum(n_tok)) * 10000 + 0.5)
+             / 10000 AS oov_rate
+         FROM doc GROUP BY 1, 2 ORDER BY 1, 2""",
     "p03_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          r AS (SELECT lang, n_docs,

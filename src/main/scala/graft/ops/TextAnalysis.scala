@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Relational.{t, r2, r4}
+import graft.ops.Relational.{t, r2, r3, r4}
 
 /** Text analysis for large-scale training-data pipelines: language-ID,
   * quality scoring, token counting, fingerprinting — all as pure
@@ -330,5 +330,82 @@ object TextAnalysis {
       .filter(col("score") > 0)
       .select(col("doc_id"), col("n_tokens"), col("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Unigram-LM cross-entropy scoring (t11) — the CCNet/RedPajama
+    * quality signal: train a unigram language model on the corpus
+    * itself (top-`vocabSize` tokens by frequency, add-one smoothing
+    * with a single OOV class), score every document by its mean
+    * per-token cross-entropy `avg(-ln p(tok))`, and report per
+    * (lang, source): doc count, mean/min/max cross-entropy, and the
+    * OOV rate. Low-CE groups are repetitive/boilerplate-like; high-CE
+    * groups are far from the corpus distribution (noise, wrong
+    * language) — the two tails CCNet's head/middle/tail split prunes.
+    * Reference analog: the corpus filter/score chains of
+    * streamable/stream.py:230-326, specialized to LM-based scoring.
+    *
+    * Scale design: ONE token-count shuffle (map-side combine) builds
+    * the LM; top-V is a bounded-heap TakeOrderedAndProject (count
+    * desc, token asc — [[vocabRankMap]]'s tie contract); the V-entry
+    * (token → count) map plus the scalar N broadcast as one row, so
+    * scoring is a single narrow text scan with an in-row map lookup
+    * per token — no (doc, token) explode, no second shuffle; the
+    * final per-(lang, source) aggregate is map-side partial. The
+    * count frame is localCheckpointed once (|vocab| rows — the bm25
+    * stats-row asymmetry) because N and the top-V heap both read it.
+    *
+    * Cross-engine determinism: per-token values are
+    * `ln((N+V+1)/(c+1))` — both engines divide identical exact-
+    * integer-valued doubles, so `ln` sees identical input (the t10
+    * BM25 precedent) — then every floating sum is made order-free by
+    * scaling to integer micronats (`floor(v·1e6 + ½)` as LONG) before
+    * summing, the decimal-exact-summation discipline of the k-means
+    * trainer applied with longs: per-doc and per-group sums are exact
+    * integer arithmetic in ANY execution order, on either engine.
+    * Long headroom: ~1.2e7 micronats/token × 1e6-token documents =
+    * 1.2e13 per doc-sum — five orders below overflow at 100 TB.
+    *
+    * `vocabSize` 0 (the default) resolves via session conf
+    * `graft.unigram.vocab` (the pqTopK dim-via-conf pattern),
+    * defaulting to 24 — SIZED TO THIS CORPUS like d12's threshold:
+    * the synthetic documents draw from only 31 distinct tokens, so a
+    * production-sized vocab (CCNet runs 10⁴–10⁵) would cover every
+    * token and leave the OOV class dead in every gate run; at 24 both
+    * the in-vocab and OOV paths score real tokens and every group's
+    * measured oov_rate is non-trivially between 0 and 1. */
+  def unigramCrossEntropy(s: SparkSession, dir: String,
+      vocabSizeParam: Int = 0): DataFrame = {
+    val vocabSize = if (vocabSizeParam > 0) vocabSizeParam
+      else s.conf.get("graft.unigram.vocab", "24").toInt
+    val docs = t(s, dir, "documents")
+    val cnt = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nRow = cnt.agg(sum("c").as("n"))
+    val vocabRow = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("c")))).as("vmap"))
+    val stats = nRow.crossJoin(vocabRow)
+    val toks = tokens(col("text"))
+    val perDoc = docs.crossJoin(broadcast(stats))
+      .withColumn("vals", transform(toks, tk =>
+        log((col("n") + lit(vocabSize.toLong + 1L)).cast("double") /
+          (coalesce(try_element_at(col("vmap"), tk), lit(0L)) + lit(1L))
+            .cast("double"))))
+      .withColumn("n_tok", size(col("vals")).cast("long"))
+      .withColumn("n_iv", size(filter(toks,
+        tk => try_element_at(col("vmap"), tk).isNotNull)).cast("long"))
+      .withColumn("ce",
+        aggregate(col("vals"), lit(0L),
+          (acc, v) => acc + floor(v * lit(1e6) + lit(0.5)))
+          .cast("double") / lit(1e6) / col("n_tok"))
+    perDoc.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        r3(sum(floor(col("ce") * lit(1e6) + lit(0.5))).cast("double") /
+          lit(1e6) / count(lit(1))).as("avg_ce"),
+        r3(min(col("ce"))).as("min_ce"),
+        r3(max(col("ce"))).as("max_ce"),
+        r4(lit(1.0) - sum(col("n_iv")).cast("double") / sum(col("n_tok")))
+          .as("oov_rate"))
+      .orderBy("lang", "source")
   }
 }

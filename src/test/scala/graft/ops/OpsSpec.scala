@@ -1066,6 +1066,47 @@ class OpsSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("t11: unigram cross-entropy ≡ driver-replicated LM (micronat-exact sums)") {
+    // the full model replayed in plain Scala: top-24 add-one unigram
+    // LM, per-token ln((N+V+1)/(c+1)) scaled to integer micronats
+    // before ANY summation — the exact arithmetic the Spark side and
+    // the DuckDB oracle both commit to
+    val rows = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val allToks = rows.flatMap(_._4.trim.split("\\s+"))
+    val cnt = allToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = allToks.length.toLong
+    val v = 24
+    val vocab = cnt.toSeq.sortBy { case (tk, c) => (-c, tk) }.take(v).toMap
+    def micronats(tok: String): Long = {
+      val c = vocab.getOrElse(tok, 0L)
+      math.floor(math.log((n + v + 1).toDouble / (c + 1).toDouble) * 1e6 + 0.5).toLong
+    }
+    def r3d(x: Double) = math.floor(x * 1000 + 0.5) / 1000
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val perDoc = rows.map { case (_, lang, src, text) =>
+      val ts = text.trim.split("\\s+")
+      val ce = ts.map(micronats).sum.toDouble / 1e6 / ts.length
+      (lang, src, ce, ts.length.toLong, ts.count(vocab.contains).toLong)
+    }
+    val model = perDoc.groupBy(d => (d._1, d._2)).toSeq.sortBy(_._1)
+      .map { case ((lang, src), ds) =>
+        val avg = ds.map(d => math.floor(d._3 * 1e6 + 0.5).toLong).sum
+          .toDouble / 1e6 / ds.length
+        (lang, src, ds.length.toLong, r3d(avg),
+          r3d(ds.map(_._3).min), r3d(ds.map(_._3).max),
+          r4d(1.0 - ds.map(_._5).sum.toDouble / ds.map(_._4).sum))
+      }
+    val got = TextAnalysis.unigramCrossEntropy(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == model)
+    // vocab 24 of 31 distinct tokens: BOTH LM branches live — every
+    // group scores real in-vocab tokens AND real OOV mass
+    assert(got.forall(g => g._7 > 0 && g._7 < 1), s"dead OOV branch: $got")
+  }
+
   test("rerank topk: k exact-scored neighbors per query, subset of SQ candidates") {
     val k = 5
     val out = Similarity.rerankTopK(spark, sf0001, k = k).collect()
