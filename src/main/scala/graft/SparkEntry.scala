@@ -108,6 +108,8 @@ object SparkEntry {
     "d11_repeated_spans" -> ((s: SparkSession, dir: String) => Dedup.repeatedSpans(s, dir)),
     "d12_semdedup" -> ((s: SparkSession, dir: String) => Dedup.semDedup(s, dir)),
     "d13_semdedup_recall" -> ((s: SparkSession, dir: String) => Dedup.semDedupRecallAdvisory(s, dir)),
+    "c13_proto_prune" -> ((s: SparkSession, dir: String) => Similarity.prototypePruneStats(s, dir)),
+    "s13_knn_graph" -> ((s: SparkSession, dir: String) => Similarity.knnGraph(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "s02_lsh_topk" -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
@@ -351,6 +353,40 @@ object SparkEntry {
          floor(CAST(sum(cap) AS DOUBLE) / count(*) * 1000 + 0.5) / 1000 AS recall
        FROM f GROUP BY 1 ORDER BY 1"""
 
+  /** s13's oracle: the unrolled-Lloyd assignment + a within-cell
+    * self-join ranked per vector — rank ≤ k under the (sim desc
+    * r4-rounded, neighbor id) tie contract. */
+  private def s13OracleSql(nlist: Int, iters: Int, k: Int): String =
+    s"""WITH ${kmeansCtes(nlist, iters)},
+       ${kmeansAssignCte("af", s"c${iters}a")},
+       w AS (SELECT af.vec_id, af.cell, e.emb FROM af JOIN e USING (vec_id)),
+       p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+           ${oracleR4("list_cosine_similarity(a.emb, b.emb)")} AS sim
+         FROM w a JOIN w b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       r AS (SELECT vec_id, nb_id, sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rnk
+         FROM p)
+       SELECT vec_id, rnk, nb_id, sim FROM r WHERE rnk <= $k
+       ORDER BY vec_id, rnk"""
+
+  /** c13's oracle: per-vector cosine to the ASSIGNED cell's trained
+    * centroid, ranked within the cell (csim desc, vec_id), pruned =
+    * the top floor(n/4) most-prototypical members. */
+  private def c13OracleSql(nlist: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(nlist, iters)},
+       ${kmeansAssignCte("af", s"c${iters}a")},
+       sims AS (SELECT af.vec_id, af.cell,
+           ${oracleR4("list_cosine_similarity(e.emb, c.cemb)")} AS csim
+         FROM af JOIN e ON e.vec_id = af.vec_id
+         JOIN c${iters}a c ON c.cell = af.cell),
+       r AS (SELECT cell, vec_id, csim,
+           row_number() OVER (PARTITION BY cell ORDER BY csim DESC, vec_id) AS rnk,
+           count(*) OVER (PARTITION BY cell) AS n_members
+         FROM sims)
+       SELECT cell, vec_id, rnk, csim,
+         CAST(CASE WHEN rnk <= n_members // 4 THEN 1 ELSE 0 END AS INT) AS pruned
+       FROM r ORDER BY cell, rnk"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (weaker rows-only check):
     * d05/q24 (hash-sketch internals whose CLAIMS are oracled via the
@@ -368,6 +404,11 @@ object SparkEntry {
     // same Lloyd CTEs, brute-force pair ground truth, per-decile
     // captured fraction
     "d13_semdedup_recall" -> d13OracleSql(nlist = 32, iters = 2, threshold = 0.4),
+    // s13: cell-bounded kNN graph — the oracle replays assignment and
+    // ranks the within-cell pairs; c13: SSL-prototype pruning —
+    // cosine to the assigned trained centroid, top-quarter flagged
+    "s13_knn_graph" -> s13OracleSql(nlist = 32, iters = 2, k = 3),
+    "c13_proto_prune" -> c13OracleSql(nlist = 32, iters = 2),
     "s07_ivf_trained" -> s07OracleSql(nlist = 32, iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "s02_lsh_topk" -> s02OracleSql(bits = 4, tables = 8),
     // c01: contamination vs the src0 "benchmark" — string shingles in

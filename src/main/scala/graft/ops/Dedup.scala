@@ -851,7 +851,7 @@ object Dedup {
     * size `graft.neardup.n` (the [[embeddingNearDups]] convention —
     * a bigger corpus is a config change, not a code change; zero
     * driver jobs). */
-  private def resolvedNlist(s: SparkSession, param: Int): Int =
+  private[ops] def resolvedNlist(s: SparkSession, param: Int): Int =
     if (param > 0) param
     else {
       val conf = s.conf.get("graft.semdedup.nlist", "0").toInt

@@ -427,7 +427,94 @@ object Similarity {
       .withColumn("best", array_max(transform(col("cents"), c =>
         struct(r4(cosine(col("emb"), c("cemb"))).as("s"),
           (-c("cell")).as("nc")))))
-      .select(col("vec_id"), (-col("best.nc")).as("cell"), col("emb"))
+      .select(col("vec_id"), (-col("best.nc")).as("cell"),
+        col("best.s").as("csim"), col("emb"))
+  }
+
+  /** Cell-bounded k-NN graph (s13): for every corpus vector, its
+    * top-`k` most-similar neighbors WITHIN its own trained IVF cell —
+    * the approximate neighbor graph that diversity sampling,
+    * graph-based clustering, and SemDeDup-family curation build as
+    * their first step at scale. The cell restriction is the same
+    * recall trade as [[graft.ops.Dedup.semDedup]] (the cluster
+    * granularity bounds the quadratic term; cross-cell neighbors are
+    * invisible by design, measured by d13), and `nlist` resolves
+    * through the same sized rule, so per-cell work is a constant
+    * ~occupancy²·dim as the corpus grows.
+    *
+    * Plan shape: no join exists — assignment is the in-row argmax
+    * scan ([[trainedAssignedVectors]]), then ONE shuffle groups each
+    * cell and a `flatMapGroups` pass scores members pairwise and
+    * emits each member's bounded top-k (sim desc r4-rounded, then
+    * neighbor id — the s01 tie contract). Per-group memory is
+    * |cell|·dim·8 B; output is the n·k-row graph, written, never
+    * collected. Cosine arithmetic is operation-for-operation the
+    * kernel's (precomputed norms, left-to-right double dot), keeping
+    * the DuckDB oracle hash-exact. */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3,
+      nlist: Int = 0, iters: Int = 2): DataFrame = {
+    import s.implicits._
+    val nl = graft.ops.Dedup.resolvedNlist(s, nlist)
+    trainedAssignedVectors(s, dir, nl, iters)
+      .select(col("cell"), col("vec_id"), col("emb"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.toArray.sortBy(_._2)
+        val es = members.map(_._3)
+        val norms = es.map { e =>
+          var s2 = 0.0; var i = 0
+          while (i < e.length) { s2 += e(i) * e(i); i += 1 }
+          math.sqrt(s2)
+        }
+        members.indices.iterator.flatMap { a =>
+          val sims = members.indices.collect {
+            case b if b != a =>
+              val ea = es(a); val eb = es(b)
+              var dot = 0.0; var i = 0
+              while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
+              val sim = math.floor(dot / (norms(a) * norms(b)) * 10000 + 0.5) / 10000.0
+              (members(b)._2, sim)
+          }
+          sims.sortBy { case (nbId, sim) => (-sim, nbId) }
+            .take(k).zipWithIndex.map { case ((nbId, sim), i) =>
+              (members(a)._2, (i + 1).toLong, nbId, sim)
+            }
+        }
+      }
+      .toDF("vec_id", "rnk", "nb_id", "sim")
+      .orderBy("vec_id", "rnk")
+  }
+
+  /** SSL-prototypes pruning statistics (c13; Sorscher et al. 2022,
+    * "Beyond neural scaling laws", arXiv:2206.14486): within each
+    * trained cluster, rank members by cosine to their OWN centroid —
+    * the most prototypical (easiest, most redundant) quarter is the
+    * prune candidate set the paper's data-pruning rule discards on
+    * large corpora. Emits the full per-vector ranking with the prune
+    * flag so downstream curation can anti-join survivors.
+    *
+    * Scale design: assignment sim comes free from the
+    * [[trainedAssignedVectors]] argmax (no second scoring pass); the
+    * only shuffle is the rank window PARTITIONED BY cell — under the
+    * sized-nlist rule that is n/64 independent ~64-row partitions,
+    * parallelism growing with the corpus, never a global sort. The
+    * prune count is integer floor(n/4) per cell, and the rank tie
+    * contract (csim desc, vec_id) makes the flag deterministic on
+    * both engines. */
+  def prototypePruneStats(s: SparkSession, dir: String,
+      nlist: Int = 0, iters: Int = 2): DataFrame = {
+    val nl = graft.ops.Dedup.resolvedNlist(s, nlist)
+    val w = Window.partitionBy("cell")
+    trainedAssignedVectors(s, dir, nl, iters)
+      .select(col("cell"), col("vec_id"), col("csim"))
+      .withColumn("rnk", row_number()
+        .over(w.orderBy(col("csim").desc, col("vec_id"))).cast("long"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("pruned",
+        (col("rnk") <= col("n_members") / lit(4L)).cast("int"))
+      .select(col("cell"), col("vec_id"), col("rnk"), col("csim"), col("pruned"))
+      .orderBy("cell", "rnk")
   }
 
   /** The closed loop: IVF top-k over the TRAINED [[kmeansCodebook]]

@@ -1066,6 +1066,73 @@ class OpsSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("s13: cell-bounded knn graph ≡ per-cell brute force with the s01 tie contract") {
+    val cellOf = Similarity.trainedCentroids(spark, sf0001, 32, 2)._2
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val embs = Relational.t(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val k = 3
+    val model = cellOf.toSeq.groupBy(_._2).values.flatMap { xs =>
+      val ids = xs.map(_._1)
+      ids.flatMap { a =>
+        ids.filter(_ != a)
+          .map(b => (b, r4d(cos(embs(a), embs(b)))))
+          .sortBy { case (nb, sim) => (-sim, nb) }
+          .take(k).zipWithIndex
+          .map { case ((nb, sim), i) => (a, (i + 1).toLong, nb, sim) }
+      }
+    }.toSeq.sortBy(t2 => (t2._1, t2._2))
+    val got = Similarity.knnGraph(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == model)
+    // every vector in a multi-member cell has at least one neighbor
+    assert(got.map(_._1).distinct.size ==
+      cellOf.groupBy(_._2).values.filter(_.size > 1).map(_.size).sum)
+  }
+
+  test("c13: prototype-prune ranking ≡ cosine-to-own-centroid recomputation") {
+    val (centF, assignF) = Similarity.trainedCentroids(spark, sf0001, 32, 2)
+    val cents = centF.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val cellOf = assignF.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val embs = Relational.t(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val model = cellOf.toSeq.groupBy(_._2).toSeq.flatMap { case (cell, xs) =>
+      val ranked = xs.map(_._1)
+        .map(id => (id, r4d(cosD(embs(id), cents(cell)))))
+        .sortBy { case (id, csim) => (-csim, id) }
+      val nPruned = ranked.size / 4
+      ranked.zipWithIndex.map { case ((id, csim), i) =>
+        (cell, id, (i + 1).toLong, csim, if (i + 1 <= nPruned) 1 else 0)
+      }
+    }.sortBy(t2 => (t2._1, t2._3))
+    val got = Similarity.prototypePruneStats(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSeq
+    assert(got == model)
+    // the prune flag is live: some but not all vectors flagged
+    val flagged = got.count(_._5 == 1)
+    assert(flagged > 0 && flagged < got.size)
+  }
+
   test("t11: unigram cross-entropy ≡ driver-replicated LM (micronat-exact sums)") {
     // the full model replayed in plain Scala: top-24 add-one unigram
     // LM, per-token ln((N+V+1)/(c+1)) scaled to integer micronats
