@@ -55,6 +55,20 @@ class KmeansSpec extends SparkSpec {
     assert(cells(0L).head._2 == 2L)
   }
 
+  test("trained codebook is a session artifact: same key memoizes, other keys retrain") {
+    // six query families consume one Lloyd training; the checkpointed
+    // centroid frame is memoized per (session, dir, nlist, iters) —
+    // identical FRAME on a repeat call (not merely equal values), a
+    // fresh training for any other key, and the memoized frame still
+    // feeds the oracle-certified consumers (s06/s07/d12 specs)
+    val a = Similarity.trainedCentroids(spark, sf0001, 32, 2)._1
+    val b = Similarity.trainedCentroids(spark, sf0001, 32, 2)._1
+    assert(a eq b, "repeat call must return the memoized centroid frame")
+    val c = Similarity.trainedCentroids(spark, sf0001, 16, 2)._1
+    assert(!(c eq a), "different nlist must train its own codebook")
+    assert(c.select("cell").distinct().count() == 16)
+  }
+
   test("cosine kernel accepts double arrays and matches the composable form") {
     import org.apache.spark.sql.Row
     val df = Relational.t(spark, sf0001, "embeddings").limit(50)
