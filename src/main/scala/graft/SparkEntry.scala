@@ -110,6 +110,7 @@ object SparkEntry {
     "d13_semdedup_recall" -> ((s: SparkSession, dir: String) => Dedup.semDedupRecallAdvisory(s, dir)),
     "c13_proto_prune" -> ((s: SparkSession, dir: String) => Similarity.prototypePruneStats(s, dir)),
     "s13_knn_graph" -> ((s: SparkSession, dir: String) => Similarity.knnGraph(s, dir)),
+    "d14_cross_source_dups" -> ((s: SparkSession, dir: String) => Dedup.crossSourceNearDupMatrix(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "s02_lsh_topk" -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
@@ -409,6 +410,25 @@ object SparkEntry {
     // cosine to the assigned trained centroid, top-quarter flagged
     "s13_knn_graph" -> s13OracleSql(nlist = 32, iters = 2, k = 3),
     "c13_proto_prune" -> c13OracleSql(nlist = 32, iters = 2),
+    // d14: cross-source near-dup matrix — exact-Jaccard pair ground
+    // truth (the d04 identity on this corpus) joined to each side's
+    // source; the mean sums r3-scaled integer millis so the per-group
+    // average is order-free on both engines
+    "d14_cross_source_dups" ->
+      s"""WITH $shingleCtes,
+         jp AS (SELECT doc_a, doc_b,
+             floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 AS jaccard
+           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) / 1000 >= 0.6),
+         srcs AS (SELECT DISTINCT doc_id, source FROM toks),
+         m AS (SELECT least(sa.source, sb.source) AS src_a,
+             greatest(sa.source, sb.source) AS src_b, jaccard
+           FROM jp JOIN srcs sa ON sa.doc_id = jp.doc_a
+           JOIN srcs sb ON sb.doc_id = jp.doc_b)
+         SELECT src_a, src_b, count(*) AS n_pairs,
+           floor(CAST(sum(CAST(floor(jaccard * 1000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000 / count(*) * 1000 + 0.5) / 1000 AS avg_jaccard
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     "s07_ivf_trained" -> s07OracleSql(nlist = 32, iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "s02_lsh_topk" -> s02OracleSql(bits = 4, tables = 8),
     // c01: contamination vs the src0 "benchmark" — string shingles in

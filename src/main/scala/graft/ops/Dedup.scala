@@ -893,6 +893,42 @@ object Dedup {
       .orderBy("sim_bin")
   }
 
+  /** Cross-source near-duplicate matrix (d14): where the duplication
+    * comes FROM — for every (source, source) pair, the number of
+    * verified near-dup pairs spanning them and their mean Jaccard.
+    * The dataset diagnostic behind feed triage ("source B is mostly a
+    * re-crawl of source A — drop it") that doc-level dedup alone
+    * cannot answer. Same-source pairs appear on the diagonal;
+    * `least/greatest` orders each pair once.
+    *
+    * Scale design: the certified d04 sketch pipeline does ALL the
+    * heavy lifting ([[minhashLshPairsFromSets]] — banded candidates,
+    * exact verify), with `source` CARRIED on the one materialized
+    * sets frame; the two source lookups join the RARE verified-pair
+    * frame against that same narrow checkpointed frame (hint-free,
+    * the [[pairJaccard]] shape — cost ∝ pairs, not corpus). The mean
+    * Jaccard sums r3-scaled integer millis (exact recovery of the
+    * already-r3-rounded scores), so the per-group average is
+    * order-free exact integer arithmetic on both engines (the t11
+    * micronat discipline). */
+  def crossSourceNearDupMatrix(s: SparkSession, dir: String, n: Int = 5,
+      bands: Int = 16, rows: Int = 2, threshold: Double = 0.6): DataFrame = {
+    val sets = shingleHashSets(t(s, dir, "documents"), n,
+      carry = Seq("source")).localCheckpoint()
+    val pairs = minhashLshPairsFromSets(sets, bands, rows, threshold)
+    val src = sets.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jaccard"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        r3(sum(floor(col("jaccard") * lit(1000) + lit(0.5))).cast("double") /
+          lit(1000.0) / count(lit(1))).as("avg_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** [[repeatedSpans]] over any (doc_id, text) frame — the seam the
     * golden/property specs drive. */
   def repeatedSpansOf(docs: DataFrame, w: Int): DataFrame = {

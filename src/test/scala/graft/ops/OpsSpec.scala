@@ -1133,6 +1133,30 @@ class OpsSpec extends SparkSpec {
     assert(flagged > 0 && flagged < got.size)
   }
 
+  test("d14: cross-source matrix ≡ certified exact pairs regrouped by source") {
+    // the pair set itself is d03/d04-certified; this pins the matrix
+    // layer: least/greatest source ordering, milli-scaled exact mean
+    val srcOf = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.ngramJaccardPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    def r3d(x: Double) = math.floor(x * 1000 + 0.5) / 1000
+    val model = pairs.map { case (a, b, j) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa), j)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case ((sa, sb), xs) =>
+      val millis = xs.map(x => math.floor(x._2 * 1000 + 0.5).toLong).sum
+      (sa, sb, xs.size.toLong, r3d(millis.toDouble / 1000 / xs.size))
+    }
+    val got = Dedup.crossSourceNearDupMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == model)
+    // the matrix is genuinely cross-source on this corpus
+    assert(got.exists(g => g._1 != g._2), s"no cross-source dup pair: $got")
+  }
+
   test("t11: unigram cross-entropy ≡ driver-replicated LM (micronat-exact sums)") {
     // the full model replayed in plain Scala: top-24 add-one unigram
     // LM, per-token ln((N+V+1)/(c+1)) scaled to integer micronats
