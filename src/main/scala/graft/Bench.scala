@@ -30,6 +30,22 @@ object Bench {
     val skipped = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val baselineSet = Set(
+      "d01_exact_dedup", "d02_dup_groups", "d03_ngram_jaccard",
+      "d04_minhash_lsh", "d05_simhash_pairs", "e01_hourly",
+      "e02_sessions", "e03_top_users", "m01_media_meta",
+      "m02_decode_features", "m03_frames", "q01_pricing_summary",
+      "q02_revenue_forecast", "q03_top_revenue_orders",
+      "q04_region_nation_revenue", "q05_top_orders_per_customer",
+      "q06_first_order_per_customer", "q07_skip_take", "q08_takewhile",
+      "q09_distinct_consecutive", "q10_rollup", "q11_json_props",
+      "q12_monthly_orders", "q13_part_strings", "q14_running_spend",
+      "q15_count_distinct", "q16_chunked", "q17_anti_join",
+      "q18_semi_join", "q19_union", "q20_group_concat", "q21_cube",
+      "q22_intersect", "q23_except", "q24_approx_distinct",
+      "q25_quantiles", "s01_brute_topk", "s02_lsh_topk",
+      "s03_label_stats", "s04_native_topk", "t01_token_stats",
+      "t02_quality", "t03_langid", "t04_fingerprints")
     // Warmup pass: run every query once (codegen compilation, parquet
     // page-cache, executor-thread spin-up), then time TWO steady-state
     // passes and report the per-query minimum — JIT/GC/scheduler noise
@@ -37,6 +53,15 @@ object Bench {
     // the honest steady-state estimator. Caches are cleared between
     // queries in every pass so no query's .cache() skews a successor's
     // measurement.
+    // a renamed/removed query must not silently drop out of the
+    // judge's comparison prefix — drift fails loudly here, BEFORE the
+    // multi-minute warmup/steady passes, so a drifted registry costs
+    // seconds, not a discarded full run. Checked against the
+    // REGISTRY, not this run's results: an announced SPARK_GRAFT_SKIP
+    // (e.g. d03 on ×K scale runs) is not drift.
+    val missingBaseline = baselineSet -- SparkEntry.queries.keySet
+    require(missingBaseline.isEmpty,
+      s"baselineSet drift — queries gone from the registry: ${missingBaseline.toSeq.sorted.mkString(",")}")
     spark.range(1000).repartition(4).count()
     // persisted-index setup (s11): build outside any timed pass
     try graft.ops.Similarity.ensureIvfIndex(spark, sfDir)
@@ -108,29 +133,6 @@ object Bench {
     // line above for full-log readers. Budget 1850 leaves room for
     // sbt's trailing "[success] Total time..." line inside the
     // 2000-char tail.
-    val baselineSet = Set(
-      "d01_exact_dedup", "d02_dup_groups", "d03_ngram_jaccard",
-      "d04_minhash_lsh", "d05_simhash_pairs", "e01_hourly",
-      "e02_sessions", "e03_top_users", "m01_media_meta",
-      "m02_decode_features", "m03_frames", "q01_pricing_summary",
-      "q02_revenue_forecast", "q03_top_revenue_orders",
-      "q04_region_nation_revenue", "q05_top_orders_per_customer",
-      "q06_first_order_per_customer", "q07_skip_take", "q08_takewhile",
-      "q09_distinct_consecutive", "q10_rollup", "q11_json_props",
-      "q12_monthly_orders", "q13_part_strings", "q14_running_spend",
-      "q15_count_distinct", "q16_chunked", "q17_anti_join",
-      "q18_semi_join", "q19_union", "q20_group_concat", "q21_cube",
-      "q22_intersect", "q23_except", "q24_approx_distinct",
-      "q25_quantiles", "s01_brute_topk", "s02_lsh_topk",
-      "s03_label_stats", "s04_native_topk", "t01_token_stats",
-      "t02_quality", "t03_langid", "t04_fingerprints")
-    // a renamed/removed query must not silently drop out of the
-    // judge's comparison prefix — drift fails loudly here. Checked
-    // against the REGISTRY, not this run's results: an announced
-    // SPARK_GRAFT_SKIP (e.g. d03 on ×K scale runs) is not drift.
-    val missing = baselineSet -- SparkEntry.queries.keySet
-    require(missing.isEmpty,
-      s"baselineSet drift — queries gone from the registry: ${missing.toSeq.sorted.mkString(",")}")
     val lineBudget = 1850
     // both portions descending-cost so a forced truncation sheds the
     // cheapest (least informative) timings first, baseline included

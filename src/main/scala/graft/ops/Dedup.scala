@@ -808,20 +808,17 @@ object Dedup {
       .mapGroups { (cell, it) =>
         val members = it.toArray.sortBy(_._2)
         val es = members.map(_._3)
-        val norms = es.map { e =>
-          var s2 = 0.0; var i = 0
-          while (i < e.length) { s2 += e(i) * e(i); i += 1 }
-          math.sqrt(s2)
-        }
+        // arithmetic is [[Similarity.CellMath]] — the single shared
+        // definition of the kernel contract (zero-norm pairs score
+        // NaN, which compares false: a degenerate vector never drops,
+        // exactly as the kernel's null would behave here)
+        val norms = es.map(Similarity.CellMath.norm)
         var dropped = 0L
         var b = 1
         while (b < members.length) {
           var a = 0; var hit = false
           while (a < b && !hit) {
-            val ea = es(a); val eb = es(b)
-            var dot = 0.0; var i = 0
-            while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
-            val sim = math.floor(dot / (norms(a) * norms(b)) * 10000 + 0.5) / 10000.0
+            val sim = Similarity.CellMath.r4Cosine(es(a), es(b), norms(a), norms(b))
             if (sim >= threshold) { hit = true; dropped += 1 }
             a += 1
           }
@@ -910,7 +907,9 @@ object Dedup {
     * Jaccard sums r3-scaled integer millis (exact recovery of the
     * already-r3-rounded scores), so the per-group average is
     * order-free exact integer arithmetic on both engines (the t11
-    * micronat discipline). */
+    * micronat discipline). Reference analog: the keyed `group(by=)`
+    * aggregation of streamable/stream.py:153-165, keyed here on the
+    * source pair of each verified duplicate. */
   def crossSourceNearDupMatrix(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 16, rows: Int = 2, threshold: Double = 0.6): DataFrame = {
     val sets = shingleHashSets(t(s, dir, "documents"), n,

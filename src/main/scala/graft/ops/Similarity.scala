@@ -357,9 +357,52 @@ object Similarity {
     * instance: a fresh session retrains (checkpointed blocks die with
     * their session), and Bench's between-query `clearCache()` cannot
     * silently drop it mid-measurement — the first consumer (or the
-    * warmup pass) pays training, exactly like `ensureIvfIndex`. */
+    * warmup pass) pays training, exactly like `ensureIvfIndex`.
+    *
+    * Two staleness/leak guards: the key carries the CANONICAL path
+    * and the embeddings table's last-modified stamp, so a same-
+    * session overwrite of the corpus (regenerated tmp dir, rewritten
+    * sf dir) misses the cache and retrains on the new data instead of
+    * silently serving stale centroids; and every lookup first sweeps
+    * entries whose session has stopped, so a long-lived JVM cycling
+    * SparkSessions (sequential suites, services) cannot pin dead
+    * session graphs. Entries for superseded mtimes of a LIVE session
+    * are dropped by the same sweep predicate. A concurrent first call
+    * may train twice and discard one result (getOrElseUpdate is not
+    * atomic across the training job) — a bounded one-off, not a
+    * correctness issue. */
   private val centCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Int), DataFrame]
+    .empty[(SparkSession, String, Long, Int, Int), DataFrame]
+
+  private def embStamp(dir: String): (String, Long) = {
+    val f = new java.io.File(dir, "embeddings.parquet")
+    (f.getParentFile.getCanonicalPath, f.lastModified)
+  }
+
+  /** The ONE definition of the per-cell pairwise-cosine arithmetic
+    * shared by [[graft.ops.Dedup.semDedup]] (d12) and [[knnGraph]]
+    * (s13): left-to-right double dot, sqrt·sqrt norm product, r4
+    * floor-rounding — operation-for-operation the codegen kernel's,
+    * held in one place so the two JVM loops can never desynchronize
+    * from each other or from the DuckDB-certified contract.
+    * Zero-norm inputs yield NaN here where the kernel yields null;
+    * both compare false against any threshold (d12's prune can never
+    * fire on a degenerate vector, matching the kernel-backed join
+    * formulation), and rank-consumers (s13) must SKIP NaN pairs
+    * explicitly — the kernel's null would never rank. */
+  private[ops] object CellMath {
+    def norm(e: Array[Double]): Double = {
+      var s2 = 0.0; var i = 0
+      while (i < e.length) { s2 += e(i) * e(i); i += 1 }
+      math.sqrt(s2)
+    }
+    def r4Cosine(ea: Array[Double], eb: Array[Double],
+        na: Double, nb: Double): Double = {
+      var dot = 0.0; var i = 0
+      while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
+      math.floor(dot / (na * nb) * 10000 + 0.5) / 10000.0
+    }
+  }
 
   /** The Lloyd-training core shared by [[kmeansCodebook]] (publishes
     * centroids + member counts) and [[ivfTopKTrained]] (needs only the
@@ -392,7 +435,12 @@ object Similarity {
         .select(col("vec_id"), (-col("x.nc")).as("cell"))
     }
 
-    val trained = centCache.getOrElseUpdate((s, dir, nlist, iters), {
+    val (canon, stamp) = embStamp(dir)
+    centCache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped ||
+        (k._1.eq(s) && k._2 == canon && k._3 != stamp)) centCache.remove(k)
+    }
+    val trained = centCache.getOrElseUpdate((s, canon, stamp, nlist, iters), {
       // round-0 codebook: the s05 seed vectors (ids [100, 100+nlist))
       var cent = m.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
         .select((col("vec_id") - 100).as("cell"), col("dim"), col("v").as("cval"))
@@ -468,7 +516,9 @@ object Similarity {
     * |cell|·dim·8 B; output is the n·k-row graph, written, never
     * collected. Cosine arithmetic is operation-for-operation the
     * kernel's (precomputed norms, left-to-right double dot), keeping
-    * the DuckDB oracle hash-exact. */
+    * the DuckDB oracle hash-exact. Reference analog: the per-element
+    * transform/group chains of streamable/stream.py:96-151, here as a
+    * whole-corpus graph materialization. */
   def knnGraph(s: SparkSession, dir: String, k: Int = 3,
       nlist: Int = 0, iters: Int = 2): DataFrame = {
     import s.implicits._
@@ -480,19 +530,33 @@ object Similarity {
       .flatMapGroups { (_, it) =>
         val members = it.toArray.sortBy(_._2)
         val es = members.map(_._3)
-        val norms = es.map { e =>
-          var s2 = 0.0; var i = 0
-          while (i < e.length) { s2 += e(i) * e(i); i += 1 }
-          math.sqrt(s2)
+        val norms = es.map(CellMath.norm)
+        // symmetric sims computed ONCE per unordered pair (the upper
+        // triangle), mirrored into a flat |cell|² lookup — halves the
+        // dominant occupancy²·dim cost; the lookup is ~32 KB at the
+        // sized occupancy (64² doubles), bounded by the same knob as
+        // everything else in the group. Zero-norm members score NaN
+        // and are skipped below (the kernel's null-never-ranks
+        // contract — see [[CellMath]]).
+        val nM = members.length
+        val simArr = new Array[Double](nM * nM)
+        var a0 = 0
+        while (a0 < nM) {
+          var b0 = a0 + 1
+          while (b0 < nM) {
+            val sim =
+              if (norms(a0) == 0 || norms(b0) == 0) Double.NaN
+              else CellMath.r4Cosine(es(a0), es(b0), norms(a0), norms(b0))
+            simArr(a0 * nM + b0) = sim
+            simArr(b0 * nM + a0) = sim
+            b0 += 1
+          }
+          a0 += 1
         }
         members.indices.iterator.flatMap { a =>
           val sims = members.indices.collect {
-            case b if b != a =>
-              val ea = es(a); val eb = es(b)
-              var dot = 0.0; var i = 0
-              while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
-              val sim = math.floor(dot / (norms(a) * norms(b)) * 10000 + 0.5) / 10000.0
-              (members(b)._2, sim)
+            case b if b != a && !simArr(a * nM + b).isNaN =>
+              (members(b)._2, simArr(a * nM + b))
           }
           sims.sortBy { case (nbId, sim) => (-sim, nbId) }
             .take(k).zipWithIndex.map { case ((nbId, sim), i) =>
@@ -519,7 +583,9 @@ object Similarity {
     * parallelism growing with the corpus, never a global sort. The
     * prune count is integer floor(n/4) per cell, and the rank tie
     * contract (csim desc, vec_id) makes the flag deterministic on
-    * both engines. */
+    * both engines. Reference analog: the filter/distinct curation
+    * chains of streamable/stream.py:230-326, specialized to
+    * geometry-ranked pruning. */
   def prototypePruneStats(s: SparkSession, dir: String,
       nlist: Int = 0, iters: Int = 2): DataFrame = {
     val nl = graft.ops.Dedup.resolvedNlist(s, nlist)

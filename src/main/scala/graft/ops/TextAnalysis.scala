@@ -386,17 +386,22 @@ object TextAnalysis {
       .agg(map_from_entries(collect_list(struct(col("tok"), col("c")))).as("vmap"))
     val stats = nRow.crossJoin(vocabRow)
     val toks = tokens(col("text"))
+    // ONE vocab-map probe per token: the probe's count feeds both the
+    // micronat value and the in-vocab flag from a single struct, so
+    // the corpus-wide scoring scan walks each token array once
     val perDoc = docs.crossJoin(broadcast(stats))
-      .withColumn("vals", transform(toks, tk =>
-        log((col("n") + lit(vocabSize.toLong + 1L)).cast("double") /
-          (coalesce(try_element_at(col("vmap"), tk), lit(0L)) + lit(1L))
-            .cast("double"))))
-      .withColumn("n_tok", size(col("vals")).cast("long"))
-      .withColumn("n_iv", size(filter(toks,
-        tk => try_element_at(col("vmap"), tk).isNotNull)).cast("long"))
+      .withColumn("tv", transform(toks, { tk =>
+        val c = coalesce(try_element_at(col("vmap"), tk), lit(0L))
+        struct(
+          floor(log((col("n") + lit(vocabSize.toLong + 1L)).cast("double") /
+            (c + lit(1L)).cast("double")) * lit(1e6) + lit(0.5)).as("vs"),
+          (c > lit(0L)).cast("long").as("iv"))
+      }))
+      .withColumn("n_tok", size(col("tv")).cast("long"))
+      .withColumn("n_iv",
+        aggregate(col("tv"), lit(0L), (acc, x) => acc + x("iv")))
       .withColumn("ce",
-        aggregate(col("vals"), lit(0L),
-          (acc, v) => acc + floor(v * lit(1e6) + lit(0.5)))
+        aggregate(col("tv"), lit(0L), (acc, x) => acc + x("vs"))
           .cast("double") / lit(1e6) / col("n_tok"))
     perDoc.groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),

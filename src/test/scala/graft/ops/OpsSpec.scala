@@ -963,20 +963,11 @@ class OpsSpec extends SparkSpec {
     val embs = Relational.t(spark, sf0001, "embeddings")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val model = cellOf.toSeq.groupBy(_._2).view
       .mapValues(_.map(_._1).sorted).toMap
       .map { case (cell, ids) =>
         val nDrop = ids.count(b2 => ids.exists(a2 =>
-          a2 < b2 && r4d(cos(embs(a2), embs(b2))) >= 0.4))
+          a2 < b2 && modelR4(modelCos(embs(a2), embs(b2))) >= 0.4))
         (cell, ids.length.toLong, nDrop.toLong)
       }.toSeq.sortBy(_._1)
     val got = Dedup.semDedup(spark, sf0001).collect()
@@ -1004,20 +995,11 @@ class OpsSpec extends SparkSpec {
     val embs = Relational.t(spark, sf0001, "embeddings")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val model = cellOf.toSeq.groupBy(_._2).view
       .mapValues(_.map(_._1).sorted).toMap
       .map { case (cell, ids) =>
         val nDrop = ids.count(b2 => ids.exists(a2 =>
-          a2 < b2 && r4d(cos(embs(a2), embs(b2))) >= 0.4))
+          a2 < b2 && modelR4(modelCos(embs(a2), embs(b2))) >= 0.4))
         (cell, ids.length.toLong, nDrop.toLong)
       }.toSeq.sortBy(_._1)
     def run() = Dedup.semDedup(spark, sf0001, nlist = 16).collect()
@@ -1041,19 +1023,10 @@ class OpsSpec extends SparkSpec {
     val embs = Relational.t(spark, sf0001, "embeddings")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val ids = embs.keys.toSeq.sorted
     val pairs = for {
       i <- ids.indices; j <- (i + 1) until ids.size
-      sim = r4d(cos(embs(ids(i)), embs(ids(j)))) if sim >= 0.4
+      sim = modelR4(modelCos(embs(ids(i)), embs(ids(j)))) if sim >= 0.4
     } yield (math.floor(sim * 10) / 10.0, cellOf(ids(i)) == cellOf(ids(j)))
     assert(pairs.nonEmpty, "no pairs above threshold — planted near-dups missing?")
     val model = pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, xs) =>
@@ -1072,21 +1045,12 @@ class OpsSpec extends SparkSpec {
     val embs = Relational.t(spark, sf0001, "embeddings")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val k = 3
     val model = cellOf.toSeq.groupBy(_._2).values.flatMap { xs =>
       val ids = xs.map(_._1)
       ids.flatMap { a =>
         ids.filter(_ != a)
-          .map(b => (b, r4d(cos(embs(a), embs(b)))))
+          .map(b => (b, modelR4(modelCos(embs(a), embs(b)))))
           .sortBy { case (nb, sim) => (-sim, nb) }
           .take(k).zipWithIndex
           .map { case ((nb, sim), i) => (a, (i + 1).toLong, nb, sim) }
@@ -1109,15 +1073,9 @@ class OpsSpec extends SparkSpec {
     val embs = Relational.t(spark, sf0001, "embeddings")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
-    def cosD(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val model = cellOf.toSeq.groupBy(_._2).toSeq.flatMap { case (cell, xs) =>
       val ranked = xs.map(_._1)
-        .map(id => (id, r4d(cosD(embs(id), cents(cell)))))
+        .map(id => (id, modelR4(modelCosD(embs(id), cents(cell)))))
         .sortBy { case (id, csim) => (-csim, id) }
       val nPruned = ranked.size / 4
       ranked.zipWithIndex.map { case ((id, csim), i) =>
@@ -1142,13 +1100,12 @@ class OpsSpec extends SparkSpec {
     val pairs = Dedup.ngramJaccardPairs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.nonEmpty)
-    def r3d(x: Double) = math.floor(x * 1000 + 0.5) / 1000
     val model = pairs.map { case (a, b, j) =>
       val (sa, sb) = (srcOf(a), srcOf(b))
       ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa), j)
     }.groupBy(_._1).toSeq.sortBy(_._1).map { case ((sa, sb), xs) =>
       val millis = xs.map(x => math.floor(x._2 * 1000 + 0.5).toLong).sum
-      (sa, sb, xs.size.toLong, r3d(millis.toDouble / 1000 / xs.size))
+      (sa, sb, xs.size.toLong, modelR3(millis.toDouble / 1000 / xs.size))
     }
     val got = Dedup.crossSourceNearDupMatrix(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
@@ -1174,8 +1131,6 @@ class OpsSpec extends SparkSpec {
       val c = vocab.getOrElse(tok, 0L)
       math.floor(math.log((n + v + 1).toDouble / (c + 1).toDouble) * 1e6 + 0.5).toLong
     }
-    def r3d(x: Double) = math.floor(x * 1000 + 0.5) / 1000
-    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val perDoc = rows.map { case (_, lang, src, text) =>
       val ts = text.trim.split("\\s+")
       val ce = ts.map(micronats).sum.toDouble / 1e6 / ts.length
@@ -1185,9 +1140,9 @@ class OpsSpec extends SparkSpec {
       .map { case ((lang, src), ds) =>
         val avg = ds.map(d => math.floor(d._3 * 1e6 + 0.5).toLong).sum
           .toDouble / 1e6 / ds.length
-        (lang, src, ds.length.toLong, r3d(avg),
-          r3d(ds.map(_._3).min), r3d(ds.map(_._3).max),
-          r4d(1.0 - ds.map(_._5).sum.toDouble / ds.map(_._4).sum))
+        (lang, src, ds.length.toLong, modelR3(avg),
+          modelR3(ds.map(_._3).min), modelR3(ds.map(_._3).max),
+          modelR4(1.0 - ds.map(_._5).sum.toDouble / ds.map(_._4).sum))
       }
     val got = TextAnalysis.unigramCrossEntropy(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
