@@ -481,20 +481,51 @@ object Similarity {
     * shuffles: one corpus scan, embeddings never leave their row. */
   private[ops] def trainedAssignedVectors(s: SparkSession, dir: String,
       nlist: Int, iters: Int): DataFrame = {
-    val (cent, _) = trainedCentroids(s, dir, nlist, iters)
-    val carr = cent.groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("p"))
-      .select(col("cell"), transform(col("p"), x => x("cval")).as("cemb"))
-    val cents = carr.agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
     t(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))
-      .crossJoin(broadcast(cents))
-      .withColumn("best", array_max(transform(col("cents"), c =>
-        struct(r4(cosine(col("emb"), c("cemb"))).as("s"),
-          (-c("cell")).as("nc")))))
+      .crossJoin(broadcast(trainedCodebookRow(s, dir, nlist, iters)))
+      .withColumn("best", bestCellStruct(col("cents"), col("emb")))
       .select(col("vec_id"), (-col("best.nc")).as("cell"),
         col("best.s").as("csim"), col("emb"))
+  }
+
+  /** The trained codebook collapsed to ONE broadcastable row — a
+    * `cents` array of (cell, cemb) structs, nlist×dim doubles
+    * regardless of corpus size. The static half of every in-row
+    * assignment (batch [[trainedAssignedVectors]], streaming
+    * [[graft.streaming.Streams.semanticProbeStream]]). */
+  def trainedCodebookRow(s: SparkSession, dir: String,
+      nlist: Int, iters: Int): DataFrame = {
+    val (cent, _) = trainedCentroids(s, dir, nlist, iters)
+    cent.groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("p"))
+      .select(col("cell"), transform(col("p"), x => x("cval")).as("cemb"))
+      .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+  }
+
+  /** In-row cell argmax against a collected codebook array column —
+    * struct(s = r4 cosine to the winning centroid, nc = -cell), the
+    * max picking highest sim then lowest cell (the oracle's
+    * row_number tie contract). ONE definition shared by the batch
+    * assignment and the streaming probe so the two can never
+    * desynchronize. */
+  def bestCellStruct(cents: Column, emb: Column): Column =
+    array_max(transform(cents, c =>
+      struct(r4(cosine(emb, c("cemb"))).as("s"), (-c("cell")).as("nc"))))
+
+  /** The static side of the streaming semantic near-dup gate: the
+    * trained per-cell member index (cell, match_id, emb_a) plus the
+    * one-row codebook. Build ONCE and persist (the
+    * [[graft.streaming.Streams.nearDupBandIndex]] advice — the static
+    * side of a stream-static join re-evaluates per micro-batch). */
+  def semanticIndex(s: SparkSession, dir: String, nlist: Int = 0,
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    val nl = graft.ops.Dedup.resolvedNlist(s, nlist)
+    (trainedAssignedVectors(s, dir, nl, iters)
+       .select(col("cell"), col("vec_id").as("match_id"),
+         col("emb").as("emb_a")),
+     trainedCodebookRow(s, dir, nl, iters))
   }
 
   /** Cell-bounded k-NN graph (s13): for every corpus vector, its

@@ -133,6 +133,43 @@ object Streams {
 
   final case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
 
+  final case class Vec(vec_id: Long, embedding: Seq[Float])
+
+  /** Streaming SemDeDup gate (the d12 contract, incremental): probe a
+    * stream of embedding rows against the PREBUILT semantic index
+    * from [[graft.ops.Similarity.semanticIndex]] — each probe is
+    * assigned its trained cell IN-ROW (broadcast one-row codebook +
+    * the same `bestCellStruct` argmax the batch assignment uses, so
+    * stream and batch can never disagree on a cell), then a
+    * stream-static equi-join on `cell` scores it against only that
+    * cell's members. Emits (probe_id, match_id, cell, sim) for every
+    * indexed vector at r4(cosine) ≥ `threshold` — the arriving
+    * vector's semantic near-dups, visible before ingestion commits.
+    * Stateless (no watermark, no state store): cost per micro-batch
+    * is |batch| × |cell| kernel cosines, never corpus². Same
+    * within-cluster recall trade as d12, measured by d13. Reference
+    * analog: the filter-against-corpus gate chains of
+    * streamable/stream.py:230-326, event-driven. */
+  def semanticProbeStream(vecs: DataFrame, index: DataFrame,
+      cents: DataFrame, threshold: Double = 0.4): DataFrame = {
+    import graft.ops.{Relational, Similarity}
+    val probe = vecs
+      .select(col("vec_id").as("probe_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb_b"))
+      .crossJoin(broadcast(cents))
+      .withColumn("best", Similarity.bestCellStruct(col("cents"), col("emb_b")))
+      .select(col("probe_id"), (-col("best.nc")).as("cell"), col("emb_b"))
+    probe.join(index, Seq("cell"))
+      // disjoint batch-vs-index contract (d09): a probe re-using an
+      // indexed id is the stale-entry case and must surface, so only
+      // exact self-pairs are suppressed
+      .filter(col("probe_id") =!= col("match_id"))
+      .withColumn("sim", Relational.r4(
+        Similarity.cosine(col("emb_b"), col("emb_a"))))
+      .filter(col("sim") >= threshold)
+      .select("probe_id", "match_id", "cell", "sim")
+  }
+
   /** Streaming curation: the batch curation operators composed on an
     * unbounded document stream — length filtering and exact dedup are
     * pure column expressions ([[graft.ops.TextAnalysis.tokens]] /

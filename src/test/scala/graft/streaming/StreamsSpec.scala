@@ -158,6 +158,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticProbeStream: streamed embeddings hit their cell's near-dups, stream ≡ batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val (index, cents) = graft.ops.Similarity.semanticIndex(s, sf0001)
+    // probes: an exact COPY of corpus vector 0 under a fresh id (must
+    // surface its own original at sim 1.0), and one with every sign
+    // flipped (anti-correlated — can never reach the 0.4 gate)
+    val v0 = graft.ops.Relational.t(s, sf0001, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val probes = Seq(
+      Streams.Vec(9001L, v0),
+      Streams.Vec(9002L, v0.map(x => -x)))
+    val mem = MemoryStream[Streams.Vec]
+    val q = Streams.semanticProbeStream(mem.toDF(), index, cents)
+      .writeStream.format("memory").queryName("semprobe").outputMode("append").start()
+    try {
+      mem.addData(probes: _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT probe_id, match_id, cell, sim FROM semprobe")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t2 => (t2._1, t2._2)).toList
+      // batch run of the IDENTICAL transform over the same probe rows
+      // — the stream must equal the one-shot answer (stateless gate)
+      val batch = Streams.semanticProbeStream(
+          probes.toDF(), index, cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t2 => (t2._1, t2._2)).toList
+      assert(got == batch)
+      // the planted copy finds its original at exactly 1.0
+      assert(got.exists(r => r._1 == 9001L && r._2 == 0L && r._4 == 1.0),
+        s"copy of vec 0 did not surface its original: $got")
+      // the anti-correlated probe never passes the gate
+      assert(!got.exists(_._1 == 9002L), s"sign-flipped probe matched: $got")
+    } finally q.stop()
+  }
+
   test("nearDupProbeStream: micro-batches probe the static band index statelessly") {
     val s = spark
     import s.implicits._
