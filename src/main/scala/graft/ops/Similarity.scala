@@ -424,10 +424,7 @@ object Similarity {
     val corpus = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("demb"))
     def assign(c: DataFrame): DataFrame = {
-      val carr = c.groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("p"))
-        .select(col("cell"), transform(col("p"), x => x("cval")).as("cemb"))
-      corpus.crossJoin(broadcast(carr))
+      corpus.crossJoin(broadcast(collapseCodebook(c)))
         .select(col("vec_id"), col("cell"),
           r4(cosine(col("demb"), col("cemb"))).as("sim"))
         .groupBy("vec_id")
@@ -498,11 +495,19 @@ object Similarity {
   def trainedCodebookRow(s: SparkSession, dir: String,
       nlist: Int, iters: Int): DataFrame = {
     val (cent, _) = trainedCentroids(s, dir, nlist, iters)
+    collapseCodebook(cent)
+      .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
+  }
+
+  /** Melted centroids (cell, dim, cval) → per-cell embedding arrays
+    * (cell, cemb), dim-sorted — the ONE definition of the collapse,
+    * consumed by the Lloyd loop's per-round assignment AND the final
+    * [[trainedCodebookRow]], so iteration-time and final/streaming
+    * assignment can never see differently-built codebooks. */
+  private def collapseCodebook(cent: DataFrame): DataFrame =
     cent.groupBy("cell")
       .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("p"))
       .select(col("cell"), transform(col("p"), x => x("cval")).as("cemb"))
-      .agg(collect_list(struct(col("cell"), col("cemb"))).as("cents"))
-  }
 
   /** In-row cell argmax against a collected codebook array column —
     * struct(s = r4 cosine to the winning centroid, nc = -cell), the

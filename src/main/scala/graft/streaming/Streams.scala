@@ -161,9 +161,12 @@ object Streams {
       .select(col("probe_id"), (-col("best.nc")).as("cell"), col("emb_b"))
     probe.join(index, Seq("cell"))
       // disjoint batch-vs-index contract (d09): a probe re-using an
-      // indexed id is the stale-entry case and must surface, so only
-      // exact self-pairs are suppressed
-      .filter(col("probe_id") =!= col("match_id"))
+      // indexed id is the stale-entry case and must surface, so ONLY
+      // exact self-pairs (same id AND same vector) are suppressed —
+      // the fingerprint-keyed rule of nearDupProbeStreamIndexed, with
+      // the embedding itself as the content key (both sides in-row)
+      .filter(!(col("probe_id") === col("match_id") &&
+        col("emb_b") === col("emb_a")))
       .withColumn("sim", Relational.r4(
         Similarity.cosine(col("emb_b"), col("emb_a"))))
       .filter(col("sim") >= threshold)

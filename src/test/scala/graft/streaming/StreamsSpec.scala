@@ -169,9 +169,20 @@ class StreamsSpec extends SparkSpec {
     val v0 = graft.ops.Relational.t(s, sf0001, "embeddings")
       .filter(col("vec_id") === 0).select("embedding")
       .collect().head.getSeq[Float](0)
+    // plus the two same-id contract cases: an IDENTICAL re-ingest of
+    // vec 0 (exact self-pair — suppressed) and a CHANGED re-ingest of
+    // vec 1 (stale index entry — must surface against its own id)
     val probes = Seq(
       Streams.Vec(9001L, v0),
-      Streams.Vec(9002L, v0.map(x => -x)))
+      Streams.Vec(9002L, v0.map(x => -x)),
+      Streams.Vec(0L, v0),
+      Streams.Vec(1L, {
+        val v1 = graft.ops.Relational.t(s, sf0001, "embeddings")
+          .filter(col("vec_id") === 1).select("embedding")
+          .collect().head.getSeq[Float](0).toArray.clone()
+        v1(0) = v1(0) + 0.01f
+        v1.toSeq
+      }))
     val mem = MemoryStream[Streams.Vec]
     val q = Streams.semanticProbeStream(mem.toDF(), index, cents)
       .writeStream.format("memory").queryName("semprobe").outputMode("append").start()
@@ -193,6 +204,16 @@ class StreamsSpec extends SparkSpec {
         s"copy of vec 0 did not surface its original: $got")
       // the anti-correlated probe never passes the gate
       assert(!got.exists(_._1 == 9002L), s"sign-flipped probe matched: $got")
+      // identical re-ingest of an indexed id: the exact self-pair is
+      // suppressed (disjoint batch-vs-index contract)
+      assert(!got.exists(r => r._1 == 0L && r._2 == 0L),
+        s"identical re-ingest emitted a degenerate self-pair: $got")
+      // CHANGED re-ingest of an indexed id: the stale index entry
+      // must surface against its own id (the 0.01 single-dim nudge
+      // still r4-rounds to 1.0 — the point is the row EXISTS, where
+      // an id-only filter would have swallowed it)
+      assert(got.exists(r => r._1 == 1L && r._2 == 1L && r._4 >= 0.99),
+        s"changed re-ingest did not surface its stale entry: $got")
     } finally q.stop()
   }
 
