@@ -80,6 +80,7 @@ object SparkEntry {
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
     "p03_temperature_mix" -> ((s: SparkSession, dir: String) => Sampling.temperatureMixStats(s, dir)),
     "p04_fixed_sample" -> ((s: SparkSession, dir: String) => Sampling.fixedSample(s, dir)),
+    "p05_weighted_sample" -> (Sampling.qualityWeightedSample _),
     // — corpus curation (training-data pipeline) —
     "c01_contamination" -> ((s: SparkSession, dir: String) => Curation.contaminationReport(s, dir)),
     "c02_seq_packing" -> ((s: SparkSession, dir: String) => Curation.packingStats(s, dir)),
@@ -1203,6 +1204,33 @@ object SparkEntry {
     // p04: the exact-n deterministic draw — both engines take the n
     // smallest md5(doc_id) values, so the hash certifies the exact
     // membership (and with it the cross-engine stability contract)
+    // p05: quality-weighted draw — the oracle recomputes the t02
+    // quality formula per doc, applies the identical md5-hex draw
+    // threshold at that per-doc rate, and averages r4-scaled integer
+    // units so both engines' means are order-free exact
+    "p05_weighted_sample" ->
+      """WITH q AS (
+           SELECT lang, doc_id,
+             floor(least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) *
+               (1.0 - floor(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> x IN ('the', 'a'))) AS DOUBLE) /
+                 greatest(len(string_split_regex(trim(text), '\s+')), 1) * 10000 + 0.5) / 10000)
+               * 10000 + 0.5) / 10000 AS qv
+           FROM documents),
+         k AS (SELECT lang, qv,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+               CASE WHEN CAST(floor(qv * 4294967296) AS BIGINT) >= 4294967296 THEN 'g'
+                 ELSE printf('%08x', CAST(floor(qv * 4294967296) AS BIGINT)) END
+             THEN 1 ELSE 0 END AS kept
+           FROM q)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_sampled,
+           floor(CAST(sum(CAST(floor(qv * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000 / count(*) * 10000 + 0.5) / 10000 AS avg_q_all,
+           floor(CAST(sum(CASE WHEN kept = 1
+               THEN CAST(floor(qv * 10000 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+             / 10000 / greatest(sum(kept), 1) * 10000 + 0.5) / 10000 AS avg_q_sampled
+         FROM k GROUP BY lang ORDER BY lang""",
     "p04_fixed_sample" ->
       """WITH drawn AS (
            SELECT doc_id, lang FROM documents

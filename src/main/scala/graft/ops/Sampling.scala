@@ -133,4 +133,42 @@ object Sampling {
         array_join(transform(array_sort(collect_list(col("doc_id"))),
           x => x.cast("string")), ",").as("doc_ids"))
       .orderBy("lang")
+
+  /** Quality-weighted sampling (p05): each document's keep
+    * probability IS its own [[TextAnalysis.qualityScore]] — importance
+    * sampling ∝ score, the continuous rung between [[temperatureMixStats]]
+    * (one rate per stratum) and `Curation.qualityQuota` (hard top-k):
+    * high-quality docs are upweighted smoothly instead of by cliff,
+    * the mixing rule quality-aware corpus recipes use. Reports, per
+    * lang, the draw's size and the mean quality of sampled vs all —
+    * the upweighting made measurable. Reference analog: the
+    * filter-chain sampling of streamable/stream.py:230-326 with a
+    * content-derived predicate.
+    *
+    * Scale design: the draw is a pure in-row scan filter — the rate
+    * (the doc's own score) and the [[hashDraw]] threshold are both
+    * computed in the projection, zero shuffles, zero driver state,
+    * and membership is content-derived so re-runs and incremental
+    * ingests draw the SAME sample on any engine or partitioning (the
+    * p01 stability contract). The only shuffle is the lang-sized
+    * report aggregate. Quality means sum r4-scaled integer units
+    * (exact recovery of the already-r4-rounded scores), so every
+    * float total is order-free integer arithmetic on both engines —
+    * the t11 discipline. */
+  def qualityWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val qi = floor(col("q") * lit(1e4) + lit(0.5))
+    t(s, dir, "documents")
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("kept",
+        (hashDraw(col("doc_id")) < rateThresholdCol(col("q"))).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept").as("n_sampled"),
+        Relational.r4(sum(qi).cast("double") / lit(1e4) / count(lit(1)))
+          .as("avg_q_all"),
+        Relational.r4(sum(when(col("kept") === 1, qi).otherwise(lit(0L)))
+          .cast("double") / lit(1e4) / greatest(sum("kept"), lit(1L)))
+          .as("avg_q_sampled"))
+      .orderBy("lang")
+  }
 }

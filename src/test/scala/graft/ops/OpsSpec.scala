@@ -1114,6 +1114,45 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(g => g._1 != g._2), s"no cross-source dup pair: $got")
   }
 
+  test("p05: quality-weighted draw ≡ per-doc md5-threshold model; sampling upweights quality") {
+    val rows = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex8(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8)
+    def qv(text: String): Double = {
+      val ts = text.trim.split("\\s+")
+      val stopRatio = modelR4(
+        ts.count(t2 => t2 == "the" || t2 == "a").toDouble / math.max(ts.length, 1))
+      modelR4(math.min(ts.length / 100.0, 1.0) * (1.0 - stopRatio))
+    }
+    def kept(id: Long, q: Double): Boolean = {
+      val v = math.floor(q * 4294967296.0).toLong
+      v >= 4294967296L || md5hex8(id.toString) < f"$v%08x"
+    }
+    val perDoc = rows.map { case (id, lang, text) =>
+      val q = qv(text); (lang, q, kept(id, q))
+    }
+    val model = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, xs) =>
+      val qis = xs.map(x => math.floor(x._2 * 1e4 + 0.5).toLong)
+      val keptQis = xs.zip(qis).collect { case ((_, _, true), qi) => qi }
+      (lang, xs.size.toLong, keptQis.size.toLong,
+        modelR4(qis.sum.toDouble / 1e4 / xs.size),
+        modelR4(keptQis.sum.toDouble / 1e4 / math.max(keptQis.size, 1)))
+    }
+    val got = Sampling.qualityWeightedSample(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == model)
+    // both branches live, and the draw genuinely upweights quality:
+    // every lang samples some-but-not-all docs, at a higher mean
+    // quality than its full population
+    assert(got.forall(g => g._3 > 0 && g._3 < g._2), s"degenerate draw: $got")
+    assert(got.count(g => g._5 > g._4) >= got.size - 1,
+      s"sampling did not upweight quality: $got")
+  }
+
   test("t11: unigram cross-entropy ≡ driver-replicated LM (micronat-exact sums)") {
     // the full model replayed in plain Scala: top-24 add-one unigram
     // LM, per-token ln((N+V+1)/(c+1)) scaled to integer micronats
