@@ -75,12 +75,14 @@ object SparkEntry {
     "t09_zipf_rank" -> ((s: SparkSession, dir: String) => TextAnalysis.zipfRankStats(s, dir)),
     "t10_bm25" -> ((s: SparkSession, dir: String) => TextAnalysis.bm25Search(s, dir)),
     "t11_unigram_ce" -> ((s: SparkSession, dir: String) => TextAnalysis.unigramCrossEntropy(s, dir)),
+    "t12_token_entropy" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenEntropyStats(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
     "p03_temperature_mix" -> ((s: SparkSession, dir: String) => Sampling.temperatureMixStats(s, dir)),
     "p04_fixed_sample" -> ((s: SparkSession, dir: String) => Sampling.fixedSample(s, dir)),
     "p05_weighted_sample" -> (Sampling.qualityWeightedSample _),
+    "p06_dsir" -> ((s: SparkSession, dir: String) => Sampling.dsirStats(s, dir)),
     // — corpus curation (training-data pipeline) —
     "c01_contamination" -> ((s: SparkSession, dir: String) => Curation.contaminationReport(s, dir)),
     "c02_seq_packing" -> ((s: SparkSession, dir: String) => Curation.packingStats(s, dir)),
@@ -111,6 +113,7 @@ object SparkEntry {
     "d13_semdedup_recall" -> ((s: SparkSession, dir: String) => Dedup.semDedupRecallAdvisory(s, dir)),
     "c13_proto_prune" -> ((s: SparkSession, dir: String) => Similarity.prototypePruneStats(s, dir)),
     "s13_knn_graph" -> ((s: SparkSession, dir: String) => Similarity.knnGraph(s, dir)),
+    "s14_centrality" -> ((s: SparkSession, dir: String) => Similarity.knnCentrality(s, dir)),
     "d14_cross_source_dups" -> ((s: SparkSession, dir: String) => Dedup.crossSourceNearDupMatrix(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
@@ -371,6 +374,49 @@ object SparkEntry {
        SELECT vec_id, rnk, nb_id, sim FROM r WHERE rnk <= $k
        ORDER BY vec_id, rnk"""
 
+  /** s14's oracle: the s13 edge construction (unrolled-Lloyd
+    * assignment + within-cell top-k under the r4-rounded-sim tie
+    * contract) feeding `rounds` UNROLLED power-iteration CTEs in pure
+    * integer micro-unit arithmetic — r' = 150000 + Σ_in
+    * ((r·85)//100)//outdeg — so both engines land on the identical
+    * longs in any summation order (the s06 unrolled-training pattern
+    * applied to PageRank). */
+  private def s14OracleSql(nlist: Int, iters: Int, k: Int,
+      rounds: Int): String = {
+    val rounds_ = (1 to rounds).map { i =>
+      s"""r$i AS (SELECT n.vec_id,
+           150000 + COALESCE(sum(((pr.r * 85) // 100) // od.outdeg), 0) AS r
+         FROM nodes n
+         LEFT JOIN edges g ON g.dst = n.vec_id
+         LEFT JOIN r${i - 1} pr ON pr.vec_id = g.src
+         LEFT JOIN od ON od.src = g.src
+         GROUP BY n.vec_id)"""
+    }.mkString(",\n")
+    s"""WITH ${kmeansCtes(nlist, iters)},
+       ${kmeansAssignCte("af", s"c${iters}a")},
+       w AS (SELECT af.vec_id, af.cell, e.emb FROM af JOIN e USING (vec_id)),
+       p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+           ${oracleR4("list_cosine_similarity(a.emb, b.emb)")} AS sim
+         FROM w a JOIN w b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       edges AS (SELECT src, dst FROM (
+         SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+         FROM p) WHERE rnk <= $k),
+       od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       nodes AS (SELECT vec_id, cell FROM af),
+       r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       $rounds_
+       SELECT cell, vec_id, rnk, score, outdeg FROM (
+         SELECT n.cell, n.vec_id,
+           row_number() OVER (PARTITION BY n.cell
+             ORDER BY fr.r DESC, n.vec_id) AS rnk,
+           CAST(fr.r AS DOUBLE) / 1000000 AS score,
+           COALESCE(od.outdeg, 0) AS outdeg
+         FROM nodes n JOIN r$rounds fr USING (vec_id)
+         LEFT JOIN od ON od.src = n.vec_id)
+       ORDER BY cell, rnk"""
+  }
+
   /** c13's oracle: per-vector cosine to the ASSIGNED cell's trained
     * centroid, ranked within the cell (csim desc, vec_id), pruned =
     * the top floor(n/4) most-prototypical members. */
@@ -410,6 +456,10 @@ object SparkEntry {
     // ranks the within-cell pairs; c13: SSL-prototype pruning —
     // cosine to the assigned trained centroid, top-quarter flagged
     "s13_knn_graph" -> s13OracleSql(nlist = 32, iters = 2, k = 3),
+    // s14: kNN-graph centrality — the s13 edges feeding unrolled
+    // integer-micro-unit power-iteration rounds (d=0.85 as 85/100
+    // floor division), rank ties broken by vec_id
+    "s14_centrality" -> s14OracleSql(nlist = 32, iters = 2, k = 3, rounds = 3),
     "c13_proto_prune" -> c13OracleSql(nlist = 32, iters = 2),
     // d14: cross-source near-dup matrix — exact-Jaccard pair ground
     // truth (the d04 identity on this corpus) joined to each side's
@@ -1185,6 +1235,74 @@ object SparkEntry {
            floor((1 - CAST(sum(n_iv) AS DOUBLE) / sum(n_tok)) * 10000 + 0.5)
              / 10000 AS oov_rate
          FROM doc GROUP BY 1, 2 ORDER BY 1, 2""",
+    // t12: per-doc token-distribution Shannon entropy — the oracle
+    // rebuilds each doc's histogram by unnest+group (hash order) while
+    // Spark folds the array in-row (first-occurrence order); both sum
+    // the identical integer micronat terms, so the totals agree in
+    // any traversal order and the < 3.0 prune flag lands on the same
+    // exact double
+    "t12_token_entropy" ->
+      """WITH tk AS (SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, lang, tok, count(*) AS c FROM tk GROUP BY 1, 2, 3),
+         n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM c GROUP BY 1),
+         h AS (SELECT c.doc_id, c.lang,
+             CAST(sum(CAST(floor(CAST(c.c AS DOUBLE) * ln(n.n / c.c) / n.n
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS em
+           FROM c JOIN n USING (doc_id) GROUP BY 1, 2),
+         e AS (SELECT doc_id, lang, em, CAST(em AS DOUBLE) / 1000000 AS ent FROM h)
+         SELECT lang, count(*) AS n_docs,
+           floor(CAST(sum(em) AS DOUBLE) / 1000000 / count(*) * 1000 + 0.5) / 1000
+             AS avg_entropy,
+           floor(min(ent) * 1000 + 0.5) / 1000 AS min_entropy,
+           floor(max(ent) * 1000 + 0.5) / 1000 AS max_entropy,
+           CAST(sum(CASE WHEN ent < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+         FROM e GROUP BY 1 ORDER BY 1""",
+    // p06: DSIR importance scoring — the oracle trains the identical
+    // two add-one unigram LMs (corpus top-24 vocab, target = src0),
+    // rebuilds each token's log-ratio from the same exact-integer
+    // products, and replays the micronat-scaled order-free summation
+    "p06_dsir" ->
+      """WITH tk AS (SELECT doc_id, lang, source,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, count(*) AS cr FROM tk GROUP BY tok),
+         tcnt AS (SELECT tok, count(*) AS ct FROM tk WHERE source = 'src0'
+           GROUP BY tok),
+         nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM cnt),
+         nt AS (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) AS nt FROM tcnt),
+         vocab AS (SELECT c.tok, c.cr, COALESCE(t2.ct, 0) AS ct
+           FROM (SELECT tok, cr FROM cnt ORDER BY cr DESC, tok LIMIT 24) c
+           LEFT JOIN tcnt t2 USING (tok)),
+         lam AS (SELECT tok,
+             CAST(floor(ln(CAST((ct + 1) * (nr.nr + 25) AS DOUBLE)
+               / CAST((cr + 1) * (nt.nt + 25) AS DOUBLE)) * 1000000 + 0.5)
+               AS BIGINT) AS lam
+           FROM vocab, nr, nt),
+         oov AS (SELECT CAST(floor(ln(CAST(nr.nr + 25 AS DOUBLE)
+             / CAST(nt.nt + 25 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS oov_lam
+           FROM nr, nt),
+         d AS (SELECT tk.doc_id, tk.lang, tk.source,
+             COALESCE(lam.lam, oov.oov_lam) AS l
+           FROM tk LEFT JOIN lam USING (tok) CROSS JOIN oov),
+         doc AS (SELECT doc_id, lang, source, count(*) AS n_tok,
+             CAST(sum(l) AS BIGINT) AS lm
+           FROM d GROUP BY 1, 2, 3),
+         dm AS (SELECT lang, source,
+             CAST(floor(CAST(lm AS DOUBLE) / 1000000 / n_tok * 1000000 + 0.5)
+               AS BIGINT) AS dm
+           FROM doc),
+         tot AS (SELECT CAST(sum(dm) AS BIGINT) AS tot,
+             count(*) AS n_corpus FROM dm)
+         SELECT lang, source, count(*) AS n_docs,
+           floor(CAST(sum(dm) AS DOUBLE)
+             / 1000000 / count(*) * 10000 + 0.5) / 10000 AS avg_logratio,
+           CAST(sum(CASE WHEN dm * n_corpus > tot THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target_like,
+           floor(CAST(sum(CASE WHEN dm * n_corpus > tot THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS target_like_rate
+         FROM dm, tot GROUP BY 1, 2 ORDER BY 1, 2""",
     "p03_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          r AS (SELECT lang, n_docs,

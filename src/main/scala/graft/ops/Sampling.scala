@@ -171,4 +171,108 @@ object Sampling {
           .as("avg_q_sampled"))
       .orderBy("lang")
   }
+
+  /** DSIR-style importance scoring (p06; Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every document by the log-likelihood
+    * RATIO between a target-domain unigram LM and the raw-corpus LM —
+    * λ(doc) = Σ_tok ln(p_target(tok)/p_raw(tok)) — so documents that
+    * look like the target domain score positive and get upweighted in
+    * the resampling draw. The target here is one source feed (conf
+    * `graft.dsir.target`, the feed a curator wants more of); both LMs
+    * are add-one-smoothed over the corpus top-V vocabulary (conf
+    * `graft.dsir.vocab`, sized to this corpus exactly like t11's, so
+    * the OOV class stays live in the gate). Emits per (lang, source):
+    * doc count, mean per-token log-ratio, and how many docs land in
+    * the upweight set — the docs whose score exceeds the CORPUS MEAN
+    * score, the relative selection DSIR's top-fraction resampling
+    * actually draws from. (An absolute λ > 0 cut would be degenerate
+    * here: with Nt ≪ Nr, add-one smoothing gives every UNSEEN token
+    * ln((Nr+V+1)/(Nt+V+1)) ≈ +3 nats under the target LM, pushing
+    * ~every doc positive — the classic small-target smoothing bias;
+    * the relative cut is what makes the signal discriminative.)
+    * Reference analog: the score-and-filter chains of
+    * streamable/stream.py:230-326, specialized to likelihood-ratio
+    * selection.
+    *
+    * Scale design: TWO token-count shuffles (corpus LM and target LM
+    * — the target one is a filtered scan, cost ∝ target feed, not
+    * corpus) build |vocab|-row frames; per-token λ is precomputed
+    * into a V-entry map and broadcast with the one OOV constant as a
+    * single row, so scoring is ONE narrow corpus scan with an in-row
+    * map probe per token — no (doc, token) explode, no join on the
+    * corpus path (the t11 shape with a two-LM numerator/denominator).
+    * The per-doc score frame is ONE materialized ~24-byte/doc row
+    * (the c10/t10 asymmetry: checkpoint the narrow projection, never
+    * re-walk the text) because the corpus-mean threshold and the
+    * final per-(lang, source) aggregate both read it; the mean comes
+    * back as a broadcast one-row frame.
+    *
+    * Cross-engine determinism: λ per token is
+    * `ln((ct+1)(Nr+V+1) / ((cr+1)(Nt+V+1)))` — numerator and
+    * denominator are built as exact LONG products and `ln` sees ONE
+    * double division of exact-integer-valued doubles (the t10/t11
+    * precedent), then scaled to integer micronats before any sum, so
+    * per-doc and per-group totals are order-free exact integer
+    * arithmetic on both engines; even the above-mean cut is integer-
+    * exact (dm·n > Σdm — no float mean ever computed). The LONG
+    * products hold to ~10¹⁸ token-count mass — beyond any single
+    * vocab entry's count at 100 TB (counts cap the product at
+    * (c+1)·(N+V+1); re-scale to per-mille smoothing before the
+    * 10⁹-docs × 10⁶-tokens regime). */
+  def dsirStats(s: SparkSession, dir: String,
+      targetSourceParam: String = "", vocabSizeParam: Int = 0): DataFrame = {
+    import TextAnalysis.tokens
+    val targetSource = if (targetSourceParam.nonEmpty) targetSourceParam
+      else s.conf.get("graft.dsir.target", "src0")
+    val vocabSize = if (vocabSizeParam > 0) vocabSizeParam
+      else s.conf.get("graft.dsir.vocab", "24").toInt
+    val vp1 = lit(vocabSize.toLong + 1L)
+    val docs = t(s, dir, "documents")
+    val cnt = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cr"))
+      .localCheckpoint()
+    val tcnt = docs.filter(col("source") === targetSource)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val nrRow = cnt.agg(sum("cr").as("nr"))
+    val ntRow = tcnt.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+    val vocab = cnt.orderBy(col("cr").desc, col("tok")).limit(vocabSize)
+      .join(tcnt, Seq("tok"), "left")
+      .na.fill(0L, Seq("ct"))
+    def lamMicro(ct: Column, cr: Column): Column =
+      floor(log(((ct + lit(1L)) * (col("nr") + vp1)).cast("double") /
+        ((cr + lit(1L)) * (col("nt") + vp1)).cast("double"))
+        * lit(1e6) + lit(0.5)).cast("long")
+    val lamRow = vocab.crossJoin(broadcast(nrRow)).crossJoin(broadcast(ntRow))
+      .withColumn("lam", lamMicro(col("ct"), col("cr")))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("lam"))))
+        .as("lmap"))
+    val oovRow = nrRow.crossJoin(broadcast(ntRow))
+      .select(lamMicro(lit(0L), lit(0L)).as("oov_lam"))
+    val stats = lamRow.crossJoin(broadcast(oovRow))
+    val toks = tokens(col("text"))
+    // dm = the doc's mean per-token log-ratio in integer micronats —
+    // the 24-byte/doc projection everything downstream reads
+    val perDoc = docs.crossJoin(broadcast(stats))
+      .withColumn("lm", aggregate(toks, lit(0L), (acc, tk) =>
+        acc + coalesce(try_element_at(col("lmap"), tk), col("oov_lam"))))
+      .withColumn("avg_lam",
+        col("lm").cast("double") / lit(1e6) / size(toks).cast("long"))
+      .select(col("lang"), col("source"),
+        floor(col("avg_lam") * lit(1e6) + lit(0.5)).cast("long").as("dm"))
+      .localCheckpoint()
+    val thresholdRow = perDoc.agg(sum("dm").as("tot"),
+      count(lit(1)).as("n_corpus"))
+    perDoc.crossJoin(broadcast(thresholdRow))
+      .withColumn("tl", (col("dm") * col("n_corpus") > col("tot")).cast("long"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        Relational.r4(sum("dm").cast("double") / lit(1e6) / count(lit(1)))
+          .as("avg_logratio"),
+        sum("tl").as("n_target_like"),
+        Relational.r4(sum("tl").cast("double") / count(lit(1)))
+          .as("target_like_rate"))
+      .orderBy("lang", "source")
+  }
 }

@@ -604,6 +604,110 @@ object Similarity {
       .orderBy("vec_id", "rnk")
   }
 
+  /** Cell-bounded kNN-graph centrality (s14) — PageRank-style power
+    * iteration over [[knnGraph]]'s directed top-k cosine edges,
+    * scoring each vector's REPRESENTATIVENESS among its semantic
+    * neighbors: a vector many neighbors point at (and whose pointers
+    * are themselves pointed at) accumulates rank. This is the graph-
+    * centrality data-selection signal (keep the most central exemplar
+    * per region, cf. the density/coverage selection literature around
+    * SemDeDup/SSL-prototypes) — the inverse of [[prototypePruneStats]],
+    * which ranks by geometry to the centroid; centrality ranks by the
+    * neighbor GRAPH, which survives elongated clusters where the
+    * centroid sits in empty space. Emits the full per-vector ranking
+    * (cell, vec_id, rnk, score, outdeg). Reference analog: the
+    * group/agg chains of streamable/stream.py:230-326, specialized to
+    * iterative graph scoring.
+    *
+    * Scale design: kNN edges NEVER CROSS CELLS by construction, so
+    * every cell is an independent subgraph and the ENTIRE power
+    * iteration runs inside one `groupByKey(cell)` pass — ONE shuffle
+    * total for any number of rounds, where the textbook edge-join
+    * formulation costs two corpus-sized shuffle joins per round.
+    * Under the [[graft.ops.Dedup.sizedNlist]] occupancy rule a group
+    * holds ~64 members (the sim matrix + rank arrays are ~40 KB), and
+    * the number of independent groups grows as n/64 with the corpus —
+    * the same parallelism story as d12/s13, with per-group work
+    * occupancy²·dim for the one-off sim matrix and occupancy·k per
+    * round thereafter.
+    *
+    * Cross-engine determinism: ranks live in integer MICRO-UNITS
+    * (r₀ = 10⁶) and every round is pure integer arithmetic — r' =
+    * 150 000 + Σ_in (r·85 / 100) / outdeg with floor division at each
+    * step — so sums are order-free and the DuckDB oracle unrolls the
+    * rounds as exact-integer CTEs (the s06 unrolled-Lloyd discipline
+    * applied to power iteration; damping d=0.85 as 85/100). Rank mass
+    * is bounded by occupancy·10⁶ ≪ 2⁶³ at any corpus size. Members
+    * with no out-edges (singleton cells, zero-norm vectors) simply
+    * contribute nothing and settle at the 150 000 base — the dangling-
+    * mass leak classic PageRank redistributes; here dropped, and
+    * identically dropped in the oracle. */
+  def knnCentrality(s: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 3, nlist: Int = 0, iters: Int = 2): DataFrame = {
+    import s.implicits._
+    val nl = graft.ops.Dedup.resolvedNlist(s, nlist)
+    trainedAssignedVectors(s, dir, nl, iters)
+      .select(col("cell"), col("vec_id"), col("emb"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val members = it.toArray.sortBy(_._2)
+        val nM = members.length
+        val es = members.map(_._3)
+        val norms = es.map(CellMath.norm)
+        // one symmetric sim matrix, the knnGraph kernel shape: upper
+        // triangle computed once, mirrored; zero-norm pairs NaN
+        val simArr = new Array[Double](nM * nM)
+        var a0 = 0
+        while (a0 < nM) {
+          var b0 = a0 + 1
+          while (b0 < nM) {
+            val sim =
+              if (norms(a0) == 0 || norms(b0) == 0) Double.NaN
+              else CellMath.r4Cosine(es(a0), es(b0), norms(a0), norms(b0))
+            simArr(a0 * nM + b0) = sim
+            simArr(b0 * nM + a0) = sim
+            b0 += 1
+          }
+          a0 += 1
+        }
+        // directed out-edges: each member's top-k neighbors under the
+        // knnGraph tie contract (sim desc r4-rounded, neighbor id asc)
+        val out: Array[Array[Int]] = members.indices.map { a =>
+          members.indices.collect {
+            case b if b != a && !simArr(a * nM + b).isNaN =>
+              (members(b)._2, b)
+          }.sortBy { case (nbId, b) => (-simArr(a * nM + b), nbId) }
+            .take(k).map(_._2).toArray
+        }.toArray
+        // power iteration in integer micro-units: order-free exact
+        var r = Array.fill(nM)(1000000L)
+        var round = 0
+        while (round < rounds) {
+          val next = Array.fill(nM)(150000L)
+          var a = 0
+          while (a < nM) {
+            val oa = out(a)
+            if (oa.nonEmpty) {
+              val contrib = r(a) * 85L / 100L / oa.length
+              var j = 0
+              while (j < oa.length) { next(oa(j)) += contrib; j += 1 }
+            }
+            a += 1
+          }
+          r = next
+          round += 1
+        }
+        val order = members.indices.sortBy(i => (-r(i), members(i)._2))
+        order.iterator.zipWithIndex.map { case (i, idx) =>
+          (cell, members(i)._2, (idx + 1).toLong,
+            r(i).toDouble / 1e6, out(i).length.toLong)
+        }
+      }
+      .toDF("cell", "vec_id", "rnk", "score", "outdeg")
+      .orderBy("cell", "rnk")
+  }
+
   /** SSL-prototypes pruning statistics (c13; Sorscher et al. 2022,
     * "Beyond neural scaling laws", arXiv:2206.14486): within each
     * trained cluster, rank members by cosine to their OWN centroid —

@@ -413,4 +413,55 @@ object TextAnalysis {
           .as("oov_rate"))
       .orderBy("lang", "source")
   }
+
+  /** Per-document token-distribution Shannon entropy (t12) — the
+    * information-theoretic repetitiveness signal: H = Σ_w (c_w/n)·
+    * ln(n/c_w) over each document's own token histogram. Low-entropy
+    * documents are template/boilerplate spam (few tokens carrying most
+    * of the mass) even when their type-token ratio (t07) looks
+    * unremarkable — the two filters catch different degeneracies, so
+    * web-corpus cleaning stacks run both. Aggregates per lang: doc
+    * count, mean/min/max entropy (nats) and how many docs fall below
+    * `lowThreshold` (the prune candidates). Reference analog: the
+    * score-and-filter chains of streamable/stream.py:230-326,
+    * specialized to an information-theoretic quality score.
+    *
+    * Scale design: the histogram never leaves the row — no (doc,
+    * token) explode, no shuffle before the per-lang aggregate.
+    * `array_distinct` gives the types; each type's count is an in-row
+    * `filter` scan (types × tokens comparisons per doc — quadratic in
+    * the VOCABULARY of one document, bounded by doc length, never by
+    * corpus size), so the whole scoring pass is one narrow
+    * codegen-friendly scan and the only shuffle is the final ≤
+    * |langs|-row partial aggregate.
+    *
+    * Cross-engine determinism: each type's entropy term is scaled to
+    * integer micronats (`floor(v·1e6 + ½)` as LONG — the t11
+    * discipline) before the per-doc sum, so the total is exact
+    * integer arithmetic in any traversal order: Spark folds the
+    * distinct-token array in first-occurrence order, DuckDB groups in
+    * hash order, and both land on the identical long. `ln` sees n/c —
+    * a division of two exact-integer-valued doubles — so its input is
+    * bit-identical on both engines (the t10/t11 precedent). The
+    * per-doc double `em/1e6` is exact to 1 ulp on both sides, making
+    * the `< lowThreshold` prune flag deterministic. */
+  def tokenEntropyStats(s: SparkSession, dir: String,
+      lowThreshold: Double = 3.0): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("toks", tokens(col("text")))
+    val n = size(col("toks")).cast("double")
+    val entMicro = aggregate(array_distinct(col("toks")), lit(0L), (acc, d) => {
+      val c = size(filter(col("toks"), x => x === d)).cast("double")
+      acc + floor(c * log(n / c) / n * lit(1e6) + lit(0.5)).cast("long")
+    })
+    docs
+      .withColumn("em", entMicro)
+      .withColumn("ent", col("em").cast("double") / lit(1e6))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        r3(sum("em").cast("double") / lit(1e6) / count(lit(1))).as("avg_entropy"),
+        r3(min(col("ent"))).as("min_entropy"),
+        r3(max(col("ent"))).as("max_entropy"),
+        sum((col("ent") < lit(lowThreshold)).cast("long")).as("n_low"))
+      .orderBy("lang")
+  }
 }

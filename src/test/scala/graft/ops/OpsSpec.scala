@@ -1217,6 +1217,122 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("token entropy: matches plain-Scala histogram recompute, low flag fires") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").toSeq))
+    def entMicro(ts: Seq[String]): Long = {
+      val n = ts.length.toDouble
+      ts.groupBy(identity).values.map { o =>
+        val c = o.length.toDouble
+        math.floor(c * math.log(n / c) / n * 1e6 + 0.5).toLong
+      }.sum
+    }
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      val ems = rows.map(r => entMicro(r._2))
+      val ents = ems.map(_.toDouble / 1e6)
+      lang -> (rows.length.toLong,
+        math.floor(ems.sum.toDouble / 1e6 / rows.length * 1000 + 0.5) / 1000,
+        math.floor(ents.min * 1000 + 0.5) / 1000,
+        math.floor(ents.max * 1000 + 0.5) / 1000,
+        ents.count(_ < 3.0).toLong)
+    }
+    val got = TextAnalysis.tokenEntropyStats(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getLong(5)) == e, s"lang ${r.getString(0)}")
+    }
+    // the prune flag must be LIVE in both directions: some docs below
+    // the threshold, and never a whole language
+    val (low, all) = (got.map(_.getLong(5)).sum, got.map(_.getLong(1)).sum)
+    assert(low > 0 && low < all, s"degenerate low-entropy flag: $low/$all")
+  }
+
+  test("dsir: matches a plain-Scala two-LM recompute; above-mean cut is live") {
+    val vocabSize = 24
+    val target = "src0"
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").toSeq))
+    val cr = docs.flatMap(_._3).groupBy(identity).map { case (t, o) => (t, o.length.toLong) }
+    val ct = docs.filter(_._2 == target).flatMap(_._3)
+      .groupBy(identity).map { case (t, o) => (t, o.length.toLong) }
+    val nr = cr.values.sum; val nt = ct.values.sum
+    val vp1 = vocabSize + 1L
+    val vocab = cr.toSeq.sortBy { case (t, n) => (-n, t) }.take(vocabSize).map(_._1).toSet
+    def lam(tok: String): Long = {
+      val (c_t, c_r) =
+        if (vocab(tok)) (ct.getOrElse(tok, 0L), cr(tok)) else (0L, 0L)
+      math.floor(math.log(((c_t + 1) * (nr + vp1)).toDouble /
+        ((c_r + 1) * (nt + vp1)).toDouble) * 1e6 + 0.5).toLong
+    }
+    val dms = docs.map { case (lang, src, ts) =>
+      val lm = ts.map(lam).sum
+      (lang, src, math.floor(lm.toDouble / 1e6 / ts.length * 1e6 + 0.5).toLong)
+    }
+    val tot = dms.map(_._3).sum; val nCorpus = dms.length.toLong
+    val expected = dms.groupBy(d => (d._1, d._2)).map { case (k, rows) =>
+      k -> (rows.length.toLong,
+        math.floor(rows.map(_._3).sum.toDouble / 1e6 / rows.length * 10000 + 0.5) / 10000,
+        rows.count(_._3 * nCorpus > tot).toLong)
+    }
+    val got = Sampling.dsirStats(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected((r.getString(0), r.getString(1)))
+      assert((r.getLong(2), r.getDouble(3), r.getLong(4)) == e,
+        s"group ${r.getString(0)}/${r.getString(1)}")
+    }
+    // the relative cut must separate: strictly between 0 and all (an
+    // absolute λ>0 cut was measured degenerate — 499/500 — which is
+    // exactly what this guards against)
+    val (tl, all) = (got.map(_.getLong(4)).sum, got.map(_.getLong(2)).sum)
+    assert(tl > 0 && tl < all, s"degenerate target-like cut: $tl/$all")
+  }
+
+  test("centrality: equals integer power iteration over the s13 edge graph") {
+    // knnGraph's edges are themselves oracled (s13), so replaying the
+    // rank rounds over ITS output cross-checks s14's internal edge
+    // construction and the iteration in one shot
+    val edges = Similarity.knnGraph(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nb_id")))
+    val got = Similarity.knnCentrality(spark, sf0001).collect()
+    val nodes = got.map(_.getAs[Long]("vec_id"))
+    assert(nodes.distinct.length == nodes.length)
+    val out = edges.groupBy(_._1).map { case (s0, es) => (s0, es.map(_._2)) }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val next = scala.collection.mutable.Map(nodes.map(_ -> 150000L): _*)
+      out.foreach { case (u, nbs) =>
+        val contrib = r(u) * 85L / 100L / nbs.length
+        nbs.foreach(v => next(v) += contrib)
+      }
+      r = next.toMap
+    }
+    got.foreach { row =>
+      val v = row.getAs[Long]("vec_id")
+      assert(row.getAs[Double]("score") == r(v).toDouble / 1e6, s"vec $v")
+      assert(row.getAs[Long]("outdeg") == out.get(v).map(_.length.toLong).getOrElse(0L))
+    }
+    // per-cell ranking: consecutive from 1, scores non-increasing,
+    // ties broken by vec_id
+    got.groupBy(_.getAs[Long]("cell")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to rows.length).toSeq)
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        val (a, b) = (p(0), p(1))
+        assert(a.getAs[Double]("score") > b.getAs[Double]("score") ||
+          (a.getAs[Double]("score") == b.getAs[Double]("score") &&
+            a.getAs[Long]("vec_id") < b.getAs[Long]("vec_id")))
+      }
+    }
+    // mass actually moved: somebody accumulated above the r0 baseline
+    assert(got.exists(_.getAs[Double]("score") > 1.0), "no rank accumulation")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
