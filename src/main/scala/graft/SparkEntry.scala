@@ -63,6 +63,7 @@ object SparkEntry {
     "e05_interval_join" -> ((s: SparkSession, dir: String) => Events.purchasesInSessions(s, dir)),
     "e06_funnel" -> (Events.clickPurchaseFunnel _),
     "e07_retention" -> (Events.retentionCohorts _),
+    "e08_spikes" -> ((s: SparkSession, dir: String) => Events.spikeStats(s, dir)),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "m05_audio_decode" -> (Multimodal.decodeAudio _),
     "m06_gif_frames" -> (Multimodal.decodeFrames _),
     "m07_scene_deltas" -> (Multimodal.sceneDeltas _),
+    "m08_image_neardups" -> ((s: SparkSession, dir: String) => Multimodal.imageNearDupPairs(s, dir)),
   )
 
   /** Shared DuckDB CTE prefix for every shingle-based oracle:
@@ -1008,6 +1010,30 @@ object SparkEntry {
            FROM w JOIN c USING (user_id))
          SELECT cohort_week, week_offset, count(*) AS n_active
          FROM cells GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // e08: trailing-window spike detection — the 3σ rule cleared of
+    // divisions (dev>0 ∧ dev²>9·varw over integer window sums), so
+    // both engines compare identical longs; max_z rounds r3 per row
+    // before max over identical doubles-from-longs
+    "e08_spikes" ->
+      """WITH h AS (SELECT event_type,
+             CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hb, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, hb, c,
+             CAST(COALESCE(sum(c) OVER tw, 0) AS BIGINT) AS sw,
+             CAST(COALESCE(sum(c * c) OVER tw, 0) AS BIGINT) AS sq,
+             count(*) OVER tw AS nw
+           FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hb
+             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+         f AS (SELECT event_type, nw, c * 6 - sw AS dev,
+             sq * 6 - sw * sw AS varw FROM w)
+         SELECT event_type, count(*) AS n_hours,
+           CAST(sum(CASE WHEN nw = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN nw = 6 AND dev > 0 AND dev * dev > 9 * varw
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes,
+           max(CASE WHEN nw = 6 AND varw > 0 THEN
+             floor(CAST(dev AS DOUBLE) / sqrt(CAST(varw AS DOUBLE)) * 1000 + 0.5)
+               / 1000 END) AS max_z
+         FROM f GROUP BY 1 ORDER BY 1""",
     "e06_funnel" ->
       """WITH u AS (
            SELECT user_id,
@@ -1779,6 +1805,34 @@ object SparkEntry {
            CAST(px.dsum AS BIGINT) AS delta_sum
          FROM fr f JOIN px ON px.doc_id = f.doc_id AND px.frame_no = f.frame_no
          ORDER BY media_id, frame_no""",
+    // m08: aHash near-dup pairs — the oracle recomputes the pixel
+    // formula the decode path never sees (8×8 NN squash, band-mean
+    // floor-div, threshold cleared of division as g·64 > Σg) and
+    // counts differing bits per pair quadratically; the banded Spark
+    // path must return the identical set (4×16 banding is pigeonhole-
+    // complete at hamming ≤ 3)
+    "m08_image_neardups" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+             doc_id % 29 + 4 AS w, doc_id % 19 + 4 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+           FROM documents WHERE doc_id % 3 = 0),
+         pb AS (SELECT media_id, ch, i.v AS i,
+             (7 * ((i.v % 8) * w // 8) + 13 * ((i.v // 8) * h // 8)
+               + 17 * b.v + media_id) % 256 AS v
+           FROM img, UNNEST(range(64)) AS i(v), UNNEST(range(ch)) AS b(v)),
+         px AS (SELECT media_id, i, CAST(sum(v) // max(ch) AS BIGINT) AS g
+           FROM pb GROUP BY media_id, i),
+         tot AS (SELECT media_id, sum(g) AS tot FROM px GROUP BY media_id),
+         bits AS (SELECT px.media_id, px.i,
+             CASE WHEN px.g * 64 > tot.tot THEN 1 ELSE 0 END AS bit
+           FROM px JOIN tot USING (media_id)),
+         pairs AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+             CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+           FROM bits a JOIN bits b ON a.i = b.i AND a.media_id < b.media_id
+           GROUP BY 1, 2)
+         SELECT media_a, media_b, hamming FROM pairs
+         WHERE hamming <= 3 ORDER BY 1, 2""",
     "m03_frames" ->
       """SELECT doc_id AS media_id, CAST(f.frame_no AS BIGINT) AS frame_no,
          CAST(f.frame_no * floor(octet_length(encode(text)) / 4) AS BIGINT) AS frame_offset

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Relational.{t, events, r2}
+import graft.ops.Relational.{t, events, r2, r3}
 
 /** Event analytics over the `events` table — the batch/event-time
   * re-grounding of the reference's processing-time features
@@ -187,6 +187,54 @@ object Events {
         r2(sum((unix_millis(col("ts")) - col("click_tms")) / 1000.0) /
           count(col("click_id"))).as("avg_lag_sec"))
       .orderBy("user_id")
+  }
+
+  /** Traffic-spike detection (e08): per event_type, flag the hours
+    * whose count sits more than 3σ above the TRAILING `w`-hour
+    * mean — the ingestion-anomaly monitor a feed pipeline runs before
+    * letting a crawl batch into the corpus (a 3σ hour is a stuck
+    * crawler, a replay, or an attack, not organic growth). An hour is
+    * evaluable once it has a full trailing window (nw = w observed
+    * hours strictly before it).
+    *
+    * Scale design: the ONLY corpus-sized operation is the
+    * (event_type, hour) count — one partial-aggregable shuffle; the
+    * trailing window then runs over the tiny hourly frame (|types| ×
+    * |hours| rows), partitioned by event_type so each series is an
+    * independent ordered sweep. At 100 TB the raw stream never meets
+    * a window function.
+    *
+    * Cross-engine determinism: the 3σ rule is evaluated ENTIRELY in
+    * integer arithmetic — with dev = c·w − Σc and varw = w·Σc² −
+    * (Σc)², spike ⟺ dev > 0 ∧ dev² > 9·varw (the z > 3 inequality
+    * cleared of divisions and square roots), so both engines compare
+    * identical longs; a zero-variance window with any increase is a
+    * spike under the same rule (dev² > 0 = RHS). The reported max_z
+    * rounds dev/√varw to r3 per row before the max, identical
+    * doubles-from-identical-longs on both sides. Long headroom: dev²
+    * holds to per-(type, hour) counts ≈ 5×10⁸ — beyond that regime
+    * move the two products to DECIMAL(38,0). */
+  def spikeStats(s: SparkSession, dir: String, w: Int = 6): DataFrame = {
+    val hourly = events(s, dir)
+      .withColumn("hb", floor(unix_millis(col("ts")) / lit(3600000L)).cast("long"))
+      .groupBy("event_type", "hb").agg(count(lit(1)).as("c"))
+    val tw = Window.partitionBy("event_type").orderBy("hb").rowsBetween(-w, -1)
+    hourly
+      .withColumn("sw", coalesce(sum("c").over(tw), lit(0L)))
+      .withColumn("sq", coalesce(sum(col("c") * col("c")).over(tw), lit(0L)))
+      .withColumn("nw", count(lit(1)).over(tw))
+      .withColumn("dev", col("c") * w - col("sw"))
+      .withColumn("varw", col("sq") * w - col("sw") * col("sw"))
+      .withColumn("spike", (col("nw") === w && col("dev") > 0 &&
+        col("dev") * col("dev") > lit(9L) * col("varw")).cast("long"))
+      .withColumn("z", when(col("nw") === w && col("varw") > 0,
+        r3(col("dev").cast("double") / sqrt(col("varw").cast("double")))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum((col("nw") === w).cast("long")).as("n_eval"),
+        sum("spike").as("n_spikes"),
+        max("z").as("max_z"))
+      .orderBy("event_type")
   }
 
   /** Top-10 users by total event value (deterministic tiebreak). */

@@ -459,4 +459,84 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "delta_sum")
       .orderBy("media_id", "frame_no")
   }
+
+  /** Perceptual-hash image near-dup pairs (m08) — the multimodal rung
+    * of the dedup ladder: aHash (average hash) over the REAL decoded
+    * raster, then banded-LSH candidate generation and exact hamming
+    * verify, the d05 SimHash discipline applied to pixels. aHash =
+    * squash to a fixed 8×8 grid (nearest-neighbor, aspect DISCARDED —
+    * that is the point: a resized/re-encoded copy of an image lands
+    * on the same grid), mean-threshold each cell into one bit, 64-bit
+    * signature. Re-encoded (PNG↔BMP), resized, and brightness-shifted
+    * copies collide at hamming ≈ 0-3; unrelated images sit near 32.
+    *
+    * Scale design: ONE decode pass ([[imageTable]]'s batched
+    * mapPartitions kernel) emits a 16-byte (media_id, hash) row per
+    * image — the blob column never survives the kernel; the hash
+    * frame is localCheckpointed (the c10/t10 narrow-projection
+    * asymmetry) because the 4 band projections re-read it. Candidates
+    * come from a 4×16-bit band melt + one self-equi-join on (band,
+    * value) — pigeonhole-COMPLETE for hamming ≤ 3 (4 bands, ≤ 3
+    * differing bits ⇒ some band untouched), so the banded path
+    * returns EXACTLY the ground-truth pair set, certified by the
+    * quadratic oracle. Join deliberately hint-free: bucket occupancy
+    * decides the strategy at scale (AQE), the d04/d05 contract.
+    *
+    * Cross-engine determinism: every step is integer — NN source
+    * coordinates x·w/8 floor-div, band mean Σ/ch floor-div, the
+    * threshold cleared of division (g·64 > Σg), hamming via
+    * bit_count(xor) vs the oracle's per-bit count — so the oracle
+    * recomputing the fixture's pixel formula (which the decode path
+    * never sees) certifies codec + squash + hash + banding end to
+    * end. */
+  def imageNearDupPairs(s: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val hashes = imageTable(s, dir).mapPartitions { batch =>
+      batch.map { m =>
+        val img = ImageIO.read(new MemoryCacheImageInputStream(
+          new ByteArrayInputStream(m.blob)))
+        require(img != null, s"undecodable blob for media ${m.media_id}")
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val px = new Array[Long](64)
+        var tot = 0L
+        var y = 0
+        while (y < 8) {
+          val sy = y * h / 8
+          var x = 0
+          while (x < 8) {
+            val sx = x * w / 8
+            var sum = 0
+            var b = 0
+            while (b < bands) { sum += raster.getSample(sx, sy, b); b += 1 }
+            val g = (sum / bands).toLong
+            px(y * 8 + x) = g
+            tot += g
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) { if (px(i) * 64L > tot) hash |= (1L << i); i += 1 }
+        (m.media_id, hash)
+      }
+    }.toDF("media_id", "hash").localCheckpoint()
+    val banded = hashes.select(col("media_id"), col("hash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("hash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("media_id", "hash", "bi", "bv")
+    banded.as("x").join(banded.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        col("x.hash").as("ha"), col("y.hash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
 }
