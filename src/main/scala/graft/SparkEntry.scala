@@ -115,6 +115,7 @@ object SparkEntry {
     "c13_proto_prune" -> ((s: SparkSession, dir: String) => Similarity.prototypePruneStats(s, dir)),
     "s13_knn_graph" -> ((s: SparkSession, dir: String) => Similarity.knnGraph(s, dir)),
     "s14_centrality" -> ((s: SparkSession, dir: String) => Similarity.knnCentrality(s, dir)),
+    "s15_mmr_topk" -> ((s: SparkSession, dir: String) => Similarity.mmrTopK(s, dir)),
     "d14_cross_source_dups" -> ((s: SparkSession, dir: String) => Dedup.crossSourceNearDupMatrix(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
@@ -419,6 +420,53 @@ object SparkEntry {
        ORDER BY cell, rnk"""
   }
 
+  /** s15's oracle: exact ×10⁴-integer relevance scores, the top-`pool`
+    * cut, pairwise candidate sims, then the GREEDY MMR selection
+    * unrolled one CTE block per pick — score 7·sq4 − 3·md4 in pure
+    * BIGINT arithmetic with min-c_id ties, so every pick is the
+    * identical integer argmax on both engines. */
+  private def s15OracleSql(nQueries: Int, k: Int, pool: Int): String = {
+    val steps = (2 to k).map { i =>
+      s"""r${i}c AS (SELECT p.q_id, p.c_id, p.sq4, max(pp.s4) AS md4
+         FROM pool p JOIN pp ON pp.q_id = p.q_id AND pp.ca = p.c_id
+         JOIN sel${i - 1} s ON s.q_id = pp.q_id AND s.c_id = pp.cb
+         WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+           WHERE x.q_id = p.q_id AND x.c_id = p.c_id)
+         GROUP BY 1, 2, 3),
+       p$i AS (SELECT q_id, c_id, sq4, md4 FROM (
+         SELECT q_id, c_id, sq4, md4, row_number() OVER (PARTITION BY q_id
+           ORDER BY 7 * sq4 - 3 * md4 DESC, c_id) AS rn
+         FROM r${i}c) WHERE rn = 1),
+       sel$i AS (SELECT q_id, c_id FROM sel${i - 1}
+         UNION ALL SELECT q_id, c_id FROM p$i),
+       out$i AS (SELECT q_id, CAST($i AS BIGINT) AS rnk, c_id, sq4,
+         7 * sq4 - 3 * md4 AS mmr_i FROM p$i)"""
+    }.mkString(",\n")
+    val unions = (2 to k).map(i => s"SELECT * FROM out$i").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           CAST(floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) AS BIGINT) AS sq4
+         FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         WHERE q.vec_id < $nQueries),
+       pool AS (SELECT q_id, c_id, sq4 FROM (
+         SELECT q_id, c_id, sq4, row_number() OVER (PARTITION BY q_id
+           ORDER BY sq4 DESC, c_id) AS rn FROM sc) WHERE rn <= $pool),
+       pp AS (SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+           CAST(floor(list_cosine_similarity(ea.emb, eb.emb) * 10000 + 0.5) AS BIGINT) AS s4
+         FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+         JOIN e ea ON ea.vec_id = a.c_id JOIN e eb ON eb.vec_id = b.c_id),
+       p1 AS (SELECT q_id, c_id, sq4 FROM (
+         SELECT q_id, c_id, sq4, row_number() OVER (PARTITION BY q_id
+           ORDER BY sq4 DESC, c_id) AS rn FROM pool) WHERE rn = 1),
+       sel1 AS (SELECT q_id, c_id FROM p1),
+       out1 AS (SELECT q_id, CAST(1 AS BIGINT) AS rnk, c_id, sq4,
+         7 * sq4 AS mmr_i FROM p1),
+       $steps
+       SELECT q_id, rnk, c_id, CAST(sq4 AS DOUBLE) / 10000 AS sim, mmr_i
+       FROM (SELECT * FROM out1 UNION ALL $unions)
+       ORDER BY q_id, rnk"""
+  }
+
   /** c13's oracle: per-vector cosine to the ASSIGNED cell's trained
     * centroid, ranked within the cell (csim desc, vec_id), pruned =
     * the top floor(n/4) most-prototypical members. */
@@ -462,6 +510,9 @@ object SparkEntry {
     // integer-micro-unit power-iteration rounds (d=0.85 as 85/100
     // floor division), rank ties broken by vec_id
     "s14_centrality" -> s14OracleSql(nlist = 32, iters = 2, k = 3, rounds = 3),
+    // s15: MMR-diversified top-k — greedy picks unrolled as CTEs over
+    // integer scores (7·sq4 − 3·md4, min-c_id ties)
+    "s15_mmr_topk" -> s15OracleSql(nQueries = 10, k = 5, pool = 16),
     "c13_proto_prune" -> c13OracleSql(nlist = 32, iters = 2),
     // d14: cross-source near-dup matrix — exact-Jaccard pair ground
     // truth (the d04 identity on this corpus) joined to each side's

@@ -708,6 +708,96 @@ object Similarity {
       .orderBy("cell", "rnk")
   }
 
+  /** MMR-diversified retrieval (s15; Carbonell & Goldstein 1998,
+    * maximal marginal relevance): greedily pick k results that trade
+    * query relevance against redundancy with what is ALREADY picked —
+    * argmax λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s). The standard
+    * diversity reranker for retrieval-augmented pipelines: a plain
+    * top-k returns five near-copies of the best hit; MMR returns the
+    * best hit plus its best non-redundant alternatives. λ = 0.7 here.
+    * Reference analog: the chained filter/distinct consumption of
+    * streamable/stream.py:230-326 — dedup applied INSIDE a ranked
+    * selection.
+    *
+    * Scale design: relevance scoring is the s01/s04 shape (broadcast
+    * query rows, one corpus scan, codegen'd cosine kernel) and the
+    * pool cut is the bounded-heap [[topKPerQuery]] — no window, no
+    * sort. The greedy selection is inherently sequential, but only
+    * over the POOL (|pool| per query, not the corpus): candidates
+    * regroup per query in one `groupByKey` over nQ·pool 16-byte rows
+    * and the k·pool-pairwise loop runs in-executor — the s12 rerank
+    * asymmetry (full corpus through the cheap pass, quadratic work
+    * only on the bounded candidate set). Candidate embeddings attach
+    * via a broadcast join of the tiny pool frame against the corpus.
+    *
+    * Cross-engine determinism: both sim scales live as ×10⁴ integers
+    * (the r4 grid), and λ = 0.7 is cleared of floats — score =
+    * 7·sq4 − 3·md4 in LONG arithmetic, ties → min c_id — so the
+    * DuckDB oracle replays the greedy steps as unrolled CTEs (the s06
+    * discipline) and lands on identical integers at every pick. */
+  def mmrTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      pool: Int = 16): DataFrame = {
+    import s.implicits._
+    import graft.functions.CosineSimilarity
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        Relational.r4(CosineSimilarity(col("q_emb"), col("c_emb"))).as("sim"))
+    val poolDf = topKPerQuery(s, scored, pool, sorted = false)
+      .select(col("q_id"), col("c_id"),
+        round(col("sim") * 10000).cast("long").as("sq4"))
+    val withEmb = corpus
+      .join(broadcast(poolDf), "c_id")
+      .select(col("q_id"), col("c_id"), col("sq4"),
+        col("c_emb").cast("array<double>").as("emb"))
+    withEmb.as[(Long, Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cands = it.toArray.sortBy(_._2)
+        val n = cands.length
+        val norms = cands.map(c => CellMath.norm(c._4))
+        val selected = Array.fill(n)(false)
+        // max ×10⁴ similarity to the selected set; MinValue = "empty
+        // set" (the true max can be NEGATIVE — clamping at 0 would
+        // diverge from the oracle's max())
+        val md4 = Array.fill(n)(Long.MinValue)
+        val out = Array.newBuilder[(Long, Long, Long, Double, Long)]
+        var r = 0
+        while (r < math.min(k, n)) {
+          var best = -1; var bestScore = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!selected(i)) {
+              val div = if (r == 0) 0L else 3L * md4(i)
+              val score = 7L * cands(i)._3 - div
+              // strict > with ascending-c_id traversal = min-id ties
+              if (score > bestScore) { best = i; bestScore = score }
+            }
+            i += 1
+          }
+          out += ((q, (r + 1).toLong, cands(best)._2,
+            cands(best)._3.toDouble / 10000.0, bestScore))
+          selected(best) = true
+          var j = 0
+          while (j < n) {
+            if (!selected(j)) {
+              val s4 = math.round(CellMath.r4Cosine(cands(j)._4, cands(best)._4,
+                norms(j), norms(best)) * 10000)
+              if (s4 > md4(j)) md4(j) = s4
+            }
+            j += 1
+          }
+          r += 1
+        }
+        out.result().iterator
+      }
+      .toDF("q_id", "rnk", "c_id", "sim", "mmr_i")
+      .orderBy("q_id", "rnk")
+  }
+
   /** SSL-prototypes pruning statistics (c13; Sorscher et al. 2022,
     * "Beyond neural scaling laws", arXiv:2206.14486): within each
     * trained cluster, rank members by cosine to their OWN centroid —

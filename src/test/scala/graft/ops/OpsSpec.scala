@@ -1401,6 +1401,54 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(_.getAs[Double]("score") > 1.0), "no rank accumulation")
   }
 
+  test("mmr: equals a plain-Scala greedy replay; diversity changes the ranking") {
+    val (nQ, k, pool) = (10, 5, 16)
+    val embs = Relational.t(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS emb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def norm(e: Array[Double]) = math.sqrt(e.map(x => x * x).sum)
+    def i4(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      math.floor(dot / (norm(a) * norm(b)) * 10000 + 0.5).toLong
+    }
+    val expected = (0L until nQ).flatMap { q =>
+      val cands = embs.keys.filter(_ != q).toSeq
+        .map(c => (c, i4(embs(q), embs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(pool).sortBy(_._1)
+      var selected = List.empty[Long]
+      val md4 = scala.collection.mutable.Map[Long, Long]()
+      (1 to math.min(k, cands.length)).map { r =>
+        val scoredC = cands.filterNot(c => selected.contains(c._1)).map {
+          case (c, sq4) =>
+            val div = if (r == 1) 0L else 3L * md4(c)
+            (c, sq4, 7L * sq4 - div)
+        }
+        val (c, sq4, sc) = scoredC.minBy { case (c0, _, s0) => (-s0, c0) }
+        selected ::= c
+        cands.foreach { case (o, _) =>
+          if (!selected.contains(o)) {
+            val s4 = i4(embs(o), embs(c))
+            if (!md4.contains(o) || s4 > md4(o)) md4(o) = s4
+          }
+        }
+        (q, r.toLong, c, sq4.toDouble / 10000.0, sc)
+      }
+    }
+    val got = Similarity.mmrTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // diversity must be load-bearing: for some query the MMR set
+    // differs from the plain relevance top-k
+    val mmrSets = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val topkSets = Similarity.bruteForceTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(mmrSets.exists { case (q, s0) => s0 != topkSets(q) },
+      "MMR never diverged from plain top-k — diversity term is dead")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
