@@ -77,6 +77,8 @@ object SparkEntry {
     "t10_bm25" -> ((s: SparkSession, dir: String) => TextAnalysis.bm25Search(s, dir)),
     "t11_unigram_ce" -> ((s: SparkSession, dir: String) => TextAnalysis.unigramCrossEntropy(s, dir)),
     "t12_token_entropy" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenEntropyStats(s, dir)),
+    "t13_ngram_novelty" -> ((s: SparkSession, dir: String) => TextAnalysis.ngramNoveltyStats(s, dir)),
+    "t14_source_kl" -> ((s: SparkSession, dir: String) => TextAnalysis.sourceKlStats(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -1336,6 +1338,50 @@ object SparkEntry {
            floor(max(ent) * 1000 + 0.5) / 1000 AS max_entropy,
            CAST(sum(CASE WHEN ent < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
          FROM e GROUP BY 1 ORDER BY 1""",
+    // t13: per-doc cross-doc duplication fraction — windows carry
+    // multiplicity (one per position); "repeated" means the 5-gram
+    // appears in >= 2 DISTINCT docs (the d11 cross-doc contract)
+    "t13_ngram_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         wins AS (
+           SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+           FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+           WHERE len(w) >= 5),
+         rep AS (
+           SELECT g FROM (SELECT DISTINCT doc_id, g FROM wins)
+           GROUP BY g HAVING count(*) >= 2)
+         SELECT w.doc_id, count(*) AS n_windows, count(r.g) AS n_dup,
+           floor((1 - count(r.g) / count(*)) * 10000 + 0.5) / 10000 AS novelty
+         FROM wins w LEFT JOIN rep r ON r.g = w.g
+         GROUP BY w.doc_id ORDER BY w.doc_id""",
+    // t14: per-source KL vs the corpus unigram mixture — each term is
+    // floored to integer nano-nats before summation (order-free), and
+    // ln's input is one division of two exact integer-product doubles
+    "t14_source_kl" ->
+      """WITH tk AS (SELECT source,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         cnt AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         gcnt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM cnt GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS ng FROM cnt),
+         st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_types FROM cnt GROUP BY source),
+         nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         terms AS (
+           SELECT c.source,
+             CAST(floor((CAST(c.c AS DOUBLE) / s2.n_tokens) *
+               ln(CAST(c.c * t2.ng AS DOUBLE) / CAST(s2.n_tokens * g2.g AS DOUBLE))
+               * 1000000000 + 0.5) AS BIGINT) AS tn
+           FROM cnt c JOIN gcnt g2 ON g2.tok = c.tok
+           JOIN st s2 ON s2.source = c.source, tot t2),
+         k AS (SELECT source, CAST(sum(tn) AS BIGINT) AS tnn
+           FROM terms GROUP BY source)
+         SELECT st.source, nd.n_docs, st.n_tokens, st.n_types,
+           floor(CAST(k.tnn AS DOUBLE) / 1000000000 * 10000 + 0.5) / 10000 AS kl
+         FROM st JOIN k USING (source) JOIN nd USING (source)
+         ORDER BY st.source""",
     // p06: DSIR importance scoring — the oracle trains the identical
     // two add-one unigram LMs (corpus top-24 vocab, target = src0),
     // rebuilds each token's log-ratio from the same exact-integer

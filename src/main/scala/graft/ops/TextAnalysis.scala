@@ -464,4 +464,103 @@ object TextAnalysis {
         sum((col("ent") < lit(lowThreshold)).cast("long")).as("n_low"))
       .orderBy("lang")
   }
+
+  /** Per-document n-gram novelty (t13) — the document-level
+    * duplication fraction of Lee et al.'s "Deduplicating Training
+    * Data": for each document, what share of its n-token windows
+    * (counted WITH multiplicity, one per position) also appears in at
+    * least one OTHER document. `novelty = 1 − dup/windows` is the
+    * per-doc keep signal a curation pipeline thresholds on; d11 mines
+    * the spans themselves, this scores the documents. Within-doc
+    * repetition alone does not lower novelty (cross-doc means ≥2
+    * DISTINCT docs share the shingle — the d11 contract), so the
+    * score is orthogonal to the self-repetition filters t07/t12.
+    * Reference analog: the score-and-filter chains of
+    * streamable/stream.py:230-326.
+    *
+    * Scale design (the d11/c12 sketch discipline): span strings never
+    * shuffle — each window leaves its row as an 8-byte xxhash64, so
+    * every exchange moves 16-byte (doc_id, h) pairs. The window frame
+    * is localCheckpointed once and feeds BOTH the repeated-shingle
+    * aggregation and the probe side, keeping the 100 TB text scan
+    * single-pass. The repeated set (h alone, after a count-distinct-
+    * docs ≥ 2 filter) is a small fraction of the corpus and carries
+    * no hint — AQE broadcasts it at every measured scale (PlanSpec
+    * holds the no-SMJ line). Per-doc totals fall out of the SAME
+    * left-join aggregation, so no corpus-sized doc-level join exists
+    * anywhere in the plan. */
+  def ngramNoveltyStats(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val toks = tokens(col("text"))
+    val wins = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("h"))
+      .localCheckpoint()
+    val rep = wins.distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("h").as("rh"))
+    wins.join(rep, col("h") === col("rh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("rh")).as("n_dup"),
+        r4(lit(1.0) - count(col("rh")).cast("double") / count(lit(1)))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source token-distribution KL divergence vs the corpus (t14)
+    * — the domain-shift / outlier-source detector: KL(p_src ‖
+    * p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_g(t)) over unigram
+    * distributions. Sources whose language model diverges from the
+    * mixture are the ones a data-mixing pass re-weights (the
+    * distribution-matching half of DSIR — p06 scores documents
+    * against two fixed LMs, this scores SOURCES against the corpus
+    * they form). p_s's support is a subset of p_g's by construction
+    * (every source token is a corpus token), so no term degenerates.
+    *
+    * Scale design: one (source, tok) wordcount shuffle with map-side
+    * partials is the only corpus-sized exchange; the count frame is
+    * localCheckpointed once and derives the global vocabulary, the
+    * corpus total and the per-source totals from vocabulary-sized
+    * re-aggregations. The term join is counts-vs-vocab on `tok` —
+    * hint-free, vocabulary-sized on both sides (never corpus-sized),
+    * AQE broadcasts the global side at every measured scale. Totals
+    * rows are broadcast scalars.
+    *
+    * Cross-engine determinism (the t11/t12 micronat discipline,
+    * at nano-nat resolution because per-token terms are O(p_s(t))):
+    * each term is `floor(p·ln(x)·1e9 + ½)` as LONG before the
+    * per-source sum, so accumulation order cannot matter. ln's input
+    * `(c·n_g)/(n_s·g)` is one division of two exactly-representable
+    * integer-product doubles (products < 2⁵³ through ~10⁹-token
+    * builds; beyond that the input drifts ≤1 ulp and the oracle
+    * would re-derive at the same width). */
+  def sourceKlStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cnt = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val glob = cnt.groupBy("tok").agg(sum("c").as("g"))
+    val tot = cnt.agg(sum("c").as("ng"))
+    val srcTot = cnt.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val termNano = floor(
+      (col("c").cast("double") / col("n_tokens")) *
+        log((col("c") * col("ng")).cast("double") /
+          (col("n_tokens") * col("g")).cast("double")) * lit(1e9) +
+        lit(0.5)).cast("long")
+    cnt.join(glob, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("tn", termNano)
+      .groupBy("source")
+      .agg(first("n_tokens").as("n_tokens"), first("n_types").as("n_types"),
+        r4(sum("tn").cast("double") / lit(1e9)).as("kl"))
+      .join(broadcast(nDocs), "source")
+      .select("source", "n_docs", "n_tokens", "n_types", "kl")
+      .orderBy("source")
+  }
 }

@@ -1449,6 +1449,79 @@ class OpsSpec extends SparkSpec {
       "MMR never diverged from plain top-k — diversity term is dead")
   }
 
+  test("t13: ngram novelty ≡ plain-Scala cross-doc window model") {
+    val n = 5
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val wins = docs.flatMap { case (id, w) =>
+      if (w.length < n) Seq.empty
+      else w.sliding(n).map(g => (id, g.mkString(" "))).toSeq
+    }
+    val rep = wins.distinct.groupBy(_._2).filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = wins.groupBy(_._1).map { case (id, os) =>
+      val nw = os.length.toLong
+      val nd = os.count(o => rep.contains(o._2)).toLong
+      id -> (nw, nd, math.floor((1.0 - nd.toDouble / nw) * 10000 + 0.5) / 10000)
+    }
+    val got = TextAnalysis.ngramNoveltyStats(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+        expected(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+    // the signal must be live: some duplication exists, but not total
+    val (dup, all) = (got.map(_.getLong(2)).sum, got.map(_.getLong(1)).sum)
+    assert(dup > 0 && dup < all, s"degenerate duplication: $dup/$all")
+  }
+
+  test("t13: a doc repeating its own 5-gram stays fully novel") {
+    import spark.implicits._
+    val tmpDir = java.nio.file.Files.createTempDirectory("t13").toString
+    Seq(
+      (1L, "a b c d e x a b c d e", "en", "s0", 0L),
+      (2L, "p q r s t u v w x y z", "en", "s0", 0L),
+      (3L, "u v w x y z m n o p q", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmpDir/documents.parquet")
+    val got = TextAnalysis.ngramNoveltyStats(spark, tmpDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 repeats "a b c d e" twice but shares nothing cross-doc
+    assert(got(1L) == (7L, 0L))
+    // docs 2 and 3 share the 6-token overlap "u v w x y z" → two
+    // 5-gram positions each
+    assert(got(2L)._2 == 2L && got(3L)._2 == 2L)
+  }
+
+  test("t14: source KL ≡ plain-Scala distribution recompute; divergence is live") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").toSeq))
+    val cnt = docs.flatMap { case (s2, ts) => ts.map((s2, _)) }
+      .groupBy(identity).map { case (k, o) => (k, o.length.toLong) }
+    val g = cnt.groupBy(_._1._2).map { case (t2, m) => (t2, m.values.sum) }
+    val ng = cnt.values.sum
+    val expected = cnt.groupBy(_._1._1).map { case (src, m) =>
+      val ns = m.values.sum
+      val tnn = m.map { case ((_, t2), c) =>
+        math.floor(c.toDouble / ns *
+          math.log((c * ng).toDouble / (ns * g(t2)).toDouble) * 1e9 + 0.5).toLong
+      }.sum
+      src -> (docs.count(_._1 == src).toLong, ns, m.size.toLong,
+        math.floor(tnn.toDouble / 1e9 * 10000 + 0.5) / 10000)
+    }
+    val got = TextAnalysis.sourceKlStats(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ==
+        expected(r.getString(0)), s"source ${r.getString(0)}")
+    }
+    // KL is non-negative by Gibbs' inequality and must not be
+    // uniformly zero (sources do differ)
+    assert(got.forall(_.getDouble(4) >= 0.0))
+    assert(got.exists(_.getDouble(4) > 0.0))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
