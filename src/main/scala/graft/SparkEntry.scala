@@ -64,6 +64,7 @@ object SparkEntry {
     "e06_funnel" -> (Events.clickPurchaseFunnel _),
     "e07_retention" -> (Events.retentionCohorts _),
     "e08_spikes" -> ((s: SparkSession, dir: String) => Events.spikeStats(s, dir)),
+    "e09_transitions" -> ((s: SparkSession, dir: String) => Events.transitionStats(s, dir)),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "p04_fixed_sample" -> ((s: SparkSession, dir: String) => Sampling.fixedSample(s, dir)),
     "p05_weighted_sample" -> (Sampling.qualityWeightedSample _),
     "p06_dsir" -> ((s: SparkSession, dir: String) => Sampling.dsirStats(s, dir)),
+    "p07_stratified_fixed" -> ((s: SparkSession, dir: String) => Sampling.stratifiedFixedSample(s, dir)),
     // — corpus curation (training-data pipeline) —
     "c01_contamination" -> ((s: SparkSession, dir: String) => Curation.contaminationReport(s, dir)),
     "c02_seq_packing" -> ((s: SparkSession, dir: String) => Curation.packingStats(s, dir)),
@@ -1087,6 +1089,23 @@ object SparkEntry {
              floor(CAST(dev AS DOUBLE) / sqrt(CAST(varw AS DOUBLE)) * 1000 + 0.5)
                / 1000 END) AS max_z
          FROM f GROUP BY 1 ORDER BY 1""",
+    // e09: first-order Markov transition matrix — consecutive same-user
+    // events in (ts, event_id) order; share = one double division of
+    // two exact longs, r4-rounded
+    "e09_transitions" ->
+      """WITH e AS (
+           SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         p AS (
+           SELECT event_type AS from_type, to_type, count(*) AS n
+           FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           floor(CAST(n AS DOUBLE) /
+             CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS share
+         FROM p ORDER BY from_type, to_type""",
     "e06_funnel" ->
       """WITH u AS (
            SELECT user_id,
@@ -1426,6 +1445,19 @@ object SparkEntry {
            floor(CAST(sum(CASE WHEN dm * n_corpus > tot THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*) * 10000 + 0.5) / 10000 AS target_like_rate
          FROM dm, tot GROUP BY 1, 2 ORDER BY 1, 2""",
+    // p07: exactly k docs per source by md5 draw — the first 13 hex
+    // chars order lexicographically == numerically (fixed-width
+    // lowercase hex); ties break on doc_id, matching the bounded-heap
+    // aggregator's (score, id) contract
+    "p07_stratified_fixed" ->
+      """WITH r AS (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id)
+               AS rnk
+           FROM documents)
+         SELECT source, rnk, doc_id FROM r WHERE rnk <= 5
+         ORDER BY source, rnk""",
     "p03_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          r AS (SELECT lang, n_docs,

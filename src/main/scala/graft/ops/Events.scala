@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Relational.{t, events, r2, r3}
+import graft.ops.Relational.{t, events, r2, r3, r4}
 
 /** Event analytics over the `events` table — the batch/event-time
   * re-grounding of the reference's processing-time features
@@ -235,6 +235,37 @@ object Events {
         sum("spike").as("n_spikes"),
         max("z").as("max_z"))
       .orderBy("event_type")
+  }
+
+  /** Per-user event-type transition matrix (e09) — the first-order
+    * Markov profile of user behavior: for every (from, to) pair of
+    * consecutive events of the SAME user in (ts, event_id) order, the
+    * transition count and its row-normalized share P(to | from). The
+    * behavioral-analytics staple (what follows a click? where do
+    * sessions die?) and the input to next-event prediction baselines.
+    * Reference analog: the pairwise chains of streamable's
+    * `zip`/`group` composition (streamable/stream.py:263-353).
+    *
+    * Scale design: ONE shuffle on user_id carries the corpus through
+    * the `lead` window (each partition an independent ordered sweep —
+    * the e04/e06 discipline); the transition frame aggregates to
+    * |types|² rows with map-side partials, and the share window runs
+    * over THAT tiny frame, never the raw stream. Share is one
+    * double division of two exact longs — identical IEEE on both
+    * engines, r4-rounded. */
+  def transitionStats(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy("from_type")
+    pairs
+      .withColumn("share",
+        r4(col("n").cast("double") / sum("n").over(byFrom)))
+      .orderBy("from_type", "to_type")
   }
 
   /** Top-10 users by total event value (deterministic tiebreak). */

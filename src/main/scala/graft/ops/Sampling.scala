@@ -275,4 +275,39 @@ object Sampling {
           .as("target_like_rate"))
       .orderBy("lang", "source")
   }
+
+  /** Per-stratum exact-k deterministic sample (p07) — exactly `k`
+    * docs per source, drawn by content hash: the reproducible
+    * "random k per feed" primitive (QA spot-checks, per-source eval
+    * slices, UniMax-style per-source caps). Membership is the p04
+    * fixed-sample draw (order by md5) applied PER STRATUM, so the
+    * draw is stable under repartitioning, ingestion order, and
+    * engine swap — and unlike `df.sample`, re-running on a grown
+    * corpus preserves previously-drawn rows unless pushed out.
+    *
+    * Scale design: the per-stratum cut reuses the bounded-heap
+    * [[graft.functions.TopKAggregator]] (the c05 discipline — O(k)
+    * state and shuffle bytes per stratum on BOTH aggregation sides);
+    * a per-source window would sort a billion-row stratum to cut at
+    * k. Ranking uses the first 13 md5 hex chars as an exact-in-double
+    * 52-bit integer; the DuckDB oracle orders by the same fixed-width
+    * lowercase hex prefix lexicographically — identical order, ties
+    * (coincident 13-char prefixes) broken by doc_id on both sides. */
+  def stratifiedFixedSample(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("draw"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, -r._3.toDouble))
+      .agg(new TopKAggregator(k).toColumn)
+      .flatMap { case (src, tops) =>
+        tops.zipWithIndex.map { case (sc, i) => (src, (i + 1).toLong, sc.id) }
+      }
+      .toDF("source", "rnk", "doc_id")
+      .orderBy("source", "rnk")
+  }
 }

@@ -1522,6 +1522,56 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(_.getDouble(4) > 0.0))
   }
 
+  test("e09: transition matrix ≡ plain-Scala consecutive-pair model") {
+    val ev = Relational.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).map(_._4).toList.sliding(2)
+        .collect { case a :: b :: Nil => (a, b) }
+    }.toSeq
+    val cnt = pairs.groupBy(identity).map { case (k, o) => (k, o.length.toLong) }
+    val fromTot = cnt.groupBy(_._1._1).map { case (f, m) => (f, m.values.sum) }
+    val got = Events.transitionStats(spark, sf0001).collect()
+    assert(got.length == cnt.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == cnt(k), s"count $k")
+      val share = math.floor(
+        cnt(k).toDouble / fromTot(k._1) * 10000 + 0.5) / 10000
+      assert(r.getDouble(3) == share, s"share $k")
+    }
+    // shares row-normalize: each from_type's shares sum to ~1
+    got.groupBy(_.getString(0)).values.foreach { rows =>
+      val sum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(sum - 1.0) < 1e-3, s"row sum $sum")
+    }
+  }
+
+  test("p07: per-stratum fixed sample — exact k, window-model equal, repartition-stable") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def hex13(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.take(13)
+    }
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.map(_._2).sortBy(id => (hex13(id), id)).take(5).toSeq
+        .zipWithIndex.map { case (id, i) => (src, (i + 1).toLong, id) }
+    }.toSet
+    val got = Sampling.stratifiedFixedSample(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == expected)
+    // exactly k per stratum
+    got.groupBy(_._1).values.foreach(rows => assert(rows.length == 5))
+    // the draw is content-derived: a physical reshuffle cannot move it
+    val re = Sampling.stratifiedFixedSample(spark, sf0001)
+    assert(re.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet == expected)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
