@@ -121,6 +121,8 @@ object SparkEntry {
     "s14_centrality" -> ((s: SparkSession, dir: String) => Similarity.knnCentrality(s, dir)),
     "s15_mmr_topk" -> ((s: SparkSession, dir: String) => Similarity.mmrTopK(s, dir)),
     "d14_cross_source_dups" -> ((s: SparkSession, dir: String) => Dedup.crossSourceNearDupMatrix(s, dir)),
+    "d15_block_dedup" -> ((s: SparkSession, dir: String) => Dedup.blockDedupStats(s, dir)),
+    "s16_range_search" -> ((s: SparkSession, dir: String) => Similarity.rangeSearch(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "s02_lsh_topk" -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
@@ -1357,6 +1359,49 @@ object SparkEntry {
            floor(max(ent) * 1000 + 0.5) / 1000 AS max_entropy,
            CAST(sum(CASE WHEN ent < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
          FROM e GROUP BY 1 ORDER BY 1""",
+    // d15: disjoint 16-token block dedup — removed iff not the global
+    // first occurrence of the block content in (doc_id, bi) order
+    // (within-doc repeats INCLUDED — contrast c12's cross-doc-only
+    // rule); only affected docs reported, text rebuilt positionally
+    "d15_block_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         blk AS (
+           SELECT doc_id, (i - 1) // 16 AS bi, array_to_string(w[i:i+15], ' ') AS b
+           FROM toks, UNNEST(range(1, len(w) + 1, 16)) AS t(i)),
+         r AS (
+           SELECT doc_id, bi, b,
+             row_number() OVER (PARTITION BY b ORDER BY doc_id, bi) AS rn
+           FROM blk),
+         hits AS (SELECT doc_id, bi FROM r WHERE rn > 1)
+         SELECT k.doc_id, count(*) AS n_blocks,
+           CAST(sum(CASE WHEN h.bi IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN h.bi IS NULL THEN k.b END,
+             ' ' ORDER BY k.bi), '') AS kept_text
+         FROM blk k
+         LEFT JOIN hits h ON h.doc_id = k.doc_id AND h.bi = k.bi
+         WHERE k.doc_id IN (SELECT doc_id FROM hits)
+         GROUP BY k.doc_id ORDER BY k.doc_id""",
+    // s16: fixed-radius cosine search — membership thresholds the
+    // integer ten-thousandths similarity (the s01 r4 grid), mean sums
+    // those integer units so accumulation order cannot matter
+    "s16_range_search" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id < 10),
+         s AS (
+           SELECT q_id,
+             CAST(floor(list_cosine_similarity(q_emb,
+               CAST(embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS sim4
+           FROM embeddings, q WHERE vec_id <> q_id)
+         SELECT q_id, count(*) AS n_in_range,
+           CAST(max(sim4) AS DOUBLE) / 10000 AS max_sim,
+           floor(CAST(sum(sim4) AS DOUBLE) / 10000 / count(*) * 10000 + 0.5)
+             / 10000 AS avg_sim
+         FROM s WHERE sim4 >= 2500
+         GROUP BY q_id ORDER BY q_id""",
     // t13: per-doc cross-doc duplication fraction — windows carry
     // multiplicity (one per position); "repeated" means the 5-gram
     // appears in >= 2 DISTINCT docs (the d11 cross-doc contract)

@@ -952,4 +952,58 @@ object Dedup {
       .distinct()
       .orderBy("span")
   }
+
+  /** Disjoint-block exact dedup with text rebuild (d15) — the
+    * chunk-granular middle rung of the excision ladder: d01 drops
+    * whole duplicate documents, c12 scrubs overlapping repeated
+    * 8-gram coverage, this deduplicates DISJOINT `blockTokens`-token
+    * blocks (the "paragraph dedup" of Dolma-style pipelines, mapped
+    * onto fixed blocks because this corpus has no newline structure):
+    * every block occurrence that is not the global first occurrence
+    * of its content — in (doc_id, block_idx) order, INCLUDING repeats
+    * within one document — is excised, and the survivors are
+    * reassembled in order. Reports only affected documents.
+    *
+    * Scale design (the d11/c12 discipline): block text never shuffles
+    * — each block leaves its row as an 8-byte xxhash64, the
+    * checkpointed (doc_id, bi, h) frame is the only corpus-sized
+    * exchange, and first-wins is one partial-aggregable
+    * `min(struct(doc_id, bi))` per hash. Excision is in-row: the
+    * removal-index set per affected doc (a small frame — only docs
+    * holding a non-first duplicate block) joins back hint-free (AQE
+    * broadcasts it at every measured scale) and a positional
+    * higher-order filter rebuilds the text from the original token
+    * array without any text ever having moved. */
+  def blockDedupStats(s: SparkSession, dir: String,
+      blockTokens: Int = 16): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("w"))
+    val blockHashes = transform(
+      sequence(lit(0), size(col("w")) - 1, lit(blockTokens)),
+      st => xxhash64(concat_ws(" ", slice(col("w"), st + 1, lit(blockTokens)))))
+    val rows = docs
+      .select(col("doc_id"), posexplode(blockHashes))
+      .toDF("doc_id", "bi", "h")
+      .localCheckpoint()
+    val rep = rows.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("bi"))).as("first"),
+        count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select(col("h").as("rh"), col("first"))
+    val hits = rows.join(rep, col("h") === col("rh"))
+      .where(!(col("first") === struct(col("doc_id"), col("bi"))))
+      .groupBy("doc_id").agg(collect_set("bi").as("rm"))
+    val blocks = transform(
+      sequence(lit(0), size(col("w")) - 1, lit(blockTokens)),
+      st => concat_ws(" ", slice(col("w"), st + 1, lit(blockTokens))))
+    docs.join(hits, "doc_id")
+      .withColumn("blocks", blocks)
+      .select(col("doc_id"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        size(col("rm")).cast("long").as("n_removed"),
+        concat_ws(" ",
+          filter(col("blocks"), (b, i) => !array_contains(col("rm"), i)))
+          .as("kept_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -1132,4 +1132,44 @@ object Similarity {
         r4(max("norm")).as("max_norm"))
       .orderBy("label")
   }
+
+  /** Cosine range search (s16) — the fixed-radius dual of top-k: for
+    * each query vector, how many corpus vectors sit within cosine ≥
+    * τ, with the max and mean similarity of the in-range set. The
+    * radius query is what density-threshold applications run
+    * (near-dup candidate counting, local-density estimation for
+    * outlier scoring) where top-k's fixed cardinality is the wrong
+    * contract. Reference analog: the predicate-filter chains of
+    * streamable/stream.py:230-253, specialized to a metric predicate.
+    *
+    * Scale design: identical shape to [[bruteForceTopK]] — queries
+    * broadcast, corpus never shuffles, one codegen'd kernel scan; no
+    * ranking window at all (the range predicate filters BEFORE the
+    * per-query aggregate, so the only shuffle is |queries|-keyed
+    * partial aggregation of in-range rows). The IVF variants (s05+)
+    * give the probe-limited version when τ is tight.
+    *
+    * Cross-engine determinism: membership thresholds the ROUNDED
+    * similarity (integer ten-thousandths, the same r4 grid every
+    * s-oracle certifies), and the mean is summed in those integer
+    * units — order-free, one final double division per query. */
+  def rangeSearch(s: SparkSession, dir: String, nQueries: Int = 10,
+      tau: Double = 0.25): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val tau4 = math.floor(tau * 10000 + 0.5).toLong
+    corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("sim4",
+        floor(cosine(col("q_emb"), col("c_emb")) * lit(1e4) + lit(0.5))
+          .cast("long"))
+      .where(col("sim4") >= tau4)
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_in_range"),
+        (max("sim4").cast("double") / lit(1e4)).as("max_sim"),
+        r4(sum("sim4").cast("double") / lit(1e4) / count(lit(1)))
+          .as("avg_sim"))
+      .orderBy("q_id")
+  }
 }

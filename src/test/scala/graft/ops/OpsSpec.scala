@@ -1572,6 +1572,89 @@ class OpsSpec extends SparkSpec {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSet == expected)
   }
 
+  test("d15: block dedup ≡ plain-Scala first-wins model; within-doc repeat IS removed") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+      .sortBy(_._1)
+    val bt = 16
+    val occ = docs.flatMap { case (id, w) =>
+      w.grouped(bt).zipWithIndex.map { case (b, i) => (id, i, b.mkString(" ")) }
+    }
+    val seen = scala.collection.mutable.Set[String]()
+    val kept = occ.map { case (id, bi, b) =>
+      val first = !seen.contains(b); seen += b; (id, bi, b, first)
+    }
+    val expected = kept.groupBy(_._1)
+      .filter(_._2.exists(!_._4))
+      .map { case (id, rows) =>
+        id -> (rows.length.toLong, rows.count(!_._4).toLong,
+          rows.filter(_._4).sortBy(_._2).map(_._3).mkString(" "))
+      }
+    val got = Dedup.blockDedupStats(spark, sf0001).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getString(3)) ==
+        expected(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("d15: within-doc duplicate block excised; unique docs unreported") {
+    import spark.implicits._
+    val tmpDir = java.nio.file.Files.createTempDirectory("d15").toString
+    val block = (1 to 16).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, s"$block $block tail words here", "en", "s0", 0L),
+      (2L, "an entirely distinct document body", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmpDir/documents.parquet")
+    val got = Dedup.blockDedupStats(spark, tmpDir).collect()
+    // only doc 1 is affected: its second 16-token block repeats its
+    // first and is excised; the partial tail block survives
+    assert(got.length == 1 && got(0).getLong(0) == 1L)
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 1L)
+    assert(got(0).getString(3) == s"$block tail words here")
+  }
+
+  test("s16: range search ≡ plain-Scala radius model; consistent with s01 top-1") {
+    val emb = Relational.t(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = emb.filter(_._1 < 10).map { case (q, qe) =>
+      val sims = emb.filter(_._1 != q)
+        .map(c => math.floor(cos(qe, c._2) * 1e4 + 0.5).toLong)
+        .filter(_ >= 2500L)
+      q -> (sims.length.toLong, sims.maxOption.map(_.toDouble / 1e4),
+        if (sims.isEmpty) None
+        else Some(math.floor(sims.sum.toDouble / 1e4 / sims.length * 1e4 + 0.5) / 1e4))
+    }.filter(_._2._1 > 0).toMap
+    val got = Similarity.rangeSearch(spark, sf0001).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert(r.getLong(1) == e._1 && r.getDouble(2) == e._2.get &&
+        r.getDouble(3) == e._3.get, s"q ${r.getLong(0)}")
+    }
+    // the in-range max equals s01's rank-1 similarity for queries
+    // where rank-1 clears the radius (shared kernel, shared grid)
+    val top1 = Similarity.bruteForceTopK(spark, sf0001).collect()
+      .filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      val t1 = top1(r.getLong(0))
+      if (t1 >= 0.25) assert(r.getDouble(2) == t1, s"q ${r.getLong(0)}")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
