@@ -150,6 +150,7 @@ object SparkEntry {
     "m06_gif_frames" -> (Multimodal.decodeFrames _),
     "m07_scene_deltas" -> (Multimodal.sceneDeltas _),
     "m08_image_neardups" -> ((s: SparkSession, dir: String) => Multimodal.imageNearDupPairs(s, dir)),
+    "m09_audio_neardups" -> ((s: SparkSession, dir: String) => Multimodal.audioNearDupPairs(s, dir)),
   )
 
   /** Shared DuckDB CTE prefix for every shingle-based oracle:
@@ -2004,6 +2005,34 @@ object SparkEntry {
              CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
                AS hamming
            FROM bits a JOIN bits b ON a.i = b.i AND a.media_id < b.media_id
+           GROUP BY 1, 2)
+         SELECT media_a, media_b, hamming FROM pairs
+         WHERE hamming <= 3 ORDER BY 1, 2""",
+    // m09: the oracle recomputes the PCM formula (which the decode
+    // path never sees) per window-bit and the full quadratic hamming;
+    // Spark's 4x16 banding is pigeonhole-complete at <= 3 so the sets
+    // match exactly — certifies WAV round-trip + envelope + banding
+    "m09_audio_neardups" ->
+      """WITH m AS (SELECT doc_id AS id, CAST(256 + doc_id % 64 AS BIGINT) AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         au AS (SELECT id, n, id AS media_id, 0 AS gain FROM m
+           UNION ALL SELECT id, n, id + 1000000, 1 FROM m),
+         samp AS (SELECT media_id, n, gain,
+             t.v AS t, ((id * 31 + t.v * 7) % 65536) - 32768 AS v0
+           FROM au, UNNEST(range(n)) AS t(v)),
+         sv AS (SELECT media_id, n, t, CASE WHEN gain = 1
+             THEN CAST(floor(v0 / 2.0) AS BIGINT) ELSE v0 END AS v
+           FROM samp),
+         win AS (SELECT media_id, t * 64 // n AS wi, sum(abs(v)) AS s
+           FROM sv GROUP BY 1, 2),
+         tot AS (SELECT media_id, sum(s) AS tot FROM win GROUP BY 1),
+         bits AS (SELECT w.media_id, w.wi,
+             CASE WHEN w.s * 64 > tot.tot THEN 1 ELSE 0 END AS bit
+           FROM win w JOIN tot USING (media_id)),
+         pairs AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+             CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+           FROM bits a JOIN bits b ON a.wi = b.wi AND a.media_id < b.media_id
            GROUP BY 1, 2)
          SELECT media_a, media_b, hamming FROM pairs
          WHERE hamming <= 3 ORDER BY 1, 2""",

@@ -539,4 +539,100 @@ object Multimodal {
       .select("media_a", "media_b", "hamming")
       .orderBy("media_a", "media_b")
   }
+
+  /** Perceptual audio near-dup pairs (m09) — the audio rung of the
+    * dedup ladder (m08's aHash discipline moved to the time domain):
+    * a 64-window energy-envelope signature over the REAL decoded PCM
+    * — window energy = Σ|sample|, one bit per window via the
+    * division-free mean threshold s·64 > Σs — then 4×16-bit banded
+    * LSH candidates and exact hamming verify. The envelope is
+    * RELATIVE (each bit compares a window to the clip's own mean), so
+    * a re-gained transcode of a clip lands on the same signature:
+    * the fixture plants a half-gain sibling (media_id + 1 000 000,
+    * every sample floor-halved — a lossy 6 dB-down re-encode) for
+    * every base clip, and unrelated clips sit near hamming 32.
+    *
+    * Scale design: ONE codec pass (the [[audioWriters]]/
+    * [[audioReaders]] per-partition SPI kernels — write WAV, decode
+    * WAV, so the signature is computed from container-parsed bytes,
+    * not the formula) emits a 16-byte (media_id, hash) row per clip;
+    * the blob never leaves the kernel. Candidates via band melt +
+    * hint-free self-equi-join, pigeonhole-complete at hamming ≤ 3 —
+    * the oracle recomputes the sample formula (which the decode path
+    * never sees) quadratically per window-bit, certifying codec
+    * round-trip + envelope + threshold + banding end to end. */
+  def audioNearDupPairs(s: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val sigs = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val writers = audioWriters()
+        val readers = audioReaders()
+        ids.flatMap { id =>
+          Seq((id, false), (id + 1000000L, true)).map { case (mid, halved) =>
+            val n = (256 + id % 64).toInt
+            val pcm = new Array[Byte](n * 2)
+            var t = 0
+            while (t < n) {
+              val v0 = (((id * 31 + t * 7) % 65536) - 32768).toInt
+              val v = if (halved) math.floorDiv(v0, 2) else v0
+              pcm(2 * t) = (v & 0xff).toByte
+              pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+              t += 1
+            }
+            val fmt = new AudioFormat(8000f, 16, 1, true, false)
+            val ais = new AudioInputStream(
+              new ByteArrayInputStream(pcm), fmt, n.toLong)
+            val bos = new ByteArrayOutputStream()
+            writers.find(_.getAudioFileTypes(ais)
+              .contains(AudioFileFormat.Type.WAVE))
+              .getOrElse(sys.error(s"no WAVE writer for media $mid"))
+              .write(ais, AudioFileFormat.Type.WAVE, bos)
+            // decode the container back — the signature reads DECODED
+            // bytes, so a hash match certifies the codec round-trip
+            val bais = new ByteArrayInputStream(bos.toByteArray)
+            val dec = readers.view.flatMap { r =>
+              try Some(r.getAudioInputStream(bais))
+              catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                  bais.reset(); None
+              }
+            }.headOption.getOrElse(sys.error(s"undecodable audio $mid"))
+            val bytes = dec.readAllBytes()
+            val frames = bytes.length / 2
+            val win = new Array[Long](64)
+            var tot = 0L
+            var u = 0
+            while (u < frames) {
+              val sv = ((bytes(2 * u + 1).toInt << 8) | (bytes(2 * u) & 0xff))
+              val a = math.abs(sv).toLong
+              win(u * 64 / frames) += a
+              tot += a
+              u += 1
+            }
+            var hash = 0L
+            var i = 0
+            while (i < 64) { if (win(i) * 64L > tot) hash |= (1L << i); i += 1 }
+            (mid, hash)
+          }
+        }
+      }.toDF("media_id", "hash").localCheckpoint()
+    val banded = sigs.select(col("media_id"), col("hash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("hash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("media_id", "hash", "bi", "bv")
+    banded.as("x").join(banded.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        col("x.hash").as("ha"), col("y.hash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
 }

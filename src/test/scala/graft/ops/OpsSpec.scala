@@ -970,6 +970,43 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "only exact-equal hashes found")
   }
 
+  test("audio near-dups: banded codec path equals the envelope formula model; siblings collide") {
+    // the model recomputes the PCM formula the decode path never sees
+    // (the oracle's role, in Scala): 64-window |sample| energy, the
+    // division-free mean threshold, full quadratic hamming
+    def envBits(id: Long, halved: Boolean): IndexedSeq[Int] = {
+      val n = (256 + id % 64).toInt
+      val win = Array.fill(64)(0L)
+      var tot = 0L
+      for (t <- 0 until n) {
+        val v0 = (((id * 31 + t * 7) % 65536) - 32768).toInt
+        val v = if (halved) math.floorDiv(v0, 2) else v0
+        val a = math.abs(v).toLong
+        win(t * 64 / n) += a; tot += a
+      }
+      (0 until 64).map(i => if (win(i) * 64L > tot) 1 else 0)
+    }
+    val ids = Relational.t(spark, sf0001, "documents")
+      .filter(col("doc_id") % 3 === 1).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val media = ids.flatMap(id =>
+      Seq(id -> envBits(id, halved = false),
+        (id + 1000000L) -> envBits(id, halved = true))).sortBy(_._1)
+    val expected = (for {
+      i <- media.indices; j <- (i + 1) until media.length
+      d = media(i)._2.zip(media(j)._2).count { case (a, b) => a != b }
+      if d <= 3
+    } yield (media(i)._1, media(j)._1, d.toLong))
+      .sortBy(p => (p._1, p._2))
+    val got = Multimodal.audioNearDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // every planted half-gain sibling collides — the envelope really
+    // is gain-invariant through the codec round-trip
+    val sibs = got.filter { case (a, b, _) => b == a + 1000000L }
+    assert(sibs.length == ids.length, s"${sibs.length} of ${ids.length} siblings found")
+  }
+
   test("repeated spans: goldens — shared block found, sub-window spans, none below w") {
     import spark.implicits._
     // docs 1 and 2 share the 9-token block "q w e r t y u i o"; doc 3
