@@ -88,6 +88,7 @@ object SparkEntry {
     "p05_weighted_sample" -> (Sampling.qualityWeightedSample _),
     "p06_dsir" -> ((s: SparkSession, dir: String) => Sampling.dsirStats(s, dir)),
     "p07_stratified_fixed" -> ((s: SparkSession, dir: String) => Sampling.stratifiedFixedSample(s, dir)),
+    "p08_epoch_plan" -> ((s: SparkSession, dir: String) => Sampling.epochPlan(s, dir)),
     // — corpus curation (training-data pipeline) —
     "c01_contamination" -> ((s: SparkSession, dir: String) => Curation.contaminationReport(s, dir)),
     "c02_seq_packing" -> ((s: SparkSession, dir: String) => Curation.packingStats(s, dir)),
@@ -1504,6 +1505,28 @@ object SparkEntry {
            FROM documents)
          SELECT source, rnk, doc_id FROM r WHERE rnk <= 5
          ORDER BY source, rnk""",
+    // p08: epoch plan from the p03 temperature rule — sqrt weights
+    // floored to integer micro-units BEFORE the cross-strata sum, so
+    // every division sees exact-integer doubles (order-free)
+    "p08_epoch_plan" ->
+      """WITH c AS (
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+           FROM documents GROUP BY lang),
+         w AS (SELECT lang, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+               AS BIGINT) AS s6
+           FROM c),
+         tot AS (SELECT CAST(sum(s6) AS BIGINT) AS sw,
+             CAST(sum(n_tokens) AS BIGINT) AS nc FROM w)
+         SELECT lang, n_docs, n_tokens,
+           floor(CAST(s6 AS DOUBLE) / sw * 10000 + 0.5) / 10000 AS weight,
+           CAST(floor(CAST(2 * nc * s6 AS DOUBLE) / CAST(sw AS DOUBLE))
+             AS BIGINT) AS alloc_tokens,
+           floor(CAST(2 * nc * s6 AS DOUBLE) / CAST(sw * n_tokens AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS epochs
+         FROM w, tot ORDER BY lang""",
     "p03_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          r AS (SELECT lang, n_docs,

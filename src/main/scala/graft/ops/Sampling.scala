@@ -310,4 +310,49 @@ object Sampling {
       .toDF("source", "rnk", "doc_id")
       .orderBy("source", "rnk")
   }
+
+  /** Temperature-mixture epoch plan (p08) — the repeat-factor table a
+    * training run is configured from: given the measured per-stratum
+    * token masses n_i and the p03 temperature rule w_i ∝ √n_i, split
+    * a total training budget of `budgetMult`·Σn_i tokens across
+    * strata and report each stratum's allocation and epoch count
+    * (allocated / owned — >1 means the stratum repeats, the
+    * upsampled tail; <1 means it is subsampled). This is the
+    * data-mixture table of the published LLM corpora (Gopher tab. 2,
+    * LLaMA tab. 1) computed from the corpus itself; p03 derives
+    * sampling RATES from the same rule, this derives the epoch PLAN.
+    * Reference analog: streamable's control-parameter derivation
+    * chains (stream.py:230-326) — corpus statistics in, plan out.
+    *
+    * Scale design: one wordcount-shaped partial aggregation to
+    * |strata| rows; everything after runs on that tiny frame with the
+    * totals broadcast back. The corpus is scanned once, narrow.
+    *
+    * Cross-engine determinism: √n_i is floored to integer
+    * micro-units BEFORE the cross-strata sum (the t11 discipline —
+    * irrational weights summed in engine order would drift), so
+    * every division sees exact-integer-valued doubles; products stay
+    * < 2⁵³ through ~10⁹-token strata. */
+  def epochPlan(s: SparkSession, dir: String,
+      budgetMult: Int = 2): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .withColumn("s6",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+    val totals = counts.agg(sum("s6").as("sw"), sum("n_tokens").as("nc"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("weight", Relational.r4(col("s6").cast("double") / col("sw")))
+      .withColumn("alloc_tokens",
+        floor((lit(budgetMult.toLong) * col("nc") * col("s6")).cast("double") /
+          col("sw").cast("double")).cast("long"))
+      .withColumn("epochs",
+        Relational.r4((lit(budgetMult.toLong) * col("nc") * col("s6")).cast("double") /
+          (col("sw") * col("n_tokens")).cast("double")))
+      .select("lang", "n_docs", "n_tokens", "weight", "alloc_tokens", "epochs")
+      .orderBy("lang")
+  }
 }

@@ -1692,6 +1692,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("p08: epoch plan ≡ plain-Scala sqrt-mixture model; tail upsampled, head subsampled") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val byLang = docs.groupBy(_._1).map { case (l, rows) =>
+      l -> (rows.length.toLong, rows.map(_._2).sum)
+    }
+    val s6 = byLang.map { case (l, (_, nt)) =>
+      l -> math.floor(math.sqrt(nt.toDouble) * 1e6 + 0.5).toLong
+    }
+    val sw = s6.values.sum
+    val nc = byLang.values.map(_._2).sum
+    val got = Sampling.epochPlan(spark, sf0001).collect()
+    assert(got.length == byLang.size)
+    got.foreach { r =>
+      val l = r.getString(0)
+      val (nd, nt) = byLang(l)
+      assert(r.getLong(1) == nd && r.getLong(2) == nt, s"counts $l")
+      assert(r.getDouble(3) ==
+        math.floor(s6(l).toDouble / sw * 10000 + 0.5) / 10000, s"weight $l")
+      assert(r.getLong(4) ==
+        math.floor((2L * nc * s6(l)).toDouble / sw.toDouble).toLong, s"alloc $l")
+      assert(r.getDouble(5) == math.floor((2L * nc * s6(l)).toDouble /
+        (sw * nt).toDouble * 10000 + 0.5) / 10000, s"epochs $l")
+    }
+    // the sqrt rule must bite: the largest stratum runs FEWER epochs
+    // than the smallest (tail upsampled toward uniform)
+    val byTok = got.sortBy(_.getLong(2))
+    assert(byTok.last.getDouble(5) < byTok.head.getDouble(5),
+      "temperature rule degenerate: head not subsampled relative to tail")
+    // allocations conserve the budget to within |strata| flooring units
+    val alloc = got.map(_.getLong(4)).sum
+    assert(alloc <= 2L * nc && alloc >= 2L * nc - got.length)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
