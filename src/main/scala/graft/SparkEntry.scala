@@ -118,6 +118,7 @@ object SparkEntry {
     "d12_semdedup" -> ((s: SparkSession, dir: String) => Dedup.semDedup(s, dir)),
     "d13_semdedup_recall" -> ((s: SparkSession, dir: String) => Dedup.semDedupRecallAdvisory(s, dir)),
     "c13_proto_prune" -> ((s: SparkSession, dir: String) => Similarity.prototypePruneStats(s, dir)),
+    "c14_contamination_curve" -> ((s: SparkSession, dir: String) => Curation.contaminationCurve(s, dir)),
     "s13_knn_graph" -> ((s: SparkSession, dir: String) => Similarity.knnGraph(s, dir)),
     "s14_centrality" -> ((s: SparkSession, dir: String) => Similarity.knnCentrality(s, dir)),
     "s15_mmr_topk" -> ((s: SparkSession, dir: String) => Similarity.mmrTopK(s, dir)),
@@ -171,6 +172,31 @@ object SparkEntry {
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2)"""
+
+  /** Per-n CTE block for the c14 contamination-curve oracle — the
+    * c01 pipeline at shingle size `n`, reduced to one (n, counts,
+    * mean) row. Shares the single `toks` CTE across sizes. */
+  private def contamCurveCtes(n: Int): String =
+    s"""sh$n AS (
+           SELECT DISTINCT doc_id, source, array_to_string(w[i:i+${n - 1}], ' ') AS g
+           FROM toks, UNNEST(range(1, len(w) - ${n - 2})) AS t(i)
+           WHERE len(w) >= $n),
+         bench$n AS (SELECT DISTINCT g FROM sh$n WHERE source = 'src0'),
+         corp$n AS (SELECT doc_id, g FROM sh$n WHERE source <> 'src0'),
+         sz$n AS (SELECT doc_id, count(*) AS n_sh FROM corp$n GROUP BY 1),
+         hit$n AS (SELECT c.doc_id, count(*) AS n_hit
+           FROM corp$n c JOIN bench$n USING (g) GROUP BY 1),
+         ov$n AS (SELECT h.doc_id,
+             CAST(floor(h.n_hit / z.n_sh * 1000 + 0.5) AS BIGINT) AS ov3
+           FROM hit$n h JOIN sz$n z USING (doc_id))"""
+
+  private def contamCurveSelect(n: Int): String =
+    s"""SELECT CAST($n AS BIGINT) AS n, count(*) AS n_hit_docs,
+           CAST(coalesce(sum(CASE WHEN ov3 >= 500 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_flagged,
+           floor(CAST(sum(ov3) AS DOUBLE) / 1000 / count(*) * 1000 + 0.5)
+             / 1000 AS avg_overlap
+         FROM ov$n"""
 
   /** Exact-Jaccard pair select over [[shingleCtes]] (threshold 0.6,
     * 3-decimal rounding - mirrors `Dedup.pairJaccard`/`r3`). */
@@ -1361,6 +1387,16 @@ object SparkEntry {
            floor(max(ent) * 1000 + 0.5) / 1000 AS max_entropy,
            CAST(sum(CASE WHEN ent < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
          FROM e GROUP BY 1 ORDER BY 1""",
+    // c14: contamination curve — the c01 pipeline replayed at each
+    // shingle size, one toks CTE shared; per-doc overlap in integer
+    // milli-units before the mean (order-free)
+    "c14_contamination_curve" ->
+      s"""WITH toks AS (
+           SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+           FROM documents),
+         ${Seq(3, 5, 8).map(contamCurveCtes).mkString(",\n         ")}
+         ${Seq(3, 5, 8).map(contamCurveSelect).mkString("\n         UNION ALL\n         ")}
+         ORDER BY n""",
     // d15: disjoint 16-token block dedup — removed iff not the global
     // first occurrence of the block content in (doc_id, bi) order
     // (within-doc repeats INCLUDED — contrast c12's cross-doc-only

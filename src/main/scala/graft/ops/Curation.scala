@@ -614,4 +614,51 @@ object Curation {
         concat_ws(" ", col("kept")).as("scrubbed"))
       .orderBy("doc_id")
   }
+
+  /** Contamination curve across shingle sizes (c14) — the diagnostic
+    * that justifies a decontamination pipeline's n: for each n-gram
+    * size, how many corpus docs share ANY shingle with the benchmark
+    * set, how many clear the c01 flag threshold, and the mean overlap
+    * among hit docs. Short shingles produce massive accidental overlap
+    * (natural-language collisions), long shingles only true
+    * contamination — the published decontamination setups (GPT-3's
+    * 13-gram, PaLM/Llama 8–10-gram) sit where this curve flattens,
+    * and this op computes that curve for YOUR corpus instead of
+    * borrowing a paper's constant.
+    *
+    * Scale design: one c01-shaped pass per requested n (|ns| narrow
+    * scans, a declared constant-factor diagnostic multiplier — each
+    * pass is the [[contaminationReport]] shape: benchmark shingles
+    * broadcast, corpus shingles as 8-byte hashes, only HIT rows reach
+    * the per-doc aggregation, final frame |ns| rows). Per-doc overlap
+    * is floored to integer milli-units before the cross-doc mean (the
+    * t11 discipline), so the curve is order-free cross-engine. */
+  def contaminationCurve(s: SparkSession, dir: String,
+      benchSource: String = "src0", ns: Seq[Int] = Seq(3, 5, 8),
+      minOverlap: Double = 0.5): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val mo3 = math.floor(minOverlap * 1000 + 0.5).toLong
+    ns.map { n =>
+      val sets = Dedup.shingleHashSets(docs, n, carry = Seq("source"))
+        .localCheckpoint()
+      val bench = sets.filter(col("source") === benchSource)
+        .select(explode(col("hs")).as("h")).distinct()
+      val corpus = sets.filter(col("source") =!= benchSource)
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+          col("hs"))
+      corpus.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy("doc_id", "n_sh").agg(count(lit(1)).as("n_hit"))
+        .withColumn("ov3",
+          floor(col("n_hit") / col("n_sh") * 1000 + 0.5).cast("long"))
+        .agg(count(lit(1)).as("n_hit_docs"),
+          coalesce(sum((col("ov3") >= mo3).cast("long")), lit(0L))
+            .as("n_flagged"),
+          r3(sum("ov3").cast("double") / 1000 / count(lit(1)))
+            .as("avg_overlap"))
+        .withColumn("n", lit(n.toLong))
+    }.reduce(_ unionByName _)
+      .select("n", "n_hit_docs", "n_flagged", "avg_overlap")
+      .orderBy("n")
+  }
 }

@@ -1727,6 +1727,38 @@ class OpsSpec extends SparkSpec {
     assert(alloc <= 2L * nc && alloc >= 2L * nc - got.length)
   }
 
+  test("c14: contamination curve ≡ plain-Scala model; accidental overlap decays with n") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).trim.split("\\s+").toSeq))
+    def curve(n: Int): (Long, Long, Option[Double]) = {
+      val sh = docs.filter(_._3.length >= n).map { case (id, src, w) =>
+        (id, src, w.sliding(n).map(_.mkString(" ")).toSet)
+      }
+      val bench = sh.filter(_._2 == "src0").flatMap(_._3).toSet
+      val ov3s = sh.filter(_._2 != "src0").flatMap { case (_, _, g) =>
+        val hit = g.count(bench.contains)
+        if (hit == 0) None
+        else Some(math.floor(hit.toDouble / g.size * 1000 + 0.5).toLong)
+      }
+      (ov3s.length.toLong, ov3s.count(_ >= 500L).toLong,
+        if (ov3s.isEmpty) None
+        else Some(math.floor(ov3s.sum.toDouble / 1000 / ov3s.length * 1000 + 0.5) / 1000))
+    }
+    val got = Curation.contaminationCurve(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L, 5L, 8L))
+    got.foreach { r =>
+      val e = curve(r.getLong(0).toInt)
+      assert(r.getLong(1) == e._1 && r.getLong(2) == e._2, s"n ${r.getLong(0)}")
+      if (e._3.isDefined) assert(r.getDouble(3) == e._3.get, s"avg n ${r.getLong(0)}")
+      else assert(r.isNullAt(3))
+    }
+    // the curve is the point: short shingles hit far more docs than long
+    val hits = got.map(_.getLong(1))
+    assert(hits(0) > hits(1) && hits(1) >= hits(2),
+      s"no accidental-overlap decay: ${hits.toSeq}")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
