@@ -65,6 +65,7 @@ object SparkEntry {
     "e07_retention" -> (Events.retentionCohorts _),
     "e08_spikes" -> ((s: SparkSession, dir: String) => Events.spikeStats(s, dir)),
     "e09_transitions" -> ((s: SparkSession, dir: String) => Events.transitionStats(s, dir)),
+    "e10_gap_stats" -> ((s: SparkSession, dir: String) => Events.gapStats(s, dir)),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -1136,6 +1137,22 @@ object SparkEntry {
              CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
              * 10000 + 0.5) / 10000 AS share
          FROM p ORDER BY from_type, to_type""",
+    // e10: dwell-time distribution — gaps stay integer ms so the
+    // interpolating percentile reads exact-integer doubles (q25
+    // percentile ≡ quantile_cont contract)
+    "e10_gap_stats" ->
+      """WITH g AS (
+           SELECT event_type, epoch_ms(ts) AS ms,
+             lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nms
+           FROM events)
+         SELECT event_type, count(*) AS n_gaps,
+           floor(quantile_cont(nms - ms, 0.5) * 100 + 0.5) / 100
+             AS median_gap_ms,
+           floor(quantile_cont(nms - ms, 0.9) * 100 + 0.5) / 100
+             AS p90_gap_ms,
+           CAST(max(nms - ms) AS BIGINT) AS max_gap_ms
+         FROM g WHERE nms IS NOT NULL GROUP BY 1 ORDER BY 1""",
     "e06_funnel" ->
       """WITH u AS (
            SELECT user_id,

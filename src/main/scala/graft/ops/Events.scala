@@ -268,6 +268,36 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Inter-event dwell-time distribution (e10) — per event_type of
+    * the EARLIER event, the distribution of time to the same user's
+    * next event (any type): count, exact median/p90, max. The
+    * dwell-time profile behind session-gap tuning (e02's gap constant
+    * should sit past the p90 of intra-session gaps) and engagement
+    * analytics. Gaps stay integer MILLISECONDS end to end, so the
+    * percentile interpolation reads exact-integer doubles on both
+    * engines (the q25 `percentile` ≡ `quantile_cont` contract).
+    *
+    * Scale design: the same single user_id shuffle as e09 feeds the
+    * lead window; the percentile aggregate then groups by event_type
+    * — exact `percentile` is a per-group sort, the correctness
+    * anchor; at 100 TB swap `approx_percentile` (t-digest, no sort),
+    * the q25/q25b pairing. */
+  def gapStats(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("nms", lead(col("ms"), 1).over(byUser))
+      .where(col("nms").isNotNull)
+      .withColumn("gap_ms", col("nms") - col("ms"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        r2(expr("percentile(gap_ms, 0.5)")).as("median_gap_ms"),
+        r2(expr("percentile(gap_ms, 0.9)")).as("p90_gap_ms"),
+        max("gap_ms").as("max_gap_ms"))
+      .orderBy("event_type")
+  }
+
   /** Top-10 users by total event value (deterministic tiebreak). */
   def topUsers(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

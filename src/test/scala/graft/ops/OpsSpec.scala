@@ -1759,6 +1759,38 @@ class OpsSpec extends SparkSpec {
       s"no accidental-overlap decay: ${hits.toSeq}")
   }
 
+  test("e10: gap distribution ≡ plain-Scala percentile model") {
+    val ev = Relational.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val gaps = ev.groupBy(_._1).values.flatMap { rows =>
+      val o = rows.sortBy(r => (r._2, r._3))
+      o.zip(o.drop(1)).map { case (a, b) => (a._4, b._2 - a._2) }
+    }.toSeq
+    // Spark's Percentile: lower + (pos - floor(pos)) * (higher - lower)
+    def pct(xs: Seq[Long], p: Double): Double = {
+      val s2 = xs.sorted
+      val pos = p * (s2.length - 1)
+      val lo = s2(pos.toInt)
+      if (pos == pos.toInt) lo.toDouble
+      else lo + (pos - math.floor(pos)) * (s2(pos.toInt + 1) - lo)
+    }
+    val expected = gaps.groupBy(_._1).map { case (t2, g) =>
+      val xs = g.map(_._2)
+      t2 -> (xs.length.toLong,
+        math.floor(pct(xs, 0.5) * 100 + 0.5) / 100,
+        math.floor(pct(xs, 0.9) * 100 + 0.5) / 100, xs.max)
+    }
+    val got = Events.gapStats(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)) ==
+        expected(r.getString(0)), s"type ${r.getString(0)}")
+    }
+    // medians are positive and p90 dominates the median
+    got.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(3) >= r.getDouble(2)))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
