@@ -626,26 +626,37 @@ object Curation {
     * and this op computes that curve for YOUR corpus instead of
     * borrowing a paper's constant.
     *
-    * Scale design: one c01-shaped pass per requested n (|ns| narrow
-    * scans, a declared constant-factor diagnostic multiplier — each
-    * pass is the [[contaminationReport]] shape: benchmark shingles
-    * broadcast, corpus shingles as 8-byte hashes, only HIT rows reach
-    * the per-doc aggregation, final frame |ns| rows). Per-doc overlap
-    * is floored to integer milli-units before the cross-doc mean (the
-    * t11 discipline), so the curve is order-free cross-engine. */
+    * Scale design: ONE text scan computes every size's sketch column
+    * in a single fused projection (the d05b discipline) and is
+    * checkpointed for the |ns| downstream passes — each pass is then
+    * the [[contaminationReport]] shape over its own hash column:
+    * benchmark shingles broadcast, corpus shingles as 8-byte hashes,
+    * only HIT rows reach the per-doc aggregation, final frame |ns|
+    * rows. Per-doc overlap is floored to integer milli-units before
+    * the cross-doc mean (the t11 discipline), so the curve is
+    * order-free cross-engine. */
   def contaminationCurve(s: SparkSession, dir: String,
       benchSource: String = "src0", ns: Seq[Int] = Seq(3, 5, 8),
       minOverlap: Double = 0.5): DataFrame = {
-    val docs = t(s, dir, "documents")
     val mo3 = math.floor(minOverlap * 1000 + 0.5).toLong
+    // ONE text scan computes every size's sketch column (the d05b
+    // fused-projection discipline): each hs_n is the per-doc distinct
+    // n-gram hash set, empty when the doc is too short to shingle
+    val toksCol = split(trim(col("text")), "\\s+")
+    val sets = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), toksCol.as("w"))
+      .select(col("doc_id") +: col("source") +: ns.map(n =>
+        when(size(col("w")) >= n, array_distinct(
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
+          .otherwise(array().cast("array<bigint>")).as(s"hs$n")): _*)
+      .localCheckpoint()
     ns.map { n =>
-      val sets = Dedup.shingleHashSets(docs, n, carry = Seq("source"))
-        .localCheckpoint()
       val bench = sets.filter(col("source") === benchSource)
-        .select(explode(col("hs")).as("h")).distinct()
+        .select(explode(col(s"hs$n")).as("h")).distinct()
       val corpus = sets.filter(col("source") =!= benchSource)
-        .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
-          col("hs"))
+        .select(col("doc_id"), size(col(s"hs$n")).cast("long").as("n_sh"),
+          col(s"hs$n").as("hs"))
       corpus.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
         .join(broadcast(bench), Seq("h"), "left_semi")
         .groupBy("doc_id", "n_sh").agg(count(lit(1)).as("n_hit"))

@@ -350,6 +350,53 @@ object Streams {
         col("purchase_ts"), col("click_ts"))
   }
 
+  final case class LastEvt(ms: Long, event_id: Long, etype: String)
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming transition pairs — the incremental half of the e09
+    * Markov profile ([[graft.ops.Events.transitionStats]]): each
+    * user's consecutive (from, to) event-type pairs emitted AS the
+    * stream arrives, to be count-aggregated downstream. State is O(1)
+    * per user — just the last event — and idle users are EVICTED once
+    * the event-time watermark passes their newest event by
+    * `evictAfterMs` (the same EventTimeTimeout discipline as
+    * [[sizeCappedGroups]]: replayable, no empty-batch spin). Within a
+    * micro-batch events sort by (ts, event_id) — the batch contract;
+    * ACROSS batches pairs form in arrival order, so a cross-batch
+    * late event pairs late (the documented streaming trade, exactly
+    * [[dedupedStream]]'s horizon argument: batch-identical ordering
+    * on an unbounded stream needs unbounded buffering).
+    *
+    * At scale: one hash shuffle on user_id per micro-batch, state
+    * store holds one small row per ACTIVE user — the profile of every
+    * production sessionizer. */
+  def transitionStream(spark: SparkSession, events: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      evictAfterMs: Long = 3600000L): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay).as[Evt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvt, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Evt], state: GroupState[LastEvt]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val evts = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var last = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[Transition]()
+            evts.foreach { e =>
+              last.foreach(l => out += Transition(user, l.etype, e.event_type))
+              last = Some(LastEvt(e.ts.getTime, e.event_id, e.event_type))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(l.ms + evictAfterMs)
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Micro-batch sink with a processing-time trigger — the
     * `group(interval=)` processing-time analog. Returns the started
     * query (caller stops it). */

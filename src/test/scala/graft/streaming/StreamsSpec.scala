@@ -320,6 +320,39 @@ class StreamsSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("transitionStream: pairs carry across batches with O(1) state; batch ≡ stream counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Streams.Evt]
+    val q = Streams.transitionStream(s, mem.toDF())
+      .writeStream.format("memory").queryName("trans").start()
+    try {
+      // batch 1: u1 click→view forms immediately, u2 just opens state
+      mem.addData(evt(1, 0, 1, "click"), evt(2, 1, 1, "view"),
+        evt(3, 1, 2, "click"))
+      q.processAllAvailable()
+      // batch 2: u1 view→purchase spans the batch boundary (state
+      // carry), u2 click→view; out-of-order WITHIN the batch sorts
+      // (u3's two events arrive reversed)
+      mem.addData(evt(4, 5, 1, "purchase"), evt(5, 6, 2, "view"),
+        evt(7, 9, 3, "view"), evt(6, 8, 3, "click"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT from_type, to_type FROM trans").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toList
+      assert(got == List(("click", "view"), ("click", "view"),
+        ("click", "view"), ("view", "purchase")))
+      // count-aggregated, this IS e09's frame for the same events
+      val batchPairs = Seq((1L, 0, "click"), (1L, 1, "view"), (2L, 1, "click"),
+        (1L, 5, "purchase"), (2L, 6, "view"), (3L, 8, "click"), (3L, 9, "view"))
+        .groupBy(_._1).values.flatMap { rows =>
+          val o = rows.sortBy(_._2).map(_._3)
+          o.zip(o.drop(1))
+        }.toList.sorted
+      assert(got == batchPairs)
+    } finally q.stop()
+  }
+
   test("attributedPurchases: interval join emits in-window pairs only") {
     val s = spark
     import s.implicits._
