@@ -125,6 +125,7 @@ object SparkEntry {
     "s15_mmr_topk" -> ((s: SparkSession, dir: String) => Similarity.mmrTopK(s, dir)),
     "d14_cross_source_dups" -> ((s: SparkSession, dir: String) => Dedup.crossSourceNearDupMatrix(s, dir)),
     "d15_block_dedup" -> ((s: SparkSession, dir: String) => Dedup.blockDedupStats(s, dir)),
+    "d16_dedup_funnel" -> ((s: SparkSession, dir: String) => Dedup.dedupFunnel(s, dir)),
     "s16_range_search" -> ((s: SparkSession, dir: String) => Similarity.rangeSearch(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
@@ -1414,6 +1415,32 @@ object SparkEntry {
          ${Seq(3, 5, 8).map(contamCurveCtes).mkString(",\n         ")}
          ${Seq(3, 5, 8).map(contamCurveSelect).mkString("\n         UNION ALL\n         ")}
          ORDER BY n""",
+    // d16: staged dedup impact — the d01 fingerprint rule and the
+    // d08 exact-jaccard closure replayed verbatim, drop flags applied
+    // cumulatively; stage rows from one flagged frame
+    "d16_dedup_funnel" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         $closureCtes,
+         fpr AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             len(string_split_regex(trim(text), '\\s+')) AS nt
+           FROM documents),
+         exdrop AS (SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY fp
+               ORDER BY doc_id) AS rn FROM fpr) WHERE rn > 1),
+         neardrop AS (SELECT id AS doc_id FROM labels WHERE id <> cluster),
+         m AS (SELECT f.doc_id, f.nt,
+             CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+             CASE WHEN nd2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS nd
+           FROM fpr f LEFT JOIN exdrop e USING (doc_id)
+           LEFT JOIN neardrop nd2 USING (doc_id))
+         SELECT '0_corpus' AS stage, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens FROM m
+         UNION ALL SELECT '1_exact', count(*), CAST(sum(nt) AS BIGINT)
+           FROM m WHERE ex = 0
+         UNION ALL SELECT '2_near_dup', count(*), CAST(sum(nt) AS BIGINT)
+           FROM m WHERE ex = 0 AND nd = 0
+         ORDER BY stage""",
     // d15: disjoint 16-token block dedup — removed iff not the global
     // first occurrence of the block content in (doc_id, bi) order
     // (within-doc repeats INCLUDED — contrast c12's cross-doc-only

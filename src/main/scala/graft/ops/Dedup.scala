@@ -974,6 +974,56 @@ object Dedup {
     * broadcasts it at every measured scale) and a positional
     * higher-order filter rebuilds the text from the original token
     * array without any text ever having moved. */
+  /** Dedup funnel (d16) — the staged impact report a pipeline owner
+    * reads before shipping a corpus: docs and tokens surviving after
+    * (0) nothing, (1) exact dedup (d01's fingerprint first-wins),
+    * (2) exact + near-dup dedup (d08's verified-LSH cluster
+    * election). The drop sets are computed INDEPENDENTLY and applied
+    * cumulatively — each stage's row answers "what does adding this
+    * stage cost/save", the number data-curation reviews actually
+    * argue about. Reference analog: chained `distinct()` stages,
+    * streamable/stream.py:166-187, surfaced as a report.
+    *
+    * Scale design: one narrow (doc_id, fp, n_tok) projection is
+    * checkpointed and carries ALL stage flags; both drop lists are
+    * duplicate-sized (rare by corpus standards) and join back
+    * hint-free — AQE broadcasts them when small and degrades to
+    * shuffle when a web-scale corpus really does drop 30% (the d08
+    * argument). The three stage rows come from ONE aggregate over
+    * the flagged frame (`stack`, not three scans). */
+  def dedupFunnel(s: SparkSession, dir: String, n: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .localCheckpoint()
+    val exDrop = docs.groupBy("fp")
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .select(col("fp").as("dfp"), col("keep"))
+    val flagged = docs.join(exDrop, col("fp") === col("dfp"))
+      .where(col("doc_id") =!= col("keep"))
+      .select(col("doc_id"), lit(1).as("ex"))
+    val pairs = minhashLshPairs(s, dir, n, threshold = threshold)
+    val nearDrop = connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"), lit(1).as("nd"))
+    docs
+      .join(flagged, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("c0"), sum("nt").as("t0"),
+        count(when(col("ex").isNull, 1)).as("c1"),
+        sum(when(col("ex").isNull, col("nt"))).as("t1"),
+        count(when(col("ex").isNull && col("nd").isNull, 1)).as("c2"),
+        sum(when(col("ex").isNull && col("nd").isNull, col("nt"))).as("t2"))
+      .selectExpr("stack(3, '0_corpus', c0, t0, '1_exact', c1, t1, " +
+        "'2_near_dup', c2, t2) AS (stage, n_docs, sum_tokens)")
+      .orderBy("stage")
+  }
+
   def blockDedupStats(s: SparkSession, dir: String,
       blockTokens: Int = 16): DataFrame = {
     val docs = t(s, dir, "documents")

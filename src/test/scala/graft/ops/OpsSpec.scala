@@ -1791,6 +1791,34 @@ class OpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(3) >= r.getDouble(2)))
   }
 
+  test("d16: dedup funnel stages are consistent with d01/d08 and monotone") {
+    val got = Dedup.dedupFunnel(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set("0_corpus", "1_exact", "2_near_dup"))
+    // stage 0 is the raw corpus
+    val docs = Relational.t(spark, sf0001, "documents")
+    assert(got("0_corpus")._1 == docs.count())
+    // stage 1 doc count equals d01's per-lang uniques summed
+    val d01 = Dedup.exactDedupByLang(spark, sf0001).collect()
+      .map(_.getLong(1)).sum
+    assert(got("1_exact")._1 == d01)
+    // stage 2 doc count: corpus minus ALL flagged (exact ∪ near) —
+    // recompute near drops from the cluster machinery directly
+    val nearDropped = Dedup.dupClusters(spark, sf0001).collect()
+      .flatMap(_.getString(2).split(",").map(_.toLong).sorted.drop(1)).toSet
+    val exDropped = Dedup.duplicateGroups(spark, sf0001).collect()
+      .flatMap(_.getString(2).split(",").map(_.toLong).sorted.drop(1)).toSet
+    assert(got("2_near_dup")._1 ==
+      docs.count() - (nearDropped ++ exDropped).size)
+    // the funnel is monotone (sf0.001 plants near-dups but no exact
+    // dups — stage 1 may be a no-op here; sf0.01 exercises both) and
+    // the pipeline as a whole must bite
+    assert(got("0_corpus")._1 >= got("1_exact")._1)
+    assert(got("1_exact")._1 > got("2_near_dup")._1)
+    assert(got("0_corpus")._2 >= got("1_exact")._2)
+    assert(got("1_exact")._2 > got("2_near_dup")._2)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
