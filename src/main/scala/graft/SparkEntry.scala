@@ -2120,13 +2120,18 @@ object SparkEntry {
            FROM documents WHERE doc_id % 3 = 1),
          au AS (SELECT id, n, id AS media_id, 0 AS gain FROM m
            UNION ALL SELECT id, n, id + 1000000, 1 FROM m),
-         samp AS (SELECT media_id, n, gain,
-             t.v AS t, ((id * 31 + t.v * 7) % 65536) - 32768 AS v0
+         samp AS (SELECT media_id, n, gain, id,
+             t.v AS t, t.v * 64 // n AS wi,
+             ((id * 31 + t.v * 7) % 65536) - 32768 AS v0
            FROM au, UNNEST(range(n)) AS t(v)),
-         sv AS (SELECT media_id, n, t, CASE WHEN gain = 1
-             THEN CAST(floor(v0 / 2.0) AS BIGINT) ELSE v0 END AS v
+         gv AS (SELECT media_id, gain, wi,
+             CAST(floor(v0 / (1 + 3 * (((id * 2654435761) >> wi) & 1)))
+               AS BIGINT) AS vg
            FROM samp),
-         win AS (SELECT media_id, t * 64 // n AS wi, sum(abs(v)) AS s
+         sv AS (SELECT media_id, wi, CASE WHEN gain = 1
+             THEN CAST(floor(vg / 2.0) AS BIGINT) ELSE vg END AS v
+           FROM gv),
+         win AS (SELECT media_id, wi, sum(abs(v)) AS s
            FROM sv GROUP BY 1, 2),
          tot AS (SELECT media_id, sum(s) AS tot FROM win GROUP BY 1),
          bits AS (SELECT w.media_id, w.wi,

@@ -577,7 +577,17 @@ object Multimodal {
             var t = 0
             while (t < n) {
               val v0 = (((id * 31 + t * 7) % 65536) - 32768).toInt
-              val v = if (halved) math.floorDiv(v0, 2) else v0
+              // per-window dynamics: window wi plays at full or
+              // quarter amplitude by one bit of id·Knuth — each clip
+              // gets its own loud/quiet envelope SHAPE, which is
+              // exactly what an energy-envelope signature fingerprints
+              // (a flat synthetic tone would make every clip a
+              // near-dup of every other — measured: quadratic pair
+              // growth at ×16 — so the fixture models real dynamics)
+              val wi = t * 64 / n
+              val g = 1 + 3 * (((id * 2654435761L) >> wi) & 1L).toInt
+              val vg = math.floorDiv(v0, g)
+              val v = if (halved) math.floorDiv(vg, 2) else vg
               pcm(2 * t) = (v & 0xff).toByte
               pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
               t += 1

@@ -980,9 +980,12 @@ class OpsSpec extends SparkSpec {
       var tot = 0L
       for (t <- 0 until n) {
         val v0 = (((id * 31 + t * 7) % 65536) - 32768).toInt
-        val v = if (halved) math.floorDiv(v0, 2) else v0
+        val wi = t * 64 / n
+        val g = 1 + 3 * (((id * 2654435761L) >> wi) & 1L).toInt
+        val vg = math.floorDiv(v0, g)
+        val v = if (halved) math.floorDiv(vg, 2) else vg
         val a = math.abs(v).toLong
-        win(t * 64 / n) += a; tot += a
+        win(wi) += a; tot += a
       }
       (0 until 64).map(i => if (win(i) * 64L > tot) 1 else 0)
     }
