@@ -120,6 +120,7 @@ object SparkEntry {
     "d13_semdedup_recall" -> ((s: SparkSession, dir: String) => Dedup.semDedupRecallAdvisory(s, dir)),
     "c13_proto_prune" -> ((s: SparkSession, dir: String) => Similarity.prototypePruneStats(s, dir)),
     "c14_contamination_curve" -> ((s: SparkSession, dir: String) => Curation.contaminationCurve(s, dir)),
+    "c15_validation_gate" -> ((s: SparkSession, dir: String) => Curation.validationGate(s, dir)),
     "s13_knn_graph" -> ((s: SparkSession, dir: String) => Similarity.knnGraph(s, dir)),
     "s14_centrality" -> ((s: SparkSession, dir: String) => Similarity.knnCentrality(s, dir)),
     "s15_mmr_topk" -> ((s: SparkSession, dir: String) => Similarity.mmrTopK(s, dir)),
@@ -1415,6 +1416,50 @@ object SparkEntry {
          ${Seq(3, 5, 8).map(contamCurveCtes).mkString(",\n         ")}
          ${Seq(3, 5, 8).map(contamCurveSelect).mkString("\n         UNION ALL\n         ")}
          ORDER BY n""",
+    // c15: expectation gate — one scalar aggregate per table, report
+    // rows stacked from those; clean fixture ⇒ all-pass (the spec
+    // plants violations to prove each check fires)
+    "c15_validation_gate" ->
+      """WITH d AS (
+           SELECT count(*) AS n,
+             count(*) - count(DISTINCT doc_id) AS v_dup,
+             CAST(sum(CASE WHEN text IS NULL OR trim(text) = ''
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+             CAST(sum(CASE WHEN n_chars <> len(text)
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_chars,
+             CAST(sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'zh')
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_lang
+           FROM documents),
+         en AS (
+           SELECT embedding,
+             sqrt(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]), x -> x * x))) AS nd
+           FROM embeddings),
+         e AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_dim,
+             CAST(sum(CASE WHEN len(list_filter(embedding,
+               x -> NOT (x - x = 0))) > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_fin,
+             CAST(sum(CASE WHEN NOT (nd - nd = 0) THEN 1
+               WHEN CAST(floor(nd * 10000 + 0.5) AS BIGINT) < 9900
+                 OR CAST(floor(nd * 10000 + 0.5) AS BIGINT) > 10100
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_norm
+           FROM en),
+         r AS (
+           SELECT 'doc_chars_consistent' AS check_name, n AS n_rows,
+             v_chars AS n_violations FROM d
+           UNION ALL SELECT 'doc_id_unique', n, v_dup FROM d
+           UNION ALL SELECT 'doc_lang_known', n, v_lang FROM d
+           UNION ALL SELECT 'doc_text_nonempty', n, v_empty FROM d
+           UNION ALL SELECT 'emb_dim_uniform', n, v_dim FROM e
+           UNION ALL SELECT 'emb_finite', n, v_fin FROM e
+           UNION ALL SELECT 'emb_unit_norm', n, v_norm FROM e)
+         SELECT check_name, n_rows, n_violations,
+           CASE WHEN n_violations = 0 THEN CAST(1 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS pass
+         FROM r ORDER BY check_name""",
     // d16: staged dedup impact — the d01 fingerprint rule and the
     // d08 exact-jaccard closure replayed verbatim, drop flags applied
     // cumulatively; stage rows from one flagged frame

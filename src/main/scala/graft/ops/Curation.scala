@@ -672,4 +672,59 @@ object Curation {
       .select("n", "n_hit_docs", "n_flagged", "avg_overlap")
       .orderBy("n")
   }
+
+  /** Corpus validation gate (c15) — the expectation checks every
+    * production ingestion runs before letting a batch near training:
+    * per check, the row count, violation count, and a pass flag.
+    * Documents: unique ids, non-empty text, n_chars consistent with
+    * the text, language in the allowed set. Embeddings: uniform
+    * dimension, all-finite values (NaN/Inf ⇔ `x−x ≠ 0`), unit norm
+    * within ±1% (norm on the s03 integer ten-thousandths grid, so
+    * the boundary is cross-engine exact). A clean corpus yields an
+    * all-pass report — that IS the contract; the spec plants each
+    * violation class to prove every check fires. Reference analog:
+    * the validating `filter`/`observe` chains of
+    * streamable/stream.py:230-253 and 380-401.
+    *
+    * Scale design: ONE narrow aggregate per table (map-side partials,
+    * one scalar row each — `countDistinct` is the only expansion and
+    * it partial-aggregates on doc_id); the report rows come from
+    * `stack` over those two scalar rows, never a second scan. */
+  def validationGate(s: SparkSession, dir: String, expectedDim: Int = 64,
+      allowedLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh")): DataFrame = {
+    val d = t(s, dir, "documents").agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("v_dup"),
+      sum((col("text").isNull || trim(col("text")) === "").cast("long"))
+        .as("v_empty"),
+      sum((col("n_chars") =!= length(col("text")).cast("long")).cast("long"))
+        .as("v_chars"),
+      sum((!col("lang").isInCollection(allowedLangs)).cast("long"))
+        .as("v_lang"))
+    val docRows = d.selectExpr(
+      "stack(4, 'doc_chars_consistent', n, v_chars, " +
+        "'doc_id_unique', n, v_dup, 'doc_lang_known', n, v_lang, " +
+        "'doc_text_nonempty', n, v_empty) AS (check_name, n_rows, n_violations)")
+    val normD = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    // a non-finite norm (NaN/Inf component) is a violation by
+    // definition AND must never reach the long cast (ANSI would
+    // throw); CaseWhen evaluates only the taken branch
+    val bn = when(!((normD - normD) === lit(0.0)), lit(1L))
+      .otherwise((floor(normD * lit(1e4) + lit(0.5)).cast("long") < 9900L ||
+        floor(normD * lit(1e4) + lit(0.5)).cast("long") > 10100L).cast("long"))
+    val e = t(s, dir, "embeddings").select(
+        (size(col("embedding")) =!= expectedDim).cast("long").as("bd"),
+        (size(filter(col("embedding"), x => !((x - x) === lit(0f)))) > 0)
+          .cast("long").as("bf"),
+        bn.as("bn"))
+      .agg(count(lit(1)).as("n"), sum("bd").as("v_dim"),
+        sum("bf").as("v_fin"), sum("bn").as("v_norm"))
+    val embRows = e.selectExpr(
+      "stack(3, 'emb_dim_uniform', n, v_dim, 'emb_finite', n, v_fin, " +
+        "'emb_unit_norm', n, v_norm) AS (check_name, n_rows, n_violations)")
+    docRows.unionByName(embRows)
+      .withColumn("pass", (col("n_violations") === 0L).cast("long"))
+      .orderBy("check_name")
+  }
 }

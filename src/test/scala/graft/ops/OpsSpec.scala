@@ -1822,6 +1822,45 @@ class OpsSpec extends SparkSpec {
     assert(got("1_exact")._2 > got("2_near_dup")._2)
   }
 
+  test("c15: validation gate all-passes the clean fixture; every check fires on planted bad rows") {
+    val clean = Curation.validationGate(spark, sf0001).collect()
+    assert(clean.length == 7)
+    clean.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 1L, s"clean ${r.getString(0)}")
+    }
+    // plant one violation per check in a scratch corpus
+    import spark.implicits._
+    val tmpDir = java.nio.file.Files.createTempDirectory("c15").toString
+    Seq(
+      (1L, "good text here", 14L, "en", "s0"),
+      (1L, "duplicate id row", 16L, "en", "s0"),     // doc_id_unique
+      (2L, "   ", 3L, "en", "s0"),                   // text_nonempty
+      (3L, "wrong char count", 999L, "en", "s0"),    // chars_consistent
+      (4L, "unknown language", 16L, "xx", "s0"))     // lang_known
+      .toDF("doc_id", "text", "n_chars", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmpDir/documents.parquet")
+    val unit = Array.fill(64)(0.125f)                // norm = 1.0
+    Seq(
+      (1L, unit.toSeq, 0),
+      (2L, unit.take(32).toSeq, 0),                  // dim_uniform
+      (3L, (Float.NaN +: unit.tail.toSeq), 0),       // finite
+      (4L, unit.map(_ * 2f).toSeq, 0))               // unit_norm (norm 2)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmpDir/embeddings.parquet")
+    val got = Curation.validationGate(spark, tmpDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got("doc_id_unique") == (1L, 0L))
+    assert(got("doc_text_nonempty") == (1L, 0L))
+    assert(got("doc_chars_consistent") == (1L, 0L))
+    assert(got("doc_lang_known") == (1L, 0L))
+    assert(got("emb_dim_uniform") == (1L, 0L))
+    // unit_norm counts 3: the doubled vector (norm 2), the NaN row
+    // (non-finite norm is a violation by definition), AND the
+    // truncated vector (32 dims of 0.125 → norm √½)
+    assert(got("emb_finite") == (1L, 0L))
+    assert(got("emb_unit_norm") == (3L, 0L))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
