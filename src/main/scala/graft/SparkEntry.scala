@@ -127,6 +127,7 @@ object SparkEntry {
     "d14_cross_source_dups" -> ((s: SparkSession, dir: String) => Dedup.crossSourceNearDupMatrix(s, dir)),
     "d15_block_dedup" -> ((s: SparkSession, dir: String) => Dedup.blockDedupStats(s, dir)),
     "d16_dedup_funnel" -> ((s: SparkSession, dir: String) => Dedup.dedupFunnel(s, dir)),
+    "d17_threshold_curve" -> ((s: SparkSession, dir: String) => Dedup.thresholdCurve(s, dir)),
     "s16_range_search" -> ((s: SparkSession, dir: String) => Similarity.rangeSearch(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "m07_scene_deltas" -> (Multimodal.sceneDeltas _),
     "m08_image_neardups" -> ((s: SparkSession, dir: String) => Multimodal.imageNearDupPairs(s, dir)),
     "m09_audio_neardups" -> ((s: SparkSession, dir: String) => Multimodal.audioNearDupPairs(s, dir)),
+    "m10_avi_frames" -> (Multimodal.decodeAviFrames _),
   )
 
   /** Shared DuckDB CTE prefix for every shingle-based oracle:
@@ -522,12 +524,40 @@ object SparkEntry {
          CAST(CASE WHEN rnk <= n_members // 4 THEN 1 ELSE 0 END AS INT) AS pruned
        FROM r ORDER BY cell, rnk"""
 
+  /** The multi-frame decode oracle — per-frame formula replay over
+    * the video-kind corpus. ONE definition bound to BOTH m06 (animated
+    * GIF via ImageIO) and m10 (AVI/DIB via the pure-JVM RIFF demuxer):
+    * the two container paths decode the same bytes, so sharing the
+    * oracle text is the contract that they cannot diverge (the s11
+    * persisted-path pattern). */
+  private val multiFrameSql: String =
+    """WITH vid AS (
+         SELECT doc_id, (doc_id % 15) + 4 AS w, (doc_id % 9) + 4 AS h,
+           (doc_id % 4) + 2 AS nf
+         FROM documents WHERE doc_id % 3 = 2),
+       fr AS (
+         SELECT doc_id, w, h, f.v AS frame_no
+         FROM vid, UNNEST(range(0, nf)) AS f(v)),
+       px AS (
+         SELECT doc_id, frame_no,
+           sum((7*x.v + 13*y.v + 23*frame_no + doc_id) % 256) AS psum
+         FROM fr, UNNEST(range(0, w)) AS x(v), UNNEST(range(0, h)) AS y(v)
+         GROUP BY doc_id, frame_no)
+       SELECT f.doc_id AS media_id, CAST(f.frame_no AS BIGINT) AS frame_no,
+         CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height,
+         CAST(px.psum AS BIGINT) AS pixel_sum
+       FROM fr f JOIN px ON px.doc_id = f.doc_id AND px.frame_no = f.frame_no
+       ORDER BY media_id, frame_no"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (weaker rows-only check):
     * d05/q24 (hash-sketch internals whose CLAIMS are oracled via the
     * d05b/q24b companions).
     */
   def oracleSql: Map[String, String] = Map(
+    // m10: the AVI/RIFF demux path must reproduce the GIF path's
+    // decoded frames exactly — oracle text shared with m06 verbatim
+    "m10_avi_frames" -> multiFrameSql,
     "s06_kmeans_codebook" -> s06OracleSql(nlist = 32, iters = 2),
     // d12: SemDeDup — the oracle replays the identical unrolled Lloyd
     // rounds (raw-double centroids, the same CTE chain s06/s07
@@ -1486,6 +1516,26 @@ object SparkEntry {
          UNION ALL SELECT '2_near_dup', count(*), CAST(sum(nt) AS BIGINT)
            FROM m WHERE ex = 0 AND nd = 0
          ORDER BY stage""",
+    // d17: threshold sensitivity curve — the quadratic exact pairs
+    // bucketed by milli-Jaccard cut; empty cuts keep a zero row, mean
+    // is a floor division so every cell is an exact integer
+    "d17_threshold_curve" ->
+      s"""WITH $shingleCtes,
+         jp AS (
+           SELECT doc_a, doc_b,
+             CAST(floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) AS BIGINT) AS jm
+           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) >= 600),
+         grid AS (SELECT CAST(v AS BIGINT) AS t_milli
+           FROM (VALUES (600), (700), (800), (900)) g(v)),
+         agg AS (
+           SELECT t_milli, count(*) AS n_pairs, sum(jm) AS s
+           FROM grid JOIN jp ON jm >= t_milli GROUP BY 1)
+         SELECT g.t_milli, CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(s, 0) AS BIGINT) AS sum_j_milli,
+           CAST(CASE WHEN coalesce(n_pairs, 0) = 0 THEN 0
+             ELSE s // n_pairs END AS BIGINT) AS mean_j_milli
+         FROM grid g LEFT JOIN agg USING (t_milli) ORDER BY t_milli""",
     // d15: disjoint 16-token block dedup — removed iff not the global
     // first occurrence of the block content in (doc_id, bi) order
     // (within-doc repeats INCLUDED — contrast c12's cross-doc-only
@@ -2088,24 +2138,7 @@ object SparkEntry {
     // them back frame by frame, with the frame COUNT read from the
     // container; the oracle replays the per-frame pixel formula, so
     // the hash certifies count, dimensions, and every decoded sample
-    "m06_gif_frames" ->
-      """WITH vid AS (
-           SELECT doc_id, (doc_id % 15) + 4 AS w, (doc_id % 9) + 4 AS h,
-             (doc_id % 4) + 2 AS nf
-           FROM documents WHERE doc_id % 3 = 2),
-         fr AS (
-           SELECT doc_id, w, h, f.v AS frame_no
-           FROM vid, UNNEST(range(0, nf)) AS f(v)),
-         px AS (
-           SELECT doc_id, frame_no,
-             sum((7*x.v + 13*y.v + 23*frame_no + doc_id) % 256) AS psum
-           FROM fr, UNNEST(range(0, w)) AS x(v), UNNEST(range(0, h)) AS y(v)
-           GROUP BY doc_id, frame_no)
-         SELECT f.doc_id AS media_id, CAST(f.frame_no AS BIGINT) AS frame_no,
-           CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height,
-           CAST(px.psum AS BIGINT) AS pixel_sum
-         FROM fr f JOIN px ON px.doc_id = f.doc_id AND px.frame_no = f.frame_no
-         ORDER BY media_id, frame_no""",
+    "m06_gif_frames" -> multiFrameSql,
     // m07: consecutive-frame absolute pixel deltas over the decoded
     // GIF sequence — the oracle replays the per-frame formula's
     // difference, so the hash certifies the temporal pairing AND both

@@ -1056,4 +1056,51 @@ object Dedup {
           .as("kept_text"))
       .orderBy("doc_id")
   }
+
+  /** Dedup threshold sensitivity curve (d17) — the aggressiveness
+    * diagnostic that picks d04's operating threshold: for each
+    * candidate cut in `thresholdsMilli`, how many verified near-dup
+    * pairs the corpus holds at Jaccard ≥ cut, with exact integer
+    * mass (Σ milli-Jaccard) and floor-div mean. One run answers
+    * "what does moving the knob from 0.6 to 0.8 actually drop?"
+    * without re-running dedup per setting — the [[Curation.contaminationCurve]]
+    * discipline applied to the near-dup ladder.
+    *
+    * Scale design: ONE shingle pass, ONE banded candidate join, ONE
+    * exact verify at the LOOSEST cut (the grid minimum) — the curve
+    * itself is |grid| aggregations over the verified-PAIR frame,
+    * which is near-dup-sized, not corpus-sized. The grid lives in a
+    * broadcast |grid|-row frame. Completeness contract: every cut
+    * must sit at or above the banding's certified operating point
+    * (0.6 here, where d04's funnel provably recalls the exact ground
+    * truth on this corpus) — the curve is exact over that range, and
+    * the quadratic oracle certifies it per cut. Cuts are integer
+    * milli-Jaccard so membership is a long compare, never a float
+    * boundary. */
+  def thresholdCurve(s: SparkSession, dir: String, n: Int = 5,
+      thresholdsMilli: Seq[Int] = Seq(600, 700, 800, 900)): DataFrame = {
+    import s.implicits._
+    require(thresholdsMilli.nonEmpty && thresholdsMilli.min >= 600,
+      "cuts below the banding operating point (0.6) lose the exactness contract")
+    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
+    val pairs = minhashLshPairsFromSets(sets,
+        threshold = thresholdsMilli.min / 1000.0)
+      .withColumn("j_milli", floor(col("jaccard") * 1000 + 0.5).cast("long"))
+    val grid = thresholdsMilli.toDF("t_milli")
+      .select(col("t_milli").cast("long"))
+    val agg = pairs.crossJoin(broadcast(grid))
+      .filter(col("j_milli") >= col("t_milli"))
+      .groupBy("t_milli")
+      .agg(count(lit(1)).as("n_pairs"), sum("j_milli").as("sum_j_milli"))
+    // empty cuts keep their row (a curve with holes reads as data
+    // loss): left-join the grid back, zero-fill, floor-div mean
+    grid.join(agg, Seq("t_milli"), "left")
+      .select(col("t_milli"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("sum_j_milli"), lit(0L)).as("sum_j_milli"))
+      .withColumn("mean_j_milli",
+        when(col("n_pairs") === 0, lit(0L))
+          .otherwise(expr("sum_j_milli div n_pairs")))
+      .orderBy("t_milli")
+  }
 }

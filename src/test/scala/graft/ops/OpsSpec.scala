@@ -276,6 +276,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("avi frames: the RIFF demux path reproduces the GIF path bit-for-bit") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("media_id"), r.getAs[Long]("frame_no"),
+        r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Long]("pixel_sum"))
+    val gif = Multimodal.decodeFrames(spark, sf0001).collect().map(key).toSeq
+    val avi = Multimodal.decodeAviFrames(spark, sf0001).collect().map(key).toSeq
+    // same docs, same formula, two independent container paths: the
+    // m10 oracle is m06's verbatim, so the engines must agree first
+    assert(avi == gif)
+    // the blobs are spec-shaped AVI: RIFF magic, AVI form, frame data
+    // list, index — all present
+    val blob = Multimodal.aviTable(spark, sf0001).head().blob
+    assert(new String(blob.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(blob.slice(8, 12), "US-ASCII") == "AVI ")
+    val ascii = new String(blob.map(b => if (b >= 32 && b < 127) b else '.'.toByte), "US-ASCII")
+    assert(ascii.contains("movi") && ascii.contains("idx1") &&
+      ascii.contains("vids") && ascii.contains("DIB "))
+  }
+
+  test("avi demux cross-checks the container's structural claims") {
+    val blob = Multimodal.muxAvi(7L)
+    val (w, h, frames) = Multimodal.demuxAvi(blob)
+    // dimensions come from BITMAPINFOHEADER, count from the movi walk
+    assert((w, h, frames.length) == ((7 % 15 + 4, 7 % 9 + 4, 7 % 4 + 2)))
+    assert(frames(0)(0) == ((7 * 0 + 13 * 0 + 23 * 0 + 7) % 256))
+    // a header that lies about the frame count must fail loudly, not
+    // return partial frames: dwTotalFrames lives at byte 48
+    val bad = blob.clone(); bad(48) = (bad(48) + 1).toByte
+    intercept[IllegalArgumentException] { Multimodal.demuxAvi(bad) }
+    // non-RIFF bytes are rejected at the first magic check
+    intercept[IllegalArgumentException] {
+      Multimodal.demuxAvi("nope".getBytes("US-ASCII") ++ new Array[Byte](64))
+    }
+  }
+
   test("audio decode: WAV round-trip reports format and frame count") {
     val rows = Multimodal.decodeAudio(spark, sf0001).collect()
     assert(rows.length == 167) // doc_id % 3 == 1 over 500 docs
@@ -1859,6 +1894,28 @@ class OpsSpec extends SparkSpec {
     // truncated vector (32 dims of 0.125 → norm √½)
     assert(got("emb_finite") == (1L, 0L))
     assert(got("emb_unit_norm") == (3L, 0L))
+  }
+
+  test("d17: each cut of the curve matches filtering the exact pairs; counts are monotone") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf0001).collect()
+      .map(r => math.floor(r.getAs[Double]("jaccard") * 1000 + 0.5).toLong)
+    val curve = Dedup.thresholdCurve(spark, sf0001).collect()
+    assert(curve.map(_.getAs[Long]("t_milli")).toSeq == Seq(600L, 700L, 800L, 900L))
+    curve.foreach { r =>
+      val t = r.getAs[Long]("t_milli")
+      val sel = exact.filter(_ >= t)
+      assert(r.getAs[Long]("n_pairs") == sel.length, s"cut $t")
+      assert(r.getAs[Long]("sum_j_milli") == sel.sum, s"cut $t")
+      assert(r.getAs[Long]("mean_j_milli") ==
+        (if (sel.isEmpty) 0L else sel.sum / sel.length), s"cut $t")
+    }
+    // tightening the cut never grows the survivor set
+    val counts = curve.map(_.getAs[Long]("n_pairs")).toSeq
+    assert(counts == counts.sorted.reverse)
+    // cuts below the certified banding operating point are rejected
+    intercept[IllegalArgumentException] {
+      Dedup.thresholdCurve(spark, sf0001, thresholdsMilli = Seq(500))
+    }
   }
 
   test("entry flagship returns rows") {
