@@ -55,6 +55,8 @@ object SparkEntry {
     "q32_order_cadence" -> ((s: SparkSession, dir: String) => Relational.orderCadence(s, dir)),
     "q33_sql_entry" -> (Relational.sqlEntry _),
     "q34_skip_until" -> (Relational.skipUntilExpensive _),
+    "q35_grouping_sets" -> (Relational.groupingSetsQuantities _),
+    "q36_unpivot" -> (Relational.unpivotMeasures _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -66,6 +68,7 @@ object SparkEntry {
     "e08_spikes" -> ((s: SparkSession, dir: String) => Events.spikeStats(s, dir)),
     "e09_transitions" -> ((s: SparkSession, dir: String) => Events.transitionStats(s, dir)),
     "e10_gap_stats" -> ((s: SparkSession, dir: String) => Events.gapStats(s, dir)),
+    "e11_burst_windows" -> ((s: SparkSession, dir: String) => Events.burstStats(s, dir)),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -1007,6 +1010,44 @@ object SparkEntry {
                OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit
            FROM orders) WHERE hit = 1
          ORDER BY o_orderkey""",
+    // q35: GROUPING SETS — the named-combination general form under
+    // rollup/cube, with explicit grouping() flags (the form that stays
+    // correct on nullable keys)
+    "q35_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY rf, ls""",
+    // q36: UNPIVOT / melt — the oracle spells the reshape as the
+    // per-measure UNION ALL the Expand node is equivalent to
+    "q36_unpivot" ->
+      """WITH u AS (
+           SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+         SELECT l_returnflag, measure, count(*) AS n, round(sum(v), 2) AS sum_v
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+    // e11: trailing-window burst profile — RANGE frame over epoch-ms,
+    // peers-at-same-ms included by both engines by definition of RANGE
+    "e11_burst_windows" ->
+      """WITH e AS (
+           SELECT event_type, user_id, epoch_ms(ts) AS ms FROM events),
+         w AS (
+           SELECT event_type,
+             count(*) OVER (PARTITION BY user_id ORDER BY ms
+               RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS win
+           FROM e)
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(win) AS BIGINT) AS sum_win,
+           CAST(max(win) AS BIGINT) AS max_win,
+           CAST(sum(CASE WHEN win >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursty
+         FROM w GROUP BY 1 ORDER BY 1""",
     "q32_order_cadence" ->
       """WITH g AS (
            SELECT o_custkey,

@@ -298,6 +298,43 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Trailing-window burst profile (e11): for every event, how many
+    * events the SAME user produced in the trailing `windowMs`
+    * (inclusive of the event itself) — a RANGE window frame over the
+    * millisecond epoch, i.e. the time-based sliding count done
+    * without self-joining or exploding per-event time buckets.
+    * Summarized per event_type: exact Σ and max of the window count
+    * plus how many events sit in a burst of ≥ `burstN`. This is the
+    * per-event dual of e08's hourly spike gate (there the anomaly
+    * unit is the wall-clock hour; here every event carries its own
+    * trailing window) and the profile that sizes rate limits /
+    * abuse cuts.
+    *
+    * Scale design: ONE user_id shuffle; the range frame is evaluated
+    * in a single ordered sweep per user partition (Spark keeps a
+    * sliding two-pointer over the frame bounds — no per-row rescan),
+    * and the per-type reduction is a partial agg over integer counts.
+    * RANGE on the epoch-ms LONG (never on a float or a timestamp
+    * with engine-specific tie rules): peers at the same millisecond
+    * are included by both engines by definition of RANGE, so the
+    * result is arrival-order-free — a ROWS frame here would be
+    * nondeterministic under equal timestamps. */
+  def burstStats(s: SparkSession, dir: String,
+      windowMs: Long = 600000L, burstN: Int = 3): DataFrame = {
+    val trailing = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"))
+      .rangeBetween(-windowMs, 0)
+    events(s, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("win", count(lit(1)).over(trailing))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("win").as("sum_win"),
+        max("win").as("max_win"),
+        sum(when(col("win") >= burstN, 1L).otherwise(0L)).as("n_bursty"))
+      .orderBy("event_type")
+  }
+
   /** Top-10 users by total event value (deterministic tiebreak). */
   def topUsers(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

@@ -317,6 +317,53 @@ object Relational {
         col("sum_qty"), col("n"))
       .orderBy("rf", "ls")
 
+  /** GROUPING SETS (q35): the general form under rollup/cube —
+    * exactly the named grouping combinations, here the two one-column
+    * marginals plus the grand total over lineitem, in ONE pass (one
+    * Expand + one shuffle, vs three scans + a union for the naive
+    * formulation). `grouping()` disambiguates a stored NULL from a
+    * superaggregate NULL — the coalesce-to-'ALL' shorthand rollup/cube
+    * use above is safe only because those columns are non-nullable;
+    * this query carries the grouping flags explicitly, the form that
+    * stays correct on nullable keys. */
+  def groupingSetsQuantities(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"),
+        // grouping() must be computed WITH the aggregate (it reads the
+        // Expand node's grouping-id bit, gone after the agg projects)
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** UNPIVOT / melt (q36): wide→long reshaping as a first-class
+    * operator ([[org.apache.spark.sql.Dataset.unpivot]] — the typed
+    * API over the same Expand node the internal [[graft.ops.Dedup]]
+    * band melts build by hand with posexplode). Three lineitem
+    * measure columns melt into (measure, value) rows, then a per-
+    * measure summary proves the long shape aggregates cleanly. The
+    * Expand multiplies rows ×|measures| BEFORE the shuffle, but each
+    * output row is 3 narrow columns — at 100 TB the melt is the
+    * map side of one partial agg, never a materialized wide frame. */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "measure",
+        valueColumnName = "v")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"))
+      .orderBy("l_returnflag", "measure")
+
   /** JSON scalar extraction from events.props (SURVEY §2.9). */
   def jsonProps(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

@@ -1918,6 +1918,70 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("e11: trailing range window matches a plain-Scala model; peers at one ms count together") {
+    val ev = Relational.events(spark, sf0001)
+      .selectExpr("user_id", "event_type", "unix_millis(ts) AS ms").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val model = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long, Long)].withDefaultValue((0L, 0L, 0L, 0L))
+    ev.groupBy(_._1).values.foreach { rows =>
+      val ms = rows.map(_._3).sorted
+      rows.foreach { case (_, tpe, m) =>
+        // RANGE frame: every same-user event in [m-600000, m], self and
+        // same-millisecond peers included
+        val win = ms.count(x => x >= m - 600000L && x <= m).toLong
+        val (n, s, mx, b) = model(tpe)
+        model(tpe) = (n + 1, s + win, math.max(mx, win),
+          b + (if (win >= 3) 1L else 0L))
+      }
+    }
+    val got = Events.burstStats(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == model.toMap)
+    // the window must actually catch multi-event spans on this fixture
+    // (sf0.001 peaks at win=2; the ≥3 burst cut bites at sf0.01+)
+    assert(got.values.map(_._3).max >= 2)
+  }
+
+  test("q35: grouping sets rows are exactly the two marginals plus the grand total") {
+    val li = Relational.t(spark, sf0001, "lineitem")
+    val rows = Relational.groupingSetsQuantities(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    val nRf = li.select("l_returnflag").distinct().count()
+    val nLs = li.select("l_linestatus").distinct().count()
+    assert(rows.length == nRf + nLs + 1)
+    // grand total: both flags set, full row count
+    val total = rows.filter(r => r._3 == 1 && r._4 == 1)
+    assert(total.length == 1 && total.head._5 == li.count())
+    assert(total.head._1 == "ALL" && total.head._2 == "ALL")
+    // each rf marginal (g_ls=1) matches a plain groupBy count
+    val byRf = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.filter(r => r._3 == 0).foreach { r =>
+      assert(r._2 == "ALL" && r._5 == byRf(r._1), s"rf marginal $r")
+    }
+  }
+
+  test("q36: unpivot aggregates match the per-measure wide aggregates") {
+    val li = Relational.t(spark, sf0001, "lineitem")
+    val got = Relational.unpivotMeasures(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    import org.apache.spark.sql.functions.{count, lit, round, sum}
+    val wide = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("q"),
+        round(sum("l_extendedprice"), 2).as("p"),
+        round(sum("l_discount"), 2).as("d")).collect()
+    assert(got.size == wide.length * 3)
+    wide.foreach { r =>
+      val rf = r.getString(0); val n = r.getLong(1)
+      assert(got((rf, "l_quantity")) == ((n, r.getDouble(2))), s"$rf qty")
+      assert(got((rf, "l_extendedprice")) == ((n, r.getDouble(3))), s"$rf price")
+      assert(got((rf, "l_discount")) == ((n, r.getDouble(4))), s"$rf disc")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
