@@ -144,6 +144,7 @@ object SparkEntry {
     "s09_pq_topk" -> ((s: SparkSession, dir: String) => Similarity.pqTopK(s, dir)),
     "s10_filtered_topk" -> ((s: SparkSession, dir: String) => Similarity.filteredTopK(s, dir)),
     "s12_rerank_topk" -> ((s: SparkSession, dir: String) => Similarity.rerankTopK(s, dir)),
+    "s17_nprobe_recall" -> ((s: SparkSession, dir: String) => Similarity.nprobeRecallCurve(s, dir)),
     // s11 reads the PERSISTED index layout (built once in Verify/Bench
     // setup via ensureIvfIndex — the call here is an idempotent no-op
     // when the index exists); results are identical to s05 by
@@ -527,6 +528,61 @@ object SparkEntry {
          CAST(CASE WHEN rnk <= n_members // 4 THEN 1 ELSE 0 END AS INT) AS pruned
        FROM r ORDER BY cell, rnk"""
 
+  /** s17 oracle builder: replays s05's seeded-IVF structure ONCE with
+    * the probe rank carried through, the s01 brute-force truth, and
+    * one rank/hit block per probe depth — recall@k as exact integer
+    * counts and a floor-div milli ratio. Parameterized like
+    * [[s06OracleSql]] so the oracle and the Spark default cannot
+    * drift separately. */
+  private def s17OracleSql(nprobes: Seq[Int], nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32): String = {
+    val perNp = nprobes.map { np =>
+      s"""r$np AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+             FROM sc WHERE probe_rnk <= $np) WHERE rnk <= $k),
+         h$np AS (SELECT count(*) AS hits FROM r$np JOIN truth USING (q_id, c_id))"""
+    }.mkString(",\n         ")
+    val selects = nprobes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, CAST(hits AS BIGINT) AS n_hits,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           CAST(hits * 1000 // (SELECT count(*) FROM truth) AS BIGINT) AS recall_milli
+         FROM h$np"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < ${100 + nlist}),
+         ac AS (SELECT a.vec_id AS c_id, cent_id,
+             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e a, cent),
+         assign AS (SELECT c_id, cent_id AS cell FROM (
+           SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         qc AS (SELECT q.vec_id AS q_id, cent_id,
+             floor(list_cosine_similarity(q.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, cent WHERE q.vec_id < $nQueries),
+         pr AS (SELECT q_id, cent_id AS cell, rn AS probe_rnk FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM qc) WHERE rn <= ${nprobes.max}),
+         cand AS (SELECT q_id, c_id, probe_rnk
+           FROM assign JOIN pr USING (cell) WHERE q_id <> c_id),
+         sc AS (SELECT q_id, c_id, probe_rnk,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+         ts AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM e q, e c
+           WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+         truth AS (SELECT q_id, c_id FROM (
+           SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+           FROM ts) WHERE rnk <= $k),
+         $perNp
+         $selects ORDER BY nprobe"""
+  }
+
   /** The multi-frame decode oracle — per-frame formula replay over
     * the video-kind corpus. ONE definition bound to BOTH m06 (animated
     * GIF via ImageIO) and m10 (AVI/DIB via the pure-JVM RIFF demuxer):
@@ -561,6 +617,9 @@ object SparkEntry {
     // m10: the AVI/RIFF demux path must reproduce the GIF path's
     // decoded frames exactly — oracle text shared with m06 verbatim
     "m10_avi_frames" -> multiFrameSql,
+    // s17: the nprobe cost/recall table — seeded-IVF replay with the
+    // probe rank carried, s01 truth, integer recall per depth
+    "s17_nprobe_recall" -> s17OracleSql(nprobes = Seq(1, 2, 4, 8)),
     "s06_kmeans_codebook" -> s06OracleSql(nlist = 32, iters = 2),
     // d12: SemDeDup — the oracle replays the identical unrolled Lloyd
     // rounds (raw-double centroids, the same CTE chain s06/s07

@@ -1172,4 +1172,68 @@ object Similarity {
           .as("avg_sim"))
       .orderBy("q_id")
   }
+
+  /** IVF nprobe recall curve (s17) — the measured cost/recall table
+    * that picks s05's `nprobe`: exact recall@k of the IVF path
+    * against the brute-force truth at every probe depth in
+    * `nprobes`, from ONE shared pass. The same measured-advisory
+    * discipline as [[Dedup.simhashRecallAdvisory]] / d13: the
+    * scaladoc claim "recall < 1 when a true neighbor lives in an
+    * unprobed cell" becomes a per-setting table instead of prose.
+    *
+    * Scale design: probe selection runs once at max(nprobes) with the
+    * probe RANK carried through — the nprobe=p candidate set is
+    * exactly the rows with probe_rnk ≤ p (probe lists are nested by
+    * construction: same order, deeper cut), so the corpus is scanned
+    * once for assignment, once for candidate scoring, once for the
+    * exact truth, and every curve point after that is a bounded-heap
+    * re-rank over the CHECKPOINTED candidate frame (queries×candidates
+    * sized, not corpus sized). Counts and the floor-div milli recall
+    * are exact integers — nothing on the curve is a float. */
+  def nprobeRecallCurve(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1))
+    val maxNp = nprobes.max
+    val emb = t(s, dir, "embeddings")
+    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // s05's assignment shape: map-side max-struct, no window
+    val assign = corpus.crossJoin(broadcast(cent))
+      .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
+      .groupBy("c_id")
+      .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("c_id"), (-col("m.nc")).as("cell"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = topKPerQuery(s,
+      queries.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("cent_id").as("c_id"),
+          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
+      maxNp, sorted = false)
+      .select(col("q_id"), col("c_id").as("cell"), col("rnk").as("probe_rnk"))
+    // every curve point re-ranks this one frame; each c_id has ONE
+    // cell and each (q, cell) one probe rank, so (q, c) rows are
+    // already unique
+    val scored = assign.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(queries), "q_id")
+      .join(corpus, "c_id")
+      .select(col("q_id"), col("c_id"), col("probe_rnk"),
+        r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
+      .localCheckpoint()
+    val truth = nativeTopK(s, dir, nQueries, k)
+      .select("q_id", "c_id").localCheckpoint()
+    val perNp = nprobes.map { np =>
+      topKPerQuery(s, scored.filter(col("probe_rnk") <= np), k, sorted = false)
+        .join(truth, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+    }.reduce(_ union _)
+    perNp
+      .crossJoin(broadcast(truth.groupBy().agg(count(lit(1)).as("n_truth"))))
+      .withColumn("recall_milli", expr("n_hits * 1000 div n_truth"))
+      .orderBy("nprobe")
+  }
 }

@@ -1982,6 +1982,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("s17: each curve point equals the recall of the standalone IVF run at that depth") {
+    val truth = Similarity.bruteForceTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val curve = Similarity.nprobeRecallCurve(spark, sf0001).collect()
+    assert(curve.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    curve.foreach { r =>
+      val np = r.getLong(0).toInt
+      // the shared-pass curve must reproduce what the standalone s05
+      // query at this nprobe would score
+      val ivf = Similarity.ivfTopK(spark, sf0001, nprobe = np).collect()
+        .map(x => (x.getLong(0), x.getLong(2)))
+      val hits = ivf.count(truth.contains).toLong
+      assert(r.getLong(1) == hits, s"nprobe $np hits")
+      assert(r.getLong(2) == truth.size.toLong)
+      assert(r.getLong(3) == hits * 1000L / truth.size, s"nprobe $np recall")
+    }
+    // deeper probing never loses recall: a candidate that displaces a
+    // truth member from the IVF top-k outranks it globally, so it is
+    // itself a truth member
+    val rec = curve.map(_.getLong(3)).toSeq
+    assert(rec == rec.sorted)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
