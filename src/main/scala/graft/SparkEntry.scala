@@ -162,6 +162,7 @@ object SparkEntry {
     "m08_image_neardups" -> ((s: SparkSession, dir: String) => Multimodal.imageNearDupPairs(s, dir)),
     "m09_audio_neardups" -> ((s: SparkSession, dir: String) => Multimodal.audioNearDupPairs(s, dir)),
     "m10_avi_frames" -> (Multimodal.decodeAviFrames _),
+    "m11_png_meta" -> (Multimodal.pngMetadataReport _),
   )
 
   /** Shared DuckDB CTE prefix for every shingle-based oracle:
@@ -620,6 +621,18 @@ object SparkEntry {
     // s17: the nprobe cost/recall table — seeded-IVF replay with the
     // probe rank carried, s01 truth, integer recall per depth
     "s17_nprobe_recall" -> s17OracleSql(nprobes = Seq(1, 2, 4, 8)),
+    // m11: PNG IHDR fields re-derived from the fixture formula the
+    // chunk parser never sees — certifies signature walk + header
+    // parse against the JDK encoder's real output (CRC/chunk-count
+    // claims are spec-asserted; encoder-version detail)
+    "m11_png_meta" ->
+      """SELECT doc_id AS media_id,
+           CAST(doc_id % 29 + 4 AS INT) AS width,
+           CAST(doc_id % 19 + 4 AS INT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS BIGINT) AS color_type
+         FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 < 2
+         ORDER BY media_id""",
     "s06_kmeans_codebook" -> s06OracleSql(nlist = 32, iters = 2),
     // d12: SemDeDup — the oracle replays the identical unrolled Lloyd
     // rounds (raw-double centroids, the same CTE chain s06/s07

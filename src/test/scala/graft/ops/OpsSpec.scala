@@ -311,6 +311,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("m11: PNG chunk walk validates every CRC and rejects tampered bytes") {
+    val rows = Multimodal.pngMetadata(spark, sf0001).collect()
+    // png subset: doc_id % 3 == 0 AND doc_id % 4 < 2 over 500 docs
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") == (id % 29 + 4).toInt, s"media $id")
+      assert(r.getAs[Int]("height") == (id % 19 + 4).toInt, s"media $id")
+      assert(r.getAs[Long]("bit_depth") == 8L)
+      assert(r.getAs[Long]("color_type") == (if (id % 2 == 0) 0L else 2L))
+      // IHDR + ≥1 IDAT + IEND at minimum, every CRC verified in-kernel
+      assert(r.getAs[Long]("n_chunks") >= 3L)
+    }
+    // flipping one payload byte must break that chunk's CRC and fail
+    // the walk loudly — integrity is checked, not assumed
+    val blob = Multimodal.imageTable(spark, sf0001)
+      .filter(col("fmt") === "png").head().blob
+    val good = Multimodal.parsePngMeta(0L, blob)
+    assert(good._5 >= 3L)
+    val bad = blob.clone()
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.parsePngMeta(0L, bad)
+    }
+    assert(e.getMessage.contains("CRC mismatch"))
+    // and non-PNG bytes die at the signature
+    intercept[IllegalArgumentException] {
+      Multimodal.parsePngMeta(0L, Array.fill[Byte](32)(7))
+    }
+  }
+
   test("audio decode: WAV round-trip reports format and frame count") {
     val rows = Multimodal.decodeAudio(spark, sf0001).collect()
     assert(rows.length == 167) // doc_id % 3 == 1 over 500 docs
