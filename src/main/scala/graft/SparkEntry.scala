@@ -84,6 +84,7 @@ object SparkEntry {
     "t12_token_entropy" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenEntropyStats(s, dir)),
     "t13_ngram_novelty" -> ((s: SparkSession, dir: String) => TextAnalysis.ngramNoveltyStats(s, dir)),
     "t14_source_kl" -> ((s: SparkSession, dir: String) => TextAnalysis.sourceKlStats(s, dir)),
+    "t15_cms_report" -> ((s: SparkSession, dir: String) => TextAnalysis.cmsReport(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -621,6 +622,31 @@ object SparkEntry {
     // s17: the nprobe cost/recall table — seeded-IVF replay with the
     // probe rank carried, s01 truth, integer recall per depth
     "s17_nprobe_recall" -> s17OracleSql(nprobes = Seq(1, 2, 4, 8)),
+    // t15: the count-min sketch replayed bit-for-bit (md5-derived
+    // buckets, depth 2 × width 32) against the exact wordcount — the
+    // hash certifies the one-sided error: est ≥ exact for every
+    // token, `over` only on full-row collisions
+    "t15_cms_report" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         tk AS (SELECT tok,
+             CAST(('0x' || substring(md5('cms0:' || tok), 1, 8)) AS BIGINT) % 32 AS b0,
+             CAST(('0x' || substring(md5('cms1:' || tok), 1, 8)) AS BIGINT) % 32 AS b1
+           FROM toks WHERE tok <> ''),
+         m AS (SELECT 0 AS i, b0 AS b FROM tk
+           UNION ALL SELECT 1, b1 FROM tk),
+         cms AS (SELECT i, b, count(*) AS cnt FROM m GROUP BY 1, 2),
+         wc AS (SELECT tok, count(*) AS exact_n,
+             min(b0) AS b0, min(b1) AS b1 FROM tk GROUP BY tok),
+         est AS (SELECT tok, exact_n, least(c0.cnt, c1.cnt) AS est_n
+           FROM wc
+           JOIN cms c0 ON c0.i = 0 AND c0.b = wc.b0
+           JOIN cms c1 ON c1.i = 1 AND c1.b = wc.b1)
+         SELECT tok, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(CASE WHEN est_n > exact_n THEN 1 ELSE 0 END AS BIGINT) AS over
+         FROM est ORDER BY tok""",
     // m11: PNG IHDR fields re-derived from the fixture formula the
     // chunk parser never sees — certifies signature walk + header
     // parse against the JDK encoder's real output (CRC/chunk-count

@@ -563,4 +563,59 @@ object TextAnalysis {
       .select("source", "n_docs", "n_tokens", "n_types", "kl")
       .orderBy("source")
   }
+
+  /** Count-min sketch certification report (t15) — the frequency
+    * sketch missing from the family (MinHash d04, SimHash d05, HLL
+    * q24, Bloom c11, t-digest q24, bounded-heap s04 all ship): a
+    * depth×width table of hashed token counts whose point estimate
+    * min_i cms[i][h_i(tok)] NEVER underestimates the true count and
+    * overestimates only on full-row collisions (Cormode & Muthukrishnan
+    * 2005). The report compares the sketch estimate against the exact
+    * count for every vocabulary token — `over` marks the collision
+    * overestimates, and the sketch's one-sided error is the
+    * hash-certified table itself (zero `est_n < exact_n` rows, ever).
+    * Defaults are sized to THIS corpus the d12/d06 way: vocab 31 at
+    * width 32 / depth 2 makes both branches live in every gate run
+    * (12 of 31 tokens overestimate at sf0.01 — a width that never
+    * collides would leave `over` dead); production sizes width ≈ e/ε
+    * and depth ≈ ln(1/δ) for an ε·N error bound at confidence 1−δ.
+    *
+    * Scale design: the sketch is built as PURE aggregation (the c11
+    * Bloom discipline — one melted (row, bucket) shuffle aggregating
+    * to ≤ depth×width rows, zero driver actions), which is the whole
+    * point at 100 TB: frequency estimates with depth×width state
+    * where the exact wordcount needs |vocab|. The exact side and the
+    * per-token join exist for the certification REPORT (vocab-sized,
+    * fine at the gate corpus; on a production corpus you'd broadcast
+    * the tiny sketch frame and estimate in-row without any vocab
+    * state). Buckets are md5-derived (conv of the first 8 hex chars,
+    * the p03/p07 cross-engine draw convention) so DuckDB replays the
+    * sketch bit-for-bit. */
+  def cmsReport(s: SparkSession, dir: String, depth: Int = 2,
+      width: Int = 32): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    def bucket(i: Int): Column =
+      conv(substring(md5(concat(lit(s"cms$i:"), col("tok"))), 1, 8), 16, 10)
+        .cast("long") % width
+    val cms = toks
+      .select(posexplode(array((0 until depth).map(bucket): _*)))
+      .toDF("i", "b")
+      .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
+    val wc = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .select(col("tok") +: col("exact_n") +:
+        (0 until depth).map(i => bucket(i).as(s"b$i")): _*)
+    // melt the per-token rows back to (i, b) probes; the sketch side
+    // is ≤ depth×width rows, so AQE broadcasts it
+    wc.select(col("tok"), col("exact_n"),
+        posexplode(array((0 until depth).map(i => col(s"b$i")): _*)))
+      .toDF("tok", "exact_n", "i", "b")
+      .join(cms, Seq("i", "b"))
+      .groupBy("tok", "exact_n")
+      .agg(min("cnt").as("est_n"))
+      .select(col("tok"), col("exact_n"), col("est_n"),
+        (col("est_n") > col("exact_n")).cast("long").as("over"))
+      .orderBy("tok")
+  }
 }

@@ -2036,6 +2036,36 @@ class OpsSpec extends SparkSpec {
     assert(rec == rec.sorted)
   }
 
+  test("t15: CMS estimates match a plain-Scala sketch and never undercount") {
+    val toks = Relational.t(spark, sf0001, "documents")
+      .selectExpr("explode(split(trim(text), '\\\\s+')) AS tok")
+      .filter(col("tok") =!= "").collect().map(_.getString(0))
+    def bucket(i: Int, tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cms$i:$tok".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 32
+    }
+    val cms = Array.ofDim[Long](2, 32)
+    toks.foreach(tk => (0 until 2).foreach(i => cms(i)(bucket(i, tk).toInt) += 1))
+    val exact = toks.groupBy(identity).map { case (tk, xs) => tk -> xs.length.toLong }
+    val got = TextAnalysis.cmsReport(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (tk, (ex, est, over)) =>
+      assert(ex == exact(tk), tk)
+      val modelEst = (0 until 2).map(i => cms(i)(bucket(i, tk).toInt)).min
+      assert(est == modelEst, tk)
+      // the CMS one-sided guarantee: never an undercount
+      assert(est >= ex, tk)
+      assert(over == (if (est > ex) 1L else 0L), tk)
+    }
+    // the width is sized so collisions actually happen here — a
+    // sketch that never overestimates at the gate proves nothing
+    assert(got.values.count(_._3 == 1L) > 0)
+    assert(got.values.exists { case (ex, est, _) => est == ex })
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
