@@ -57,6 +57,7 @@ object SparkEntry {
     "q34_skip_until" -> (Relational.skipUntilExpensive _),
     "q35_grouping_sets" -> (Relational.groupingSetsQuantities _),
     "q36_unpivot" -> (Relational.unpivotMeasures _),
+    "q37_ntile" -> (Relational.orderPriceDeciles _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -1131,6 +1132,19 @@ object SparkEntry {
            SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
          SELECT l_returnflag, measure, count(*) AS n, round(sum(v), 2) AS sum_v
          FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q37: equal-frequency deciles — ntile over a total order (ties
+    // by o_orderkey) so bucket membership incl. remainder buckets is
+    // engine-identical
+    "q37_ntile" ->
+      """WITH d AS (
+           SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+           FROM orders)
+         SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM d GROUP BY decile ORDER BY decile""",
     // e11: trailing-window burst profile — RANGE frame over epoch-ms,
     // peers-at-same-ms included by both engines by definition of RANGE
     "e11_burst_windows" ->

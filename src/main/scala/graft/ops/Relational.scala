@@ -364,6 +364,31 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"))
       .orderBy("l_returnflag", "measure")
 
+  /** NTILE decile profile (q37): equal-frequency bucketing — the
+    * rank-based complement of q27's equal-WIDTH histogram (deciles
+    * adapt to the distribution; fixed bins do not). `ntile` needs a
+    * total order to be deterministic: ties broken by o_orderkey, the
+    * q05/q32 contract, so both engines assign identical bucket
+    * membership including the uneven remainder buckets.
+    *
+    * Scale note: a single un-partitioned ntile is a one-task global
+    * sort — fine for a profile over an aggregable column, wrong as a
+    * per-row transform at 100 TB. The scale path for that is
+    * `approx_percentile` cut points (q25) applied as a broadcast
+    * range lookup; this query exists for the exact rank-based
+    * semantics on the reporting path. */
+  def orderPriceDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("decile")
+  }
+
   /** JSON scalar extraction from events.props (SURVEY §2.9). */
   def jsonProps(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

@@ -591,18 +591,31 @@ object TextAnalysis {
     * state). Buckets are md5-derived (conv of the first 8 hex chars,
     * the p03/p07 cross-engine draw convention) so DuckDB replays the
     * sketch bit-for-bit. */
+  /** Row `i`'s CMS bucket for a token — md5-derived (the p03/p07
+    * cross-engine draw convention), shared by the batch report and
+    * the streaming sketch so the two paths cannot desynchronize. */
+  private[graft] def cmsBucket(i: Int, width: Int, tok: Column): Column =
+    conv(substring(md5(concat(lit(s"cms$i:"), tok)), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** The sketch itself from a `tok` column frame: one melted (row,
+    * bucket) aggregation to ≤ depth×width rows. Works unchanged on a
+    * STREAMING frame (a running aggregation whose state is bounded by
+    * construction — see [[graft.streaming.Streams.cmsStream]]). */
+  private[graft] def cmsTable(toks: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    toks.select(posexplode(array(
+        (0 until depth).map(i => cmsBucket(i, width, col("tok"))): _*)))
+      .toDF("i", "b")
+      .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
+
   def cmsReport(s: SparkSession, dir: String, depth: Int = 2,
       width: Int = 32): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    def bucket(i: Int): Column =
-      conv(substring(md5(concat(lit(s"cms$i:"), col("tok"))), 1, 8), 16, 10)
-        .cast("long") % width
-    val cms = toks
-      .select(posexplode(array((0 until depth).map(bucket): _*)))
-      .toDF("i", "b")
-      .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
+    def bucket(i: Int): Column = cmsBucket(i, width, col("tok"))
+    val cms = cmsTable(toks, depth, width)
     val wc = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
       .select(col("tok") +: col("exact_n") +:
         (0 until depth).map(i => bucket(i).as(s"b$i")): _*)

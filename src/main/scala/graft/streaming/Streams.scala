@@ -25,6 +25,24 @@ import java.sql.Timestamp
   */
 object Streams {
 
+  /** Streaming count-min sketch: the t15 frequency sketch as a
+    * RUNNING aggregation over an unbounded document stream. The
+    * sketch IS the aggregation state — bounded at depth×width rows BY
+    * CONSTRUCTION, which is the whole streaming pitch of CMS (an
+    * exact streaming wordcount's state grows with the vocabulary;
+    * this never does, so no watermark and no eviction are needed for
+    * the state to stay finite). Bucket expressions are shared with
+    * the batch report ([[graft.ops.TextAnalysis.cmsBucket]] via
+    * [[graft.ops.TextAnalysis.cmsTable]]), so the stream's sketch
+    * after any prefix equals the batch sketch of the same documents —
+    * StreamsSpec certifies stream ≡ batch across micro-batches. Run
+    * with Update/Complete output (running totals). */
+  def cmsStream(docs: DataFrame, depth: Int = 2, width: Int = 32): DataFrame =
+    graft.ops.TextAnalysis.cmsTable(
+      docs.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= ""),
+      depth, width)
+
   /** Event-time tumbling window + watermark: `group(interval=)` with
     * late-data handling. */
   def windowedCounts(events: DataFrame, window: String = "1 hour",

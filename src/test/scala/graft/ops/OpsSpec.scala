@@ -2066,6 +2066,20 @@ class OpsSpec extends SparkSpec {
     assert(got.values.exists { case (ex, est, _) => est == ex })
   }
 
+  test("q37: deciles are equal-frequency within 1, ordered, and cover the table") {
+    val rows = Relational.orderPriceDeciles(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1) // ntile remainder contract
+    assert(counts.sum == Relational.t(spark, sf0001, "orders").count())
+    // equal-frequency buckets partition the value range in order
+    val bounds = rows.map(r => (r.getDouble(2), r.getDouble(3)))
+    bounds.foreach { case (lo, hi) => assert(lo <= hi) }
+    bounds.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2)
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -140,6 +140,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsStream: the running sketch equals the batch sketch over the same docs") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val d1 = Streams.Doc(1, ts(1), "en", "table scan table join   value")
+    val d2 = Streams.Doc(2, ts(2), "en", "scan scan window")
+    val d3 = Streams.Doc(3, ts(3), "en", "table value value agg")
+    val mem = MemoryStream[Streams.Doc]
+    val q = Streams.cmsStream(mem.toDF())
+      .writeStream.format("memory").queryName("cms").outputMode("complete").start()
+    try {
+      mem.addData(d1, d2)
+      q.processAllAvailable()
+      // across a second micro-batch the counts ACCUMULATE (running
+      // aggregation, no eviction)
+      mem.addData(d3)
+      q.processAllAvailable()
+      val got = s.sql("SELECT i, b, cnt FROM cms").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.ops.TextAnalysis.cmsTable(
+        Seq(d1, d2, d3).toDF()
+          .selectExpr("explode(split(trim(text), '\\\\s+')) AS tok")
+          .filter(col("tok") =!= ""), depth = 2, width = 32)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch)
+      // state bounded by construction: never more than depth×width rows
+      assert(got.size <= 2 * 32)
+      // and the sketch actually counted across batches: 'table' appears
+      // in batch 1 AND batch 2 — its buckets carry the combined count
+      assert(got.exists(_._3 >= 3L))
+    } finally q.stop()
+  }
+
   test("enrichedStream joins a static dim per batch without streaming state") {
     val s = spark
     import s.implicits._
