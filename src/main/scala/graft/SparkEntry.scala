@@ -58,6 +58,7 @@ object SparkEntry {
     "q35_grouping_sets" -> (Relational.groupingSetsQuantities _),
     "q36_unpivot" -> (Relational.unpivotMeasures _),
     "q37_ntile" -> (Relational.orderPriceDeciles _),
+    "q38_correlated" -> (Relational.aboveCustomerAvg _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -1145,6 +1146,9 @@ object SparkEntry {
            round(max(o_totalprice), 2) AS hi,
            round(sum(o_totalprice), 2) AS sum_price
          FROM d GROUP BY decile ORDER BY decile""",
+    // q38: the q33 pattern — the oracle IS the Spark-side SQL text
+    // (correlated scalar subqueries, integer-cents boundary)
+    "q38_correlated" -> graft.ops.Relational.aboveCustomerAvgSql,
     // e11: trailing-window burst profile — RANGE frame over epoch-ms,
     // peers-at-same-ms included by both engines by definition of RANGE
     "e11_burst_windows" ->

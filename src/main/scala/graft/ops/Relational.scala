@@ -89,6 +89,38 @@ object Relational {
     s.sql(topSupplierNationsSql)
   }
 
+  /** q38: a correlated scalar subquery, run as ONE SQL text on both
+    * engines (the q33 portability pattern). Every order is compared
+    * against ITS customer's average order value — the correlation
+    * Catalyst must decorrelate (RewriteCorrelatedScalarSubquery turns
+    * the per-row subquery into one aggregate + a join; the naive
+    * reading is a subquery per row, which no engine should execute).
+    * The integer-cents comparison (100·price > avg_cents via integer
+    * sums) keeps the boundary float-free cross-engine. At scale the
+    * per-customer aggregate is |customers|-sized: AQE broadcasts it
+    * at gate SF and degrades to a shuffle join beyond the broadcast
+    * budget — exactly the right plan both times. */
+  val aboveCustomerAvgSql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         FROM orders)
+       SELECT o_custkey, count(*) AS n_above,
+         CAST(sum(cents) AS BIGINT) AS sum_above_cents
+       FROM o x
+       WHERE x.cents * (SELECT count(*) FROM o y WHERE y.o_custkey = x.o_custkey)
+           > (SELECT sum(cents) FROM o y WHERE y.o_custkey = x.o_custkey)
+       GROUP BY o_custkey
+       ORDER BY o_custkey"""
+
+  /** Runs [[aboveCustomerAvgSql]] through the registered-views SQL
+    * door ([[sqlEntry]]'s registration contract). */
+  def aboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
+    if (s.conf.get("graft.views.dir", "") != dir ||
+        !s.catalog.tableExists("orders"))
+      registerViews(s, dir)
+    s.sql(aboveCustomerAvgSql)
+  }
+
   /** Engine-independent rounding for QUOTIENT-derived doubles.
     *
     * Spark's `round` converts the double to its shortest decimal

@@ -2080,6 +2080,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q38: the decorrelated subquery matches a plain-Scala per-customer model") {
+    val orders = Relational.t(spark, sf0001, "orders")
+      .selectExpr("o_custkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val model = orders.groupBy(_._1).flatMap { case (ck, os) =>
+      val cents = os.map(_._2)
+      val (n, total) = (cents.length.toLong, cents.sum)
+      // strictly above the mean, on the integer-cross-multiplied cut
+      val above = cents.filter(c => c * n > total)
+      if (above.nonEmpty) Some(ck -> (above.length.toLong, above.sum)) else None
+    }.toMap
+    val got = Relational.aboveCustomerAvg(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == model)
+    // single-order customers are never above their own average —
+    // the strict cut must exclude them
+    val singles = orders.groupBy(_._1).filter(_._2.length == 1).keySet
+    assert(singles.forall(ck => !got.contains(ck)))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
