@@ -148,6 +148,7 @@ object SparkEntry {
     "s10_filtered_topk" -> ((s: SparkSession, dir: String) => Similarity.filteredTopK(s, dir)),
     "s12_rerank_topk" -> ((s: SparkSession, dir: String) => Similarity.rerankTopK(s, dir)),
     "s17_nprobe_recall" -> ((s: SparkSession, dir: String) => Similarity.nprobeRecallCurve(s, dir)),
+    "s18_ivfpq_topk" -> ((s: SparkSession, dir: String) => Similarity.ivfPqTopK(s, dir)),
     // s11 reads the PERSISTED index layout (built once in Verify/Bench
     // setup via ensureIvfIndex — the call here is an idempotent no-op
     // when the index exists); results are identical to s05 by
@@ -649,6 +650,67 @@ object SparkEntry {
            CAST(est_n AS BIGINT) AS est_n,
            CAST(CASE WHEN est_n > exact_n THEN 1 ELSE 0 END AS BIGINT) AS over
          FROM est ORDER BY tok""",
+    // s18: IVF-PQ — s05's certified assignment/probe replication
+    // composed with s09's certified codebook/encode/ADC replication,
+    // the scoring restricted to the probed candidates; one hash pins
+    // the whole production-ANN pipeline
+    "s18_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < 132),
+         ac AS (SELECT a.vec_id AS c_id, cent_id,
+             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e a, cent),
+         assign AS (SELECT c_id, cent_id AS cell FROM (
+           SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         qc AS (SELECT q.vec_id AS q_id, cent_id,
+             floor(list_cosine_similarity(q.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, cent WHERE q.vec_id < 10),
+         probes AS (SELECT q_id, cent_id AS cell FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM qc) WHERE rn <= 4),
+         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
+         cb AS (SELECT j, vec_id - 100 AS c, list_slice(emb, j*8 + 1, j*8 + 8) AS cw
+           FROM e, UNNEST(range(0, 8)) AS t(j)
+           WHERE vec_id >= 100 AND vec_id < 116),
+         cbn AS (SELECT j, c, cw,
+             list_sum(list_transform(cw, x -> x * x)) AS norm2 FROM cb),
+         sub AS (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
+           FROM e, UNNEST(range(0, 8)) AS t(j)),
+         dmat AS (SELECT vec_id, j, c, norm2,
+             floor(list_sum(list_transform(range(1, 9),
+               i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 10000 + 0.5) / 10000 AS dr
+           FROM sub JOIN cbn USING (j)),
+         enc AS (SELECT vec_id, j, c AS code, norm2 FROM (
+             SELECT vec_id, j, c, norm2,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dr, c) AS rn
+             FROM dmat) WHERE rn = 1),
+         vn AS (SELECT vec_id, list_sum(list(norm2 ORDER BY j)) AS vnorm2
+           FROM enc GROUP BY vec_id),
+         qnorm AS (SELECT vec_id AS q_id,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn
+           FROM e WHERE vec_id < 10),
+         qd AS (SELECT qs.vec_id AS q_id, qs.j, cbn.c,
+             list_sum(list_transform(range(1, 9), i -> sv[i] * cw[i])) AS dq
+           FROM (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
+                 FROM e, UNNEST(range(0, 8)) AS t(j) WHERE vec_id < 10) qs
+           JOIN cbn USING (j)),
+         sc AS (SELECT qd.q_id, enc.vec_id AS c_id,
+             list_sum(list(dq ORDER BY qd.j)) AS sumdot
+           FROM enc JOIN qd ON enc.j = qd.j AND enc.code = qd.c
+           JOIN cand ON cand.q_id = qd.q_id AND cand.c_id = enc.vec_id
+           GROUP BY qd.q_id, enc.vec_id),
+         sim AS (SELECT sc.q_id, c_id,
+             floor(sumdot / (qnorm.qn * sqrt(vn.vnorm2)) * 10000 + 0.5) / 10000 AS sim
+           FROM sc JOIN qnorm ON qnorm.q_id = sc.q_id
+           JOIN vn ON vn.vec_id = sc.c_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+           FROM sim)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
     // m11: PNG IHDR fields re-derived from the fixture formula the
     // chunk parser never sees — certifies signature walk + header
     // parse against the JDK encoder's real output (CRC/chunk-count

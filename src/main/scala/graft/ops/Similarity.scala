@@ -993,6 +993,33 @@ object Similarity {
     * [[topKPerQuery]]. */
   def pqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       m: Int = 8, codebookSize: Int = 16, dimParam: Int = 0): DataFrame = {
+    val (codes, qtab) = pqCodesAndQueryTables(s, dir, nQueries, m,
+      codebookSize, dimParam)
+    // ADC scan: m in-row map lookups per candidate, summed in j order
+    val scored = codes.crossJoin(broadcast(qtab))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        adcSim(m, codebookSize).as("sim"))
+    topKPerQuery(s, scored, k)
+  }
+
+  /** The ADC cosine for one candidate row: m in-row lookups into the
+    * broadcast per-query table, summed in j order, normalized by
+    * ‖q‖·√(reconstructed norm²). Shared by s09's full scan and s18's
+    * cell-pruned scan so the two paths score identically. */
+  private def adcSim(m: Int, codebookSize: Int): Column =
+    r4(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(col("tab"),
+        j.cast("long") * codebookSize + element_at(col("codes"), j + 1)))
+      / (col("qn") * sqrt(col("vnorm2"))))
+
+  /** The PQ index machinery shared by s09 and s18: returns
+    * (codes, qtab) — per-vector j-ordered code arrays + reconstructed
+    * norm², and per-query ADC lookup maps + query norms. Pure code
+    * motion from [[pqTopK]]; its scaladoc carries the contracts. */
+  private def pqCodesAndQueryTables(s: SparkSession, dir: String,
+      nQueries: Int, m: Int, codebookSize: Int,
+      dimParam: Int): (DataFrame, DataFrame) = {
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     // dimParam=0 (default) resolves from session conf `graft.pq.dim`
@@ -1090,14 +1117,59 @@ object Similarity {
           (col("j") * codebookSize + col("c")).as("key"),
           dot(col("s.sv"), col("cw")).as("dq")))).as("tab"),
         first(sqrt(dot(col("emb"), col("emb")))).as("qn"))
-    // ADC scan: m in-row map lookups per candidate, summed in j order
-    val scored = codes.crossJoin(broadcast(qtab))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("c_id"),
-        r4(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, j) => acc + element_at(col("tab"),
-            j.cast("long") * codebookSize + element_at(col("codes"), j + 1)))
-          / (col("qn") * sqrt(col("vnorm2")))).as("sim"))
+    (codes, qtab)
+  }
+
+  /** IVF-PQ (s18) — the production ANN composition (Jégou et al.
+    * 2011, the FAISS `IVFPQ` structure): the coarse IVF quantizer
+    * prunes the corpus to `nprobe` cells and PQ-ADC scores ONLY the
+    * surviving candidates. s05 contributes the cell selectivity
+    * (touch nprobe/nlist of the data), s09 the 32× compression and
+    * per-candidate m-lookup scoring — composed, a billion-vector
+    * search reads a fraction of a compressed index and never decodes
+    * a vector. Assignment, probes, codebooks, encoding, and the ADC
+    * arithmetic are the EXACT machinery of s05 and s09 (shared
+    * builders — [[pqCodesAndQueryTables]], [[adcSim]]), so the oracle
+    * composes the two certified replications and the hash pins the
+    * whole pipeline.
+    *
+    * Scale shape: centroids and probe table broadcast; one
+    * assignment scan; the candidate frame (nprobe/nlist of the
+    * corpus) joins the 8-byte code table — hint-free, AQE picks the
+    * strategy (candidates are query-batch-sized at gate SF, shuffle
+    * at production batch sizes); bounded-heap ranking. Recall
+    * compounds BOTH approximations (unprobed-cell misses × ADC
+    * ranking error) — the trade the curve advisories (s17, d13)
+    * exist to measure. */
+  def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32, nprobe: Int = 4, m: Int = 8,
+      codebookSize: Int = 16, dimParam: Int = 0): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assign = corpus.crossJoin(broadcast(cent))
+      .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
+      .groupBy("c_id")
+      .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("c_id"), (-col("m.nc")).as("cell"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = topKPerQuery(s,
+      queries.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("cent_id").as("c_id"),
+          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
+      nprobe, sorted = false)
+      .select(col("q_id"), col("c_id").as("cell"))
+    val cand = assign.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+    val (codes, qtab) = pqCodesAndQueryTables(s, dir, nQueries, m,
+      codebookSize, dimParam)
+    val scored = cand
+      .join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
+      .join(broadcast(qtab), "q_id")
+      .select(col("q_id"), col("c_id"), adcSim(m, codebookSize).as("sim"))
     topKPerQuery(s, scored, k)
   }
 

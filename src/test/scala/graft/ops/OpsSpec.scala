@@ -2100,6 +2100,33 @@ class OpsSpec extends SparkSpec {
     assert(singles.forall(ck => !got.contains(ck)))
   }
 
+  test("s18: IVF-PQ equals the PQ ranking restricted to the IVF candidate set") {
+    // full candidate sets per query: ivfTopK with k beyond any cell
+    // size returns every probed-cell candidate, exact-ranked
+    val cands = Similarity.ivfTopK(spark, sf0001, k = 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    // full PQ-ADC ranking of all pairs (same tie contract as s18)
+    val pqAll = Similarity.pqTopK(spark, sf0001, k = 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).groupBy(_._1)
+    val got = Similarity.ivfPqTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet == cands.keySet)
+    got.foreach { case (q, rows) =>
+      // expected: the PQ order filtered to this query's candidates
+      val expected = pqAll(q).filter(x => cands(q).contains(x._2)).take(5)
+        .map(x => (x._2, x._3))
+      assert(rows.sortBy(_._2).map(x => (x._3, x._4)).toSeq == expected.toSeq,
+        s"query $q")
+    }
+    // the composition is a real restriction: some query's IVF-PQ list
+    // must differ from the unrestricted PQ top-5 (cells were pruned)
+    assert(got.exists { case (q, rows) =>
+      rows.sortBy(_._2).map(_._3).toSeq != pqAll(q).take(5).map(_._2).toSeq
+    })
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
