@@ -1131,7 +1131,13 @@ object Similarity {
     * arithmetic are the EXACT machinery of s05 and s09 (shared
     * builders — [[pqCodesAndQueryTables]], [[adcSim]]), so the oracle
     * composes the two certified replications and the hash pins the
-    * whole pipeline.
+    * whole pipeline. Vectors are PQ-encoded RAW, not as residuals
+    * from their cell centroid (FAISS's `by_residual=false` option):
+    * residual encoding buys quantization accuracy at the cost of a
+    * per-cell re-derivation of the query's ADC tables (nprobe× table
+    * builds per query) and would need its own oracle chain — the
+    * composition contract here is deliberately "s09's exact codes,
+    * s05's exact cells".
     *
     * Scale shape: centroids and probe table broadcast; one
     * assignment scan; the candidate frame (nprobe/nlist of the

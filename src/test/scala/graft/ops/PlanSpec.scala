@@ -204,6 +204,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKAggregator"), "s09 missing the typed top-k aggregate")
   }
 
+  test("s18: probes and ADC tables broadcast; ranking is the bounded heap") {
+    val df = Similarity.ivfPqTopK(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastExchange"),
+      "centroids/probes/codebook/ADC tables must broadcast")
+    assert(!p.contains("Window"), "s18 plans a Window sort")
+    assert(p.contains("TopKAggregator"), "s18 missing the typed top-k aggregate")
+  }
+
   test("c07: the PII scrub plans no shuffle before the per-lang summary") {
     val df = Curation.piiRedactionStats(spark, sf0001)
     df.collect()
