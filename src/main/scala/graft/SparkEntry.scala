@@ -134,6 +134,7 @@ object SparkEntry {
     "d15_block_dedup" -> ((s: SparkSession, dir: String) => Dedup.blockDedupStats(s, dir)),
     "d16_dedup_funnel" -> ((s: SparkSession, dir: String) => Dedup.dedupFunnel(s, dir)),
     "d17_threshold_curve" -> ((s: SparkSession, dir: String) => Dedup.thresholdCurve(s, dir)),
+    "c16_semantic_decontam" -> ((s: SparkSession, dir: String) => Curation.semanticDecontamStats(s, dir)),
     "s16_range_search" -> ((s: SparkSession, dir: String) => Similarity.rangeSearch(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
@@ -650,6 +651,23 @@ object SparkEntry {
            CAST(est_n AS BIGINT) AS est_n,
            CAST(CASE WHEN est_n > exact_n THEN 1 ELSE 0 END AS BIGINT) AS over
          FROM est ORDER BY tok""",
+    // c16: semantic decontamination — per-doc max r4-cosine vs the
+    // broadcast src0 benchmark embeddings, thresholded BEFORE the
+    // per-lang stats (r4-first pins the cut cross-engine)
+    "c16_semantic_decontam" ->
+      """WITH d AS (SELECT doc_id, lang, source FROM documents),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         bench AS (SELECT emb FROM e JOIN d ON doc_id = vec_id WHERE source = 'src0'),
+         corp AS (SELECT vec_id, lang, emb FROM e JOIN d ON doc_id = vec_id
+           WHERE source <> 'src0'),
+         mx AS (SELECT vec_id, lang,
+             max(floor(list_cosine_similarity(corp.emb, bench.emb) * 10000 + 0.5)
+               / 10000) AS mx
+           FROM corp, bench GROUP BY 1, 2),
+         f AS (SELECT lang, CASE WHEN mx >= 0.35 THEN 1 ELSE 0 END AS fl FROM mx)
+         SELECT lang, count(*) AS n_docs, CAST(sum(fl) AS BIGINT) AS n_flagged,
+           CAST(count(*) - sum(fl) AS BIGINT) AS n_kept
+         FROM f GROUP BY lang ORDER BY lang""",
     // s18: IVF-PQ — s05's certified assignment/probe replication
     // composed with s09's certified codebook/encode/ADC replication,
     // the scoring restricted to the probed candidates; one hash pins

@@ -727,4 +727,50 @@ object Curation {
       .withColumn("pass", (col("n_violations") === 0L).cast("long"))
       .orderBy("check_name")
   }
+
+  /** Semantic decontamination (c16) — the embedding-space member of
+    * the decontamination family: c01/c04/c11 flag LEXICAL (shingle)
+    * overlap with the benchmark; this drops training docs whose
+    * embedding sits within cosine `threshold` of ANY benchmark doc,
+    * catching paraphrased leakage that shares no 5-gram (the SemDeDup
+    * argument pointed at benchmark contamination). Benchmark = the
+    * src0 docs' embeddings (the c01 benchmark convention); vec_id ≡
+    * doc_id is the corpus alignment contract (made explicit by the
+    * join — a misaligned corpus drops rows there, loudly visible in
+    * the per-lang totals). Output is the c04 stats shape: per-lang
+    * doc/flagged/kept counts. The 0.35 default is sized to THIS
+    * corpus the d12/d06 way (gaussian embeddings: max-vs-benchmark
+    * cosine peaks at 0.49, mean 0.25, so ~31 of 475 docs flag at
+    * sf0.01 — both branches live in every gate run); production
+    * corpora with normalized semantic embeddings run 0.9+.
+    *
+    * Scale: the benchmark frame BROADCASTS — bounded by the benchmark
+    * suite's size, the c01 premise — and ONE corpus scan computes the
+    * per-doc max via crossJoin(broadcast) + partial max(r4 cosine):
+    * the corpus never shuffles on the similarity path (the kernel is
+    * the codegen'd [[graft.functions.CosineSimilarity]]); the only
+    * corpus shuffle is the final per-(doc,lang) aggregate. The r4
+    * rounding BEFORE the threshold compare pins the cut cross-engine
+    * (the d06 convention). For benchmark sets beyond the broadcast
+    * budget, d06's banded-LSH candidates + exact verify is the
+    * degradation path — same result, candidate-funnel cost. */
+  def semanticDecontamStats(s: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    import graft.functions.CosineSimilarity
+    val joined = t(s, dir, "documents").select("doc_id", "lang", "source")
+      .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+    val bench = joined.filter(col("source") === "src0")
+      .select(col("embedding").as("b_emb"))
+    val corp = joined.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("lang"), col("embedding"))
+    corp.crossJoin(broadcast(bench))
+      .select(col("doc_id"), col("lang"),
+        Relational.r4(CosineSimilarity(col("embedding"), col("b_emb"))).as("sim"))
+      .groupBy("doc_id", "lang").agg(max("sim").as("mx"))
+      .withColumn("flagged", (col("mx") >= threshold).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("flagged").as("n_flagged"),
+        (count(lit(1)) - sum("flagged")).as("n_kept"))
+      .orderBy("lang")
+  }
 }

@@ -2127,6 +2127,40 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("c16: semantic decontam matches a plain-Scala max-cosine model; the cut is live") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val embs = Relational.t(spark, sf0001, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def r4cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      math.floor(dot / n * 10000 + 0.5) / 10000
+    }
+    val bench = embs.collect { case (id, e) if docs(id)._2 == "src0" => e }.toArray
+    val model = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    embs.foreach { case (id, e) =>
+      val (lang, src) = docs(id)
+      if (src != "src0") {
+        val fl = bench.map(b => r4cos(e, b)).max >= 0.35
+        val (n, f) = model(lang)
+        model(lang) = (n + 1, f + (if (fl) 1L else 0L))
+      }
+    }
+    val rows = Curation.semanticDecontamStats(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == model.keySet)
+    rows.foreach { case (lang, (n, f, kept)) =>
+      assert((n, f) == model(lang), lang)
+      assert(kept == n - f, lang)
+    }
+    // both branches live on the fixture
+    assert(rows.values.map(_._2).sum > 0)
+    assert(rows.values.exists { case (n, f, _) => f < n })
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
