@@ -59,6 +59,7 @@ object SparkEntry {
     "q36_unpivot" -> (Relational.unpivotMeasures _),
     "q37_ntile" -> (Relational.orderPriceDeciles _),
     "q38_correlated" -> (Relational.aboveCustomerAvg _),
+    "q39_bag_setops" -> (Relational.returnFlagBagDiff _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -1229,6 +1230,20 @@ object SparkEntry {
     // q38: the q33 pattern — the oracle IS the Spark-side SQL text
     // (correlated scalar subqueries, integer-cents boundary)
     "q38_correlated" -> graft.ops.Relational.aboveCustomerAvgSql,
+    // q39: EXCEPT ALL / INTERSECT ALL — the bag-semantics forms
+    // (max(m−n,0) / min(m,n) copies), aggregated per part
+    "q39_bag_setops" ->
+      """WITH r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+         a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+         ex AS (SELECT l_partkey, count(*) AS n_unmatched
+           FROM (SELECT * FROM r EXCEPT ALL SELECT * FROM a) GROUP BY 1),
+         ia AS (SELECT l_partkey, count(*) AS n_matched
+           FROM (SELECT * FROM r INTERSECT ALL SELECT * FROM a) GROUP BY 1)
+         SELECT coalesce(ex.l_partkey, ia.l_partkey) AS l_partkey,
+           CAST(coalesce(n_unmatched, 0) AS BIGINT) AS n_unmatched,
+           CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched
+         FROM ex FULL JOIN ia ON ex.l_partkey = ia.l_partkey
+         ORDER BY l_partkey""",
     // e11: trailing-window burst profile — RANGE frame over epoch-ms,
     // peers-at-same-ms included by both engines by definition of RANGE
     "e11_burst_windows" ->

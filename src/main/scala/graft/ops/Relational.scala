@@ -534,6 +534,37 @@ object Relational {
       .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** EXCEPT ALL / INTERSECT ALL (q39): the BAG-semantics set ops —
+    * q22/q23 are the distinct forms; these preserve multiplicity
+    * (`exceptAll` keeps max(m−n, 0) copies, `intersectAll` min(m, n)),
+    * which is what inventory-style reconciliation actually needs
+    * (how many 'R'-flagged line items per part are NOT matched by an
+    * 'A'-flagged one — a count question the distinct form erases).
+    * Both engines implement the same ANSI multiset algebra; the
+    * per-part aggregation after the ops makes the result
+    * order-insensitive. The two legs recombine through a UNION + one
+    * partial-aggregable sum — NOT a full outer join, which cannot
+    * broadcast either side and would sort-merge two corpus-keyed
+    * aggregates (the repo's plan gate rejects exactly that); Spark
+    * itself rewrites the multiset ops join-free via
+    * count-and-replicate (RewriteExceptAll / RewriteIntersectAll). */
+  def returnFlagBagDiff(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def bag(flag: String) =
+      li.filter(col("l_returnflag") === flag).select(col("l_partkey"))
+    val exAll = bag("R").exceptAll(bag("A"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_unmatched"), lit(0L).as("n_matched"))
+    val inAll = bag("R").intersectAll(bag("A"))
+      .groupBy("l_partkey")
+      .agg(lit(0L).as("n_unmatched"), count(lit(1)).as("n_matched"))
+    exAll.unionByName(inAll)
+      .groupBy("l_partkey")
+      .agg(sum("n_unmatched").as("n_unmatched"),
+        sum("n_matched").as("n_matched"))
+      .orderBy("l_partkey")
+  }
+
   /** approx_count_distinct (HLL++): sketch-based distinct counts —
     * the 100 TB replacement for exact countDistinct's full shuffle.
     * Oracle-exempt (DuckDB's approx sketch differs); the companion

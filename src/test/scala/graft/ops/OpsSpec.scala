@@ -2161,6 +2161,27 @@ class OpsSpec extends SparkSpec {
     assert(rows.values.exists { case (n, f, _) => f < n })
   }
 
+  test("q39: bag set ops preserve multiplicity — max(m-n,0) and min(m,n) per key") {
+    val li = Relational.t(spark, sf0001, "lineitem")
+      .select("l_partkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rCnt = li.filter(_._2 == "R").groupBy(_._1).map { case (k, v) => k -> v.length }
+    val aCnt = li.filter(_._2 == "A").groupBy(_._1).map { case (k, v) => k -> v.length }
+    val got = Relational.returnFlagBagDiff(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keys = (rCnt.keySet ++ aCnt.keySet).filter { k =>
+      math.max(rCnt.getOrElse(k, 0) - aCnt.getOrElse(k, 0), 0) > 0 ||
+        math.min(rCnt.getOrElse(k, 0), aCnt.getOrElse(k, 0)) > 0
+    }
+    assert(got.keySet == keys)
+    keys.foreach { k =>
+      val m = rCnt.getOrElse(k, 0); val n = aCnt.getOrElse(k, 0)
+      assert(got(k) == ((math.max(m - n, 0).toLong, math.min(m, n).toLong)), s"part $k")
+    }
+    // the bag forms must actually disagree with distinct semantics
+    assert(got.values.exists(_._2 > 1L))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
