@@ -136,6 +136,7 @@ object SparkEntry {
     "d16_dedup_funnel" -> ((s: SparkSession, dir: String) => Dedup.dedupFunnel(s, dir)),
     "d17_threshold_curve" -> ((s: SparkSession, dir: String) => Dedup.thresholdCurve(s, dir)),
     "c16_semantic_decontam" -> ((s: SparkSession, dir: String) => Curation.semanticDecontamStats(s, dir)),
+    "d18_incr_semdedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalSemanticNearDups(s, dir)),
     "s16_range_search" -> ((s: SparkSession, dir: String) => Similarity.rangeSearch(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
@@ -410,6 +411,22 @@ object SparkEntry {
          CAST(sum(cap) AS BIGINT) AS n_captured,
          floor(CAST(sum(cap) AS DOUBLE) / count(*) * 1000 + 0.5) / 1000 AS recall
        FROM f GROUP BY 1 ORDER BY 1"""
+
+  /** d18's oracle: the identical unrolled-Lloyd assignment, then the
+    * batch-restricted within-cell pair scan — probe side vec_id ≥
+    * splitId, match side any smaller same-cell id, r4-cosine
+    * threshold (the d09 incremental contract in embedding space). */
+  private def d18OracleSql(nlist: Int, iters: Int, splitId: Long,
+      threshold: Double): String =
+    s"""WITH ${kmeansCtes(nlist, iters)},
+       ${kmeansAssignCte("af", s"c${iters}a")},
+       w AS (SELECT af.vec_id, af.cell, e.emb FROM af JOIN e USING (vec_id))
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ${oracleR4("list_cosine_similarity(a.emb, b.emb)")} AS sim
+       FROM w a JOIN w b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       WHERE b.vec_id >= $splitId
+         AND ${oracleR4("list_cosine_similarity(a.emb, b.emb)")} >= $threshold
+       ORDER BY vec_a, vec_b"""
 
   /** s13's oracle: the unrolled-Lloyd assignment + a within-cell
     * self-join ranked per vector — rank ≤ k under the (sim desc
@@ -749,6 +766,10 @@ object SparkEntry {
     // corpus, and prunes within-cluster pairs at the same r4-rounded
     // cosine boundary with the first-wins (min vec_id) contract
     "d12_semdedup" -> d12OracleSql(nlist = 32, iters = 2, threshold = 0.4),
+    // d18: incremental semantic dedup — the d12 assignment replay with
+    // the pair scan restricted to the probing batch (b ≥ 400)
+    "d18_incr_semdedup" -> d18OracleSql(nlist = 32, iters = 2,
+      splitId = 400L, threshold = 0.4),
     // d13: the measured recall of d12's within-cluster-only trade —
     // same Lloyd CTEs, brute-force pair ground truth, per-decile
     // captured fraction

@@ -353,7 +353,7 @@ object Dedup {
     val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     candidates.join(ea, "vec_a").join(eb, "vec_b")
-      .withColumn("sim", Relational.r4(Similarity.cosine(col("emb_a"), col("emb_b"))))
+      .withColumn("sim", r4(Similarity.cosine(col("emb_a"), col("emb_b"))))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
@@ -1055,6 +1055,48 @@ object Dedup {
           filter(col("blocks"), (b, i) => !array_contains(col("rm"), i)))
           .as("kept_text"))
       .orderBy("doc_id")
+  }
+
+  /** Incremental semantic near-dups (d18) — the embedding-space
+    * analog of [[incrementalNearDups]] (d09), completing the
+    * incremental family: lexical batch-vs-index is d09, STREAMING
+    * semantic is [[graft.streaming.Streams.semanticProbeStream]], and
+    * this is the batch semantic member. A new ingestion batch
+    * (vec_id ≥ `splitId`, the d09 batch convention) probes the stored
+    * semantic index ([[Similarity.semanticIndex]]: the trained
+    * per-cell member table + one-row codebook): each batch vector is
+    * assigned its trained cell IN-ROW against the broadcast codebook
+    * (no corpus join for assignment), equi-joined with ONLY that
+    * cell's stored members, and exact r4-cosine verifies at
+    * `threshold`. Emits new-vs-corpus AND new-vs-new pairs
+    * (match_id < probe_id dedups the latter — d09's a<b contract).
+    *
+    * Scale: probe cost ∝ batch × cell occupancy, never corpus²; the
+    * index is built once and reused across batches (here rebuilt
+    * per-call for the self-contained oracle — the memoized
+    * `trainedCentroids` makes the training share one artifact with
+    * d12/s07/s13). Cross-cluster near-dups stay invisible by design
+    * — d13 measures exactly that recall trade. Threshold defaults to
+    * d12's corpus-sized 0.4 operating point (live at the gate). */
+  def incrementalSemanticNearDups(s: SparkSession, dir: String,
+      splitId: Long = 400, nlist: Int = 0, iters: Int = 2,
+      threshold: Double = 0.4): DataFrame = {
+    val nl = resolvedNlist(s, nlist)
+    val (index, cb) = Similarity.semanticIndex(s, dir, nl, iters)
+    val probes = t(s, dir, "embeddings")
+      .filter(col("vec_id") >= splitId)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .crossJoin(broadcast(cb))
+      .withColumn("best", Similarity.bestCellStruct(col("cents"), col("emb")))
+      .select(col("vec_id").as("probe_id"), (-col("best.nc")).as("cell"),
+        col("emb").as("emb_b"))
+    probes.join(index, "cell")
+      .filter(col("match_id") < col("probe_id"))
+      .withColumn("sim", r4(Similarity.cosine(col("emb_a"), col("emb_b"))))
+      .filter(col("sim") >= threshold)
+      .select(col("match_id").as("vec_a"), col("probe_id").as("vec_b"), col("sim"))
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Dedup threshold sensitivity curve (d17) — the aggressiveness

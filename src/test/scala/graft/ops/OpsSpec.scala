@@ -2182,6 +2182,30 @@ class OpsSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 1L))
   }
 
+  test("d18: incremental semantic pairs ≡ batch-restricted within-cell scan") {
+    val nl = Dedup.resolvedNlist(spark, 0)
+    val assigned = Similarity.trainedAssignedVectors(spark, sf0001, nl, 2)
+      .select("vec_id", "cell", "emb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    def r4cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5) / 10000
+    }
+    val model = (for {
+      a <- assigned; b <- assigned
+      if a._2 == b._2 && a._1 < b._1 && b._1 >= 400L
+      sim = r4cos(a._3, b._3) if sim >= 0.4
+    } yield ((a._1, b._1), sim)).toMap
+    val got = Dedup.incrementalSemanticNearDups(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == model)
+    // the gate corpus must exercise the probe: non-empty, and at
+    // least one pair crosses the batch boundary (new-vs-corpus)
+    assert(got.nonEmpty)
+    assert(got.keys.exists(_._1 < 400L))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
