@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Property tests for the newest algebra-carrying ops: the CMS
+  * one-sided error bound and the multiset set-op laws must hold on
+  * ARBITRARY inputs, not just the gate fixture — the
+  * [[graft.stream.OrderedPropertySpec]] discipline (fixed-seed
+  * generation, plain-Scala models; the scalatestplus bridge isn't in
+  * the dependency budget). */
+class SketchPropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(20260814L)
+
+  private def md5Bucket(i: Int, width: Int, tok: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cms$i:$tok".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % width).toInt
+  }
+
+  test("CMS: est ≥ exact on arbitrary token streams; every row conserves mass") {
+    val s = spark
+    import s.implicits._
+    (1 to 6).foreach { caseNo =>
+      val vocab = rnd.nextInt(60) + 1
+      val n = rnd.nextInt(3000) + 10
+      val toks = Seq.fill(n)(s"w${rnd.nextInt(vocab)}")
+      val depth = rnd.nextInt(3) + 1
+      val width = Seq(8, 16, 32)(rnd.nextInt(3))
+      val cms = TextAnalysis.cmsTable(toks.toDF("tok"), depth, width)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // each hash row partitions the stream: its buckets sum to n
+      (0 until depth).foreach { i =>
+        val rowSum = cms.collect { case ((ri, _), c) if ri == i => c }.sum
+        assert(rowSum == n.toLong, s"case $caseNo row $i")
+      }
+      assert(cms.size <= depth * width)
+      // the point-estimate bound: min over rows never undercounts
+      toks.groupBy(identity).foreach { case (tok, xs) =>
+        val est = (0 until depth)
+          .map(i => cms.getOrElse((i, md5Bucket(i, width, tok).toLong), 0L)).min
+        assert(est >= xs.size.toLong, s"case $caseNo tok $tok")
+      }
+    }
+  }
+
+  test("exceptAll/intersectAll obey the multiset algebra on arbitrary bags") {
+    val s = spark
+    import s.implicits._
+    (1 to 6).foreach { caseNo =>
+      val a = List.fill(rnd.nextInt(300))(rnd.nextInt(20))
+      val b = List.fill(rnd.nextInt(300))(rnd.nextInt(20))
+      val ex = a.toDF("v").exceptAll(b.toDF("v"))
+        .collect().map(_.getInt(0)).toList
+      val ia = a.toDF("v").intersectAll(b.toDF("v"))
+        .collect().map(_.getInt(0)).toList
+      val am = a.groupBy(identity).view.mapValues(_.size).toMap
+      val bm = b.groupBy(identity).view.mapValues(_.size).toMap
+      val exm = ex.groupBy(identity).view.mapValues(_.size).toMap
+      val iam = ia.groupBy(identity).view.mapValues(_.size).toMap
+      (am.keySet ++ bm.keySet).foreach { k =>
+        val (m, nn) = (am.getOrElse(k, 0), bm.getOrElse(k, 0))
+        assert(exm.getOrElse(k, 0) == math.max(m - nn, 0), s"case $caseNo except $k")
+        assert(iam.getOrElse(k, 0) == math.min(m, nn), s"case $caseNo intersect $k")
+      }
+      // partition law: EXCEPT ALL ⊎ INTERSECT ALL reassembles the left bag
+      assert((ex ++ ia).sorted == a.sorted, s"case $caseNo partition law")
+    }
+  }
+}
