@@ -45,6 +45,29 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  test("PNG walk: EVERY single-byte corruption is rejected, none parses silently") {
+    // CRC32 detects all single-byte errors, the signature check covers
+    // the prefix, and structural misreads (lengths) land on a CRC or
+    // bounds failure — so flipping ANY byte of a valid PNG must throw;
+    // a silent success would mean some byte is not integrity-covered.
+    val blob = Multimodal.imageTable(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("fmt") === "png").head().blob
+    val clean = Multimodal.parsePngMeta(0L, blob)
+    var rejected = 0
+    blob.indices.foreach { pos =>
+      val bad = blob.clone()
+      bad(pos) = (bad(pos) ^ 0x20).toByte
+      val failed =
+        try { Multimodal.parsePngMeta(0L, bad); false }
+        catch { case _: Throwable => true }
+      assert(failed, s"byte $pos: corrupted PNG parsed without error")
+      rejected += 1
+    }
+    assert(rejected == blob.length)
+    // and the clean blob still parses after all that
+    assert(Multimodal.parsePngMeta(0L, blob) == clean)
+  }
+
   test("exceptAll/intersectAll obey the multiset algebra on arbitrary bags") {
     val s = spark
     import s.implicits._
