@@ -324,7 +324,7 @@ object Streams {
   }
 
   private def melted(d: DataFrame, suffix: String): DataFrame =
-    d.select(d.columns.map(col) :+
+    d.select(d.columns.toIndexedSeq.map(col) :+
       posexplode(col(s"bv$suffix")).as(Seq("band_idx", "bh")): _*)
 
   /** Stream-static enrichment: a streaming fact joined to a static
