@@ -1124,6 +1124,8 @@ object Dedup {
     import s.implicits._
     require(thresholdsMilli.nonEmpty && thresholdsMilli.min >= 600,
       "cuts below the banding operating point (0.6) lose the exactness contract")
+    require(thresholdsMilli.distinct == thresholdsMilli,
+      "duplicate cuts would fan the grid join out to duplicate rows")
     val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
     val pairs = minhashLshPairsFromSets(sets,
         threshold = thresholdsMilli.min / 1000.0)

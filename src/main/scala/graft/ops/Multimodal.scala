@@ -831,24 +831,6 @@ object Multimodal {
     (w, h, frames.toArray)
   }
 
-  /** PNG structural metadata via a pure-JVM chunk parser (m11) — the
-    * [[demuxAvi]] container discipline applied to PNG: walk the
-    * big-endian length/type/data/CRC chunk stream of the REAL encoded
-    * bytes, validate the 8-byte signature and EVERY chunk's CRC32
-    * (java.util.zip.CRC32 over type+data — the spec's integrity
-    * check, actually executed), read geometry from IHDR, and require
-    * IEND terminal. This is the metadata-extraction kernel a corpus
-    * ingest runs BEFORE any decode — malformed files must die here,
-    * loudly, not as a decoder segfault three stages later. The m11
-    * oracle recomputes width/height/bit-depth/color-type from the
-    * fixture formula the parser never sees, certifying the header
-    * parse against the JDK encoder's actual output; chunk-count and
-    * CRC claims are spec-asserted (encoder-version-dependent, so not
-    * oracled).
-    *
-    * Scale: one narrow mapPartitions scan, a few ints out per blob —
-    * the [[decodeFeatures]] shape minus the pixel walk (headers only;
-    * IDAT data is CRC-checked but never inflated). */
   /** The per-blob walk [[pngMetadata]] runs: (width, height,
     * bit_depth, color_type, n_chunks) or a loud failure. */
   private[ops] def parsePngMeta(mediaId: Long,
@@ -881,6 +863,25 @@ object Multimodal {
     (w, h, depth.toLong, colorType.toLong, nChunks)
   }
 
+  /** PNG structural metadata via a pure-JVM chunk parser (m11) — the
+    * [[demuxAvi]] container discipline applied to PNG: walk the
+    * big-endian length/type/data/CRC chunk stream of the REAL encoded
+    * bytes, validate the 8-byte signature and EVERY chunk's CRC32
+    * (java.util.zip.CRC32 over type+data — the spec's integrity
+    * check, actually executed), read geometry from IHDR, and require
+    * IEND terminal. This is the metadata-extraction kernel a corpus
+    * ingest runs BEFORE any decode — malformed files must die here,
+    * loudly, not as a decoder segfault three stages later. The m11
+    * oracle recomputes width/height/bit-depth/color-type from the
+    * fixture formula the parser never sees, certifying the header
+    * parse against the JDK encoder's actual output; chunk-count and
+    * CRC claims are spec-asserted (encoder-version-dependent, so not
+    * oracled — SketchPropertySpec additionally proves EVERY
+    * single-byte corruption rejects).
+    *
+    * Scale: one narrow mapPartitions scan, a few ints out per blob —
+    * the [[decodeFeatures]] shape minus the pixel walk (headers only;
+    * IDAT data is CRC-checked but never inflated). */
   def pngMetadata(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     imageTable(s, dir).filter(col("fmt") === "png").mapPartitions { batch =>

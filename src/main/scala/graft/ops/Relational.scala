@@ -82,11 +82,19 @@ object Relational {
     * re-registers). Steady-state cost is then the query alone — the
     * fixed per-call registration overhead misrepresented the SQL
     * entry cost in every bench round. */
-  def sqlEntry(s: SparkSession, dir: String): DataFrame = {
+  def sqlEntry(s: SparkSession, dir: String): DataFrame =
+    sqlViaViews(s, dir, topSupplierNationsSql)
+
+  /** The SQL door every text-query entry point goes through: ensure
+    * the views exist for THIS dir (conf marker + catalog existence —
+    * a dropped view or a dir switch re-registers), then run the text.
+    * ONE definition of the staleness guard, shared by q33/q38 so a
+    * future fix cannot land on one door and miss the other. */
+  private def sqlViaViews(s: SparkSession, dir: String, sql: String): DataFrame = {
     if (s.conf.get("graft.views.dir", "") != dir ||
         !s.catalog.tableExists("lineitem"))
       registerViews(s, dir)
-    s.sql(topSupplierNationsSql)
+    s.sql(sql)
   }
 
   /** q38: a correlated scalar subquery, run as ONE SQL text on both
@@ -112,14 +120,10 @@ object Relational {
        GROUP BY o_custkey
        ORDER BY o_custkey"""
 
-  /** Runs [[aboveCustomerAvgSql]] through the registered-views SQL
-    * door ([[sqlEntry]]'s registration contract). */
-  def aboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
-    if (s.conf.get("graft.views.dir", "") != dir ||
-        !s.catalog.tableExists("orders"))
-      registerViews(s, dir)
-    s.sql(aboveCustomerAvgSql)
-  }
+  /** Runs [[aboveCustomerAvgSql]] through the shared registered-views
+    * SQL door. */
+  def aboveCustomerAvg(s: SparkSession, dir: String): DataFrame =
+    sqlViaViews(s, dir, aboveCustomerAvgSql)
 
   /** Engine-independent rounding for QUOTIENT-derived doubles.
     *

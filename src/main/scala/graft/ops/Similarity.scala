@@ -193,27 +193,13 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nlist: Int = 32, nprobe: Int = 4): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val cent = seededCentroids(emb, nlist)
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    // cell assignment: nearest centroid by (rounded sim desc, cent_id
-    // asc) — a map-side max of an orderable struct, no window, no
-    // shuffle beyond the groupBy on c_id (which AQE coalesces)
-    val assign = corpus.crossJoin(broadcast(cent))
-      .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
-      .groupBy("c_id")
-      .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("c_id"), (-col("m.nc")).as("cell"))
+    val assign = seededAssign(corpus, cent)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    // probe selection is itself a top-k (k = nprobe) — same bounded
-    // heap, no window even on the tiny query×centroid frame
-    val probes = topKPerQuery(s,
-      queries.crossJoin(broadcast(cent))
-        .select(col("q_id"), col("cent_id").as("c_id"),
-          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
-      nprobe, sorted = false)
-      .select(col("q_id"), col("c_id").as("cell"))
+    val probes = probeCells(s, queries, cent, nprobe)
+      .select(col("q_id"), col("cell"))
     val candidates = assign.join(broadcast(probes), "cell")
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id")
@@ -223,6 +209,38 @@ object Similarity {
       .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
     topKPerQuery(s, scored, k)
   }
+
+  /** The seeded coarse codebook: `nlist` deterministic corpus vectors
+    * (ids [100, 100+nlist)) as (cent_id, cent_emb). ONE definition of
+    * the seed-range convention, shared by s05/s17/s18 so the
+    * assignment they certify against each other cannot drift. */
+  private def seededCentroids(emb: DataFrame, nlist: Int): DataFrame =
+    emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+
+  /** Cell assignment: nearest centroid by (r4 sim desc, cent_id asc) —
+    * a map-side max of an orderable struct, no window, no shuffle
+    * beyond the groupBy on c_id (which AQE coalesces). */
+  private def seededAssign(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cent))
+      .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
+      .groupBy("c_id")
+      .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("c_id"), (-col("m.nc")).as("cell"))
+
+  /** Probe selection — itself a top-k (k = nprobe) over the broadcast
+    * centroid table: same bounded heap, no window even on the tiny
+    * query×centroid frame. Returns (q_id, cell, probe_rnk); callers
+    * that need only the cells project the rank away, s17's curve
+    * keeps it (nested probe lists: rank ≤ p IS the nprobe=p set). */
+  private def probeCells(s: SparkSession, queries: DataFrame,
+      cent: DataFrame, nprobe: Int): DataFrame =
+    topKPerQuery(s,
+      queries.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("cent_id").as("c_id"),
+          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
+      nprobe, sorted = false)
+      .select(col("q_id"), col("c_id").as("cell"), col("rnk").as("probe_rnk"))
 
   /** Materialize the IVF index [[ivfTopK]] recomputes per query: the
     * corpus is written PARTITIONED BY cell (one directory per coarse
@@ -235,8 +253,7 @@ object Similarity {
   def buildIvfIndex(s: SparkSession, dir: String, indexPath: String,
       nlist: Int = 32): Unit = {
     val emb = t(s, dir, "embeddings")
-    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val cent = seededCentroids(emb, nlist)
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     corpus.crossJoin(broadcast(cent))
       .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
@@ -1151,22 +1168,13 @@ object Similarity {
       k: Int = 5, nlist: Int = 32, nprobe: Int = 4, m: Int = 8,
       codebookSize: Int = 16, dimParam: Int = 0): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val cent = seededCentroids(emb, nlist)
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val assign = corpus.crossJoin(broadcast(cent))
-      .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
-      .groupBy("c_id")
-      .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("c_id"), (-col("m.nc")).as("cell"))
+    val assign = seededAssign(corpus, cent)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probes = topKPerQuery(s,
-      queries.crossJoin(broadcast(cent))
-        .select(col("q_id"), col("cent_id").as("c_id"),
-          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
-      nprobe, sorted = false)
-      .select(col("q_id"), col("c_id").as("cell"))
+    val probes = probeCells(s, queries, cent, nprobe)
+      .select(col("q_id"), col("cell"))
     val cand = assign.join(broadcast(probes), "cell")
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id")
@@ -1274,23 +1282,12 @@ object Similarity {
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1))
     val maxNp = nprobes.max
     val emb = t(s, dir, "embeddings")
-    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val cent = seededCentroids(emb, nlist)
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    // s05's assignment shape: map-side max-struct, no window
-    val assign = corpus.crossJoin(broadcast(cent))
-      .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
-      .groupBy("c_id")
-      .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("c_id"), (-col("m.nc")).as("cell"))
+    val assign = seededAssign(corpus, cent)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probes = topKPerQuery(s,
-      queries.crossJoin(broadcast(cent))
-        .select(col("q_id"), col("cent_id").as("c_id"),
-          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
-      maxNp, sorted = false)
-      .select(col("q_id"), col("c_id").as("cell"), col("rnk").as("probe_rnk"))
+    val probes = probeCells(s, queries, cent, maxNp)
     // every curve point re-ranks this one frame; each c_id has ONE
     // cell and each (q, cell) one probe rank, so (q, c) rows are
     // already unique

@@ -611,9 +611,13 @@ object TextAnalysis {
 
   def cmsReport(s: SparkSession, dir: String, depth: Int = 2,
       width: Int = 32): DataFrame = {
+    // materialized once: both the sketch build and the exact-count
+    // side consume this frame (the repo's multiply-consumed-narrow-
+    // frame convention — without it the corpus is re-tokenized twice)
     val toks = t(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
+      .localCheckpoint()
     def bucket(i: Int): Column = cmsBucket(i, width, col("tok"))
     val cms = cmsTable(toks, depth, width)
     val wc = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))

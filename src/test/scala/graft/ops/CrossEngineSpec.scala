@@ -69,7 +69,12 @@ class CrossEngineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
     assert(mllib.keySet == exact.keySet,
       s"MLlib found ${mllib.keySet.size}, exact has ${exact.keySet.size}")
-    // and the exact-verified Jaccard values agree to the r3 grid
-    exact.foreach { case (k, j) => assert(mllib(k) == j, s"pair $k") }
+    // the exact-verified Jaccard values agree to one r3 grid step:
+    // 1.0 - (1.0 - j) can sit 1 ulp off j, which flips the .0005
+    // rounding boundary on one side only — an exact-equality assert
+    // here would be a false-failure mode, not a bug detector
+    exact.foreach { case (k, j) =>
+      assert(math.abs(mllib(k) - j) <= 0.001 + 1e-12, s"pair $k")
+    }
   }
 }
