@@ -136,6 +136,7 @@ object SparkEntry {
     "d16_dedup_funnel" -> ((s: SparkSession, dir: String) => Dedup.dedupFunnel(s, dir)),
     "d17_threshold_curve" -> ((s: SparkSession, dir: String) => Dedup.thresholdCurve(s, dir)),
     "c16_semantic_decontam" -> ((s: SparkSession, dir: String) => Curation.semanticDecontamStats(s, dir)),
+    "c17_split_leakage" -> ((s: SparkSession, dir: String) => Curation.splitLeakageStats(s, dir)),
     "d18_incr_semdedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalSemanticNearDups(s, dir)),
     "s16_range_search" -> ((s: SparkSession, dir: String) => Similarity.rangeSearch(s, dir)),
     // — similarity search —
@@ -686,6 +687,34 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs, CAST(sum(fl) AS BIGINT) AS n_flagged,
            CAST(count(*) - sum(fl) AS BIGINT) AS n_kept
          FROM f GROUP BY lang ORDER BY lang""",
+    // c17: split leakage — the exact near-dup pairs tagged with p02's
+    // verbatim md5-split CASE, bucketed per unordered split pair on a
+    // zero-filled 6-row grid; off-diagonal rows are the leak
+    "c17_split_leakage" ->
+      s"""WITH $shingleCtes,
+         jp AS (SELECT doc_a, doc_b,
+             CAST(floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) AS BIGINT) AS jm
+           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           WHERE floor(i / (x.n_sh + y.n_sh - i) * 1000 + 0.5) >= 600),
+         sp AS (SELECT doc_id, CASE
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.rateThreshold(0.8)}' THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Sampling.rateThreshold(0.9)}' THEN 'val'
+             ELSE 'test' END AS split FROM documents),
+         tagged AS (SELECT least(sa.split, sb.split) AS s_lo,
+             greatest(sa.split, sb.split) AS s_hi,
+             count(*) AS n_pairs, sum(jm) AS sj
+           FROM jp JOIN sp sa ON sa.doc_id = doc_a
+           JOIN sp sb ON sb.doc_id = doc_b GROUP BY 1, 2),
+         grid AS (SELECT a.s AS s_lo, b.s AS s_hi
+           FROM (VALUES ('test'), ('train'), ('val')) a(s),
+                (VALUES ('test'), ('train'), ('val')) b(s)
+           WHERE a.s <= b.s)
+         SELECT g.s_lo, g.s_hi,
+           CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sj, 0) AS BIGINT) AS sum_j_milli,
+           CAST(CASE WHEN g.s_lo <> g.s_hi THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+         FROM grid g LEFT JOIN tagged USING (s_lo, s_hi)
+         ORDER BY s_lo, s_hi""",
     // s18: IVF-PQ — s05's certified assignment/probe replication
     // composed with s09's certified codebook/encode/ADC replication,
     // the scoring restricted to the probed candidates; one hash pins

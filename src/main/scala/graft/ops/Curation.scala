@@ -728,6 +728,55 @@ object Curation {
       .orderBy("check_name")
   }
 
+  /** Split-leakage report (c17) — the eval-hygiene check p02's
+    * hash-split makes NECESSARY: a random split scatters near-
+    * duplicate documents ACROSS train/val/test, so the eval set
+    * contains paraphrases of training docs and eval scores read
+    * inflated. For every unordered split pair, the count and exact
+    * milli-Jaccard mass of verified near-dup pairs crossing (or
+    * staying within) that boundary — the off-diagonal rows ARE the
+    * leak, and the fix they motivate is dedup-BEFORE-split (c06's
+    * chain order, here made a measured table; the d14 cross-source
+    * matrix pointed at split boundaries). All six split combinations
+    * keep a row (zero-filled grid, the d17 convention) so an absent
+    * leak is visibly zero rather than silently missing.
+    *
+    * Scale: the pair frame is near-dup-sized (the d04 funnel), the
+    * split column is a pure map-side md5 expression fused into the
+    * doc_id lookups, and the two split attachments are joins of the
+    * tiny pair frame against a two-column projection — AQE broadcasts
+    * the pair side; nothing corpus-sized shuffles beyond what d04
+    * already does. */
+  def splitLeakageStats(s: SparkSession, dir: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1, n: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minhashLshPairsOf(t(s, dir, "documents"), n,
+        threshold = threshold)
+      .withColumn("j_milli", floor(col("jaccard") * 1000 + 0.5).cast("long"))
+    val split = t(s, dir, "documents").select(col("doc_id"),
+      splitAssign(col("doc_id"), trainFrac, valFrac).as("split"))
+    val tagged = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+      .select(least(col("split_a"), col("split_b")).as("s_lo"),
+        greatest(col("split_a"), col("split_b")).as("s_hi"),
+        col("j_milli"))
+      .groupBy("s_lo", "s_hi")
+      .agg(count(lit(1)).as("n_pairs"), sum("j_milli").as("sum_j_milli"))
+    val names = Seq("test", "train", "val")
+    val grid = (for { a <- names; b <- names if a <= b } yield (a, b))
+      .toDF("s_lo", "s_hi")
+    grid.join(tagged, Seq("s_lo", "s_hi"), "left")
+      .select(col("s_lo"), col("s_hi"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("sum_j_milli"), lit(0L)).as("sum_j_milli"),
+        (col("s_lo") =!= col("s_hi")).cast("long").as("is_leak"))
+      .orderBy("s_lo", "s_hi")
+  }
+
   /** Semantic decontamination (c16) — the embedding-space member of
     * the decontamination family: c01/c04/c11 flag LEXICAL (shingle)
     * overlap with the benchmark; this drops training docs whose

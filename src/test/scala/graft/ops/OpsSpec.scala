@@ -2206,6 +2206,36 @@ class OpsSpec extends SparkSpec {
     assert(got.keys.exists(_._1 < 400L))
   }
 
+  test("c17: split leakage ≡ exact pairs regrouped by the p02 split; leaks are live") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getAs[Double]("jaccard") * 1000 + 0.5).toLong))
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (hex < graft.ops.Sampling.rateThreshold(0.8)) "train"
+      else if (hex < graft.ops.Sampling.rateThreshold(0.9)) "val"
+      else "test"
+    }
+    val model = exact.groupBy { case (a, b, _) =>
+      val (sa, sb) = (splitOf(a), splitOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._3).sum) }
+    val got = Curation.splitLeakageStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // all six unordered combinations present, zero-filled
+    assert(got.size == 6)
+    got.foreach { case (k @ (lo, hi), (n, sj, leak)) =>
+      assert((n, sj) == model.getOrElse(k, (0L, 0L)), s"combo $k")
+      assert(leak == (if (lo != hi) 1L else 0L))
+    }
+    // the fixture actually leaks across the split boundary — the
+    // check would prove nothing on a corpus where it cannot fire
+    assert(got.collect { case ((lo, hi), (n, _, _)) if lo != hi => n }.sum > 0)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
