@@ -72,6 +72,7 @@ object SparkEntry {
     "e09_transitions" -> ((s: SparkSession, dir: String) => Events.transitionStats(s, dir)),
     "e10_gap_stats" -> ((s: SparkSession, dir: String) => Events.gapStats(s, dir)),
     "e11_burst_windows" -> ((s: SparkSession, dir: String) => Events.burstStats(s, dir)),
+    "e12_events_gate" -> ((s: SparkSession, dir: String) => Events.eventsGate(s, dir)),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -1294,6 +1295,32 @@ object SparkEntry {
            CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched
          FROM ex FULL JOIN ia ON ex.l_partkey = ia.l_partkey
          ORDER BY l_partkey""",
+    // e12: the c15 expectation-check pattern on the events table —
+    // same checks, same stacked report shape
+    "e12_events_gate" ->
+      """WITH a AS (SELECT count(*) AS n,
+           count(*) - count(DISTINCT event_id) AS v_dup,
+           sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v_ts,
+           sum(CASE WHEN event_type NOT IN
+             ('click', 'error', 'purchase', 'signup', 'view')
+             THEN 1 ELSE 0 END) AS v_type,
+           sum(CASE WHEN value IS NULL OR NOT (value > 0.0)
+             THEN 1 ELSE 0 END) AS v_value,
+           sum(CASE WHEN user_id IS NULL OR user_id < 0
+             THEN 1 ELSE 0 END) AS v_user,
+           sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS v_props
+         FROM events),
+         r AS (
+           SELECT 'evt_id_unique' AS check_name, n, v_dup AS v FROM a
+           UNION ALL SELECT 'evt_ts_present', n, v_ts FROM a
+           UNION ALL SELECT 'evt_type_known', n, v_type FROM a
+           UNION ALL SELECT 'evt_value_positive', n, v_value FROM a
+           UNION ALL SELECT 'evt_user_valid', n, v_user FROM a
+           UNION ALL SELECT 'evt_props_present', n, v_props FROM a)
+         SELECT check_name, CAST(n AS BIGINT) AS n_rows,
+           CAST(v AS BIGINT) AS n_violations,
+           CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+         FROM r ORDER BY check_name""",
     // e11: trailing-window burst profile — RANGE frame over epoch-ms,
     // peers-at-same-ms included by both engines by definition of RANGE
     "e11_burst_windows" ->

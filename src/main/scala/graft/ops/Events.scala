@@ -335,6 +335,39 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Events validation gate (e12) — [[graft.ops.Curation.validationGate]]'s
+    * expectation-check pattern completed for the THIRD corpus table:
+    * the pre-ingest checks an event feed needs before any analytics
+    * trust it. One scalar aggregate over the table (every check a
+    * SUM of a violation flag — map-side partials, one reduce row),
+    * stacked into the same (check_name, n_rows, n_violations, pass)
+    * report shape so downstream gating reads all three tables'
+    * reports uniformly. Checks: event_id uniqueness, ts non-null,
+    * known event_type, value present and strictly positive, user_id
+    * present and non-negative, props present. */
+  def eventsGate(s: SparkSession, dir: String,
+      allowedTypes: Seq[String] =
+        Seq("click", "error", "purchase", "signup", "view")): DataFrame = {
+    val a = events(s, dir).agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("v_dup"),
+      sum(col("ts").isNull.cast("long")).as("v_ts"),
+      sum((!col("event_type").isInCollection(allowedTypes)).cast("long"))
+        .as("v_type"),
+      sum((col("value").isNull || !(col("value") > 0.0)).cast("long"))
+        .as("v_value"),
+      sum((col("user_id").isNull || col("user_id") < 0L).cast("long"))
+        .as("v_user"),
+      sum(col("props").isNull.cast("long")).as("v_props"))
+    a.selectExpr(
+      "stack(6, 'evt_id_unique', n, v_dup, 'evt_ts_present', n, v_ts, " +
+        "'evt_type_known', n, v_type, 'evt_value_positive', n, v_value, " +
+        "'evt_user_valid', n, v_user, 'evt_props_present', n, v_props) " +
+        "AS (check_name, n_rows, n_violations)")
+      .withColumn("pass", (col("n_violations") === 0L).cast("long"))
+      .orderBy("check_name")
+  }
+
   /** Top-10 users by total event value (deterministic tiebreak). */
   def topUsers(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

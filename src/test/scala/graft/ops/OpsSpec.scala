@@ -2236,6 +2236,34 @@ class OpsSpec extends SparkSpec {
     assert(got.collect { case ((lo, hi), (n, _, _)) if lo != hi => n }.sum > 0)
   }
 
+  test("e12: events gate all-passes the clean fixture; every check fires on planted bad rows") {
+    val clean = Events.eventsGate(spark, sf0001).collect()
+    assert(clean.length == 6)
+    clean.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 1L, s"clean ${r.getString(0)}")
+    }
+    import spark.implicits._
+    val tmpDir = java.nio.file.Files.createTempDirectory("e12").toString
+    def ts(m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(s"2026-01-01 00:0$m:00")
+    Seq(
+      (1L, Option(ts(1)), 7L, "click", 1.0, "{}"),
+      (1L, Option(ts(2)), 7L, "view", 2.0, "{}"),        // evt_id_unique
+      (2L, Option.empty[java.sql.Timestamp], 7L, "click", 1.0, "{}"), // evt_ts_present
+      (3L, Option(ts(3)), 7L, "hover", 1.0, "{}"),       // evt_type_known
+      (4L, Option(ts(4)), 7L, "click", 0.0, "{}"),       // evt_value_positive
+      (5L, Option(ts(5)), -1L, "click", 1.0, "{}"),      // evt_user_valid
+      (6L, Option(ts(6)), 7L, "click", 1.0, null))       // evt_props_present
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmpDir/events.parquet")
+    val got = Events.eventsGate(spark, tmpDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "evt_id_unique" -> (1L, 0L), "evt_ts_present" -> (1L, 0L),
+      "evt_type_known" -> (1L, 0L), "evt_value_positive" -> (1L, 0L),
+      "evt_user_valid" -> (1L, 0L), "evt_props_present" -> (1L, 0L)))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
