@@ -60,6 +60,7 @@ object SparkEntry {
     "q37_ntile" -> (Relational.orderPriceDeciles _),
     "q38_correlated" -> (Relational.aboveCustomerAvg _),
     "q39_bag_setops" -> (Relational.returnFlagBagDiff _),
+    "q40_mode_median" -> (Relational.modeAndMedian _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "e10_gap_stats" -> ((s: SparkSession, dir: String) => Events.gapStats(s, dir)),
     "e11_burst_windows" -> ((s: SparkSession, dir: String) => Events.burstStats(s, dir)),
     "e12_events_gate" -> ((s: SparkSession, dir: String) => Events.eventsGate(s, dir)),
+    "e13_rfm" -> (Events.rfmSegments _),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -89,6 +91,7 @@ object SparkEntry {
     "t13_ngram_novelty" -> ((s: SparkSession, dir: String) => TextAnalysis.ngramNoveltyStats(s, dir)),
     "t14_source_kl" -> ((s: SparkSession, dir: String) => TextAnalysis.sourceKlStats(s, dir)),
     "t15_cms_report" -> ((s: SparkSession, dir: String) => TextAnalysis.cmsReport(s, dir)),
+    "t16_tfidf_terms" -> ((s: SparkSession, dir: String) => TextAnalysis.tfidfTopTerms(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -1295,6 +1298,74 @@ object SparkEntry {
            CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched
          FROM ex FULL JOIN ia ON ex.l_partkey = ia.l_partkey
          ORDER BY l_partkey""",
+    // q40: deterministic mode (count desc, status asc tiebreak —
+    // native mode() is tie-nondeterministic) + exact median
+    "q40_mode_median" ->
+      """WITH med AS (
+           SELECT l_returnflag,
+             floor(quantile_cont(l_quantity, 0.5) * 100 + 0.5) / 100
+               AS median_qty,
+             count(*) AS n
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT l_returnflag, l_linestatus, count(*) AS mode_n
+           FROM lineitem GROUP BY 1, 2),
+         m AS (SELECT l_returnflag, l_linestatus AS mode_status, mode_n,
+           row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY mode_n DESC, l_linestatus) AS rnk FROM c)
+         SELECT med.l_returnflag, median_qty, med.n, mode_status,
+           CAST(mode_n AS BIGINT) AS mode_n
+         FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND rnk = 1
+         ORDER BY med.l_returnflag""",
+    // e13: RFM segmentation — integer metrics, exact-quarter
+    // quantile_cont cutpoints, score = 1 + Σ (v > q_i)
+    "e13_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS ms,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         per AS (SELECT user_id, max(ms) AS last_ms, count(*) AS freq,
+             sum(cents) AS mon_cents
+           FROM p GROUP BY 1),
+         c AS (SELECT
+             quantile_cont(last_ms, [0.25, 0.5, 0.75]) AS rq,
+             quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+             quantile_cont(mon_cents, [0.25, 0.5, 0.75]) AS mq
+           FROM per),
+         sc AS (SELECT
+             CAST(1 + CAST(last_ms > rq[1] AS INT)
+               + CAST(last_ms > rq[2] AS INT)
+               + CAST(last_ms > rq[3] AS INT) AS BIGINT) AS r_score,
+             CAST(1 + CAST(freq > fq[1] AS INT)
+               + CAST(freq > fq[2] AS INT)
+               + CAST(freq > fq[3] AS INT) AS BIGINT) AS f_score,
+             CAST(1 + CAST(mon_cents > mq[1] AS INT)
+               + CAST(mon_cents > mq[2] AS INT)
+               + CAST(mon_cents > mq[3] AS INT) AS BIGINT) AS m_score,
+             mon_cents
+           FROM per CROSS JOIN c)
+         SELECT r_score, f_score, m_score, count(*) AS n_users,
+           CAST(sum(mon_cents) AS BIGINT) AS sum_cents
+         FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // t16: TF-IDF top terms — idf snapped to integer micronats (the
+    // t11 discipline) before the tf multiply, so ranks are integer
+    "t16_tfidf_terms" ->
+      """WITH tk AS (SELECT doc_id, tok, count(*) AS tf FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+             FROM documents)
+           GROUP BY 1, 2),
+         dfr AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+         nn AS (SELECT count(*) AS n_corpus FROM documents),
+         sc AS (SELECT doc_id, tok,
+             tf * CAST(floor(ln(CAST(n_corpus AS DOUBLE)
+               / CAST(df AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS sm
+           FROM tk JOIN dfr USING (tok) CROSS JOIN nn),
+         r AS (SELECT doc_id, tok, sm,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY sm DESC, tok) AS rnk FROM sc)
+         SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok,
+           floor(CAST(sm AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+             AS score
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     // e12: the c15 expectation-check pattern on the events table —
     // same checks, same stacked report shape
     "e12_events_gate" ->

@@ -368,6 +368,57 @@ object Events {
       .orderBy("check_name")
   }
 
+  /** RFM user segmentation (e13) — the classic value-segmentation
+    * matrix: purchasers scored 1–4 on Recency (last purchase time),
+    * Frequency (purchase count) and Monetary (purchase value), then
+    * counted per (r, f, m) cell. The audience-targeting staple, and
+    * the per-user dual of e07's cohort matrix.
+    *
+    * Scale design: ONE user_id shuffle builds the per-user (last_ms,
+    * freq, cents) frame; quartile CUTPOINTS come from a scalar
+    * `percentile` aggregate over that frame, broadcast back as one
+    * row — scores are then three in-row comparisons. The textbook
+    * `ntile(4)` formulation is an equal-frequency global sort — a
+    * single-partition window, dead at 100 TB users — so the cutpoint
+    * form is the shipped shape (q37 keeps the ntile anchor; at corpus
+    * scale swap the exact percentile for `approx_percentile`, the
+    * q25/q25b pairing).
+    *
+    * Cross-engine determinism: all three metrics are exact integers
+    * (epoch-ms, counts, floor-rounded cents), so the 0.25/0.5/0.75
+    * interpolations are exact quarter-valued doubles on both engines
+    * (`lo + (hi−lo)·2⁻²` of sub-2⁵³ integers) and every `v > cut`
+    * score comparison is integer-vs-exact-quarter — no float
+    * boundary. Bucket rule: score = 1 + Σ (v > q_i), higher = better
+    * on all three axes (recency scored on the raw epoch, so "more
+    * recent" is already "larger"). */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(max("ms").as("last_ms"), count(lit(1)).as("freq"),
+        sum("cents").as("mon_cents"))
+      .localCheckpoint() // one purchase scan feeds cutpoints AND scoring
+    val cuts = per.agg(
+      expr("percentile(last_ms, array(0.25, 0.5, 0.75))").as("rq"),
+      expr("percentile(freq, array(0.25, 0.5, 0.75))").as("fq"),
+      expr("percentile(mon_cents, array(0.25, 0.5, 0.75))").as("mq"))
+    def score(v: Column, q: Column): Column =
+      (lit(1) + (v > element_at(q, 1)).cast("int") +
+        (v > element_at(q, 2)).cast("int") +
+        (v > element_at(q, 3)).cast("int")).cast("long")
+    per.crossJoin(broadcast(cuts))
+      .select(score(col("last_ms"), col("rq")).as("r_score"),
+        score(col("freq"), col("fq")).as("f_score"),
+        score(col("mon_cents"), col("mq")).as("m_score"),
+        col("mon_cents"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum("mon_cents").as("sum_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Top-10 users by total event value (deterministic tiebreak). */
   def topUsers(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

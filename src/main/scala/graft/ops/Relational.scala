@@ -706,4 +706,30 @@ object Relational {
         r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** q40: deterministic mode + exact median per return flag. Spark's
+    * native `mode()` is tie-nondeterministic, so the mode is computed
+    * as the classic two-phase shape: (flag, status) counts — ONE
+    * partial-aggregable shuffle over the fact table — then a
+    * row_number window over the tiny |flags|×|statuses| count frame
+    * with an explicit (count desc, status asc) tiebreak, identical on
+    * both engines. Median is exact `percentile` (≡ DuckDB
+    * `quantile_cont`; at 100 TB swap `approx_percentile` — the q25/
+    * q25b pairing). The two per-flag frames are 3 rows each; AQE
+    * broadcasts their join unhinted. */
+  def modeAndMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val med = li.groupBy("l_returnflag")
+      .agg(r2(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+        count(lit(1)).as("n"))
+    val byFlag = Window.partitionBy("l_returnflag")
+      .orderBy(col("mode_n").desc, col("l_linestatus"))
+    val mode = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("mode_n"))
+      .withColumn("rnk", row_number().over(byFlag))
+      .where(col("rnk") === 1)
+      .select(col("l_returnflag"), col("l_linestatus").as("mode_status"),
+        col("mode_n"))
+    med.join(mode, "l_returnflag").orderBy("l_returnflag")
+  }
 }

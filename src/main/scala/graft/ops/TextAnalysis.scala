@@ -635,4 +635,48 @@ object TextAnalysis {
         (col("est_n") > col("exact_n")).cast("long").as("over"))
       .orderBy("tok")
   }
+
+  /** Corpus TF-IDF top terms per document (t16) — the keyword-
+    * extraction staple (salience = raw tf × ln(N/df)) and the
+    * per-document dual of t10's per-query BM25: t10 ranks documents
+    * for one query, this surfaces each document's own most
+    * characteristic terms (the metadata a retrieval/labeling pipeline
+    * attaches at ingest). Reference analog: the score-and-map chains
+    * of streamable/stream.py:230-326.
+    *
+    * Scale design: ONE tokenize pass — the (doc_id, tok, tf) frame is
+    * localCheckpointed and feeds BOTH its own df aggregation and the
+    * scoring probe, so 100 TB of text is scanned once. The df frame
+    * is vocab-sized and joins unhinted (AQE broadcasts it at gate
+    * scale; a web-scale vocab degrades to a hash shuffle on the
+    * 16-byte (tok, df) pairs — text never travels). N arrives as a
+    * broadcast one-row cross join, the e13/t11 discipline. Top-k per
+    * doc is a doc_id-partitioned row_number — key-parallel, no global
+    * sort.
+    *
+    * Cross-engine determinism: idf snaps to integer micronats
+    * (`floor(ln(N/df)·1e6 + ½)` as LONG — the t11 discipline) before
+    * the tf multiply, so scores are exact integer micro-units and the
+    * (score desc, tok) rank has no float boundary; the reported
+    * double re-derives from the integer on both engines. */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfr = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nRow = docs.agg(count(lit(1)).as("n_corpus"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("sm").desc, col("tok"))
+    tk.join(dfr, "tok")
+      .crossJoin(broadcast(nRow))
+      .withColumn("sm", col("tf") *
+        floor(log(col("n_corpus").cast("double") / col("df").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rnk", row_number().over(byDoc).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("tok"),
+        r4(col("sm").cast("double") / lit(1e6)).as("score"))
+      .orderBy("doc_id", "rnk")
+  }
 }

@@ -2264,6 +2264,78 @@ class OpsSpec extends SparkSpec {
       "evt_user_valid" -> (1L, 0L), "evt_props_present" -> (1L, 0L)))
   }
 
+  test("q40: mode is the deterministic (count desc, status asc) argmax; median interpolates") {
+    val li = Relational.t(spark, sf0001, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted; val pos = (s.length - 1) * 0.5
+      val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+      math.floor((lo + (hi - lo) * 0.5) * 100 + 0.5) / 100
+    }
+    val expect = li.groupBy(_._1).map { case (flag, rows) =>
+      val byStatus = rows.groupBy(_._2).map { case (st, v) => st -> v.length }
+      val (modeSt, modeN) = byStatus.toSeq.minBy { case (st, n) => (-n, st) }
+      flag -> ((median(rows.map(_._3).toSeq), rows.length.toLong, modeSt, modeN.toLong))
+    }
+    val got = Relational.modeAndMedian(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))).toMap
+    assert(got == expect)
+  }
+
+  test("e13: RFM cells match a plain-Scala cutpoint model; all metrics live") {
+    val p = Relational.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val per = p.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.map(_._2).max, rows.length.toLong, rows.map(_._3).sum)
+    }.toSeq
+    def quarts(vs: Seq[Long]): Seq[Double] = {
+      val s = vs.sorted
+      Seq(0.25, 0.5, 0.75).map { q =>
+        val pos = (s.length - 1) * q
+        val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+        lo + (hi - lo) * (pos - pos.toInt)
+      }
+    }
+    val rq = quarts(per.map(_._2)); val fq = quarts(per.map(_._3))
+    val mq = quarts(per.map(_._4))
+    def sc(v: Long, q: Seq[Double]): Long = 1L + q.count(v > _)
+    val expect = per.groupBy(u => (sc(u._2, rq), sc(u._3, fq), sc(u._4, mq)))
+      .map { case (k, us) => k -> ((us.length.toLong, us.map(_._4).sum)) }
+    val got = Events.rfmSegments(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2))) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    // the quartile cut is live on every axis: scores span more than one bucket
+    assert(got.keySet.map(_._1).size > 1 && got.keySet.map(_._2).size > 1 &&
+      got.keySet.map(_._3).size > 1)
+  }
+
+  test("t16: tf-idf top terms match a plain-Scala micronat model") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val n = docs.length.toDouble
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, v) => (id, w, v.length.toLong) } }
+    val df = tf.groupBy(_._2).map { case (w, v) => w -> v.length }
+    val expect = tf.groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+      rows.toSeq.map { case (_, w, c) =>
+        (id, w, c * math.floor(math.log(n / df(w)) * 1e6 + 0.5).toLong) }
+        .sortBy { case (_, w, sm) => (-sm, w) }.take(3).zipWithIndex
+        .map { case ((_, w, sm), i) =>
+          (id, i + 1L) -> ((w, math.floor(sm / 1e6 * 1e4 + 0.5) / 1e4)) }
+    }.toMap
+    val got = TextAnalysis.tfidfTopTerms(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    assert(got == expect)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
