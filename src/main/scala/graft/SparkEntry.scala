@@ -101,6 +101,7 @@ object SparkEntry {
     "p06_dsir" -> ((s: SparkSession, dir: String) => Sampling.dsirStats(s, dir)),
     "p07_stratified_fixed" -> ((s: SparkSession, dir: String) => Sampling.stratifiedFixedSample(s, dir)),
     "p08_epoch_plan" -> ((s: SparkSession, dir: String) => Sampling.epochPlan(s, dir)),
+    "p09_resample_mult" -> ((s: SparkSession, dir: String) => Sampling.importanceResample(s, dir)),
     // — corpus curation (training-data pipeline) —
     "c01_contamination" -> ((s: SparkSession, dir: String) => Curation.contaminationReport(s, dir)),
     "c02_seq_packing" -> ((s: SparkSession, dir: String) => Curation.packingStats(s, dir)),
@@ -142,6 +143,7 @@ object SparkEntry {
     "c16_semantic_decontam" -> ((s: SparkSession, dir: String) => Curation.semanticDecontamStats(s, dir)),
     "c17_split_leakage" -> ((s: SparkSession, dir: String) => Curation.splitLeakageStats(s, dir)),
     "d18_incr_semdedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalSemanticNearDups(s, dir)),
+    "d19_containment" -> ((s: SparkSession, dir: String) => Dedup.containmentPairs(s, dir)),
     "s16_range_search" -> ((s: SparkSession, dir: String) => Similarity.rangeSearch(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
@@ -175,6 +177,7 @@ object SparkEntry {
     "m09_audio_neardups" -> ((s: SparkSession, dir: String) => Multimodal.audioNearDupPairs(s, dir)),
     "m10_avi_frames" -> (Multimodal.decodeAviFrames _),
     "m11_png_meta" -> (Multimodal.pngMetadataReport _),
+    "m12_jpeg_meta" -> (Multimodal.jpegMetadataReport _),
   )
 
   /** Shared DuckDB CTE prefix for every shingle-based oracle:
@@ -792,6 +795,18 @@ object SparkEntry {
            CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS BIGINT) AS color_type
          FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 < 2
          ORDER BY media_id""",
+    // m12: the m11 formula-oracle discipline for the JPEG walk — SOF
+    // geometry recomputed from the fixture params the parser never
+    // sees (gray = 1 component, RGB = 3; baseline precision 8)
+    "m12_jpeg_meta" ->
+      """SELECT doc_id AS media_id,
+           CAST(doc_id % 29 + 4 AS INT) AS width,
+           CAST(doc_id % 19 + 4 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT)
+             AS n_components,
+           CAST(8 AS BIGINT) AS precision
+         FROM documents WHERE doc_id % 3 = 0
+         ORDER BY media_id""",
     "s06_kmeans_codebook" -> s06OracleSql(nlist = 32, iters = 2),
     // d12: SemDeDup — the oracle replays the identical unrolled Lloyd
     // rounds (raw-double centroids, the same CTE chain s06/s07
@@ -803,6 +818,17 @@ object SparkEntry {
     // the pair scan restricted to the probing batch (b ≥ 400)
     "d18_incr_semdedup" -> d18OracleSql(nlist = 32, iters = 2,
       splitId = 400L, threshold = 0.4),
+    // d19: UNFILTERED quadratic containment — equality against the
+    // prefix-filtered Spark plan certifies the PPJoin filter lossless
+    "d19_containment" ->
+      s"""WITH $shingleCtes
+         SELECT doc_a, doc_b,
+           floor(CAST(i AS DOUBLE) / a.n_sh * 1000 + 0.5) / 1000 AS cont_a,
+           floor(CAST(i AS DOUBLE) / b.n_sh * 1000 + 0.5) / 1000 AS cont_b
+         FROM inter JOIN sz a ON doc_a = a.doc_id
+         JOIN sz b ON doc_b = b.doc_id
+         WHERE i * 1000 >= 700 * a.n_sh OR i * 1000 >= 700 * b.n_sh
+         ORDER BY doc_a, doc_b""",
     // d13: the measured recall of d12's within-cluster-only trade —
     // same Lloyd CTEs, brute-force pair ground truth, per-decile
     // captured fraction
@@ -2122,6 +2148,36 @@ object SparkEntry {
     // smallest md5(doc_id) values, so the hash certifies the exact
     // membership (and with it the cross-engine stability contract)
     // p05: quality-weighted draw — the oracle recomputes the t02
+    // p09: systematic resampling multiplicities — LONG div/mod for
+    // the base count, the Bernoulli residual accept as exact HUGEINT
+    // products (d·W < rem·2³², the decimal(38,0) compare Spark-side)
+    "p09_resample_mult" ->
+      """WITH q AS (
+           SELECT lang, doc_id,
+             CAST(floor(
+               floor(least(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0) *
+                 (1.0 - floor(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> x IN ('the', 'a'))) AS DOUBLE) /
+                   greatest(len(string_split_regex(trim(text), '\s+')), 1) * 10000 + 0.5) / 10000)
+                 * 10000 + 0.5) / 10000
+               * 10000 + 0.5) AS BIGINT) AS qi
+           FROM documents),
+         t AS (SELECT sum(qi) AS w, count(*) AS n FROM q),
+         m AS (SELECT lang, w, (2 * n * qi) // w AS base,
+             (2 * n * qi) % w AS rem,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS d
+           FROM q CROSS JOIN t),
+         mm AS (SELECT lang, base +
+             CASE WHEN CAST(d AS HUGEINT) * w < CAST(rem AS HUGEINT) * 4294967296
+               THEN 1 ELSE 0 END AS mult
+           FROM m)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(mult) AS BIGINT) AS n_emitted,
+           CAST(max(mult) AS BIGINT) AS max_mult,
+           CAST(sum(CASE WHEN mult = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+         FROM mm GROUP BY lang ORDER BY lang""",
     // quality formula per doc, applies the identical md5-hex draw
     // threshold at that per-doc rate, and averages r4-scaled integer
     // units so both engines' means are order-free exact

@@ -132,6 +132,67 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs (d19): C(A→B) =
+    * |S(A)∩S(B)| / |S(A)| — the subset-duplication signal Jaccard
+    * structurally misses. A short doc fully quoted inside a long one
+    * has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so MinHash-LSH
+    * (tuned for symmetric resemblance) never surfaces it; yet
+    * excerpt/wrapper duplication is exactly what leaks benchmark text
+    * into training corpora. Emits pairs where EITHER direction
+    * reaches `threshold`, with both directed scores.
+    *
+    * Scale design — prefix filtering (the AllPairs/PPJoin family,
+    * Bayardo et al. 2007; Xiao et al. 2008): order each doc's
+    * shingles globally rarest-first (df asc, hash asc); if
+    * max(C(A→B), C(B→A)) ≥ τ, the contained side X shares ≥ 1 of its
+    * first ⌊(1−τ)·|X|⌋+1 shingles with the other doc — so candidates
+    * come from PREFIX(X) ⋈ FULL(Y), never the full shingle self-join
+    * (at τ=0.7 the probe side is ~30% of the corpus shingle volume,
+    * and only its RAREST shingles, so hot-shingle blowup is bounded
+    * by construction; AQE splits any residual hot hash). The exact
+    * in-row array_intersect verify then runs on candidates only (the
+    * [[pairJaccard]] discipline). The DuckDB oracle computes the
+    * UNFILTERED quadratic containment — equality certifies the
+    * prefix filter lossless, measured, every gate run.
+    *
+    * Cross-engine determinism: the threshold is integer-milli
+    * (`inter·1000 ≥ τmilli·|X|` — longs both sides, no float
+    * boundary); reported scores re-derive r3 from exact longs. */
+  def containmentPairs(s: SparkSession, dir: String, n: Int = 5,
+      threshold: Double = 0.7): DataFrame = {
+    val thMilli = math.round(threshold * 1000)
+    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
+    val sh = sets.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
+    // global shingle document-frequencies: vocab-sized, joins unhinted
+    // (AQE broadcasts at gate scale; web-scale degrades to a hash
+    // shuffle of 16-byte (h, df) pairs)
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("h"))
+    val prefix = sh.join(dfreq, "h")
+      .withColumn("r", row_number().over(byDoc))
+      .where(col("r") <= floor((lit(1000L) - thMilli) * col("n_sh") / 1000L) + 1)
+      .select(col("doc_id").as("doc_p"), col("h"))
+    val cand = prefix.join(sh.select(col("doc_id").as("doc_f"), col("h")), "h")
+      .where(col("doc_p") =!= col("doc_f"))
+      .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_f")).as("doc_b"))
+      .distinct()
+    val sa = sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+      col("n_sh").as("sz_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+      col("n_sh").as("sz_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .where(col("inter") * 1000L >= lit(thMilli) * col("sz_a") ||
+        col("inter") * 1000L >= lit(thMilli) * col("sz_b"))
+      .select(col("doc_a"), col("doc_b"),
+        r3(col("inter") / col("sz_a")).as("cont_a"),
+        r3(col("inter") / col("sz_b")).as("cont_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash signatures over per-doc shingle-hash sets (`hs` column
     * from [[shingleHashSets]]): permutation i's value is
     * xxhash64(i, h) minimized over the set — computed by the fused

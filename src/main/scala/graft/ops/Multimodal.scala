@@ -89,6 +89,41 @@ object Multimodal {
     * formula pixels into PNG/BMP bytes. Scans only `doc_id` — column
     * pruning leaves text on disk; on a real corpus this projection is
     * the parquet binary column instead. */
+  /** Render the fixture formula into a raster, then encode with the
+    * named ImageIO writer — the one render loop every image-format
+    * fixture (PNG/BMP via [[imageTable]], JPEG via [[jpegTable]])
+    * shares. */
+  private def encodeImage(id: Long, fmt: String): Array[Byte] = {
+    val (w, h, ch, _) = imgParams(id)
+    val imgType = if (ch == 1) BufferedImage.TYPE_BYTE_GRAY
+                  else BufferedImage.TYPE_3BYTE_BGR
+    val img = new BufferedImage(w, h, imgType)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < ch) {
+          raster.setSample(x, y, b, pixelValue(x, y, b, id))
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    // memory-cached stream: ImageIO's default OutputStream path
+    // disk-caches through a /tmp file per image — pure overhead
+    // (and executor-local /tmp churn) when the sink is already
+    // an in-memory buffer
+    val ios = new MemoryCacheImageOutputStream(bos)
+    val ok = ImageIO.write(img, fmt, ios)
+    ios.close()
+    require(ok, s"no $fmt writer for media $id")
+    bos.toByteArray
+  }
+
   def imageTable(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[ImageBlob] = {
     import s.implicits._
     t(s, dir, "documents")
@@ -96,34 +131,8 @@ object Multimodal {
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          val (w, h, ch, fmt) = imgParams(id)
-          val imgType = if (ch == 1) BufferedImage.TYPE_BYTE_GRAY
-                        else BufferedImage.TYPE_3BYTE_BGR
-          val img = new BufferedImage(w, h, imgType)
-          val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              var b = 0
-              while (b < ch) {
-                raster.setSample(x, y, b, pixelValue(x, y, b, id))
-                b += 1
-              }
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new ByteArrayOutputStream()
-          // memory-cached stream: ImageIO's default OutputStream path
-          // disk-caches through a /tmp file per image — pure overhead
-          // (and executor-local /tmp churn) when the sink is already
-          // an in-memory buffer
-          val ios = new MemoryCacheImageOutputStream(bos)
-          val ok = ImageIO.write(img, fmt, ios)
-          ios.close()
-          require(ok, s"no $fmt writer for media $id")
-          ImageBlob(id, fmt, bos.toByteArray)
+          val fmt = imgParams(id)._4
+          ImageBlob(id, fmt, encodeImage(id, fmt))
         }
       }
   }
@@ -932,4 +941,107 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "width", "height", "pixel_sum")
       .orderBy("media_id", "frame_no")
   }
+
+  /** The image corpus re-encoded as REAL JPEGs — same docs, same
+    * pixel formula as [[imageTable]], third physical container (the
+    * [[aviTable]] pattern: one fixture corpus, independent codecs). */
+  def jpegTable(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[ImageBlob] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => ImageBlob(id, "jpg", encodeImage(id, "jpg"))))
+  }
+
+  /** The per-blob walk [[jpegMetadata]] runs: (width, height,
+    * n_components, precision, progressive, n_dqt, n_dht) or a loud
+    * failure. ISO/IEC 10918-1 marker-segment stream: SOI, then
+    * length-prefixed segments (big-endian, length includes its own 2
+    * bytes), frame geometry from SOF0/1/2, entropy-coded scan data
+    * after SOS skipped by the byte-stuffing rule (FF 00 = literal FF,
+    * FF D0–D7 = restart, any other FF xx = real marker), EOI terminal
+    * required. */
+  private[ops] def parseJpegMeta(mediaId: Long,
+      b: Array[Byte]): (Int, Int, Long, Long, Long, Long, Long) = {
+    def u8(i: Int): Int = b(i) & 0xff
+    require(b.length > 4 && u8(0) == 0xFF && u8(1) == 0xD8,
+      s"media $mediaId: not a JPEG SOI")
+    var i = 2
+    var w = -1; var h = -1; var ncomp = -1; var prec = -1
+    var progressive = 0L; var nDqt = 0L; var nDht = 0L
+    var sawEoi = false
+    while (!sawEoi) {
+      require(i + 1 < b.length, s"media $mediaId: truncated before EOI")
+      require(u8(i) == 0xFF, s"media $mediaId: expected marker at byte $i")
+      val m = u8(i + 1)
+      if (m == 0xD9) { sawEoi = true; i += 2 }
+      else if (m == 0xFF) i += 1 // fill byte before a marker
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2 // standalone
+      else {
+        require(i + 3 < b.length, s"media $mediaId: truncated segment header")
+        val len = (u8(i + 2) << 8) | u8(i + 3)
+        require(len >= 2 && i + 2 + len <= b.length,
+          s"media $mediaId: bad segment length $len at byte $i")
+        if (m == 0xC0 || m == 0xC1 || m == 0xC2) {
+          require(len >= 8, s"media $mediaId: SOF segment too short")
+          prec = u8(i + 4)
+          h = (u8(i + 5) << 8) | u8(i + 6)
+          w = (u8(i + 7) << 8) | u8(i + 8)
+          ncomp = u8(i + 9)
+          if (m == 0xC2) progressive = 1L
+        }
+        if (m == 0xDB) nDqt += 1
+        if (m == 0xC4) nDht += 1
+        i += 2 + len
+        if (m == 0xDA) {
+          // entropy-coded data: only FF 00 (stuffed) and FF D0-D7
+          // (restart) stay inside the scan; any other FF xx is the
+          // next real marker
+          var inScan = true
+          while (inScan) {
+            require(i < b.length, s"media $mediaId: truncated in scan data")
+            if (u8(i) == 0xFF && i + 1 < b.length) {
+              val n2 = u8(i + 1)
+              if (n2 == 0x00 || (n2 >= 0xD0 && n2 <= 0xD7)) i += 2
+              else inScan = false
+            } else i += 1
+          }
+        }
+      }
+    }
+    require(w > 0 && prec > 0, s"media $mediaId: no SOF frame header")
+    (w, h, ncomp.toLong, prec.toLong, progressive, nDqt, nDht)
+  }
+
+  /** JPEG structural metadata via a pure-JVM marker walk (m12) — the
+    * [[parsePngMeta]] ingest-gate discipline for the third image
+    * codec: validate the marker grammar of the REAL encoded bytes
+    * (SOI, segment lengths in bounds, stuffed-byte scan skip, EOI
+    * terminal), read geometry from the SOF frame header, count
+    * DQT/DHT segments. Malformed files die here, loudly, before any
+    * decoder runs. The m12 oracle recomputes width/height/components/
+    * precision from the fixture formula the walk never sees —
+    * certifying the parse against the JDK encoder's actual output;
+    * segment counts and the progressive flag are encoder detail
+    * (spec-asserted in OpsSpec, not oracled).
+    *
+    * Scale: one narrow mapPartitions scan, a few ints per blob — the
+    * [[pngMetadata]] shape; scan data is walked for grammar but never
+    * entropy-decoded. */
+  def jpegMetadata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jpegTable(s, dir).mapPartitions { batch =>
+      batch.map { m =>
+        val (w, h, nc, prec, prog, nq, nh) = parseJpegMeta(m.media_id, m.blob)
+        (m.media_id, w, h, nc, prec, prog, nq, nh)
+      }
+    }.toDF("media_id", "width", "height", "n_components", "precision",
+        "progressive", "n_dqt", "n_dht")
+      .orderBy("media_id")
+  }
+
+  /** m12's judged projection: the formula-derivable SOF fields only. */
+  def jpegMetadataReport(s: SparkSession, dir: String): DataFrame =
+    jpegMetadata(s, dir)
+      .select("media_id", "width", "height", "n_components", "precision")
 }

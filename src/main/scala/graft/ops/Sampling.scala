@@ -355,4 +355,61 @@ object Sampling {
       .select("lang", "n_docs", "n_tokens", "weight", "alloc_tokens", "epochs")
       .orderBy("lang")
   }
+
+  /** Importance resampling WITH REPLACEMENT (p09) — the
+    * materialization step the sampling family stops short of: p05
+    * draws a without-replacement subset, p06 scores target-likeness,
+    * p08 allocates a token budget per stratum; this assigns every
+    * document its integer REPLICATION COUNT for a quality-weighted
+    * epoch of target size K = `factor`·n. mult_i = ⌊K·w_i/W⌋ plus a
+    * Bernoulli(frac) residual draw, so Σ E[mult] = K exactly (the
+    * systematic-resampling estimator — unbiased, variance far below
+    * independent multinomial draws) and high-quality docs repeat
+    * while zero-weight docs drop. Reported per lang: doc count,
+    * emitted count, max multiplicity, drops. The actual epoch is then
+    * `explode(sequence(1, mult))` — a narrow in-row op a caller
+    * composes when writing the epoch (the report certifies the plan;
+    * materializing 2× the corpus inside the gate would be pure I/O).
+    * Reference analog: the weighted re-emission chains of
+    * streamable/stream.py:230-326.
+    *
+    * Scale design: weights, the residual draw, and the multiplicity
+    * are ALL in-row column arithmetic over one narrow scan; the only
+    * data movement is the one-row (W, n) broadcast back and the
+    * |langs|-row report aggregate. Membership is content-derived
+    * (md5 of doc_id — the p01 stability contract), so re-runs and
+    * incremental ingests replicate identically on any partitioning.
+    *
+    * Cross-engine determinism: weights are exact r4 integer units
+    * (w_i = ⌊q·10⁴+½⌋), base and residual come from LONG `div`/`%`,
+    * and the Bernoulli accept compares d·W < rem·2³² as
+    * DECIMAL(38,0)/HUGEINT products (exact at any corpus size — the
+    * long product overflows past W ≈ 2³¹, i.e. ~10⁵ docs at mean
+    * quality, so the wide type is load-bearing, not defensive). */
+  def importanceResample(s: SparkSession, dir: String,
+      factor: Int = 2): DataFrame = {
+    val qi = floor(TextAnalysis.qualityScore(col("text")) * lit(1e4) +
+      lit(0.5)).cast("long")
+    val per = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), qi.as("qi"))
+      .localCheckpoint() // 24-byte/doc frame feeds totals AND multiplicity
+    val tot = per.agg(sum("qi").as("w"), count(lit(1)).as("n"))
+    val dec = "decimal(38,0)"
+    per.crossJoin(broadcast(tot))
+      .withColumn("kq", lit(factor.toLong) * col("n") * col("qi"))
+      .withColumn("base", expr("kq div w"))
+      .withColumn("rem", col("kq") % col("w"))
+      .withColumn("d",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("extra", (col("d").cast(dec) * col("w").cast(dec) <
+        col("rem").cast(dec) * lit(4294967296L).cast(dec)).cast("long"))
+      .withColumn("mult", col("base") + col("extra"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("mult").as("n_emitted"),
+        max("mult").as("max_mult"),
+        sum((col("mult") === 0L).cast("long")).as("n_dropped"))
+      .orderBy("lang")
+  }
 }

@@ -342,6 +342,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("m12: JPEG marker walk reads SOF geometry and rejects tampered structure") {
+    val rows = Multimodal.jpegMetadata(spark, sf0001).collect()
+    // jpeg subset: every image doc (doc_id % 3 == 0) re-encoded
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") == (id % 29 + 4).toInt, s"media $id")
+      assert(r.getAs[Int]("height") == (id % 19 + 4).toInt, s"media $id")
+      assert(r.getAs[Long]("n_components") == (if (id % 2 == 0) 1L else 3L))
+      assert(r.getAs[Long]("precision") == 8L)
+      // JDK writer emits baseline frames with real table segments
+      assert(r.getAs[Long]("progressive") == 0L)
+      assert(r.getAs[Long]("n_dqt") >= 1L && r.getAs[Long]("n_dht") >= 1L)
+    }
+    val blob = Multimodal.jpegTable(spark, sf0001).head().blob
+    val good = Multimodal.parseJpegMeta(0L, blob)
+    assert(good._1 == 4 && good._2 == 4)
+    // truncation mid-stream must die loudly, not return partial metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.parseJpegMeta(0L, blob.take(blob.length / 2))
+    }
+    // corrupting a segment-length byte breaks the marker grammar
+    val bad = blob.clone()
+    bad(4) = 0x7f.toByte // APP0/first segment length hi-byte → walk overruns
+    intercept[IllegalArgumentException] { Multimodal.parseJpegMeta(0L, bad) }
+    // non-JPEG bytes die at the SOI check
+    intercept[IllegalArgumentException] {
+      Multimodal.parseJpegMeta(0L, Array.fill[Byte](32)(7))
+    }
+  }
+
   test("audio decode: WAV round-trip reports format and frame count") {
     val rows = Multimodal.decodeAudio(spark, sf0001).collect()
     assert(rows.length == 167) // doc_id % 3 == 1 over 500 docs
@@ -2334,6 +2365,30 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getString(2), r.getDouble(3)))).toMap
     assert(got == expect)
+  }
+
+  test("d19: prefix-filtered containment ≡ plain-Scala quadratic model; asymmetry live") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+      .filter(_._2.length >= 5)
+    val sets = docs.map { case (id, ws) =>
+      id -> ws.sliding(5).map(_.mkString(" ")).toSet }.toMap
+    val ids = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (sets(a) & sets(b)).size.toLong
+      if inter * 1000 >= 700 * sets(a).size || inter * 1000 >= 700 * sets(b).size
+    } yield (a, b) -> ((math.floor(inter.toDouble / sets(a).size * 1000 + 0.5) / 1000,
+      math.floor(inter.toDouble / sets(b).size * 1000 + 0.5) / 1000))).toMap
+    val got = Dedup.containmentPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // the asymmetric signal is live: some pair's two directions differ
+    assert(got.values.exists { case (ca, cb) => ca != cb })
   }
 
   test("entry flagship returns rows") {

@@ -89,4 +89,44 @@ class SamplingSpec extends SparkSpec {
       .flatMap(_.getAs[String]("doc_ids").split(",").map(_.toLong)).toSet
     assert(got10.subsetOf(gotIds))
   }
+
+  test("p09: multiplicities match a plain-Scala systematic-resampling model") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def qi(text: String): Long = {
+      val ws = text.trim.split("\\s+")
+      val stop = math.floor(ws.count(w => w == "the" || w == "a").toDouble /
+        math.max(ws.length, 1) * 10000 + 0.5) / 10000
+      val qv = math.floor(math.min(ws.length / 100.0, 1.0) * (1.0 - stop) *
+        10000 + 0.5) / 10000
+      math.floor(qv * 10000 + 0.5).toLong
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16)
+    val qs = docs.map { case (lang, id, text) => (lang, id, qi(text)) }
+    val w = qs.map(_._3).sum; val n = qs.length.toLong
+    val mult = qs.map { case (lang, id, q) =>
+      val kq = 2L * n * q
+      val base = kq / w; val rem = kq % w
+      val extra = if (BigInt(draw(id)) * w < BigInt(rem) * 4294967296L) 1L else 0L
+      (lang, base + extra)
+    }
+    val expect = mult.groupBy(_._1).map { case (lang, ms) =>
+      lang -> ((ms.length.toLong, ms.map(_._2).sum, ms.map(_._2).max,
+        ms.count(_._2 == 0L).toLong))
+    }
+    val got = Sampling.importanceResample(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expect)
+    // the with-replacement semantics are live (some doc repeats), the
+    // zero-weight drop path is live, and the total lands within n of
+    // the K = 2n target (each doc's residual adds at most 1)
+    assert(got.values.exists(_._3 > 1L))
+    val emitted = got.values.map(_._2).sum
+    assert(math.abs(emitted - 2L * n) <= n)
+  }
 }
