@@ -61,6 +61,7 @@ object SparkEntry {
     "q38_correlated" -> (Relational.aboveCustomerAvg _),
     "q39_bag_setops" -> (Relational.returnFlagBagDiff _),
     "q40_mode_median" -> (Relational.modeAndMedian _),
+    "q41_rank_dist" -> (Relational.rankDistributions _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "e11_burst_windows" -> ((s: SparkSession, dir: String) => Events.burstStats(s, dir)),
     "e12_events_gate" -> ((s: SparkSession, dir: String) => Events.eventsGate(s, dir)),
     "e13_rfm" -> (Events.rfmSegments _),
+    "e14_multistep_funnel" -> (Events.multiStepFunnel _),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -1342,6 +1344,45 @@ object SparkEntry {
            CAST(mode_n AS BIGINT) AS mode_n
          FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND rnk = 1
          ORDER BY med.l_returnflag""",
+    // q41: percent_rank/cume_dist — exact rationals of integers
+    // under a total tie-break; the top-10 cut mirrors the Spark limit
+    "q41_rank_dist" ->
+      """WITH r AS (
+           SELECT o_orderkey, o_orderpriority,
+             round(o_totalprice, 2) AS o_totalprice,
+             floor(percent_rank() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) * 10000 + 0.5) / 10000
+               AS pct_rank,
+             floor(cume_dist() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) * 10000 + 0.5) / 10000
+               AS cume
+           FROM orders)
+         SELECT o_orderkey, o_orderpriority, o_totalprice, pct_rank, cume
+         FROM r ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    // e14: the e06 chain extended to three ordered steps — the oracle
+    // formulates the stacked-window chain as three joins
+    "e14_multistep_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+           FROM events),
+         u AS (SELECT DISTINCT user_id FROM e),
+         s1 AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ms END) AS fv
+           FROM e GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(ms) AS fc
+           FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ms >= fv GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(ms) AS fp
+           FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ms >= fc GROUP BY 1)
+         SELECT count(*) AS n_users,
+           count(fv) AS n_viewed,
+           count(fc) AS n_clicked,
+           count(fp) AS n_purchased,
+           floor(CAST(sum(fp - fv) AS DOUBLE)
+             / (count(fp) * 3600000.0) * 100 + 0.5) / 100
+             AS avg_hours_to_convert
+         FROM u LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
     // e13: RFM segmentation — integer metrics, exact-quarter
     // quantile_cont cutpoints, score = 1 + Σ (v > q_i)
     "e13_rfm" ->

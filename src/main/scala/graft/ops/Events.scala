@@ -368,6 +368,44 @@ object Events {
       .orderBy("check_name")
   }
 
+  /** Multi-step ordered funnel (e14) — e06's two-step conversion
+    * generalized to the ordered chain view → click → purchase: a user
+    * completes step k only with an event at-or-after their step-k−1
+    * completion time (ties at the same millisecond count — the
+    * deterministic inclusive rule, identical on both engines). The
+    * k-step activation-funnel report product analytics is built on.
+    *
+    * Scale design: ONE user_id shuffle, genuinely — the three
+    * first-completion times are STACKED UNORDERED per-user windows
+    * (whole-partition frames: each is an exchange-free reuse of the
+    * same hash partitioning, no sort — the e06 discipline, and
+    * Catalyst plans all three Window ops over one exchange); the
+    * oracle formulates the same chain as three joins, certifying the
+    * window form against the declarative one. Lags stay epoch-ms
+    * LONGs until the single r2 division (e06's order-independent
+    * mean rule). */
+  def multiStepFunnel(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val ms = unix_millis(col("ts"))
+    val ev = events(s, dir)
+      .withColumn("fv",
+        min(when(col("event_type") === "view", ms)).over(byUser))
+      .withColumn("fc",
+        min(when(col("event_type") === "click" && ms >= col("fv"), ms))
+          .over(byUser))
+      .withColumn("fp",
+        min(when(col("event_type") === "purchase" && ms >= col("fc"), ms))
+          .over(byUser))
+    ev.groupBy("user_id")
+      .agg(first("fv").as("fv"), first("fc").as("fc"), first("fp").as("fp"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("fv")).as("n_viewed"),
+        count(col("fc")).as("n_clicked"),
+        count(col("fp")).as("n_purchased"),
+        r2(sum(col("fp") - col("fv")) /
+          (count(col("fp")) * lit(3600000.0))).as("avg_hours_to_convert"))
+  }
+
   /** RFM user segmentation (e13) — the classic value-segmentation
     * matrix: purchasers scored 1–4 on Recency (last purchase time),
     * Frequency (purchase count) and Monetary (purchase value), then

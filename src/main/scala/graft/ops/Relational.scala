@@ -707,6 +707,31 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** q41: window DISTRIBUTION functions — percent_rank and cume_dist
+    * of the 10 most expensive orders, each ranked within its own
+    * priority class (total tie-break by o_orderkey, so both ranks are
+    * exact rationals of integers — no float boundary; r4 presents
+    * them). Completes the §2.9 window-function surface next to
+    * rank/row_number (q05/q06), lag/lead (q32/e09), ntile (q37) and
+    * running frames (q14). Scale note: the per-priority sort has
+    * |priorities|-way key parallelism — the q37 caveat applies; at
+    * corpus scale the same row-quantile question is answered by
+    * `approx_percentile` cutpoints (q25b), this exact form is the
+    * correctness anchor. The global top-10 plans as
+    * TakeOrderedAndProject (the p04 discipline). */
+  def rankDistributions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("pct_rank", r4(percent_rank().over(w)))
+      .withColumn("cume", r4(cume_dist().over(w)))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("pct_rank"), col("cume"))
+  }
+
   /** q40: deterministic mode + exact median per return flag. Spark's
     * native `mode()` is tie-nondeterministic, so the mode is computed
     * as the classic two-phase shape: (flag, status) counts — ONE

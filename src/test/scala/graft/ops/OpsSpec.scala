@@ -2391,6 +2391,59 @@ class OpsSpec extends SparkSpec {
     assert(got.values.exists { case (ca, cb) => ca != cb })
   }
 
+  test("q41: percent_rank/cume_dist equal the closed-form ranks under the total order") {
+    val orders = Relational.t(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val ranked = orders.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._3, r._1)); val n = s.length
+      s.zipWithIndex.map { case ((k, p, tp), i) =>
+        k -> ((p, math.floor(tp * 100 + 0.5) / 100,
+          math.floor(i.toDouble / (n - 1) * 10000 + 0.5) / 10000,
+          math.floor((i + 1).toDouble / n * 10000 + 0.5) / 10000))
+      }
+    }.toMap
+    val expectTop = orders.sortBy(r => (-r._3, r._1)).take(10).map(_._1)
+    val got = Relational.rankDistributions(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).toSeq == expectTop.toSeq)
+    got.foreach { r =>
+      val (p, tp, pr, cd) = ranked(r.getLong(0))
+      assert(r.getString(1) == p)
+      assert(r.getDouble(2) == tp)
+      assert(r.getDouble(3) == pr, s"pct_rank of ${r.getLong(0)}")
+      assert(r.getDouble(4) == cd, s"cume of ${r.getLong(0)}")
+    }
+  }
+
+  test("e14: three-step funnel matches the plain-Scala ordered chain") {
+    val ev = Relational.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val chain = byUser.map { case (_, rows) =>
+      val fv = rows.filter(_._2 == "view").map(_._3).minOption
+      val fc = fv.flatMap(v =>
+        rows.filter(r => r._2 == "click" && r._3 >= v).map(_._3).minOption)
+      val fp = fc.flatMap(c =>
+        rows.filter(r => r._2 == "purchase" && r._3 >= c).map(_._3).minOption)
+      (fv, fc, fp)
+    }.toSeq
+    val lags = chain.collect { case (Some(v), _, Some(p)) => p - v }
+    val r = Events.multiStepFunnel(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == byUser.size.toLong)
+    assert(r.getLong(1) == chain.count(_._1.isDefined).toLong)
+    assert(r.getLong(2) == chain.count(_._2.isDefined).toLong)
+    assert(r.getLong(3) == chain.count(_._3.isDefined).toLong)
+    assert(r.getDouble(4) ==
+      math.floor(lags.sum.toDouble / (lags.length * 3600000.0) * 100 + 0.5) / 100)
+    // the funnel is monotone and converts someone (at sf0.001 the 15
+    // users are all dense enough to complete every step — narrowing
+    // shows at the sf0.01 oracle gate, not here)
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2) &&
+      r.getLong(2) >= r.getLong(3) && r.getLong(3) > 0L)
+    assert(r.getDouble(4) > 0.0)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
