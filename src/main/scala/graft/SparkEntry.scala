@@ -180,6 +180,7 @@ object SparkEntry {
     "m10_avi_frames" -> (Multimodal.decodeAviFrames _),
     "m11_png_meta" -> (Multimodal.pngMetadataReport _),
     "m12_jpeg_meta" -> (Multimodal.jpegMetadataReport _),
+    "m13_mixed_ingest" -> (Multimodal.mixedIngestGate _),
   )
 
   /** Shared DuckDB CTE prefix for every shingle-based oracle:
@@ -2219,6 +2220,38 @@ object SparkEntry {
            CAST(sum(CASE WHEN mult = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dropped
          FROM mm GROUP BY lang ORDER BY lang""",
+    // m13: every per-format geometry/frame sum recomputed from the
+    // fixture formulas none of the five header parsers see; the
+    // mismatch column's expected value IS zero (the gate's claim)
+    "m13_mixed_ingest" ->
+      """WITH img AS (SELECT doc_id, doc_id % 29 + 4 AS w,
+             doc_id % 19 + 4 AS h
+           FROM documents WHERE doc_id % 3 = 0)
+         SELECT * FROM (
+           SELECT 'avi' AS fmt, count(*) AS n,
+             CAST(0 AS BIGINT) AS n_mismatch,
+             CAST(sum(doc_id % 15 + 4) AS BIGINT) AS sum_width,
+             CAST(sum(doc_id % 9 + 4) AS BIGINT) AS sum_height,
+             CAST(sum(doc_id % 4 + 2) AS BIGINT) AS sum_frames
+           FROM documents WHERE doc_id % 3 = 2
+           UNION ALL
+           SELECT 'bmp', count(*), CAST(0 AS BIGINT),
+             CAST(sum(w) AS BIGINT), CAST(sum(h) AS BIGINT), count(*)
+           FROM img WHERE doc_id % 4 >= 2
+           UNION ALL
+           SELECT 'jpg', count(*), CAST(0 AS BIGINT),
+             CAST(sum(w) AS BIGINT), CAST(sum(h) AS BIGINT), count(*)
+           FROM img
+           UNION ALL
+           SELECT 'png', count(*), CAST(0 AS BIGINT),
+             CAST(sum(w) AS BIGINT), CAST(sum(h) AS BIGINT), count(*)
+           FROM img WHERE doc_id % 4 < 2
+           UNION ALL
+           SELECT 'wav', count(*), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(sum(doc_id % 50 + 10) AS BIGINT)
+           FROM documents WHERE doc_id % 3 = 1)
+         ORDER BY fmt""",
     // quality formula per doc, applies the identical md5-hex draw
     // threshold at that per-doc rate, and averages r4-scaled integer
     // units so both engines' means are order-free exact

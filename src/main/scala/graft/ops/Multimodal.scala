@@ -1044,4 +1044,159 @@ object Multimodal {
   def jpegMetadataReport(s: SparkSession, dir: String): DataFrame =
     jpegMetadata(s, dir)
       .select("media_id", "width", "height", "n_components", "precision")
+
+  /** Magic-number format detection — the dispatch step of a mixed
+    * binary ingest. Bytes, not metadata: a corpus's declared format
+    * column is exactly what an ingest gate must NOT trust. */
+  private[ops] def detectFormat(b: Array[Byte]): String = {
+    def u8(i: Int) = b(i) & 0xff
+    def fourcc(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b.length >= 8 && u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4E &&
+      u8(3) == 0x47) "png"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 2 && u8(0) == 0xFF && u8(1) == 0xD8) "jpg"
+    else if (b.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "WAVE") "wav"
+    else if (b.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ") "avi"
+    else if (b.length >= 6 && fourcc(0) == "GIF8") "gif"
+    else "unknown"
+  }
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** BITMAPFILEHEADER + BITMAPINFOHEADER walk: (width, height, bpp)
+    * or a loud failure; the declared file size must match the blob. */
+  private[ops] def parseBmpMeta(mediaId: Long,
+      b: Array[Byte]): (Int, Int, Int) = {
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
+      s"media $mediaId: not a BMP header")
+    require(u32le(b, 2) == b.length,
+      s"media $mediaId: BMP size field ${u32le(b, 2)} != blob ${b.length}")
+    require(u32le(b, 14) >= 40, s"media $mediaId: DIB header too short")
+    require(u16le(b, 26) == 1, s"media $mediaId: BMP planes != 1")
+    val w = u32le(b, 18).toInt
+    val h = u32le(b, 22).toInt // JDK writes bottom-up (positive height)
+    require(w > 0 && h > 0, s"media $mediaId: non-positive BMP geometry")
+    (w, h, u16le(b, 28))
+  }
+
+  /** RIFF/WAVE chunk walk: (channels, sample_rate, bits, frames) or a
+    * loud failure — the fmt and data chunks via the even-padded
+    * id/size grammar, frames = data size / block align. A header-only
+    * gate: no SPI reader, no PCM decode. */
+  private[ops] def parseWavMeta(mediaId: Long,
+      b: Array[Byte]): (Int, Int, Int, Long) = {
+    require(b.length >= 12 &&
+      new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE",
+      s"media $mediaId: not a RIFF/WAVE header")
+    require(u32le(b, 4) == b.length - 8,
+      s"media $mediaId: RIFF size ${u32le(b, 4)} != blob ${b.length} - 8")
+    var i = 12
+    var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
+    var frames = -1L
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val sz = u32le(b, i + 4)
+      require(i + 8 + sz <= b.length,
+        s"media $mediaId: WAV chunk $id overruns the blob")
+      if (id == "fmt ") {
+        require(sz >= 16, s"media $mediaId: fmt chunk too short")
+        require(u16le(b, i + 8) == 1, s"media $mediaId: not PCM")
+        channels = u16le(b, i + 10)
+        rate = u32le(b, i + 12).toInt
+        blockAlign = u16le(b, i + 20)
+        bits = u16le(b, i + 22)
+      }
+      if (id == "data") {
+        require(blockAlign > 0, s"media $mediaId: data before fmt chunk")
+        frames = sz / blockAlign
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are even-padded
+    }
+    require(frames >= 0, s"media $mediaId: no data chunk")
+    (channels, rate, bits, frames)
+  }
+
+  /** RIFF/AVI header walk: (width, height, total_frames) from the
+    * avih chunk inside LIST hdrl — geometry without touching movi
+    * data (the header-only dual of [[demuxAvi]]'s full demux). */
+  private[ops] def parseAviHeader(mediaId: Long,
+      b: Array[Byte]): (Int, Int, Long) = {
+    require(b.length >= 12 &&
+      new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "AVI ",
+      s"media $mediaId: not a RIFF/AVI header")
+    var res: Option[(Int, Int, Long)] = None
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to && res.isEmpty) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val sz = u32le(b, i + 4).toInt
+        require(i + 8 + sz <= to, s"media $mediaId: AVI chunk $id overruns")
+        if (id == "LIST" && sz >= 4 &&
+          new String(b, i + 8, 4, "US-ASCII") == "hdrl")
+          walk(i + 12, i + 8 + sz)
+        else if (id == "avih") {
+          require(sz >= 40, s"media $mediaId: avih chunk too short")
+          res = Some((u32le(b, i + 8 + 32).toInt, u32le(b, i + 8 + 36).toInt,
+            u32le(b, i + 8 + 16)))
+        }
+        i += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, b.length)
+    res.getOrElse(sys.error(s"media $mediaId: no avih header"))
+  }
+
+  /** Mixed-format ingest gate (m13) — the dispatch-and-validate pass
+    * a heterogeneous binary corpus goes through BEFORE any decoder:
+    * the four real fixture corpora (PNG+BMP, JPEG, WAV, AVI) union
+    * into one blob stream, every blob's format comes from its MAGIC
+    * BYTES (never the declared column — `n_mismatch` counts where
+    * the two disagree, and the gate's claim is that it is zero), and
+    * the matching header parser ([[parsePngMeta]] / [[parseBmpMeta]] /
+    * [[parseJpegMeta]] / [[parseWavMeta]] / [[parseAviHeader]])
+    * validates structure and extracts geometry header-only — no
+    * pixel/PCM decode anywhere in the pass. Per detected format:
+    * count, declared-mismatch count, Σwidth, Σheight, Σframes (1 per
+    * still image; data frames for WAV; dwTotalFrames for AVI). The
+    * oracle recomputes every sum from the fixture formulas none of
+    * the parsers see.
+    *
+    * Scale design: one narrow mapPartitions scan per source corpus
+    * (codec-free walks, a few ints out per blob), one |formats|-row
+    * aggregate — the [[pngMetadata]] shape over a union. */
+  def mixedIngestGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = imageTable(s, dir).union(jpegTable(s, dir))
+      .union(audioTable(s, dir)).union(aviTable(s, dir))
+    all.mapPartitions { batch =>
+      batch.map { m =>
+        val fmt = detectFormat(m.blob)
+        val (w, h, frames) = fmt match {
+          case "png" =>
+            val p = parsePngMeta(m.media_id, m.blob); (p._1, p._2, 1L)
+          case "bmp" =>
+            val p = parseBmpMeta(m.media_id, m.blob); (p._1, p._2, 1L)
+          case "jpg" =>
+            val p = parseJpegMeta(m.media_id, m.blob); (p._1, p._2, 1L)
+          case "wav" =>
+            val p = parseWavMeta(m.media_id, m.blob); (0, 0, p._4)
+          case "avi" =>
+            val p = parseAviHeader(m.media_id, m.blob); (p._1, p._2, p._3)
+          case other => sys.error(s"media ${m.media_id}: undispatchable $other")
+        }
+        (fmt, if (fmt == m.fmt) 0L else 1L, w.toLong, h.toLong, frames)
+      }
+    }.toDF("fmt", "mismatch", "w", "h", "frames")
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n"), sum("mismatch").as("n_mismatch"),
+        sum("w").as("sum_width"), sum("h").as("sum_height"),
+        sum("frames").as("sum_frames"))
+      .orderBy("fmt")
+  }
 }

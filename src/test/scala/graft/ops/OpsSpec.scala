@@ -373,6 +373,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("m13: magic-number dispatch routes all five formats; new walks reject tampering") {
+    val rows = Multimodal.mixedIngestGate(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.keySet == Set("png", "bmp", "jpg", "wav", "avi"))
+    // declared fmt and detected magic agree everywhere
+    assert(rows.values.forall(_._2 == 0L))
+    // formula cross-check on one format: avi geometry sums
+    val aviIds = (0L until 500L).filter(_ % 3 == 2)
+    assert(rows("avi")._1 == aviIds.length.toLong)
+    assert(rows("avi")._3 == aviIds.map(_ % 15 + 4).sum)
+    assert(rows("avi")._5 == aviIds.map(_ % 4 + 2).sum)
+    // jpg covers BOTH image halves (the png/bmp split re-encoded)
+    assert(rows("jpg")._1 == rows("png")._1 + rows("bmp")._1)
+    // the header-only WAV walk agrees with the SPI decoder's view
+    val wavBlob = Multimodal.audioTable(spark, sf0001).head()
+    val (ch, rate, bits, frames) =
+      Multimodal.parseWavMeta(wavBlob.media_id, wavBlob.blob)
+    assert((ch, rate, bits) == ((1, 8000, 16)))
+    assert(frames == wavBlob.media_id % 50 + 10)
+    // a RIFF size field that lies must fail loudly (byte 4, LE u32)
+    val badWav = wavBlob.blob.clone()
+    badWav(4) = (badWav(4) + 1).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWavMeta(0L, badWav)
+    }
+    // BMP: size-field tamper dies at the header check
+    val bmpBlob = Multimodal.imageTable(spark, sf0001)
+      .filter(col("fmt") === "bmp").head()
+    val (bw, bh, bpp) = Multimodal.parseBmpMeta(bmpBlob.media_id, bmpBlob.blob)
+    assert(bw == (bmpBlob.media_id % 29 + 4).toInt &&
+      bh == (bmpBlob.media_id % 19 + 4).toInt)
+    assert(bpp == (if (bmpBlob.media_id % 2 == 0) 8 else 24))
+    val badBmp = bmpBlob.blob.clone()
+    badBmp(2) = (badBmp(2) + 1).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.parseBmpMeta(0L, badBmp)
+    }
+    // unknown bytes refuse dispatch
+    assert(Multimodal.detectFormat(Array.fill[Byte](16)(9)) == "unknown")
+  }
+
   test("audio decode: WAV round-trip reports format and frame count") {
     val rows = Multimodal.decodeAudio(spark, sf0001).collect()
     assert(rows.length == 167) // doc_id % 3 == 1 over 500 docs
