@@ -94,6 +94,7 @@ object SparkEntry {
     "t14_source_kl" -> ((s: SparkSession, dir: String) => TextAnalysis.sourceKlStats(s, dir)),
     "t15_cms_report" -> ((s: SparkSession, dir: String) => TextAnalysis.cmsReport(s, dir)),
     "t16_tfidf_terms" -> ((s: SparkSession, dir: String) => TextAnalysis.tfidfTopTerms(s, dir)),
+    "t17_bigram_ce" -> ((s: SparkSession, dir: String) => TextAnalysis.bigramCrossEntropy(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -1434,6 +1435,39 @@ object SparkEntry {
            floor(CAST(sm AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
              AS score
          FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // t17: the t11 discipline over bigram transitions — identical
+    // vocab rule, add-one over V+1 classes, integer micronat terms;
+    // chr(1)/chr(2) are the separator/OOV symbols outside the corpus
+    // alphabet
+    "t17_bigram_ce" ->
+      """WITH toks AS (SELECT doc_id, lang, source,
+             string_split_regex(trim(text), '\s+') AS w FROM documents),
+         tk AS (SELECT doc_id, lang, source, i, w[i] AS tok
+           FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+         vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 24),
+         ntk AS (SELECT doc_id, lang, source, i,
+             CASE WHEN v.tok IS NULL THEN chr(2) ELSE tk.tok END AS ntok
+           FROM tk LEFT JOIN vocab v USING (tok)),
+         bg AS (SELECT a.doc_id, a.lang, a.source, a.ntok AS p,
+             b.ntok AS c2
+           FROM ntk a JOIN ntk b
+             ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         cb AS (SELECT p, c2, count(*) AS cbi FROM bg GROUP BY 1, 2),
+         cx AS (SELECT p, sum(cbi) AS cxx FROM cb GROUP BY 1),
+         terms AS (SELECT bg.doc_id, lang, source,
+             CAST(floor(ln(CAST(cxx + 25 AS DOUBLE)
+               / CAST(cbi + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS vs
+           FROM bg JOIN cb USING (p, c2) JOIN cx USING (p)),
+         doc AS (SELECT doc_id, lang, source, count(*) AS nb,
+             CAST(sum(vs) AS DOUBLE) / 1000000 / count(*) AS ce
+           FROM terms GROUP BY 1, 2, 3)
+         SELECT lang, source, count(*) AS n_docs,
+           floor(CAST(sum(CAST(floor(ce * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / count(*) * 1000 + 0.5) / 1000 AS avg_ce,
+           floor(min(ce) * 1000 + 0.5) / 1000 AS min_ce,
+           floor(max(ce) * 1000 + 0.5) / 1000 AS max_ce
+         FROM doc GROUP BY 1, 2 ORDER BY 1, 2""",
     // e12: the c15 expectation-check pattern on the events table —
     // same checks, same stacked report shape
     "e12_events_gate" ->

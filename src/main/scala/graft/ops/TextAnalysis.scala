@@ -636,6 +636,93 @@ object TextAnalysis {
       .orderBy("tok")
   }
 
+  /** Bigram-LM cross-entropy scoring (t17) — the LM-quality ladder's
+    * order-sensitive rung: t11 scores documents against the corpus
+    * UNIGRAM distribution (what words appear), this scores them
+    * against the corpus BIGRAM transitions (what follows what), so
+    * shuffled or grammatically-broken text that fools a unigram model
+    * scores high here. Tokens normalize to top-`vocabSize` classes +
+    * one OOV symbol (the t11 vocab rule and conf knob); the model is
+    * add-one-smoothed p(cur|prev) = (c(prev,cur)+1)/(cx(prev)+V+1)
+    * over the V+1 classes; per-doc CE is the mean micronat term over
+    * its bigrams. Reported per (lang, source): docs (with ≥1 bigram),
+    * mean/min/max CE — the t11 report shape.
+    *
+    * Scale design: the text is tokenized and class-normalized ONCE
+    * into a localCheckpointed per-doc id-array frame; the bigram
+    * count table derives from it by ONE in-row-melted aggregation
+    * (bounded by (V+1)² classes plus observed combos — vocab-sized,
+    * never corpus-sized), comes back as two broadcast maps
+    * (bigram → count, context → count), and scoring is a second pass
+    * over the SAME checkpointed arrays with two in-row map probes per
+    * bigram — no (doc, token) explode on the scoring path, no join.
+    *
+    * Cross-engine determinism: `ln` sees one division of exact-
+    * integer-valued doubles and every term snaps to integer micronats
+    * before any sum — the t11 discipline verbatim. The class
+    * separator (U+0001) and OOV symbol (U+0002) are outside the
+    * corpus alphabet, so the string-keyed bigram map cannot alias. */
+  def bigramCrossEntropy(s: SparkSession, dir: String,
+      vocabSizeParam: Int = 0): DataFrame = {
+    val vocabSize = if (vocabSizeParam > 0) vocabSizeParam
+      else s.conf.get("graft.unigram.vocab", "24").toInt
+    val docs = t(s, dir, "documents")
+    val cnt = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val vocabRow = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .agg(map_from_entries(collect_list(struct(col("tok"), lit(1))))
+        .as("vmap"))
+    val oov = "\u0002"; val sep = "\u0001"
+    // ONE tokenize+normalize pass, checkpointed: the bigram-count
+    // build AND the scoring pass both read these id arrays
+    val nids = docs.crossJoin(broadcast(vocabRow))
+      .select(col("lang"), col("source"),
+        transform(tokens(col("text")), tk =>
+          when(try_element_at(col("vmap"), tk).isNotNull, tk)
+            .otherwise(lit(oov))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .localCheckpoint()
+    def bigramAt(i: Column): Column = concat_ws(sep,
+      element_at(col("ids"), i + 1), element_at(col("ids"), i + 2))
+    val cb = nids
+      .select(explode(transform(sequence(lit(0), size(col("ids")) - 2),
+        i => bigramAt(i))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cbi"))
+      .localCheckpoint()
+    val bmapRow = cb.agg(
+      map_from_entries(collect_list(struct(col("bg"), col("cbi"))))
+        .as("bmap"))
+    val xmapRow = cb
+      .groupBy(substring_index(col("bg"), sep, 1).as("p"))
+      .agg(sum("cbi").as("cxx"))
+      .agg(map_from_entries(collect_list(struct(col("p"), col("cxx"))))
+        .as("xmap"))
+    val vp1 = lit(vocabSize.toLong + 1L)
+    val scored = nids
+      .crossJoin(broadcast(bmapRow)).crossJoin(broadcast(xmapRow))
+      .withColumn("lm",
+        aggregate(sequence(lit(0), size(col("ids")) - 2), lit(0L),
+          (acc, i) => {
+            val cx = coalesce(
+              try_element_at(col("xmap"), element_at(col("ids"), i + 1)),
+              lit(0L))
+            val cbi = coalesce(
+              try_element_at(col("bmap"), bigramAt(i)), lit(0L))
+            acc + floor(log((cx + vp1).cast("double") /
+              (cbi + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+              .cast("long")
+          }))
+      .withColumn("ce",
+        col("lm").cast("double") / lit(1e6) / (size(col("ids")) - 1))
+    scored.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        r3(sum(floor(col("ce") * lit(1e6) + lit(0.5))).cast("double") /
+          lit(1e6) / count(lit(1))).as("avg_ce"),
+        r3(min(col("ce"))).as("min_ce"),
+        r3(max(col("ce"))).as("max_ce"))
+      .orderBy("lang", "source")
+  }
+
   /** Corpus TF-IDF top terms per document (t16) — the keyword-
     * extraction staple (salience = raw tf × ln(N/df)) and the
     * per-document dual of t10's per-query BM25: t10 ranks documents

