@@ -62,6 +62,7 @@ object SparkEntry {
     "q39_bag_setops" -> (Relational.returnFlagBagDiff _),
     "q40_mode_median" -> (Relational.modeAndMedian _),
     "q41_rank_dist" -> (Relational.rankDistributions _),
+    "q42_lateral" -> (Relational.lateralTopOrders _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -1346,6 +1347,9 @@ object SparkEntry {
            CAST(mode_n AS BIGINT) AS mode_n
          FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND rnk = 1
          ORDER BY med.l_returnflag""",
+    // q42: the q33/q38 pattern — the oracle IS the Spark-side SQL
+    // text (correlated LATERAL with LIMIT, integer cents)
+    "q42_lateral" -> graft.ops.Relational.lateralTop2Sql,
     // q41: percent_rank/cume_dist — exact rationals of integers
     // under a total tie-break; the top-10 cut mirrors the Spark limit
     "q41_rank_dist" ->

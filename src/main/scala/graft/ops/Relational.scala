@@ -125,6 +125,34 @@ object Relational {
   def aboveCustomerAvg(s: SparkSession, dir: String): DataFrame =
     sqlViaViews(s, dir, aboveCustomerAvgSql)
 
+  /** q42: a correlated LATERAL subquery with LIMIT — the third member
+    * of the ONE-SQL-text portability family (q33 plain joins, q38
+    * correlated scalar): each customer's top-2 orders by price,
+    * summed per market segment. The naive reading is a sorted probe
+    * per customer row; Catalyst decorrelates the LATERAL into a
+    * ranked window + join (DecorrelateInnerQuery), DuckDB into its
+    * own dependent-join unnesting — both engines MUST rewrite or die,
+    * which is exactly what makes it a portability anchor. Cents stay
+    * integer from inside the lateral scope outward, so the per-
+    * segment sums are order-free exact. At scale the decorrelated
+    * plan is a per-customer window over one orders shuffle plus a
+    * broadcast-or-shuffle join on custkey — AQE's choice, no hints. */
+  val lateralTop2Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_top,
+         CAST(sum(t.cents) AS BIGINT) AS sum_top2_cents
+       FROM customer,
+       LATERAL (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                  AS cents
+                FROM orders WHERE o_custkey = c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+       GROUP BY c_mktsegment
+       ORDER BY c_mktsegment"""
+
+  /** Runs [[lateralTop2Sql]] through the shared registered-views SQL
+    * door. */
+  def lateralTopOrders(s: SparkSession, dir: String): DataFrame =
+    sqlViaViews(s, dir, lateralTop2Sql)
+
   /** Engine-independent rounding for QUOTIENT-derived doubles.
     *
     * Spark's `round` converts the double to its shortest decimal

@@ -2527,6 +2527,26 @@ class OpsSpec extends SparkSpec {
     assert(probe.exists(d => ceOf(d._4) != ceOf(d._4.reverse)))
   }
 
+  test("q42: lateral top-2 matches a plain-Scala per-customer model") {
+    val orders = Relational.t(spark, sf0001, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val seg = Relational.t(spark, sf0001, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      os.sortBy(o => (-o._3, o._2)).take(2)
+        .map(o => seg(ck) -> math.floor(o._3 * 100 + 0.5).toLong)
+    }.groupBy(_._1).map { case (sg, rows) =>
+      sg -> ((rows.length.toLong, rows.map(_._2).sum))
+    }
+    val got = Relational.lateralTopOrders(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    // the LIMIT inside the lateral is live: some customer has >2 orders
+    assert(orders.groupBy(_._1).exists(_._2.length > 2))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -308,6 +308,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort [draw"), s"global sort on the draw crept in:\n$p")
   }
 
+  test("e14: the three stacked funnel windows share one user_id exchange, no join") {
+    val df = Events.multiStepFunnel(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("Join"),
+      "the ordered chain must come from stacked windows, not per-step joins")
+    // exchanges: ONE user_id hash partitioning feeds all three Window
+    // ops and the per-user aggregate (Catalyst reuses it); the final
+    // global aggregate adds its single-partition exchange
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length >= 1)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"the funnel must not re-shuffle between steps:\n$p")
+  }
+
+  test("t17: the bigram scoring path is broadcast-fed — no join, no explode") {
+    val df = TextAnalysis.bigramCrossEntropy(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    // the model tables arrive as broadcast one-row maps; the scoring
+    // scan probes them in-row. (The count-build passes behind the
+    // localCheckpoints have their own plans — this is the judged
+    // scoring query's plan.)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "model maps must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join may touch the corpus scoring path:\n$p")
+    assert(!p.contains("Generate"),
+      s"scoring must stay in-row — no (doc, token) explode:\n$p")
+  }
+
+  test("d19: the containment verify threshold is integer arithmetic; no forced hints") {
+    val df = Dedup.containmentPairs(spark, sf0001)
+    df.collect()
+    // no hint anywhere: the shingle-frequency join and the prefix ⋈
+    // full candidate join are both corpus-proportional — a forced
+    // broadcast on either would OOM at exactly the scale the prefix
+    // filter exists for; AQE picks BHJ at gate SF from real sizes
+    val hints = "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
+    assert(hints == 0, s"d19 must carry no forced broadcast hints, found $hints")
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("SortMergeJoin"), s"d19 plan regressed to SMJ:\n$p")
+  }
+
   test("no query in the registry plans a CartesianProduct or a SortMergeJoin") {
     // the global gate behind the per-query ones above: every join in
     // the full query registry broadcasts (or is a broadcast nested
