@@ -1130,6 +1130,10 @@ object Multimodal {
       new String(b, 0, 4, "US-ASCII") == "RIFF" &&
       new String(b, 8, 4, "US-ASCII") == "AVI ",
       s"media $mediaId: not a RIFF/AVI header")
+    // the declared RIFF size must cover the blob: without this a
+    // truncated file whose hdrl LIST survived would parse "cleanly"
+    require(u32le(b, 4) == b.length - 8,
+      s"media $mediaId: RIFF size ${u32le(b, 4)} != blob ${b.length} - 8")
     var res: Option[(Int, Int, Long)] = None
     def walk(from: Int, to: Int): Unit = {
       var i = from

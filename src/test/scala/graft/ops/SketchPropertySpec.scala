@@ -68,6 +68,34 @@ class SketchPropertySpec extends SparkSpec {
     assert(Multimodal.parsePngMeta(0L, blob) == clean)
   }
 
+  test("every proper prefix of every m13 blob format is rejected, none parses silently") {
+    // the truncation property behind the mixed ingest gate: JPEG needs
+    // its EOI terminal and in-bounds segments; BMP/WAV/AVI declare
+    // their total size up front and the walks check it — so EVERY
+    // proper prefix of a valid blob must throw. A prefix that parses
+    // silently would let a torn object-store read through the gate.
+    import org.apache.spark.sql.functions.col
+    def allPrefixesReject(name: String, blob: Array[Byte],
+        parse: Array[Byte] => Any): Unit = {
+      (1 until blob.length).foreach { n =>
+        val failed =
+          try { parse(blob.take(n)); false }
+          catch { case _: Throwable => true }
+        assert(failed, s"$name: prefix of $n/${blob.length} bytes parsed")
+      }
+      parse(blob) // and the full blob still parses
+    }
+    val jpg = Multimodal.jpegTable(spark, sf0001).head().blob
+    allPrefixesReject("jpg", jpg, b => Multimodal.parseJpegMeta(0L, b))
+    val bmp = Multimodal.imageTable(spark, sf0001)
+      .filter(col("fmt") === "bmp").head().blob
+    allPrefixesReject("bmp", bmp, b => Multimodal.parseBmpMeta(0L, b))
+    val wav = Multimodal.audioTable(spark, sf0001).head().blob
+    allPrefixesReject("wav", wav, b => Multimodal.parseWavMeta(0L, b))
+    val avi = Multimodal.aviTable(spark, sf0001).head().blob
+    allPrefixesReject("avi-header", avi, b => Multimodal.parseAviHeader(0L, b))
+  }
+
   test("exceptAll/intersectAll obey the multiset algebra on arbitrary bags") {
     val s = spark
     import s.implicits._
