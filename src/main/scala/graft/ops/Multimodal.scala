@@ -1174,33 +1174,44 @@ object Multimodal {
     * Scale design: one narrow mapPartitions scan per source corpus
     * (codec-free walks, a few ints out per blob), one |formats|-row
     * aggregate — the [[pngMetadata]] shape over a union. */
+  /** The per-blob dispatch-and-walk record: detected format, declared-
+    * mismatch flag, geometry, frames. ONE definition shared by the
+    * batch gate and [[graft.streaming.Streams.ingestGateStream]] so
+    * the two paths cannot desynchronize (the cmsStream discipline). */
+  private[graft] def ingestRecord(
+      m: ImageBlob): (String, Long, Long, Long, Long) = {
+    val fmt = detectFormat(m.blob)
+    val (w, h, frames) = fmt match {
+      case "png" =>
+        val p = parsePngMeta(m.media_id, m.blob); (p._1, p._2, 1L)
+      case "bmp" =>
+        val p = parseBmpMeta(m.media_id, m.blob); (p._1, p._2, 1L)
+      case "jpg" =>
+        val p = parseJpegMeta(m.media_id, m.blob); (p._1, p._2, 1L)
+      case "wav" =>
+        val p = parseWavMeta(m.media_id, m.blob); (0, 0, p._4)
+      case "avi" =>
+        val p = parseAviHeader(m.media_id, m.blob); (p._1, p._2, p._3)
+      case other => sys.error(s"media ${m.media_id}: undispatchable $other")
+    }
+    (fmt, if (fmt == m.fmt) 0L else 1L, w.toLong, h.toLong, frames)
+  }
+
+  /** The per-format reduction over [[ingestRecord]] rows — shared by
+    * the batch and streaming gates (as a running aggregation its
+    * state is bounded at |formats| rows by construction). */
+  private[graft] def ingestAgg(records: DataFrame): DataFrame =
+    records.groupBy("fmt")
+      .agg(count(lit(1)).as("n"), sum("mismatch").as("n_mismatch"),
+        sum("w").as("sum_width"), sum("h").as("sum_height"),
+        sum("frames").as("sum_frames"))
+
   def mixedIngestGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = imageTable(s, dir).union(jpegTable(s, dir))
       .union(audioTable(s, dir)).union(aviTable(s, dir))
-    all.mapPartitions { batch =>
-      batch.map { m =>
-        val fmt = detectFormat(m.blob)
-        val (w, h, frames) = fmt match {
-          case "png" =>
-            val p = parsePngMeta(m.media_id, m.blob); (p._1, p._2, 1L)
-          case "bmp" =>
-            val p = parseBmpMeta(m.media_id, m.blob); (p._1, p._2, 1L)
-          case "jpg" =>
-            val p = parseJpegMeta(m.media_id, m.blob); (p._1, p._2, 1L)
-          case "wav" =>
-            val p = parseWavMeta(m.media_id, m.blob); (0, 0, p._4)
-          case "avi" =>
-            val p = parseAviHeader(m.media_id, m.blob); (p._1, p._2, p._3)
-          case other => sys.error(s"media ${m.media_id}: undispatchable $other")
-        }
-        (fmt, if (fmt == m.fmt) 0L else 1L, w.toLong, h.toLong, frames)
-      }
-    }.toDF("fmt", "mismatch", "w", "h", "frames")
-      .groupBy("fmt")
-      .agg(count(lit(1)).as("n"), sum("mismatch").as("n_mismatch"),
-        sum("w").as("sum_width"), sum("h").as("sum_height"),
-        sum("frames").as("sum_frames"))
+    ingestAgg(all.mapPartitions(_.map(ingestRecord))
+        .toDF("fmt", "mismatch", "w", "h", "frames"))
       .orderBy("fmt")
   }
 }

@@ -37,6 +37,25 @@ object Streams {
     * after any prefix equals the batch sketch of the same documents —
     * StreamsSpec certifies stream ≡ batch across micro-batches. Run
     * with Update/Complete output (running totals). */
+  /** Streaming mixed-format ingest gate (the m13 contract,
+    * incremental): every arriving blob dispatches on its MAGIC BYTES
+    * and validates through the same header walk as the batch gate —
+    * [[graft.ops.Multimodal.ingestRecord]] is ONE shared definition,
+    * so a malformed object dies in the stream exactly where it would
+    * die in the batch pass — and the per-format report is a running
+    * aggregation whose state is bounded at |formats| rows BY
+    * CONSTRUCTION (the cmsStream argument: no watermark or eviction
+    * needed, the group key domain is finite). At 100 TB/day ingest
+    * this is the gate shape: per-blob work is a header walk (no
+    * decode), state never grows with volume. */
+  def ingestGateStream(spark: SparkSession,
+      blobs: org.apache.spark.sql.Dataset[graft.ops.Multimodal.ImageBlob]): DataFrame = {
+    import spark.implicits._
+    graft.ops.Multimodal.ingestAgg(
+      blobs.map(graft.ops.Multimodal.ingestRecord)
+        .toDF("fmt", "mismatch", "w", "h", "frames"))
+  }
+
   def cmsStream(docs: DataFrame, depth: Int = 2, width: Int = 32): DataFrame =
     graft.ops.TextAnalysis.cmsTable(
       docs.select(explode(split(trim(col("text")), "\\s+")).as("tok"))

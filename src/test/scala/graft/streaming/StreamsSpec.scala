@@ -173,6 +173,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestGateStream: the running gate equals the batch gate over the same blobs") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.ops.Multimodal
+    // a real mixed sample: two image docs (png+bmp via the %4 split),
+    // their jpeg re-encodes, a wav and an avi
+    val imgs = Multimodal.imageTable(s, sf0001).take(4)
+    val jpgs = Multimodal.jpegTable(s, sf0001).take(2)
+    val wavs = Multimodal.audioTable(s, sf0001).take(2)
+    val avis = Multimodal.aviTable(s, sf0001).take(2)
+    val mem = MemoryStream[Multimodal.ImageBlob]
+    val q = Streams.ingestGateStream(s, mem.toDS())
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode("complete").start()
+    try {
+      mem.addData(imgs.toSeq: _*)
+      q.processAllAvailable()
+      // cross-batch accumulation: the second batch ADDS to the counts
+      mem.addData((jpgs ++ wavs ++ avis).toSeq: _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT * FROM ingest").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val all = (imgs ++ jpgs ++ wavs ++ avis).toSeq
+      val batch = Multimodal.ingestAgg(
+        all.map(Multimodal.ingestRecord)
+          .toDF("fmt", "mismatch", "w", "h", "frames"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got == batch)
+      // state bounded by construction: one row per detected format
+      assert(got.size <= 5)
+      assert(got.keySet.intersect(Set("wav", "avi", "jpg")).size == 3)
+      assert(got.values.forall(_._2 == 0L)) // no declared/magic mismatch
+    } finally q.stop()
+  }
+
   test("enrichedStream joins a static dim per batch without streaming state") {
     val s = spark
     import s.implicits._
