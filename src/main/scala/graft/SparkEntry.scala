@@ -163,6 +163,7 @@ object SparkEntry {
     "s12_rerank_topk" -> ((s: SparkSession, dir: String) => Similarity.rerankTopK(s, dir)),
     "s17_nprobe_recall" -> ((s: SparkSession, dir: String) => Similarity.nprobeRecallCurve(s, dir)),
     "s18_ivfpq_topk" -> ((s: SparkSession, dir: String) => Similarity.ivfPqTopK(s, dir)),
+    "s19_quant_recall" -> ((s: SparkSession, dir: String) => Similarity.quantRecallAudit(s, dir)),
     // s11 reads the PERSISTED index layout (built once in Verify/Bench
     // setup via ensureIvfIndex — the call here is an idempotent no-op
     // when the index exists); results are identical to s05 by
@@ -645,6 +646,170 @@ object SparkEntry {
        FROM fr f JOIN px ON px.doc_id = f.doc_id AND px.frame_no = f.frame_no
        ORDER BY media_id, frame_no"""
 
+  /** The s01_brute_topk oracle text, hoisted so the s19 recall audit can
+    * compose it as a subquery. */
+  private val s01Sql: String =
+    """WITH q AS (
+           SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id < 10),
+         s AS (
+           SELECT q_id, vec_id AS c_id,
+             floor(list_cosine_similarity(q_emb, CAST(embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS sim
+           FROM embeddings, q WHERE vec_id <> q_id),
+         r AS (
+           SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+           FROM s)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** The s08_sq_topk oracle text, hoisted so the s19 recall audit can
+    * compose it as a subquery. */
+  private val s08Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         dims AS (SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+           FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i) GROUP BY i),
+         params AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+           FROM dims),
+         dq AS (SELECT vec_id,
+             list_transform(range(1, len(emb) + 1), i ->
+               CASE WHEN maxs[i] = mins[i] THEN mins[i]
+                 ELSE mins[i] + floor((emb[i] - mins[i]) / (maxs[i] - mins[i]) * 254 + 0.5)
+                   * (maxs[i] - mins[i]) / 254 END) AS dq
+           FROM e, params),
+         q AS (SELECT vec_id AS q_id, dq AS q_dq FROM dq WHERE vec_id < 10),
+         sc AS (SELECT q_id, vec_id AS c_id,
+             floor(list_cosine_similarity(q_dq, dq) * 10000 + 0.5) / 10000 AS sim
+           FROM dq, q WHERE vec_id <> q_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** The s09_pq_topk oracle text, hoisted so the s19 recall audit can
+    * compose it as a subquery. */
+  private val s09Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cb AS (SELECT j, vec_id - 100 AS c, list_slice(emb, j*8 + 1, j*8 + 8) AS cw
+           FROM e, UNNEST(range(0, 8)) AS t(j)
+           WHERE vec_id >= 100 AND vec_id < 116),
+         cbn AS (SELECT j, c, cw,
+             list_sum(list_transform(cw, x -> x * x)) AS norm2 FROM cb),
+         sub AS (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
+           FROM e, UNNEST(range(0, 8)) AS t(j)),
+         dmat AS (SELECT vec_id, j, c, norm2,
+             floor(list_sum(list_transform(range(1, 9),
+               i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 10000 + 0.5) / 10000 AS dr
+           FROM sub JOIN cbn USING (j)),
+         enc AS (SELECT vec_id, j, c AS code, norm2 FROM (
+             SELECT vec_id, j, c, norm2,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dr, c) AS rn
+             FROM dmat) WHERE rn = 1),
+         vn AS (SELECT vec_id, list_sum(list(norm2 ORDER BY j)) AS vnorm2
+           FROM enc GROUP BY vec_id),
+         qnorm AS (SELECT vec_id AS q_id,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn
+           FROM e WHERE vec_id < 10),
+         qd AS (SELECT qs.vec_id AS q_id, qs.j, cbn.c,
+             list_sum(list_transform(range(1, 9), i -> sv[i] * cw[i])) AS dq
+           FROM (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
+                 FROM e, UNNEST(range(0, 8)) AS t(j) WHERE vec_id < 10) qs
+           JOIN cbn USING (j)),
+         sc AS (SELECT qd.q_id, enc.vec_id AS c_id,
+             list_sum(list(dq ORDER BY qd.j)) AS sumdot
+           FROM enc JOIN qd ON enc.j = qd.j AND enc.code = qd.c
+           WHERE qd.q_id <> enc.vec_id
+           GROUP BY qd.q_id, enc.vec_id),
+         sim AS (SELECT sc.q_id, c_id,
+             floor(sumdot / (qnorm.qn * sqrt(vn.vnorm2)) * 10000 + 0.5) / 10000 AS sim
+           FROM sc JOIN qnorm ON qnorm.q_id = sc.q_id
+           JOIN vn ON vn.vec_id = sc.c_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+           FROM sim)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** The s18_ivfpq_topk oracle text, hoisted so the s19 recall audit can
+    * compose it as a subquery. */
+  private val s18Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < 132),
+         ac AS (SELECT a.vec_id AS c_id, cent_id,
+             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e a, cent),
+         assign AS (SELECT c_id, cent_id AS cell FROM (
+           SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         qc AS (SELECT q.vec_id AS q_id, cent_id,
+             floor(list_cosine_similarity(q.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, cent WHERE q.vec_id < 10),
+         probes AS (SELECT q_id, cent_id AS cell FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM qc) WHERE rn <= 4),
+         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
+         cb AS (SELECT j, vec_id - 100 AS c, list_slice(emb, j*8 + 1, j*8 + 8) AS cw
+           FROM e, UNNEST(range(0, 8)) AS t(j)
+           WHERE vec_id >= 100 AND vec_id < 116),
+         cbn AS (SELECT j, c, cw,
+             list_sum(list_transform(cw, x -> x * x)) AS norm2 FROM cb),
+         sub AS (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
+           FROM e, UNNEST(range(0, 8)) AS t(j)),
+         dmat AS (SELECT vec_id, j, c, norm2,
+             floor(list_sum(list_transform(range(1, 9),
+               i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 10000 + 0.5) / 10000 AS dr
+           FROM sub JOIN cbn USING (j)),
+         enc AS (SELECT vec_id, j, c AS code, norm2 FROM (
+             SELECT vec_id, j, c, norm2,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dr, c) AS rn
+             FROM dmat) WHERE rn = 1),
+         vn AS (SELECT vec_id, list_sum(list(norm2 ORDER BY j)) AS vnorm2
+           FROM enc GROUP BY vec_id),
+         qnorm AS (SELECT vec_id AS q_id,
+             sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn
+           FROM e WHERE vec_id < 10),
+         qd AS (SELECT qs.vec_id AS q_id, qs.j, cbn.c,
+             list_sum(list_transform(range(1, 9), i -> sv[i] * cw[i])) AS dq
+           FROM (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
+                 FROM e, UNNEST(range(0, 8)) AS t(j) WHERE vec_id < 10) qs
+           JOIN cbn USING (j)),
+         sc AS (SELECT qd.q_id, enc.vec_id AS c_id,
+             list_sum(list(dq ORDER BY qd.j)) AS sumdot
+           FROM enc JOIN qd ON enc.j = qd.j AND enc.code = qd.c
+           JOIN cand ON cand.q_id = qd.q_id AND cand.c_id = enc.vec_id
+           GROUP BY qd.q_id, enc.vec_id),
+         sim AS (SELECT sc.q_id, c_id,
+             floor(sumdot / (qnorm.qn * sqrt(vn.vnorm2)) * 10000 + 0.5) / 10000 AS sim
+           FROM sc JOIN qnorm ON qnorm.q_id = sc.q_id
+           JOIN vn ON vn.vec_id = sc.c_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+           FROM sim)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** The s19 oracle: each compressed ranking recomputed END TO END
+    * (the hoisted s08/s09/s18 texts as subqueries) and intersected
+    * with the s01 brute-force truth — one hash pins the recall of
+    * the whole production-ANN family. The VALUES + LEFT JOIN keeps a
+    * zero-hit method visible as an explicit 0 row (matching Spark's
+    * always-3-rows union of global aggregates). */
+  private val s19Sql: String =
+    s"""WITH truth AS (SELECT q_id, c_id FROM ($s01Sql)),
+       mm AS (
+         SELECT 's08_sq' AS method, q_id, c_id FROM ($s08Sql)
+         UNION ALL SELECT 's09_pq', q_id, c_id FROM ($s09Sql)
+         UNION ALL SELECT 's18_ivfpq', q_id, c_id FROM ($s18Sql)),
+       h AS (SELECT method, count(*) AS hits
+         FROM mm JOIN truth USING (q_id, c_id) GROUP BY 1),
+       ml AS (SELECT * FROM (VALUES ('s08_sq'), ('s09_pq'), ('s18_ivfpq'))
+         AS t(method)),
+       tt AS (SELECT count(*) AS n_truth FROM truth)
+       SELECT ml.method, CAST(coalesce(hits, 0) AS BIGINT) AS n_hits,
+         CAST(n_truth AS BIGINT) AS n_truth,
+         CAST(coalesce(hits, 0) * 1000 // n_truth AS BIGINT) AS recall_milli
+       FROM ml LEFT JOIN h USING (method) CROSS JOIN tt
+       ORDER BY ml.method"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (weaker rows-only check):
     * d05/q24 (hash-sketch internals whose CLAIMS are oracled via the
@@ -657,6 +822,8 @@ object SparkEntry {
     // s17: the nprobe cost/recall table — seeded-IVF replay with the
     // probe rank carried, s01 truth, integer recall per depth
     "s17_nprobe_recall" -> s17OracleSql(nprobes = Seq(1, 2, 4, 8)),
+    // s19: the composed end-to-end recall audit (see s19Sql scaladoc)
+    "s19_quant_recall" -> s19Sql,
     // t15: the count-min sketch replayed bit-for-bit (md5-derived
     // buckets, depth 2 × width 32) against the exact wordcount — the
     // hash certifies the one-sided error: est ≥ exact for every
@@ -731,63 +898,7 @@ object SparkEntry {
     // composed with s09's certified codebook/encode/ADC replication,
     // the scoring restricted to the probed candidates; one hash pins
     // the whole production-ANN pipeline
-    "s18_ivfpq_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
-           WHERE vec_id >= 100 AND vec_id < 132),
-         ac AS (SELECT a.vec_id AS c_id, cent_id,
-             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
-           FROM e a, cent),
-         assign AS (SELECT c_id, cent_id AS cell FROM (
-           SELECT c_id, cent_id,
-             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
-           FROM ac) WHERE rn = 1),
-         qc AS (SELECT q.vec_id AS q_id, cent_id,
-             floor(list_cosine_similarity(q.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
-           FROM e q, cent WHERE q.vec_id < 10),
-         probes AS (SELECT q_id, cent_id AS cell FROM (
-           SELECT q_id, cent_id,
-             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
-           FROM qc) WHERE rn <= 4),
-         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
-         cb AS (SELECT j, vec_id - 100 AS c, list_slice(emb, j*8 + 1, j*8 + 8) AS cw
-           FROM e, UNNEST(range(0, 8)) AS t(j)
-           WHERE vec_id >= 100 AND vec_id < 116),
-         cbn AS (SELECT j, c, cw,
-             list_sum(list_transform(cw, x -> x * x)) AS norm2 FROM cb),
-         sub AS (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
-           FROM e, UNNEST(range(0, 8)) AS t(j)),
-         dmat AS (SELECT vec_id, j, c, norm2,
-             floor(list_sum(list_transform(range(1, 9),
-               i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 10000 + 0.5) / 10000 AS dr
-           FROM sub JOIN cbn USING (j)),
-         enc AS (SELECT vec_id, j, c AS code, norm2 FROM (
-             SELECT vec_id, j, c, norm2,
-               row_number() OVER (PARTITION BY vec_id, j ORDER BY dr, c) AS rn
-             FROM dmat) WHERE rn = 1),
-         vn AS (SELECT vec_id, list_sum(list(norm2 ORDER BY j)) AS vnorm2
-           FROM enc GROUP BY vec_id),
-         qnorm AS (SELECT vec_id AS q_id,
-             sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn
-           FROM e WHERE vec_id < 10),
-         qd AS (SELECT qs.vec_id AS q_id, qs.j, cbn.c,
-             list_sum(list_transform(range(1, 9), i -> sv[i] * cw[i])) AS dq
-           FROM (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
-                 FROM e, UNNEST(range(0, 8)) AS t(j) WHERE vec_id < 10) qs
-           JOIN cbn USING (j)),
-         sc AS (SELECT qd.q_id, enc.vec_id AS c_id,
-             list_sum(list(dq ORDER BY qd.j)) AS sumdot
-           FROM enc JOIN qd ON enc.j = qd.j AND enc.code = qd.c
-           JOIN cand ON cand.q_id = qd.q_id AND cand.c_id = enc.vec_id
-           GROUP BY qd.q_id, enc.vec_id),
-         sim AS (SELECT sc.q_id, c_id,
-             floor(sumdot / (qnorm.qn * sqrt(vn.vnorm2)) * 10000 + 0.5) / 10000 AS sim
-           FROM sc JOIN qnorm ON qnorm.q_id = sc.q_id
-           JOIN vn ON vn.vec_id = sc.c_id),
-         r AS (SELECT q_id, c_id, sim,
-           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
-           FROM sim)
-         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "s18_ivfpq_topk" -> s18Sql,
     // m11: PNG IHDR fields re-derived from the fixture formula the
     // chunk parser never sees — certifies signature walk + header
     // parse against the JDK encoder's real output (CRC/chunk-count
@@ -2504,25 +2615,7 @@ object SparkEntry {
     // the oracle replicates the whole quantize → dequantize → rank
     // path and the hash-match certifies it bit-for-bit — approximation
     // lives in the ALGORITHM, not the engines (the s05 pattern).
-    "s08_sq_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         dims AS (SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
-           FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i) GROUP BY i),
-         params AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
-           FROM dims),
-         dq AS (SELECT vec_id,
-             list_transform(range(1, len(emb) + 1), i ->
-               CASE WHEN maxs[i] = mins[i] THEN mins[i]
-                 ELSE mins[i] + floor((emb[i] - mins[i]) / (maxs[i] - mins[i]) * 254 + 0.5)
-                   * (maxs[i] - mins[i]) / 254 END) AS dq
-           FROM e, params),
-         q AS (SELECT vec_id AS q_id, dq AS q_dq FROM dq WHERE vec_id < 10),
-         sc AS (SELECT q_id, vec_id AS c_id,
-             floor(list_cosine_similarity(q_dq, dq) * 10000 + 0.5) / 10000 AS sim
-           FROM dq, q WHERE vec_id <> q_id),
-         r AS (SELECT q_id, c_id, sim,
-           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
-         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "s08_sq_topk" -> s08Sql,
     // s12: the oracle replays BOTH stages — s08's quantized ranking cut
     // at k·expand = 20 (identical tie contract: sim desc, c_id), then
     // exact cosine over those candidates only, re-ranked to 5. A
@@ -2579,59 +2672,8 @@ object SparkEntry {
     // codebooks, r4-pinned argmin encode, j-ordered ADC folds), so the
     // oracle replays codebook → encode → ADC → rank and the hash-match
     // certifies the whole compressed-search path (the s05/s08 pattern).
-    "s09_pq_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         cb AS (SELECT j, vec_id - 100 AS c, list_slice(emb, j*8 + 1, j*8 + 8) AS cw
-           FROM e, UNNEST(range(0, 8)) AS t(j)
-           WHERE vec_id >= 100 AND vec_id < 116),
-         cbn AS (SELECT j, c, cw,
-             list_sum(list_transform(cw, x -> x * x)) AS norm2 FROM cb),
-         sub AS (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
-           FROM e, UNNEST(range(0, 8)) AS t(j)),
-         dmat AS (SELECT vec_id, j, c, norm2,
-             floor(list_sum(list_transform(range(1, 9),
-               i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 10000 + 0.5) / 10000 AS dr
-           FROM sub JOIN cbn USING (j)),
-         enc AS (SELECT vec_id, j, c AS code, norm2 FROM (
-             SELECT vec_id, j, c, norm2,
-               row_number() OVER (PARTITION BY vec_id, j ORDER BY dr, c) AS rn
-             FROM dmat) WHERE rn = 1),
-         vn AS (SELECT vec_id, list_sum(list(norm2 ORDER BY j)) AS vnorm2
-           FROM enc GROUP BY vec_id),
-         qnorm AS (SELECT vec_id AS q_id,
-             sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn
-           FROM e WHERE vec_id < 10),
-         qd AS (SELECT qs.vec_id AS q_id, qs.j, cbn.c,
-             list_sum(list_transform(range(1, 9), i -> sv[i] * cw[i])) AS dq
-           FROM (SELECT vec_id, j, list_slice(emb, j*8 + 1, j*8 + 8) AS sv
-                 FROM e, UNNEST(range(0, 8)) AS t(j) WHERE vec_id < 10) qs
-           JOIN cbn USING (j)),
-         sc AS (SELECT qd.q_id, enc.vec_id AS c_id,
-             list_sum(list(dq ORDER BY qd.j)) AS sumdot
-           FROM enc JOIN qd ON enc.j = qd.j AND enc.code = qd.c
-           WHERE qd.q_id <> enc.vec_id
-           GROUP BY qd.q_id, enc.vec_id),
-         sim AS (SELECT sc.q_id, c_id,
-             floor(sumdot / (qnorm.qn * sqrt(vn.vnorm2)) * 10000 + 0.5) / 10000 AS sim
-           FROM sc JOIN qnorm ON qnorm.q_id = sc.q_id
-           JOIN vn ON vn.vec_id = sc.c_id),
-         r AS (SELECT q_id, c_id, sim,
-           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
-           FROM sim)
-         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
-    "s01_brute_topk" ->
-      """WITH q AS (
-           SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
-           FROM embeddings WHERE vec_id < 10),
-         s AS (
-           SELECT q_id, vec_id AS c_id,
-             floor(list_cosine_similarity(q_emb, CAST(embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS sim
-           FROM embeddings, q WHERE vec_id <> q_id),
-         r AS (
-           SELECT q_id, c_id, sim,
-             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
-           FROM s)
-         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "s09_pq_topk" -> s09Sql,
+    "s01_brute_topk" -> s01Sql,
     // s04 = s01's semantics on the native-expression + bounded-heap
     // path; identical results, identical oracle
     "s04_native_topk" ->

@@ -1311,4 +1311,42 @@ object Similarity {
       .withColumn("recall_milli", expr("n_hits * 1000 div n_truth"))
       .orderBy("nprobe")
   }
+
+  /** Compression recall audit (s19) — the s17 measured-advisory
+    * pattern applied across the QUANTIZATION axis instead of the
+    * probe-depth axis: how much top-k recall does each compressed
+    * ranking (int8 scalar quantization s08, product quantization s09,
+    * IVF-PQ s18) give up against the exact brute-force truth, on the
+    * same queries, in one table. This is the accuracy half of the
+    * accuracy/compression trade the ANN ladder's scaladocs argue;
+    * here it is measured, every gate run, and hash-certified — the
+    * DuckDB oracle recomputes each method END TO END (the hoisted
+    * s08/s09/s18 oracle texts composed as subqueries against the s01
+    * truth), so the recall figures pin the entire production-ANN
+    * pipeline family at once.
+    *
+    * Scale design: each member pipeline keeps its own certified scale
+    * shape (broadcast codebooks/params, corpus never shuffled, bounded-
+    * heap ranking); the audit adds only k·nQueries-row joins against
+    * the truth set. Advisory cost = the sum of its members — linear
+    * path throughout, unlike the declared-quadratic d03/d13
+    * validators. */
+  def quantRecallAudit(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val truth = nativeTopK(s, dir, nQueries, k)
+      .select("q_id", "c_id").localCheckpoint()
+    val methods = Seq(
+      "s08_sq" -> sqTopK(s, dir, nQueries, k),
+      "s09_pq" -> pqTopK(s, dir, nQueries, k),
+      "s18_ivfpq" -> ivfPqTopK(s, dir, nQueries, k))
+    val per = methods.map { case (name, df) =>
+      df.select("q_id", "c_id").join(truth, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_hits"))
+    }.reduce(_ union _)
+    per
+      .crossJoin(broadcast(truth.groupBy().agg(count(lit(1)).as("n_truth"))))
+      .withColumn("recall_milli", expr("n_hits * 1000 div n_truth"))
+      .orderBy("method")
+  }
 }

@@ -2547,6 +2547,30 @@ class OpsSpec extends SparkSpec {
     assert(orders.groupBy(_._1).exists(_._2.length > 2))
   }
 
+  test("s19: each audit row equals the standalone method's measured recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.nativeTopK(spark, sf0001))
+    val standalone = Map(
+      "s08_sq" -> pairs(Similarity.sqTopK(spark, sf0001)),
+      "s09_pq" -> pairs(Similarity.pqTopK(spark, sf0001)),
+      "s18_ivfpq" -> pairs(Similarity.ivfPqTopK(spark, sf0001)))
+    val got = Similarity.quantRecallAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == standalone.keySet)
+    got.foreach { case (m, (hits, nTruth, milli)) =>
+      assert(nTruth == truth.size.toLong, m)
+      assert(hits == (standalone(m) & truth).size.toLong, m)
+      assert(milli == hits * 1000 / nTruth, m)
+    }
+    // the audit is informative: some compression actually loses recall
+    // AND some method is near-exact — the trade is measured, not flat
+    assert(got.values.map(_._1).toSet.size > 1 ||
+      got.values.exists(_._3 < 1000L))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
