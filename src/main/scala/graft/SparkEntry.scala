@@ -63,6 +63,7 @@ object SparkEntry {
     "q40_mode_median" -> (Relational.modeAndMedian _),
     "q41_rank_dist" -> (Relational.rankDistributions _),
     "q42_lateral" -> (Relational.lateralTopOrders _),
+    "q43_recursive" -> (Relational.recursiveReach _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -1461,6 +1462,9 @@ object SparkEntry {
     // q42: the q33/q38 pattern — the oracle IS the Spark-side SQL
     // text (correlated LATERAL with LIMIT, integer cents)
     "q42_lateral" -> graft.ops.Relational.lateralTop2Sql,
+    // q43: same pattern — ONE recursive-CTE text (UNION ALL + depth
+    // bound, the Spark 4 recursion subset both engines run)
+    "q43_recursive" -> graft.ops.Relational.recursiveReachSql,
     // q41: percent_rank/cume_dist — exact rationals of integers
     // under a total tie-break; the top-10 cut mirrors the Spark limit
     "q41_rank_dist" ->

@@ -153,6 +153,46 @@ object Relational {
   def lateralTopOrders(s: SparkSession, dir: String): DataFrame =
     sqlViaViews(s, dir, lateralTop2Sql)
 
+  /** q43: a RECURSIVE CTE, run as ONE SQL text on both engines — the
+    * fourth portability anchor (q33 joins, q38 correlated scalar,
+    * q42 LATERAL), exercising the iterative-query class Spark added
+    * in 4.0: bounded-hop reachability over the co-purchase graph
+    * (parts sharing an order in a 1-in-50 order slice), counting the
+    * distinct parts each seed reaches within 3 hops. Spark restricts
+    * recursive CTEs to UNION ALL, so termination comes from the
+    * explicit depth counter (a monotone bound both engines enforce
+    * identically), and the semantics are the well-defined "k-hop
+    * neighborhood size" — no fixpoint/convergence claim; the
+    * d07-style full closure stays with the DataFrame pointer-doubling
+    * operator, which needs O(log d) rounds where depth-k recursion
+    * pays O(k) joins. Counts of distinct BIGINTs — nothing floating.
+    * At scale each recursion step is one equi-join of the frontier
+    * against the edge slice (broadcast at gate SF, shuffle beyond)
+    * and the frontier is bounded by seeds × degree^k — the classic
+    * bounded-radius graph query, not a full traversal. */
+  val recursiveReachSql: String =
+    """WITH RECURSIVE
+       e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey
+              WHERE a.l_orderkey % 50 = 0),
+       e AS (SELECT DISTINCT pa, pb FROM e0),
+       r AS (SELECT CAST(p_partkey AS BIGINT) AS seed,
+                    CAST(p_partkey AS BIGINT) AS node, 0 AS depth
+             FROM part WHERE p_partkey < 10
+             UNION ALL
+             SELECT r.seed, e.pb, r.depth + 1
+             FROM r JOIN e ON r.node = e.pa
+             WHERE r.depth < 3)
+       SELECT seed, count(DISTINCT node) AS n_reach
+       FROM r GROUP BY seed ORDER BY seed"""
+
+  /** Runs [[recursiveReachSql]] through the shared registered-views
+    * SQL door. */
+  def recursiveReach(s: SparkSession, dir: String): DataFrame =
+    sqlViaViews(s, dir, recursiveReachSql)
+
   /** Engine-independent rounding for QUOTIENT-derived doubles.
     *
     * Spark's `round` converts the double to its shortest decimal

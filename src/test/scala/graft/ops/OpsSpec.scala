@@ -2571,6 +2571,35 @@ class OpsSpec extends SparkSpec {
       got.values.exists(_._3 < 1000L))
   }
 
+  test("q43: recursive k-hop reach matches a plain-Scala BFS over the same slice") {
+    val li = Relational.t(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 50 == 0)
+    val edges: Set[(Long, Long)] = li.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ps: Seq[Long] = rows.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val adj: Map[Long, Set[Long]] =
+      edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seeds = Relational.t(spark, sf0001, "part")
+      .select("p_partkey").collect().map(_.getLong(0)).filter(_ < 10).sorted
+    def reach(seed: Long): Long = {
+      var frontier = Set(seed); var seen = Set(seed)
+      (1 to 3).foreach { _ =>
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        seen ++= frontier
+      }
+      seen.size.toLong
+    }
+    val expect = seeds.map(s => s -> reach(s)).toMap
+    val got = Relational.recursiveReach(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // the recursion is live: some seed reaches beyond itself
+    assert(got.values.exists(_ > 1L))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
