@@ -147,6 +147,7 @@ object SparkEntry {
     "d17_threshold_curve" -> ((s: SparkSession, dir: String) => Dedup.thresholdCurve(s, dir)),
     "c16_semantic_decontam" -> ((s: SparkSession, dir: String) => Curation.semanticDecontamStats(s, dir)),
     "c17_split_leakage" -> ((s: SparkSession, dir: String) => Curation.splitLeakageStats(s, dir)),
+    "c18_datasheet" -> (Curation.datasheet _),
     "d18_incr_semdedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalSemanticNearDups(s, dir)),
     "d19_containment" -> ((s: SparkSession, dir: String) => Dedup.containmentPairs(s, dir)),
     "s16_range_search" -> ((s: SparkSession, dir: String) => Similarity.rangeSearch(s, dir)),
@@ -2343,6 +2344,41 @@ object SparkEntry {
     // smallest md5(doc_id) values, so the hash certifies the exact
     // membership (and with it the cross-engine stability contract)
     // p05: quality-weighted draw — the oracle recomputes the t02
+    // c18: the datasheet — every figure recomputed with the SAME
+    // definitions its standalone queries certify (d01 fingerprint,
+    // d04 exact-ground-truth pairs via the shared shingle CTEs, t02
+    // quality in integer milli-units)
+    "c18_datasheet" ->
+      s"""WITH $shingleCtes,
+         qv AS (SELECT
+             floor(least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) *
+               (1.0 - floor(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x IN ('the', 'a'))) AS DOUBLE) /
+                 greatest(len(string_split_regex(trim(text), '\\s+')), 1) * 10000 + 0.5) / 10000)
+               * 10000 + 0.5) / 10000 AS q
+           FROM documents),
+         b AS (SELECT count(*) AS n_docs,
+             sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT source) AS n_sources,
+             count(*) - count(DISTINCT
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+               AS n_dup
+           FROM documents),
+         sq AS (SELECT sum(CAST(floor(q * 10000 + 0.5) AS BIGINT)) AS s
+           FROM qv)
+         SELECT * FROM (
+           SELECT 'mean_quality_milli' AS metric,
+             CAST(s * 1000 // (n_docs * 10000) AS BIGINT) AS value
+           FROM b CROSS JOIN sq
+           UNION ALL SELECT 'n_docs', CAST(n_docs AS BIGINT) FROM b
+           UNION ALL SELECT 'n_exact_dup_docs', CAST(n_dup AS BIGINT) FROM b
+           UNION ALL SELECT 'n_langs', CAST(n_langs AS BIGINT) FROM b
+           UNION ALL SELECT 'n_neardup_pairs',
+             (SELECT CAST(count(*) AS BIGINT) FROM ($exactJaccardSelect))
+           UNION ALL SELECT 'n_sources', CAST(n_sources AS BIGINT) FROM b
+           UNION ALL SELECT 'n_tokens', CAST(n_tokens AS BIGINT) FROM b)
+         ORDER BY metric""",
     // p09: systematic resampling multiplicities — LONG div/mod for
     // the base count, the Bernoulli residual accept as exact HUGEINT
     // products (d·W < rem·2³², the decimal(38,0) compare Spark-side)

@@ -822,4 +822,49 @@ object Curation {
         (count(lit(1)) - sum("flagged")).as("n_kept"))
       .orderBy("lang")
   }
+
+  /** Corpus datasheet (c18) — the dataset-card summary a corpus
+    * release ships (Gebru et al., "Datasheets for Datasets"), as one
+    * stacked (metric, value) report: size (docs/tokens), composition
+    * (langs/sources), hygiene (exact-dup docs, verified near-dup
+    * pairs) and a quality aggregate. The operator that turns the
+    * pipeline family's measurements into the single artifact a data
+    * consumer reads first; every figure is the SAME definition the
+    * standalone queries certify (fingerprint = d01's, near-dup pairs
+    * = d04's verified sketch, quality = t02's score), so the
+    * datasheet cannot drift from the operators it summarizes.
+    *
+    * Scale design: the base metrics are ONE scalar aggregation over a
+    * narrow scan (distinct-counts on lang/source/fingerprint — the
+    * fingerprint one shuffles 32-byte keys, the d01 discipline); the
+    * near-dup figure reuses the full d04 banded-LSH pipeline with its
+    * certified shape. All values are exact integers (quality mean in
+    * integer milli-units via LONG division — no float ever
+    * aggregates). */
+  def datasheet(s: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis.{tokenCount, qualityScore, fingerprint}
+    val qi = floor(qualityScore(col("text")) * lit(1e4) + lit(0.5))
+      .cast("long")
+    val base = t(s, dir, "documents")
+      .select(tokenCount(col("text")).cast("long").as("nt"),
+        col("lang"), col("source"), fingerprint(col("text")).as("fp"),
+        qi.as("qi"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        (count(lit(1)) - countDistinct("fp")).as("n_exact_dup_docs"),
+        sum("qi").as("sum_qi"))
+      .withColumn("mean_quality_milli",
+        expr("(sum_qi * 1000) div (n_docs * 10000)"))
+    val baseRows = base.selectExpr(
+      "stack(6, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+        "'n_langs', n_langs, 'n_sources', n_sources, " +
+        "'n_exact_dup_docs', n_exact_dup_docs, " +
+        "'mean_quality_milli', mean_quality_milli) AS (metric, value)")
+    val nearDups = Dedup.minhashLshPairs(s, dir)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("n_neardup_pairs").as("metric"), col("value"))
+    baseRows.unionByName(nearDups).orderBy("metric")
+  }
 }

@@ -2600,6 +2600,38 @@ class OpsSpec extends SparkSpec {
     assert(got.values.exists(_ > 1L))
   }
 
+  test("c18: datasheet metrics match plain-Scala recomputes and the standalone queries") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def toks(t: String) = t.trim.split("\\s+")
+    def qi(t: String): Long = {
+      val ws = toks(t)
+      val stop = math.floor(ws.count(w => w == "the" || w == "a").toDouble /
+        math.max(ws.length, 1) * 10000 + 0.5) / 10000
+      math.floor(math.floor(math.min(ws.length / 100.0, 1.0) * (1.0 - stop) *
+        10000 + 0.5) / 10000 * 10000 + 0.5).toLong
+    }
+    def fp(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val got = Curation.datasheet(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("n_docs") == docs.length.toLong)
+    assert(got("n_tokens") == docs.map(d => toks(d._4).length.toLong).sum)
+    assert(got("n_langs") == docs.map(_._2).distinct.length.toLong)
+    assert(got("n_sources") == docs.map(_._3).distinct.length.toLong)
+    assert(got("n_exact_dup_docs") ==
+      (docs.length - docs.map(d => fp(d._4)).distinct.length).toLong)
+    val sumQi = docs.map(d => qi(d._4)).sum
+    assert(got("mean_quality_milli") ==
+      sumQi * 1000 / (docs.length.toLong * 10000))
+    // the near-dup figure IS the d04 query's row count — no drift
+    assert(got("n_neardup_pairs") ==
+      Dedup.minhashLshPairs(spark, sf0001).count())
+    // near-dups are live even at sf0.001 (exact dups first appear at
+    // the sf0.01 gate corpus, where the oracle checks the figure)
+    assert(got("n_neardup_pairs") > 0L)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
