@@ -840,7 +840,8 @@ object Curation {
     * near-dup figure reuses the full d04 banded-LSH pipeline with its
     * certified shape. All values are exact integers (quality mean in
     * integer milli-units via LONG division — no float ever
-    * aggregates). */
+    * aggregates). Reference analog: the observe/report chains of
+    * streamable/stream.py:230-326, lifted to a corpus-level card. */
   def datasheet(s: SparkSession, dir: String): DataFrame = {
     import TextAnalysis.{tokenCount, qualityScore, fingerprint}
     val qi = floor(qualityScore(col("text")) * lit(1e4) + lit(0.5))

@@ -157,7 +157,9 @@ object Dedup {
     *
     * Cross-engine determinism: the threshold is integer-milli
     * (`inter·1000 ≥ τmilli·|X|` — longs both sides, no float
-    * boundary); reported scores re-derive r3 from exact longs. */
+    * boundary); reported scores re-derive r3 from exact longs.
+    * Reference analog: the distinct()-family dedup decision of
+    * streamable/stream.py:166-187, asymmetric-containment variant. */
   def containmentPairs(s: SparkSession, dir: String, n: Int = 5,
       threshold: Double = 0.7): DataFrame = {
     val thMilli = math.round(threshold * 1000)

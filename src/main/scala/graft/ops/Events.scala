@@ -383,7 +383,8 @@ object Events {
     * oracle formulates the same chain as three joins, certifying the
     * window form against the declarative one. Lags stay epoch-ms
     * LONGs until the single r2 division (e06's order-independent
-    * mean rule). */
+    * mean rule). Reference analog: the ordered pairwise chains of
+    * streamable's zip/group composition (stream.py:263-353). */
   def multiStepFunnel(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     val ms = unix_millis(col("ts"))
@@ -429,7 +430,8 @@ object Events {
     * score comparison is integer-vs-exact-quarter — no float
     * boundary. Bucket rule: score = 1 + Σ (v > q_i), higher = better
     * on all three axes (recency scored on the raw epoch, so "more
-    * recent" is already "larger"). */
+    * recent" is already "larger"). Reference analog: the group/agg
+    * chains of streamable/stream.py:230-326. */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     val per = events(s, dir)
       .filter(col("event_type") === "purchase")

@@ -786,7 +786,8 @@ object Relational {
     * corpus scale the same row-quantile question is answered by
     * `approx_percentile` cutpoints (q25b), this exact form is the
     * correctness anchor. The global top-10 plans as
-    * TakeOrderedAndProject (the p04 discipline). */
+    * TakeOrderedAndProject (the p04 discipline). Reference analog:
+    * the order-dependent chains of streamable/stream.py:263-353. */
   def rankDistributions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -809,7 +810,8 @@ object Relational {
     * both engines. Median is exact `percentile` (≡ DuckDB
     * `quantile_cont`; at 100 TB swap `approx_percentile` — the q25/
     * q25b pairing). The two per-flag frames are 3 rows each; AQE
-    * broadcasts their join unhinted. */
+    * broadcasts their join unhinted. Reference analog: the
+    * group/agg chains of streamable/stream.py:230-326. */
   def modeAndMedian(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val med = li.groupBy("l_returnflag")

@@ -1330,7 +1330,8 @@ object Similarity {
     * heap ranking); the audit adds only k·nQueries-row joins against
     * the truth set. Advisory cost = the sum of its members — linear
     * path throughout, unlike the declared-quadratic d03/d13
-    * validators. */
+    * validators. Reference analog: the group/agg chains of
+    * streamable/stream.py:230-326, specialized to recall accounting. */
   def quantRecallAudit(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5): DataFrame = {
     val truth = nativeTopK(s, dir, nQueries, k)
