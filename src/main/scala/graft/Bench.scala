@@ -149,6 +149,21 @@ object Bench {
       .map(k => totalLine(prioritized.take(k)))
       .find(_.length <= lineBudget)
       .getOrElse(totalLine(Seq.empty))
+    // The complete per-query map as a FILE artifact: the stdout tail
+    // window carries only ~59 of the timings (queries_omitted), so
+    // round-over-round regression analysis through BENCH_r*.json alone
+    // is blind to two-thirds of the registry. Every run writes the
+    // full registry map (plus spread/noisy context) to
+    // SPARK_GRAFT_FULL_OUT (default /tmp/graft_bench_full.json); the
+    // round-close solo run's copy is committed as BENCH_full_rNN.json
+    // so the next round diffs complete registries, not tail windows.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "/tmp/graft_bench_full.json")
+    val fullJson =
+      s"""{"schema":"graft-bench-full-v1","total":${r3(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"passes":$passes,"skipped":$skippedJson,"noisy":$noisyJson,"queries":$qs,"spread":$spreadJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-map write to $fullOut failed: $e") }
     // Output order is load-bearing: large diagnostic maps FIRST, the
     // tail-window-sized headline line LAST so it survives capture.
     // `schema` versions the contract (v3: final line carries the

@@ -470,21 +470,46 @@ object Relational {
 
   /** NTILE decile profile (q37): equal-frequency bucketing — the
     * rank-based complement of q27's equal-WIDTH histogram (deciles
-    * adapt to the distribution; fixed bins do not). `ntile` needs a
-    * total order to be deterministic: ties broken by o_orderkey, the
-    * q05/q32 contract, so both engines assign identical bucket
-    * membership including the uneven remainder buckets.
+    * adapt to the distribution; fixed bins do not). The bucketing
+    * needs a total order to be deterministic: ties broken by
+    * o_orderkey, the q05/q32 contract, so both engines assign
+    * identical bucket membership including the remainder buckets.
     *
-    * Scale note: a single un-partitioned ntile is a one-task global
-    * sort — fine for a profile over an aggregable column, wrong as a
-    * per-row transform at 100 TB. The scale path for that is
-    * `approx_percentile` cut points (q25) applied as a broadcast
-    * range lookup; this query exists for the exact rank-based
-    * semantics on the reporting path. */
+    * Scale design (100 TB): NOT `ntile(10) OVER (ORDER BY …)` — an
+    * un-partitioned window is a one-task global sort, dead at scale
+    * (the e13 scaladoc's own words). Instead the exact rank comes
+    * from [[Ordered.withRowIndex]] (range-repartition + per-partition
+    * index offsets — fully parallel, one extra count job), and the
+    * SQL-standard ntile remainder rule is replayed as index
+    * arithmetic: with n rows, q = n div 10, r = n mod 10, the first
+    * r buckets take q+1 rows, so row i (0-based) lands in bucket
+    * i div (q+1) + 1 when i < r·(q+1), else r + (i − r·(q+1)) div q
+    * + 1. The row count rides in as a broadcast one-row frame, so
+    * the whole assignment is embarrassingly parallel. Same rows out
+    * as the window form — the DuckDB oracle still says `ntile(10)`.
+    *
+    * Cross-engine determinism: bucket arithmetic is all-Long; the
+    * per-bucket money aggregates round at the end, the established
+    * q01 contract. `greatest(q, 1)` guards the ANSI divide in the
+    * never-taken else branch when n < 10 (then r = n and every row
+    * takes the first branch: buckets 1..n of one row each — exactly
+    * ntile's answer).
+    *
+    * Reference analog: the §2.5 order-regrounding contract
+    * (streamable/stream.py:432-446). */
   def orderPriceDeciles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders")
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val orders = t(s, dir, "orders").select(col("o_totalprice"), col("o_orderkey"))
+    val indexed = Ordered.withRowIndex(
+      orders, Seq(col("o_totalprice"), col("o_orderkey")), "i")
+    val nRow = orders.agg(count(lit(1)).as("n_total"))
+    val bq = floor(col("n_total") / 10).cast("long")
+    val br = (col("n_total") % 10).cast("long")
+    val cut = br * (bq + 1)
+    indexed.crossJoin(broadcast(nRow))
+      .withColumn("decile",
+        when(col("i") < cut, floor(col("i") / (bq + 1)).cast("long") + 1)
+          .otherwise(
+            br + floor((col("i") - cut) / greatest(bq, lit(1L))).cast("long") + 1))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         round(min("o_totalprice"), 2).as("lo"),

@@ -384,7 +384,7 @@ object TextAnalysis {
     val nRow = cnt.agg(sum("c").as("n"))
     val vocabRow = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize)
       .agg(map_from_entries(collect_list(struct(col("tok"), col("c")))).as("vmap"))
-    val stats = nRow.crossJoin(vocabRow)
+    val stats = nRow.crossJoin(broadcast(vocabRow))
     val toks = tokens(col("text"))
     // ONE vocab-map probe per token: the probe's count feeds both the
     // micronat value and the in-vocab flag from a single struct, so

@@ -371,6 +371,47 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"plan regressions:\n${bad.mkString("\n")}")
   }
 
+  test("no registry query plans an unpartitioned window over unaggregated input") {
+    // the q37 bug class: `Window.orderBy(...)` with no partitionBy is
+    // a ONE-TASK global sort of its whole input — fine over a bounded
+    // aggregated frame (a histogram, a capped vocab), dead at 100 TB
+    // over a corpus-sized scan. The gate is semantic, not an
+    // allowlist: an unpartitioned logical Window is legal only when
+    // an Aggregate sits somewhere below it in the SAME lineage (the
+    // input is group-reduced, hence bounded by the operator's own
+    // key-cardinality argument). The three documented tiny-frame
+    // sites (TextAnalysis.vocabRankMap's v-row vocab, Dedup's ≤65-row
+    // hamming histogram, Curation's quality histogram) all carry
+    // their groupBy in-lineage and pass the rule; a future q37-shaped
+    // window straight over a table scan fails loudly, like SMJ does
+    // in the gate below. Inspects the OPTIMIZED logical plan — no
+    // execution needed, and checkpoint lineage cuts (LogicalRDD)
+    // correctly count as "unaggregated" so a checkpointed corpus
+    // can't smuggle a global sort past the gate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      if (offenders.nonEmpty)
+        Some(s"$name: ${offenders.size} unpartitioned window(s) over unaggregated input")
+      else None
+    }
+    assert(bad.isEmpty, s"single-task global-sort windows:\n${bad.mkString("\n")}")
+  }
+
+  test("q37: exact deciles with no Window at all — index arithmetic, fully parallel") {
+    val df = Relational.orderPriceDeciles(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("Window"),
+      s"q37 must assign deciles by row-index arithmetic, not a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row count frame must broadcast")
+  }
+
   test("c11: only the one-row bloom is hinted; the verify join is never hint-forced") {
     val df = Curation.bloomDecontaminatedStats(spark, sf0001)
     df.collect()
