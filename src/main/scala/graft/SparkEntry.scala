@@ -186,6 +186,7 @@ object SparkEntry {
     "m11_png_meta" -> (Multimodal.pngMetadataReport _),
     "m12_jpeg_meta" -> (Multimodal.jpegMetadataReport _),
     "m13_mixed_ingest" -> (Multimodal.mixedIngestGate _),
+    "m14_mjpeg_frames" -> ((s: SparkSession, dir: String) => Multimodal.mjpegFrameReport(s, dir)),
   )
 
   /** Shared DuckDB CTE prefix for every shingle-based oracle:
@@ -2441,6 +2442,22 @@ object SparkEntry {
              CAST(sum(doc_id % 50 + 10) AS BIGINT)
            FROM documents WHERE doc_id % 3 = 1)
          ORDER BY fmt""",
+    // m14: MJPEG-in-AVI end-to-end — geometry and frame cardinality
+    // replayed from the vidParams formula the demux/decode chain never
+    // sees; `faithful` is the decode-fidelity claim (every frame's max
+    // |MJPEG − lossless GIF reference| ≤ 16 gray levels — measured
+    // corpus max is 8 at quality 0.95, and a frame misalignment would
+    // produce ≥233), so its expected value IS true on every row
+    "m14_mjpeg_frames" ->
+      """WITH vid AS (
+           SELECT doc_id, (doc_id % 15) + 4 AS w, (doc_id % 9) + 4 AS h,
+             (doc_id % 4) + 2 AS nf
+           FROM documents WHERE doc_id % 3 = 2)
+         SELECT doc_id AS media_id, CAST(f.v AS BIGINT) AS frame_no,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           TRUE AS faithful
+         FROM vid, UNNEST(range(0, nf)) AS f(v)
+         ORDER BY media_id, frame_no""",
     // quality formula per doc, applies the identical md5-hex draw
     // threshold at that per-doc rate, and averages r4-scaled integer
     // units so both engines' means are order-free exact

@@ -26,11 +26,13 @@ import graft.ops.Relational.t
   * mismatch on `pixel_sum`). Video runs through TWO real container
   * paths — animated GIF via ImageIO's sequence reader (m06/m07) and
   * AVI/RIFF with uncompressed DIB frames via a pure-JVM chunk-walking
-  * demuxer (m10) — certified against each other (same oracle text).
-  * The remaining platform limitation is compressed video codecs
-  * (mp4/H.264): no JDK decoder exists, and the brief says stub what
-  * the platform lacks — the demux/decode kernel SHAPE those would
-  * use is exactly m10's.
+  * demuxer (m10) — certified against each other (same oracle text) —
+  * plus a COMPRESSED third container: MJPEG-in-AVI (m14), where the
+  * m10 RIFF walk feeds real per-frame JPEG decodes and the lossless
+  * GIF path serves as the fidelity reference. The remaining platform
+  * limitation is inter-frame video codecs (mp4/H.264): no JDK decoder
+  * exists, and the brief says stub what the platform lacks — the
+  * demux→validate→decode chain those would use is exactly m14's.
   *
   * Reference analog: the per-element I/O work kioss runs under
   * `map(concurrency=)` in its ETL example (README.md:541-576).
@@ -957,7 +959,8 @@ object Multimodal {
     * n_components, precision, progressive, n_dqt, n_dht) or a loud
     * failure. ISO/IEC 10918-1 marker-segment stream: SOI, then
     * length-prefixed segments (big-endian, length includes its own 2
-    * bytes), frame geometry from SOF0/1/2, entropy-coded scan data
+    * bytes), frame geometry from SOF0/1/2 (the other SOFn —
+    * lossless/differential/arithmetic — rejected by name), scan data
     * after SOS skipped by the byte-stuffing rule (FF 00 = literal FF,
     * FF D0–D7 = restart, any other FF xx = real marker), EOI terminal
     * required. */
@@ -989,6 +992,13 @@ object Multimodal {
           w = (u8(i + 7) << 8) | u8(i + 8)
           ncomp = u8(i + 9)
           if (m == 0xC2) progressive = 1L
+        } else if (m == 0xC3 || (m >= 0xC5 && m <= 0xC7) ||
+            (m >= 0xC9 && m <= 0xCB) || (m >= 0xCD && m <= 0xCF)) {
+          // the rest of the SOFn family (lossless, differential,
+          // arithmetic-coded): structurally valid JPEG, but outside
+          // this walk's decode support — fail HERE with the marker
+          // named, not later with a misleading "no SOF frame header"
+          require(false, f"media $mediaId: unsupported SOF marker 0x$m%02X")
         }
         if (m == 0xDB) nDqt += 1
         if (m == 0xC4) nDht += 1
@@ -1009,7 +1019,8 @@ object Multimodal {
         }
       }
     }
-    require(w > 0 && prec > 0, s"media $mediaId: no SOF frame header")
+    require(w > 0 && h > 0 && ncomp > 0 && prec > 0,
+      s"media $mediaId: no SOF frame header or degenerate geometry")
     (w, h, ncomp.toLong, prec.toLong, progressive, nDqt, nDht)
   }
 
@@ -1044,6 +1055,308 @@ object Multimodal {
   def jpegMetadataReport(s: SparkSession, dir: String): DataFrame =
     jpegMetadata(s, dir)
       .select("media_id", "width", "height", "n_components", "precision")
+
+  /** One fixture frame (the [[framePixel]] raster) JPEG-encoded at an
+    * explicit quality: MODE_EXPLICIT so the byte stream is a pure
+    * function of (id, f) on this JDK, never of a writer default that
+    * could drift between versions. Grayscale (single-component) JPEG —
+    * no chroma subsampling ambiguity in the fidelity bound. */
+  private def encodeFrameJpeg(id: Long, f: Int,
+      writer: javax.imageio.ImageWriter): Array[Byte] = {
+    val (w, h, _) = vidParams(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, framePixel(x, y, f, id)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Write one spec-shaped MJPEG AVI: the [[muxAvi]] container with a
+    * COMPRESSED video stream — strh handler 'MJPG', BITMAPINFOHEADER
+    * biCompression 'MJPG', and each movi chunk is '00dc' (compressed
+    * data) holding one complete JPEG codestream. Variable-size frames,
+    * so idx1 offsets accumulate actual chunk sizes (+ RIFF even
+    * padding) instead of a constant stride. */
+  private[ops] def muxMjpegAvi(id: Long,
+      writer: javax.imageio.ImageWriter): Array[Byte] = {
+    val (w, h, nf) = vidParams(id)
+    val jpegs = Array.tabulate(nf)(f => encodeFrameJpeg(id, f, writer))
+    val pads = jpegs.map(_.length & 1)
+    val maxLen = jpegs.map(_.length).max
+    val strfSize = 40 // no palette: compressed stream
+    val strlSize = 4 + (8 + 56) + (8 + strfSize)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + jpegs.zip(pads).map { case (j, p) => 8 + j.length + p }.sum
+    val idxSize = 16 * nf
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idxSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fcc("RIFF"); bb.putInt(riffSize); fcc("AVI ")
+    fcc("LIST"); bb.putInt(hdrlSize); fcc("hdrl")
+    fcc("avih"); bb.putInt(56)
+    bb.putInt(100000)            // dwMicroSecPerFrame (10 fps)
+    bb.putInt(maxLen * 10)       // dwMaxBytesPerSec
+    bb.putInt(0)                 // dwPaddingGranularity
+    bb.putInt(0x10)              // dwFlags: AVIF_HASINDEX
+    bb.putInt(nf)                // dwTotalFrames
+    bb.putInt(0)                 // dwInitialFrames
+    bb.putInt(1)                 // dwStreams
+    bb.putInt(maxLen)            // dwSuggestedBufferSize
+    bb.putInt(w); bb.putInt(h)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0) // dwReserved
+    fcc("LIST"); bb.putInt(strlSize); fcc("strl")
+    fcc("strh"); bb.putInt(56)
+    fcc("vids"); fcc("MJPG")
+    bb.putInt(0)                 // dwFlags
+    bb.putShort(0); bb.putShort(0) // wPriority, wLanguage
+    bb.putInt(0)                 // dwInitialFrames
+    bb.putInt(1); bb.putInt(10)  // dwScale/dwRate = 10 fps
+    bb.putInt(0)                 // dwStart
+    bb.putInt(nf)                // dwLength (frames)
+    bb.putInt(maxLen)            // dwSuggestedBufferSize
+    bb.putInt(-1)                // dwQuality (default)
+    bb.putInt(0)                 // dwSampleSize (0: varying-size samples)
+    bb.putShort(0); bb.putShort(0) // rcFrame left, top
+    bb.putShort(w.toShort); bb.putShort(h.toShort)
+    fcc("strf"); bb.putInt(strfSize)
+    bb.putInt(40)                // biSize (BITMAPINFOHEADER)
+    bb.putInt(w); bb.putInt(h)
+    bb.putShort(1); bb.putShort(24) // biPlanes, biBitCount (MJPEG: 24)
+    fcc("MJPG")                  // biCompression: the MJPEG fourcc
+    bb.putInt(maxLen)            // biSizeImage (varies; upper bound)
+    bb.putInt(0); bb.putInt(0)   // pels-per-meter
+    bb.putInt(0); bb.putInt(0)   // biClrUsed, biClrImportant
+    fcc("LIST"); bb.putInt(moviSize); fcc("movi")
+    val offsets = new Array[Int](nf)
+    var off = 4                  // first chunk sits after the 'movi' fourcc
+    var f = 0
+    while (f < nf) {
+      offsets(f) = off
+      fcc("00dc"); bb.putInt(jpegs(f).length); bb.put(jpegs(f))
+      if (pads(f) == 1) bb.put(0.toByte)
+      off += 8 + jpegs(f).length + pads(f)
+      f += 1
+    }
+    fcc("idx1"); bb.putInt(idxSize)
+    f = 0
+    while (f < nf) {
+      fcc("00dc"); bb.putInt(0x10) // AVIIF_KEYFRAME
+      bb.putInt(offsets(f)); bb.putInt(jpegs(f).length)
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Spec convenience: a fresh writer per call. */
+  private[ops] def muxMjpegAvi(id: Long): Array[Byte] =
+    muxMjpegAvi(id, ImageIO.getImageWritersByFormatName("jpg").next())
+
+  /** The MJPEG demuxer: [[demuxAvi]]'s chunk-walk discipline for a
+    * COMPRESSED stream. Returns container (width, height) and each
+    * '00dc' chunk's raw JPEG bytes; decode is the caller's step so the
+    * container walk stays codec-free. Structural cross-checks: RIFF
+    * size vs payload, biCompression must BE 'MJPG' (24-bit), every
+    * frame payload must carry the JPEG SOI prefix and EOI terminal,
+    * and avih frame count vs movi chunk walk vs idx1 entry count must
+    * all agree — any mismatch throws rather than returning partial
+    * frames (the fail-loudly ingest contract). */
+  private[ops] def demuxMjpegAvi(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fcc() == "RIFF", "not a RIFF file")
+    val riffSize = bb.getInt
+    require(riffSize == bytes.length - 8, s"RIFF size $riffSize != payload")
+    require(fcc() == "AVI ", "RIFF form is not AVI")
+    var w = -1; var h = -1; var hdrFrames = -1; var idxFrames = -1
+    var sawMjpg = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(end: Int): Unit = {
+      while (bb.position() < end) {
+        val id = fcc()
+        val size = bb.getInt
+        val next = bb.position() + size + (size & 1) // chunks pad to even
+        require(next <= end, s"chunk $id overruns its parent by ${next - end}")
+        id match {
+          case "LIST" =>
+            fcc() // list type (hdrl/strl/movi) — contents are chunks
+            walk(next)
+          case "avih" =>
+            bb.getInt; bb.getInt; bb.getInt; bb.getInt // µs/frame..flags
+            hdrFrames = bb.getInt
+          case "strf" =>
+            require(bb.getInt == 40, "unexpected BITMAPINFOHEADER size")
+            w = bb.getInt; h = bb.getInt
+            require(w > 0 && h > 0, "degenerate stream geometry")
+            bb.getShort // planes
+            require(bb.getShort == 24, "MJPEG stream must declare 24-bit")
+            require(fcc() == "MJPG", "biCompression is not MJPG")
+            sawMjpg = true
+          case "00dc" =>
+            require(sawMjpg, "frame chunk before the MJPG strf")
+            require(size >= 4, s"implausibly small JPEG frame ($size bytes)")
+            val jb = new Array[Byte](size)
+            bb.get(jb)
+            require((jb(0) & 0xff) == 0xFF && (jb(1) & 0xff) == 0xD8,
+              "frame payload is not a JPEG codestream (no SOI)")
+            require((jb(size - 2) & 0xff) == 0xFF && (jb(size - 1) & 0xff) == 0xD9,
+              "frame payload missing the EOI terminal")
+            frames += jb
+          case "idx1" =>
+            idxFrames = size / 16
+          case _ => // strh etc: structural, not needed for demux
+        }
+        bb.position(next)
+      }
+    }
+    walk(bytes.length)
+    require(hdrFrames == frames.length,
+      s"avih says $hdrFrames frames, movi walk found ${frames.length}")
+    require(idxFrames == frames.length,
+      s"idx1 has $idxFrames entries, movi walk found ${frames.length}")
+    (w, h, frames.toArray)
+  }
+
+  /** The video corpus as REAL MJPEG AVI files — same docs, same pixel
+    * formula as [[videoTable]]/[[aviTable]], third video container and
+    * the first LOSSY one (each frame an actual JPEG codestream). */
+  def mjpegAviTable(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[ImageBlob] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+        ids.map(id => ImageBlob(id, "mjpeg", muxMjpegAvi(id, writer)))
+      }
+  }
+
+  /** MJPEG frames decoded end-to-end: demux → per-frame m12 marker
+    * walk (container vs SOF geometry must agree) → REAL ImageIO JPEG
+    * decode → row-major gray samples. Raster samples, not getRGB: a
+    * gray JPEG's getRGB routes through a gray→sRGB color transform;
+    * the raw decoded sample is the codec's actual output. */
+  private def mjpegFramePixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mjpegAviTable(s, dir).mapPartitions { batch =>
+      batch.flatMap { m =>
+        val (w, h, jpegs) = demuxMjpegAvi(m.blob)
+        jpegs.iterator.zipWithIndex.map { case (jb, f) =>
+          val (jw, jh, ncomp, _, _, _, _) = parseJpegMeta(m.media_id, jb)
+          require(jw == w && jh == h,
+            s"media ${m.media_id} frame $f: SOF ${jw}x$jh != container ${w}x$h")
+          require(ncomp == 1L,
+            s"media ${m.media_id} frame $f: expected a grayscale JPEG")
+          val img = ImageIO.read(new ByteArrayInputStream(jb))
+          require(img != null && img.getWidth == w && img.getHeight == h,
+            s"media ${m.media_id} frame $f: JPEG decode disagrees with container")
+          val raster = img.getRaster
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          (m.media_id, f.toLong, w, h, px)
+        }
+      }
+    }.toDF("media_id", "frame_no", "width", "height", "px")
+  }
+
+  /** The lossless reference: GIF frames as row-major gray samples —
+    * [[decodeFrames]]'s decode loop, pixels kept instead of summed
+    * (identity palette, so getRGB's red channel IS the sample). */
+  private def gifFramePixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    videoTable(s, dir).mapPartitions { batch =>
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      batch.flatMap { m =>
+        // memory-cached + closed: the [[decodeFrames]] fd contract
+        val iis = new MemoryCacheImageInputStream(
+          new ByteArrayInputStream(m.blob))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val rows = (0 until n).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+            y += 1
+          }
+          (m.media_id, f.toLong, px)
+        }
+        iis.close()
+        rows
+      }
+    }.toDF("media_id", "frame_no", "px_ref")
+  }
+
+  /** m14 internals, fidelity included: each MJPEG-decoded frame joined
+    * to its losslessly-decoded GIF twin (same doc, same formula,
+    * independent container + codec), with the per-frame max absolute
+    * sample error. The reference comes from ANOTHER pipeline's decode,
+    * not from the fixture formula — the kernel discipline holds, and
+    * at 100 TB the lossless reference IS another stored table, so the
+    * (media_id, frame_no) join is the honest shape: one hint-free
+    * co-partitioned exchange, frame-sized pixel payloads (never
+    * corpus-sized rows), AQE picking the physical join from real
+    * sizes. A frame-alignment bug cannot hide: the formula moves every
+    * sample by 23·Δf mod 256 between frames, so a misaligned join
+    * partner forces wrap-around errors ≫ any JPEG quantization. */
+  private[ops] def mjpegFrameFidelity(s: SparkSession, dir: String): DataFrame =
+    mjpegFramePixels(s, dir)
+      .join(gifFramePixels(s, dir), Seq("media_id", "frame_no"))
+      .withColumn("max_abs_err",
+        array_max(zip_with(col("px"), col("px_ref"),
+          (a, b) => abs(a - b))).cast("long"))
+      .drop("px", "px_ref")
+
+  /** MJPEG-in-AVI end-to-end frame decode (m14): the m10 RIFF walk
+    * composed with the m12 JPEG path — a real video-container codec
+    * chain (demux → marker-validate → entropy decode) within the
+    * zero-egress JDK. Judged fields are formula-derivable (geometry +
+    * frame cardinality from the container+codec agreement) plus
+    * `faithful`: max |decoded − lossless reference| ≤ `tol` gray
+    * levels per frame. JPEG is LOSSY, so exact pixel sums cannot
+    * cross engines — the oracle pins the derivable fields and asserts
+    * every frame lands inside the bound; the measured error itself is
+    * encoder detail, pinned (nonzero, and well under tol) in OpsSpec.
+    * tol=16 is 2× the measured corpus-wide max of 8 at quality 0.95,
+    * far below the ≥233 wrap-around error any frame misalignment
+    * produces — the bound separates the two regimes by 14×.
+    * mp4/H.264 remains impossible on this platform (file header note).
+    *
+    * Scale: two batched decode kernels and ONE narrow exchange on
+    * (media_id, frame_no); decode cost dominates at any SF and
+    * parallelizes per-partition — the [[decodeFeatures]] argument.
+    *
+    * Reference analog: the per-element I/O ETL chain, kioss
+    * README.md:541-576.
+    */
+  def mjpegFrameReport(s: SparkSession, dir: String, tol: Int = 16): DataFrame =
+    mjpegFrameFidelity(s, dir)
+      .select(col("media_id"), col("frame_no"), col("width"), col("height"),
+        (col("max_abs_err") <= tol).as("faithful"))
+      .orderBy("media_id", "frame_no")
 
   /** Magic-number format detection — the dispatch step of a mixed
     * binary ingest. Bytes, not metadata: a corpus's declared format

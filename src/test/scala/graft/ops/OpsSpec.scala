@@ -415,6 +415,38 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.detectFormat(Array.fill[Byte](16)(9)) == "unknown")
   }
 
+  test("m14: MJPEG-in-AVI decodes end-to-end — lossy but bounded, never misaligned") {
+    val rep = Multimodal.mjpegFrameReport(spark, sf0001).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") == (id % 15 + 4).toInt, s"media $id")
+      assert(r.getAs[Int]("height") == (id % 9 + 4).toInt, s"media $id")
+      assert(r.getAs[Boolean]("faithful"),
+        s"media $id frame ${r.getAs[Long]("frame_no")} outside the fidelity bound")
+    }
+    // per-media frame cardinality: container walk == formula
+    rep.groupBy(_.getAs[Long]("media_id")).foreach { case (id, rs) =>
+      assert(rs.length == (id % 4 + 2).toInt, s"media $id frame count")
+    }
+    // the decode is REALLY lossy: every frame errs ≥1 gray level (a
+    // zero-error frame would mean the lossless path leaked in), and
+    // the corpus-wide max stays well under the tol=16 gate (measured 8
+    // at quality 0.95 on this JDK)
+    val errs = Multimodal.mjpegFrameFidelity(spark, sf0001)
+      .select("max_abs_err").collect().map(_.getLong(0))
+    assert(errs.min >= 1L, "zero-error MJPEG frame: reference leak?")
+    assert(errs.max <= 12L, s"quality-0.95 fidelity drifted: max ${errs.max}")
+    // mux → demux structural round-trip, and each embedded frame is a
+    // self-contained grayscale JPEG the m12 marker walk accepts
+    val (w, h, jpegs) = Multimodal.demuxMjpegAvi(Multimodal.muxMjpegAvi(5L))
+    assert(w == (5 % 15 + 4) && h == (5 % 9 + 4) && jpegs.length == (5 % 4 + 2))
+    jpegs.foreach { jb =>
+      val m = Multimodal.parseJpegMeta(5L, jb)
+      assert(m._1 == w && m._2 == h && m._3 == 1L)
+    }
+  }
+
   test("audio decode: WAV round-trip reports format and frame count") {
     val rows = Multimodal.decodeAudio(spark, sf0001).collect()
     assert(rows.length == 167) // doc_id % 3 == 1 over 500 docs

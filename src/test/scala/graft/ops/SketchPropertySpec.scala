@@ -96,6 +96,43 @@ class SketchPropertySpec extends SparkSpec {
     allPrefixesReject("avi-header", avi, b => Multimodal.parseAviHeader(0L, b))
   }
 
+  test("MJPEG AVI: every proper prefix and every structural tamper rejects") {
+    // the m14 gate: RIFF declares total size up front, the walk checks
+    // it, and every frame payload must carry SOI/EOI — so truncation at
+    // ANY byte and tampering with ANY load-bearing structural field
+    // must throw. (Whole-blob single-byte fuzz is NOT the contract
+    // here: JPEG entropy bytes carry no checksum, by spec.)
+    val blob = Multimodal.muxMjpegAvi(5L) // nf = 5%4+2 = 3 frames
+    val clean = Multimodal.demuxMjpegAvi(blob)
+    (1 until blob.length).foreach { n =>
+      val failed =
+        try { Multimodal.demuxMjpegAvi(blob.take(n)); false }
+        catch { case _: Throwable => true }
+      assert(failed, s"prefix of $n/${blob.length} bytes demuxed")
+    }
+    def tamper(pos: Int, tag: String): Unit = {
+      val bad = blob.clone()
+      bad(pos) = (bad(pos) ^ 0x20).toByte
+      val failed =
+        try { Multimodal.demuxMjpegAvi(bad); false }
+        catch { case _: Throwable => true }
+      assert(failed, s"$tag tamper at byte $pos demuxed")
+    }
+    // fixed mux layout self-checks before each flip
+    assert(new String(blob.slice(188, 192), "US-ASCII") == "MJPG") // strf biCompression
+    tamper(188, "biCompression fourcc")
+    tamper(48, "avih dwTotalFrames") // count must cross-check the movi walk
+    assert(new String(blob.slice(224, 228), "US-ASCII") == "00dc") // first frame chunk
+    assert((blob(232) & 0xff) == 0xFF && (blob(233) & 0xff) == 0xD8)
+    tamper(233, "frame SOI marker")
+    tamper(232 + clean._3(0).length - 1, "frame EOI terminal")
+    val idxPos = blob.length - 8 - 16 * 3
+    assert(new String(blob.slice(idxPos, idxPos + 4), "US-ASCII") == "idx1")
+    tamper(idxPos + 4, "idx1 size (entry count)")
+    // and the clean blob still demuxes identically after all that
+    assert(Multimodal.demuxMjpegAvi(blob)._3.length == clean._3.length)
+  }
+
   test("exceptAll/intersectAll obey the multiset algebra on arbitrary bags") {
     val s = spark
     import s.implicits._
