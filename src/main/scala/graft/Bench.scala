@@ -29,6 +29,18 @@ object Bench {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     val skipped = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_ONLY="name,name" restricts the run to the named
+    // queries — the scale-PROBE knob (e.g. timing just the measured
+    // superlinear tail at ×64 without paying a full-suite pass).
+    // Announced in the JSON ("only" list) so a probe artifact can
+    // never masquerade as a full-registry run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val missing = names -- SparkEntry.queries.keySet
+      require(missing.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${missing.toSeq.sorted.mkString(",")}")
+    }
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val baselineSet = Set(
       "d01_exact_dedup", "d02_dup_groups", "d03_ngram_jaccard",
@@ -63,11 +75,14 @@ object Bench {
     require(missingBaseline.isEmpty,
       s"baselineSet drift — queries gone from the registry: ${missingBaseline.toSeq.sorted.mkString(",")}")
     spark.range(1000).repartition(4).count()
-    // persisted-index setup (s11): build outside any timed pass
+    // persisted-index setup (s11, d18): build outside any timed pass
     try graft.ops.Similarity.ensureIvfIndex(spark, sfDir)
+    catch { case _: Throwable => }
+    try graft.ops.Similarity.ensureSemanticIndex(spark, sfDir)
     catch { case _: Throwable => }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skipped.contains(n) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       spark.catalog.clearCache()
@@ -120,6 +135,8 @@ object Bench {
     // entries in the per-query map (don't let them subtract from it)
     val total = results.map(_._2).filter(_ >= 0).sum
     val skippedJson = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString(""""only":[""", ",", "],")).getOrElse("")
     // The harness stores only the last ~2000 chars of stdout and
     // json-parses ONE complete line carrying `queries` out of that
     // tail. A 96-entry map is ~2.5KB — it can NEVER fit, which is why
@@ -142,7 +159,7 @@ object Bench {
     def totalLine(m: Seq[(String, Double)]): String = {
       val qj = m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","schema":"graft-bench-v3","value":${r3(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"passes":$passes,"queries_total":${results.size},"queries_omitted":${results.size - m.size},"skipped":$skippedJson,"noisy":$noisyJson,"queries":$qj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","schema":"graft-bench-v3","value":${r3(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"passes":$passes,$onlyJson"queries_total":${results.size},"queries_omitted":${results.size - m.size},"skipped":$skippedJson,"noisy":$noisyJson,"queries":$qj,"sf":"$sfDir"}"""
     }
     // largest prefix of the prioritized order whose line fits
     val kept = (prioritized.size to 0 by -1).view
@@ -159,7 +176,7 @@ object Bench {
     // so the next round diffs complete registries, not tail windows.
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "/tmp/graft_bench_full.json")
     val fullJson =
-      s"""{"schema":"graft-bench-full-v1","total":${r3(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"passes":$passes,"skipped":$skippedJson,"noisy":$noisyJson,"queries":$qs,"spread":$spreadJson,"sf":"$sfDir"}"""
+      s"""{"schema":"graft-bench-full-v1","total":${r3(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"passes":$passes,$onlyJson"skipped":$skippedJson,"noisy":$noisyJson,"queries":$qs,"spread":$spreadJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -42,6 +42,13 @@ object SparkEntry {
     "q21_cube" -> (Relational.cubePriorities _),
     "q22_intersect" -> (Relational.nationKeyIntersect _),
     "q23_except" -> (Relational.nationKeyExcept _),
+    // q24 is PERMANENTLY companion-certified (no DuckDB oracle, by
+    // design): it emits Spark's raw HLL++ estimates, and no two
+    // engines' HLL sketches agree value-for-value — DuckDB's
+    // approx_count_distinct takes no rsd parameter and uses a
+    // different sketch, so parameter parity is unattainable. The
+    // CLAIM (each estimate within 5% of the exact per-group count)
+    // is what q24b oracles, every gate run, in full.
     "q24_approx_distinct" -> (Relational.approxDistinctParts _),
     "q24b_approx_tolerance" -> (Relational.approxDistinctWithinTolerance _),
     "q25_quantiles" -> (Relational.priceQuantiles _),
@@ -122,9 +129,19 @@ object SparkEntry {
     "c12_span_scrub" -> ((s: SparkSession, dir: String) => Curation.spanScrubStats(s, dir)),
     // — deduplication —
     "d01_exact_dedup" -> (Dedup.exactDedupByLang _),
+    // d02 passes with 0 rows at gate SF (the corpus has no exact
+    // dups); the non-empty branch is witnessed by OpsSpec
+    // "d02 witness: duplicateGroups emits groups on a
+    // planted-duplicate corpus"
     "d02_dup_groups" -> (Dedup.duplicateGroups _),
     "d03_ngram_jaccard" -> ((s: SparkSession, dir: String) => Dedup.ngramJaccardPairs(s, dir)),
     "d04_minhash_lsh" -> ((s: SparkSession, dir: String) => Dedup.minhashLshPairs(s, dir)),
+    // d05 is PERMANENTLY companion-certified (no DuckDB oracle, by
+    // design): its rows are raw 64-bit SimHash band-collision
+    // candidates — sketch internals with no SQL-expressible ground
+    // truth (the sketch IS the definition). The CLAIM (candidates
+    // that verify at the Hamming cut match the exact pairwise
+    // computation) is what d05b oracles, every gate run, in full.
     "d05_simhash_pairs" -> ((s: SparkSession, dir: String) => Dedup.simhashPairs(s, dir)),
     "d05b_simhash_verified" -> ((s: SparkSession, dir: String) => Dedup.simhashVerifiedPairs(s, dir)),
     "d06_embedding_neardup" -> ((s: SparkSession, dir: String) => Dedup.embeddingNearDups(s, dir)),
@@ -814,9 +831,12 @@ object SparkEntry {
        ORDER BY ml.method"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted (weaker rows-only check):
-    * d05/q24 (hash-sketch internals whose CLAIMS are oracled via the
-    * d05b/q24b companions).
+    * the same parquet tables. Omitted — PERMANENTLY, by design, not
+    * as debt: d05/q24, whose rows are engine-specific hash-sketch
+    * internals (SimHash band candidates; HLL++ estimates) that no
+    * second engine can reproduce value-for-value. Their CLAIMS are
+    * fully oracled every gate run via the d05b/q24b companions; see
+    * the registry-row comments on each for the argument.
     */
   def oracleSql: Map[String, String] = Map(
     // m10: the AVI/RIFF demux path must reproduce the GIF path's

@@ -91,7 +91,15 @@ object Dedup {
     * with their member doc_ids (sorted, comma-joined for oracle
     * comparability). */
   def duplicateGroups(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    duplicateGroupsOf(t(s, dir, "documents"))
+
+  /** [[duplicateGroups]]'s core over an arbitrary (doc_id, text)
+    * frame — split out so the non-empty branch is witnessable on a
+    * planted-duplicate corpus (OpsSpec "d02 witness": the gate-SF
+    * corpus has no exact dups, so the registry row alone only ever
+    * exercises the empty result). */
+  def duplicateGroupsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       .groupBy("fp")
       .agg(count(lit(1)).as("n"),
@@ -1135,17 +1143,24 @@ object Dedup {
     * (match_id < probe_id dedups the latter — d09's a<b contract).
     *
     * Scale: probe cost ∝ batch × cell occupancy, never corpus²; the
-    * index is built once and reused across batches (here rebuilt
-    * per-call for the self-contained oracle — the memoized
-    * `trainedCentroids` makes the training share one artifact with
-    * d12/s07/s13). Cross-cluster near-dups stay invisible by design
-    * — d13 measures exactly that recall trade. Threshold defaults to
-    * d12's corpus-sized 0.4 operating point (live at the gate). */
+    * index is built ONCE and PERSISTED
+    * ([[Similarity.ensureSemanticIndex]]: members partitioned by
+    * cell + the one-row codebook, written write-once under the
+    * warehouse) — every probe call after the first is a pure READER
+    * of the layout, so the training scan never re-runs per batch
+    * (SemanticIndexSpec pins that every embeddings scan in the
+    * executed plan is the probe-batch scan, and that the member scan
+    * is dynamically partition-pruned to the probed cells). Cross-
+    * cluster near-dups stay
+    * invisible by design — d13 measures exactly that recall trade.
+    * Threshold defaults to d12's corpus-sized 0.4 operating point
+    * (live at the gate). */
   def incrementalSemanticNearDups(s: SparkSession, dir: String,
       splitId: Long = 400, nlist: Int = 0, iters: Int = 2,
       threshold: Double = 0.4): DataFrame = {
     val nl = resolvedNlist(s, nlist)
-    val (index, cb) = Similarity.semanticIndex(s, dir, nl, iters)
+    val (index, cb) = Similarity.readSemanticIndex(s,
+      Similarity.ensureSemanticIndex(s, dir, nl, iters))
     val probes = t(s, dir, "embeddings")
       .filter(col("vec_id") >= splitId)
       .select(col("vec_id"),

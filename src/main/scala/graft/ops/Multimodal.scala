@@ -1172,7 +1172,14 @@ object Multimodal {
     * frame payload must carry the JPEG SOI prefix and EOI terminal,
     * and avih frame count vs movi chunk walk vs idx1 entry count must
     * all agree — any mismatch throws rather than returning partial
-    * frames (the fail-loudly ingest contract). */
+    * frames (the fail-loudly ingest contract). idx1 is checked
+    * per-ENTRY, not just by count: each entry's fourcc must be 00dc
+    * and its recorded offset and length must equal the corresponding
+    * chunk actually found by the movi walk (offsets accepted in
+    * either of the two wild conventions — relative to the 'movi'
+    * fourcc, or absolute file position), so a tampered index that
+    * points decode at the wrong bytes throws instead of demuxing
+    * silently. */
   private[ops] def demuxMjpegAvi(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1184,17 +1191,23 @@ object Multimodal {
     require(riffSize == bytes.length - 8, s"RIFF size $riffSize != payload")
     require(fcc() == "AVI ", "RIFF form is not AVI")
     var w = -1; var h = -1; var hdrFrames = -1; var idxFrames = -1
-    var sawMjpg = false
+    var sawMjpg = false; var moviFccPos = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val moviOffsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val moviSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // idx1 entries as parsed: (fourcc, offset, length) per frame
+    val idxEntries = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
     def walk(end: Int): Unit = {
       while (bb.position() < end) {
+        val chunkPos = bb.position() // where this chunk's fourcc begins
         val id = fcc()
         val size = bb.getInt
         val next = bb.position() + size + (size & 1) // chunks pad to even
         require(next <= end, s"chunk $id overruns its parent by ${next - end}")
         id match {
           case "LIST" =>
-            fcc() // list type (hdrl/strl/movi) — contents are chunks
+            val listType = fcc() // hdrl/strl/movi — contents are chunks
+            if (listType == "movi") moviFccPos = bb.position() - 4
             walk(next)
           case "avih" =>
             bb.getInt; bb.getInt; bb.getInt; bb.getInt // µs/frame..flags
@@ -1216,9 +1229,19 @@ object Multimodal {
               "frame payload is not a JPEG codestream (no SOI)")
             require((jb(size - 2) & 0xff) == 0xFF && (jb(size - 1) & 0xff) == 0xD9,
               "frame payload missing the EOI terminal")
+            require(moviFccPos >= 0, "frame chunk outside a movi list")
+            moviOffsets += chunkPos - moviFccPos
+            moviSizes += size
             frames += jb
           case "idx1" =>
+            require(size % 16 == 0, s"idx1 size $size is not a whole entry count")
             idxFrames = size / 16
+            var i = 0
+            while (i < idxFrames) {
+              val efcc = fcc(); bb.getInt // flags (AVIIF_*): not load-bearing
+              idxEntries += ((efcc, bb.getInt, bb.getInt))
+              i += 1
+            }
           case _ => // strh etc: structural, not needed for demux
         }
         bb.position(next)
@@ -1229,6 +1252,20 @@ object Multimodal {
       s"avih says $hdrFrames frames, movi walk found ${frames.length}")
     require(idxFrames == frames.length,
       s"idx1 has $idxFrames entries, movi walk found ${frames.length}")
+    var i = 0
+    while (i < idxFrames) {
+      val (efcc, eoff, elen) = idxEntries(i)
+      require(efcc == "00dc", s"idx1 entry $i fourcc '$efcc' is not 00dc")
+      // two offset conventions in the wild: relative to the 'movi'
+      // fourcc (what the mux writes) or absolute file position of the
+      // chunk header — either must land exactly on the walked chunk
+      require(eoff == moviOffsets(i) || eoff == moviFccPos + moviOffsets(i),
+        s"idx1 entry $i offset $eoff misses the movi walk's chunk at " +
+          s"${moviOffsets(i)} (abs ${moviFccPos + moviOffsets(i)})")
+      require(elen == moviSizes(i),
+        s"idx1 entry $i length $elen != movi chunk's ${moviSizes(i)}")
+      i += 1
+    }
     (w, h, frames.toArray)
   }
 
@@ -1325,9 +1362,21 @@ object Multimodal {
   private[ops] def mjpegFrameFidelity(s: SparkSession, dir: String): DataFrame =
     mjpegFramePixels(s, dir)
       .join(gifFramePixels(s, dir), Seq("media_id", "frame_no"))
+      // geometry must agree BEFORE the error fold: zip_with pads the
+      // shorter array with nulls and array_max skips them, so a
+      // reference frame that decoded short would silently leave its
+      // tail unchecked. The guard lives inside the consumed column
+      // (not a droppable side column) so Catalyst cannot prune it.
       .withColumn("max_abs_err",
-        array_max(zip_with(col("px"), col("px_ref"),
-          (a, b) => abs(a - b))).cast("long"))
+        when(size(col("px")) === size(col("px_ref")),
+          array_max(zip_with(col("px"), col("px_ref"),
+            (a, b) => abs(a - b))))
+          .otherwise(raise_error(format_string(
+            "media %d frame %d: MJPEG decoded %d samples but the lossless " +
+              "reference decoded %d — geometry disagreement, tail unchecked",
+            col("media_id"), col("frame_no"),
+            size(col("px")), size(col("px_ref")))))
+          .cast("long"))
       .drop("px", "px_ref")
 
   /** MJPEG-in-AVI end-to-end frame decode (m14): the m10 RIFF walk

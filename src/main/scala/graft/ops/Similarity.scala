@@ -550,6 +550,56 @@ object Similarity {
      trainedCodebookRow(s, dir, nl, iters))
   }
 
+  /** Deterministic per-(corpus, nlist, iters) location for the
+    * persisted semantic index — [[ivfIndexPath]]'s addressing rule
+    * applied to the TRAINED member/codebook pair, so a pure
+    * `(spark, dir)` query can find its index. */
+  def semanticIndexPath(s: SparkSession, dir: String,
+      nlist: Int, iters: Int): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${s.conf.get("spark.sql.warehouse.dir")}/graft_semantic_index/" +
+      s"${safe}_nl${nlist}_it$iters"
+  }
+
+  /** Idempotent write-once build of [[semanticIndex]]: the member
+    * table partitioned by trained cell under `<root>/members`, the
+    * one-row codebook under `<root>/codebook` — written LAST, so its
+    * _SUCCESS marker certifies the PAIR is complete (a crash between
+    * the two writes leaves no marker and the next call rebuilds).
+    * Probe-side jobs ([[graft.ops.Dedup.incrementalSemanticNearDups]],
+    * and the static side of
+    * [[graft.streaming.Streams.semanticProbeStream]]) read this
+    * layout instead of re-running the Lloyd training per call: at
+    * 100 TB the one training scan amortizes over every ingestion
+    * batch, and the by-cell partitioning keeps the member scan
+    * prunable to probed cells — the [[ensureIvfIndex]] contract for
+    * the trained index. */
+  def ensureSemanticIndex(s: SparkSession, dir: String, nlist: Int = 0,
+      iters: Int = 2): String = {
+    val nl = graft.ops.Dedup.resolvedNlist(s, nlist)
+    val root = semanticIndexPath(s, dir, nl, iters)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/codebook/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val (index, cb) = semanticIndex(s, dir, nl, iters)
+      index.write.mode("overwrite").partitionBy("cell").parquet(s"$root/members")
+      cb.write.mode("overwrite").parquet(s"$root/codebook")
+    }
+    root
+  }
+
+  /** Pure-reader side of [[ensureSemanticIndex]]: the (members,
+    * codebook) pair read back from the layout. `cell` is re-cast to
+    * long — partition-column inference reads the directory values as
+    * int, and the probe side's cell (from the in-row argmax) is long,
+    * so the cast keeps the equi-join key types aligned. Doubles
+    * round-trip parquet exactly, so results are hash-identical to the
+    * in-memory [[semanticIndex]] frames. */
+  def readSemanticIndex(s: SparkSession, root: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$root/members")
+       .withColumn("cell", col("cell").cast("long")),
+     s.read.parquet(s"$root/codebook"))
+
   /** Cell-bounded k-NN graph (s13): for every corpus vector, its
     * top-`k` most-similar neighbors WITHIN its own trained IVF cell —
     * the approximate neighbor graph that diversity sampling,

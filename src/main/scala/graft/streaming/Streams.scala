@@ -174,7 +174,12 @@ object Streams {
 
   /** Streaming SemDeDup gate (the d12 contract, incremental): probe a
     * stream of embedding rows against the PREBUILT semantic index
-    * from [[graft.ops.Similarity.semanticIndex]] — each probe is
+    * from [[graft.ops.Similarity.semanticIndex]] (or, for a
+    * long-lived job, the write-once persisted layout via
+    * [[graft.ops.Similarity.ensureSemanticIndex]] +
+    * [[graft.ops.Similarity.readSemanticIndex]] — the static side of
+    * a stream-static join re-evaluates per micro-batch, so a
+    * persisted read beats a recomputed frame) — each probe is
     * assigned its trained cell IN-ROW (broadcast one-row codebook +
     * the same `bestCellStruct` argmax the batch assignment uses, so
     * stream and batch can never disagree on a cell), then a

@@ -431,12 +431,15 @@ class OpsSpec extends SparkSpec {
     }
     // the decode is REALLY lossy: every frame errs ≥1 gray level (a
     // zero-error frame would mean the lossless path leaked in), and
-    // the corpus-wide max stays well under the tol=16 gate (measured 8
-    // at quality 0.95 on this JDK)
+    // the corpus-wide max must honor the m14 CONTRACT bound (tol=16).
+    // The measured max (8 at quality 0.95 on this JDK) is encoder
+    // detail, logged as a drift diagnostic rather than hard-pinned —
+    // a JDK swap may move it within tol without breaking the contract
     val errs = Multimodal.mjpegFrameFidelity(spark, sf0001)
       .select("max_abs_err").collect().map(_.getLong(0))
     assert(errs.min >= 1L, "zero-error MJPEG frame: reference leak?")
-    assert(errs.max <= 12L, s"quality-0.95 fidelity drifted: max ${errs.max}")
+    info(s"m14 measured corpus-wide max_abs_err = ${errs.max} (contract tol = 16)")
+    assert(errs.max <= 16L, s"m14 fidelity contract violated: max ${errs.max} > 16")
     // mux → demux structural round-trip, and each embedded frame is a
     // self-contained grayscale JPEG the m12 marker walk accepts
     val (w, h, jpegs) = Multimodal.demuxMjpegAvi(Multimodal.muxMjpegAvi(5L))
@@ -551,6 +554,28 @@ class OpsSpec extends SparkSpec {
     val planted = (0 until 20).map(k => (k.toLong * 2, k.toLong * 2 + 1)).toSet
     assert(planted.subsetOf(found),
       s"LSH missed planted near-dups: ${planted -- found}")
+  }
+
+  test("d02 witness: duplicateGroups emits groups on a planted-duplicate corpus") {
+    // the gate-SF corpus holds no exact duplicates, so the d02
+    // registry row only ever exercises the EMPTY result — plant some
+    // and witness the non-empty branch: grouping, member-id sorting,
+    // the n>1 cut, and that singletons never leak through
+    val s = spark; import s.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "sphinx of black quartz judge my vow")
+    val docs = Seq(
+      (10L, texts(0)), (7L, texts(0)), (2L, texts(0)), // trio, ids unsorted
+      (3L, texts(1)), (4L, texts(1)),                  // pair
+      (5L, texts(2))                                   // singleton
+    ).toDF("doc_id", "text")
+    val groups = Dedup.duplicateGroupsOf(docs).collect()
+    assert(groups.length == 2, "exactly the trio and the pair must emit")
+    val byN = groups.map(r => r.getAs[Long]("n") -> r.getAs[String]("doc_ids")).toMap
+    assert(byN(3L) == "2,7,10", "member ids must be numerically sorted")
+    assert(byN(2L) == "3,4")
   }
 
   test("IVF topk: k per query, and probed-cell results overlap brute force") {

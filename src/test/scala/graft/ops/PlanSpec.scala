@@ -388,12 +388,24 @@ class PlanSpec extends SparkSpec {
     // execution needed, and checkpoint lineage cuts (LogicalRDD)
     // correctly count as "unaggregated" so a checkpointed corpus
     // can't smuggle a global sort past the gate.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, LocalRelation, LogicalPlan, Window => LWindow}
+    // "bounded" must hold on EVERY path to a leaf, not collectFirst
+    // anywhere in the subtree: a join of one aggregated frame with a
+    // corpus-sized scan is NOT bounded — the Aggregate has to
+    // dominate all leaves feeding the window (or the leaf must be a
+    // literal LocalRelation), else one unaggregated branch smuggles
+    // the whole corpus into the one-task sort.
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate      => true
+      case _: LocalRelation  => true // driver-side literal frame
+      case leaf if leaf.children.isEmpty => false // scan / LogicalRDD
+      case other => other.children.forall(bounded)
+    }
     val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan
       val offenders = plan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty &&
-            w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
       }
       if (offenders.nonEmpty)
         Some(s"$name: ${offenders.size} unpartitioned window(s) over unaggregated input")

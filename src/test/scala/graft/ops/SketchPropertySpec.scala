@@ -129,6 +129,13 @@ class SketchPropertySpec extends SparkSpec {
     val idxPos = blob.length - 8 - 16 * 3
     assert(new String(blob.slice(idxPos, idxPos + 4), "US-ASCII") == "idx1")
     tamper(idxPos + 4, "idx1 size (entry count)")
+    // per-ENTRY index tamper: a wrong fourcc, a wrong offset, or a
+    // wrong length in any idx1 entry must throw (the index is checked
+    // field-by-field against the movi walk, not just by count)
+    tamper(idxPos + 8, "idx1 entry 0 fourcc")
+    tamper(idxPos + 8 + 8, "idx1 entry 0 offset")
+    tamper(idxPos + 8 + 12, "idx1 entry 0 length")
+    tamper(idxPos + 8 + 16 + 8, "idx1 entry 1 offset")
     // and the clean blob still demuxes identically after all that
     assert(Multimodal.demuxMjpegAvi(blob)._3.length == clean._3.length)
   }
