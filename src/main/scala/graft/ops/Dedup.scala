@@ -908,7 +908,24 @@ object Dedup {
     * parallelism — grows linearly with the corpus. Reproduces the
     * long-certified default exactly at the sf0.1 seed
     * (n=2000 → 32), so the rule and the shipped default cannot
-    * drift apart — OpsSpec pins that. */
+    * drift apart — OpsSpec pins that.
+    *
+    * The rule's own cost, measured (r13, ScaleCheck ×16→×64): the
+    * flat in-row argmax assignment is O(n·nlist), so holding
+    * occupancy constant makes the ASSIGNMENT term quadratic in n —
+    * d12/d18 measured 6.6×/6.8× wall for 4× data under this rule,
+    * vs 2.1×/2.1× with nlist pinned at the ×16 value
+    * (`graft.neardup.n` held at 32000, occupancy ×4). The production
+    * path at real corpus scale is therefore a FIXED nlist chosen for
+    * the recall granularity target (the SemDeDup paper's own
+    * protocol: tens of thousands of clusters, trained on a constant-
+    * size sample) — occupancy grows with n and the per-cell
+    * occupancy² term is the knob you watch instead; a corpus big
+    * enough to strain both wants a coarse routing level above the
+    * codebook (two-level IVF), which [[Similarity.buildIvfIndex]]'s
+    * layout already accommodates. This sized rule is the GATE-SCALE
+    * convenience that keeps the small-corpus defaults honest, not
+    * the 100 TB sizing policy. */
   def sizedNlist(n: Long, occupancy: Int = 64): Int = {
     require(n > 0 && occupancy > 0)
     math.max(1, math.ceil(n.toDouble / occupancy)).toInt

@@ -255,14 +255,31 @@ object Similarity {
     val emb = t(s, dir, "embeddings")
     val cent = seededCentroids(emb, nlist)
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    corpus.crossJoin(broadcast(cent))
+    val assigned = corpus.crossJoin(broadcast(cent))
       .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
       .groupBy("c_id")
       .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"),
         first(col("c_emb")).as("c_emb"))
       .select(col("c_id"), col("c_emb"), (-col("m.nc")).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    writePartitionedByCell(assigned, indexPath)
   }
+
+  /** The ONE partitioned-write discipline for by-cell index layouts
+    * ([[buildIvfIndex]], [[ensureSemanticIndex]]): one shuffle on
+    * `cell`, then `partitionBy("cell")`. Without the repartition,
+    * every upstream task writes its own file into every cell
+    * directory it touches, so the layout holds O(tasks × cells)
+    * files — measured 7,866 files for 500 cells on a ×16 corpus
+    * (53,793 at ×64) — and every probe pays that many listings +
+    * footer reads; d18's probe measured 2× wall at ×16 purely from
+    * the layout. Repartitioned, the file count is exactly the cell
+    * count, independent of the writing job's parallelism; a big
+    * cell's single file stays row-group-splittable, so hot cells
+    * still read in parallel at 100 TB. */
+  private[graft] def writePartitionedByCell(df: DataFrame,
+      path: String): Unit =
+    df.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Deterministic per-corpus location for the persisted IVF index,
     * under the session's warehouse dir — the write-once/probe-forever
@@ -582,7 +599,7 @@ object Similarity {
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       val (index, cb) = semanticIndex(s, dir, nl, iters)
-      index.write.mode("overwrite").partitionBy("cell").parquet(s"$root/members")
+      writePartitionedByCell(index, s"$root/members")
       cb.write.mode("overwrite").parquet(s"$root/codebook")
     }
     root
