@@ -189,6 +189,16 @@ object SparkEntry {
     // construction, so the s05 oracle certifies the persisted path too
     "s11_ivf_indexed" -> ((s: SparkSession, dir: String) =>
       Similarity.ivfTopKIndexed(s, dir, Similarity.ensureIvfIndex(s, dir))),
+    // s20: two-level routed IVF — the query ranks ncoarse=8 coarse
+    // cells then only the routed subset of the 32 fine centroids,
+    // instead of all 32; the corpus-side plan is s05's unchanged
+    "s20_ivf2_topk" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivf2TopK(s, dir)),
+    // s21: router recall curve vs the ONE-LEVEL IVF baseline — the
+    // cprobe=8 row must read exactly 1000 (s20's exhaustive-router
+    // identity, oracle-certified every gate run)
+    "s21_cprobe_recall" -> ((s: SparkSession, dir: String) =>
+      Similarity.cprobeRecallCurve(s, dir)),
     // — multimodal plumbing —
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
@@ -641,6 +651,87 @@ object SparkEntry {
          $selects ORDER BY nprobe"""
   }
 
+  /** s21's oracle: shared routing CTEs (codebooks, fine→coarse route,
+    * corpus assignment, the s05 one-level baseline), then per curve
+    * point the two-level pipeline replayed end to end. The fine probe
+    * CTEs must re-rank per cp (a routed subset's top-nprobe is not a
+    * prefix of the superset's ranking), mirroring the Spark side. */
+  private def s21OracleSql(cprobes: Seq[Int], nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32, ncoarse: Int = 8,
+      nprobe: Int = 4): String = {
+    val perCp = cprobes.map { cp =>
+      s"""cop$cp AS (SELECT q_id, co_cell FROM qcor WHERE rn <= $cp),
+         qf$cp AS (SELECT cop$cp.q_id, route.cent_id,
+             floor(list_cosine_similarity(q.emb, cent.cent_emb) * 10000 + 0.5) / 10000 AS sim_f
+           FROM cop$cp JOIN route ON route.co_cell = cop$cp.co_cell
+           JOIN cent ON cent.cent_id = route.cent_id
+           JOIN e q ON q.vec_id = cop$cp.q_id),
+         probes$cp AS (SELECT q_id, cent_id AS cell FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_f DESC, cent_id) AS rn
+           FROM qf$cp) WHERE rn <= $nprobe),
+         sc$cp AS (SELECT cnd.q_id, cnd.c_id,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM (SELECT q_id, c_id FROM assign JOIN probes$cp USING (cell)
+             WHERE q_id <> c_id) cnd
+           JOIN e q ON q.vec_id = cnd.q_id JOIN e c ON c.vec_id = cnd.c_id),
+         top$cp AS (SELECT q_id, c_id FROM (
+           SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+           FROM sc$cp) WHERE rnk <= $k),
+         h$cp AS (SELECT count(*) AS hits FROM top$cp JOIN base USING (q_id, c_id))"""
+    }.mkString(",\n         ")
+    val selects = cprobes.map { cp =>
+      s"""SELECT CAST($cp AS BIGINT) AS cprobe, CAST(hits AS BIGINT) AS n_hits,
+           (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_truth,
+           CAST(hits * 1000 // (SELECT count(*) FROM base) AS BIGINT) AS recall_milli
+         FROM h$cp"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < ${100 + nlist}),
+         co AS (SELECT vec_id AS co_id, emb AS co_emb FROM e
+           WHERE vec_id >= 200 AND vec_id < ${200 + ncoarse}),
+         rt AS (SELECT cent_id, co_id,
+             floor(list_cosine_similarity(cent_emb, co_emb) * 10000 + 0.5) / 10000 AS sim_r
+           FROM cent, co),
+         route AS (SELECT cent_id, co_id AS co_cell FROM (
+           SELECT cent_id, co_id,
+             row_number() OVER (PARTITION BY cent_id ORDER BY sim_r DESC, co_id) AS rn
+           FROM rt) WHERE rn = 1),
+         qco AS (SELECT q.vec_id AS q_id, co_id,
+             floor(list_cosine_similarity(q.emb, co_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, co WHERE q.vec_id < $nQueries),
+         qcor AS (SELECT q_id, co_id AS co_cell,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, co_id) AS rn
+           FROM qco),
+         ac AS (SELECT a.vec_id AS c_id, cent_id,
+             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e a, cent),
+         assign AS (SELECT c_id, cent_id AS cell FROM (
+           SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         qcf AS (SELECT q.vec_id AS q_id, cent_id,
+             floor(list_cosine_similarity(q.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, cent WHERE q.vec_id < $nQueries),
+         bprobes AS (SELECT q_id, cent_id AS cell FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM qcf) WHERE rn <= $nprobe),
+         bsc AS (SELECT cnd.q_id, cnd.c_id,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM (SELECT q_id, c_id FROM assign JOIN bprobes USING (cell)
+             WHERE q_id <> c_id) cnd
+           JOIN e q ON q.vec_id = cnd.q_id JOIN e c ON c.vec_id = cnd.c_id),
+         base AS (SELECT q_id, c_id FROM (
+           SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+           FROM bsc) WHERE rnk <= $k),
+         $perCp
+         $selects ORDER BY cprobe"""
+  }
+
   /** The multi-frame decode oracle — per-frame formula replay over
     * the video-kind corpus. ONE definition bound to BOTH m06 (animated
     * GIF via ImageIO) and m10 (AVI/DIB via the pure-JVM RIFF demuxer):
@@ -845,6 +936,12 @@ object SparkEntry {
     // s17: the nprobe cost/recall table — seeded-IVF replay with the
     // probe rank carried, s01 truth, integer recall per depth
     "s17_nprobe_recall" -> s17OracleSql(nprobes = Seq(1, 2, 4, 8)),
+    // s21: the router recall curve — per curve point the oracle
+    // replays the FULL two-level pipeline (route, coarse probes at
+    // rn<=cp, fine probes re-ranked over the routed subset, exact
+    // scan) and counts overlap with the one-level s05 baseline; the
+    // cprobe=8 row hash-certifies the exhaustive-router identity
+    "s21_cprobe_recall" -> s21OracleSql(cprobes = Seq(1, 2, 4, 8)),
     // s19: the composed end-to-end recall audit (see s19Sql scaladoc)
     "s19_quant_recall" -> s19Sql,
     // t15: the count-min sketch replayed bit-for-bit (md5-derived
@@ -2655,6 +2752,55 @@ object SparkEntry {
            SELECT q_id, cent_id,
              row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
            FROM qc) WHERE rn <= 4),
+         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
+         sc AS (SELECT q_id, c_id,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // s20: the oracle replays BOTH routing levels with the same
+    // r4-rounded sims and (sim desc, id asc) ties — route fine→coarse
+    // (rn=1), coarse probes (rn<=3), fine probes over the ROUTED
+    // subset only (rn<=4), then s05's exact scan of the probed cells.
+    // A one-level oracle would hash-differ precisely when the router
+    // hides a fine cell — the two-level recall loss is the contract.
+    "s20_ivf2_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < 132),
+         co AS (SELECT vec_id AS co_id, emb AS co_emb FROM e
+           WHERE vec_id >= 200 AND vec_id < 208),
+         rt AS (SELECT cent_id, co_id,
+             floor(list_cosine_similarity(cent_emb, co_emb) * 10000 + 0.5) / 10000 AS sim_r
+           FROM cent, co),
+         route AS (SELECT cent_id, co_id AS co_cell FROM (
+           SELECT cent_id, co_id,
+             row_number() OVER (PARTITION BY cent_id ORDER BY sim_r DESC, co_id) AS rn
+           FROM rt) WHERE rn = 1),
+         qco AS (SELECT q.vec_id AS q_id, co_id,
+             floor(list_cosine_similarity(q.emb, co_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, co WHERE q.vec_id < 10),
+         cop AS (SELECT q_id, co_id AS co_cell FROM (
+           SELECT q_id, co_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, co_id) AS rn
+           FROM qco) WHERE rn <= 3),
+         qf AS (SELECT cop.q_id, route.cent_id,
+             floor(list_cosine_similarity(q.emb, cent.cent_emb) * 10000 + 0.5) / 10000 AS sim_f
+           FROM cop JOIN route ON route.co_cell = cop.co_cell
+           JOIN cent ON cent.cent_id = route.cent_id
+           JOIN e q ON q.vec_id = cop.q_id),
+         probes AS (SELECT q_id, cent_id AS cell FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_f DESC, cent_id) AS rn
+           FROM qf) WHERE rn <= 4),
+         ac AS (SELECT a.vec_id AS c_id, cent_id,
+             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e a, cent),
+         assign AS (SELECT c_id, cent_id AS cell FROM (
+           SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
          cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
          sc AS (SELECT q_id, c_id,
              floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim

@@ -333,6 +333,184 @@ object Similarity {
     topKPerQuery(s, scored, k)
   }
 
+  /** Two-level IVF routing — a coarse quantizer OVER THE FINE CODEBOOK
+    * (the composite-index structure of FAISS's inverted-multi-index /
+    * routed-IVF family, Babenko & Lempitsky 2012): the query no longer
+    * ranks all `nlist` fine centroids. An `ncoarse`-cell coarse
+    * codebook (seeded corpus vectors, ids [200, 200+ncoarse))
+    * partitions the fine codebook once at build time; per query,
+    * level 1 picks the `cprobe` nearest coarse cells, level 2 ranks
+    * only the fine centroids routed under them and keeps `nprobe`,
+    * and the corpus scan proceeds exactly as [[ivfTopK]] over those
+    * fine cells.
+    *
+    * The 100 TB term this removes is the ROUTING scan: one-level IVF
+    * sizes nlist ≈ √corpus (2^17 cells at 10^10 vectors), so every
+    * query pays 131k centroid dot products before touching data; with
+    * ncoarse ≈ √nlist the per-query routing cost drops to
+    * ncoarse + cprobe·(nlist/ncoarse) ≈ 1.4k — two orders of
+    * magnitude — while the corpus-side plan is UNCHANGED (broadcast
+    * fine probes into the cell-bucketed candidates-only scan, the
+    * [[buildIvfIndex]] pruning story). Both codebooks and the 32-row
+    * fine→coarse route stay broadcast-sized; this op adds zero new
+    * shuffles over [[ivfTopK]].
+    *
+    * Doubly approximate BY CONTRACT: a fine cell routed under an
+    * unprobed coarse cell is invisible even when it holds a true
+    * neighbor, on top of one-level IVF's unprobed-fine-cell loss.
+    * With cprobe = ncoarse the router is exhaustive and the result is
+    * IDENTICAL to [[ivfTopK]] — SimilaritySpec pins that identity.
+    * Cross-engine determinism: every stage (route, coarse probe, fine
+    * probe, final rank) uses r4-rounded sims with the (sim desc,
+    * id asc) tie contract, so the DuckDB oracle replays the full
+    * two-level routing and hash-equality certifies it exactly.
+    * Reference analog: the staged filter-then-consume chains of
+    * streamable/stream.py:230-326, here as query-time index routing.
+    */
+  /** The seeded coarse codebook for two-level routing: `ncoarse`
+    * deterministic corpus vectors (ids [200, 200+ncoarse)) — a range
+    * disjoint from [[seededCentroids]]' fine seeds so the route is a
+    * real argmax, not a self-match. ONE definition shared by s20/s21
+    * so the identity they certify against each other cannot drift. */
+  private def coarseCodebook(emb: DataFrame, ncoarse: Int): DataFrame =
+    emb.filter(col("vec_id") >= 200 && col("vec_id") < 200 + ncoarse)
+      .select(col("vec_id").as("co_id"), col("embedding").as("co_emb"))
+
+  /** Build-time route: each fine centroid under its nearest coarse
+    * cell (nlist×ncoarse broadcast cross, map-side max-struct — the
+    * [[seededAssign]] shape on the CODEBOOK, not the corpus). */
+  private def fineToCoarseRoute(coarse: DataFrame,
+      fine: DataFrame): DataFrame =
+    fine.crossJoin(broadcast(coarse))
+      .withColumn("sim_r", r4(cosine(col("cent_emb"), col("co_emb"))))
+      .groupBy("cent_id")
+      .agg(max(struct(col("sim_r").as("s"), (-col("co_id")).as("nc"))).as("m"),
+        first(col("cent_emb")).as("cent_emb"))
+      .select(col("cent_id"), col("cent_emb"), (-col("m.nc")).as("co_cell"))
+
+  def ivf2TopK(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32, ncoarse: Int = 8, cprobe: Int = 3,
+      nprobe: Int = 4): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val fine = seededCentroids(emb, nlist)
+    val coarse = coarseCodebook(emb, ncoarse)
+    val route = fineToCoarseRoute(coarse, fine)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // level 1: cprobe nearest coarse cells per query
+    val coarseProbes = topKPerQuery(s,
+      queries.crossJoin(broadcast(coarse))
+        .select(col("q_id"), col("co_id").as("c_id"),
+          r4(cosine(col("q_emb"), col("co_emb"))).as("sim")),
+      cprobe, sorted = false)
+      .select(col("q_id"), col("c_id").as("co_cell"))
+    // level 2: rank ONLY the fine centroids routed under probed coarse
+    // cells — the scan this op exists to shrink
+    val fineProbes = topKPerQuery(s,
+      route.join(broadcast(coarseProbes), "co_cell")
+        .join(broadcast(queries), "q_id")
+        .select(col("q_id"), col("cent_id").as("c_id"),
+          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
+      nprobe, sorted = false)
+      .select(col("q_id"), col("c_id").as("cell"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"))
+    val assign = seededAssign(corpus, fine)
+    val scored = assign.join(broadcast(fineProbes), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+      .join(broadcast(queries), "q_id")
+      .join(corpus, "c_id")
+      .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
+    topKPerQuery(s, scored, k)
+  }
+
+  /** Router recall curve (s21) — the s17 measured-advisory pattern on
+    * the COARSE-PROBE axis: how much of the one-level IVF result does
+    * [[ivf2TopK]]'s router keep at each `cprobe`, on the same
+    * queries. The baseline is deliberately [[ivfTopK]] (not brute
+    * force): the curve isolates the ROUTER's loss from IVF's own
+    * unprobed-fine-cell loss — and the cprobe = ncoarse row must read
+    * exactly 1000, the exhaustive-router identity of the s20
+    * scaladoc, here hash-certified by the oracle on every gate run.
+    *
+    * Scale design: the per-cp fine probe sets are re-ranked from ONE
+    * checkpointed routed-sims frame (≤ nQueries·nlist rows — codebook
+    * arithmetic, not data); the corpus is scanned ONCE against the
+    * union of all curve points' probe cells (≤ |cprobes|·nprobe cells
+    * per query) and each curve point filters that checkpointed frame —
+    * the advisory costs one s20 corpus pass regardless of curve
+    * length, the s17 shape. Fine probes per cp must genuinely re-rank
+    * (the top-nprobe of a routed SUBSET is not a prefix of the
+    * superset's ranking), which is why the fine level cannot reuse
+    * s17's nested rank≤p trick. Reference analog: the group/agg
+    * chains of streamable/stream.py:230-326, specialized to recall
+    * accounting over the routing depth. */
+  def cprobeRecallCurve(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32, ncoarse: Int = 8, nprobe: Int = 4,
+      cprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(cprobes.nonEmpty && cprobes.forall(c => c >= 1 && c <= ncoarse))
+    val emb = t(s, dir, "embeddings")
+    val fine = seededCentroids(emb, nlist)
+    val coarse = coarseCodebook(emb, ncoarse)
+    val route = fineToCoarseRoute(coarse, fine)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // coarse probes once at max depth, rank kept: rank ≤ cp IS the
+    // cprobe=cp coarse set (the nested trick holds at THIS level —
+    // the coarse pool is the same for every cp)
+    val coarseProbes = topKPerQuery(s,
+      queries.crossJoin(broadcast(coarse))
+        .select(col("q_id"), col("co_id").as("c_id"),
+          r4(cosine(col("q_emb"), col("co_emb"))).as("sim")),
+      cprobes.max, sorted = false)
+      .select(col("q_id"), col("c_id").as("co_cell"),
+        col("rnk").as("co_rnk"))
+    val routedSims = route.join(broadcast(coarseProbes), "co_cell")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("cent_id"), col("co_rnk"),
+        r4(cosine(col("q_emb"), col("cent_emb"))).as("sim"))
+      .localCheckpoint()
+    // per curve point: re-rank the routed fine subset to nprobe cells
+    val probesAll = cprobes.map { cp =>
+      topKPerQuery(s,
+        routedSims.filter(col("co_rnk") <= cp)
+          .select(col("q_id"), col("cent_id").as("c_id"), col("sim")),
+        nprobe, sorted = false)
+        .select(lit(cp.toLong).as("cprobe"), col("q_id"),
+          col("c_id").as("cell"))
+    }.reduce(_ union _).localCheckpoint()
+    // ONE corpus pass over the union of all probed cells
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"))
+    val assign = seededAssign(corpus, fine)
+    val cells = probesAll.select("q_id", "cell").distinct()
+    val scoredCand = assign.join(broadcast(cells), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(queries), "q_id")
+      .join(corpus, "c_id")
+      .select(col("q_id"), col("cell"), col("c_id"),
+        r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
+      .localCheckpoint()
+    val baseline = ivfTopK(s, dir, nQueries, k, nlist, nprobe)
+      .select("q_id", "c_id").localCheckpoint()
+    val perCp = cprobes.map { cp =>
+      topKPerQuery(s,
+        scoredCand.join(
+          broadcast(probesAll.filter(col("cprobe") === cp)
+            .select("q_id", "cell")),
+          Seq("q_id", "cell")),
+        k, sorted = false)
+        .join(baseline, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(cp.toLong).as("cprobe"), col("n_hits"))
+    }.reduce(_ union _)
+    perCp
+      .crossJoin(broadcast(baseline.groupBy().agg(count(lit(1)).as("n_truth"))))
+      .withColumn("recall_milli", expr("n_hits * 1000 div n_truth"))
+      .orderBy("cprobe")
+  }
+
   /** Trained IVF codebook: `iters` rounds of Lloyd's k-means over the
     * corpus, upgrading [[ivfTopK]]'s seeded stand-in codebook to the
     * real thing — the missing piece between "IVF plan shape" and "IVF

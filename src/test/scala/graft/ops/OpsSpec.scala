@@ -590,6 +590,60 @@ class OpsSpec extends SparkSpec {
     assert(hits >= 1, s"IVF found no true neighbors: $hits/15")
   }
 
+  test("two-level IVF: exhaustive router is IDENTICAL to one-level; " +
+      "restricted router emits k per query from probed cells only") {
+    // cprobe = ncoarse makes level 1 a no-op (every coarse cell
+    // probed, so level 2 ranks the full fine codebook) — the result
+    // must equal ivfTopK row-for-row, the identity the scaladoc pins
+    val oneLevel = Similarity.ivfTopK(spark, sf0001)
+      .collect().map(_.toSeq).toList
+    val exhaustive = Similarity.ivf2TopK(spark, sf0001, cprobe = 8)
+      .collect().map(_.toSeq).toList
+    assert(exhaustive == oneLevel,
+      "cprobe=ncoarse two-level IVF must reduce to one-level IVF exactly")
+    // the registry configuration (cprobe=3 of 8): k rows per query,
+    // ranks contiguous from 1, sims within [-1, 1] after r4
+    val routed = Similarity.ivf2TopK(spark, sf0001).collect()
+    val perQ = routed.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.size == 10)
+    perQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to rows.length),
+        s"query $q ranks not contiguous")
+      assert(rows.length <= 5)
+    }
+    // routing restricts the candidate pool: every result of the
+    // restricted run whose cell survives routing must also be findable
+    // by the exhaustive run's candidate logic — sanity: restricted
+    // results are a subset of union(exhaustive results, lower-ranked
+    // candidates), so at minimum sims cannot EXCEED the exhaustive
+    // run's per-(q,c) sims (same exact scoring); check on the overlap
+    val exSims = exhaustive.map(r =>
+      (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long]) -> r(3)).toMap
+    routed.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      exSims.get(key).foreach(s =>
+        assert(s == r.getAs[Double]("sim"), s"sim drift on $key"))
+    }
+  }
+
+  test("router recall curve ends at exactly 1000 vs one-level IVF") {
+    val curve = Similarity.cprobeRecallCurve(spark, sf0001).collect()
+    assert(curve.length == 4)
+    val byCp = curve.map(r =>
+      r.getAs[Long]("cprobe") -> r.getAs[Long]("recall_milli")).toMap
+    assert(byCp(8L) == 1000L,
+      "exhaustive router (cprobe=ncoarse) must recall the one-level result exactly")
+    // deeper routing widens the fine pool seen by the fixed-size fine
+    // probe cut, but the cut itself can swap cells, so recall vs the
+    // one-level baseline is not guaranteed monotone — assert the
+    // envelope, not monotonicity
+    assert(curve.forall { r =>
+      val m = r.getAs[Long]("recall_milli"); m >= 0L && m <= 1000L
+    })
+    val truth = curve.head.getAs[Long]("n_truth")
+    assert(truth == 50L, s"baseline must hold k*nQueries rows, got $truth")
+  }
+
   test("try_divide channels divide-by-zero into counted nulls, not task failures") {
     val rows = Relational.safeArithmetic(spark, sf0001).collect()
     assert(rows.length == 3)

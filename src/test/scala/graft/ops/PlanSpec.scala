@@ -111,6 +111,19 @@ class PlanSpec extends SparkSpec {
       "IVF probe joins must broadcast — the corpus side cannot shuffle-sort at scale")
   }
 
+  test("s20: two-level routing adds no shuffle over s05 — both codebooks, " +
+      "the route, and all probe tables broadcast; no window anywhere") {
+    val df = Similarity.ivf2TopK(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "routed-IVF joins must broadcast — the corpus side cannot shuffle-sort at scale")
+    assert(!p.contains("CartesianProduct"),
+      "codebook crosses must be broadcast nested loops, never a shuffled cartesian")
+    assert(!finalOnly(p).contains("Window"), "s20 plans a Window sort")
+    assert(p.contains("TopKAggregator"), "s20 missing the typed top-k aggregate")
+  }
+
   test("sketch signatures run as native kernels, not interpreted lambda folds") {
     // regression gate: the fused Expression kernels must stay in the
     // plans — a revert to transform/aggregate higher-order functions
