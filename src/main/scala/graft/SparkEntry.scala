@@ -199,6 +199,11 @@ object SparkEntry {
     // identity, oracle-certified every gate run)
     "s21_cprobe_recall" -> ((s: SparkSession, dir: String) =>
       Similarity.cprobeRecallCurve(s, dir)),
+    // s22: the COMPOSED production path — routed probe selection (s20)
+    // over the persisted partition-pruned index layout (s11); results
+    // identical to s20 by construction, certified by the shared oracle
+    "s22_routed_indexed" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivf2TopKIndexed(s, dir, Similarity.ensureIvfIndex(s, dir))),
     // — multimodal plumbing —
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
@@ -650,6 +655,53 @@ object SparkEntry {
          $perNp
          $selects ORDER BY nprobe"""
   }
+
+  /** s20's oracle (also bound to s22 — the persisted-path results are
+    * identical by construction, so ONE text certifies both, the
+    * s11/s05 pattern): the full two-level routing replayed in SQL. */
+  private val s20Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < 132),
+         co AS (SELECT vec_id AS co_id, emb AS co_emb FROM e
+           WHERE vec_id >= 200 AND vec_id < 208),
+         rt AS (SELECT cent_id, co_id,
+             floor(list_cosine_similarity(cent_emb, co_emb) * 10000 + 0.5) / 10000 AS sim_r
+           FROM cent, co),
+         route AS (SELECT cent_id, co_id AS co_cell FROM (
+           SELECT cent_id, co_id,
+             row_number() OVER (PARTITION BY cent_id ORDER BY sim_r DESC, co_id) AS rn
+           FROM rt) WHERE rn = 1),
+         qco AS (SELECT q.vec_id AS q_id, co_id,
+             floor(list_cosine_similarity(q.emb, co_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, co WHERE q.vec_id < 10),
+         cop AS (SELECT q_id, co_id AS co_cell FROM (
+           SELECT q_id, co_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, co_id) AS rn
+           FROM qco) WHERE rn <= 3),
+         qf AS (SELECT cop.q_id, route.cent_id,
+             floor(list_cosine_similarity(q.emb, cent.cent_emb) * 10000 + 0.5) / 10000 AS sim_f
+           FROM cop JOIN route ON route.co_cell = cop.co_cell
+           JOIN cent ON cent.cent_id = route.cent_id
+           JOIN e q ON q.vec_id = cop.q_id),
+         probes AS (SELECT q_id, cent_id AS cell FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_f DESC, cent_id) AS rn
+           FROM qf) WHERE rn <= 4),
+         ac AS (SELECT a.vec_id AS c_id, cent_id,
+             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e a, cent),
+         assign AS (SELECT c_id, cent_id AS cell FROM (
+           SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
+         sc AS (SELECT q_id, c_id,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   /** s21's oracle: shared routing CTEs (codebooks, fine→coarse route,
     * corpus assignment, the s05 one-level baseline), then per curve
@@ -2765,49 +2817,12 @@ object SparkEntry {
     // subset only (rn<=4), then s05's exact scan of the probed cells.
     // A one-level oracle would hash-differ precisely when the router
     // hides a fine cell — the two-level recall loss is the contract.
-    "s20_ivf2_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
-           WHERE vec_id >= 100 AND vec_id < 132),
-         co AS (SELECT vec_id AS co_id, emb AS co_emb FROM e
-           WHERE vec_id >= 200 AND vec_id < 208),
-         rt AS (SELECT cent_id, co_id,
-             floor(list_cosine_similarity(cent_emb, co_emb) * 10000 + 0.5) / 10000 AS sim_r
-           FROM cent, co),
-         route AS (SELECT cent_id, co_id AS co_cell FROM (
-           SELECT cent_id, co_id,
-             row_number() OVER (PARTITION BY cent_id ORDER BY sim_r DESC, co_id) AS rn
-           FROM rt) WHERE rn = 1),
-         qco AS (SELECT q.vec_id AS q_id, co_id,
-             floor(list_cosine_similarity(q.emb, co_emb) * 10000 + 0.5) / 10000 AS sim_c
-           FROM e q, co WHERE q.vec_id < 10),
-         cop AS (SELECT q_id, co_id AS co_cell FROM (
-           SELECT q_id, co_id,
-             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, co_id) AS rn
-           FROM qco) WHERE rn <= 3),
-         qf AS (SELECT cop.q_id, route.cent_id,
-             floor(list_cosine_similarity(q.emb, cent.cent_emb) * 10000 + 0.5) / 10000 AS sim_f
-           FROM cop JOIN route ON route.co_cell = cop.co_cell
-           JOIN cent ON cent.cent_id = route.cent_id
-           JOIN e q ON q.vec_id = cop.q_id),
-         probes AS (SELECT q_id, cent_id AS cell FROM (
-           SELECT q_id, cent_id,
-             row_number() OVER (PARTITION BY q_id ORDER BY sim_f DESC, cent_id) AS rn
-           FROM qf) WHERE rn <= 4),
-         ac AS (SELECT a.vec_id AS c_id, cent_id,
-             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
-           FROM e a, cent),
-         assign AS (SELECT c_id, cent_id AS cell FROM (
-           SELECT c_id, cent_id,
-             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
-           FROM ac) WHERE rn = 1),
-         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
-         sc AS (SELECT q_id, c_id,
-             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
-           FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
-         r AS (SELECT q_id, c_id, sim,
-           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
-         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "s20_ivf2_topk" -> s20Sql,
+    // s22 reads the PERSISTED index through the router; results are
+    // identical to s20 by construction (same probes, same exact
+    // re-ranking), so the s20 oracle certifies the persisted path too
+    // — the s11/s05 sharing pattern
+    "s22_routed_indexed" -> s20Sql,
     "s05_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e

@@ -388,31 +388,40 @@ object Similarity {
         first(col("cent_emb")).as("cent_emb"))
       .select(col("cent_id"), col("cent_emb"), (-col("m.nc")).as("co_cell"))
 
-  def ivf2TopK(s: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5, nlist: Int = 32, ncoarse: Int = 8, cprobe: Int = 3,
-      nprobe: Int = 4): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+  /** The two-level probe selection shared by s20/s22: level 1 ranks
+    * the coarse codebook (cprobe cells), level 2 ranks ONLY the fine
+    * centroids routed under them (nprobe cells) — the scan this
+    * family exists to shrink. Returns (q_id, cell). */
+  private def routedFineProbes(s: SparkSession, emb: DataFrame,
+      queries: DataFrame, nlist: Int, ncoarse: Int, cprobe: Int,
+      nprobe: Int): DataFrame = {
     val fine = seededCentroids(emb, nlist)
     val coarse = coarseCodebook(emb, ncoarse)
     val route = fineToCoarseRoute(coarse, fine)
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    // level 1: cprobe nearest coarse cells per query
     val coarseProbes = topKPerQuery(s,
       queries.crossJoin(broadcast(coarse))
         .select(col("q_id"), col("co_id").as("c_id"),
           r4(cosine(col("q_emb"), col("co_emb"))).as("sim")),
       cprobe, sorted = false)
       .select(col("q_id"), col("c_id").as("co_cell"))
-    // level 2: rank ONLY the fine centroids routed under probed coarse
-    // cells — the scan this op exists to shrink
-    val fineProbes = topKPerQuery(s,
+    topKPerQuery(s,
       route.join(broadcast(coarseProbes), "co_cell")
         .join(broadcast(queries), "q_id")
         .select(col("q_id"), col("cent_id").as("c_id"),
           r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
       nprobe, sorted = false)
       .select(col("q_id"), col("c_id").as("cell"))
+  }
+
+  def ivf2TopK(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32, ncoarse: Int = 8, cprobe: Int = 3,
+      nprobe: Int = 4): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val fine = seededCentroids(emb, nlist)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val fineProbes = routedFineProbes(s, emb, queries, nlist, ncoarse,
+      cprobe, nprobe)
     val corpus = emb.select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"))
     val assign = seededAssign(corpus, fine)
@@ -421,6 +430,36 @@ object Similarity {
       .select("q_id", "c_id")
       .join(broadcast(queries), "q_id")
       .join(corpus, "c_id")
+      .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
+    topKPerQuery(s, scored, k)
+  }
+
+  /** [[ivf2TopK]] against a [[buildIvfIndex]] layout — the COMPOSED
+    * production query path at 100 TB: the router cuts the per-query
+    * centroid scan (s20's claim) AND dynamic partition pruning cuts
+    * the corpus read to the probed cells' directories (s11's claim),
+    * so a query's total cost is ~1.4k codebook dot products plus
+    * nprobe/nlist of the data — neither term touches the corpus size
+    * except through cell occupancy. Results are identical to
+    * [[ivf2TopK]] by construction (same [[routedFineProbes]], same
+    * exact re-ranking), so the s20 oracle text certifies this path
+    * too (the s11/s05 sharing pattern); IvfIndexSpec pins both the
+    * equality and the pruning subquery in the executed plan.
+    * Reference analog: the staged filter-then-consume chains of
+    * streamable/stream.py:230-326, composed with the persisted-
+    * layout read. */
+  def ivf2TopKIndexed(s: SparkSession, dir: String, indexPath: String,
+      nQueries: Int = 10, k: Int = 5, nlist: Int = 32, ncoarse: Int = 8,
+      cprobe: Int = 3, nprobe: Int = 4): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val fineProbes = routedFineProbes(s, emb, queries, nlist, ncoarse,
+      cprobe, nprobe)
+    val idx = s.read.parquet(indexPath)
+    val scored = idx.join(broadcast(fineProbes), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(queries), "q_id")
       .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
     topKPerQuery(s, scored, k)
   }

@@ -44,4 +44,19 @@ class IvfIndexSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning on the index scan:\n$p")
   }
+
+  test("routed indexed IVF (s22) equals per-query s20 exactly and still prunes") {
+    val idxPath = "/tmp/graft_ivf_index_spec"
+    Similarity.buildIvfIndex(spark, sf0001, idxPath)
+    val direct = Similarity.ivf2TopK(spark, sf0001).collect().map(_.toSeq).toList
+    val df = Similarity.ivf2TopKIndexed(spark, sf0001, idxPath)
+    val viaIdx = df.collect().map(_.toSeq).toList
+    assert(viaIdx == direct,
+      "persisted-path routed IVF must equal the per-query routed plan row-for-row")
+    // the composed claim: the ROUTER picked the probes AND the index
+    // scan is partition-pruned to them
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the routed index scan:\n$p")
+  }
 }
