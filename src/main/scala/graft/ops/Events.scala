@@ -466,4 +466,26 @@ object Events {
       .agg(round(sum("value"), 2).as("total_value"), count(lit(1)).as("n"))
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(10)
+
+  /** Last-observation-carried-forward (e15): every event annotated
+    * with the user's most recent PURCHASE amount — the gap-filling
+    * primitive time-series features are built from (sparse signal →
+    * dense per-event feature), expressed as `last(..., ignoreNulls)`
+    * over a key-partitioned running frame. NULL until the user's
+    * first purchase, by design — the honest "no observation yet".
+    * Scale shape: one user_id shuffle, frames never cross users, no
+    * global sort anywhere in the executed plan (the terminal ORDER BY
+    * is oracle determinism only). */
+  def lastPurchaseCarried(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("purchase_val",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("event_id"), col("user_id"),
+        last(col("purchase_val"), ignoreNulls = true).over(w)
+          .as("last_purchase"))
+      .orderBy("event_id")
+  }
 }

@@ -560,6 +560,28 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Rolling 7-day spend per customer (q44) — a RANGE-interval
+    * analytic frame, the semantics a ROWS frame cannot express over
+    * sparse dates (the frame is `[day-6, day]` in VALUE space, so a
+    * customer with order gaps still windows by calendar time).
+    * Dates collapse to integer day offsets from a fixed epoch so the
+    * frame bound is plain integer RANGE arithmetic in both engines.
+    * Scale shape: one shuffle on o_custkey feeds both the daily
+    * pre-aggregation and the key-partitioned window — fully parallel,
+    * frames are bounded (≤7 in-frame days per row). */
+  def rollingWeeklySpend(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("day_spend"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .select(col("o_custkey"), col("day"), col("day_spend"),
+        round(sum(col("day_spend")).over(w), 2).as("spend_7d"))
+      .orderBy("o_custkey", "day")
+  }
+
   /** Exact count-distinct per group. */
   def distinctPartsPerFlag(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

@@ -412,4 +412,36 @@ object Sampling {
         sum((col("mult") === 0L).cast("long")).as("n_dropped"))
       .orderBy("lang")
   }
+
+  /** The k-fold hex cutpoints: fold i covers hashDraw range
+    * [cut(i-1), cut(i)) with cut(i) = floor(2³² · i / k) rendered
+    * fixed-width — ONE Scala computation feeds the Spark when-chain
+    * AND the oracle's CASE literals (the [[rateThreshold]] discipline
+    * widened from one threshold to k-1). */
+  def kfoldCuts(k: Int): Seq[String] =
+    (1 until k).map(i => f"${(1L << 32) * i / k}%08x")
+
+  /** Leakage-free k-fold split (p10): every order lands in its
+    * CUSTOMER's fold — the group-level assignment cross-validation
+    * needs (splitting raw rows would leak one customer's behavior
+    * across train and held-out folds). Fold = which of k equal
+    * [[hashDraw]] ranges md5(custkey) falls in, compared as fixed-
+    * width hex STRINGS in both engines, so the assignment is
+    * reproducible on any engine with md5 and stable under
+    * repartitioning. One scan, one shuffle; the emitted per-fold
+    * customer/order/revenue figures are the balance evidence. */
+  def kfoldStats(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    require(k >= 2)
+    val draw = hashDraw(col("o_custkey"))
+    val fold = kfoldCuts(k).zipWithIndex.foldRight(lit((k - 1).toLong): Column) {
+      case ((cut, i), els) => when(draw < lit(cut), lit(i.toLong)).otherwise(els)
+    }
+    t(s, dir, "orders")
+      .withColumn("fold", fold)
+      .groupBy("fold")
+      .agg(countDistinct("o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("fold")
+  }
 }

@@ -1634,4 +1634,175 @@ object Similarity {
       .withColumn("recall_milli", expr("n_hits * 1000 div n_truth"))
       .orderBy("method")
   }
+
+  /** Position-discount table for nDCG@k in integer micro-units:
+    * gain(rank) = floor(1e6 / log2(rank+1) + 0.5). ONE Scala
+    * computation feeds BOTH the Spark query and the DuckDB oracle
+    * text (as literals), so the two engines cannot disagree on a
+    * float log — the s06 "make every step cross-engine
+    * deterministic" discipline applied to ranking metrics. */
+  def ndcgGainsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Retrieval-quality metrics curve (s23) — the s17 recall curve
+    * widened to the metrics an embedding-retrieval pipeline actually
+    * tunes on: per probe depth, recall@k, MRR and nDCG@k of the
+    * seeded-IVF ranking against the brute-force truth. Everything is
+    * exact integer arithmetic: reciprocal ranks are floor-div micros
+    * (1e6 div rank), position discounts come from [[ndcgGainsMicro]],
+    * and the final figures are floor-div millis/micros — nothing on
+    * the curve is a float, so the DuckDB oracle hash-matches.
+    *
+    * Scale design is s17's: ONE corpus assignment pass at
+    * max(nprobes) with the probe rank carried through, one exact
+    * truth pass, then every curve point is a bounded-heap re-rank of
+    * the checkpointed candidate frame (queries×candidates sized)
+    * followed by k·nQueries-row metric joins. Reference analog:
+    * streamable/stream.py:230-326 group/agg chains, specialized to
+    * ranking-metric accounting. */
+  def retrievalMetricsCurve(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1))
+    val maxNp = nprobes.max
+    val emb = t(s, dir, "embeddings")
+    val cent = seededCentroids(emb, nlist)
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assign = seededAssign(corpus, cent)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = probeCells(s, queries, cent, maxNp)
+    val scored = assign.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(queries), "q_id")
+      .join(corpus, "c_id")
+      .select(col("q_id"), col("c_id"), col("probe_rnk"),
+        r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
+      .localCheckpoint()
+    val truth = nativeTopK(s, dir, nQueries, k)
+      .select("q_id", "c_id").localCheckpoint()
+    val gains = ndcgGainsMicro(k)
+    val idcgMicro = gains.sum
+    // rank → discount lookup as an array literal (ranks are 1..k)
+    val gainCol = element_at(
+      array(gains.map(g => lit(g)): _*), col("rnk").cast("int"))
+    val perNp = nprobes.map { np =>
+      val hits = topKPerQuery(s, scored.filter(col("probe_rnk") <= np), k,
+          sorted = false)
+        .join(truth, Seq("q_id", "c_id"))
+      // per-query first-hit rank and DCG; a query with no hits simply
+      // contributes nothing to either sum (rows absent, not null)
+      val perQ = hits.groupBy("q_id")
+        .agg(count(lit(1)).as("q_hits"), min("rnk").as("first_rnk"),
+          sum(gainCol).as("dcg_micro"))
+      perQ.agg(
+          coalesce(sum("q_hits"), lit(0L)).as("n_hits"),
+          coalesce(sum(expr("1000000 div first_rnk")), lit(0L)).as("rr_sum"),
+          coalesce(sum("dcg_micro"), lit(0L)).as("dcg_sum"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hits"),
+          col("rr_sum"), col("dcg_sum"))
+    }.reduce(_ union _)
+    perNp
+      .crossJoin(broadcast(truth.groupBy().agg(count(lit(1)).as("n_truth"))))
+      .withColumn("recall_milli", expr("n_hits * 1000 div n_truth"))
+      .withColumn("mrr_micro", expr(s"rr_sum div $nQueries"))
+      .withColumn("ndcg_milli",
+        expr(s"dcg_sum * 1000 div (${nQueries.toLong} * $idcgMicro)"))
+      .select("nprobe", "n_hits", "n_truth", "recall_milli", "mrr_micro",
+        "ndcg_milli")
+      .orderBy("nprobe")
+  }
+
+  /** LSH candidates with hamming-≤1 multiprobe: each query probes its
+    * exact bucket PLUS the `bits` buckets one sign-flip away, in every
+    * table. Returns (q_id, c_id, min_dist) where min_dist = 0 iff the
+    * pair collides exactly in some table — so the single-probe
+    * candidate set is the min_dist=0 subset and an audit can rank
+    * both from ONE scoring pass (the s17 probe_rnk discipline).
+    *
+    * The 100 TB argument (Lv et al., VLDB'07 multi-probe LSH): recall
+    * comes from probing perturbed buckets instead of from more hash
+    * tables, so the corpus-side index is `tables`× smaller in memory
+    * and shuffle while the probe fan-out lives on the tiny broadcast
+    * query side — here 4 tables + hamming-1 probing replaces s02's 8
+    * exact tables. */
+  private def lshProbeCandidates(emb: DataFrame, nQueries: Int,
+      bits: Int, tables: Int): DataFrame = {
+    val buckets = lshBuckets(emb, "vec_id", "embedding", bits, tables)
+    val melted = Dedup.meltSketch(buckets, Seq(col("vec_id")), tables,
+      tb => col(s"b$tb"), "tbl", "bk")
+    // probe variants are generated on the QUERY side only: dist 0 is
+    // the exact bucket, dist 1 each single-bit flip — the corpus keeps
+    // one row per (vec, table), nothing corpus-sized is expanded
+    val variants = struct(col("bk"), lit(0).as("dist")) +:
+      (0 until bits).map(b =>
+        struct(col("bk").bitwiseXOR(lit(1L << b)).as("bk"), lit(1).as("dist")))
+    val qprobes = melted.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("tbl"),
+        explode(array(variants: _*)).as("p"))
+      .select(col("q_id"), col("tbl"), col("p.bk").as("bk"),
+        col("p.dist").as("dist"))
+    melted.select(col("vec_id").as("c_id"), col("tbl"), col("bk"))
+      .join(broadcast(qprobes), Seq("tbl", "bk"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id")
+      .agg(min("dist").as("min_dist"))
+  }
+
+  /** Multi-probe LSH top-k (s24): [[lshTopK]]'s candidate generation
+    * with hamming-1 bucket perturbation over HALF the tables (4 vs
+    * s02's 8) — same exact re-rank, same bounded-heap ranking. The
+    * DuckDB oracle replays the splitmix64 hyperplanes and the
+    * xor-popcount≤1 collision predicate, so the approximation lives
+    * in the algorithm, not the engines. */
+  def multiprobeLshTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, bits: Int = 4, tables: Int = 4): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val candidates = lshProbeCandidates(emb, nQueries, bits, tables)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val scored = candidates
+      .join(broadcast(queries), "q_id")
+      .join(corpus, "c_id")
+      .select(col("q_id"), col("c_id"),
+        r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
+    topKPerQuery(s, scored, k)
+  }
+
+  /** Multiprobe recall audit (s25) — the measured-advisory table that
+    * justifies s24's table-count halving: recall@k against the exact
+    * truth for the SAME 4 tables probed exactly (`single_t4`) vs with
+    * hamming-1 perturbation (`multi_t4`). One bucket pass, one
+    * scoring pass (the min_dist=0 subset IS the single-probe set),
+    * two bounded-heap re-ranks of the checkpointed candidates. */
+  def multiprobeRecallAudit(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, bits: Int = 4, tables: Int = 4): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val scored = lshProbeCandidates(emb, nQueries, bits, tables)
+      .join(broadcast(queries), "q_id")
+      .join(corpus, "c_id")
+      .select(col("q_id"), col("c_id"), col("min_dist"),
+        r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
+      .localCheckpoint()
+    val truth = nativeTopK(s, dir, nQueries, k)
+      .select("q_id", "c_id").localCheckpoint()
+    val modes = Seq(
+      "multi_t4" -> scored,
+      "single_t4" -> scored.filter(col("min_dist") === 0))
+    val per = modes.map { case (name, cand) =>
+      topKPerQuery(s, cand, k, sorted = false)
+        .join(truth, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("mode"), col("n_hits"))
+    }.reduce(_ union _)
+    per
+      .crossJoin(broadcast(truth.groupBy().agg(count(lit(1)).as("n_truth"))))
+      .withColumn("recall_milli", expr("n_hits * 1000 div n_truth"))
+      .orderBy("mode")
+  }
 }

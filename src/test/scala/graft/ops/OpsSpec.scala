@@ -2743,6 +2743,187 @@ class OpsSpec extends SparkSpec {
     assert(got("n_neardup_pairs") > 0L)
   }
 
+  test("s23: ranking metrics replay exactly from the standalone IVF runs") {
+    val truth = Similarity.bruteForceTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gains = Similarity.ndcgGainsMicro(5)
+    val idcg = gains.sum
+    val curve = Similarity.retrievalMetricsCurve(spark, sf0001).collect()
+    assert(curve.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    curve.foreach { r =>
+      val np = r.getLong(0).toInt
+      val ranked = Similarity.ivfTopK(spark, sf0001, nprobe = np).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      val hits = ranked.filter { case (q, _, c) => truth((q, c)) }
+      // exact-rerank retrieval puts every hit in a PREFIX of the list
+      // (a non-truth candidate outranking a truth member would itself
+      // be global top-k) — assert the property the metrics lean on
+      hits.groupBy(_._1).foreach { case (_, h) =>
+        assert(h.map(_._2).sorted.toSeq == (1 to h.length).map(_.toLong)) }
+      val rrSum = hits.groupBy(_._1).values
+        .map(h => 1000000L / h.map(_._2).min).sum
+      val dcgSum = hits.map { case (_, rnk, _) => gains(rnk.toInt - 1) }.sum
+      assert(r.getLong(1) == hits.length.toLong, s"np $np hits")
+      assert(r.getLong(2) == truth.size.toLong)
+      assert(r.getLong(3) == hits.length.toLong * 1000L / truth.size)
+      assert(r.getLong(4) == rrSum / 10L, s"np $np mrr")
+      assert(r.getLong(5) == dcgSum * 1000L / (10L * idcg), s"np $np ndcg")
+    }
+    // deeper probing never loses any of the three metrics (nested
+    // candidate sets + the prefix property above)
+    Seq(3, 4, 5).foreach { i =>
+      val v = curve.map(_.getLong(i)).toSeq
+      assert(v == v.sorted, s"metric col $i monotone in nprobe")
+    }
+  }
+
+  test("s24/s25: multiprobe trade measured — hamming-1 candidates, recall vs exact buckets") {
+    val emb = Relational.t(spark, sf0001, "embeddings")
+    val bk = Similarity.lshBuckets(emb, "vec_id", "embedding", 4, 4).collect()
+      .map(r => r.getLong(0) -> (0 until 4).map(tb => r.getLong(1 + tb)))
+      .toMap
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def r4cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5) / 10000
+    }
+    def top5(cand: Set[(Long, Long)]): Set[(Long, Long)] =
+      cand.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+        cs.toSeq.map { case (_, c) => (c, r4cos(vecs(q), vecs(c))) }
+          .sortBy { case (c, s) => (-s, c) }.take(5).map(p => (q, p._1))
+      }.toSet
+    val ids = vecs.keys.toSeq
+    val qs = ids.filter(_ < 10)
+    def ham1(a: Long, b: Long) = { val x = a ^ b; (x & (x - 1)) == 0 }
+    val multi = (for { q <- qs; c <- ids if c != q
+      if (0 until 4).exists(tb => ham1(bk(q)(tb), bk(c)(tb))) } yield (q, c)).toSet
+    val single = (for { q <- qs; c <- ids if c != q
+      if (0 until 4).exists(tb => bk(q)(tb) == bk(c)(tb)) } yield (q, c)).toSet
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size, "perturbation must add candidates here")
+    // s24 = exact top-5 over the multiprobe candidate set
+    val got24 = Similarity.multiprobeLshTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got24 == top5(multi))
+    // s25 rows = recall of each mode's model ranking vs brute truth
+    val truth = Similarity.bruteForceTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val audit = Similarity.multiprobeRecallAudit(spark, sf0001).collect()
+    assert(audit.map(_.getString(0)).toSeq == Seq("multi_t4", "single_t4"))
+    val byMode = audit.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val wantM = (top5(multi) & truth).size.toLong
+    val wantS = (top5(single) & truth).size.toLong
+    assert(byMode("multi_t4") == ((wantM, truth.size.toLong, wantM * 1000 / truth.size)))
+    assert(byMode("single_t4") == ((wantS, truth.size.toLong, wantS * 1000 / truth.size)))
+    assert(wantM >= wantS, "hamming-1 probing never loses recall")
+  }
+
+  test("d20: banded funnel reproduces the full quadratic edit-distance scan") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    val want = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      d = lev(ta, tb) if d <= 10
+    } yield ((ia, ib), d.toLong)).toMap
+    val got = Dedup.editDistancePairs(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // equality (not subset): the MinHash candidate stage must be
+    // LOSSLESS for ed≤τ pairs on this corpus — the d19 discipline
+    assert(got == want)
+    assert(got.nonEmpty, "corpus must witness the non-empty branch")
+  }
+
+  test("e15: LOCF replays a plain-Scala scan; null until first purchase") {
+    val evs = Relational.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), org.apache.spark.sql.functions.unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    val want: Map[Long, Option[Double]] =
+      evs.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+        var lastP: Option[Double] = None
+        es.sortBy(e => (e._5, e._1)).map { e =>
+          if (e._3 == "purchase") lastP = Some(e._4)
+          e._1 -> lastP
+        }.toSeq
+      }.toMap
+    val got = Events.lastPurchaseCarried(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got == want)
+    assert(got.values.exists(_.isEmpty), "pre-first-purchase rows stay null")
+    assert(got.values.exists(_.nonEmpty))
+  }
+
+  test("p10: k-fold assignment replays the md5 model and is leakage-free") {
+    val orders = Relational.t(spark, sf0001, "orders")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cuts = Sampling.kfoldCuts(5)
+    def fold(ck: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(ck.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val i = cuts.indexWhere(hex < _)
+      if (i < 0) 4 else i
+    }
+    val byFold = orders.groupBy(o => fold(o._1))
+    val got = Sampling.kfoldStats(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).toSeq == (0 until 5).map(_.toLong),
+      "every fold populated at this corpus")
+    got.foreach { r =>
+      val os = byFold(r.getLong(0).toInt)
+      assert(r.getLong(1) == os.map(_._1).distinct.length.toLong)
+      assert(r.getLong(2) == os.length.toLong)
+      assert(math.abs(r.getDouble(3) - os.map(_._2).sum) <= 0.0051)
+    }
+    // leakage-freedom: fold is a function of the customer key alone,
+    // so the per-fold customer sets partition the customer universe
+    val sets = byFold.values.map(_.map(_._1).toSet).toSeq
+    for (a <- sets.indices; b <- sets.indices if a < b)
+      assert((sets(a) & sets(b)).isEmpty)
+    assert(sets.map(_.size).sum == orders.map(_._1).distinct.length)
+  }
+
+  test("q44: RANGE frame windows by calendar day, not row count") {
+    val rows = Relational.rollingWeeklySpend(spark, sf0001).collect()
+    val daily = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byCust = daily.groupBy(_._1)
+    rows.foreach { r =>
+      val (ck, day) = (r.getLong(0), r.getLong(1))
+      val want = byCust(ck)
+        .filter(d => d._2 >= day - 6 && d._2 <= day).map(_._3).sum
+      assert(math.abs(r.getDouble(3) - want) <= 0.0051,
+        s"cust $ck day $day")
+    }
+    // the frame must EXCLUDE same-customer days older than 6 days —
+    // the value-space semantics a ROWS frame cannot express
+    assert(rows.exists { r =>
+      byCust(r.getLong(0)).exists(_._2 < r.getLong(1) - 6) })
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
