@@ -439,6 +439,51 @@ object Streams {
       }.toDF()
   }
 
+  final case class Carried(event_id: Long, user_id: Long,
+      last_purchase: Option[Double])
+  /** Per-key LOCF state: the carried purchase value plus the newest
+    * (ms, event_id) processed, for the eviction deadline. */
+  final case class LocfState(ms: Long, lastPurchase: Option[Double])
+
+  /** Streaming LOCF — e15's incremental twin
+    * ([[graft.ops.Events.lastPurchaseCarried]]): every arriving event
+    * emits with the user's most recent purchase value, carried in O(1)
+    * per-key state. Within a micro-batch events sort by
+    * (ts, event_id) — the batch contract; across batches the carry is
+    * arrival-order (the [[transitionStream]] trade). Idle users are
+    * EVICTED once the watermark passes their newest event by
+    * `evictAfterMs` — which for LOCF also FORGETS the carried value:
+    * a user returning after the horizon restarts at null. That is the
+    * bounded-state price ([[dedupedStream]]'s argument — an unbounded
+    * carry needs unbounded state); size the horizon to the realistic
+    * return window. One user_id hash shuffle per micro-batch, one
+    * small state row per ACTIVE user. */
+  def locfStream(spark: SparkSession, events: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      evictAfterMs: Long = 3600000L): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay).as[Evt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LocfState, Carried](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Evt], state: GroupState[LocfState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val evts = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption.flatMap(_.lastPurchase)
+            val out = evts.map { e =>
+              if (e.event_type == "purchase") cur = Some(e.value)
+              Carried(e.event_id, user, cur)
+            }
+            evts.lastOption.foreach { l =>
+              state.update(LocfState(l.ts.getTime, cur))
+              state.setTimeoutTimestamp(l.ts.getTime + evictAfterMs)
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Micro-batch sink with a processing-time trigger — the
     * `group(interval=)` processing-time analog. Returns the started
     * query (caller stops it). */

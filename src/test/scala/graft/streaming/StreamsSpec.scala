@@ -425,6 +425,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("locfStream: carry crosses batches, null before first purchase; stream ≡ batch scan") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Streams.Evt]
+    val q = Streams.locfStream(s, mem.toDF())
+      .writeStream.format("memory").queryName("locf").start()
+    try {
+      // batch 1: u1 views (null), then purchases 5.0; u2 never buys
+      mem.addData(evt(1, 0, 1, "view"), evt(2, 1, 1, "purchase", 5.0),
+        evt(3, 1, 2, "view"))
+      q.processAllAvailable()
+      // batch 2: u1's carry survives the batch boundary, is replaced
+      // by the 7.5 purchase; in-batch out-of-order sorts (u1's view
+      // at minute 5 must see 5.0, not 7.5)
+      mem.addData(evt(5, 6, 1, "purchase", 7.5), evt(4, 5, 1, "view"),
+        evt(6, 7, 2, "click"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT event_id, last_purchase FROM locf").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(got == Map(1L -> None, 2L -> Some(5.0), 3L -> None,
+        4L -> Some(5.0), 5L -> Some(7.5), 6L -> None))
+      // the same six events through the BATCH operator agree row-for-row
+      val batch = Seq((1L, 0, 1L, "view", 1.0), (2L, 1, 1L, "purchase", 5.0),
+        (3L, 1, 2L, "view", 1.0), (4L, 5, 1L, "view", 1.0),
+        (5L, 6, 1L, "purchase", 7.5), (6L, 7, 2L, "click", 1.0))
+        .groupBy(_._3).values.flatMap { rows =>
+          var cur: Option[Double] = None
+          rows.sortBy(r => (r._2, r._1)).map { r =>
+            if (r._4 == "purchase") cur = Some(r._5)
+            r._1 -> cur
+          }
+        }.toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("attributedPurchases: interval join emits in-window pairs only") {
     val s = spark
     import s.implicits._
