@@ -75,6 +75,13 @@ object SparkEntry {
     // rolling spend, the semantics a ROWS frame cannot express over
     // sparse order dates
     "q44_rolling_window" -> (Relational.rollingWeeklySpend _),
+    // q45: winsorized robust stats — clip at exact global p05/p95
+    // (one-row broadcast bounds frame), then plain robust means
+    "q45_winsorize" -> (Relational.winsorizedStats _),
+    // l01: z-order (Morton) layout locality — per curve-segment
+    // bounding rectangles over (custkey, order-day), the measurable
+    // form of multi-dimensional file-skipping
+    "l01_zorder" -> (Layout.zorderLocality _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -93,6 +100,9 @@ object SparkEntry {
     // e15: last-observation-carried-forward — sparse purchase signal
     // densified per event via last(ignoreNulls) over a keyed frame
     "e15_locf" -> (Events.lastPurchaseCarried _),
+    // e16: OHLC time-bucket downsampling — open/close picked by
+    // min/max over (ts, event_id, value) structs, one pure aggregate
+    "e16_ohlc" -> (Events.ohlcDownsample _),
     // — text analysis (training-data pipeline) —
     "t01_token_stats" -> (TextAnalysis.tokenStats _),
     "t02_quality" -> (TextAnalysis.qualityByLang _),
@@ -124,6 +134,9 @@ object SparkEntry {
     // p10: leakage-free k-fold — fold is a pure function of the
     // CUSTOMER key (md5 hex ranges), so no fold shares a customer
     "p10_kfold" -> ((s: SparkSession, dir: String) => Sampling.kfoldStats(s, dir)),
+    // p11: Poisson-bootstrap replica means — one-pass deterministic
+    // uncertainty quantification (md5-derived Poisson(1) weights)
+    "p11_bootstrap" -> ((s: SparkSession, dir: String) => Sampling.bootstrapMeans(s, dir)),
     // — corpus curation (training-data pipeline) —
     "c01_contamination" -> ((s: SparkSession, dir: String) => Curation.contaminationReport(s, dir)),
     "c02_seq_packing" -> ((s: SparkSession, dir: String) => Curation.packingStats(s, dir)),
@@ -1845,6 +1858,48 @@ object SparkEntry {
            round(sum(day_spend) OVER (PARTITION BY o_custkey ORDER BY day
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS spend_7d
          FROM daily ORDER BY o_custkey, day""",
+    // q45: winsorize — bounds are exact interpolated percentiles (the
+    // q25 percentile ≡ quantile_cont contract), clip is branchless
+    // least/greatest, means round at 2dp on both engines
+    "q45_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi FROM orders)
+         SELECT o_orderpriority,
+           round(avg(least(greatest(o_totalprice, lo), hi)), 2) AS wins_mean,
+           round(avg(o_totalprice), 2) AS raw_mean,
+           round(min(least(greatest(o_totalprice, lo), hi)), 2) AS wins_min,
+           round(max(least(greatest(o_totalprice, lo), hi)), 2) AS wins_max,
+           count(*) AS n
+         FROM orders, b GROUP BY 1 ORDER BY 1""",
+    // l01: z-order locality — the quantize/spread/interleave cascade
+    // replayed verbatim in integer arithmetic (// is floor-div; all
+    // values non-negative so it matches Spark's floor(exact-double
+    // quotient)); masks are 0x00FF00FF/0x0F0F0F0F/0x33333333/
+    // 0x55555555 in decimal
+    "l01_zorder" ->
+      """WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+             CAST(date_diff('day', DATE '1992-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+           FROM orders),
+         r AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+             min(day) AS day_min, max(day) AS day_max FROM o),
+         q AS (SELECT ck, day,
+             ((ck - ck_min) * 65535) // greatest(ck_max - ck_min, 1) AS qa,
+             ((day - day_min) * 65535) // greatest(day_max - day_min, 1) AS qb
+           FROM o, r),
+         s1 AS (SELECT ck, day, (qa | (qa << 8)) & 16711935 AS a1,
+             (qb | (qb << 8)) & 16711935 AS b1 FROM q),
+         s2 AS (SELECT ck, day, (a1 | (a1 << 4)) & 252645135 AS a2,
+             (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+         s3 AS (SELECT ck, day, (a2 | (a2 << 2)) & 858993459 AS a3,
+             (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+         s4 AS (SELECT ck, day, (a3 | (a3 << 1)) & 1431655765 AS a4,
+             (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3),
+         z AS (SELECT ck, day, (a4 | (b4 << 1)) AS z FROM s4)
+         SELECT z // 16777216 AS bucket, count(*) AS n,
+           min(ck) AS ck_lo, max(ck) AS ck_hi,
+           min(day) AS day_lo, max(day) AS day_hi
+         FROM z GROUP BY 1 ORDER BY 1""",
     // q41: percent_rank/cume_dist — exact rationals of integers
     // under a total tie-break; the top-10 cut mirrors the Spark limit
     "q41_rank_dist" ->
@@ -1869,6 +1924,26 @@ object SparkEntry {
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
          FROM events ORDER BY event_id""",
+    // e16: OHLC — open/close are the values of the unique rows first/
+    // last under the total (ts, event_id) order; the oracle picks the
+    // same rows via row_number windows (unique key ⇒ same row as the
+    // Spark side's min/max-of-struct). All outputs copies or counts —
+    // no float arithmetic anywhere
+    "e16_ohlc" ->
+      """WITH b AS (
+           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+             event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+               ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+               ORDER BY ts DESC, event_id DESC) AS rd
+           FROM events)
+         SELECT hour, event_type,
+           max(CASE WHEN ra = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
+           count(*) AS n
+         FROM b GROUP BY 1, 2 ORDER BY hour, event_type""",
     // e14: the e06 chain extended to three ordered steps — the oracle
     // formulates the stacked-window chain as three joins
     "e14_multistep_funnel" ->
@@ -2801,6 +2876,28 @@ object SparkEntry {
     // falls in — cutpoints are the same Scala-computed literals the
     // Spark when-chain uses, compared as strings in both engines
     "p10_kfold" -> p10OracleSql(k = 5),
+    // p11: the md5-hex Poisson draw replayed verbatim — same cut
+    // literals (floor(CDF_k·2³²) as %08x), same string compares, so
+    // weights agree bit-for-bit; boot_mean is one rounded division
+    "p11_bootstrap" ->
+      """WITH rep AS (
+           SELECT o_orderkey, o_totalprice, r
+           FROM orders, range(32) AS t(r)),
+         h AS (SELECT o_totalprice, r,
+             substring(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+               CAST(r AS VARCHAR)), 1, 8) AS h
+           FROM rep),
+         w AS (SELECT o_totalprice, r,
+             (CASE WHEN h >= '5e2d58d8' THEN 1 ELSE 0 END) +
+             (CASE WHEN h >= 'bc5ab1b1' THEN 1 ELSE 0 END) +
+             (CASE WHEN h >= 'eb715e1d' THEN 1 ELSE 0 END) +
+             (CASE WHEN h >= 'fb239797' THEN 1 ELSE 0 END) +
+             (CASE WHEN h >= 'ff1025f5' THEN 1 ELSE 0 END) +
+             (CASE WHEN h >= 'ffd90f3b' THEN 1 ELSE 0 END) AS w
+           FROM h)
+         SELECT r, round(sum(w * o_totalprice) / sum(w), 2) AS boot_mean,
+           CAST(sum(w) AS BIGINT) AS boot_n
+         FROM w GROUP BY r ORDER BY r""",
     // m13: every per-format geometry/frame sum recomputed from the
     // fixture formulas none of the five header parsers see; the
     // mismatch column's expected value IS zero (the gate's claim)

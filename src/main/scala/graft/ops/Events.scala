@@ -467,6 +467,39 @@ object Events {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(10)
 
+  /** OHLC downsampling (e16): the classic time-series compaction —
+    * per (hour, event_type) bucket emit open/high/low/close/count,
+    * where open/close are the values of the chronologically FIRST and
+    * LAST event under the total (ts, event_id) order. Expressed as
+    * ONE pure aggregation: `min(struct(ts, event_id, value))` picks
+    * the earliest row (struct ordering is lexicographic and event_id
+    * is unique, so the tie-break is total — value never participates)
+    * and `.getField("value")` projects its payload; likewise max for
+    * close. Scale shape: a single hash aggregate with full map-side
+    * partial combine — no window, no second shuffle, no per-bucket
+    * sort; the plan that survives a 100 TB event stream because each
+    * partial state is four scalars + a count per open bucket. All
+    * five outputs are COPIES or exact counts (no float arithmetic),
+    * so cross-engine equality is exact. The oracle formulates the
+    * same semantics as row_number windows — same unique row picked.
+    * Reference analog: `group(interval=...)` time-bucketing
+    * (streamable/stream.py:321-353) recast as event-time
+    * downsampling with ordered first/last extraction. */
+  def ohlcDownsample(s: SparkSession, dir: String): DataFrame = {
+    val pick = struct(col("ts"), col("event_id"), col("value"))
+    events(s, dir)
+      .withColumn("hour", date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm"))
+      .groupBy("hour", "event_type")
+      .agg(
+        min(pick).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(pick).getField("value").as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Last-observation-carried-forward (e15): every event annotated
     * with the user's most recent PURCHASE amount — the gap-filling
     * primitive time-series features are built from (sparse signal →

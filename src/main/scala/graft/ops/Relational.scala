@@ -874,4 +874,37 @@ object Relational {
         col("mode_n"))
     med.join(mode, "l_returnflag").orderBy("l_returnflag")
   }
+
+  /** Winsorized robust statistics (q45): outlier clipping at exact
+    * global percentiles — the standard robust-mean step before any
+    * distribution-sensitive modeling (one mis-parsed price must not
+    * drag a training-feature mean). Shape: ONE tiny aggregation job
+    * derives the (p05, p95) bounds as a one-row frame, broadcast into
+    * the scan (broadcast nested-loop over one row — free), and the
+    * clipped mean is a plain map-combinable aggregate; the corpus is
+    * scanned twice but shuffled only by the 5-value group key. At
+    * 100 TB swap the exact `percentile` for `approx_percentile`
+    * (rank-guaranteed t-digest, no sort) — the q25b certification
+    * pattern covers that substitution. Bounds are COPIES of exact
+    * interpolated percentiles (the q25 `percentile` ≡ `quantile_cont`
+    * contract), clip is branchless least/greatest, and means round at
+    * 2dp on both engines. Reference analog: the map-then-aggregate
+    * chains of streamable/stream.py:230-326 — clipping is `map`, the
+    * robust mean is the terminal fold. */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val bounds = o.agg(
+      expr("percentile(o_totalprice, 0.05)").as("lo"),
+      expr("percentile(o_totalprice, 0.95)").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("w", least(greatest(col("o_totalprice"), col("lo")),
+        col("hi")))
+      .groupBy("o_orderpriority")
+      .agg(round(avg("w"), 2).as("wins_mean"),
+        round(avg("o_totalprice"), 2).as("raw_mean"),
+        round(min("w"), 2).as("wins_min"),
+        round(max("w"), 2).as("wins_max"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
 }

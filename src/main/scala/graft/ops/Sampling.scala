@@ -444,4 +444,50 @@ object Sampling {
         round(sum("o_totalprice"), 2).as("revenue"))
       .orderBy("fold")
   }
+
+  /** Poisson(1) inverse-CDF thresholds as fixed-width hex draws
+    * (floor(CDF_k · 2³²), k = 0..5): the bootstrap weight of a row in
+    * replica r is how many thresholds its [[hashDraw]]-style draw
+    * clears — 0 w.p. e⁻¹, 1 w.p. e⁻¹, …, truncated at 6 (mass beyond
+    * ≈ 8·10⁻⁵; both engines truncate identically, so agreement is
+    * exact). */
+  val poissonCuts: Seq[String] = Seq(
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5", "ffd90f3b")
+
+  /** Poisson-bootstrap replica means (p11): the one-pass uncertainty
+    * quantification for corpus statistics (Efron's bootstrap in its
+    * streaming form — each replica reweights every row by an
+    * independent Poisson(1) count instead of resampling n-of-n, the
+    * approximation that makes the bootstrap distributable). The
+    * spread of the `replicas` means IS the standard error of the
+    * corpus mean — the error bar a 100 TB data-quality report should
+    * carry and a point estimate cannot provide.
+    *
+    * Determinism end-to-end: the per-(row, replica) weight derives
+    * from md5(orderkey:replica) compared against the [[poissonCuts]]
+    * hex literals (the [[rateThreshold]] string-compare discipline),
+    * so any engine with md5 draws identical weights — no RNG state,
+    * stable under repartitioning. Scale shape: the replica explosion
+    * multiplies SCAN-side rows ×R but partial aggregation collapses
+    * them to R partial sums per partition before the (tiny, R-row)
+    * shuffle — no corpus-sized state anywhere; at very large R swap
+    * the explode for an in-row weight ARRAY folded by position
+    * (aggregate()), trading codegen'd when-chains for array ops. */
+  def bootstrapMeans(s: SparkSession, dir: String,
+      replicas: Int = 32): DataFrame = {
+    val draw = substring(md5(concat_ws(":",
+      col("o_orderkey"), col("r"))), 1, 8)
+    val w = poissonCuts.foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(draw >= lit(cut), 1).otherwise(0)
+    }
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("r", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("w", w)
+      .groupBy("r")
+      .agg(round(sum(col("w") * col("o_totalprice")) / sum("w"), 2)
+        .as("boot_mean"),
+        sum(col("w")).cast("long").as("boot_n"))
+      .orderBy("r")
+  }
 }

@@ -74,6 +74,32 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming OHLC — e16's incremental twin
+    * ([[graft.ops.Events.ohlcDownsample]]): per tumbling event-time
+    * window and event_type, open/high/low/close/count as a RUNNING
+    * windowed aggregation. The open/close picks are the same
+    * min/max-over-(ts, event_id, value)-struct trick as the batch op —
+    * ordinary Catalyst aggregates, so the per-open-window state is
+    * two structs + two doubles + a count, bounded by construction,
+    * and LATE data within the watermark repairs the open/close
+    * retroactively (an out-of-order event earlier than the current
+    * open simply wins the struct min) — the event-time correctness
+    * the reference's processing-time `group(interval=)` cannot give.
+    * Windows finalize and evict once the watermark passes. */
+  def ohlcStream(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val pick = struct(col("ts"), col("event_id"), col("value"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(min(pick).getField("value").as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(pick).getField("value").as("close"), count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+  }
+
   /** Session windows with a gap — streaming sessionization
     * (the event-time analog of [[graft.ops.Events.sessionize]]). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",

@@ -2924,6 +2924,174 @@ class OpsSpec extends SparkSpec {
       byCust(r.getLong(0)).exists(_._2 < r.getLong(1) - 6) })
   }
 
+  test("e16 OHLC equals the plain-Scala sorted-scan model") {
+    import java.time.ZoneOffset
+    import java.time.format.DateTimeFormatter
+    val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+      .withZone(ZoneOffset.UTC)
+    val ev = Relational.events(spark, sf0001)
+      .select("ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getLong(1),
+        r.getString(2), r.getDouble(3)))
+    val model = ev.groupBy { case (ts, _, et, _) =>
+      (fmt.format(ts.truncatedTo(java.time.temporal.ChronoUnit.HOURS)), et)
+    }.map { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._1, r._2))
+      k -> (sorted.head._4, rows.map(_._4).max, rows.map(_._4).min,
+        sorted.last._4, rows.length.toLong)
+    }
+    val got = Events.ohlcDownsample(spark, sf0001).collect().map { r =>
+      (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))
+    }.toMap
+    assert(got == model, "OHLC mismatch vs sequential model")
+    // open/close genuinely differ from high/low somewhere (the struct
+    // pick is doing real ordered work, not echoing min/max)
+    assert(got.values.exists(v => v._1 != v._3 && v._1 != v._2))
+  }
+
+  test("q45 winsorize equals the interpolated-percentile clip model") {
+    val prices = Relational.t(spark, sf0001, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val sorted = prices.map(_._2).sorted
+    def qcont(q: Double): Double = {
+      val rank = q * (sorted.length - 1)
+      val lo = math.floor(rank).toInt; val hi = math.ceil(rank).toInt
+      sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+    }
+    val (lo, hi) = (qcont(0.05), qcont(0.95))
+    def clip(v: Double) = math.min(math.max(v, lo), hi)
+    def r2d(x: Double) = math.round(x * 100).toDouble / 100
+    val rows = Relational.winsorizedStats(spark, sf0001).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val g = prices.filter(_._1 == r.getString(0)).map(_._2)
+      assert(math.abs(r.getDouble(1) - r2d(g.map(clip).sum / g.length)) <= 0.011,
+        s"wins_mean ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - r2d(g.map(clip).min)) <= 0.011, "wins_min")
+      assert(math.abs(r.getDouble(4) - r2d(g.map(clip).max)) <= 0.011, "wins_max")
+      assert(r.getLong(5) == g.length)
+    }
+    // clipping must have BITTEN on this corpus (bounds inside the range)
+    assert(rows.map(_.getDouble(3)).distinct.length == 1 &&
+      rows.head.getDouble(3) > sorted.head)
+  }
+
+  test("morton interleave equals the bit-loop model, round-trips both dims") {
+    import spark.implicits._
+    def model(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1))
+    val samples = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L),
+      (12345L, 54321L), (40000L, 7L), (255L, 65280L))
+    val got = samples.toDF("a", "b")
+      .select(Layout.morton(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == samples.map { case (a, b) => model(a, b) },
+      "column morton != bit-loop morton")
+    // the curve key is injective over the 16-bit plane on these points
+    assert(got.distinct.length == got.length)
+  }
+
+  test("l01 z-buckets bound BOTH dims (the multi-dim pruning property)") {
+    val rows = Layout.zorderLocality(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val ckLo = rows.map(_.getLong(2)).min; val ckHi = rows.map(_.getLong(3)).max
+    val dayLo = rows.map(_.getLong(4)).min; val dayHi = rows.map(_.getLong(5)).max
+    val ckSpan = (ckHi - ckLo).toDouble.max(1)
+    val daySpan = (dayHi - dayLo).toDouble.max(1)
+    def frac(r: org.apache.spark.sql.Row) = (
+      (r.getLong(3) - r.getLong(2)) / ckSpan,
+      (r.getLong(5) - r.getLong(4)) / daySpan)
+    val (cf, df) = rows.map(frac).unzip
+    // a single-key layout cannot get both below ~0.5 on average (its
+    // secondary dim spans the full range per bucket); the z curve
+    // bounds each at ~1/16 + quantization noise
+    assert(cf.sum / cf.length < 0.25,
+      s"avg ck span fraction ${cf.sum / cf.length}")
+    assert(df.sum / df.length < 0.25,
+      s"avg day span fraction ${df.sum / df.length}")
+  }
+
+  test("zorderWrite layout: every FILE bounds both dims (min/max pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val o = Relational.t(spark, sf0001, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey").cast("long").as("ck"),
+      org.apache.spark.sql.functions.datediff(col("o_orderdate"),
+        org.apache.spark.sql.functions.lit("1992-01-01")).cast("long").as("day"))
+    Layout.zorderWrite(o, "ck", "day", dir, files = 8)
+    val all = o.collect().map(r => (r.getLong(1), r.getLong(2)))
+    val ckSpan = (all.map(_._1).max - all.map(_._1).min).toDouble.max(1)
+    val daySpan = (all.map(_._2).max - all.map(_._2).min).toDouble.max(1)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    var rowsSeen = 0L
+    def fileSpans(fs: Array[java.io.File]): Seq[(Double, Double)] =
+      fs.toSeq.flatMap { f =>
+        val part = spark.read.parquet(f.getAbsolutePath)
+          .select("ck", "day").collect().map(r => (r.getLong(0), r.getLong(1)))
+        rowsSeen += part.length
+        if (part.isEmpty) None
+        else Some(((part.map(_._1).max - part.map(_._1).min) / ckSpan,
+          (part.map(_._2).max - part.map(_._2).min) / daySpan))
+      }
+    val spans = fileSpans(files)
+    assert(rowsSeen == all.length, "layout write lost rows")
+    // the honest baseline: the SAME data range-laid-out on the single
+    // key ck — its files are razor-thin on ck but span ~the whole day
+    // axis, so any day-predicate scan reads every file
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ckorder").toString
+    o.repartitionByRange(8, col("ck")).sortWithinPartitions("ck")
+      .write.mode("overwrite").parquet(dir2)
+    val baseFiles = new java.io.File(dir2).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val baseSpans = fileSpans(baseFiles)
+    def avg(xs: Seq[Double]) = xs.sum / xs.length
+    val (zCk, zDay) = (avg(spans.map(_._1)), avg(spans.map(_._2)))
+    val baseDay = avg(baseSpans.map(_._2))
+    // z bounds the secondary dim where the single-key layout cannot
+    // (range boundaries are SAMPLED, so one file may straddle a
+    // curve-prefix boundary — the claim is the aggregate average)
+    assert(baseDay > 0.8, s"baseline day span $baseDay — corpus too tiny to discriminate")
+    assert(zDay <= 0.6 * baseDay, s"z day span $zDay vs baseline $baseDay")
+    // and the price on the primary dim stays bounded (not full span)
+    assert(zCk <= 0.75, s"z ck span $zCk")
+  }
+
+  test("p11 bootstrap equals the md5 Poisson-weight model; spread brackets the mean") {
+    def md5hex8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val orders = Relational.t(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val model = (0 until 32).map { r =>
+      var num = 0.0; var den = 0L
+      for ((k, v) <- orders) {
+        val h = md5hex8(s"$k:$r")
+        val w = Sampling.poissonCuts.count(h >= _)
+        num += w * v; den += w
+      }
+      (r, math.round(num / den * 100).toDouble / 100, den)
+    }
+    val got = Sampling.bootstrapMeans(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    assert(got.length == 32)
+    got.zip(model).foreach { case ((gr, gm, gn), (mr, mm, mn)) =>
+      assert(gr == mr && gn == mn, s"replica $gr weights diverge")
+      assert(math.abs(gm - mm) <= 0.011, s"replica $gr mean $gm vs $mm")
+    }
+    // the replica means genuinely vary (the op measures uncertainty,
+    // not a constant) and bracket the plain corpus mean
+    val plain = orders.map(_._2).sum / orders.length
+    val means = got.map(_._2)
+    assert(means.distinct.length > 1)
+    assert(means.min <= plain && plain <= means.max)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -450,6 +450,48 @@ class PlanSpec extends SparkSpec {
     assert(hints == 1, s"expected the bloom hint only, found $hints")
   }
 
+  test("e16: OHLC is ONE partial+final aggregate pair — no window, no second shuffle") {
+    val p = plan(Events.ohlcDownsample(spark, sf0001))
+    assert(!p.contains("Window"), "OHLC must not plan a window")
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).length >= 2,
+      "partial+final aggregate expected (map-side combine of the struct picks)")
+    // exactly one width-changing exchange before the terminal sort:
+    // the groupBy(hour, event_type) shuffle (plus the orderBy's range
+    // exchange, which the oracle protocol owns)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q45: percentile bounds broadcast as a one-row frame; clip is in-scan") {
+    val p = plan(Relational.winsorizedStats(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "bounds frame must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("l01: z computation is in-scan project; one hash shuffle for the bucket agg") {
+    val df = Layout.zorderLocality(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "dimension bounds must broadcast")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly the bucket-agg shuffle expected:\n$p")
+    // the interleave cascade stays inside whole-stage codegen
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
+  test("p11: replica explosion collapses map-side — partial agg below the exchange") {
+    val p = plan(Sampling.bootstrapMeans(spark, sf0001))
+    val lines = p.linesIterator.toVector
+    val firstAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    val exch = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exch >= 0 && firstAgg > exch,
+      "a partial HashAggregate must sit BELOW the replica shuffle " +
+        "(the explode must never cross the wire unaggregated)")
+    assert(p.contains("Generate explode") || p.contains("Generate"),
+      "replica fan-out should be a Generate, not a join")
+  }
+
   test("whole-stage codegen covers the text-analysis hot path") {
     // AQE finalizes the plan only after execution
     val df = TextAnalysis.tokenStats(spark, sf0001)

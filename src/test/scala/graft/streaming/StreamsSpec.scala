@@ -30,6 +30,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ohlcStream: late in-watermark events repair open/close; stream ≡ batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Streams.Evt]
+    val q = Streams.ohlcStream(mem.toDF(), window = "10 minutes")
+      .writeStream.format("memory").queryName("ohlc").outputMode("complete").start()
+    try {
+      // batch 1: window [10:00,10:10) sees events at :05 and :07
+      mem.addData(evt(10, 5, 1, value = 50.0), evt(11, 7, 1, value = 20.0))
+      q.processAllAvailable()
+      val first = s.sql("SELECT open, close FROM ohlc").collect().head
+      assert(first.getDouble(0) == 50.0 && first.getDouble(1) == 20.0)
+      // batch 2: a LATE event at :01 (within watermark) must retake
+      // the open; a :09 event retakes the close — retroactive repair
+      mem.addData(evt(12, 1, 1, value = 30.0), evt(13, 9, 1, value = 40.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT open, high, low, close, n FROM ohlc").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)) == ((30.0, 50.0, 20.0, 40.0, 4L)))
+      // stream ≡ batch: the same aggregation over the same rows static
+      val static = Seq(evt(10, 5, 1, value = 50.0), evt(11, 7, 1, value = 20.0),
+        evt(12, 1, 1, value = 30.0), evt(13, 9, 1, value = 40.0)).toDF()
+      val b = Streams.ohlcStream(static, window = "10 minutes").collect().head
+      assert((b.getDouble(2), b.getDouble(3), b.getDouble(4), b.getDouble(5),
+        b.getLong(6)) == ((30.0, 50.0, 20.0, 40.0, 4L)))
+    } finally q.stop()
+  }
+
   test("sessionCounts groups by session_window gap") {
     val s = spark
     import s.implicits._
