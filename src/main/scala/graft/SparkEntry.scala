@@ -78,6 +78,9 @@ object SparkEntry {
     // q45: winsorized robust stats — clip at exact global p05/p95
     // (one-row broadcast bounds frame), then plain robust means
     "q45_winsorize" -> (Relational.winsorizedStats _),
+    // q46: hierarchical HLL rollup — per-nation sketches UNION-merged
+    // to regions; the q24b within-tolerance certification shape
+    "q46_hll_rollup" -> (Relational.hllRollup _),
     // l01: z-order (Morton) layout locality — per curve-segment
     // bounding rectangles over (custkey, order-day), the measurable
     // form of multi-dimensional file-skipping
@@ -188,6 +191,9 @@ object SparkEntry {
     "c16_semantic_decontam" -> ((s: SparkSession, dir: String) => Curation.semanticDecontamStats(s, dir)),
     "c17_split_leakage" -> ((s: SparkSession, dir: String) => Curation.splitLeakageStats(s, dir)),
     "c18_datasheet" -> (Curation.datasheet _),
+    // c19: corpus snapshot diff — added/removed/modified/unchanged
+    // accounting by md5 fingerprint, one full-outer hash join on ids
+    "c19_corpus_diff" -> (Curation.corpusDiff _),
     "d18_incr_semdedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalSemanticNearDups(s, dir)),
     "d19_containment" -> ((s: SparkSession, dir: String) => Dedup.containmentPairs(s, dir)),
     // d20: edit-distance near-dups — MinHash-banded candidates (the
@@ -1747,6 +1753,34 @@ object SparkEntry {
     "q24b_approx_tolerance" ->
       """SELECT DISTINCT l_returnflag, CAST(1 AS BOOLEAN) AS within_5pct
          FROM lineitem ORDER BY l_returnflag""",
+    // q46: the q24b shape on the MERGE axis — the within-5% claim is
+    // about union-merged per-nation sketches (lgK=14 ⇒ ~1% rse, 5×
+    // slack, stable at any SF); the oracle derives the region list
+    // independently and expects `true` everywhere
+    "q46_hll_rollup" ->
+      """SELECT DISTINCT n_regionkey, CAST(1 AS BOOLEAN) AS within_5pct
+         FROM nation ORDER BY n_regionkey""",
+    // c19: snapshot derivation + fingerprint diff replayed verbatim —
+    // md5 agrees byte-for-byte, statuses are string copies, counts and
+    // char sums exact integers
+    "c19_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS fp_old,
+             n_chars AS chars_old
+           FROM documents WHERE doc_id % 10 <> 7),
+         nw AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
+                 ELSE text END) AS fp_new,
+             n_chars AS chars_new
+           FROM documents WHERE doc_id % 10 <> 4),
+         d AS (SELECT fp_old, fp_new,
+             coalesce(chars_new, chars_old) AS chars
+           FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+         SELECT CASE WHEN fp_old IS NULL THEN 'added'
+                     WHEN fp_new IS NULL THEN 'removed'
+                     WHEN fp_old = fp_new THEN 'unchanged'
+                     ELSE 'modified' END AS status,
+           count(*) AS n_docs, CAST(sum(chars) AS BIGINT) AS n_chars
+         FROM d GROUP BY 1 ORDER BY 1""",
     "q31_zip" ->
       """WITH o AS (SELECT o_orderkey,
              row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS pos

@@ -868,4 +868,41 @@ object Curation {
       .select(lit("n_neardup_pairs").as("metric"), col("value"))
     baseRows.unionByName(nearDups).orderBy("metric")
   }
+
+  /** Corpus snapshot diff (c19): the release-to-release accounting
+    * every versioned training corpus needs — which documents were
+    * added, removed, modified, or carried unchanged between two
+    * snapshots, counted with their character mass. Comparison is by
+    * 32-byte md5 FINGERPRINT, never by body (the d01 discipline: the
+    * full outer join on doc_id shuffles ids and hashes only, so at
+    * 100 TB the wire carries ~40 bytes/doc while the text stays in
+    * its scan). One hash shuffle per side, one join, one tiny
+    * aggregate. The two snapshots are derived deterministically from
+    * the gate corpus (old omits doc_id≡7 (mod 10) — those are "added";
+    * new omits ≡4 — "removed"; ≡3 gets a suffixed body — "modified"),
+    * and the oracle replays the same derivation, so the op under
+    * test is the diff machinery itself. Reference analog: the
+    * pairwise set reasoning of streamable's `+`/distinct composition
+    * (streamable/stream.py:117-165) lifted to keyed snapshots. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val old = d.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), md5(col("text")).as("fp_old"),
+        col("n_chars").as("chars_old"))
+    val nw = d.filter(col("doc_id") % 10 =!= 4)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp_new"),
+        col("n_chars").as("chars_new"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("modified"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("chars_new"), col("chars_old"))).as("n_chars"))
+      .orderBy("status")
+  }
 }

@@ -907,4 +907,33 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
   }
+
+  /** Hierarchical HLL sketch rollup (q46): the MERGEABILITY property
+    * that makes approximate count-distinct the 100 TB pattern —
+    * per-nation DataSketches HLL sketches union up to regions without
+    * ever revisiting rows, which is how a 1000-executor fleet rolls
+    * distinct counts through arbitrary hierarchy levels (per-file →
+    * per-partition → global) with constant-size state per level. The
+    * q24b certification shape: the emitted claim is that each
+    * region's UNION-MERGED estimate lands within 5% of the exact
+    * distinct count (HLL lgK=14 ⇒ ~1% rse, 5× slack), and the DuckDB
+    * oracle independently derives the region list and expects `true`
+    * everywhere — so a sketch-merge regression (double counting,
+    * dropped registers) fails the gate even though raw sketch bytes
+    * are not cross-engine comparable. */
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+    val perNation = j.groupBy("n_regionkey", "n_nationkey")
+      .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
+    val rolled = perNation.groupBy("n_regionkey")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+    val exact = j.groupBy("n_regionkey")
+      .agg(countDistinct("c_custkey").as("ex"))
+    rolled.join(exact, "n_regionkey")
+      .select(col("n_regionkey"),
+        (abs(col("est") - col("ex")) <= col("ex") * 0.05).as("within_5pct"))
+      .orderBy("n_regionkey")
+  }
 }

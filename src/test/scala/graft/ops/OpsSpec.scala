@@ -3092,6 +3092,64 @@ class OpsSpec extends SparkSpec {
     assert(means.min <= plain && plain <= means.max)
   }
 
+  test("c19 corpus diff equals the md5 snapshot model; all four statuses witnessed") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val old = docs.filter(_._1 % 10 != 7)
+      .map { case (id, t, c) => id -> (md5hex(t), c) }.toMap
+    val nw = docs.filter(_._1 % 10 != 4).map { case (id, t, c) =>
+      id -> (md5hex(if (id % 10 == 3) t + " v2" else t), c)
+    }.toMap
+    val model = (old.keySet ++ nw.keySet).toSeq.map { id =>
+      val status = (old.get(id), nw.get(id)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some((a, _)), Some((b, _))) =>
+          if (a == b) "unchanged" else "modified"
+      }
+      val chars = nw.get(id).orElse(old.get(id)).get._2
+      (status, chars)
+    }.groupBy(_._1).map { case (st, xs) =>
+      st -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val got = Curation.corpusDiff(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == model)
+    assert(got.keySet == Set("added", "removed", "modified", "unchanged"),
+      s"every diff status must be witnessed on the gate corpus: ${got.keySet}")
+  }
+
+  test("q46 HLL rollup: merged estimate within tolerance AND equals the direct sketch") {
+    val rows = Relational.hllRollup(spark, sf0001).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getBoolean(1)), "union-merged estimate out of tolerance")
+    // merge correctness, not just tolerance: registers are value-hash
+    // determined, so union-of-per-nation-sketches must estimate the
+    // SAME as one direct region-level sketch
+    val c = Relational.t(spark, sf0001, "customer")
+    val n = Relational.t(spark, sf0001, "nation")
+    val j = c.join(org.apache.spark.sql.functions.broadcast(n),
+      c("c_nationkey") === n("n_nationkey"))
+    val direct = j.groupBy("n_regionkey")
+      .agg(org.apache.spark.sql.functions
+        .expr("hll_sketch_estimate(hll_sketch_agg(c_custkey, 14))").as("est"))
+      .collect().map(r => r.get(0).asInstanceOf[Number].longValue ->
+        r.getLong(1)).toMap
+    val merged = j.groupBy("n_regionkey", "n_nationkey")
+      .agg(org.apache.spark.sql.functions
+        .expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
+      .groupBy("n_regionkey")
+      .agg(org.apache.spark.sql.functions
+        .expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      .collect().map(r => r.get(0).asInstanceOf[Number].longValue ->
+        r.getLong(1)).toMap
+    assert(merged == direct, "sketch merge must match the direct sketch")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
