@@ -894,7 +894,11 @@ object Curation {
         md5(when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
           .otherwise(col("text"))).as("fp_new"),
         col("n_chars").as("chars_new"))
-    old.join(nw, Seq("doc_id"), "full_outer")
+    // full-outer as a SHUFFLED HASH join (Spark ≥3.1 supports
+    // full-outer SHJ): both sides are id+hash projections of the same
+    // corpus, so neither needs a sort — the hint keeps the sort-free
+    // plan the registry gate requires without changing the shuffle
+    old.hint("shuffle_hash").join(nw, Seq("doc_id"), "full_outer")
       .withColumn("status",
         when(col("fp_old").isNull, "added")
           .when(col("fp_new").isNull, "removed")
