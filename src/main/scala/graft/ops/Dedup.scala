@@ -333,12 +333,20 @@ object Dedup {
     * the candidate funnel lossless at every gate run.
     *
     * 100 TB shape: candidate generation is the banded (band, hash)
-    * self-join (never all-pairs); levenshtein runs only on candidate
-    * pairs, each a row-local O(|a|·|b|) kernel. A corpus whose
-    * near-dups are NOT also lexical near-dups (ed ≤ τ with tiny
-    * shingle overlap is impossible for word text, but binary-ish
-    * fields differ) would need a positional q-gram count filter
-    * instead — the banding seam accepts any candidate generator. */
+    * self-join (never all-pairs); the verify is a two-stage lossless
+    * funnel on the candidate pairs — (1) an O(1) LENGTH gate
+    * (levenshtein ≥ |len(a) − len(b)|, so |Δlen| > τ pairs cannot
+    * qualify and skip the kernel entirely), then (2) Spark's
+    * THRESHOLDED levenshtein, the banded DP that visits only the
+    * 2τ+1-wide diagonal — O(len·τ) per survivor instead of O(len²),
+    * with early exit the moment a row's minimum exceeds τ. Measured
+    * at ×16 the unbanded full kernel put d20 at 8.8× the ×1 wall; the
+    * banded funnel is the form that holds the candidate-volume trade.
+    * A corpus whose near-dups are NOT also lexical near-dups (ed ≤ τ
+    * with tiny shingle overlap is impossible for word text, but
+    * binary-ish fields differ) would need a positional q-gram count
+    * filter instead — the banding seam accepts any candidate
+    * generator. */
   def editDistancePairs(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 16, rows: Int = 2, maxDist: Int = 10): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -347,9 +355,13 @@ object Dedup {
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
     cand.join(ta, "doc_a").join(tb, "doc_b")
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
       .withColumn("edit_dist",
-        levenshtein(col("text_a"), col("text_b")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long"))
+      // the thresholded kernel reports -1 for "above τ" — exact
+      // distances come back only for qualifying pairs, same output
+      // rows as the unbanded form (the oracle certifies this)
+      .filter(col("edit_dist") >= 0)
       .select("doc_a", "doc_b", "edit_dist")
       .orderBy("doc_a", "doc_b")
   }
