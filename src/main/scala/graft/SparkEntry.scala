@@ -85,6 +85,9 @@ object SparkEntry {
     // bounding rectangles over (custkey, order-day), the measurable
     // form of multi-dimensional file-skipping
     "l01_zorder" -> (Layout.zorderLocality _),
+    // l02: Hilbert-curve locality — the no-jump curve via a native
+    // codegen kernel; same report shape as l01 for direct comparison
+    "l02_hilbert" -> (Layout.hilbertLocality _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -411,6 +414,45 @@ object SparkEntry {
          CAST(count(*) AS BIGINT) AS n_orders,
          round(sum(o_totalprice), 2) AS revenue
        FROM orders GROUP BY 1 ORDER BY fold"""
+  }
+
+  /** l02's oracle: the order-16 Hilbert descent as sixteen GENERATED
+    * CTE stages — per level the same (reflect-if-rx, swap-if-ry0,
+    * 4^k digit) arithmetic the [[graft.functions.HilbertIndexExpr]]
+    * kernel runs, on the same floor-div quantization as l01, so the
+    * native codegen loop is certified against an independent engine's
+    * evaluation of the identical recurrence at every gate run. */
+  private def l02OracleSql: String = {
+    val stages = (15 to 0 by -1).map { k =>
+      val s2 = 1L << (2 * k)
+      val prev = if (k == 15) "q" else s"h${k + 1}"
+      s"""h$k AS (SELECT ck, day,
+         CASE WHEN ((y >> $k) & 1) = 0
+              THEN (CASE WHEN ((x >> $k) & 1) = 1 THEN 65535 - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN ((y >> $k) & 1) = 0
+              THEN (CASE WHEN ((x >> $k) & 1) = 1 THEN 65535 - x ELSE x END)
+              ELSE y END AS y,
+         d + $s2 * (3 * ((x >> $k) & 1) + ((y >> $k) & 1)
+           - 2 * ((x >> $k) & 1) * ((y >> $k) & 1)) AS d
+       FROM $prev)"""
+    }.mkString(",\n")
+    s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(date_diff('day', DATE '1992-01-01',
+           CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+       FROM orders),
+     r AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+         min(day) AS day_min, max(day) AS day_max FROM o),
+     q AS (SELECT ck, day,
+         ((ck - ck_min) * 65535) // greatest(ck_max - ck_min, 1) AS x,
+         ((day - day_min) * 65535) // greatest(day_max - day_min, 1) AS y,
+         CAST(0 AS BIGINT) AS d
+       FROM o, r),
+     $stages
+     SELECT d // 16777216 AS bucket, count(*) AS n,
+       min(ck) AS ck_lo, max(ck) AS ck_hi,
+       min(day) AS day_lo, max(day) AS day_hi
+     FROM h0 GROUP BY 1 ORDER BY 1"""
   }
 
   /** s24's oracle: the s02 hyperplane replay with the multiprobe
@@ -1934,6 +1976,9 @@ object SparkEntry {
            min(ck) AS ck_lo, max(ck) AS ck_hi,
            min(day) AS day_lo, max(day) AS day_hi
          FROM z GROUP BY 1 ORDER BY 1""",
+    // l02: the sixteen-stage Hilbert descent, generated (see
+    // l02OracleSql) — certifies the native codegen kernel
+    "l02_hilbert" -> l02OracleSql,
     // q41: percent_rank/cume_dist — exact rationals of integers
     // under a total tie-break; the top-10 cut mirrors the Spark limit
     "q41_rank_dist" ->

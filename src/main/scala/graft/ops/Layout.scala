@@ -57,10 +57,10 @@ object Layout {
   def morton(qa: Column, qb: Column): Column =
     spread16(qa).bitwiseOR(shiftleft(spread16(qb), 1))
 
-  /** Orders annotated with their z-value over the
-    * (o_custkey, order-day) plane — bounds derived in one tiny agg
-    * job and broadcast (one-row frame) into the scan. */
-  def ordersWithZ(s: SparkSession, dir: String): DataFrame = {
+  /** Orders quantized onto the 16-bit (o_custkey, order-day) plane —
+    * bounds derived in one tiny agg job and broadcast (one-row frame)
+    * into the scan. The shared front half of both curve layouts. */
+  def ordersQuantized(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(
       col("o_orderkey"),
       col("o_custkey").cast("long").as("ck"),
@@ -72,9 +72,13 @@ object Layout {
     o.crossJoin(broadcast(rng))
       .withColumn("qck", quant16(col("ck"), col("ck_min"), col("ck_max")))
       .withColumn("qday", quant16(col("day"), col("day_min"), col("day_max")))
+  }
+
+  /** Orders annotated with their z-value over the quantized plane. */
+  def ordersWithZ(s: SparkSession, dir: String): DataFrame =
+    ordersQuantized(s, dir)
       .withColumn("z", morton(col("qck"), col("qday")))
       .select("o_orderkey", "ck", "day", "z")
-  }
 
   /** Z-order locality report (l01): bucket the curve by its top 8
     * bits (256 contiguous curve segments — the file-grain a
@@ -89,6 +93,30 @@ object Layout {
   def zorderLocality(s: SparkSession, dir: String): DataFrame =
     ordersWithZ(s, dir)
       .withColumn("bucket", floor(col("z") / lit(1L << 24)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("ck").as("ck_lo"), max("ck").as("ck_hi"),
+        min("day").as("day_lo"), max("day").as("day_hi"))
+      .orderBy("bucket")
+
+  /** Hilbert-curve locality report (l02): the layout family's
+    * stronger member — the Hilbert curve is the space-filling curve
+    * with NO quadrant jumps (consecutive indices are always grid
+    * neighbors, the property the OpsSpec adjacency test pins on a
+    * full sub-lattice), so its contiguous segments have tighter
+    * bounding rectangles than the Morton curve's at the same file
+    * grain — the measured Z-vs-Hilbert comparison lives in the spec.
+    * The index is a native codegen kernel
+    * ([[graft.functions.HilbertIndex]]: sixteen register-loop levels,
+    * no UDF, no chained projections), the same shape/report as
+    * [[zorderLocality]] so the two curves are directly comparable,
+    * and the oracle replays the identical staged arithmetic as
+    * sixteen generated CTE stages. */
+  def hilbertLocality(s: SparkSession, dir: String): DataFrame =
+    ordersQuantized(s, dir)
+      .withColumn("h",
+        graft.functions.HilbertIndex(col("qck"), col("qday")))
+      .withColumn("bucket", floor(col("h") / lit(1L << 24)).cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min("ck").as("ck_lo"), max("ck").as("ck_hi"),

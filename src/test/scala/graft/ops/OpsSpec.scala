@@ -3150,6 +3150,84 @@ class OpsSpec extends SparkSpec {
     assert(merged == direct, "sketch merge must match the direct sketch")
   }
 
+  test("hilbert kernel equals the classic n/2-descent model on random points") {
+    import spark.implicits._
+    // the INDEPENDENT formulation: Wikipedia's xy2d, descending by
+    // s = n/2 with full-grid reflection — structurally different from
+    // the kernel's k-indexed loop
+    def xy2d(n: Long, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val rnd = new scala.util.Random(42)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L)) ++
+      Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("a", "b")
+      .select(graft.functions.HilbertIndex(col("a"), col("b")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pts.map { case (a, b) => xy2d(65536L, a, b) })
+  }
+
+  test("hilbert curve has NO jumps: consecutive indices are grid neighbors") {
+    import spark.implicits._
+    // restricted to the low 64×64 corner the order-16 curve IS an
+    // order-64 Hilbert curve (the ten zero top levels contribute an
+    // even number of swaps), so the full sub-lattice enumerates a
+    // closed curve segment — the defining property Morton LACKS
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val byH = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.HilbertIndex(col("a"), col("b")).as("h"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(byH.map(_._1).toSeq == (0L until 4096L), "indices must be a permutation")
+    val jumps = byH.sliding(2).count { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(jumps == 0, s"$jumps non-adjacent steps on the sub-lattice")
+    // Morton on the same lattice DOES jump — the comparison that
+    // justifies l02 existing next to l01
+    val byZ = grid.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.morton(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val zJumps = byZ.sliding(2).count { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(zJumps > 0, "morton should jump on this lattice")
+  }
+
+  test("l02 hilbert buckets bound both dims at least as tightly as l01's z") {
+    def spans(rows: Array[org.apache.spark.sql.Row]): (Double, Double) = {
+      val ckLo = rows.map(_.getLong(2)).min; val ckHi = rows.map(_.getLong(3)).max
+      val dayLo = rows.map(_.getLong(4)).min; val dayHi = rows.map(_.getLong(5)).max
+      val cs = (ckHi - ckLo).toDouble.max(1); val ds = (dayHi - dayLo).toDouble.max(1)
+      val fr = rows.map(r => ((r.getLong(3) - r.getLong(2)) / cs,
+        (r.getLong(5) - r.getLong(4)) / ds))
+      (fr.map(_._1).sum / fr.length, fr.map(_._2).sum / fr.length)
+    }
+    val (hCk, hDay) = spans(Layout.hilbertLocality(spark, sf0001).collect())
+    val (zCk, zDay) = spans(Layout.zorderLocality(spark, sf0001).collect())
+    info(f"avg span fractions — hilbert (ck $hCk%.4f, day $hDay%.4f), z (ck $zCk%.4f, day $zDay%.4f)")
+    assert(hCk < 0.25 && hDay < 0.25, "hilbert buckets must bound both dims")
+    // the no-jump curve's segments must not be WORSE than morton's
+    // (strictly better on uniform grids; quantized real data gets a
+    // 10% tolerance for cell-boundary noise)
+    assert(hCk + hDay <= (zCk + zDay) * 1.10,
+      s"hilbert locality ($hCk + $hDay) worse than z ($zCk + $zDay)")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
