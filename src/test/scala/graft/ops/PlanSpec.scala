@@ -480,6 +480,19 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
 
+  test("l02: hilbert kernel runs in-scan; one hash shuffle; codegen span holds") {
+    val df = Layout.hilbertLocality(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "dimension bounds must broadcast")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly the bucket-agg shuffle expected:\n$p")
+    assert(p.contains("hilbert_index"), "the native kernel must appear in the plan")
+    df.collect()
+    // the kernel's doGenCode keeps the whole project inside codegen
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
   test("p11: replica explosion collapses map-side — partial agg below the exchange") {
     val p = plan(Sampling.bootstrapMeans(spark, sf0001))
     val lines = p.linesIterator.toVector

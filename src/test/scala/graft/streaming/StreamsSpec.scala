@@ -62,6 +62,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("zorderedIngest: every micro-batch lands z-clustered, files bound both dims") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-zingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-zingest-ck").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.zorderedIngest(mem.toDF().toDF("ck", "day"),
+      "ck", "day", base, files = 4, checkpoint = ckpt)
+    try {
+      // a full 64×64 grid per batch → quantization is clean and the
+      // 4 z-range files are ~half × ~half rectangles
+      val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+      mem.addData(grid: _*)
+      q.processAllAvailable()
+      mem.addData(grid.map { case (x, y) => (x + 100, y + 100) }: _*)
+      q.processAllAvailable()
+      for (b <- Seq(0, 1)) {
+        val dir = new java.io.File(s"$base/batch=$b")
+        assert(dir.isDirectory, s"batch $b increment missing")
+        val rows = s.read.parquet(dir.toString).collect()
+        assert(rows.length == grid.length, s"batch $b lost rows")
+        val files = dir.listFiles().filter(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        assert(files.length >= 2)
+        val tight = files.count { f =>
+          val part = s.read.parquet(f.getAbsolutePath).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          if (part.isEmpty) true
+          else {
+            val cs = (part.map(_._1).max - part.map(_._1).min) / 63.0
+            val ds = (part.map(_._2).max - part.map(_._2).min) / 63.0
+            cs <= 0.8 && ds <= 0.8 && cs * ds <= 0.40
+          }
+        }
+        assert(tight >= files.length - 1,
+          s"batch $b: only $tight/${files.length} files dual-dim bounded")
+      }
+    } finally q.stop()
+  }
+
   test("sessionCounts groups by session_window gap") {
     val s = spark
     import s.implicits._
