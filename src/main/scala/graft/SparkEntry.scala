@@ -88,6 +88,10 @@ object SparkEntry {
     // l02: Hilbert-curve locality — the no-jump curve via a native
     // codegen kernel; same report shape as l01 for direct comparison
     "l02_hilbert" -> (Layout.hilbertLocality _),
+    // l03: read-side pruning simulation — buckets touched by a fixed
+    // dual-dim predicate under each layout's row-group statistics,
+    // at a non-dyadic segment grain where the curves genuinely differ
+    "l03_curve_pruning" -> (Layout.curvePruning _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -127,6 +131,14 @@ object SparkEntry {
     "t15_cms_report" -> ((s: SparkSession, dir: String) => TextAnalysis.cmsReport(s, dir)),
     "t16_tfidf_terms" -> ((s: SparkSession, dir: String) => TextAnalysis.tfidfTopTerms(s, dir)),
     "t17_bigram_ce" -> ((s: SparkSession, dir: String) => TextAnalysis.bigramCrossEntropy(s, dir)),
+    // t18: BPE merge-pair TRAINING — k rounds of count-adjacent-pairs
+    // → merge-top-pair, the s06 unrolled-iteration discipline over
+    // the distinct-word table; upgrades t07's fixed regex
+    "t18_bpe_merges" -> ((s: SparkSession, dir: String) => TextAnalysis.bpeMerges(s, dir)),
+    // t19: the trained tokenizer APPLIED — per-lang subword stats
+    // from the broadcast segmented vocabulary (train once, encode
+    // everywhere; the corpus never reshuffles for the tokenizer)
+    "t19_bpe_encode" -> ((s: SparkSession, dir: String) => TextAnalysis.bpeEncodeStats(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -453,6 +465,159 @@ object SparkEntry {
        min(ck) AS ck_lo, max(ck) AS ck_hi,
        min(day) AS day_lo, max(day) AS day_hi
      FROM h0 GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** l03's oracle: all three layout keys replayed over ONE quantized
+    * scan — the l01 morton spread cascade, the sixteen l02 Hilbert
+    * CTE stages (here carrying (qa, qb) through the descent), and the
+    * single-key floor-div — then the identical per-bucket min/max
+    * statistics + rectangle-intersection rollup per layout, unioned.
+    * Grain/rectangle constants mirror [[graft.ops.Layout]]
+    * (pruneGrain / rectCk / rectDay). */
+  private def l03OracleSql: String = {
+    val g = graft.ops.Layout.pruneGrain
+    val (ra0, ra1) = (graft.ops.Layout.rectCkLo, graft.ops.Layout.rectCkHi)
+    val (rb0, rb1) = (graft.ops.Layout.rectDayLo, graft.ops.Layout.rectDayHi)
+    val stages = (15 to 0 by -1).map { k =>
+      val s2 = 1L << (2 * k)
+      val prev = if (k == 15) "q2" else s"h${k + 1}"
+      s"""h$k AS (SELECT qa, qb,
+         CASE WHEN ((y >> $k) & 1) = 0
+              THEN (CASE WHEN ((x >> $k) & 1) = 1 THEN 65535 - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN ((y >> $k) & 1) = 0
+              THEN (CASE WHEN ((x >> $k) & 1) = 1 THEN 65535 - x ELSE x END)
+              ELSE y END AS y,
+         d + $s2 * (3 * ((x >> $k) & 1) + ((y >> $k) & 1)
+           - 2 * ((x >> $k) & 1) * ((y >> $k) & 1)) AS d
+       FROM $prev)"""
+    }.mkString(",\n")
+    def rollup(name: String, src: String, key: String) =
+      s"""p_$name AS (SELECT $key // ${if (name == "single_ck") 256L else g} AS bucket,
+           min(qa) AS a_lo, max(qa) AS a_hi,
+           min(qb) AS b_lo, max(qb) AS b_hi,
+           sum(CASE WHEN qa BETWEEN $ra0 AND $ra1
+                     AND qb BETWEEN $rb0 AND $rb1 THEN 1 ELSE 0 END) AS rin
+         FROM $src GROUP BY 1),
+       a_$name AS (SELECT '$name' AS layout,
+           CAST(count(*) AS BIGINT) AS buckets_total,
+           CAST(sum(CASE WHEN a_hi >= $ra0 AND a_lo <= $ra1
+             AND b_hi >= $rb0 AND b_lo <= $rb1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS buckets_touched,
+           CAST(sum(rin) AS BIGINT) AS rows_matched
+         FROM p_$name)"""
+    s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(date_diff('day', DATE '1992-01-01',
+           CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+       FROM orders),
+     r AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+         min(day) AS day_min, max(day) AS day_max FROM o),
+     q AS (SELECT
+         ((ck - ck_min) * 65535) // greatest(ck_max - ck_min, 1) AS qa,
+         ((day - day_min) * 65535) // greatest(day_max - day_min, 1) AS qb
+       FROM o, r),
+     s1 AS (SELECT qa, qb, (qa | (qa << 8)) & 16711935 AS a1,
+         (qb | (qb << 8)) & 16711935 AS b1 FROM q),
+     s2 AS (SELECT qa, qb, (a1 | (a1 << 4)) & 252645135 AS a2,
+         (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+     s3 AS (SELECT qa, qb, (a2 | (a2 << 2)) & 858993459 AS a3,
+         (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+     s4 AS (SELECT qa, qb, (a3 | (a3 << 1)) & 1431655765 AS a4,
+         (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3),
+     z AS (SELECT qa, qb, (a4 | (b4 << 1)) AS z FROM s4),
+     q2 AS (SELECT qa, qb, qa AS x, qb AS y, CAST(0 AS BIGINT) AS d FROM q),
+     $stages,
+     ${rollup("zorder", "z", "z")},
+     ${rollup("hilbert", "h0", "d")},
+     ${rollup("single_ck", "q", "qa")}
+     SELECT * FROM a_zorder
+     UNION ALL SELECT * FROM a_hilbert
+     UNION ALL SELECT * FROM a_single_ck
+     ORDER BY layout"""
+  }
+
+  /** t18's oracle: the BPE training rounds UNROLLED as generated CTE
+    * stages (the s06 Lloyd discipline) — per round a freq-weighted
+    * adjacent-pair count via zipped parallel unnests, the top pair
+    * under the identical (count desc, left, right) total order, and
+    * the greedy merge as a POSITION-SKIPPING recursive walk over each
+    * word's original symbol list: structurally different from the
+    * Spark side's accumulate-and-check fold, but the same
+    * non-overlapping left-to-right contract (a merged token is never
+    * re-examined — the walk advances past both constituents). All
+    * integers and strings, nothing floating. Every chained CTE is
+    * AS MATERIALIZED: DuckDB otherwise INLINES referenced CTEs, and
+    * inlining a chain of recursions re-evaluates round i-1 once per
+    * round-i iteration — exponential replay of a linear training
+    * loop (observed: the un-hinted form ran minutes on a corpus the
+    * hinted form finishes in milliseconds). */
+  private def t18OracleSql(rounds: Int): String =
+    s"""WITH RECURSIVE
+       ${bpeTrainingCtes(rounds)}
+       SELECT * FROM (${(1 to rounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_round, l AS left_sym,
+          r2 AS right_sym, cnt AS pair_count FROM t$i"""
+    }.mkString("\n UNION ALL ")}) ORDER BY merge_round"""
+
+  /** t19's oracle: the SAME generated training chain, then the final
+    * vocabulary w{rounds} joined back to the per-(lang, word) counts
+    * and rolled up to the subword statistics — integer floor-div for
+    * the milli ratio, count(DISTINCT) for the effective vocab. */
+  private def t19OracleSql(rounds: Int): String =
+    s"""WITH RECURSIVE
+       ${bpeTrainingCtes(rounds)},
+       occ AS (SELECT lang,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         FROM documents),
+       oc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+         FROM occ GROUP BY 1, 2),
+       sg AS MATERIALIZED (SELECT lang, n, syms
+         FROM oc JOIN w$rounds USING (word)),
+       base AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+           CAST(sum(n * len(syms)) AS BIGINT) AS n_subwords
+         FROM sg GROUP BY 1),
+       voc AS (SELECT lang, CAST(count(DISTINCT sw) AS BIGINT) AS n_vocab
+         FROM (SELECT lang, unnest(syms) AS sw FROM sg) GROUP BY 1)
+       SELECT lang, n_words, n_subwords,
+         (n_subwords * 1000) // n_words AS spw_milli, n_vocab
+       FROM base JOIN voc USING (lang) ORDER BY lang"""
+
+  /** The shared t18/t19 CTE chain — training rounds as generated
+    * MATERIALIZED stages (see [[t18OracleSql]]'s scaladoc for the
+    * contract and the inlining trap). */
+  private def bpeTrainingCtes(rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT l, r2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT freq,
+             unnest(syms[1:len(syms) - 1]) AS l,
+             unnest(syms[2:len(syms)]) AS r2
+           FROM $prev WHERE len(syms) >= 2) GROUP BY 1, 2),
+         t$i AS MATERIALIZED (SELECT l, r2, cnt FROM p$i
+           ORDER BY cnt DESC, l, r2 LIMIT 1),
+         m$i AS (
+           SELECT word, freq, syms, 1 AS pos,
+             CAST([] AS VARCHAR[]) AS acc FROM $prev
+           UNION ALL
+           SELECT word, freq, syms,
+             CASE WHEN pos + 1 <= len(syms)
+                   AND syms[pos] = t.l AND syms[pos + 1] = t.r2
+                  THEN pos + 2 ELSE pos + 1 END,
+             CASE WHEN pos + 1 <= len(syms)
+                   AND syms[pos] = t.l AND syms[pos + 1] = t.r2
+                  THEN list_append(acc, t.l || t.r2)
+                  ELSE list_append(acc, syms[pos]) END
+           FROM m$i, t$i t WHERE pos <= len(syms)),
+         w$i AS MATERIALIZED (SELECT word, freq, acc AS syms FROM m$i
+           WHERE pos = len(syms) + 1)"""
+    }.mkString(",\n")
+    s"""wd AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents),
+       wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+              FROM wd GROUP BY 1),
+       w0 AS MATERIALIZED (SELECT word, freq,
+              regexp_extract_all(word, '.') AS syms FROM wf),
+       $stages"""
   }
 
   /** s24's oracle: the s02 hyperplane replay with the multiprobe
@@ -1979,6 +2144,9 @@ object SparkEntry {
     // l02: the sixteen-stage Hilbert descent, generated (see
     // l02OracleSql) — certifies the native codegen kernel
     "l02_hilbert" -> l02OracleSql,
+    // l03: all three layout keys + the statistics-intersection
+    // rollup replayed over one quantized scan (see l03OracleSql)
+    "l03_curve_pruning" -> l03OracleSql,
     // q41: percent_rank/cume_dist — exact rationals of integers
     // under a total tie-break; the top-10 cut mirrors the Spark limit
     "q41_rank_dist" ->
@@ -2130,6 +2298,12 @@ object SparkEntry {
            floor(min(ce) * 1000 + 0.5) / 1000 AS min_ce,
            floor(max(ce) * 1000 + 0.5) / 1000 AS max_ce
          FROM doc GROUP BY 1, 2 ORDER BY 1, 2""",
+    // t18: the six BPE training rounds generated as CTE stages, the
+    // merge replayed as a position-skipping recursive walk (see
+    // t18OracleSql)
+    "t18_bpe_merges" -> t18OracleSql(6),
+    // t19: same training chain, final vocabulary applied per lang
+    "t19_bpe_encode" -> t19OracleSql(6),
     // e12: the c15 expectation-check pattern on the events table —
     // same checks, same stacked report shape
     "e12_events_gate" ->

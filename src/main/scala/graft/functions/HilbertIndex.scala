@@ -18,8 +18,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * brief, same as [[CosineSimilarityExpr]]). The DuckDB oracle runs
   * the IDENTICAL staged arithmetic as sixteen generated CTE stages
   * (see SparkEntry.l02OracleSql), so the kernel is certified
-  * cross-engine at every gate run, and the spec pins it against the
-  * independent classic n/2-descent formulation (Wikipedia's xy2d).
+  * cross-engine at every gate run. The spec pins it three ways: a
+  * classic n/2-descent model (NOTE: same recurrence re-expressed —
+  * a shared misreading of the recurrence would pass both), FIXED
+  * published corner constants of the standard curve ((0,0)→0,
+  * (n−1,0)→n²−1, and the base-4 repunit corners (0,n−1)→(n²−1)/3,
+  * (n−1,n−1)→2(n²−1)/3 — external values no shared bug can
+  * reproduce), and the adjacency/permutation property on a full
+  * sub-lattice, which only a genuine Hilbert curve satisfies.
   *
   * Level semantics (top bit k=15 down to 0, n=65536):
   *   rx = (x >> k) & 1;  ry = (y >> k) & 1

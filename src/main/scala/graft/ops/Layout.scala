@@ -43,15 +43,27 @@ object Layout {
     step(x3, 1, 0x55555555L)
   }
 
+  /** floor of the double quotient in [[quant16]] equals integer
+    * floor-div only while (v-lo)*65535 < 2^53, i.e. while the
+    * dimension span stays below this bound (~1.37e11 ≈ 2^37). */
+  val maxExactSpan: Long = ((1L << 53) - 1) / 65535L
+
   /** Min-max quantization of `v` to [0, 65535] given the dimension's
     * observed bounds — exact floor-div integer arithmetic (the
     * degenerate all-one-value dimension maps to 0 via the
-    * greatest(,1) guard). */
+    * greatest(,1) guard). Total over ALL long inputs: a span beyond
+    * [[maxExactSpan]] would silently diverge from floor-div (the
+    * double quotient loses ulps past 2^53), so it raises instead —
+    * the guard lives inside the consumed column, not a droppable
+    * side check, so Catalyst cannot prune it. */
   def quant16(v: Column, lo: Column, hi: Column): Column =
-    // floor of a double-precision quotient of exact integers — both
-    // operands stay far below 2^53, so this equals pure floor-div
-    floor(((v - lo) * lit(65535L)) / greatest(hi - lo, lit(1L)))
-      .cast("long")
+    when(hi - lo <= lit(maxExactSpan),
+      floor(((v - lo) * lit(65535L)) / greatest(hi - lo, lit(1L)))
+        .cast("long"))
+      .otherwise(raise_error(format_string(
+        "quant16: dimension span %d exceeds the exact floor-div range " +
+          "(max %d) — pre-bucket or rescale the dimension",
+        hi - lo, lit(maxExactSpan))).cast("long"))
 
   /** The 32-bit Morton key of two 16-bit quantized dimensions. */
   def morton(qa: Column, qb: Column): Column =
@@ -123,6 +135,86 @@ object Layout {
         min("day").as("day_lo"), max("day").as("day_hi"))
       .orderBy("bucket")
 
+  /** The fixed dual-dim query rectangle of [[curvePruning]], in
+    * quantized coordinates: a 1/8 × 1/8 window of the 16-bit plane,
+    * deliberately UNALIGNED with any dyadic cell boundary (ck ∈
+    * [9000, 17191], day ∈ [25000, 33191]) so partial-cell
+    * intersections are genuinely exercised. */
+  val rectCkLo = 9000L; val rectCkHi = 17191L
+  val rectDayLo = 25000L; val rectDayHi = 33191L
+
+  /** [[curvePruning]]'s bucket grain: ~1/257 of the 32-bit curve
+    * index range, deliberately NOT a power of four. At dyadic grain
+    * (e.g. 2^24) the top curve bits are a quadrant-descent prefix for
+    * BOTH curves, so Morton and Hilbert induce the IDENTICAL
+    * 4096×4096 cell partition and the comparison degenerates to a
+    * renumbering. Real files cut the curve at arbitrary row-count
+    * positions, and there the curves differ: a Hilbert segment of
+    * length L has O(√L) diameter (no jumps), while a Morton segment
+    * straddling a high-bit boundary leaps across the plane and its
+    * bounding rectangle explodes. The non-dyadic grain models those
+    * arbitrary cuts declaratively. */
+  val pruneGrain = 16712070L // ceil(2^32 / 257)
+
+  /** Read-side pruning simulation (l03): what fraction of a layout's
+    * file-grain units would a dual-dim predicate actually touch?
+    * Buckets orders into ~257 curve segments ([[pruneGrain]] — see
+    * its scaladoc for why the grain must be non-dyadic) under each of
+    * the three layouts (Morton curve, Hilbert curve, single-key ck
+    * sort), computes each bucket's min/max statistics — exactly what
+    * parquet stores per row group — and counts buckets whose
+    * statistics intersect the fixed query rectangle. This is the
+    * number a scan planner prunes with, derived declaratively: ONE
+    * pass over orders (the three layout keys are an in-scan
+    * `explode` of codegen'd arithmetic — 3 rows per input row of
+    * (layout, bucket, in_rect)), one map-side-combining shuffle onto
+    * ≤ 3·258 groups, and a tiny final per-layout rollup. The
+    * physical twin (real parquet files, `input_file_name()` under
+    * the predicate) lives in the spec; this query is the
+    * engine-independent formulation the DuckDB oracle replays
+    * bit-for-bit (morton spread cascade + the sixteen Hilbert CTE
+    * stages + floor-div bucketing).
+    *
+    * Expected shape at any SF: single_ck touches ~33 of 256 buckets
+    * (the ck slice — its day statistics span everything), zorder
+    * ~the rectangle's area share plus straddle cells, hilbert fewest
+    * (no-jump segments) — the measured multi-dim win that justifies
+    * [[zorderWrite]] / [[hilbertWrite]] at 100 TB. */
+  def curvePruning(s: SparkSession, dir: String): DataFrame = {
+    val grain = lit(pruneGrain)
+    val base = ordersQuantized(s, dir).select(
+      col("qck"), col("qday"),
+      (col("qck").between(rectCkLo, rectCkHi) &&
+        col("qday").between(rectDayLo, rectDayHi))
+        .cast("long").as("in_rect"))
+    val tagged = base.select(
+      explode(array(
+        struct(lit("zorder").as("layout"),
+          floor(morton(col("qck"), col("qday")) / grain).cast("long")
+            .as("bucket")),
+        struct(lit("hilbert").as("layout"),
+          floor(graft.functions.HilbertIndex(col("qck"), col("qday")) / grain)
+            .cast("long").as("bucket")),
+        struct(lit("single_ck").as("layout"),
+          floor(col("qck") / lit(256L)).cast("long").as("bucket"))))
+        .as("t"),
+      col("qck"), col("qday"), col("in_rect"))
+    val perBucket = tagged
+      .groupBy(col("t.layout").as("layout"), col("t.bucket").as("bucket"))
+      .agg(
+        min("qck").as("a_lo"), max("qck").as("a_hi"),
+        min("qday").as("b_lo"), max("qday").as("b_hi"),
+        sum("in_rect").as("rows_in"))
+    perBucket.groupBy("layout")
+      .agg(
+        count(lit(1)).as("buckets_total"),
+        sum((col("a_hi") >= rectCkLo && col("a_lo") <= rectCkHi &&
+          col("b_hi") >= rectDayLo && col("b_lo") <= rectDayHi)
+          .cast("long")).as("buckets_touched"),
+        sum("rows_in").as("rows_matched"))
+      .orderBy("layout")
+  }
+
   /** Write `df` clustered by the z-order of two long columns: ONE
     * range exchange on z (range partitioning keeps curve segments
     * contiguous across files), an in-partition sort (no second
@@ -130,15 +222,34 @@ object Layout {
     * schema — layout is a property of row order, not a column the
     * reader pays for. */
   def zorderWrite(df: DataFrame, dimA: String, dimB: String,
-      path: String, files: Int): Unit = {
+      path: String, files: Int): Unit =
+    curveWrite(df, dimA, dimB, path, files, hilbert = false)
+
+  /** [[zorderWrite]]'s twin on the Hilbert curve — identical write
+    * shape (one range exchange on the curve key, in-partition sort,
+    * key dropped from storage), but the key is the no-jump
+    * [[graft.functions.HilbertIndex]] whose file-grain segments
+    * bound both dimensions at least as tightly as Morton's (the
+    * measured l02-vs-l01 result, which this write path carries to
+    * the scan — see the read-side pruning spec). */
+  def hilbertWrite(df: DataFrame, dimA: String, dimB: String,
+      path: String, files: Int): Unit =
+    curveWrite(df, dimA, dimB, path, files, hilbert = true)
+
+  private def curveWrite(df: DataFrame, dimA: String, dimB: String,
+      path: String, files: Int, hilbert: Boolean): Unit = {
+    // collision-proof internal names (the __z convention): a user
+    // column named e.g. "a_min" must survive the bounds crossJoin
     val rng = df.agg(
-      min(dimA).as("a_min"), max(dimA).as("a_max"),
-      min(dimB).as("b_min"), max(dimB).as("b_max"))
+      min(dimA).as("__z_a_min"), max(dimA).as("__z_a_max"),
+      min(dimB).as("__z_b_min"), max(dimB).as("__z_b_max"))
+    val qa = quant16(col(dimA), col("__z_a_min"), col("__z_a_max"))
+    val qb = quant16(col(dimB), col("__z_b_min"), col("__z_b_max"))
     df.crossJoin(broadcast(rng))
-      .withColumn("__z", morton(
-        quant16(col(dimA), col("a_min"), col("a_max")),
-        quant16(col(dimB), col("b_min"), col("b_max"))))
-      .drop("a_min", "a_max", "b_min", "b_max")
+      .withColumn("__z",
+        if (hilbert) graft.functions.HilbertIndex(qa, qb)
+        else morton(qa, qb))
+      .drop("__z_a_min", "__z_a_max", "__z_b_min", "__z_b_max")
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

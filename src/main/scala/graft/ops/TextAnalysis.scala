@@ -766,4 +766,155 @@ object TextAnalysis {
         r4(col("sm").cast("double") / lit(1e6)).as("score"))
       .orderBy("doc_id", "rnk")
   }
+
+  /** BPE merge-pair training (t18) — the tokenizer-TRAINING rung the
+    * t-family lacked: `rounds` iterations of count-adjacent-symbol-
+    * pairs → merge-the-top-pair (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units"), the
+    * counts → merges → vocab stage of standard corpus prep whose
+    * OUTPUT upgrades [[bpeTokenCount]]'s fixed BPE-ish regex (t07's
+    * consumer) to a corpus-fitted merge table. Declarative end to
+    * end, the s06 unrolled-Lloyd discipline applied to pair counts:
+    *
+    *  - The corpus collapses ONCE to the distinct-word frequency
+    *    table (heavy-hitter compression: all later rounds cost
+    *    ∝ vocabulary, not corpus — at 100 TB the only full-corpus
+    *    pass is the initial word count's shuffle).
+    *  - Per round: adjacent pairs via one in-row `zip_with` of the
+    *    symbol array against its own shift + `explode`, freq-weighted
+    *    count (map-side combine onto the tiny pair space), and the
+    *    top pair under the TOTAL order (count desc, left, right — no
+    *    float, no tie ambiguity) kept as a ONE-ROW `limit(1)` frame.
+    *  - The merge applies as a broadcast of that one-row frame into
+    *    an `aggregate` fold over each word's symbols — greedy
+    *    left-to-right non-overlapping, the classic semantics: a
+    *    freshly merged token never re-merges in its own round
+    *    (`l ++ r` is strictly longer than `l`, so the fold's
+    *    last-element check cannot re-fire). No driver-side collect
+    *    anywhere: merge literals reach the lambda as OUTER COLUMN
+    *    references from the broadcast join, and the result table is
+    *    the union of the per-round one-row frames.
+    *  - Per-round `localCheckpoint` cuts the iterated lineage (the
+    *    [[graft.ops.Similarity.kmeansCodebook]] /
+    *    [[graft.ops.Dedup.connectedComponents]] discipline).
+    *
+    * Precondition: the corpus must have ≥ `rounds` distinct adjacent
+    * pairs available (an exhausted-pairs round would broadcast an
+    * empty frame); every gate corpus is orders of magnitude past it.
+    * The DuckDB oracle replays the rounds as generated CTE stages
+    * with the merge as a POSITION-SKIPPING recursive walk — a
+    * structurally different formulation of the same greedy contract.
+    * Reference analog: the reference has no trained tokenizer
+    * (streamable/stream.py's map chains transform elements one at a
+    * time); this is extension surface, cited per the survey
+    * discipline. */
+  def bpeMerges(s: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+    bpeTrain(s, dir, rounds)._1
+
+  /** Session-scoped trained-BPE memo — the
+    * [[graft.ops.Similarity]] centCache discipline verbatim: in
+    * production the merge table is a train-once ARTIFACT consumed by
+    * every downstream tokenize (t18 publishes it, t19 applies it),
+    * so the checkpointed (merges, segmented-vocab) pair is memoized
+    * per (session, canonical dir + documents mtime, rounds); entries
+    * of stopped sessions (and superseded mtimes of live ones) are
+    * swept on every lookup. Both frames are vocabulary-sized (KBs),
+    * corpus-size-independent. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long, Int), (DataFrame, DataFrame)]
+
+  private def docStamp(dir: String): (String, Long) = {
+    val f = new java.io.File(dir, "documents.parquet")
+    (f.getParentFile.getCanonicalPath, f.lastModified)
+  }
+
+  /** The training core shared by [[bpeMerges]] (publishes the merge
+    * table) and [[bpeEncodeStats]] (applies the final segmentation).
+    * Returns (merge table (merge_round, left_sym, right_sym,
+    * pair_count), final segmented vocabulary (word, freq, syms)). */
+  private[ops] def bpeTrain(s: SparkSession, dir: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1)
+    val (canon, stamp) = docStamp(dir)
+    bpeCache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped ||
+        (k._1.eq(s) && k._2 == canon && k._3 != stamp)) bpeCache.remove(k)
+    }
+    bpeCache.getOrElseUpdate((s, canon, stamp, rounds), {
+      val docs = t(s, dir, "documents")
+      var words = docs
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("word"), col("freq"),
+          regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
+        .localCheckpoint()
+      var merged: Seq[DataFrame] = Nil
+      (1 to rounds).foreach { r =>
+        val top1 = words
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+          .agg(sum("freq").as("pair_count"))
+          .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+          .limit(1)
+          .localCheckpoint()
+        merged = merged :+ top1.select(lit(r.toLong).as("merge_round"),
+          col("left_sym"), col("right_sym"), col("pair_count"))
+        words = words.crossJoin(broadcast(top1))
+          .withColumn("syms", aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === col("left_sym") &&
+                x === col("right_sym"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(col("left_sym"), col("right_sym")))))
+              .otherwise(concat(acc, array(x)))))
+          .drop("left_sym", "right_sym", "pair_count")
+          .localCheckpoint()
+      }
+      (merged.reduce(_ unionByName _).orderBy("merge_round"), words)
+    })
+  }
+
+  /** BPE encode (t19) — the trained tokenizer APPLIED, closing the
+    * counts → merges → vocab → SEGMENT loop: every corpus word is
+    * segmented by the [[bpeTrain]] vocabulary and the report gives
+    * per-lang subword statistics — token count, subword count,
+    * milli-subwords-per-word (the compression ratio a tokenizer is
+    * judged on) and the effective subword vocabulary each lang
+    * touches. The corpus pays ONE tokenize + one (lang, word) count
+    * shuffle; the segmented vocabulary joins in as a BROADCAST
+    * (vocabulary-sized — at 100 TB the corpus never reshuffles for
+    * the tokenizer) and subword explosion happens on the counted
+    * (lang, word) table, not per occurrence. Integer-only outputs
+    * (floor-div milli ratio), so cross-engine equality is exact. */
+  def bpeEncodeStats(s: SparkSession, dir: String,
+      rounds: Int = 6): DataFrame = {
+    val segs = bpeTrain(s, dir, rounds)._2
+    val docs = t(s, dir, "documents")
+    val occ = docs
+      .select(col("lang"), explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    val seg = occ.join(broadcast(segs.select(col("word"), col("syms"))), "word")
+      .localCheckpoint() // two consumers below; vocab-sized × langs
+    val base = seg.groupBy("lang").agg(
+      sum(col("n")).as("n_words"),
+      sum(col("n") * size(col("syms"))).as("n_subwords"))
+    val vocab = seg.select(col("lang"), explode(col("syms")).as("subword"))
+      .groupBy("lang").agg(countDistinct("subword").as("n_vocab"))
+    base.join(vocab, "lang")
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        // integer-derived doubles: the product stays far below 2^53,
+        // so floor(double quotient) == floor-div on both engines (the
+        // l01 oracle discipline)
+        floor(col("n_subwords") * lit(1000L) / col("n_words"))
+          .cast("long").as("spw_milli"),
+        col("n_vocab"))
+      .orderBy("lang")
+  }
 }

@@ -528,13 +528,18 @@ object Streams {
     * passing fixed bounds. Returns the started query (caller stops
     * it). */
   def zorderedIngest(df: DataFrame, dimA: String, dimB: String,
-      baseDir: String, files: Int, checkpoint: String) =
+      baseDir: String, files: Int, checkpoint: String,
+      hilbert: Boolean = false) =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty)
-          graft.ops.Layout.zorderWrite(batch.toDF(), dimA, dimB,
-            s"$baseDir/batch=$id", files)
+        if (!batch.isEmpty) {
+          val out = s"$baseDir/batch=$id"
+          if (hilbert)
+            graft.ops.Layout.hilbertWrite(batch.toDF(), dimA, dimB, out, files)
+          else
+            graft.ops.Layout.zorderWrite(batch.toDF(), dimA, dimB, out, files)
+        }
       }
       .outputMode(OutputMode.Append())
       .start()

@@ -3061,6 +3061,110 @@ class OpsSpec extends SparkSpec {
     assert(zCk <= 0.75, s"z ck span $zCk")
   }
 
+  test("read-side pruning: curve layouts skip files a single-key layout must read; hilbert <= z") {
+    // The verdict-r13 ask: prove the measured l02 curve advantage
+    // SURVIVES TO THE SCAN. Three physical layouts of the same rows,
+    // then (a) files actually containing matching rows under a
+    // day-predicate via distinct input_file_name() — the dimension a
+    // ck-sorted layout cannot bound — and (b) per-file min/max
+    // STATISTICS (exactly what a parquet reader prunes row groups
+    // with) intersected against six dual-dim rectangles.
+    import org.apache.spark.sql.functions.{min, max, input_file_name}
+    val o = Relational.t(spark, sf0001, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey").cast("long").as("ck"),
+      org.apache.spark.sql.functions.datediff(col("o_orderdate"),
+        org.apache.spark.sql.functions.lit("1992-01-01")).cast("long").as("day"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft-prune-z").toString
+    val hDir = java.nio.file.Files.createTempDirectory("graft-prune-h").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft-prune-s").toString
+    Layout.zorderWrite(o, "ck", "day", zDir, files = 16)
+    Layout.hilbertWrite(o, "ck", "day", hDir, files = 16)
+    o.repartitionByRange(16, col("ck")).sortWithinPartitions("ck")
+      .write.mode("overwrite").parquet(sDir)
+    val Array(b) = o.agg(min("ck"), max("ck"), min("day"), max("day")).collect()
+    val (ckMin, ckMax, dayMin, dayMax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val ckSpan = (ckMax - ckMin).toDouble; val daySpan = (dayMax - dayMin).toDouble
+    def filesTouched(dir: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).where(pred)
+        .select(input_file_name()).distinct().count()
+    def totalFiles(dir: String): Long =
+      spark.read.parquet(dir).select(input_file_name()).distinct().count()
+    val (tz, th, ts) = (totalFiles(zDir), totalFiles(hDir), totalFiles(sDir))
+    assert(tz >= 8 && th >= 8 && ts >= 8, s"too few files to discriminate: $tz $th $ts")
+    // (a) day-only predicate: middle ~1/8 of the day range. The
+    // single-key ck layout interleaves days arbitrarily across every
+    // file; the curves confine them.
+    val dLo = dayMin + (0.45 * daySpan).toLong
+    val dHi = dayMin + (0.57 * daySpan).toLong
+    val dayPred = col("day").between(dLo, dHi)
+    val (fz, fh, fs) = (filesTouched(zDir, dayPred),
+      filesTouched(hDir, dayPred), filesTouched(sDir, dayPred))
+    assert(fs >= (0.9 * ts).toLong, s"single-key layout should read ~all files for a day slice: $fs of $ts")
+    assert(fz <= (0.7 * tz).toLong, s"z layout should skip day-slice files: $fz of $tz")
+    assert(fh <= fz, s"hilbert must not touch more day-slice files than z: $fh vs $fz")
+    // no rows lost by any layout
+    val nDay = o.where(dayPred).count()
+    Seq(zDir, hDir, sDir).foreach { d =>
+      assert(spark.read.parquet(d).where(dayPred).count() == nDay, s"$d row drift")
+    }
+    // (b) six unaligned dual-dim rectangles: count files whose
+    // min/max statistics box intersects each — the reader's skip
+    // decision. Also the continuous form (summed normalized box
+    // area), where the no-jump curve's advantage cannot tie away.
+    def boxes(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .toSeq.flatMap { f =>
+          val part = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("ck"), max("ck"), min("day"), max("day")).collect()(0)
+          if (part.isNullAt(0)) None
+          else Some((part.getLong(0), part.getLong(1), part.getLong(2), part.getLong(3)))
+        }
+    val (bz, bh, bs) = (boxes(zDir), boxes(hDir), boxes(sDir))
+    val fracs = Seq(0.07, 0.22, 0.37, 0.52, 0.67, 0.82)
+    val rects = fracs.zip(fracs.reverse).map { case (f, g) =>
+      (ckMin + (f * ckSpan).toLong, ckMin + ((f + 0.125) * ckSpan).toLong,
+        dayMin + (g * daySpan).toLong, dayMin + ((g + 0.125) * daySpan).toLong)
+    }
+    def touchSum(bx: Seq[(Long, Long, Long, Long)]): Int = rects.map {
+      case (cl, ch, dl, dh) => bx.count { case (a0, a1, b0, b1) =>
+        a1 >= cl && a0 <= ch && b1 >= dl && b0 <= dh }
+    }.sum
+    val (sz, sh, ss) = (touchSum(bz), touchSum(bh), touchSum(bs))
+    def areaSum(bx: Seq[(Long, Long, Long, Long)]): Double = bx.map {
+      case (a0, a1, b0, b1) => ((a1 - a0) / ckSpan.max(1)) * ((b1 - b0) / daySpan.max(1))
+    }.sum
+    val (az, ah) = (areaSum(bz), areaSum(bh))
+    info(s"stats-box touches over 6 rects — z $sz, hilbert $sh, single $ss " +
+      f"(of ${6 * tz} max); box-area sums z $az%.3f hilbert $ah%.3f")
+    assert(sz <= (0.45 * 6 * tz).toInt, s"z stats should prune most rect-file pairs: $sz")
+    assert(sh <= sz, s"hilbert must touch at most z's file count: $sh vs $sz")
+    assert(ah < az, f"hilbert summed box area $ah%.4f must beat z's $az%.4f strictly")
+    // row equality under one rect across layouts (stats are a
+    // superset filter — actual matching rows must agree exactly)
+    val (rcl, rch, rdl, rdh) = rects.head
+    val rectPred = col("ck").between(rcl, rch) && col("day").between(rdl, rdh)
+    val nRect = o.where(rectPred).count()
+    Seq(zDir, hDir, sDir).foreach { d =>
+      assert(spark.read.parquet(d).where(rectPred).count() == nRect, s"$d rect row drift")
+    }
+  }
+
+  test("l03 pruning simulation: hilbert <= zorder < single_ck; rows agree") {
+    val rows = Layout.curvePruning(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("hilbert", "single_ck", "zorder"))
+    val (_, hT, hR) = rows("hilbert")
+    val (_, zT, zR) = rows("zorder")
+    val (sTot, sT, sR) = rows("single_ck")
+    assert(hR == zR && zR == sR && sR > 0, s"rows_matched must agree: $hR $zR $sR")
+    assert(hT <= zT, s"hilbert buckets touched $hT must be <= z's $zT")
+    assert(zT < sT, s"z buckets touched $zT must beat single-key's $sT")
+    assert(sT < sTot, s"even single-key prunes its own dim: $sT of $sTot")
+  }
+
   test("p11 bootstrap equals the md5 Poisson-weight model; spread brackets the mean") {
     def md5hex8(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
@@ -3179,6 +3283,60 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == pts.map { case (a, b) => xy2d(65536L, a, b) })
   }
 
+  test("hilbert kernel matches published fixed vectors (external pin)") {
+    import spark.implicits._
+    // The n/2-descent model and the DuckDB CTE oracle re-express the
+    // SAME recurrence as the kernel — a shared misreading would pass
+    // all three. These constants are external: the standard order-n
+    // Hilbert curve starts at (0,0), ends at (n-1,0) with index
+    // n^2-1, and its two remaining corners are the base-4 repunits
+    // (0,n-1) -> (n^2-1)/3 and (n-1,n-1) -> 2(n^2-1)/3 (every level
+    // contributes quadrant digit 1 resp. 2) — published identities
+    // of the curve, not derivable from a wrong recurrence.
+    val n2m1 = (1L << 32) - 1 // n^2 - 1 for n = 65536
+    val fixed = Seq(
+      (0L, 0L) -> 0L,
+      (0L, 65535L) -> n2m1 / 3, // 1431655765
+      (65535L, 65535L) -> 2 * (n2m1 / 3), // 2863311530
+      (65535L, 0L) -> n2m1) // 4294967295
+    val got = fixed.map(_._1).toDF("a", "b")
+      .select(graft.functions.HilbertIndex(col("a"), col("b")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == fixed.map(_._2), s"corner vectors: got ${got.toSeq}")
+    // and the published quadrant visit order LL -> UL -> UR -> LR:
+    // each quadrant's center must land in that quadrant's index range
+    val q = 1L << 30 // 4^15
+    val centers = Seq((16384L, 16384L), (16384L, 49152L),
+      (49152L, 49152L), (49152L, 16384L))
+    val ch = centers.toDF("a", "b")
+      .select(graft.functions.HilbertIndex(col("a"), col("b")).as("h"))
+      .collect().map(_.getLong(0))
+    ch.zipWithIndex.foreach { case (h, i) =>
+      assert(h >= i * q && h < (i + 1) * q,
+        s"quadrant $i center has index $h outside [${i * q}, ${(i + 1) * q})")
+    }
+  }
+
+  test("quant16 is total: exact at the span boundary, raises beyond it") {
+    import spark.implicits._
+    val m = Layout.maxExactSpan
+    // at the boundary the quotient is still exact floor-div
+    val ok = Seq((0L, 0L, m), (m, 0L, m), (m / 2, 0L, m)).toDF("v", "lo", "hi")
+      .select(Layout.quant16(col("v"), col("lo"), col("hi")).as("q"))
+      .collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq(0L, 65535L, (m / 2 * 65535L) / m))
+    // one past it the guard must raise (not silently lose ulps)
+    val e = intercept[Exception] {
+      Seq((0L, 0L, m + 1)).toDF("v", "lo", "hi")
+        .select(Layout.quant16(col("v"), col("lo"), col("hi")).as("q"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exceeds the exact floor-div range")),
+      s"wrong failure: $e")
+  }
+
   test("hilbert curve has NO jumps: consecutive indices are grid neighbors") {
     import spark.implicits._
     // restricted to the low 64×64 corner the order-16 curve IS an
@@ -3226,6 +3384,72 @@ class OpsSpec extends SparkSpec {
     // 10% tolerance for cell-boundary noise)
     assert(hCk + hDay <= (zCk + zDay) * 1.10,
       s"hilbert locality ($hCk + $hDay) worse than z ($zCk + $zDay)")
+  }
+
+  test("t18 BPE merges equal the plain-Scala training model; monotone counts") {
+    // independent formulation: mutable pair-count maps + in-place
+    // greedy re-segmentation, no Spark, no SQL
+    val texts = Relational.t(spark, sf0001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val words = scala.collection.mutable.HashMap.empty[String, Long]
+    val re = "[a-z]+".r
+    texts.foreach(t => re.findAllIn(t.toLowerCase).foreach { w =>
+      words(w) = words.getOrElse(w, 0L) + 1
+    })
+    var segs: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.split("").toVector).toMap
+    val model = (1 to 6).map { r =>
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((w, f) <- words; Seq(a, b) <- segs(w).sliding(2))
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+      val ((a, b), c) = pc.toSeq.minBy { case ((l, rr), n) => (-n, l, rr) }
+      segs = segs.map { case (w, syms) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (s0 <- syms) {
+          if (out.nonEmpty && out.last == a && s0 == b)
+            out(out.length - 1) = a + b
+          else out += s0
+        }
+        w -> out.toVector
+      }
+      (r.toLong, a, b, c)
+    }
+    val got = TextAnalysis.bpeMerges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == model, s"merge tables diverge:\n got  ${got.toSeq}\n model $model")
+    // training sanity: top-pair counts never increase round over
+    // round under the greedy tie-broken order... not strictly true in
+    // general BPE (a merge can create a NEW dominant pair), so assert
+    // only positivity and distinct merge pairs
+    assert(got.map(t => (t._2, t._3)).distinct.length == got.length,
+      "the same pair must never be merged twice")
+    assert(got.forall(_._4 > 0))
+    // t19: the trained segmentation APPLIED — per-lang subword stats
+    // from the same model's final segs
+    val perLang = Relational.t(spark, sf0001, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val langWords = perLang.flatMap { case (lang, t0) =>
+      re.findAllIn(t0.toLowerCase).map(w => (lang, w))
+    }
+    val encModel = langWords.groupBy(_._1).toSeq.map { case (lang, ws) =>
+      val syms = ws.map(w => segs(w._2))
+      val nWords = ws.length.toLong
+      val nSub = syms.map(_.length.toLong).sum
+      (lang, nWords, nSub, nSub * 1000 / nWords,
+        syms.flatten.distinct.length.toLong)
+    }.sortBy(_._1)
+    val encGot = TextAnalysis.bpeEncodeStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(encGot.toSeq == encModel,
+      s"encode stats diverge:\n got  ${encGot.toSeq}\n model $encModel")
+    // the trained tokenizer genuinely compresses: strictly fewer
+    // subwords than characters, strictly more than words
+    encGot.foreach { case (lang, nw, ns, spw, nv) =>
+      assert(ns > nw && spw >= 1000, s"$lang: merges erased too much")
+      assert(nv > 0 && nv <= 26 + 6, s"$lang vocab $nv out of range")
+    }
   }
 
   test("entry flagship returns rows") {

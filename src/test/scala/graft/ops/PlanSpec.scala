@@ -493,6 +493,24 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
 
+  test("l03: one scan fans out to all three layout keys; one bucket-agg shuffle") {
+    val df = Layout.curvePruning(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "dimension bounds must broadcast")
+    // the three (layout, bucket) keys are generated in ONE pass — a
+    // single Generate over the scan, not three scans unioned
+    assert("Generate explode".r.findAllIn(p).length == 1,
+      s"exactly one explode expected:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 2,
+      s"orders scanned once for rows + once for the broadcast bounds:\n$p")
+    // per-(layout,bucket) stats shuffle once; the 3-row layout rollup
+    // rides AQE's coalesced second agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"bucket agg + tiny rollup only:\n$p")
+    assert(p.contains("hilbert_index"), "the native kernel must appear in the plan")
+  }
+
   test("p11: replica explosion collapses map-side — partial agg below the exchange") {
     val p = plan(Sampling.bootstrapMeans(spark, sf0001))
     val lines = p.linesIterator.toVector

@@ -103,6 +103,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("zorderedIngest(hilbert=true): increments land hilbert-clustered") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-hingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hingest-ck").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.zorderedIngest(mem.toDF().toDF("ck", "day"),
+      "ck", "day", base, files = 4, checkpoint = ckpt, hilbert = true)
+    try {
+      val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+      mem.addData(grid: _*)
+      q.processAllAvailable()
+      val dir = new java.io.File(s"$base/batch=0")
+      assert(dir.isDirectory, "increment missing")
+      val rows = s.read.parquet(dir.toString).collect()
+      assert(rows.length == grid.length, "hilbert ingest lost rows")
+      val files = dir.listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(files.length >= 2)
+      // the no-jump curve's range files are CONTIGUOUS curve segments:
+      // every file's bounding box is dual-dim tight (no straddle slack
+      // needed, unlike the z twin's files.length - 1 allowance)
+      files.foreach { f =>
+        val part = s.read.parquet(f.getAbsolutePath).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        if (part.nonEmpty) {
+          val cs = (part.map(_._1).max - part.map(_._1).min) / 63.0
+          val ds = (part.map(_._2).max - part.map(_._2).min) / 63.0
+          assert(cs * ds <= 0.40, s"${f.getName}: box $cs × $ds too loose for hilbert")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("sessionCounts groups by session_window gap") {
     val s = spark
     import s.implicits._
