@@ -115,9 +115,16 @@ object Layout {
     * stronger member — the Hilbert curve is the space-filling curve
     * with NO quadrant jumps (consecutive indices are always grid
     * neighbors, the property the OpsSpec adjacency test pins on a
-    * full sub-lattice), so its contiguous segments have tighter
-    * bounding rectangles than the Morton curve's at the same file
-    * grain — the measured Z-vs-Hilbert comparison lives in the spec.
+    * full sub-lattice). At THIS report's dyadic top-8-bit grain the
+    * two curves induce the identical 4096×4096 cell partition (a
+    * 2^24-aligned index range is a quadrant-descent prefix for
+    * both), so here Hilbert's rectangles are exactly as tight as
+    * Morton's — the report certifies the kernel and the shared
+    * multi-dim bound. The no-jump property pays at NON-dyadic cuts
+    * (files split at arbitrary row counts): a Hilbert segment of
+    * length L keeps O(√L) diameter where a straddling Morton segment
+    * leaps the plane — measured by [[curvePruning]] (l03) and the
+    * physical read-side spec.
     * The index is a native codegen kernel
     * ([[graft.functions.HilbertIndex]]: sixteen register-loop levels,
     * no UDF, no chained projections), the same shape/report as
@@ -235,6 +242,25 @@ object Layout {
   def hilbertWrite(df: DataFrame, dimA: String, dimB: String,
       path: String, files: Int): Unit =
     curveWrite(df, dimA, dimB, path, files, hilbert = true)
+
+  /** Offline compaction across [[graft.streaming.Streams
+    * .zorderedIngest]] increments — the other half of the ingest
+    * contract (its scaladoc: "compaction across increments stays an
+    * offline zorderWrite over any horizon you choose"), now one
+    * call: union every `batch=*` increment under `baseDir` and
+    * relayout as a single curve-clustered table. The per-batch
+    * quantizers (each increment's curve spans only its own bounds)
+    * are replaced by ONE global quantizer over the whole horizon, so
+    * file statistics become comparable ACROSS increments again — the
+    * reader prunes the compacted table with the same dual-dim
+    * selectivity the per-batch files had individually. Cost shape is
+    * identical to a fresh [[zorderWrite]]: one bounds job, one range
+    * exchange. */
+  def compactIncrements(s: SparkSession, baseDir: String,
+      dimA: String, dimB: String, outPath: String, files: Int,
+      hilbert: Boolean = false): Unit =
+    curveWrite(s.read.parquet(s"$baseDir/batch=*"), dimA, dimB,
+      outPath, files, hilbert)
 
   private def curveWrite(df: DataFrame, dimA: String, dimB: String,
       path: String, files: Int, hilbert: Boolean): Unit = {

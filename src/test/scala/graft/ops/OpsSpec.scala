@@ -3379,9 +3379,11 @@ class OpsSpec extends SparkSpec {
     val (zCk, zDay) = spans(Layout.zorderLocality(spark, sf0001).collect())
     info(f"avg span fractions — hilbert (ck $hCk%.4f, day $hDay%.4f), z (ck $zCk%.4f, day $zDay%.4f)")
     assert(hCk < 0.25 && hDay < 0.25, "hilbert buckets must bound both dims")
-    // the no-jump curve's segments must not be WORSE than morton's
-    // (strictly better on uniform grids; quantized real data gets a
-    // 10% tolerance for cell-boundary noise)
+    // at this DYADIC grain the two curves induce the identical cell
+    // partition (a 2^24-aligned range is a quadrant-descent prefix
+    // for both), so near-equality is the expected reading here; the
+    // hilbert ADVANTAGE only exists at non-dyadic cuts — measured by
+    // l03 and the read-side pruning spec, not this report
     assert(hCk + hDay <= (zCk + zDay) * 1.10,
       s"hilbert locality ($hCk + $hDay) worse than z ($zCk + $zDay)")
   }

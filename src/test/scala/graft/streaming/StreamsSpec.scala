@@ -135,6 +135,31 @@ class StreamsSpec extends SparkSpec {
           assert(cs * ds <= 0.40, s"${f.getName}: box $cs × $ds too loose for hilbert")
         }
       }
+      // second increment in a DISJOINT region, then offline
+      // compaction over the whole horizon: rows preserved and every
+      // compacted file dual-dim tight under the GLOBAL quantizer —
+      // cross-increment statistics comparable again
+      mem.addData(grid.map { case (x, y) => (x + 100, y + 100) }: _*)
+      q.processAllAvailable()
+      val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      graft.ops.Layout.compactIncrements(s, base, "ck", "day", out,
+        files = 8, hilbert = true)
+      val all = s.read.parquet(out).collect()
+      assert(all.length == 2 * grid.length, "compaction lost rows")
+      val cFiles = new java.io.File(out).listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(cFiles.length >= 4)
+      val span = 163.0 // global: 0..63 and 100..163
+      cFiles.foreach { f =>
+        val part = s.read.parquet(f.getAbsolutePath).collect()
+          .map(r => (r.getAs[Long]("ck"), r.getAs[Long]("day")))
+        if (part.nonEmpty) {
+          val cs = (part.map(_._1).max - part.map(_._1).min) / span
+          val ds = (part.map(_._2).max - part.map(_._2).min) / span
+          assert(cs * ds <= 0.40,
+            s"${f.getName}: compacted box $cs × $ds too loose")
+        }
+      }
     } finally q.stop()
   }
 
