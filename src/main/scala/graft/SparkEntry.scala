@@ -110,6 +110,9 @@ object SparkEntry {
     // e15: last-observation-carried-forward — sparse purchase signal
     // densified per event via last(ignoreNulls) over a keyed frame
     "e15_locf" -> (Events.lastPurchaseCarried _),
+    // e17: event-sequence pattern mining — per-user character
+    // sequences, behavioral regexes counted in one pass
+    "e17_seq_patterns" -> (Events.seqPatternStats _),
     // e16: OHLC time-bucket downsampling — open/close picked by
     // min/max over (ts, event_id, value) structs, one pure aggregate
     "e16_ohlc" -> (Events.ohlcDownsample _),
@@ -139,6 +142,9 @@ object SparkEntry {
     // from the broadcast segmented vocabulary (train once, encode
     // everywhere; the corpus never reshuffles for the tokenizer)
     "t19_bpe_encode" -> ((s: SparkSession, dir: String) => TextAnalysis.bpeEncodeStats(s, dir)),
+    // t20: Heaps'-law vocabulary growth over nested md5-sliced
+    // snapshots — first-appearance slices, no per-snapshot rescan
+    "t20_heaps_curve" -> (TextAnalysis.heapsLawCurve _),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -618,6 +624,62 @@ object SparkEntry {
        w0 AS MATERIALIZED (SELECT word, freq,
               regexp_extract_all(word, '.') AS syms FROM wf),
        $stages"""
+  }
+
+  /** e17's oracle: the per-user character sequence via ordered
+    * string_agg, the three patterns via len(regexp_extract_all) —
+    * RE2's leftmost-greedy non-overlapping scan agrees with
+    * java.util.regex's regexp_count for this pattern class. Pattern
+    * list and column order generated from the ONE Scala definition
+    * ([[graft.ops.Events.seqPatterns]]) so the engines can never
+    * disagree on what is being counted. */
+  private def e17OracleSql: String = {
+    val pats = graft.ops.Events.seqPatterns
+    val aggs = pats.zipWithIndex.map { case ((_, re), i) =>
+      s"""CAST(sum(CASE WHEN len(regexp_extract_all(seq, '$re')) > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS u$i,
+          CAST(sum(len(regexp_extract_all(seq, '$re'))) AS BIGINT) AS t$i"""
+    }.mkString(",\n")
+    val rows = pats.zipWithIndex.map { case ((name, _), i) =>
+      s"SELECT '$name' AS pattern, u$i AS n_users, t$i AS n_matches FROM a"
+    }.mkString("\n UNION ALL ")
+    s"""WITH sq AS (SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+       FROM events GROUP BY 1),
+     a AS (SELECT $aggs FROM sq)
+     SELECT * FROM ($rows) ORDER BY pattern"""
+  }
+
+  /** t20's oracle: identical md5-threshold slice draw (thresholds
+    * interpolated from the ONE [[graft.ops.Sampling.rateThreshold]]
+    * definition), word-min-slice first appearances, LEFT-joined
+    * cumulative rollup. */
+  private def t20OracleSql: String = {
+    def thr(r: Double) = graft.ops.Sampling.rateThreshold(r)
+    s"""WITH d AS (SELECT doc_id, text,
+         1 + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                >= '${thr(0.25)}' THEN 1 ELSE 0 END)
+           + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                >= '${thr(0.5)}' THEN 1 ELSE 0 END)
+           + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                >= '${thr(0.75)}' THEN 1 ELSE 0 END) AS slice
+       FROM documents),
+     tk AS (SELECT slice,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       FROM d),
+     fs AS (SELECT word, min(slice) AS s0 FROM tk GROUP BY 1),
+     vs AS (SELECT s0 AS slice, CAST(count(*) AS BIGINT) AS nv
+       FROM fs GROUP BY 1),
+     ds AS (SELECT slice, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+     ns AS (SELECT slice, CAST(count(*) AS BIGINT) AS nt FROM tk GROUP BY 1)
+     SELECT slice,
+       CAST(sum(nd) OVER w AS BIGINT) AS n_docs,
+       CAST(sum(nt) OVER w AS BIGINT) AS n_tokens,
+       CAST(sum(COALESCE(nv, 0)) OVER w AS BIGINT) AS n_vocab
+     FROM ds JOIN ns USING (slice) LEFT JOIN vs USING (slice)
+     WINDOW w AS (ORDER BY slice ROWS BETWEEN UNBOUNDED PRECEDING
+       AND CURRENT ROW)
+     ORDER BY slice"""
   }
 
   /** s24's oracle: the s02 hyperplane replay with the multiprobe
@@ -2304,6 +2366,11 @@ object SparkEntry {
     "t18_bpe_merges" -> t18OracleSql(6),
     // t19: same training chain, final vocabulary applied per lang
     "t19_bpe_encode" -> t19OracleSql(6),
+    // t20: md5-threshold slice draw + first-appearance rollup
+    "t20_heaps_curve" -> t20OracleSql,
+    // e17: ordered string_agg sequences, patterns generated from the
+    // one Scala definition
+    "e17_seq_patterns" -> e17OracleSql,
     // e12: the c15 expectation-check pattern on the events table —
     // same checks, same stacked report shape
     "e12_events_gate" ->

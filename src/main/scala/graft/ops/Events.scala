@@ -521,4 +521,56 @@ object Events {
           .as("last_purchase"))
       .orderBy("event_id")
   }
+
+  /** The e17 behavioral patterns: regex over each user's event-type
+    * character sequence (first letters are distinct across the five
+    * types). Non-overlapping leftmost-greedy counting — identical in
+    * java.util.regex and RE2 for this anchored-free pattern class. */
+  private[graft] val seqPatterns = Seq(
+    ("click_error", "ce"),        // a click immediately going wrong
+    ("signup_then_purchase", "s.*p"), // activation (≤1 match/user: greedy)
+    ("view_burst_3plus", "vvv+")) // ≥3 consecutive views, run-counted
+
+  /** Event-sequence pattern mining (e17) — MATCH_RECOGNIZE-lite: each
+    * user's history collapses to ONE character string in (ts,
+    * event_id) order (the e09 total-order discipline) and behavioral
+    * patterns are plain regexes counted per user. The funnel family
+    * (e06/e14) asks "did steps happen in order, ever"; this asks for
+    * ADJACENCY and REPETITION — 'ce' is a click immediately followed
+    * by an error (no events between), which no join-based funnel can
+    * express without a window per step.
+    *
+    * Scale design: ONE user_id shuffle (groupBy + in-row
+    * `array_sort(collect_list(struct))` — per-user state is the
+    * user's own history, the same bound every sessionize carries);
+    * all three patterns count in the SAME pass over the tiny
+    * per-user string frame (three codegen'd regexp_count columns, no
+    * re-scan), and the 3-row report is the e12 stacked-union shape.
+    * Counts of longs only — nothing floating crosses engines.
+    * Reference analog: the reference's `group(by=)` +
+    * per-group inspection idiom (streamable/stream.py:300-353);
+    * pattern semantics are extension surface. */
+  def seqPatternStats(s: SparkSession, dir: String): DataFrame = {
+    val seqs = events(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch")).as("x"))
+      .groupBy("user_id")
+      .agg(concat_ws("", transform(array_sort(collect_list(col("x"))),
+        e => e.getField("ch"))).as("seq"))
+    val counted = seqs.select(seqPatterns.zipWithIndex.flatMap {
+      case ((_, re), i) => Seq(
+        regexp_count(col("seq"), lit(re)).as(s"m$i"))
+    }: _*)
+    val aggCols = seqPatterns.indices.flatMap { i => Seq(
+      sum((col(s"m$i") > 0).cast("long")).as(s"u$i"),
+      sum(col(s"m$i")).as(s"t$i")) }
+    counted.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(seqPatterns.zipWithIndex.map {
+        case ((name, _), i) => struct(lit(name).as("pattern"),
+          col(s"u$i").as("n_users"), col(s"t$i").as("n_matches"))
+      }: _*)).as("r"))
+      .select("r.pattern", "r.n_users", "r.n_matches")
+      .orderBy("pattern")
+  }
 }

@@ -917,4 +917,49 @@ object TextAnalysis {
         col("n_vocab"))
       .orderBy("lang")
   }
+
+  /** Heaps'-law vocabulary-growth curve (t20): distinct-word count as
+    * the corpus grows through four nested md5-sliced snapshots (25%,
+    * 50%, 75%, 100% of documents) — the measurement behind "how big
+    * does the vocab get at 10× the data?", the sizing input for
+    * tokenizer vocab budgets ([[bpeMerges]]) and dedup shingle
+    * universes. The naive formulation re-scans the corpus once PER
+    * SNAPSHOT (k× for a k-point curve); here no aggregation depends
+    * on the snapshot count: each document draws its slice via the
+    * [[graft.ops.Sampling.hashDraw]] md5-threshold discipline
+    * (engine-independent by string comparison), each WORD keeps the
+    * MINIMUM slice it appears in (one shuffle on word — nested
+    * snapshots mean first-appearance determines membership in every
+    * later snapshot), and the cumulative curve is a running sum over
+    * the FOUR-row aggregated frame. Integer counts only. */
+  def heapsLawCurve(s: SparkSession, dir: String): DataFrame = {
+    val draw = Sampling.hashDraw(col("doc_id"))
+    val slice = (lit(1L) +
+      (draw >= lit(Sampling.rateThreshold(0.25))).cast("long") +
+      (draw >= lit(Sampling.rateThreshold(0.5))).cast("long") +
+      (draw >= lit(Sampling.rateThreshold(0.75))).cast("long")).as("slice")
+    val docs = t(s, dir, "documents").select(slice, col("text"))
+    val toks = docs.select(col("slice"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+    val firstSeen = toks.groupBy("word").agg(min("slice").as("s0"))
+      .groupBy("s0").agg(count(lit(1)).as("nv"))
+    // LEFT join: a snapshot where no word first-appears (tiny vocab
+    // saturating at 25% — this corpus does exactly that) contributes
+    // nv = 0, it does not vanish from the curve
+    val perSlice = docs.groupBy("slice")
+      .agg(count(lit(1)).as("nd"))
+      .join(toks.groupBy("slice").agg(count(lit(1)).as("nt")), "slice")
+      .join(firstSeen.withColumnRenamed("s0", "slice"), Seq("slice"), "left")
+    // four aggregated rows — the running frame is over an Aggregate
+    // that dominates every leaf (the sanctioned unpartitioned-window
+    // shape)
+    val cum = Window.orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSlice.select(col("slice"),
+      sum("nd").over(cum).as("n_docs"),
+      sum("nt").over(cum).as("n_tokens"),
+      sum(coalesce(col("nv"), lit(0L))).over(cum).as("n_vocab"))
+      .orderBy("slice")
+  }
 }

@@ -3454,6 +3454,67 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("e17 sequence patterns equal the closed-form model (no regex engine at all)") {
+    // independent formulation: each pattern's count has a CLOSED FORM
+    // on the character sequence — adjacent-pair count for 'ce',
+    // maximal-run count for 'vvv+', existence for 's.*p' (greedy .*
+    // consumes to the last p, so at most one match) — no regex
+    // library involved, so a shared regex-semantics misreading
+    // cannot pass both sides
+    val ev = Relational.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val seqs = ev.groupBy(_._1).map { case (_, rows) =>
+      rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+        .map(_._4.head).mkString
+    }.toSeq
+    def ce(s0: String) = s0.sliding(2).count(_ == "ce").toLong
+    def burst(s0: String) = ("v+".r.findAllIn(s0)).count(_.length >= 3).toLong
+    def stp(s0: String) = {
+      val i = s0.indexOf('s')
+      if (i >= 0 && s0.indexOf('p', i + 1) > i) 1L else 0L
+    }
+    val model = Seq(
+      ("click_error", seqs.count(ce(_) > 0).toLong, seqs.map(ce).sum),
+      ("signup_then_purchase", seqs.count(stp(_) > 0).toLong, seqs.map(stp).sum),
+      ("view_burst_3plus", seqs.count(burst(_) > 0).toLong, seqs.map(burst).sum))
+      .sortBy(_._1)
+    val got = Events.seqPatternStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == model, s"\n got  ${got.toSeq}\n model $model")
+    // the gate corpus must actually witness every pattern
+    assert(got.forall(_._2 > 0), s"some pattern unwitnessed: ${got.toSeq}")
+    assert(got.forall(t => t._3 >= t._2))
+  }
+
+  test("t20 heaps curve equals the md5-slice model; monotone and saturating") {
+    def md5hex8(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val thr = Seq(0.25, 0.5, 0.75).map(Sampling.rateThreshold)
+    val re = "[a-z]+".r
+    val sliced = docs.map { case (id, t0) =>
+      val d = md5hex8(id.toString)
+      val slice = 1 + thr.count(d >= _)
+      (slice, re.findAllIn(t0.toLowerCase).toSeq)
+    }
+    val model = (1 to 4).map { k =>
+      val in = sliced.filter(_._1 <= k)
+      (k.toLong, in.length.toLong, in.map(_._2.length.toLong).sum,
+        in.flatMap(_._2).distinct.length.toLong)
+    }
+    val got = TextAnalysis.heapsLawCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == model, s"\n got  ${got.toSeq}\n model $model")
+    // curve properties: strictly growing corpus, non-decreasing vocab
+    assert(got.map(_._2).sliding(2).forall { case Array(a, b) => b > a })
+    assert(got.map(_._4).sliding(2).forall { case Array(a, b) => b >= a })
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
