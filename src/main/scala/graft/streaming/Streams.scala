@@ -465,6 +465,66 @@ object Streams {
       }.toDF()
   }
 
+  /** Per-key e17 pattern state — O(1) BY CONSTRUCTION: the closed
+    * forms the batch spec certifies (adjacent pair / maximal run /
+    * existence) need only the last character, the current 'v'-run
+    * length and two booleans — never the sequence itself. */
+  final case class SeqPatState(ms: Long, lastCh: String, vRun: Long,
+      seenS: Boolean, stpDone: Boolean)
+  final case class PatternDelta(user_id: Long, pattern: String, delta: Long)
+
+  /** Streaming twin of [[graft.ops.Events.seqPatternStats]] (e17):
+    * per-user behavioral pattern counts emitted as INCREMENTS while
+    * the stream runs — possible precisely because each batch pattern
+    * has a closed form with O(1) carry-state (the batch spec proves
+    * the closed forms ≡ the regexes; a regex engine over a growing
+    * string would need unbounded state). 'ce' fires on a c→e
+    * adjacency with the carried last char; 'vvv+' fires when a
+    * v-run's length crosses EXACTLY 3 (a run of 7 still counts
+    * once); 's.*p' fires at most once per user (greedy .* semantics
+    * = existence), latched by a boolean. Downstream sums deltas per
+    * pattern; n_users = users with a positive sum. Within a
+    * micro-batch events sort by (ts, event_id); across batches the
+    * [[transitionStream]] arrival-order trade and EventTimeTimeout
+    * eviction apply verbatim. */
+  def seqPatternStream(spark: SparkSession, events: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      evictAfterMs: Long = 3600000L): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay).as[Evt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqPatState, PatternDelta](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Evt], state: GroupState[SeqPatState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val evts = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption
+              .getOrElse(SeqPatState(0L, "", 0L, seenS = false, stpDone = false))
+            var ce = 0L; var burst = 0L; var stp = 0L
+            evts.foreach { e =>
+              val ch = e.event_type.substring(0, 1)
+              if (st.lastCh == "c" && ch == "e") ce += 1
+              val run = if (ch == "v") st.vRun + 1 else 0L
+              if (run == 3L) burst += 1
+              val seenS = st.seenS || ch == "s"
+              val fire = st.seenS && ch == "p" && !st.stpDone
+              if (fire) stp += 1
+              st = SeqPatState(math.max(st.ms, e.ts.getTime), ch, run,
+                seenS, st.stpDone || fire)
+            }
+            if (evts.nonEmpty) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.ms + evictAfterMs)
+            }
+            Seq(("click_error", ce), ("signup_then_purchase", stp),
+              ("view_burst_3plus", burst))
+              .collect { case (p, d) if d > 0 => PatternDelta(user, p, d) }
+              .iterator
+          }
+      }.toDF()
+  }
+
   final case class Carried(event_id: Long, user_id: Long,
       last_purchase: Option[Double])
   /** Per-key LOCF state: the carried purchase value plus the newest

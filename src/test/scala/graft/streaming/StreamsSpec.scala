@@ -163,6 +163,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seqPatternStream: O(1)-state pattern deltas match the closed forms across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Streams.Evt]
+    val q = mem.toDF().transform(df =>
+      Streams.seqPatternStream(s, df))
+      .writeStream.format("memory").queryName("pats")
+      .outputMode("append").start()
+    try {
+      // user 1: c e c e  (two click_error); user 2: v v | v v p s p
+      // split MID-RUN and around the s→p latch to exercise carry
+      mem.addData(
+        evt(1, 0, 1, "click"), evt(2, 1, 1, "error"),
+        evt(3, 2, 1, "click"),
+        evt(10, 0, 2, "view"), evt(11, 1, 2, "view"))
+      q.processAllAvailable()
+      // batch 2: user 1 completes the second ce; user 2's run reaches
+      // 3 (crossing fires ONCE despite length 4), then s then p twice
+      // (stp latches once)
+      mem.addData(
+        evt(4, 3, 1, "error"),
+        evt(12, 2, 2, "view"), evt(13, 3, 2, "view"),
+        evt(14, 4, 2, "signup"), evt(15, 5, 2, "purchase"),
+        evt(16, 6, 2, "purchase"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT user_id, pattern, sum(delta) FROM pats GROUP BY 1, 2")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, "click_error", 2L),
+        (2L, "view_burst_3plus", 1L),
+        (2L, "signup_then_purchase", 1L)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionCounts groups by session_window gap") {
     val s = spark
     import s.implicits._
