@@ -113,6 +113,13 @@ object SparkEntry {
     // e17: event-sequence pattern mining — per-user character
     // sequences, behavioral regexes counted in one pass
     "e17_seq_patterns" -> (Events.seqPatternStats _),
+    // e18: funnel time-to-convert — signup → first-subsequent-
+    // purchase latency distribution, exact percentiles
+    "e18_funnel_timing" -> (Events.funnelTiming _),
+    // e19: rolling 7-day active users + stickiness — the activity
+    // matrix fans out to its ≤7 window-days in-row, one
+    // count-distinct per window
+    "e19_rolling_active" -> (Events.rollingActiveUsers _),
     // e16: OHLC time-bucket downsampling — open/close picked by
     // min/max over (ts, event_id, value) structs, one pure aggregate
     "e16_ohlc" -> (Events.ohlcDownsample _),
@@ -2577,6 +2584,44 @@ object SparkEntry {
     // e10: dwell-time distribution — gaps stay integer ms so the
     // interpolating percentile reads exact-integer doubles (q25
     // percentile ≡ quantile_cont contract)
+    // e18: the e06/e10 disciplines composed — epoch_ms deltas, exact
+    // quantile_cont under the r2 floor-rounding
+    "e18_funnel_timing" ->
+      """WITH fs AS (
+           SELECT user_id, min(epoch_ms(ts)) AS s_ms
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         d AS (
+           SELECT e.user_id, min(epoch_ms(e.ts)) - s_ms AS delta_ms
+           FROM events e JOIN fs USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s_ms
+           GROUP BY e.user_id, s_ms)
+         SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(delta_ms) AS BIGINT) AS min_ms,
+           floor(quantile_cont(delta_ms, 0.5) * 100 + 0.5) / 100 AS median_ms,
+           floor(quantile_cont(delta_ms, 0.9) * 100 + 0.5) / 100 AS p90_ms,
+           CAST(max(delta_ms) AS BIGINT) AS max_ms
+         FROM d""",
+    // e19: distinct (day, user) activity pairs fan out to their ≤7
+    // supported window-days; integer floor-div stickiness
+    "e19_rolling_active" ->
+      """WITH act AS (
+           SELECT DISTINCT
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             user_id
+           FROM events),
+         dau AS (SELECT day AS wday, CAST(count(DISTINCT user_id) AS BIGINT)
+             AS dau FROM act GROUP BY 1),
+         wau AS (
+           SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+           FROM (SELECT unnest(range(day, day + 7)) AS wday, user_id FROM act)
+           GROUP BY 1),
+         b AS (SELECT min(day) AS d_lo, max(day) AS d_hi FROM act)
+         SELECT CAST(wday AS BIGINT) AS day,
+           COALESCE(dau, 0) AS dau, wau,
+           (COALESCE(dau, 0) * 1000) // wau AS stickiness_milli
+         FROM wau LEFT JOIN dau USING (wday), b
+         WHERE wday >= d_lo + 6 AND wday <= d_hi
+         ORDER BY day""",
     "e10_gap_stats" ->
       """WITH g AS (
            SELECT event_type, epoch_ms(ts) AS ms,

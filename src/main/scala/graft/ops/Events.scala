@@ -522,6 +522,67 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Funnel time-to-convert (e18) — the LATENCY face of the funnel
+    * family: e06/e14 count who converts, this measures HOW LONG
+    * signup → first-subsequent-purchase takes (the activation-lag
+    * distribution growth teams tune against). Two keyed aggregations:
+    * each user's first signup timestamp, then the earliest purchase
+    * strictly after it (an equi-join on user_id + min — no window,
+    * no per-event state), then one exact-percentile rollup over the
+    * per-user deltas. Cross-engine float discipline: deltas are
+    * integer milliseconds; exact `percentile` ≡ DuckDB
+    * `quantile_cont` under r2 (the e10/q25 pairing — at 100 TB swap
+    * `approx_percentile`, the certified q25b substitution). */
+  def funnelTiming(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("ms", unix_millis(col("ts")))
+    val firstSignup = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ms").as("s_ms"))
+    val deltas = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"))
+      .join(firstSignup, "user_id")
+      .where(col("ms") > col("s_ms"))
+      .groupBy("user_id", "s_ms").agg((min("ms") - col("s_ms")).as("delta_ms"))
+    deltas.agg(
+      count(lit(1)).as("n_converted"),
+      min("delta_ms").as("min_ms"),
+      r2(expr("percentile(delta_ms, 0.5)")).as("median_ms"),
+      r2(expr("percentile(delta_ms, 0.9)")).as("p90_ms"),
+      max("delta_ms").as("max_ms"))
+  }
+
+  /** Rolling 7-day active users + stickiness (e19) — the DAU/WAU
+    * dashboard pair. The naive formulation re-scans the stream once
+    * per window; here each DISTINCT (day, user) activity pair (one
+    * dedup shuffle — the stream compresses to its activity matrix)
+    * fans out to the ≤7 window-days it supports via an in-row
+    * `explode(sequence(...))`, and one count-distinct per window-day
+    * finishes it. Stickiness = dau·1000 // wau in exact integers.
+    * Emitted for window-days with a FULL 7-day history (the honest
+    * dashboard convention — a 3-day-old product does not have 100%
+    * stickiness). */
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val act = events(s, dir)
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01"))
+        .cast("long").as("day"), col("user_id"))
+      .distinct()
+    val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = act
+      .select(explode(sequence(col("day"), col("day") + 6)).as("wday"),
+        col("user_id"))
+      .groupBy("wday").agg(countDistinct("user_id").as("wau"))
+    val bounds = act.agg(min("day").as("d_lo"), max("day").as("d_hi"))
+    // LEFT from wau: a window-day with activity in its trailing week
+    // but none ON the day itself reports dau = 0, it does not vanish
+    wau.join(dau.withColumnRenamed("day", "wday"), Seq("wday"), "left")
+      .crossJoin(broadcast(bounds))
+      .where(col("wday") >= col("d_lo") + 6 && col("wday") <= col("d_hi"))
+      .select(col("wday").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        floor(coalesce(col("dau"), lit(0L)) * lit(1000L) / col("wau"))
+          .cast("long").as("stickiness_milli"))
+      .orderBy("day")
+  }
+
   /** The e17 behavioral patterns: regex over each user's event-type
     * character sequence (first letters are distinct across the five
     * types). Non-overlapping leftmost-greedy counting — identical in

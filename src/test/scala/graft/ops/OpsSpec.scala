@@ -3488,6 +3488,53 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(t => t._3 >= t._2))
   }
 
+  test("e18 funnel timing equals the first-signup/first-purchase model") {
+    val ev = Relational.events(spark, sf0001)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+    val deltas = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val s = rows.filter(_._3 == "signup").map(_._2).minOption
+      s.flatMap { s0 =>
+        rows.filter(r => r._3 == "purchase" && r._2 > s0)
+          .map(_._2).minOption.map(_ - s0)
+      }
+    }
+    assert(deltas.nonEmpty, "gate corpus must witness conversions")
+    def pct(q: Double): Double = {
+      val srt = deltas.sorted; val h = (srt.length - 1) * q
+      val lo = srt(h.toInt)
+      val v = lo + (h - h.toInt) * (srt(math.ceil(h).toInt) - lo)
+      math.floor(v * 100 + 0.5) / 100
+    }
+    val row = Events.funnelTiming(spark, sf0001).collect()(0)
+    assert(row.getLong(0) == deltas.length)
+    assert(row.getLong(1) == deltas.min && row.getLong(4) == deltas.max)
+    assert(row.getDouble(2) == pct(0.5) && row.getDouble(3) == pct(0.9),
+      s"percentiles diverge: ${row.getDouble(2)}/${row.getDouble(3)} vs ${pct(0.5)}/${pct(0.9)}")
+  }
+
+  test("e19 rolling active users equals the activity-matrix model; full weeks only") {
+    val ev = Relational.events(spark, sf0001)
+      .select("user_id", "ts").collect()
+      .map { r =>
+        val d = r.getTimestamp(1).toLocalDateTime.toLocalDate
+        (java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse("2024-01-01"), d), r.getLong(0))
+      }.distinct
+    val dLo = ev.map(_._1).min; val dHi = ev.map(_._1).max
+    val model = ((dLo + 6) to dHi).map { w =>
+      val dau = ev.collect { case (d, u) if d == w => u }.distinct.length.toLong
+      val wau = ev.collect { case (d, u) if d >= w - 6 && d <= w => u }
+        .distinct.length.toLong
+      (w, dau, wau, dau * 1000 / wau)
+    }
+    val got = Events.rollingActiveUsers(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == model, s"\n got  ${got.toSeq}\n model $model")
+    // wau dominates dau; stickiness in (0, 1000]
+    assert(got.forall(t => t._3 >= t._2 && t._4 <= 1000))
+  }
+
   test("t20 heaps curve equals the md5-slice model; monotone and saturating") {
     def md5hex8(s0: String): String =
       java.security.MessageDigest.getInstance("MD5")
