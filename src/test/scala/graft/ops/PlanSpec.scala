@@ -511,6 +511,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hilbert_index"), "the native kernel must appear in the plan")
   }
 
+  test("r14 additions: window-free e18; broadcast BPE vocabulary; single-fan-out e19") {
+    // executed plans (the q04 pattern): AQE demotes the stats-blind
+    // SMJ guesses on the tiny per-lang frames at runtime
+    def ran(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); finalOnly(df.queryExecution.executedPlan.toString)
+    }
+    // e18 funnel timing: two keyed aggregations + an equi-join — the
+    // latency distribution must NOT lean on a per-user window
+    val pe18 = ran(Events.funnelTiming(spark, sf0001))
+    assert(!pe18.contains("Window"), s"e18 must be window-free:\n$pe18")
+    assert(!pe18.contains("SortMergeJoin"), s"e18 join must hash:\n$pe18")
+    // t19 encode: the segmented vocabulary joins the corpus as a
+    // BROADCAST — the corpus side never reshuffles for the tokenizer
+    val pt19 = ran(TextAnalysis.bpeEncodeStats(spark, sf0001))
+    assert(pt19.contains("BroadcastHashJoin") ||
+      pt19.contains("BroadcastExchange"),
+      s"t19 vocabulary must broadcast:\n$pt19")
+    assert(!pt19.contains("SortMergeJoin"), s"t19 must not SMJ:\n$pt19")
+    // e19 rolling active: ONE in-row fan-out of the activity matrix
+    // (explode(sequence)), no second Generate, no cartesian
+    val pe19 = ran(Events.rollingActiveUsers(spark, sf0001))
+    assert("Generate explode".r.findAllIn(pe19).length == 1,
+      s"e19 must fan out exactly once:\n$pe19")
+    assert(!pe19.contains("CartesianProduct"), s"e19 cartesian:\n$pe19")
+  }
+
   test("p11: replica explosion collapses map-side — partial agg below the exchange") {
     val p = plan(Sampling.bootstrapMeans(spark, sf0001))
     val lines = p.linesIterator.toVector
