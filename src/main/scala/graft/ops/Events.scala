@@ -532,7 +532,10 @@ object Events {
     * per-user deltas. Cross-engine float discipline: deltas are
     * integer milliseconds; exact `percentile` ≡ DuckDB
     * `quantile_cont` under r2 (the e10/q25 pairing — at 100 TB swap
-    * `approx_percentile`, the certified q25b substitution). */
+    * `approx_percentile`, the certified q25b substitution).
+    * Reference analog: the `group(by=)` + per-group reduction idiom
+    * (streamable/stream.py:300-353); latency semantics are
+    * extension surface. */
   def funnelTiming(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).withColumn("ms", unix_millis(col("ts")))
     val firstSignup = ev.where(col("event_type") === "signup")
@@ -559,7 +562,9 @@ object Events {
     * finishes it. Stickiness = dau·1000 // wau in exact integers.
     * Emitted for window-days with a FULL 7-day history (the honest
     * dashboard convention — a 3-day-old product does not have 100%
-    * stickiness). */
+    * stickiness). Reference analog: `group(interval=)`'s
+    * time-bucketed consumption (streamable/stream.py:300-326) —
+    * sliding distinct-user windows are extension surface. */
   def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
     val act = events(s, dir)
       .select(datediff(col("ts").cast("date"), lit("2024-01-01"))

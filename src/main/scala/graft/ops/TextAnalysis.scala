@@ -891,7 +891,10 @@ object TextAnalysis {
     * (vocabulary-sized — at 100 TB the corpus never reshuffles for
     * the tokenizer) and subword explosion happens on the counted
     * (lang, word) table, not per occurrence. Integer-only outputs
-    * (floor-div milli ratio), so cross-engine equality is exact. */
+    * (floor-div milli ratio), so cross-engine equality is exact.
+    * Reference analog: the map-then-aggregate consumption idiom of
+    * the reference's chained transforms (streamable/stream.py:230-
+    * 326); tokenizer application itself is extension surface. */
   def bpeEncodeStats(s: SparkSession, dir: String,
       rounds: Int = 6): DataFrame = {
     val segs = bpeTrain(s, dir, rounds)._2
@@ -931,7 +934,10 @@ object TextAnalysis {
     * MINIMUM slice it appears in (one shuffle on word — nested
     * snapshots mean first-appearance determines membership in every
     * later snapshot), and the cumulative curve is a running sum over
-    * the FOUR-row aggregated frame. Integer counts only. */
+    * the FOUR-row aggregated frame. Integer counts only.
+    * Reference analog: the reference's `distinct()` is the one-
+    * snapshot special case (streamable/stream.py:279-287); the
+    * growth CURVE across nested snapshots is extension surface. */
   def heapsLawCurve(s: SparkSession, dir: String): DataFrame = {
     val draw = Sampling.hashDraw(col("doc_id"))
     val slice = (lit(1L) +
