@@ -150,16 +150,22 @@ class StreamsSpec extends SparkSpec {
         f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       assert(cFiles.length >= 4)
       val span = 163.0 // global: 0..63 and 100..163
-      cFiles.foreach { f =>
+      // range boundaries are SAMPLED, so one file may straddle the
+      // curve's jump between the two disjoint clusters and carry a
+      // both-cluster bounding box — the same one-straddler allowance
+      // the z-ingest test above makes (this assertion flaked at
+      // all-files-tight: a straddler appeared in ~1 of 5 runs)
+      val tight = cFiles.count { f =>
         val part = s.read.parquet(f.getAbsolutePath).collect()
           .map(r => (r.getAs[Long]("ck"), r.getAs[Long]("day")))
-        if (part.nonEmpty) {
+        part.isEmpty || {
           val cs = (part.map(_._1).max - part.map(_._1).min) / span
           val ds = (part.map(_._2).max - part.map(_._2).min) / span
-          assert(cs * ds <= 0.40,
-            s"${f.getName}: compacted box $cs × $ds too loose")
+          cs * ds <= 0.40
         }
       }
+      assert(tight >= cFiles.length - 1,
+        s"only $tight/${cFiles.length} compacted files dual-dim tight")
     } finally q.stop()
   }
 
