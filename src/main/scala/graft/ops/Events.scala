@@ -562,7 +562,13 @@ object Events {
     * finishes it. Stickiness = dau·1000 // wau in exact integers.
     * Emitted for window-days with a FULL 7-day history (the honest
     * dashboard convention — a 3-day-old product does not have 100%
-    * stickiness). Reference analog: `group(interval=)`'s
+    * stickiness). A window-day whose ENTIRE trailing week has zero
+    * activity is OMITTED, not reported as 0/0: the fan-out generates
+    * window-days only from observed activity, so a corpus gap longer
+    * than 6 days leaves a hole in the series (Spark and the oracle
+    * agree — a deliberate semantics choice; densify downstream with a
+    * calendar join if a dashboard needs explicit zero rows).
+    * Reference analog: `group(interval=)`'s
     * time-bucketed consumption (streamable/stream.py:300-326) —
     * sliding distinct-user windows are extension surface. */
   def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
@@ -608,7 +614,12 @@ object Events {
     *
     * Scale design: ONE user_id shuffle (groupBy + in-row
     * `array_sort(collect_list(struct))` — per-user state is the
-    * user's own history, the same bound every sessionize carries);
+    * user's own history, the same bound every sessionize carries;
+    * note the bound is PER-USER ACTIVITY, so a pathological bot user
+    * with 10⁸ events concentrates its whole history string on one
+    * executor — for unbounded per-user histories run
+    * [[graft.streaming.Streams.seqPatternStream]], whose closed-form
+    * O(1) carry-state never materializes the sequence);
     * all three patterns count in the SAME pass over the tiny
     * per-user string frame (three codegen'd regexp_count columns, no
     * re-scan), and the 3-row report is the e12 stacked-union shape.

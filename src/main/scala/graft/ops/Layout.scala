@@ -54,16 +54,27 @@ object Layout {
     * greatest(,1) guard). Total over ALL long inputs: a span beyond
     * [[maxExactSpan]] would silently diverge from floor-div (the
     * double quotient loses ulps past 2^53), so it raises instead —
-    * the guard lives inside the consumed column, not a droppable
-    * side check, so Catalyst cannot prune it. */
-  def quant16(v: Column, lo: Column, hi: Column): Column =
-    when(hi - lo <= lit(maxExactSpan),
-      floor(((v - lo) * lit(65535L)) / greatest(hi - lo, lit(1L)))
+    * and so does a span whose `hi - lo` itself leaves Long range (lo
+    * near Long.MinValue with hi positive): the span is computed with
+    * `try_subtract`, whose NULL-on-overflow falls through the guard
+    * into the raise branch instead of wrapping negative and
+    * quantizing garbage (under ANSI mode a plain subtraction would
+    * throw a generic ARITHMETIC_OVERFLOW; this raises the same
+    * actionable message on every config). Both guards live inside
+    * the consumed column, not a droppable side check, so Catalyst
+    * cannot prune them. */
+  def quant16(v: Column, lo: Column, hi: Column): Column = {
+    val span = try_subtract(hi, lo)
+    when(span >= lit(0L) && span <= lit(maxExactSpan),
+      floor(((v - lo) * lit(65535L)) / greatest(span, lit(1L)))
         .cast("long"))
       .otherwise(raise_error(format_string(
-        "quant16: dimension span %d exceeds the exact floor-div range " +
+        "quant16: dimension span %s (negative/overflow means hi - lo " +
+          "left Long range) exceeds the exact floor-div range " +
           "(max %d) — pre-bucket or rescale the dimension",
-        hi - lo, lit(maxExactSpan))).cast("long"))
+        coalesce(span.cast("string"), lit("overflow")),
+        lit(maxExactSpan))).cast("long"))
+  }
 
   /** The 32-bit Morton key of two 16-bit quantized dimensions. */
   def morton(qa: Column, qb: Column): Column =
@@ -264,21 +275,28 @@ object Layout {
 
   private def curveWrite(df: DataFrame, dimA: String, dimB: String,
       path: String, files: Int, hilbert: Boolean): Unit = {
-    // collision-proof internal names (the __z convention): a user
-    // column named e.g. "a_min" must survive the bounds crossJoin
+    // collision-proof internal names (the __z_ reserved prefix): a
+    // user column named e.g. "a_min" — or "__z" itself — must survive
+    // the bounds crossJoin and the key drop. The prefix is RESERVED:
+    // a frame already carrying one would be silently overwritten by
+    // withColumn and lost from the written output, so refuse loudly.
+    val clash = df.columns.filter(_.startsWith("__z"))
+    require(clash.isEmpty,
+      s"curveWrite: column name(s) ${clash.mkString(", ")} collide with " +
+        "the reserved __z internal prefix — rename before writing")
     val rng = df.agg(
       min(dimA).as("__z_a_min"), max(dimA).as("__z_a_max"),
       min(dimB).as("__z_b_min"), max(dimB).as("__z_b_max"))
     val qa = quant16(col(dimA), col("__z_a_min"), col("__z_a_max"))
     val qb = quant16(col(dimB), col("__z_b_min"), col("__z_b_max"))
     df.crossJoin(broadcast(rng))
-      .withColumn("__z",
+      .withColumn("__z_curve_key",
         if (hilbert) graft.functions.HilbertIndex(qa, qb)
         else morton(qa, qb))
       .drop("__z_a_min", "__z_a_max", "__z_b_min", "__z_b_max")
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+      .repartitionByRange(files, col("__z_curve_key"))
+      .sortWithinPartitions("__z_curve_key")
+      .drop("__z_curve_key")
       .write.mode("overwrite").parquet(path)
   }
 }

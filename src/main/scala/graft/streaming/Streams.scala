@@ -486,7 +486,15 @@ object Streams {
     * pattern; n_users = users with a positive sum. Within a
     * micro-batch events sort by (ts, event_id); across batches the
     * [[transitionStream]] arrival-order trade and EventTimeTimeout
-    * eviction apply verbatim. */
+    * eviction apply verbatim — and eviction DROPS the latches with
+    * the rest of the state, so the ≤1-per-user guarantee of
+    * 's.*p' holds only WITHIN an eviction horizon: a user active
+    * across horizons can re-emit the signup_then_purchase delta
+    * (the counter deltas merely resume at 0, which summing absorbs;
+    * the latch cannot be resumed without unbounded retention).
+    * Downstream that needs the strict batch invariant should
+    * aggregate the latch pattern with max(delta) per (user, pattern)
+    * instead of sum. */
   def seqPatternStream(spark: SparkSession, events: DataFrame,
       watermarkDelay: String = "10 seconds",
       evictAfterMs: Long = 3600000L): DataFrame = {

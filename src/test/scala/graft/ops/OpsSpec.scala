@@ -3335,6 +3335,16 @@ class OpsSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("exceeds the exact floor-div range")),
       s"wrong failure: $e")
+    // a span that WRAPS Long (lo near MinValue, hi positive) must also
+    // raise: the wrapped difference is negative and would otherwise
+    // slip under the max-span guard and quantize garbage
+    val wrapped = intercept[Exception] {
+      Seq((0L, Long.MinValue + 1, 1L)).toDF("v", "lo", "hi")
+        .select(Layout.quant16(col("v"), col("lo"), col("hi")).as("q"))
+        .collect()
+    }
+    assert(msgs(wrapped).exists(_.contains("exceeds the exact floor-div range")),
+      s"wrong failure: $wrapped")
   }
 
   test("hilbert curve has NO jumps: consecutive indices are grid neighbors") {
@@ -3522,11 +3532,15 @@ class OpsSpec extends SparkSpec {
           java.time.LocalDate.parse("2024-01-01"), d), r.getLong(0))
       }.distinct
     val dLo = ev.map(_._1).min; val dHi = ev.map(_._1).max
-    val model = ((dLo + 6) to dHi).map { w =>
+    // flatMap + wau>0 guard: a window-day whose whole trailing week is
+    // silent is OMITTED by the query (gap-day semantics in the
+    // scaladoc), and the unguarded model would divide by zero on it —
+    // the guard keeps this model valid on sparse corpora too
+    val model = ((dLo + 6) to dHi).flatMap { w =>
       val dau = ev.collect { case (d, u) if d == w => u }.distinct.length.toLong
       val wau = ev.collect { case (d, u) if d >= w - 6 && d <= w => u }
         .distinct.length.toLong
-      (w, dau, wau, dau * 1000 / wau)
+      if (wau > 0) Some((w, dau, wau, dau * 1000 / wau)) else None
     }
     val got = Events.rollingActiveUsers(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
