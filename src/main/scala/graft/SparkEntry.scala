@@ -152,6 +152,11 @@ object SparkEntry {
     // t20: Heaps'-law vocabulary growth over nested md5-sliced
     // snapshots — first-appearance slices, no per-snapshot rescan
     "t20_heaps_curve" -> (TextAnalysis.heapsLawCurve _),
+    // t21: TRAINED quality classifier — Naive Bayes on the t08 Gopher
+    // weak labels, integer-micronat log-odds broadcast model; the
+    // n_disagree column is the live proof it learned a lexical
+    // boundary the raw rules don't encode
+    "t21_quality_classifier" -> ((s: SparkSession, dir: String) => TextAnalysis.qualityClassifierStats(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -2375,6 +2380,57 @@ object SparkEntry {
     "t19_bpe_encode" -> t19OracleSql(6),
     // t20: md5-threshold slice draw + first-appearance rollup
     "t20_heaps_curve" -> t20OracleSql,
+    // t21: the oracle retrains the full Naive Bayes model — weak
+    // Gopher labels (the t08 rule SQL), per-token class counts,
+    // add-one-smoothed log-odds frozen to integer micronats
+    // (floor(ln·1e6+½) per class BEFORE the difference — the t11
+    // discipline, so weights/scores/verdicts are exact longs on both
+    // engines) — and replays the score>0 verdict per doc; Spark folds
+    // each doc's token array in-row while the oracle unnest-joins in
+    // hash order, but integer sums are order-free
+    "t21_quality_classifier" ->
+      """WITH x AS MATERIALIZED (
+           SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         r AS MATERIALIZED (
+           SELECT doc_id, lang, w,
+             CASE WHEN NOT (len(w) < 50 OR len(w) > 100000)
+               AND NOT (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                 / greatest(len(w), 1) < 3.0
+                 OR CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                 / greatest(len(w), 1) > 10.0)
+               AND NOT (len(list_filter(w, x -> x IN ('the', 'a'))) < 2)
+               AND NOT (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                 / greatest(len(w), 1) < 0.8)
+             THEN 1 ELSE 0 END AS y
+           FROM x),
+         tk AS MATERIALIZED (SELECT doc_id, y, unnest(w) AS tok FROM r),
+         cnt AS MATERIALIZED (SELECT tok, CAST(sum(y) AS BIGINT) AS cp,
+             CAST(sum(1 - y) AS BIGINT) AS cf
+           FROM tk GROUP BY tok),
+         tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+             CAST(sum(cf) AS BIGINT) AS nf, count(*) AS v FROM cnt),
+         pri AS (SELECT
+             CAST(floor(ln(CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln(CAST(CAST(sum(1 - y) AS BIGINT) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             AS prior
+           FROM r),
+         wt AS (SELECT tok,
+             CAST(floor(ln(CAST(cp + 1 AS DOUBLE) / CAST(np + v + 1 AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln(CAST(cf + 1 AS DOUBLE) / CAST(nf + v + 1 AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS w
+           FROM cnt CROSS JOIN tot),
+         sc AS (SELECT tk.doc_id, CAST(sum(wt.w) AS BIGINT) AS s
+           FROM tk JOIN wt USING (tok) GROUP BY 1),
+         fin AS (SELECT r.lang, r.y,
+             CASE WHEN pri.prior + coalesce(sc.s, 0) > 0 THEN 1 ELSE 0 END AS pred
+           FROM r LEFT JOIN sc USING (doc_id) CROSS JOIN pri)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_weak_pass,
+           CAST(sum(pred) AS BIGINT) AS n_pred_pass,
+           CAST(sum(CASE WHEN pred <> y THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+         FROM fin GROUP BY lang ORDER BY lang""",
     // e17: ordered string_agg sequences, patterns generated from the
     // one Scala definition
     "e17_seq_patterns" -> e17OracleSql,

@@ -187,19 +187,30 @@ object TextAnalysis {
     * All comparisons are on integer-derived doubles (sums and counts
     * of lengths), so the DuckDB oracle lands on bit-identical
     * decisions. */
-  def gopherRuleStats(s: SparkSession, dir: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val w = tokens(col("text"))
+  /** The four per-doc Gopher rule failure flags over `text`, in rule
+    * order (words, wordlen, stop, alpha) — ONE definition shared by
+    * [[gopherRuleStats]] (t08, the report) and
+    * [[qualityClassifierStats]] (t21, the weak-label source), so the
+    * label contract and both oracles can never desynchronize. */
+  private[ops] def gopherFailCols(text: Column,
+      minWords: Int, maxWords: Int): Seq[Column] = {
+    val w = tokens(text)
     val nW = size(w).cast("double")
     val meanLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
       .cast("double") / greatest(size(w), lit(1))
     val nStop = size(filter(w, x => x.isin("the", "a")))
     val alphaRatio = size(filter(w, x => x.rlike("[A-Za-z]")))
       .cast("double") / greatest(size(w), lit(1))
-    val failWords = nW < minWords || nW > maxWords
-    val failWordLen = meanLen < 3.0 || meanLen > 10.0
-    val failStop = nStop < 2
-    val failAlpha = alphaRatio < 0.8
+    Seq(nW < minWords || nW > maxWords,
+      meanLen < 3.0 || meanLen > 10.0,
+      nStop < 2,
+      alphaRatio < 0.8)
+  }
+
+  def gopherRuleStats(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val Seq(failWords, failWordLen, failStop, failAlpha) =
+      gopherFailCols(col("text"), minWords, maxWords)
     t(s, dir, "documents")
       .withColumn("f_words", failWords)
       .withColumn("f_wordlen", failWordLen)
@@ -967,5 +978,97 @@ object TextAnalysis {
       sum("nt").over(cum).as("n_tokens"),
       sum(coalesce(col("nv"), lit(0L))).over(cum).as("n_vocab"))
       .orderBy("slice")
+  }
+
+  /** floor(ln(x)·1e6 + ½) as LONG — the t11 integer-micronat
+    * discipline: every log a trained model carries is frozen to an
+    * integer BEFORE any summation, so totals are exact long
+    * arithmetic in any traversal order on any engine; `ln` itself
+    * only ever sees a correctly-rounded double ratio of exact
+    * integers (identical bits on both engines — the t10/t11
+    * precedent). */
+  private def microLn(x: Column): Column =
+    floor(log(x) * lit(1e6) + lit(0.5)).cast("long")
+
+  /** Model-based quality classifier (t21) — the CCNet/fastText-style
+    * curation stage: train a Naive Bayes text classifier on WEAK
+    * labels (the t08 Gopher rule verdict, via the shared
+    * [[gopherFailCols]] definition — self-contained, no human
+    * labels), then score every document with the TRAINED model and
+    * report where model and rules diverge. The rules see only
+    * length/stopword/alpha shape; the model sees token IDENTITY, so
+    * it generalizes the rules' verdict onto vocabulary — the
+    * `n_disagree` column is the live proof it learned a different
+    * (lexical) decision boundary, not a re-encoding of the rules.
+    *
+    * Training is one token shuffle: explode → per-token
+    * (pass-class count, fail-class count) with map-side combine;
+    * totals and the doc-count prior are two scalar rows. Per-token
+    * log-odds weights use add-one smoothing over the vocabulary + an
+    * explicit OOV outcome, every logarithm frozen to integer
+    * micronats ([[microLn]]) the moment it is computed — the trained
+    * model is pure longs, so Spark and the DuckDB oracle land on
+    * bit-identical weights, scores, and verdicts.
+    *
+    * Scoring is in-row: the weight map rides a broadcast ONE-ROW
+    * frame (model size = vocabulary, the same broadcast class as the
+    * t11/t18/t19 model maps; a vocabulary too big to broadcast
+    * drops to a (tok)-keyed join or a [[vocabRankMap]]-capped model
+    * — the corpus-side plan is unchanged either way), and each
+    * document folds its own token array once:
+    * score = prior + Σ w(tok), predict pass iff score > 0 (ties →
+    * fail, the conservative curation default). The corpus is never
+    * shuffled on the scoring path.
+    *
+    * Precondition: both weak classes must be non-empty (a one-class
+    * corpus has no trainable signal — the prior's ln(0) would
+    * surface loudly, not silently). Reference analog: arbitrary
+    * scoring callables inside `map` chains
+    * (streamable/stream.py:372-392); the trained-model member is
+    * extension surface. */
+  def qualityClassifierStats(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val fails = gopherFailCols(col("text"), minWords, maxWords)
+    val docsY = t(s, dir, "documents")
+      .withColumn("y", (!fails.reduce(_ || _)).cast("long"))
+    // per-token class-conditional counts: ONE token shuffle serves
+    // both classes (cp = pass-class occurrences, cf = fail-class)
+    val cnt = docsY
+      .select(col("y"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(sum(col("y")).as("cp"), sum(lit(1L) - col("y")).as("cf"))
+      .localCheckpoint() // consumed twice: totals + weight rows
+    val tot = cnt.agg(sum("cp").as("np"), sum("cf").as("nf"),
+      count(lit(1)).as("v"))
+    val pri = docsY.agg(sum("y").as("ndp"), sum(lit(1L) - col("y")).as("ndf"))
+    // add-one smoothing over v tokens + 1 OOV outcome; each class
+    // log-prob frozen to micronats independently, weight = difference
+    val wRows = cnt.crossJoin(broadcast(tot)).select(col("tok"),
+      (microLn((col("cp") + 1L).cast("double") /
+          (col("np") + col("v") + 1L).cast("double")) -
+        microLn((col("cf") + 1L).cast("double") /
+          (col("nf") + col("v") + 1L).cast("double"))).as("wt"))
+    val model = wRows
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("wt"))))
+        .as("wm"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
+      .select(col("wm"),
+        (microLn(lit(1.0) / (col("np") + col("v") + 1L).cast("double")) -
+          microLn(lit(1.0) / (col("nf") + col("v") + 1L).cast("double")))
+          .as("w_oov"),
+        (microLn(col("ndp").cast("double")) -
+          microLn(col("ndf").cast("double"))).as("prior"))
+    docsY.crossJoin(broadcast(model))
+      .withColumn("score", col("prior") +
+        aggregate(tokens(col("text")), lit(0L),
+          (acc, tk) => acc + coalesce(try_element_at(col("wm"), tk),
+            col("w_oov"))))
+      .withColumn("pred", (col("score") > 0L).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("y").as("n_weak_pass"),
+        sum("pred").as("n_pred_pass"),
+        sum((col("pred") =!= col("y")).cast("long")).as("n_disagree"))
+      .orderBy("lang")
   }
 }

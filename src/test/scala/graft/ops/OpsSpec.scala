@@ -3576,6 +3576,63 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_._4).sliding(2).forall { case Array(a, b) => b >= a })
   }
 
+  test("t21 classifier equals the plain-Scala NB retrain; learns a lexical boundary") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t0: String): Seq[String] = t0.trim.split("\\s+").toSeq
+    def weakPass(t0: String): Boolean = {
+      val w = toks(t0)
+      val nW = w.length
+      val meanLen = w.map(_.length.toLong).sum.toDouble / math.max(nW, 1)
+      val nStop = w.count(x => x == "the" || x == "a")
+      val alpha = w.count(_.exists(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toDouble /
+        math.max(nW, 1)
+      !(nW < 50 || nW > 100000) && !(meanLen < 3.0 || meanLen > 10.0) &&
+        !(nStop < 2) && !(alpha < 0.8)
+    }
+    def micro(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val labeled = docs.map { case (id, l, t0) =>
+      (id, l, toks(t0), if (weakPass(t0)) 1L else 0L) }
+    // independent NB retrain: mutable count maps, not DataFrame algebra
+    val cp = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cf = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    labeled.foreach { case (_, _, w, y) =>
+      w.foreach(tk => if (y == 1L) cp(tk) += 1 else cf(tk) += 1) }
+    val vocab = cp.keySet ++ cf.keySet
+    val v = vocab.size.toLong
+    val np = cp.values.sum; val nf = cf.values.sum
+    val wt = vocab.map(tk => tk ->
+      (micro((cp(tk) + 1).toDouble / (np + v + 1)) -
+        micro((cf(tk) + 1).toDouble / (nf + v + 1)))).toMap
+    val ndp = labeled.count(_._4 == 1L).toLong
+    val ndf = labeled.length - ndp
+    assert(ndp > 0 && ndf > 0, "gate corpus must witness both weak classes")
+    val prior = micro(ndp.toDouble) - micro(ndf.toDouble)
+    val model = labeled.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (lang, rows) =>
+        val preds = rows.map { case (_, _, w, y) =>
+          val s = prior + w.map(wt).sum
+          (y, if (s > 0) 1L else 0L)
+        }
+        (lang, rows.length.toLong, preds.map(_._1).sum, preds.map(_._2).sum,
+          preds.count(p => p._1 != p._2).toLong)
+    }
+    val got = TextAnalysis.qualityClassifierStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == model, s"\n got  ${got.toSeq}\n model $model")
+    // the live learned-something proof: the model disagrees with the
+    // raw rules somewhere (it scored token IDENTITY, which the
+    // length/stopword rules never see) yet still tracks the weak
+    // labels on a majority of documents (it learned THE signal, not
+    // noise)
+    val nDis = got.map(_._5).sum; val n = got.map(_._2).sum
+    assert(nDis > 0, "classifier must disagree with the raw rules somewhere")
+    assert(nDis * 2 < n, s"must agree on the majority: $nDis of $n disagree")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
