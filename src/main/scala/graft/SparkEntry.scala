@@ -227,6 +227,10 @@ object SparkEntry {
     // c19: corpus snapshot diff — added/removed/modified/unchanged
     // accounting by md5 fingerprint, one full-outer hash join on ids
     "c19_corpus_diff" -> (Curation.corpusDiff _),
+    // c20: c08's packing over the TRAINED t18/t19 tokenizer — packed
+    // ids are BPE vocabulary ids (alphabet then merge products, in
+    // creation order), closing counts → merges → vocab → PACK
+    "c20_bpe_packed_ids" -> ((s: SparkSession, dir: String) => Curation.bpePackedIdsStats(s, dir)),
     "d18_incr_semdedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalSemanticNearDups(s, dir)),
     "d19_containment" -> ((s: SparkSession, dir: String) => Dedup.containmentPairs(s, dir)),
     // d20: edit-distance near-dups — MinHash-banded candidates (the
@@ -599,6 +603,60 @@ object SparkEntry {
        SELECT lang, n_words, n_subwords,
          (n_subwords * 1000) // n_words AS spw_milli, n_vocab
        FROM base JOIN voc USING (lang) ORDER BY lang"""
+
+  /** c20's oracle: the SAME generated training chain through the
+    * final vocabulary, then the standard BPE id numbering (alphabet
+    * ranked by the total string order takes 1..A, merge round r's
+    * product takes A+r, a string created twice keeps its FIRST id),
+    * per-word and per-doc encoding via zipped parallel unnests with
+    * order restored by `list(... ORDER BY pos)`, and the c08 packing
+    * window replayed verbatim — so the oracle certifies the whole
+    * counts → merges → vocab → pack chain end-to-end. */
+  private def c20OracleSql(rounds: Int): String = {
+    val mt = (1 to rounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rnd, l, r2 FROM t$i")
+      .mkString("\n         UNION ALL ")
+    s"""WITH RECURSIVE
+       ${bpeTrainingCtes(rounds)},
+       alpha AS (SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS sym
+         FROM wf),
+       aid AS (SELECT sym,
+           CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id
+         FROM alpha),
+       ac AS (SELECT count(*) AS a FROM alpha),
+       mt AS ($mt),
+       mid AS (SELECT l || r2 AS sym, CAST(a + rnd AS BIGINT) AS id
+         FROM mt CROSS JOIN ac),
+       sid AS (SELECT sym, min(id) AS id FROM
+         (SELECT * FROM aid UNION ALL SELECT * FROM mid) GROUP BY sym),
+       wx AS (SELECT word, unnest(syms) AS sym,
+           unnest(range(1, len(syms) + 1)) AS pos
+         FROM w$rounds),
+       wids AS MATERIALIZED (SELECT word, list(id ORDER BY pos) AS ids
+         FROM wx JOIN sid USING (sym) GROUP BY word),
+       dw AS (SELECT doc_id, lang,
+           regexp_extract_all(lower(text), '[a-z]+') AS ws
+         FROM documents),
+       dtok AS (SELECT doc_id, unnest(ws) AS word,
+           unnest(range(1, len(ws) + 1)) AS wpos
+         FROM dw),
+       enc AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
+         FROM dtok JOIN wids USING (word) GROUP BY doc_id),
+       di AS (SELECT dw.doc_id, dw.lang,
+           coalesce(e.ids, CAST([] AS BIGINT[])) AS ids,
+           CAST(coalesce(len(e.ids), 0) AS BIGINT) AS n_tok
+         FROM dw LEFT JOIN enc e USING (doc_id)),
+       packed AS (SELECT doc_id, lang, ids, n_tok,
+           sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+         FROM di)
+       SELECT lang, CAST(start // 2048 AS BIGINT) AS pack_id,
+         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         coalesce(string_agg(CASE WHEN len(ids) > 0
+           THEN array_to_string(ids, ',') END, ',' ORDER BY doc_id), '')
+           AS ids_csv
+       FROM packed GROUP BY 1, 2 ORDER BY lang, pack_id"""
+  }
 
   /** The shared t18/t19 CTE chain — training rounds as generated
     * MATERIALIZED stages (see [[t18OracleSql]]'s scaladoc for the
@@ -2378,6 +2436,9 @@ object SparkEntry {
     "t18_bpe_merges" -> t18OracleSql(6),
     // t19: same training chain, final vocabulary applied per lang
     "t19_bpe_encode" -> t19OracleSql(6),
+    // c20: same training chain through BPE id numbering + the c08
+    // packing window — the end-to-end counts→merges→vocab→pack oracle
+    "c20_bpe_packed_ids" -> c20OracleSql(6),
     // t20: md5-threshold slice draw + first-appearance rollup
     "t20_heaps_curve" -> t20OracleSql,
     // t21: the oracle retrains the full Naive Bayes model — weak

@@ -286,6 +286,76 @@ object Curation {
       .orderBy("lang", "pack_id")
   }
 
+  /** [[packedIdsStats]] upgraded to the TRAINED tokenizer (c20) —
+    * the stream a trainer actually reads: token ids are BPE ids from
+    * the [[graft.ops.TextAnalysis.bpeTrain]] segmentation (the t18
+    * training artifact applied t19-style), not top-v vocabulary
+    * ranks, closing the counts → merges → vocab → PACK loop. Ids
+    * follow the standard BPE vocabulary construction: the base
+    * alphabet (distinct single characters of the corpus word table,
+    * sorted) takes ids 1..A, merge round r's product takes id A+r —
+    * creation order, exactly how BPE implementations number their
+    * vocab. Two merge rounds CAN create the same symbol string via
+    * different splits (("a","bc") then ("ab","c")); the string keeps
+    * its FIRST id (min), the t09 first-wins tie discipline.
+    *
+    * Scale shape: training is memoized ([[graft.ops.TextAnalysis
+    * .bpeTrain]]'s artifact cache); the symbol-id and word→ids maps
+    * are vocabulary-sized broadcast one-row frames (the t19
+    * broadcast argument — the corpus never reshuffles for the
+    * tokenizer); per-doc encoding is ONE in-row
+    * transform-and-flatten over the doc's word array
+    * (`element_at` on the word map is fail-loud by ANSI contract —
+    * every corpus word is in the trained vocab, a miss means the
+    * artifact is stale); packing and the per-pack ordered-id csv are
+    * the [[withPackId]] / [[packedIdsStats]] machinery unchanged,
+    * so the stream/order/boundary contract is shared with c02/c08
+    * and cannot desynchronize. Reference analog: the chained
+    * map-then-group consumption idiom (streamable/stream.py:230-
+    * 353); trained-tokenizer packing is extension surface. */
+  def bpePackedIdsStats(s: SparkSession, dir: String, budget: Long = 2048,
+      rounds: Int = 6): DataFrame = {
+    import graft.ops.TextAnalysis
+    val (merges, segs) = TextAnalysis.bpeTrain(s, dir, rounds)
+    // base alphabet: distinct chars of the trained word table, ranked
+    // by the total string order (an Aggregate-dominated vocab-sized
+    // window — the sanctioned t09 shape)
+    val alpha = segs
+      .select(explode(regexp_extract_all(col("word"), lit("."), lit(0)))
+        .as("sym"))
+      .distinct()
+    val aCount = alpha.agg(count(lit(1)).as("a"))
+    val rankW = org.apache.spark.sql.expressions.Window.orderBy("sym")
+    val aid = alpha.withColumn("id", row_number().over(rankW).cast("long"))
+    val mid = merges.crossJoin(broadcast(aCount))
+      .select(concat(col("left_sym"), col("right_sym")).as("sym"),
+        (col("a") + col("merge_round")).as("id"))
+    val sid = aid.select(col("sym"), col("id"))
+      .unionByName(mid)
+      .groupBy("sym").agg(min("id").as("id")) // first-creation wins
+    val symMap = sid
+      .agg(map_from_entries(collect_list(struct(col("sym"), col("id"))))
+        .as("sm"))
+    val wordMap = segs.crossJoin(broadcast(symMap))
+      .select(col("word"),
+        transform(col("syms"), sy => element_at(col("sm"), sy)).as("ids"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("ids"))))
+        .as("wm"))
+    val withIds = t(s, dir, "documents").crossJoin(broadcast(wordMap))
+      .select(col("doc_id"), col("lang"),
+        flatten(transform(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
+          w => element_at(col("wm"), w))).as("ids"))
+      .withColumn("n_tok", size(col("ids")).cast("long"))
+    withPackId(withIds, budget)
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+          x => transform(x("ids"), i => i.cast("string")))), ",").as("ids_csv"))
+      .orderBy("lang", "pack_id")
+  }
+
   /** Sliding-window chunking — the RAG / long-context restructuring
     * op: each document yields token windows of `chunk` tokens starting
     * every `stride` (overlap = chunk - stride; the tail window may be

@@ -3464,6 +3464,68 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("c20 BPE-id packing equals the plain-Scala retrain→number→encode→pack model") {
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // retrain: the t18 independent formulation (mutable maps, greedy
+    // in-place re-segmentation — no Spark, no SQL)
+    val re = "[a-z]+".r
+    val words = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach { case (_, _, t0) =>
+      re.findAllIn(t0.toLowerCase).foreach { w =>
+        words(w) = words.getOrElse(w, 0L) + 1 } }
+    var segs: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.split("").toVector).toMap
+    val merges = (1 to 6).map { _ =>
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((w, f) <- words; Seq(a, b) <- segs(w).sliding(2))
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+      val ((a, b), _) = pc.toSeq.minBy { case ((l, rr), n) => (-n, l, rr) }
+      segs = segs.map { case (w, syms) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (s0 <- syms) {
+          if (out.nonEmpty && out.last == a && s0 == b)
+            out(out.length - 1) = a + b
+          else out += s0
+        }
+        w -> out.toVector
+      }
+      (a, b)
+    }
+    // standard BPE numbering: sorted alphabet takes 1..A, merge round
+    // r's product takes A+r; a re-created string keeps its first id
+    val alpha = words.keys.flatMap(_.split("")).toSeq.distinct.sorted
+    val ids = scala.collection.mutable.HashMap.empty[String, Long]
+    alpha.zipWithIndex.foreach { case (s0, i) => ids(s0) = i + 1L }
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      if (!ids.contains(a + b)) ids(a + b) = alpha.length + i + 1L }
+    // encode every doc, pack per (lang, doc_id-order) at budget 2048
+    val encoded = docs.map { case (id, lang, t0) =>
+      (id, lang,
+        re.findAllIn(t0.toLowerCase).toSeq.flatMap(w => segs(w)).map(ids))
+    }
+    val model = encoded.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      var start = 0L
+      val tagged = rows.sortBy(_._1).map { case (id, _, arr) =>
+        val s0 = start; start += arr.length
+        (s0 / 2048, id, arr)
+      }
+      tagged.groupBy(_._1).toSeq.map { case (pid, grp) =>
+        (lang, pid, grp.length.toLong, grp.map(_._3.length.toLong).sum,
+          grp.sortBy(_._2).flatMap(_._3).mkString(","))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Curation.bpePackedIdsStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq == model, s"\n got  ${got.toSeq}\n model $model")
+    // the packed stream is genuinely the TRAINED tokenizer's: at
+    // least one packed id is a merge product (above the alphabet)
+    assert(got.exists(_._5.split(",").exists(_.toLong > alpha.length)),
+      "no merge-product id reached any pack — ids are not BPE ids")
+  }
+
   test("e17 sequence patterns equal the closed-form model (no regex engine at all)") {
     // independent formulation: each pattern's count has a CLOSED FORM
     // on the character sequence — adjacent-pair count for 'ce',

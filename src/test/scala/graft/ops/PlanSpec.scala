@@ -537,6 +537,17 @@ class PlanSpec extends SparkSpec {
     assert(!pe19.contains("CartesianProduct"), s"e19 cartesian:\n$pe19")
   }
 
+  test("c20: tokenizer maps broadcast; corpus never reshuffles for encoding") {
+    val df = Curation.bpePackedIdsStats(spark, sf0001)
+    df.collect()
+    val p = finalOnly(df.queryExecution.executedPlan.toString)
+    // the symbol-id and word→ids maps ride broadcast one-row frames
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"c20 tokenizer maps must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"c20 must not sort-merge or go cartesian:\n$p")
+  }
+
   test("t21: trained model broadcasts; scoring pass never shuffles the corpus") {
     val df = TextAnalysis.qualityClassifierStats(spark, sf0001)
     df.collect()
