@@ -533,6 +533,149 @@ object Streams {
       }.toDF()
   }
 
+  final case class WdayEvt(ts: Timestamp, day: Long, user_id: Long,
+      wday: Long)
+  /** Per-window-day state: two serialized DataSketches HLL sketches —
+    * BOUNDED BY CONSTRUCTION at ~2^lgK/2 bytes each no matter how
+    * many distinct users the window sees (the whole streaming pitch
+    * of sketch count-distinct: exact distinct state grows with the
+    * user population, this never does). */
+  final case class HllDayState(dau: Array[Byte], wau: Array[Byte])
+  final case class DayActive(day: Long, dau: Long, wau: Long,
+      stickiness_milli: Long)
+
+  /** Streaming rolling 7-day active users — e19's incremental twin
+    * ([[graft.ops.Events.rollingActiveUsers]]): each event fans out
+    * in-row to the ≤7 window-days it supports (the batch fan-out,
+    * unchanged in a streaming plan), state per OPEN window-day is two
+    * DataSketches HLL sketches (day-distinct and week-distinct users
+    * — the q46 mergeable-sketch machinery as `flatMapGroupsWithState`
+    * state), and the window FINALIZES via EventTimeTimeout once the
+    * watermark passes the end of its own day: emit
+    * (day, dau, wau, dau·1000//wau), evict. Append-mode final
+    * results, the dashboard contract.
+    *
+    * The bounded-state trade is explicit: estimates are HLL (exact
+    * in sparse mode — small windows report exactly; at production
+    * cardinality, within the sketch's ±~1.6%/√(2^lgK) envelope — the
+    * q24/q46 certification shape), because EXACT rolling distincts
+    * on an unbounded stream would hold every (window, user) pair in
+    * state. The batch op's full-7-day-history head-trim is a
+    * REPORTING convention, not per-key knowledge a distributed state
+    * store has: the stream emits every finalized window-day and the
+    * consumer drops the deployment's first six (documented — the
+    * spec compares on the intersection). Day derivation shares the
+    * batch op's calendar (`datediff` from 2024-01-01 in session
+    * local time); the timeout deadline is the same calendar's day
+    * end. One user_id-independent hash shuffle on wday per
+    * micro-batch; ≤ 7 + watermark-delay window-days of state ever
+    * open. */
+  def rollingActiveStream(spark: SparkSession, events: DataFrame,
+      watermarkDelay: String = "10 seconds", lgK: Int = 12): DataFrame = {
+    import spark.implicits._
+    import org.apache.datasketches.hll.HllSketch
+    import org.apache.datasketches.memory.Memory
+    val dayMs = 86400000L
+    val epochMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long")
+          .as("day"),
+        col("user_id"))
+      .select(col("ts"), col("day"), col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .as[WdayEvt]
+      .groupByKey(_.wday)
+      .flatMapGroupsWithState[HllDayState, DayActive](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wday: Long, it: Iterator[WdayEvt], state: GroupState[HllDayState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val dau = HllSketch.heapify(Memory.wrap(st.dau))
+              .getEstimate.round
+            val wau = HllSketch.heapify(Memory.wrap(st.wau))
+              .getEstimate.round
+            if (wau > 0) Iterator.single(DayActive(wday, dau, wau,
+              dau * 1000L / wau))
+            else Iterator.empty
+          } else {
+            val (dS, wS) = state.getOption
+              .map(s => (HllSketch.heapify(Memory.wrap(s.dau)),
+                HllSketch.heapify(Memory.wrap(s.wau))))
+              .getOrElse((new HllSketch(lgK), new HllSketch(lgK)))
+            it.foreach { e =>
+              wS.update(e.user_id)
+              if (e.day == wday) dS.update(e.user_id)
+            }
+            state.update(HllDayState(dS.toUpdatableByteArray,
+              wS.toUpdatableByteArray))
+            // finalize once the watermark passes this window-day's own
+            // end (its last possible contributor has day = wday); a
+            // deadline the watermark already passed is clamped forward
+            // — the row then finalizes on the next batch
+            state.setTimeoutTimestamp(math.max(
+              epochMs + (wday + 1) * dayMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+      .toDF()
+  }
+
+  final case class ConvState(ms: Long, sMs: Long, done: Boolean)
+  final case class Conversion(user_id: Long, delta_ms: Long)
+
+  /** Streaming funnel time-to-convert — e18's incremental twin
+    * ([[graft.ops.Events.funnelTiming]]): per-user O(1) state (the
+    * earliest signup timestamp seen + a fired latch + the newest
+    * event time), emitting (user_id, delta_ms) the moment the first
+    * post-signup purchase arrives — the activation lag, visible
+    * while the stream runs instead of at batch close; aggregate the
+    * deltas downstream (at 100 TB: approx_percentile, the
+    * q25b-certified substitution). Within a micro-batch events sort
+    * by (ts, event_id); ACROSS batches the [[transitionStream]]
+    * arrival-order trade applies — a later-arriving earlier signup
+    * lowers the stored signup but cannot retract an already-emitted
+    * delta, and EventTimeTimeout eviction drops the latch with the
+    * rest of the state (the [[seqPatternStream]] horizon contract:
+    * ≤1-per-user holds within an eviction horizon; downstream takes
+    * min(delta_ms) per user for the strict batch invariant). */
+  def funnelTimingStream(spark: SparkSession, events: DataFrame,
+      watermarkDelay: String = "10 seconds",
+      evictAfterMs: Long = 3600000L): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay).as[Evt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, Conversion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Evt], state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val evts = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption
+              .getOrElse(ConvState(Long.MinValue, Long.MaxValue, done = false))
+            val out = scala.collection.mutable.ArrayBuffer[Conversion]()
+            evts.foreach { e =>
+              val ms = e.ts.getTime
+              if (e.event_type == "signup" && ms < st.sMs)
+                st = st.copy(sMs = ms)
+              if (e.event_type == "purchase" && !st.done && ms > st.sMs) {
+                out += Conversion(user, ms - st.sMs)
+                st = st.copy(done = true)
+              }
+              st = st.copy(ms = math.max(st.ms, ms))
+            }
+            if (evts.nonEmpty) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.ms + evictAfterMs)
+            }
+            out.iterator
+          }
+      }
+      .toDF()
+  }
+
   final case class Carried(event_id: Long, user_id: Long,
       last_purchase: Option[Double])
   /** Per-key LOCF state: the carried purchase value plus the newest

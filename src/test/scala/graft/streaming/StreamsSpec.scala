@@ -638,6 +638,102 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingActiveStream: window-days finalize via watermark, HLL state ≡ batch matrix") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def dayEvt(id: Long, day: Int, user: Long) = Streams.Evt(id,
+      Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+        .atTime(10, 0)), user, "view", 1.0)
+    val fixture = Seq((1L, 0, 1L), (2L, 0, 2L), (3L, 1, 1L), (4L, 3, 3L),
+      (5L, 6, 2L), (6L, 6, 3L), (7L, 7, 1L), (8L, 8, 4L))
+    val mem = MemoryStream[Streams.Evt]
+    val q = Streams.rollingActiveStream(s, mem.toDF())
+      .writeStream.format("memory").queryName("rolling").start()
+    try {
+      // two batches split mid-week (sketch state must carry), then a
+      // far-future sentinel pushes the watermark past every fixture
+      // window-day's deadline so they all finalize
+      mem.addData(fixture.take(4).map(t => dayEvt(t._1, t._2, t._3)): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.drop(4).map(t => dayEvt(t._1, t._2, t._3)): _*)
+      q.processAllAvailable()
+      mem.addData(dayEvt(99, 40, 99L))
+      q.processAllAvailable()
+      val got = s.sql("SELECT day, dau, wau, stickiness_milli FROM rolling")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      // batch activity-matrix model over EVERY supported window-day
+      // (the stream emits them all; e19's full-history head-trim is a
+      // reporting convention the consumer applies) — at these
+      // cardinalities the HLL sketches are in exact sparse mode, so
+      // equality is exact, not within-tolerance
+      val act = fixture.map(t => (t._2.toLong, t._3)).distinct
+      val model = (0L to 14L).flatMap { w =>
+        val dau = act.collect { case (d, u) if d == w => u }.distinct.length.toLong
+        val wau = act.collect { case (d, u) if d >= w - 6 && d <= w => u }
+          .distinct.length.toLong
+        if (wau > 0) Some((w, dau, wau, dau * 1000 / wau)) else None
+      }
+      assert(got.toSeq == model, s"\n got  ${got.toSeq}\n model $model")
+      // the sentinel's own window-days stay open (watermark never
+      // passes them) — no day ≥ 40 row emitted
+      assert(got.forall(_._1 < 40))
+    } finally q.stop()
+    // the bounded-state claim, measured: an lgK=12 HLL holding 100k
+    // distinct users serializes no bigger than ~2 KB — state per open
+    // window-day is O(2^lgK), NEVER O(users)
+    val sk = new org.apache.datasketches.hll.HllSketch(12)
+    (1 to 100000).foreach(i => sk.update(i.toLong))
+    assert(sk.toUpdatableByteArray.length <= 3000,
+      s"sketch state grew past the bound: ${sk.toUpdatableByteArray.length}")
+  }
+
+  test("funnelTimingStream: one delta per user at first post-signup purchase; ≡ batch deltas") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Streams.Evt]
+    val q = Streams.funnelTimingStream(s, mem.toDF())
+      .writeStream.format("memory").queryName("conv").start()
+    try {
+      // batch 1: u1 signs up; u2 purchases WITHOUT a signup (no emit)
+      mem.addData(evt(1, 0, 1, "signup"), evt(2, 1, 1, "view"),
+        evt(3, 1, 2, "purchase"))
+      q.processAllAvailable()
+      // batch 2: u1's first purchase emits (state carried the signup
+      // across the boundary); the second purchase must NOT re-emit;
+      // u2 signs up
+      mem.addData(evt(4, 5, 1, "purchase"), evt(5, 7, 1, "purchase"),
+        evt(6, 6, 2, "signup"))
+      q.processAllAvailable()
+      // batch 3: u2 converts; out-of-order WITHIN the batch sorts (the
+      // purchase arrives before a view that precedes it in event time)
+      mem.addData(evt(8, 9, 2, "purchase"), evt(7, 8, 2, "view"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT user_id, delta_ms FROM conv").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+      assert(got == List((1L, 5L * 60000), (2L, 3L * 60000)),
+        s"got $got")
+      // the same events through the BATCH closed form (first signup →
+      // earliest strictly-later purchase) give the identical delta set
+      val ev = Seq((1L, 0, "signup"), (2L, 1, "view"), (3L, 1, "purchase"),
+        (4L, 5, "purchase"), (5L, 7, "purchase"), (6L, 6, "signup"),
+        (7L, 8, "view"), (8L, 9, "purchase"))
+        .map { case (id, m, k) => (id, m.toLong * 60000, k) }
+      val batch = Seq(1L, 2L).flatMap { u =>
+        val rows = ev.zip(Seq(1L, 1L, 2L, 1L, 1L, 2L, 2L, 2L))
+          .collect { case ((_, ms, k), uu) if uu == u => (ms, k) }
+        rows.collect { case (ms, "signup") => ms }.minOption.flatMap { s0 =>
+          rows.collect { case (ms, "purchase") if ms > s0 => ms }
+            .minOption.map(p => (u, p - s0))
+        }
+      }.sorted.toList
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("attributedPurchases: interval join emits in-window pairs only") {
     val s = spark
     import s.implicits._
