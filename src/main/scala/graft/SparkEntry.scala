@@ -231,6 +231,9 @@ object SparkEntry {
     // ids are BPE vocabulary ids (alphabet then merge products, in
     // creation order), closing counts → merges → vocab → PACK
     "c20_bpe_packed_ids" -> ((s: SparkSession, dir: String) => Curation.bpePackedIdsStats(s, dir)),
+    // c21: the t21 model USED as a filter — kept/dropped docs and
+    // surviving token mass per (lang, source), the CCNet stage shape
+    "c21_classifier_filtered" -> ((s: SparkSession, dir: String) => Curation.classifierFilteredStats(s, dir)),
     "d18_incr_semdedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalSemanticNearDups(s, dir)),
     "d19_containment" -> ((s: SparkSession, dir: String) => Dedup.containmentPairs(s, dir)),
     // d20: edit-distance near-dups — MinHash-banded candidates (the
@@ -603,6 +606,57 @@ object SparkEntry {
        SELECT lang, n_words, n_subwords,
          (n_subwords * 1000) // n_words AS spw_milli, n_vocab
        FROM base JOIN voc USING (lang) ORDER BY lang"""
+
+  /** The shared t21/c21 oracle chain: weak Gopher labels (the t08
+    * rule SQL) → per-token class counts → add-one-smoothed log-odds
+    * frozen to integer micronats (floor(ln·1e6+½) per class BEFORE
+    * the difference — the t11 discipline, so weights/scores/verdicts
+    * are exact longs on both engines) → per-doc score>0 verdicts.
+    * Ends at CTE `fin` (lang, source, y, n_tok, pred); Spark folds
+    * each doc's token array in-row while this chain unnest-joins in
+    * hash order, but integer sums are order-free. ONE definition
+    * feeding both rollups, mirroring the ONE `classifierScoreCol` on
+    * the Spark side. */
+  private def t21ChainCtes: String =
+    """x AS MATERIALIZED (
+           SELECT doc_id, lang, source,
+             string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         r AS MATERIALIZED (
+           SELECT doc_id, lang, source, w,
+             CASE WHEN NOT (len(w) < 50 OR len(w) > 100000)
+               AND NOT (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                 / greatest(len(w), 1) < 3.0
+                 OR CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                 / greatest(len(w), 1) > 10.0)
+               AND NOT (len(list_filter(w, x -> x IN ('the', 'a'))) < 2)
+               AND NOT (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                 / greatest(len(w), 1) < 0.8)
+             THEN 1 ELSE 0 END AS y
+           FROM x),
+         tk AS MATERIALIZED (SELECT doc_id, y, unnest(w) AS tok FROM r),
+         cnt AS MATERIALIZED (SELECT tok, CAST(sum(y) AS BIGINT) AS cp,
+             CAST(sum(1 - y) AS BIGINT) AS cf
+           FROM tk GROUP BY tok),
+         tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+             CAST(sum(cf) AS BIGINT) AS nf, count(*) AS v FROM cnt),
+         pri AS (SELECT
+             CAST(floor(ln(CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln(CAST(CAST(sum(1 - y) AS BIGINT) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             AS prior
+           FROM r),
+         wt AS (SELECT tok,
+             CAST(floor(ln(CAST(cp + 1 AS DOUBLE) / CAST(np + v + 1 AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln(CAST(cf + 1 AS DOUBLE) / CAST(nf + v + 1 AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS w
+           FROM cnt CROSS JOIN tot),
+         sc AS (SELECT tk.doc_id, CAST(sum(wt.w) AS BIGINT) AS s
+           FROM tk JOIN wt USING (tok) GROUP BY 1),
+         fin AS (SELECT r.lang, r.source, r.y,
+             CAST(len(r.w) AS BIGINT) AS n_tok,
+             CASE WHEN pri.prior + coalesce(sc.s, 0) > 0 THEN 1 ELSE 0 END AS pred
+           FROM r LEFT JOIN sc USING (doc_id) CROSS JOIN pri)"""
 
   /** c20's oracle: the SAME generated training chain through the
     * final vocabulary, then the standard BPE id numbering (alphabet
@@ -2441,57 +2495,28 @@ object SparkEntry {
     "c20_bpe_packed_ids" -> c20OracleSql(6),
     // t20: md5-threshold slice draw + first-appearance rollup
     "t20_heaps_curve" -> t20OracleSql,
-    // t21: the oracle retrains the full Naive Bayes model — weak
-    // Gopher labels (the t08 rule SQL), per-token class counts,
-    // add-one-smoothed log-odds frozen to integer micronats
-    // (floor(ln·1e6+½) per class BEFORE the difference — the t11
-    // discipline, so weights/scores/verdicts are exact longs on both
-    // engines) — and replays the score>0 verdict per doc; Spark folds
-    // each doc's token array in-row while the oracle unnest-joins in
-    // hash order, but integer sums are order-free
+    // t21: the oracle retrains the full Naive Bayes model (the shared
+    // t21/c21 chain) and rolls up verdict-vs-label agreement per lang
     "t21_quality_classifier" ->
-      """WITH x AS MATERIALIZED (
-           SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
-           FROM documents),
-         r AS MATERIALIZED (
-           SELECT doc_id, lang, w,
-             CASE WHEN NOT (len(w) < 50 OR len(w) > 100000)
-               AND NOT (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-                 / greatest(len(w), 1) < 3.0
-                 OR CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-                 / greatest(len(w), 1) > 10.0)
-               AND NOT (len(list_filter(w, x -> x IN ('the', 'a'))) < 2)
-               AND NOT (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-                 / greatest(len(w), 1) < 0.8)
-             THEN 1 ELSE 0 END AS y
-           FROM x),
-         tk AS MATERIALIZED (SELECT doc_id, y, unnest(w) AS tok FROM r),
-         cnt AS MATERIALIZED (SELECT tok, CAST(sum(y) AS BIGINT) AS cp,
-             CAST(sum(1 - y) AS BIGINT) AS cf
-           FROM tk GROUP BY tok),
-         tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
-             CAST(sum(cf) AS BIGINT) AS nf, count(*) AS v FROM cnt),
-         pri AS (SELECT
-             CAST(floor(ln(CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
-           - CAST(floor(ln(CAST(CAST(sum(1 - y) AS BIGINT) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
-             AS prior
-           FROM r),
-         wt AS (SELECT tok,
-             CAST(floor(ln(CAST(cp + 1 AS DOUBLE) / CAST(np + v + 1 AS DOUBLE))
-               * 1000000 + 0.5) AS BIGINT)
-           - CAST(floor(ln(CAST(cf + 1 AS DOUBLE) / CAST(nf + v + 1 AS DOUBLE))
-               * 1000000 + 0.5) AS BIGINT) AS w
-           FROM cnt CROSS JOIN tot),
-         sc AS (SELECT tk.doc_id, CAST(sum(wt.w) AS BIGINT) AS s
-           FROM tk JOIN wt USING (tok) GROUP BY 1),
-         fin AS (SELECT r.lang, r.y,
-             CASE WHEN pri.prior + coalesce(sc.s, 0) > 0 THEN 1 ELSE 0 END AS pred
-           FROM r LEFT JOIN sc USING (doc_id) CROSS JOIN pri)
+      s"""WITH $t21ChainCtes
          SELECT lang, count(*) AS n_docs,
            CAST(sum(y) AS BIGINT) AS n_weak_pass,
            CAST(sum(pred) AS BIGINT) AS n_pred_pass,
            CAST(sum(CASE WHEN pred <> y THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
          FROM fin GROUP BY lang ORDER BY lang""",
+    // c21: the SAME trained chain, rolled up as the filter it exists
+    // for — kept/dropped docs and surviving token mass per (lang,
+    // source), floor-div milli drop rate
+    "c21_classifier_filtered" ->
+      s"""WITH $t21ChainCtes
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(pred) AS BIGINT) AS n_kept,
+           count(*) - CAST(sum(pred) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN pred = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           ((count(*) - CAST(sum(pred) AS BIGINT)) * 1000) // count(*)
+             AS drop_rate_milli
+         FROM fin GROUP BY 1, 2 ORDER BY 1, 2""",
     // e17: ordered string_agg sequences, patterns generated from the
     // one Scala definition
     "e17_seq_patterns" -> e17OracleSql,

@@ -356,6 +356,43 @@ object Curation {
       .orderBy("lang", "pack_id")
   }
 
+  /** Classifier-filtered corpus (c21) — the t21 model USED as the
+    * curation stage it exists for (the CCNet pipeline shape: train on
+    * weak labels, score the corpus, keep what the MODEL passes): per
+    * (lang, source), documents kept/dropped by the trained verdict
+    * and the TOKEN MASS that survives — the number a data budget is
+    * planned against, which t21's doc-count report doesn't carry.
+    * Scoring is the shared [[graft.ops.TextAnalysis
+    * .classifierScoreCol]] over the broadcast
+    * [[graft.ops.TextAnalysis.trainQualityModel]] row, so filter and
+    * report can never disagree with t21's verdicts; the corpus-side
+    * plan is one in-row scoring scan + the per-(lang, source)
+    * aggregate — the corpus never shuffles before the report. All
+    * outputs integer (floor-div milli drop rate). Reference analog:
+    * `filter(when=...)` with an arbitrary scoring callable
+    * (streamable/stream.py:230-276, 372-392). */
+  def classifierFilteredStats(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    import graft.ops.TextAnalysis
+    t(s, dir, "documents")
+      .crossJoin(broadcast(
+        TextAnalysis.trainQualityModel(s, dir, minWords, maxWords)))
+      .withColumn("score", TextAnalysis.classifierScoreCol(
+        col("text"), col("wm"), col("w_oov"), col("prior")))
+      .withColumn("pred", (col("score") > 0L).cast("long"))
+      .withColumn("n_tok",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("pred").as("n_kept"),
+        (count(lit(1)) - sum("pred")).as("n_dropped"),
+        sum(when(col("pred") === 1L, col("n_tok")).otherwise(0L))
+          .as("kept_tokens"),
+        floor((count(lit(1)) - sum("pred")) * lit(1000L) / count(lit(1)))
+          .cast("long").as("drop_rate_milli"))
+      .orderBy("lang", "source")
+  }
+
   /** Sliding-window chunking — the RAG / long-context restructuring
     * op: each document yields token windows of `chunk` tokens starting
     * every `stride` (overlap = chunk - stride; the tail window may be

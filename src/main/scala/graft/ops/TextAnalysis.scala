@@ -1031,6 +1031,35 @@ object TextAnalysis {
     val fails = gopherFailCols(col("text"), minWords, maxWords)
     val docsY = t(s, dir, "documents")
       .withColumn("y", (!fails.reduce(_ || _)).cast("long"))
+    docsY.crossJoin(broadcast(trainQualityModel(s, dir, minWords, maxWords)))
+      .withColumn("score",
+        classifierScoreCol(col("text"), col("wm"), col("w_oov"), col("prior")))
+      .withColumn("pred", (col("score") > 0L).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("y").as("n_weak_pass"),
+        sum("pred").as("n_pred_pass"),
+        sum((col("pred") =!= col("y")).cast("long")).as("n_disagree"))
+      .orderBy("lang")
+  }
+
+  /** The trained t21 model as a first-class ARTIFACT: one row of
+    * (wm: token → micronat log-odds, w_oov, prior) — train once,
+    * score anywhere ([[qualityClassifierStats]] reports on it,
+    * [[graft.ops.Curation.classifierFilteredStats]] filters with it,
+    * [[graft.streaming.Streams.qualityGateStream]] serves it against
+    * an unbounded stream). Pure longs (the [[microLn]] freeze), so
+    * any consumer on any engine scores identically. Long-lived
+    * consumers should `localCheckpoint`/persist the row — the
+    * semanticIndex discipline: a streaming static side re-evaluates
+    * per micro-batch, and this frame's lineage is a full training
+    * pass. See [[qualityClassifierStats]] for the full training
+    * contract. */
+  def trainQualityModel(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val fails = gopherFailCols(col("text"), minWords, maxWords)
+    val docsY = t(s, dir, "documents")
+      .withColumn("y", (!fails.reduce(_ || _)).cast("long"))
     // per-token class-conditional counts: ONE token shuffle serves
     // both classes (cp = pass-class occurrences, cf = fail-class)
     val cnt = docsY
@@ -1048,7 +1077,7 @@ object TextAnalysis {
           (col("np") + col("v") + 1L).cast("double")) -
         microLn((col("cf") + 1L).cast("double") /
           (col("nf") + col("v") + 1L).cast("double"))).as("wt"))
-    val model = wRows
+    wRows
       .agg(map_from_entries(collect_list(struct(col("tok"), col("wt"))))
         .as("wm"))
       .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
@@ -1058,17 +1087,15 @@ object TextAnalysis {
           .as("w_oov"),
         (microLn(col("ndp").cast("double")) -
           microLn(col("ndf").cast("double"))).as("prior"))
-    docsY.crossJoin(broadcast(model))
-      .withColumn("score", col("prior") +
-        aggregate(tokens(col("text")), lit(0L),
-          (acc, tk) => acc + coalesce(try_element_at(col("wm"), tk),
-            col("w_oov"))))
-      .withColumn("pred", (col("score") > 0L).cast("long"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("y").as("n_weak_pass"),
-        sum("pred").as("n_pred_pass"),
-        sum((col("pred") =!= col("y")).cast("long")).as("n_disagree"))
-      .orderBy("lang")
   }
+
+  /** The t21 scoring expression over `text` given the
+    * [[trainQualityModel]] columns — ONE definition so batch report,
+    * batch filter and streaming gate can never disagree on a
+    * verdict: score = prior + Σ_tokens (weight | w_oov), predict
+    * pass iff score > 0 (ties → fail). In-row fold, no shuffle. */
+  def classifierScoreCol(text: Column, wm: Column, wOov: Column,
+      prior: Column): Column =
+    prior + aggregate(tokens(text), lit(0L),
+      (acc, tk) => acc + coalesce(try_element_at(wm, tk), wOov))
 }

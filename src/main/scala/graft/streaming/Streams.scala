@@ -377,6 +377,30 @@ object Streams {
     d.select(d.columns.toIndexedSeq.map(col) :+
       posexplode(col(s"bv$suffix")).as(Seq("band_idx", "bh")): _*)
 
+  /** Streaming model-based quality gate: every arriving document
+    * scored against the TRAINED t21 classifier
+    * ([[graft.ops.TextAnalysis.trainQualityModel]] — train batch,
+    * serve stream), passing only model-approved docs downstream with
+    * their score attached. Entirely STATELESS: the model rides a
+    * broadcast one-row frame and scoring is the SAME in-row
+    * [[graft.ops.TextAnalysis.classifierScoreCol]] fold the batch
+    * report (t21) and batch filter (c21) use, so stream and batch
+    * can never disagree on a verdict. The static side of a
+    * stream-static join re-evaluates per micro-batch and the model's
+    * lineage is a full training pass — persist/localCheckpoint the
+    * model row first (the [[semanticProbeStream]] discipline). At
+    * 100 TB/day ingest this is the gate shape: per-doc work is one
+    * token fold against a broadcast map, no watermark, no state
+    * store. */
+  def qualityGateStream(docs: DataFrame, model: DataFrame): DataFrame = {
+    import graft.ops.TextAnalysis
+    docs.crossJoin(broadcast(model))
+      .withColumn("score", TextAnalysis.classifierScoreCol(
+        col("text"), col("wm"), col("w_oov"), col("prior")))
+      .filter(col("score") > 0L)
+      .drop("wm", "w_oov", "prior")
+  }
+
   /** Stream-static enrichment: a streaming fact joined to a static
     * dimension — the canonical streaming-curation shape (events
     * against a user/blocklist/quality table). The static side is

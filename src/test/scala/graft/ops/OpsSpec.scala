@@ -3638,10 +3638,13 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_._4).sliding(2).forall { case Array(a, b) => b >= a })
   }
 
-  test("t21 classifier equals the plain-Scala NB retrain; learns a lexical boundary") {
+  /** The plain-Scala t21 NB retrain shared by the t21/c21 specs:
+    * per-doc (lang, source, n_tok, weak label y, model verdict pred)
+    * via mutable count maps — no DataFrame algebra. */
+  private def nbVerdicts(): Seq[(String, String, Long, Long, Long)] = {
     val docs = Relational.t(spark, sf0001, "documents")
-      .select("doc_id", "lang", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
     def toks(t0: String): Seq[String] = t0.trim.split("\\s+").toSeq
     def weakPass(t0: String): Boolean = {
       val w = toks(t0)
@@ -3655,9 +3658,8 @@ class OpsSpec extends SparkSpec {
         !(nStop < 2) && !(alpha < 0.8)
     }
     def micro(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
-    val labeled = docs.map { case (id, l, t0) =>
-      (id, l, toks(t0), if (weakPass(t0)) 1L else 0L) }
-    // independent NB retrain: mutable count maps, not DataFrame algebra
+    val labeled = docs.map { case (_, l, src, t0) =>
+      (l, src, toks(t0), if (weakPass(t0)) 1L else 0L) }
     val cp = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     val cf = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     labeled.foreach { case (_, _, w, y) =>
@@ -3672,14 +3674,18 @@ class OpsSpec extends SparkSpec {
     val ndf = labeled.length - ndp
     assert(ndp > 0 && ndf > 0, "gate corpus must witness both weak classes")
     val prior = micro(ndp.toDouble) - micro(ndf.toDouble)
-    val model = labeled.groupBy(_._2).toSeq.sortBy(_._1).map {
+    labeled.map { case (lang, src, w, y) =>
+      val s = prior + w.map(wt).sum
+      (lang, src, w.length.toLong, y, if (s > 0) 1L else 0L)
+    }.toSeq
+  }
+
+  test("t21 classifier equals the plain-Scala NB retrain; learns a lexical boundary") {
+    val verdicts = nbVerdicts()
+    val model = verdicts.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (lang, rows) =>
-        val preds = rows.map { case (_, _, w, y) =>
-          val s = prior + w.map(wt).sum
-          (y, if (s > 0) 1L else 0L)
-        }
-        (lang, rows.length.toLong, preds.map(_._1).sum, preds.map(_._2).sum,
-          preds.count(p => p._1 != p._2).toLong)
+        (lang, rows.length.toLong, rows.map(_._4).sum, rows.map(_._5).sum,
+          rows.count(r => r._4 != r._5).toLong)
     }
     val got = TextAnalysis.qualityClassifierStats(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -3693,6 +3699,26 @@ class OpsSpec extends SparkSpec {
     val nDis = got.map(_._5).sum; val n = got.map(_._2).sum
     assert(nDis > 0, "classifier must disagree with the raw rules somewhere")
     assert(nDis * 2 < n, s"must agree on the majority: $nDis of $n disagree")
+  }
+
+  test("c21 classifier-filter equals the shared NB verdicts; both verdict classes survive") {
+    val verdicts = nbVerdicts()
+    val model = verdicts.groupBy(v => (v._1, v._2)).toSeq
+      .sortBy(_._1).map { case ((lang, src), rows) =>
+        val n = rows.length.toLong
+        val kept = rows.map(_._5).sum
+        (lang, src, n, kept, n - kept,
+          rows.collect { case r if r._5 == 1L => r._3 }.sum,
+          (n - kept) * 1000 / n)
+      }
+    val got = Curation.classifierFilteredStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == model, s"\n got  ${got.toSeq}\n model $model")
+    // the filter genuinely filters: kept and dropped mass both exist
+    assert(got.map(_._4).sum > 0 && got.map(_._5).sum > 0,
+      "the gate corpus must witness both verdict classes")
+    assert(got.forall(r => r._6 >= 0 && r._7 >= 0 && r._7 <= 1000))
   }
 
   test("entry flagship returns rows") {

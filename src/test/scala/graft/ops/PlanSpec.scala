@@ -548,20 +548,22 @@ class PlanSpec extends SparkSpec {
       s"c20 must not sort-merge or go cartesian:\n$p")
   }
 
-  test("t21: trained model broadcasts; scoring pass never shuffles the corpus") {
-    val df = TextAnalysis.qualityClassifierStats(spark, sf0001)
-    df.collect()
-    val p = finalOnly(df.queryExecution.executedPlan.toString)
-    // the weight map / prior ride broadcast one-row frames into the
-    // in-row scoring fold
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"t21 model must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"t21 must not sort-merge or go cartesian:\n$p")
-    // shuffles: ONE token-count exchange on the training pass + the
-    // tiny per-lang report agg — the scoring scan itself is in-row
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
-      s"training token-count + per-lang report only:\n$p")
+  test("t21/c21: trained model broadcasts; scoring pass never shuffles the corpus") {
+    Seq(TextAnalysis.qualityClassifierStats(spark, sf0001),
+      Curation.classifierFilteredStats(spark, sf0001)).foreach { df =>
+      df.collect()
+      val p = finalOnly(df.queryExecution.executedPlan.toString)
+      // the weight map / prior ride broadcast one-row frames into the
+      // in-row scoring fold
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"model must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"must not sort-merge or go cartesian:\n$p")
+      // shuffles: ONE token-count exchange on the training pass + the
+      // tiny report agg — the scoring scan itself is in-row
+      assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+        s"training token-count + report agg only:\n$p")
+    }
   }
 
   test("p11: replica explosion collapses map-side — partial agg below the exchange") {

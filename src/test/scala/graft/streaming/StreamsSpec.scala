@@ -638,6 +638,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityGateStream: streamed docs pass/fail exactly as the batch verdict") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.ops.TextAnalysis
+    // train once on the gate corpus, checkpoint the one-row artifact
+    // (the scaladoc's static-side persist contract)
+    val model = TextAnalysis.trainQualityModel(s, sf0001).localCheckpoint()
+    val docs = graft.ops.Relational.t(s, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .take(60)
+    // batch verdicts over the same docs through the SAME shared
+    // scoring expression — the stream must reproduce them exactly
+    val batchKept = docs.map(_._1).zip(
+      s.createDataFrame(docs.toSeq).toDF("doc_id", "lang", "text")
+        .crossJoin(broadcast(model))
+        .select(TextAnalysis.classifierScoreCol(col("text"), col("wm"),
+          col("w_oov"), col("prior")).as("sc"))
+        .collect().map(_.getLong(0))
+    ).collect { case (id, sc) if sc > 0 => id }.toSet
+    val mem = MemoryStream[Streams.Doc]
+    val gated = Streams.qualityGateStream(mem.toDF(), model)
+    val q = gated.writeStream.format("memory").queryName("qgate").start()
+    try {
+      val (b1, b2) = docs.splitAt(30)
+      mem.addData(b1.map { case (id, lang, t0) =>
+        Streams.Doc(id, ts(1), lang, t0) }: _*)
+      q.processAllAvailable()
+      mem.addData(b2.map { case (id, lang, t0) =>
+        Streams.Doc(id, ts(2), lang, t0) }: _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id, score FROM qgate").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.map(_._1).toSet == batchKept,
+        s"stream survivors diverge from batch verdicts")
+      assert(got.forall(_._2 > 0), "every survivor carries a positive score")
+      // the gate corpus must exercise BOTH sides of the gate
+      assert(batchKept.nonEmpty && batchKept.size < docs.length)
+    } finally q.stop()
+  }
+
   test("rollingActiveStream: window-days finalize via watermark, HLL state ≡ batch matrix") {
     val s = spark
     import s.implicits._
