@@ -120,6 +120,10 @@ object SparkEntry {
     // matrix fans out to its ≤7 window-days in-row, one
     // count-distinct per window
     "e19_rolling_active" -> (Events.rollingActiveUsers _),
+    // e20: time-weighted linear interpolation — e15's two-sided
+    // sibling (pandas interpolate(method='time')); null head, LOCF
+    // tail, identical IEEE expression shape on both engines
+    "e20_interp" -> (Events.interpolatedPurchase _),
     // e16: OHLC time-bucket downsampling — open/close picked by
     // min/max over (ts, event_id, value) structs, one pure aggregate
     "e16_ohlc" -> (Events.ohlcDownsample _),
@@ -2357,6 +2361,41 @@ object SparkEntry {
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
          FROM events ORDER BY event_id""",
+    // e20: the e15 backward frame + its forward mirror; the
+    // interpolation expression keeps the IDENTICAL association as the
+    // Spark side — v1 + (v2-v1)*(CAST Δms / CAST Δms_total) — so both
+    // engines run the same correctly-rounded IEEE ops, then r4; the
+    // (ms, value) pair comes from the same bounding row on both sides
+    // because the CASE marks both columns null together
+    "e20_interp" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_ms(ts) AS ms, ts,
+             CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END AS pms,
+             CASE WHEN event_type = 'purchase' THEN value END AS pval
+           FROM events),
+         w AS (
+           SELECT event_id, user_id, ms,
+             last_value(pms IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ms1,
+             last_value(pval IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1,
+             first_value(pms IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ms2,
+             first_value(pval IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v2
+           FROM p)
+         SELECT event_id, user_id,
+           CASE WHEN ms1 IS NULL THEN NULL
+                WHEN ms2 IS NULL OR ms2 = ms1
+                  THEN floor(v1 * 10000 + 0.5) / 10000
+                ELSE floor((v1 + (v2 - v1) *
+                  (CAST(ms - ms1 AS DOUBLE) / CAST(ms2 - ms1 AS DOUBLE)))
+                  * 10000 + 0.5) / 10000 END AS interp_purchase
+         FROM w ORDER BY event_id""",
     // e16: OHLC — open/close are the values of the unique rows first/
     // last under the total (ts, event_id) order; the oracle picks the
     // same rows via row_number windows (unique key ⇒ same row as the

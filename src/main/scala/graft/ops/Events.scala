@@ -522,6 +522,55 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Time-weighted linear interpolation (e20) — [[lastPurchaseCarried]]'s
+    * two-sided sibling and the other standard gap-fill: every event
+    * annotated with the purchase value INTERPOLATED between the
+    * user's previous and next purchase, weighted by event-time
+    * distance (pandas `interpolate(method='time')`, the feature-
+    * engineering default when a signal is assumed to drift between
+    * observations rather than step). Boundary semantics compose the
+    * honest halves: NULL before the first purchase (e15's "no
+    * observation yet"), LOCF after the last (no future observation
+    * to weight against); a purchase event reports its own value
+    * (zero distance to itself). Cross-engine float discipline: the
+    * interpolation expression has the IDENTICAL association on both
+    * engines — v1 + (v2−v1)·(Δms/Δms_total), every input either an
+    * integer-millisecond delta or a parquet double, so both engines
+    * run the same correctly-rounded IEEE ops on the same bits (the
+    * q-family precedent), then r4.
+    *
+    * Scale shape: two frames over ONE user_id shuffle (backward
+    * last + forward first, both ignoreNulls over key-partitioned
+    * frames — the e15 plan doubled, no extra exchange); the struct
+    * pick carries (ms, value) together so the timestamp and value of
+    * the bounding purchases can never come from different rows. The
+    * terminal ORDER BY is oracle determinism only. */
+  def interpolatedPurchase(s: SparkSession, dir: String): DataFrame = {
+    val wB = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pick = when(col("event_type") === "purchase",
+      struct(col("ms"), col("value")))
+    events(s, dir).withColumn("ms", unix_millis(col("ts")))
+      .withColumn("pp", pick)
+      .withColumn("prev", last(col("pp"), ignoreNulls = true).over(wB))
+      .withColumn("nxt", first(col("pp"), ignoreNulls = true).over(wF))
+      .select(col("event_id"), col("user_id"),
+        r4(
+          when(col("prev").isNull, lit(null))
+            .when(col("nxt").isNull || col("nxt.ms") === col("prev.ms"),
+              col("prev.value"))
+            .otherwise(col("prev.value") +
+              (col("nxt.value") - col("prev.value")) *
+                ((col("ms") - col("prev.ms")).cast("double") /
+                  (col("nxt.ms") - col("prev.ms")).cast("double"))))
+          .as("interp_purchase"))
+      .orderBy("event_id")
+  }
+
   /** Funnel time-to-convert (e18) — the LATENCY face of the funnel
     * family: e06/e14 count who converts, this measures HOW LONG
     * signup → first-subsequent-purchase takes (the activation-lag

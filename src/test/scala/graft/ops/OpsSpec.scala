@@ -2877,6 +2877,50 @@ class OpsSpec extends SparkSpec {
     assert(got.values.exists(_.nonEmpty))
   }
 
+  test("e20: interpolation replays a plain-Scala two-sided scan; all three regimes witnessed") {
+    val evs = Relational.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), org.apache.spark.sql.functions.unix_millis(col("ts")),
+        org.apache.spark.sql.functions.unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    def r4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val want: Map[Long, Option[Double]] =
+      evs.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+        val o = es.sortBy(e => (e._6, e._1))
+        o.zipWithIndex.map { case (e, i) =>
+          val prev = o.take(i + 1).reverse
+            .collectFirst { case p if p._3 == "purchase" => (p._5, p._4) }
+          val nxt = o.drop(i)
+            .collectFirst { case p if p._3 == "purchase" => (p._5, p._4) }
+          val v = (prev, nxt) match {
+            case (None, _) => None
+            case (Some((m1, v1)), None) => Some(r4d(v1))
+            case (Some((m1, v1)), Some((m2, _))) if m2 == m1 => Some(r4d(v1))
+            case (Some((m1, v1)), Some((m2, v2))) =>
+              Some(r4d(v1 + (v2 - v1) *
+                ((e._5 - m1).toDouble / (m2 - m1).toDouble)))
+          }
+          e._1 -> v
+        }
+      }.toMap
+    val got = Events.interpolatedPurchase(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got == want)
+    // all three boundary regimes live on the gate corpus: a null head,
+    // a genuinely interpolated middle (value strictly between its
+    // bounds), and interpolation ≠ plain LOCF somewhere
+    assert(got.values.exists(_.isEmpty), "null-head regime unwitnessed")
+    val locf = Events.lastPurchaseCarried(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.exists { case (id, v) =>
+      v.nonEmpty && locf(id).nonEmpty && v != locf(id).map(r4d) },
+      "interpolation must differ from LOCF on some event")
+  }
+
   test("p10: k-fold assignment replays the md5 model and is leakage-free") {
     val orders = Relational.t(spark, sf0001, "orders")
       .select("o_custkey", "o_totalprice").collect()
