@@ -92,6 +92,10 @@ object SparkEntry {
     // dual-dim predicate under each layout's row-group statistics,
     // at a non-dyadic segment grain where the curves genuinely differ
     "l03_curve_pruning" -> (Layout.curvePruning _),
+    // l04: the layout family past two axes — 3-d Morton over the
+    // (customer, day, price-cents) cube, 4096 boxes each bounding
+    // ALL THREE predicate columns
+    "l04_zorder3d" -> (Layout.zorder3Locality _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -2334,6 +2338,51 @@ object SparkEntry {
     // l02: the sixteen-stage Hilbert descent, generated (see
     // l02OracleSql) — certifies the native codegen kernel
     "l02_hilbert" -> l02OracleSql,
+    // l04: the 3-d spread cascade (the published 21-bit magic
+    // constants in decimal) + three-way interleave, replayed in
+    // DuckDB integer arithmetic; price cents via the identically-
+    // associated floor(o_totalprice * 100) on both engines
+    "l04_zorder3d" ->
+      """WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+             CAST(date_diff('day', DATE '1992-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         r AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+             min(day) AS day_min, max(day) AS day_max,
+             min(cents) AS c_min, max(cents) AS c_max FROM o),
+         q AS (SELECT ck, day, cents,
+             ((ck - ck_min) * 65535) // greatest(ck_max - ck_min, 1) AS qa,
+             ((day - day_min) * 65535) // greatest(day_max - day_min, 1) AS qb,
+             ((cents - c_min) * 65535) // greatest(c_max - c_min, 1) AS qc
+           FROM o, r),
+         s1 AS (SELECT ck, day, cents,
+             (qa | (qa << 32)) & 8725724278095871 AS a1,
+             (qb | (qb << 32)) & 8725724278095871 AS b1,
+             (qc | (qc << 32)) & 8725724278095871 AS c1 FROM q),
+         s2 AS (SELECT ck, day, cents,
+             (a1 | (a1 << 16)) & 8725728556220671 AS a2,
+             (b1 | (b1 << 16)) & 8725728556220671 AS b2,
+             (c1 | (c1 << 16)) & 8725728556220671 AS c2 FROM s1),
+         s3 AS (SELECT ck, day, cents,
+             (a2 | (a2 << 8)) & 1157144660301377551 AS a3,
+             (b2 | (b2 << 8)) & 1157144660301377551 AS b3,
+             (c2 | (c2 << 8)) & 1157144660301377551 AS c3 FROM s2),
+         s4 AS (SELECT ck, day, cents,
+             (a3 | (a3 << 4)) & 1207822528635744451 AS a4,
+             (b3 | (b3 << 4)) & 1207822528635744451 AS b4,
+             (c3 | (c3 << 4)) & 1207822528635744451 AS c4 FROM s3),
+         s5 AS (SELECT ck, day, cents,
+             (a4 | (a4 << 2)) & 1317624576693539401 AS a5,
+             (b4 | (b4 << 2)) & 1317624576693539401 AS b5,
+             (c4 | (c4 << 2)) & 1317624576693539401 AS c5 FROM s4),
+         z AS (SELECT ck, day, cents,
+             (a5 | (b5 << 1) | (c5 << 2)) AS z3 FROM s5)
+         SELECT z3 // 68719476736 AS bucket, count(*) AS n,
+           min(ck) AS ck_lo, max(ck) AS ck_hi,
+           min(day) AS day_lo, max(day) AS day_hi,
+           min(cents) AS cents_lo, max(cents) AS cents_hi
+         FROM z GROUP BY 1 ORDER BY 1""",
     // l03: all three layout keys + the statistics-intersection
     // rollup replayed over one quantized scan (see l03OracleSql)
     "l03_curve_pruning" -> l03OracleSql,

@@ -80,6 +80,30 @@ object Layout {
   def morton(qa: Column, qb: Column): Column =
     spread16(qa).bitwiseOR(shiftleft(spread16(qb), 1))
 
+  /** Spread the low 16 bits of `c` to every THIRD bit position of a
+    * 48-bit value — the classic 3-d Morton magic-number cascade (the
+    * published 21-bit-capable constants; 16-bit inputs occupy their
+    * low subset). Input must be in [0, 65535]. */
+  def spread3(c: Column): Column = {
+    def step(x: Column, shift: Int, mask: Long): Column =
+      x.bitwiseOR(shiftleft(x, shift)).bitwiseAND(lit(mask))
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = step(x0, 32, 0x1f00000000ffffL)
+    val x2 = step(x1, 16, 0x1f0000ff0000ffL)
+    val x3 = step(x2, 8, 0x100f00f00f00f00fL)
+    val x4 = step(x3, 4, 0x10c30c30c30c30c3L)
+    step(x4, 2, 0x1249249249249249L)
+  }
+
+  /** The 48-bit Morton key of THREE 16-bit quantized dimensions —
+    * the layout generalizes past two axes with zero new machinery:
+    * quantize each dimension ([[quant16]]), interleave bits every
+    * third position, sort. Still pure codegen'd builtins inside the
+    * scan's project. */
+  def morton3(qa: Column, qb: Column, qc: Column): Column =
+    spread3(qa).bitwiseOR(shiftleft(spread3(qb), 1))
+      .bitwiseOR(shiftleft(spread3(qc), 2))
+
   /** Orders quantized onto the 16-bit (o_custkey, order-day) plane —
     * bounds derived in one tiny agg job and broadcast (one-row frame)
     * into the scan. The shared front half of both curve layouts. */
@@ -152,6 +176,49 @@ object Layout {
         min("ck").as("ck_lo"), max("ck").as("ck_hi"),
         min("day").as("day_lo"), max("day").as("day_hi"))
       .orderBy("bucket")
+
+  /** Three-dimensional Morton locality report (l04): [[zorderLocality]]
+    * generalized to the (customer, order-day, price-cents) CUBE —
+    * the "three common predicate columns" case a 100 TB layout
+    * actually faces (Delta/Iceberg `ZORDER BY (a, b, c)`). Orders
+    * quantize onto the 16-bit cube ([[quant16]] per dimension, price
+    * at integer cents via an identically-associated floor(×100) on
+    * both engines), interleave through [[morton3]] into a 48-bit
+    * key, and bucket by its top 12 bits — 4096 cells, each an
+    * axis-aligned BOX spanning 1/16 of EVERY dimension's quantized
+    * range: the min/max statistics a scan planner prunes with stay
+    * selective on all three predicate columns at once, where a
+    * single-key sort bounds one and a 2-d curve two. Exact integer
+    * arithmetic end-to-end; the oracle replays the quantize +
+    * five-stage spread cascade + interleave verbatim. Write path:
+    * pass [[morton3]]'s key through the same range-exchange shape as
+    * [[zorderWrite]] (the curve key is a drop-in). Reference analog:
+    * the reference has no layout layer (streamable/stream.py is a
+    * single-pass iterator); extension surface per the survey
+    * discipline. */
+  def zorder3Locality(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").cast("long").as("ck"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+        .as("day"),
+      floor(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+    val rng = o.agg(
+      min("ck").as("ck_min"), max("ck").as("ck_max"),
+      min("day").as("day_min"), max("day").as("day_max"),
+      min("cents").as("c_min"), max("cents").as("c_max"))
+    o.crossJoin(broadcast(rng))
+      .withColumn("z3", morton3(
+        quant16(col("ck"), col("ck_min"), col("ck_max")),
+        quant16(col("day"), col("day_min"), col("day_max")),
+        quant16(col("cents"), col("c_min"), col("c_max"))))
+      .withColumn("bucket", floor(col("z3") / lit(1L << 36)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("ck").as("ck_lo"), max("ck").as("ck_hi"),
+        min("day").as("day_lo"), max("day").as("day_hi"),
+        min("cents").as("cents_lo"), max("cents").as("cents_hi"))
+      .orderBy("bucket")
+  }
 
   /** The fixed dual-dim query rectangle of [[curvePruning]], in
     * quantized coordinates: a 1/8 × 1/8 window of the 16-bit plane,

@@ -3038,6 +3038,60 @@ class OpsSpec extends SparkSpec {
     assert(got.distinct.length == got.length)
   }
 
+  test("l04 morton3 equals the bit-loop model; buckets box ALL THREE dims") {
+    import spark.implicits._
+    def m3(a: Long, b: Long, c: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | ((a >> i) & 1L) << (3 * i) |
+          ((b >> i) & 1L) << (3 * i + 1) |
+          ((c >> i) & 1L) << (3 * i + 2))
+    val rnd = new scala.util.Random(7)
+    val pts = Seq((0L, 0L, 0L), (65535L, 65535L, 65535L), (1L, 0L, 0L),
+      (0L, 1L, 0L), (0L, 0L, 1L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong,
+        rnd.nextInt(65536).toLong))
+    val got = pts.toDF("a", "b", "c")
+      .select(Layout.morton3(col("a"), col("b"), col("c")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pts.map(p => m3(p._1, p._2, p._3)),
+      "column morton3 != bit-loop morton3")
+    assert(got.distinct.length == got.length, "morton3 must be injective")
+    // the report's boxes: every bucket is a top-4-bit cell of EVERY
+    // quantized dimension, so per-bucket quantized ranges are < 2^12
+    val o = Relational.t(spark, sf0001, "orders")
+      .select(col("o_custkey").cast("long"),
+        org.apache.spark.sql.functions.datediff(col("o_orderdate"),
+          org.apache.spark.sql.functions.lit("1992-01-01")).cast("long"),
+        org.apache.spark.sql.functions.floor(col("o_totalprice") *
+          org.apache.spark.sql.functions.lit(100)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def qz(v: Long, lo: Long, hi: Long): Long =
+      (v - lo) * 65535L / math.max(hi - lo, 1L)
+    val (cks, days, cents) = (o.map(_._1), o.map(_._2), o.map(_._3))
+    val model = o.map { case (ck, day, ct) =>
+      val z3 = m3(qz(ck, cks.min, cks.max), qz(day, days.min, days.max),
+        qz(ct, cents.min, cents.max))
+      (z3 >> 36, ck, day, ct)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, rows) =>
+      (b, rows.length.toLong,
+        rows.map(_._2).min, rows.map(_._2).max,
+        rows.map(_._3).min, rows.map(_._3).max,
+        rows.map(_._4).min, rows.map(_._4).max)
+    }
+    val rep = Layout.zorder3Locality(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rep.toSeq == model, s"\n got  ${rep.take(3).toSeq}…\n model ${model.take(3)}…")
+    // each bucket's quantized range must stay inside its 1/16 cell on
+    // EVERY axis (+1 for the floor-div boundary)
+    val cell = 4096L + 1
+    rep.foreach { r =>
+      assert(qz(r._4, cks.min, cks.max) - qz(r._3, cks.min, cks.max) < cell)
+      assert(qz(r._6, days.min, days.max) - qz(r._5, days.min, days.max) < cell)
+      assert(qz(r._8, cents.min, cents.max) - qz(r._7, cents.min, cents.max) < cell)
+    }
+  }
+
   test("l01 z-buckets bound BOTH dims (the multi-dim pruning property)") {
     val rows = Layout.zorderLocality(spark, sf0001).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
