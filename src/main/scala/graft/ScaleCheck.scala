@@ -127,16 +127,25 @@ object ScaleCheck {
     // `deriveonly` then skips the timed subset below (the full-Bench
     // artifact is the measurement, no need to pay a second one).
     val full = args.contains("full") || args.contains("deriveonly")
+    // tables=events[,documents,...] restricts derivation to the named
+    // tables (tpch = the star schema) — the big-K probe knob: a ×256
+    // events rider must not pay a ×256 lineitem derivation
+    val tableFilter = args.find(_.startsWith("tables="))
+      .map(_.stripPrefix("tables=").split(",").filter(_.nonEmpty).toSet)
+    def wanted(t: String): Boolean = tableFilter.forall(_.contains(t))
     val scales = Seq(1, k)
     scales.foreach { s =>
       val dir = s"$base/x$s"
-      replicateDocs(spark.read.parquet(s"$seed/documents.parquet"), s)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      replicateEmb(spark.read.parquet(s"$seed/embeddings.parquet"), s)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      replicateEvents(spark.read.parquet(s"$seed/events.parquet"), s)
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
-      if (full) replicateTpch(spark, seed, dir, s)
+      if (wanted("documents"))
+        replicateDocs(spark.read.parquet(s"$seed/documents.parquet"), s)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      if (wanted("embeddings"))
+        replicateEmb(spark.read.parquet(s"$seed/embeddings.parquet"), s)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      if (wanted("events"))
+        replicateEvents(spark.read.parquet(s"$seed/events.parquet"), s)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      if (full && wanted("tpch")) replicateTpch(spark, seed, dir, s)
     }
     if (args.contains("deriveonly")) { spark.stop(); return }
 

@@ -321,6 +321,36 @@ object Layout {
       path: String, files: Int): Unit =
     curveWrite(df, dimA, dimB, path, files, hilbert = true)
 
+  /** [[zorderWrite]] generalized to THREE dimensions — the l04 cube
+    * layout's write path: one bounds job over all three columns, one
+    * range exchange on the 48-bit [[morton3]] key, in-partition
+    * sort, key dropped from storage. Every written file's min/max
+    * statistics bound ALL THREE dimensions (the physical twin of
+    * [[zorder3Locality]]'s declarative boxes — measured by the
+    * OpsSpec file-statistics test against a single-key baseline). */
+  def zorder3Write(df: DataFrame, dimA: String, dimB: String,
+      dimC: String, path: String, files: Int): Unit = {
+    val clash = df.columns.filter(_.startsWith("__z"))
+    require(clash.isEmpty,
+      s"zorder3Write: column name(s) ${clash.mkString(", ")} collide with " +
+        "the reserved __z internal prefix — rename before writing")
+    val rng = df.agg(
+      min(dimA).as("__z_a_min"), max(dimA).as("__z_a_max"),
+      min(dimB).as("__z_b_min"), max(dimB).as("__z_b_max"),
+      min(dimC).as("__z_c_min"), max(dimC).as("__z_c_max"))
+    val qa = quant16(col(dimA), col("__z_a_min"), col("__z_a_max"))
+    val qb = quant16(col(dimB), col("__z_b_min"), col("__z_b_max"))
+    val qc = quant16(col(dimC), col("__z_c_min"), col("__z_c_max"))
+    df.crossJoin(broadcast(rng))
+      .withColumn("__z_curve_key", morton3(qa, qb, qc))
+      .drop("__z_a_min", "__z_a_max", "__z_b_min", "__z_b_max",
+        "__z_c_min", "__z_c_max")
+      .repartitionByRange(files, col("__z_curve_key"))
+      .sortWithinPartitions("__z_curve_key")
+      .drop("__z_curve_key")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Offline compaction across [[graft.streaming.Streams
     * .zorderedIngest]] increments — the other half of the ingest
     * contract (its scaladoc: "compaction across increments stays an

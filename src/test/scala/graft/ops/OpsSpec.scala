@@ -3159,6 +3159,66 @@ class OpsSpec extends SparkSpec {
     assert(zCk <= 0.75, s"z ck span $zCk")
   }
 
+  test("zorder3Write layout: every FILE bounds ALL THREE dims; reserved-prefix guard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-z3").toString
+    val o = Relational.t(spark, sf0001, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey").cast("long").as("ck"),
+      org.apache.spark.sql.functions.datediff(col("o_orderdate"),
+        org.apache.spark.sql.functions.lit("1992-01-01")).cast("long").as("day"),
+      org.apache.spark.sql.functions.floor(col("o_totalprice") *
+        org.apache.spark.sql.functions.lit(100)).cast("long").as("cents"))
+    Layout.zorder3Write(o, "ck", "day", "cents", dir, files = 32)
+    val all = o.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    def span(xs: Seq[Long]) = (xs.max - xs.min).toDouble.max(1)
+    val (ckS, dayS, cS) = (span(all.map(_._1).toSeq),
+      span(all.map(_._2).toSeq), span(all.map(_._3).toSeq))
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 16, s"expected many files, got ${files.length}")
+    var rowsSeen = 0L
+    def fileSpans(fs: Array[java.io.File]): Seq[(Double, Double, Double)] =
+      fs.toSeq.flatMap { f =>
+        val part = spark.read.parquet(f.getAbsolutePath)
+          .select("ck", "day", "cents").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        rowsSeen += part.length
+        if (part.isEmpty) None
+        else Some((
+          (part.map(_._1).max - part.map(_._1).min) / ckS,
+          (part.map(_._2).max - part.map(_._2).min) / dayS,
+          (part.map(_._3).max - part.map(_._3).min) / cS))
+      }
+    val spans = fileSpans(files)
+    assert(rowsSeen == all.length, "3-d layout write lost rows")
+    // single-key baseline: thin on ck, ~full span on BOTH other axes
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ck3").toString
+    o.repartitionByRange(32, col("ck")).sortWithinPartitions("ck")
+      .write.mode("overwrite").parquet(dir2)
+    val baseSpans = fileSpans(new java.io.File(dir2).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+    def avg(xs: Seq[Double]) = xs.sum / xs.length
+    val (zCk, zDay, zC) =
+      (avg(spans.map(_._1)), avg(spans.map(_._2)), avg(spans.map(_._3)))
+    val (bDay, bC) = (avg(baseSpans.map(_._2)), avg(baseSpans.map(_._3)))
+    assert(bDay > 0.8 && bC > 0.8,
+      s"baseline secondary spans $bDay/$bC — corpus too tiny to discriminate")
+    // the cube layout bounds BOTH secondary dims on average where the
+    // single key spans them fully (sampled range boundaries allow
+    // straddlers — the claim is the aggregate average, as in the 2-d
+    // write spec); the primary dim also stays off full span
+    assert(zDay <= 0.7 * bDay, s"z3 day span $zDay vs baseline $bDay")
+    assert(zC <= 0.7 * bC, s"z3 cents span $zC vs baseline $bC")
+    assert(zCk <= 0.8, s"z3 ck span $zCk")
+    // reserved-prefix guard refuses loudly
+    val boom = intercept[IllegalArgumentException] {
+      Layout.zorder3Write(o.withColumn("__z_curve_key",
+        org.apache.spark.sql.functions.lit(1L)),
+        "ck", "day", "cents", dir, files = 2)
+    }
+    assert(boom.getMessage.contains("__z"))
+  }
+
   test("read-side pruning: curve layouts skip files a single-key layout must read; hilbert <= z") {
     // The verdict-r13 ask: prove the measured l02 curve advantage
     // SURVIVES TO THE SCAN. Three physical layouts of the same rows,
