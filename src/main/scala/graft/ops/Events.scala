@@ -544,7 +544,12 @@ object Events {
     * frames — the e15 plan doubled, no extra exchange); the struct
     * pick carries (ms, value) together so the timestamp and value of
     * the bounding purchases can never come from different rows. The
-    * terminal ORDER BY is oracle determinism only. */
+    * terminal ORDER BY is oracle determinism only. Deliberately
+    * batch-only: interpolation reads the FUTURE observation, so a
+    * streaming twin must buffer every event until its user's next
+    * purchase arrives (state bounded by the inter-observation gap,
+    * not O(1)) — [[graft.streaming.Streams.locfStream]] is the
+    * streaming-safe backward half. */
   def interpolatedPurchase(s: SparkSession, dir: String): DataFrame = {
     val wB = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
