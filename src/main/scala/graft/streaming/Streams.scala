@@ -401,6 +401,26 @@ object Streams {
       .drop("wm", "w_oov", "prior")
   }
 
+  /** Streaming exact-decontamination gate: arriving documents whose
+    * whitespace-normalized md5 fingerprint
+    * ([[graft.ops.TextAnalysis.fingerprint]] — the d01/c04 exact-
+    * dedup key) matches the benchmark set are dropped AT INGEST —
+    * the contamination front door, so a leaked test document never
+    * reaches the lake instead of being scrubbed later by the batch
+    * pass (c04). Entirely STATELESS: a stream-static LEFT ANTI join
+    * against the broadcast benchmark fingerprint frame (benchmark
+    * sets are small by nature; for an unbroadcastable one, c11's
+    * [[graft.ops.Curation.bloomOf]] bloom is the prefilter and this
+    * gate becomes its exact confirm on the survivors). Same
+    * static-side persist contract as [[qualityGateStream]]. Exact
+    * fingerprint equality only — near-duplicate contamination is the
+    * batch c01/c16 shingle/semantic machinery's job; this gate is
+    * the cheap always-on first line. */
+  def decontamGateStream(docs: DataFrame, benchFps: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+      .join(broadcast(benchFps), Seq("fp"), "left_anti")
+
   /** Stream-static enrichment: a streaming fact joined to a static
     * dimension — the canonical streaming-curation shape (events
     * against a user/blocklist/quality table). The static side is

@@ -638,6 +638,51 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamGateStream: planted benchmark copies die at ingest, clean docs pass") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.ops.TextAnalysis
+    // benchmark = the src0 slice's fingerprints (the c01/c04 contract)
+    val bench = graft.ops.Relational.t(s, sf0001, "documents")
+      .where(col("source") === "src0")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct().localCheckpoint()
+    val docs = graft.ops.Relational.t(s, sf0001, "documents")
+      .select("doc_id", "lang", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // stream = 20 non-benchmark docs + 5 PLANTED copies of benchmark
+    // texts under fresh ids (leaked test documents, whitespace-mangled
+    // to prove the normalized fingerprint catches them)
+    val clean = docs.filter(_._4 != "src0").take(20)
+    val leaked = docs.filter(_._4 == "src0").take(5).zipWithIndex
+      .map { case ((_, lang, t0, _), i) =>
+        (900000L + i, lang, "  " + t0.replace(" ", "   ") + " ") }
+    val mem = MemoryStream[Streams.Doc]
+    val q = Streams.decontamGateStream(mem.toDF(), bench)
+      .writeStream.format("memory").queryName("decontam").start()
+    try {
+      mem.addData((clean.map(d => Streams.Doc(d._1, ts(1), d._2, d._3)) ++
+        leaked.map(d => Streams.Doc(d._1, ts(1), d._2, d._3))): _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id FROM decontam").collect()
+        .map(_.getLong(0)).toSet
+      // every planted leak died; survivors = exactly the batch
+      // anti-join of the same frame
+      assert(leaked.forall(d => !got.contains(d._1)),
+        "a planted benchmark copy slipped through the gate")
+      val batchSurvivors = (clean ++ leaked.map(d => (d._1, d._2, d._3, "x")))
+        .toSeq.toDF("doc_id", "lang", "text", "source")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .join(broadcast(bench), Seq("fp"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == batchSurvivors)
+      // the clean stream genuinely passed (no over-blocking) — unless
+      // a clean doc legitimately shares a benchmark fingerprint
+      assert(got.size >= 15, s"over-blocking: only ${got.size} survivors")
+    } finally q.stop()
+  }
+
   test("qualityGateStream: streamed docs pass/fail exactly as the batch verdict") {
     val s = spark
     import s.implicits._
