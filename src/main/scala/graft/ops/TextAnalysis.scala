@@ -876,20 +876,57 @@ object TextAnalysis {
         merged = merged :+ top1.select(lit(r.toLong).as("merge_round"),
           col("left_sym"), col("right_sym"), col("pair_count"))
         words = words.crossJoin(broadcast(top1))
-          .withColumn("syms", aggregate(col("syms"),
-            array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, -1) === col("left_sym") &&
-                x === col("right_sym"),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(col("left_sym"), col("right_sym")))))
-              .otherwise(concat(acc, array(x)))))
+          .withColumn("syms",
+            mergeFold(col("syms"), col("left_sym"), col("right_sym")))
           .drop("left_sym", "right_sym", "pair_count")
           .localCheckpoint()
       }
       (merged.reduce(_ unionByName _).orderBy("merge_round"), words)
     })
   }
+
+  /** The trained merge table as a broadcastable ONE-ROW frame
+    * (ml/mr: left/right symbol arrays in round order) — the
+    * serve-side artifact [[bpeApplyCol]] folds against. Order is
+    * restored via `array_sort(collect_list(struct(round, …)))`, not
+    * an orderBy-then-agg (whose ordering an aggregation does not
+    * guarantee). */
+  def bpeMergeRow(s: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+    bpeTrain(s, dir, rounds)._1
+      .agg(array_sort(collect_list(struct(col("merge_round"),
+        col("left_sym"), col("right_sym")))).as("m"))
+      .select(
+        transform(col("m"), x => x.getField("left_sym")).as("ml"),
+        transform(col("m"), x => x.getField("right_sym")).as("mr"))
+
+  /** Segment ANY word — including words the training corpus never
+    * saw — by replaying the trained merge table: round r's greedy
+    * left-to-right merge fold is the IDENTICAL `aggregate` lambda
+    * the trainer itself applies ([[bpeTrain]]), so on corpus words
+    * this reproduces the training segmentation exactly, and on
+    * unseen words it extends it (unseen characters simply never
+    * merge). Contract note: this is the SEQUENTIAL-ROUND replay —
+    * the training-side segmentation t19/c20 are certified against —
+    * not a priority-queue re-encode, which can differ on words
+    * where an early pair only becomes adjacent after a later merge
+    * creates its right symbol. `ml`/`mr` are [[bpeMergeRow]]
+    * columns; `rounds` must match the table length. */
+  def bpeApplyCol(word: Column, ml: Column, mr: Column,
+      rounds: Int): Column =
+    (1 to rounds).foldLeft(regexp_extract_all(word, lit("."), lit(0))) {
+      (syms, r) =>
+        mergeFold(syms, element_at(ml, r), element_at(mr, r))
+    }
+
+  /** ONE greedy left-to-right merge pass of the pair (l, r) over a
+    * symbol array — THE merge fold, a single definition shared by
+    * the trainer ([[bpeTrain]]'s per-round re-segmentation) and the
+    * serve path ([[bpeApplyCol]]), so the two can never drift. */
+  private[graft] def mergeFold(syms: Column, l: Column, r: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
+        .otherwise(concat(acc, array(x))))
 
   /** BPE encode (t19) — the trained tokenizer APPLIED, closing the
     * counts → merges → vocab → SEGMENT loop: every corpus word is

@@ -401,6 +401,32 @@ object Streams {
       .drop("wm", "w_oov", "prior")
   }
 
+  /** Streaming BPE tokenization — the trained tokenizer's SERVE path
+    * for text the training corpus never saw: every arriving
+    * document's words are segmented by replaying the broadcast merge
+    * table ([[graft.ops.TextAnalysis.bpeMergeRow]] — the t18
+    * training artifact) through the SAME greedy per-round fold the
+    * trainer applies ([[graft.ops.TextAnalysis.bpeApplyCol]]), so
+    * corpus words segment exactly as t19/c20 certify and unseen
+    * words extend the segmentation (unseen characters simply never
+    * merge). Entirely STATELESS — per-doc cost is a token fold
+    * against one broadcast row, no watermark, no state store; the
+    * static side re-evaluates per micro-batch, so persist the
+    * merge-row artifact (the [[qualityGateStream]] contract). Emits
+    * the doc with its subword array and (n_words, n_subwords) —
+    * what a continuous trainer-feed pipeline reads. */
+  def bpeEncodeStream(docs: DataFrame, mergeRow: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    import graft.ops.TextAnalysis
+    val words = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    docs.crossJoin(broadcast(mergeRow))
+      .withColumn("syms", flatten(transform(words,
+        w => TextAnalysis.bpeApplyCol(w, col("ml"), col("mr"), rounds))))
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_subwords", size(col("syms")).cast("long"))
+      .drop("ml", "mr")
+  }
+
   /** Streaming exact-decontamination gate: arriving documents whose
     * whitespace-normalized md5 fingerprint
     * ([[graft.ops.TextAnalysis.fingerprint]] — the d01/c04 exact-

@@ -638,6 +638,62 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bpeEncodeStream: serve-path segmentation ≡ merge-table fold on corpus AND unseen words") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.ops.TextAnalysis
+    // the trained artifact, persisted per the static-side contract
+    val mergeRow = TextAnalysis.bpeMergeRow(s, sf0001).localCheckpoint()
+    val Array(mRow) = mergeRow.collect()
+    val ml = mRow.getSeq[String](0); val mr = mRow.getSeq[String](1)
+    assert(ml.length == 6 && mr.length == 6)
+    // independent plain-Scala replay of the sequential-round greedy fold
+    def applyMerges(w: String): Seq[String] =
+      ml.zip(mr).foldLeft(w.split("").toSeq) { case (syms, (l, r)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+          else out += x
+        }
+        out.toSeq
+      }
+    val re = "[a-z]+".r
+    val corpus = graft.ops.Relational.t(s, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).take(10)
+    // a doc of words the corpus never saw (plus one seen word): the
+    // serve path must still segment it — unseen characters just never
+    // merge
+    val novel = (888000L, "en", "zzqux vrilmwk the qjxx")
+    val mem = MemoryStream[Streams.Doc]
+    val q = Streams.bpeEncodeStream(mem.toDF(), mergeRow)
+      .select("doc_id", "syms", "n_words", "n_subwords")
+      .writeStream.format("memory").queryName("bpestream").start()
+    try {
+      mem.addData((corpus :+ novel).map { case (id, lang, t0) =>
+        Streams.Doc(id, ts(1), lang, t0) }: _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id, syms, n_words, n_subwords FROM bpestream")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2),
+          r.getLong(3)))).toMap
+      (corpus :+ novel).foreach { case (id, _, t0) =>
+        val words = re.findAllIn(t0.toLowerCase).toSeq
+        val want = words.flatMap(applyMerges)
+        val (syms, nw, ns) = got(id)
+        assert(syms == want, s"doc $id segmentation diverged")
+        assert(nw == words.length && ns == want.length)
+      }
+      // the tokenizer genuinely bit on corpus text (some word merged)
+      assert(corpus.exists { case (id, _, t0) =>
+        got(id)._1.exists(_.length > 1) })
+      // and the novel words survived as (mostly) unmerged characters
+      // rather than being dropped or crashing the fold
+      assert(got(novel._1)._3 >= got(novel._1)._2)
+    } finally q.stop()
+  }
+
   test("decontamGateStream: planted benchmark copies die at ingest, clean docs pass") {
     val s = spark
     import s.implicits._
