@@ -96,6 +96,9 @@ object SparkEntry {
     // (customer, day, price-cents) cube, 4096 boxes each bounding
     // ALL THREE predicate columns
     "l04_zorder3d" -> (Layout.zorder3Locality _),
+    // l05: the cube's pruning MEASURED at arbitrary-cut grain against
+    // the 2-d curve and single-key — incl. the honest straddle finding
+    "l05_cube_pruning" -> (Layout.cubePruning _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -2383,6 +2386,79 @@ object SparkEntry {
            min(day) AS day_lo, max(day) AS day_hi,
            min(cents) AS cents_lo, max(cents) AS cents_hi
          FROM z GROUP BY 1 ORDER BY 1""",
+    // l05: both interleave cascades (2-d four-stage + 3-d five-stage)
+    // over one quantized scan, three layouts tagged by UNION, the
+    // statistics-box intersection rollup — the l03 oracle shape on
+    // the cube
+    "l05_cube_pruning" ->
+      """WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+             CAST(date_diff('day', DATE '1992-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         r AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+             min(day) AS day_min, max(day) AS day_max,
+             min(cents) AS c_min, max(cents) AS c_max FROM o),
+         q AS (SELECT
+             ((ck - ck_min) * 65535) // greatest(ck_max - ck_min, 1) AS qa,
+             ((day - day_min) * 65535) // greatest(day_max - day_min, 1) AS qb,
+             ((cents - c_min) * 65535) // greatest(c_max - c_min, 1) AS qc
+           FROM o, r),
+         t1 AS (SELECT qa, qb, qc, (qa | (qa << 8)) & 16711935 AS a1,
+             (qb | (qb << 8)) & 16711935 AS b1 FROM q),
+         t2 AS (SELECT qa, qb, qc, (a1 | (a1 << 4)) & 252645135 AS a2,
+             (b1 | (b1 << 4)) & 252645135 AS b2 FROM t1),
+         t3 AS (SELECT qa, qb, qc, (a2 | (a2 << 2)) & 858993459 AS a3,
+             (b2 | (b2 << 2)) & 858993459 AS b3 FROM t2),
+         t4 AS (SELECT qa, qb, qc, (a3 | (a3 << 1)) & 1431655765 AS a4,
+             (b3 | (b3 << 1)) & 1431655765 AS b4 FROM t3),
+         z2t AS (SELECT qa, qb, qc, (a4 | (b4 << 1)) AS z2 FROM t4),
+         s1 AS (SELECT qa, qb, qc, z2,
+             (qa | (qa << 32)) & 8725724278095871 AS a1,
+             (qb | (qb << 32)) & 8725724278095871 AS b1,
+             (qc | (qc << 32)) & 8725724278095871 AS c1 FROM z2t),
+         s2 AS (SELECT qa, qb, qc, z2,
+             (a1 | (a1 << 16)) & 8725728556220671 AS a2,
+             (b1 | (b1 << 16)) & 8725728556220671 AS b2,
+             (c1 | (c1 << 16)) & 8725728556220671 AS c2 FROM s1),
+         s3 AS (SELECT qa, qb, qc, z2,
+             (a2 | (a2 << 8)) & 1157144660301377551 AS a3,
+             (b2 | (b2 << 8)) & 1157144660301377551 AS b3,
+             (c2 | (c2 << 8)) & 1157144660301377551 AS c3 FROM s2),
+         s4 AS (SELECT qa, qb, qc, z2,
+             (a3 | (a3 << 4)) & 1207822528635744451 AS a4,
+             (b3 | (b3 << 4)) & 1207822528635744451 AS b4,
+             (c3 | (c3 << 4)) & 1207822528635744451 AS c4 FROM s3),
+         s5 AS (SELECT qa, qb, qc, z2,
+             (a4 | (a4 << 2)) & 1317624576693539401 AS a5,
+             (b4 | (b4 << 2)) & 1317624576693539401 AS b5,
+             (c4 | (c4 << 2)) & 1317624576693539401 AS c5 FROM s4),
+         k AS MATERIALIZED (SELECT qa, qb, qc, z2,
+             (a5 | (b5 << 1) | (c5 << 2)) AS z3,
+             CASE WHEN qa BETWEEN 9000 AND 17191
+               AND qb BETWEEN 25000 AND 33191
+               AND qc BETWEEN 41000 AND 49191 THEN 1 ELSE 0 END AS in_box
+           FROM s5),
+         tagged AS (
+           SELECT 'zorder3d' AS layout, z3 // 1095233372416 AS bucket,
+             qa, qb, qc, in_box FROM k
+           UNION ALL
+           SELECT 'zorder2d_ck_day', z2 // 16712070, qa, qb, qc, in_box FROM k
+           UNION ALL
+           SELECT 'single_ck', qa // 256, qa, qb, qc, in_box FROM k),
+         pb AS (SELECT layout, bucket,
+             min(qa) AS a_lo, max(qa) AS a_hi,
+             min(qb) AS b_lo, max(qb) AS b_hi,
+             min(qc) AS c_lo, max(qc) AS c_hi,
+             CAST(sum(in_box) AS BIGINT) AS rows_in
+           FROM tagged GROUP BY 1, 2)
+         SELECT layout, count(*) AS buckets_total,
+           CAST(sum(CASE WHEN a_hi >= 9000 AND a_lo <= 17191
+             AND b_hi >= 25000 AND b_lo <= 33191
+             AND c_hi >= 41000 AND c_lo <= 49191 THEN 1 ELSE 0 END) AS BIGINT)
+             AS buckets_touched,
+           CAST(sum(rows_in) AS BIGINT) AS rows_matched
+         FROM pb GROUP BY 1 ORDER BY layout""",
     // l03: all three layout keys + the statistics-intersection
     // rollup replayed over one quantized scan (see l03OracleSql)
     "l03_curve_pruning" -> l03OracleSql,

@@ -220,6 +220,96 @@ object Layout {
       .orderBy("bucket")
   }
 
+  /** [[curvePruning]]'s methodology applied to the CUBE (l05): what
+    * fraction of file-grain units does a TRIPLE-dim predicate box
+    * touch under each of three layouts — the 3-d Morton curve
+    * ([[morton3]], l04's key), the 2-d Morton curve over (ck, day)
+    * only (l01's key — the "we z-ordered the two obvious columns"
+    * status quo a third predicate column defeats), and a single-key
+    * ck sort. Buckets are ~257 NON-dyadic curve segments per layout
+    * (the l03 grain argument: real files cut at arbitrary row
+    * counts); per-bucket min/max statistics of ALL THREE dimensions
+    * are what parquet stores, and a bucket is touched iff its stats
+    * box intersects the fixed query box ([[rectCkLo]]-family bounds
+    * plus an equally unaligned cents slice). Expected shape: the 2-d
+    * curve bounds (ck, day) exactly as tightly as l03 measured — but
+    * its cents statistics span everything, so it touches every
+    * (ck, day)-intersecting segment regardless of the cents
+    * predicate; the 3-d curve's boxes are selective on cents too and
+    * touch strictly fewer. ONE orders pass (in-scan explode of three
+    * codegen'd keys), one map-side-combined shuffle onto ≤ 3·258
+    * groups; the oracle replays every cascade in integer arithmetic.
+    *
+    * Measured finding (the l02/l03 honesty discipline): the strict
+    * ordering zorder3d < zorder2d < single_ck holds, but at
+    * arbitrary-cut grain the 3-d MORTON segment straddles high-bit
+    * boundaries in all three dims at once, so most segments' cents
+    * boxes are wide and the measured third-dimension pruning is
+    * MARGINAL over 2-d (sf0.01: 12 vs 13 of ~257; sf0.001: 4 vs 8)
+    * — whereas at dyadic ALIGNED grain ([[zorder3Locality]]'s 4096
+    * exact cells) every box is its cell and all three dims prune
+    * fully. This is the 3-d face of l03's straddling-Morton
+    * argument, and the measurement that would motivate a no-jump
+    * (Hilbert-family) 3-d key if third-dim pruning at arbitrary file
+    * cuts ever became the bottleneck; until then [[zorder3Write]]
+    * with cell-aligned file counts is the practical answer. */
+  def cubePruning(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").cast("long").as("ck"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+        .as("day"),
+      floor(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+    val rng = o.agg(
+      min("ck").as("ck_min"), max("ck").as("ck_max"),
+      min("day").as("day_min"), max("day").as("day_max"),
+      min("cents").as("c_min"), max("cents").as("c_max"))
+    val base = o.crossJoin(broadcast(rng))
+      .select(
+        quant16(col("ck"), col("ck_min"), col("ck_max")).as("qa"),
+        quant16(col("day"), col("day_min"), col("day_max")).as("qb"),
+        quant16(col("cents"), col("c_min"), col("c_max")).as("qc"))
+      .withColumn("in_box",
+        (col("qa").between(rectCkLo, rectCkHi) &&
+          col("qb").between(rectDayLo, rectDayHi) &&
+          col("qc").between(rectCentsLo, rectCentsHi)).cast("long"))
+    val tagged = base.select(
+      explode(array(
+        struct(lit("zorder3d").as("layout"),
+          floor(morton3(col("qa"), col("qb"), col("qc")) / lit(pruneGrain3))
+            .cast("long").as("bucket")),
+        struct(lit("zorder2d_ck_day").as("layout"),
+          floor(morton(col("qa"), col("qb")) / lit(pruneGrain))
+            .cast("long").as("bucket")),
+        struct(lit("single_ck").as("layout"),
+          floor(col("qa") / lit(256L)).cast("long").as("bucket"))))
+        .as("t"),
+      col("qa"), col("qb"), col("qc"), col("in_box"))
+    val perBucket = tagged
+      .groupBy(col("t.layout").as("layout"), col("t.bucket").as("bucket"))
+      .agg(
+        min("qa").as("a_lo"), max("qa").as("a_hi"),
+        min("qb").as("b_lo"), max("qb").as("b_hi"),
+        min("qc").as("c_lo"), max("qc").as("c_hi"),
+        sum("in_box").as("rows_in"))
+    perBucket.groupBy("layout")
+      .agg(
+        count(lit(1)).as("buckets_total"),
+        sum((col("a_hi") >= rectCkLo && col("a_lo") <= rectCkHi &&
+          col("b_hi") >= rectDayLo && col("b_lo") <= rectDayHi &&
+          col("c_hi") >= rectCentsLo && col("c_lo") <= rectCentsHi)
+          .cast("long")).as("buckets_touched"),
+        sum("rows_in").as("rows_matched"))
+      .orderBy("layout")
+  }
+
+  /** The cents slice of [[cubePruning]]'s query box — the same 1/8
+    * unaligned-window construction as the ck/day bounds. */
+  val rectCentsLo = 41000L; val rectCentsHi = 49191L
+
+  /** [[cubePruning]]'s 3-d bucket grain: ~1/257 of the 48-bit curve
+    * index range, non-dyadic for the same reason as [[pruneGrain]]. */
+  val pruneGrain3 = 1095233372416L // ceil(2^48 / 257), non-dyadic
+
   /** The fixed dual-dim query rectangle of [[curvePruning]], in
     * quantized coordinates: a 1/8 × 1/8 window of the 16-bit plane,
     * deliberately UNALIGNED with any dyadic cell boundary (ck ∈

@@ -3323,6 +3323,23 @@ class OpsSpec extends SparkSpec {
     assert(sT < sTot, s"even single-key prunes its own dim: $sT of $sTot")
   }
 
+  test("l05 cube pruning: zorder3d < zorder2d < single_ck on the triple-dim box; rows agree") {
+    val rows = Layout.cubePruning(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("zorder3d", "zorder2d_ck_day", "single_ck"))
+    val (_, t3, r3b) = rows("zorder3d")
+    val (_, t2, r2b) = rows("zorder2d_ck_day")
+    val (sTot, tS, rS) = rows("single_ck")
+    assert(r3b == r2b && r2b == rS && rS > 0, s"rows_matched must agree: $r3b $r2b $rS")
+    // at this corpus the ordering is strict on both steps; at bigger
+    // SFs the 3d-vs-2d gap narrows to the documented straddle finding
+    // (cubePruning scaladoc), so only ≤ is contractual there — the
+    // strictness here witnesses the third dimension genuinely pruning
+    assert(t3 < t2, s"3-d curve must prune the cents dim here: $t3 vs $t2")
+    assert(t2 < tS, s"2-d curve must beat single-key: $t2 vs $tS")
+    assert(tS < sTot)
+  }
+
   test("p11 bootstrap equals the md5 Poisson-weight model; spread brackets the mean") {
     def md5hex8(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
