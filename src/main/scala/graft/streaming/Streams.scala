@@ -646,7 +646,14 @@ object Streams {
     import org.apache.datasketches.hll.HllSketch
     import org.apache.datasketches.memory.Memory
     val dayMs = 86400000L
-    val epochMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // UTC-explicit epoch, NOT Timestamp.valueOf (JVM-default-zone
+    // midnight): day numbering below runs in the SESSION timezone
+    // (UTC per the Relational.events contract every entry point
+    // sets), and a zone mismatch here would shift every finalize
+    // deadline by the offset — early enough that a day's late
+    // events could recreate evicted state and double-emit the row
+    val epochMs = java.time.LocalDate.of(2024, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
     events.withWatermark("ts", watermarkDelay)
       .select(col("ts"),
         datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long")
