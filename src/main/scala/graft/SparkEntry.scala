@@ -99,6 +99,9 @@ object SparkEntry {
     // l05: the cube's pruning MEASURED at arbitrary-cut grain against
     // the 2-d curve and single-key — incl. the honest straddle finding
     "l05_cube_pruning" -> (Layout.cubePruning _),
+    // l06: the straddle finding's FIX measured — the no-jump 3-d
+    // Hilbert key (Skilling kernel) vs 3-d Morton on the same cuts
+    "l06_cube_hilbert" -> (Layout.cubePruningHilbert _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -617,6 +620,124 @@ object SparkEntry {
        SELECT lang, n_words, n_subwords,
          (n_subwords * 1000) // n_words AS spw_milli, n_vocab
        FROM base JOIN voc USING (lang) ORDER BY lang"""
+
+  /** l06's oracle: Skilling's order-16 3-d Hilbert transform replayed
+    * as generated CTE stages (the l02 discipline — DuckDB certifies
+    * the native kernel) next to the morton3 spread cascade, then the
+    * l05 statistics-box rollup over both layouts. Per bit plane
+    * (2^15 … 2) the transform's three axis steps are three CHAINED
+    * MATERIALIZED CTEs (42 total — un-hinted, DuckDB's inlining
+    * re-evaluates each multi-referenced stage per reference: the t18
+    * exponential-replay trap); then the Gray encode, the parity-
+    * driven low-bit flip (one xor-chain column, materialized once),
+    * and the Hilbert index as the SAME five-stage interleave spread
+    * the morton3 side uses, with x0 at the top bit of each triple. */
+  private def l06OracleSql: String = {
+    val planes = (15 to 1 by -1).map { k =>
+      val q = 1L << k; val p = q - 1L
+      val prev = if (k == 15) "h0" else s"pC${k + 1}"
+      s"""pA$k AS MATERIALIZED (SELECT qa, qb, qc, in_box, z3,
+           CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p) ELSE x0 END AS x0,
+           x1, x2 FROM $prev),
+         pB$k AS MATERIALIZED (SELECT qa, qb, qc, in_box, z3,
+           CASE WHEN (x1 & $q) <> 0 THEN xor(x0, $p)
+                ELSE xor(x0, xor(x0, x1) & $p) END AS x0,
+           CASE WHEN (x1 & $q) <> 0 THEN x1
+                ELSE xor(x1, xor(x0, x1) & $p) END AS x1,
+           x2 FROM pA$k),
+         pC$k AS MATERIALIZED (SELECT qa, qb, qc, in_box, z3,
+           CASE WHEN (x2 & $q) <> 0 THEN xor(x0, $p)
+                ELSE xor(x0, xor(x0, x2) & $p) END AS x0,
+           x1,
+           CASE WHEN (x2 & $q) <> 0 THEN x2
+                ELSE xor(x2, xor(x0, x2) & $p) END AS x2 FROM pB$k)"""
+    }.mkString(",\n         ")
+    val parity = (15 to 1 by -1)
+      .map(k => s"CASE WHEN (x2 & ${1L << k}) <> 0 THEN ${(1L << k) - 1} ELSE 0 END")
+      .reduce((a, b) => s"xor($a, $b)")
+    def spread(src: String, pre: String, from: String): String =
+      s"""s${pre}1 AS (SELECT *, ($src | ($src << 32)) & 8725724278095871 AS ${pre}v1 FROM $from),
+         s${pre}2 AS (SELECT *, (${pre}v1 | (${pre}v1 << 16)) & 8725728556220671 AS ${pre}v2 FROM s${pre}1),
+         s${pre}3 AS (SELECT *, (${pre}v2 | (${pre}v2 << 8)) & 1157144660301377551 AS ${pre}v3 FROM s${pre}2),
+         s${pre}4 AS (SELECT *, (${pre}v3 | (${pre}v3 << 4)) & 1207822528635744451 AS ${pre}v4 FROM s${pre}3),
+         s${pre}5 AS (SELECT *, (${pre}v4 | (${pre}v4 << 2)) & 1317624576693539401 AS ${pre}v5 FROM s${pre}4)"""
+    // the three h-spreads chain: each reads the previous chain's full
+    // row (SELECT * accumulates the stage columns — harmless, hz
+    // projects what it needs)
+    val spreads = Seq(
+      spread("x0", "a", "fin"),
+      spread("x1", "b", "sa5"),
+      spread("x2", "c", "sb5")).mkString(",\n         ")
+    s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+           CAST(date_diff('day', DATE '1992-01-01',
+             CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders),
+       r AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+           min(day) AS day_min, max(day) AS day_max,
+           min(cents) AS c_min, max(cents) AS c_max FROM o),
+       q0 AS (SELECT
+           ((ck - ck_min) * 65535) // greatest(ck_max - ck_min, 1) AS qa,
+           ((day - day_min) * 65535) // greatest(day_max - day_min, 1) AS qb,
+           ((cents - c_min) * 65535) // greatest(c_max - c_min, 1) AS qc
+         FROM o, r),
+       qx AS (SELECT qa, qb, qc,
+           CASE WHEN qa BETWEEN 9000 AND 17191
+             AND qb BETWEEN 25000 AND 33191
+             AND qc BETWEEN 41000 AND 49191 THEN 1 ELSE 0 END AS in_box
+         FROM q0),
+       m1 AS (SELECT *,
+           (qa | (qa << 32)) & 8725724278095871 AS ma1,
+           (qb | (qb << 32)) & 8725724278095871 AS mb1,
+           (qc | (qc << 32)) & 8725724278095871 AS mc1 FROM qx),
+       m2 AS (SELECT *,
+           (ma1 | (ma1 << 16)) & 8725728556220671 AS ma2,
+           (mb1 | (mb1 << 16)) & 8725728556220671 AS mb2,
+           (mc1 | (mc1 << 16)) & 8725728556220671 AS mc2 FROM m1),
+       m3 AS (SELECT *,
+           (ma2 | (ma2 << 8)) & 1157144660301377551 AS ma3,
+           (mb2 | (mb2 << 8)) & 1157144660301377551 AS mb3,
+           (mc2 | (mc2 << 8)) & 1157144660301377551 AS mc3 FROM m2),
+       m4 AS (SELECT *,
+           (ma3 | (ma3 << 4)) & 1207822528635744451 AS ma4,
+           (mb3 | (mb3 << 4)) & 1207822528635744451 AS mb4,
+           (mc3 | (mc3 << 4)) & 1207822528635744451 AS mc4 FROM m3),
+       m5 AS (SELECT *,
+           (ma4 | (ma4 << 2)) & 1317624576693539401 AS ma5,
+           (mb4 | (mb4 << 2)) & 1317624576693539401 AS mb5,
+           (mc4 | (mc4 << 2)) & 1317624576693539401 AS mc5 FROM m4),
+       h0 AS MATERIALIZED (SELECT qa, qb, qc, in_box,
+           (ma5 | (mb5 << 1) | (mc5 << 2)) AS z3,
+           qa AS x0, qb AS x1, qc AS x2 FROM m5),
+       $planes,
+       gray AS MATERIALIZED (SELECT qa, qb, qc, in_box, z3,
+           x0, xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2 FROM pC1),
+       par AS MATERIALIZED (SELECT *, $parity AS tt FROM gray),
+       fin AS MATERIALIZED (SELECT qa, qb, qc, in_box, z3,
+           xor(x0, tt) AS x0, xor(x1, tt) AS x1, xor(x2, tt) AS x2
+         FROM par),
+       $spreads,
+       hz AS MATERIALIZED (SELECT qa, qb, qc, in_box, z3,
+           ((av5 << 2) | (bv5 << 1) | cv5) AS h3 FROM sc5),
+       tagged AS (
+         SELECT 'hilbert3d' AS layout, h3 // 1095233372416 AS bucket,
+           qa, qb, qc, in_box FROM hz
+         UNION ALL
+         SELECT 'zorder3d', z3 // 1095233372416, qa, qb, qc, in_box FROM hz),
+       pb AS (SELECT layout, bucket,
+           min(qa) AS a_lo, max(qa) AS a_hi,
+           min(qb) AS b_lo, max(qb) AS b_hi,
+           min(qc) AS c_lo, max(qc) AS c_hi,
+           CAST(sum(in_box) AS BIGINT) AS rows_in
+         FROM tagged GROUP BY 1, 2)
+       SELECT layout, count(*) AS buckets_total,
+         CAST(sum(CASE WHEN a_hi >= 9000 AND a_lo <= 17191
+           AND b_hi >= 25000 AND b_lo <= 33191
+           AND c_hi >= 41000 AND c_lo <= 49191 THEN 1 ELSE 0 END) AS BIGINT)
+           AS buckets_touched,
+         CAST(sum(rows_in) AS BIGINT) AS rows_matched
+       FROM pb GROUP BY 1 ORDER BY layout"""
+  }
 
   /** The shared t21/c21 oracle chain: weak Gopher labels (the t08
     * rule SQL) → per-token class counts → add-one-smoothed log-odds
@@ -2459,6 +2580,10 @@ object SparkEntry {
              AS buckets_touched,
            CAST(sum(rows_in) AS BIGINT) AS rows_matched
          FROM pb GROUP BY 1 ORDER BY layout""",
+    // l06: Skilling's 3-d Hilbert transform generated as 42 chained
+    // MATERIALIZED plane CTEs + gray/parity + the interleave spread,
+    // next to the morton3 cascade (see l06OracleSql)
+    "l06_cube_hilbert" -> l06OracleSql,
     // l03: all three layout keys + the statistics-intersection
     // rollup replayed over one quantized scan (see l03OracleSql)
     "l03_curve_pruning" -> l03OracleSql,

@@ -248,11 +248,13 @@ object Layout {
     * MARGINAL over 2-d (sf0.01: 12 vs 13 of ~257; sf0.001: 4 vs 8)
     * — whereas at dyadic ALIGNED grain ([[zorder3Locality]]'s 4096
     * exact cells) every box is its cell and all three dims prune
-    * fully. This is the 3-d face of l03's straddling-Morton
-    * argument, and the measurement that would motivate a no-jump
-    * (Hilbert-family) 3-d key if third-dim pruning at arbitrary file
-    * cuts ever became the bottleneck; until then [[zorder3Write]]
-    * with cell-aligned file counts is the practical answer. */
+    * fully. This is the 3-d face of l03's straddling-Morton argument
+    * — and the measurement that MOTIVATED the no-jump 3-d key: see
+    * [[cubePruningHilbert]] (l06), where
+    * [[graft.functions.HilbertIndex3]] on the identical cuts touches
+    * strictly fewer buckets (sf0.01: 5 vs Morton's 12); for
+    * Morton-only deployments, [[zorder3Write]] with cell-aligned
+    * file counts remains the practical answer. */
   def cubePruning(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(
       col("o_custkey").cast("long").as("ck"),
@@ -282,6 +284,69 @@ object Layout {
             .cast("long").as("bucket")),
         struct(lit("single_ck").as("layout"),
           floor(col("qa") / lit(256L)).cast("long").as("bucket"))))
+        .as("t"),
+      col("qa"), col("qb"), col("qc"), col("in_box"))
+    val perBucket = tagged
+      .groupBy(col("t.layout").as("layout"), col("t.bucket").as("bucket"))
+      .agg(
+        min("qa").as("a_lo"), max("qa").as("a_hi"),
+        min("qb").as("b_lo"), max("qb").as("b_hi"),
+        min("qc").as("c_lo"), max("qc").as("c_hi"),
+        sum("in_box").as("rows_in"))
+    perBucket.groupBy("layout")
+      .agg(
+        count(lit(1)).as("buckets_total"),
+        sum((col("a_hi") >= rectCkLo && col("a_lo") <= rectCkHi &&
+          col("b_hi") >= rectDayLo && col("b_lo") <= rectDayHi &&
+          col("c_hi") >= rectCentsLo && col("c_lo") <= rectCentsHi)
+          .cast("long")).as("buckets_touched"),
+        sum("rows_in").as("rows_matched"))
+      .orderBy("layout")
+  }
+
+  /** The straddle finding's FIX, measured (l06): [[cubePruning]]
+    * reported that at arbitrary-cut grain a 3-d MORTON segment
+    * straddles high-bit boundaries in all three dimensions at once,
+    * leaving only marginal third-dimension pruning; this query runs
+    * the identical measurement with the no-jump 3-d HILBERT key
+    * ([[graft.functions.HilbertIndex3]], Skilling's transpose
+    * construction) next to the Morton key — same 48-bit index space,
+    * same ~257 non-dyadic segments, same unaligned query box. A
+    * Hilbert segment of length L has O(L^(1/3)) diameter, so its
+    * boxes stay tight on EVERY axis at arbitrary cuts — the 3-d
+    * analog of the measured l03 hilbert ≤ zorder result. One orders
+    * pass (both curve keys are register-loop kernels inside the
+    * scan's project), one map-side-combined shuffle onto ≤ 2·258
+    * groups; the oracle replays Skilling's plane sweeps as generated
+    * CTE stages (the l02 discipline, one engine certifying the
+    * other's kernel). */
+  def cubePruningHilbert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").cast("long").as("ck"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+        .as("day"),
+      floor(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+    val rng = o.agg(
+      min("ck").as("ck_min"), max("ck").as("ck_max"),
+      min("day").as("day_min"), max("day").as("day_max"),
+      min("cents").as("c_min"), max("cents").as("c_max"))
+    val base = o.crossJoin(broadcast(rng))
+      .select(
+        quant16(col("ck"), col("ck_min"), col("ck_max")).as("qa"),
+        quant16(col("day"), col("day_min"), col("day_max")).as("qb"),
+        quant16(col("cents"), col("c_min"), col("c_max")).as("qc"))
+      .withColumn("in_box",
+        (col("qa").between(rectCkLo, rectCkHi) &&
+          col("qb").between(rectDayLo, rectDayHi) &&
+          col("qc").between(rectCentsLo, rectCentsHi)).cast("long"))
+    val tagged = base.select(
+      explode(array(
+        struct(lit("hilbert3d").as("layout"),
+          floor(graft.functions.HilbertIndex3(col("qa"), col("qb"), col("qc"))
+            / lit(pruneGrain3)).cast("long").as("bucket")),
+        struct(lit("zorder3d").as("layout"),
+          floor(morton3(col("qa"), col("qb"), col("qc")) / lit(pruneGrain3))
+            .cast("long").as("bucket"))))
         .as("t"),
       col("qa"), col("qb"), col("qc"), col("in_box"))
     val perBucket = tagged

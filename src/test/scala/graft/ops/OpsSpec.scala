@@ -3522,6 +3522,87 @@ class OpsSpec extends SparkSpec {
       s"wrong failure: $wrapped")
   }
 
+  test("hilbert3 kernel: low-cube indices are a permutation with NO jumps; morton3 jumps") {
+    import spark.implicits._
+    // independent plain-Scala transcription of Skilling's transpose
+    // construction (AIP Conf. Proc. 707, 2004)
+    def model(xi: Long, yi: Long, zi: Long): Long = {
+      val X = Array(xi & 0xFFFFL, yi & 0xFFFFL, zi & 0xFFFFL)
+      var q = 1L << 15
+      while (q > 1L) {
+        val p = q - 1L
+        var i = 0
+        while (i < 3) {
+          if ((X(i) & q) != 0L) X(0) ^= p
+          else { val t = (X(0) ^ X(i)) & p; X(0) ^= t; X(i) ^= t }
+          i += 1
+        }
+        q >>= 1
+      }
+      X(1) ^= X(0); X(2) ^= X(1)
+      var t = 0L; q = 1L << 15
+      while (q > 1L) { if ((X(2) & q) != 0L) t ^= q - 1L; q >>= 1 }
+      (0 until 3).foreach(i => X(i) ^= t)
+      (15 to 0 by -1).foldLeft(0L)((h, k) =>
+        (h << 3) | (((X(0) >> k) & 1L) << 2) |
+          (((X(1) >> k) & 1L) << 1) | ((X(2) >> k) & 1L))
+    }
+    // the full low 16×16×16 sub-lattice through the COLUMN path: the
+    // order-16 curve's first 4096 indices must fill the origin cube
+    // (a permutation of 0..4095) with consecutive indices ALWAYS
+    // grid neighbors — the two properties only a genuine 3-d Hilbert
+    // curve satisfies
+    val grid = for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x.toLong, y.toLong, z.toLong)
+    val byH = grid.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        graft.functions.HilbertIndex3(col("a"), col("b"), col("c")).as("h"))
+      .collect().map(r => (r.getLong(3), r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(byH.map(_._1).toSeq == (0L until 4096L),
+      "low-cube indices must be exactly 0..4095")
+    val jumps = byH.sliding(2).count { case Array((_, x1, y1, z1), (_, x2, y2, z2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) != 1
+    }
+    assert(jumps == 0, s"$jumps non-adjacent steps on the 3-d sub-lattice")
+    // morton3 on the same lattice DOES jump — the comparison that
+    // will justify an l06 next to l04/l05 (the cube-pruning straddle
+    // finding's fix)
+    val byZ = grid.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.morton3(col("a"), col("b"), col("c")).as("z"))
+      .collect().map(r => (r.getLong(3), r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val zJumps = byZ.sliding(2).count { case Array((_, x1, y1, z1), (_, x2, y2, z2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) != 1
+    }
+    assert(zJumps > 0, "morton3 must jump on the sub-lattice (it is not a Hilbert curve)")
+    // kernel ≡ the independent transcription on random 16-bit triples
+    // + the start-corner pin
+    val rnd = new scala.util.Random(11)
+    val pts = Seq((0L, 0L, 0L), (65535L, 65535L, 65535L)) ++
+      Seq.fill(300)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong,
+        rnd.nextInt(65536).toLong))
+    val got = pts.toDF("a", "b", "c")
+      .select(graft.functions.HilbertIndex3(col("a"), col("b"), col("c")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pts.map(p => model(p._1, p._2, p._3)),
+      "column kernel != plain-Scala Skilling transcription")
+    assert(model(0L, 0L, 0L) == 0L)
+  }
+
+  test("l06: the no-jump 3-d key strictly beats 3-d morton on the same cuts; rows agree") {
+    val rows = Layout.cubePruningHilbert(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("hilbert3d", "zorder3d"))
+    val (_, hT, hR) = rows("hilbert3d")
+    val (_, zT, zR) = rows("zorder3d")
+    assert(hR == zR && zR > 0, s"rows_matched must agree: $hR $zR")
+    // the straddle finding's fix, witnessed: at the same non-dyadic
+    // cuts the Hilbert segments' boxes stay tight where Morton's leap
+    assert(hT < zT, s"hilbert3d touched $hT must strictly beat morton3's $zT")
+  }
+
   test("hilbert curve has NO jumps: consecutive indices are grid neighbors") {
     import spark.implicits._
     // restricted to the low 64×64 corner the order-16 curve IS an
