@@ -26,9 +26,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * re-materialize the triple per stage — and the plain-Scala
   * `nullSafeEval` and the generated Java are the same statements.
   *
-  * Certification (spec-side; the kernel is not yet wired to a
-  * registry query — the l06 measurement and its generated-CTE
-  * DuckDB replay are the follow-on): OpsSpec enumerates full
+  * Certification: the kernel is live in the l06 registry query
+  * ([[graft.ops.Layout.cubePruningHilbert]]), whose DuckDB oracle
+  * replays Skilling's plane sweeps as 42 generated MATERIALIZED
+  * CTE stages — one engine certifying the other's kernel
+  * bit-for-bit — and in the [[graft.ops.Layout.hilbert3Write]]
+  * write path. Spec-side, OpsSpec enumerates full
   * sub-lattices at orders 2..4 through the COLUMN path and asserts
   * the two properties only a genuine 3-d Hilbert curve satisfies —
   * the indices are a permutation of 0..8^order−1 and consecutive
@@ -96,6 +99,13 @@ case class HilbertIndex3Expr(first: Expression, second: Expression,
     h
   }
 
+  // CONSTRAINT: no generated line's first non-space character may be
+  // `|` — the emitted snippet is interpolated into WholeStageCodegen's
+  // outer template, whose own stripMargin pass eats a line-leading `|`
+  // and hands Janino `(expr) (expr)`, which it rejects as a cast of a
+  // non-type. Continuation lines must carry trailing operators.
+  // Pinned by FunctionsSpec "hilbert3 kernel compiles" (fallback off)
+  // and PlanSpec's l06 codegen-span test.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, c) => {
       val x0 = ctx.freshName("h3x0")
@@ -128,8 +138,8 @@ case class HilbertIndex3Expr(first: Expression, second: Expression,
          |}
          |long $h = 0L;
          |for (int $k = 15; $k >= 0; $k--) {
-         |  $h = ($h << 3) | ((($x0 >> $k) & 1L) << 2)
-         |    | ((($x1 >> $k) & 1L) << 1) | (($x2 >> $k) & 1L);
+         |  $h = ($h << 3) | ((($x0 >> $k) & 1L) << 2) |
+         |    ((($x1 >> $k) & 1L) << 1) | (($x2 >> $k) & 1L);
          |}
          |${ev.value} = $h;
        """.stripMargin

@@ -152,6 +152,58 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L).isNullAt(4))
   }
 
+  test("every codegen kernel COMPILES — fallback disabled, so a Janino " +
+    "failure aborts instead of silently running interpreted") {
+    // The r15 lesson (HilbertIndex3): three independent VALUE
+    // certifications all passed while the kernel never codegen'd once —
+    // Spark logs the Janino error and silently falls back to
+    // interpreted eval, so value tests cannot see the regression. Only
+    // a run with the fallback knobs OFF can: with
+    // spark.sql.codegen.fallback=false a whole-stage compile failure
+    // throws, and with factoryMode=CODEGEN_ONLY the non-whole-stage
+    // projection paths throw too. Values are still asserted against a
+    // default-conf run, so this test pins compile AND semantics.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // inputs derive from spark.range, NOT a local relation: a
+    // LocalTableScan projection compiles through a different template
+    // than the WholeStageCodegen stage the r15 defect broke, and only
+    // the latter applies the line-leading-`|`-eating stripMargin. Range
+    // is whole-stage codegen'd, so every kernel below lands in the
+    // defective template (verified: this test fails on the r15 kernel).
+    val df = s.range(64).select(col("id"),
+      pmod(xxhash64(col("id"), lit(1)), lit(65536L)).as("a"),
+      pmod(xxhash64(col("id"), lit(2)), lit(65536L)).as("b"),
+      pmod(xxhash64(col("id"), lit(3)), lit(65536L)).as("c"),
+      transform(sequence(lit(0), lit(15)), i =>
+        (pmod(xxhash64(col("id"), i), lit(1000L)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("emb"),
+      transform(sequence(lit(0), lit(7)), i =>
+        xxhash64(col("id"), i, lit("hs"))).as("hs"))
+    def allKernels = df.select(col("id"),
+      HilbertIndex3(col("a"), col("b"), col("c")).as("h3"),
+      HilbertIndex(col("a"), col("b")).as("h2"),
+      CosineSimilarity(col("emb"), col("emb")).as("cos"),
+      HyperplaneBuckets(col("emb"), 4, 2).as("bk"),
+      MinHashSig(col("hs"), 4).as("sig"),
+      SimHash(col("hs")).as("sim"))
+    val baseline = allKernels.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val conf = s.conf
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      conf.set("spark.sql.codegen.fallback", "false")
+      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val forced = allKernels.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(forced == baseline)
+    } finally {
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("TopKAggregator matches the sort-then-take model exactly") {
     val s = spark
     import s.implicits._

@@ -493,6 +493,32 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
 
+  test("l06: hilbert3 kernel runs in-scan and its codegen span holds " +
+    "(no interpreted fallback)") {
+    val df = Layout.cubePruningHilbert(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("hilbert_index3"), "the native 3-d kernel must appear in the plan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "dimension bounds must broadcast")
+    // both curve keys are generated in ONE pass over orders
+    assert("Generate explode".r.findAllIn(p).length == 1,
+      s"exactly one explode expected:\n$p")
+    // the r15 defect: the kernel's generated Java failed Janino and the
+    // whole enclosing stage silently ran interpreted. Execute with the
+    // fallback OFF so a compile failure aborts the test, then assert
+    // the executed plan still carries whole-stage spans.
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.codegen.fallback")
+    try {
+      conf.set("spark.sql.codegen.fallback", "false")
+      df.collect()
+    } finally {
+      prev.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+    }
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
   test("l03: one scan fans out to all three layout keys; one bucket-agg shuffle") {
     val df = Layout.curvePruning(spark, sf0001)
     val p = plan(df)
