@@ -78,11 +78,16 @@ object ScaleCheck {
     * while nation/region aggregations see ×K bigger groups: the
     * workload a ×K cluster-scale corpus actually presents. */
   private def replicateTpch(spark: SparkSession, seed: String, dir: String,
-      k: Int): Unit = {
+      k: Int, wanted: String => Boolean): Unit = {
     def shift(df: DataFrame, r: Int, keys: String*): DataFrame =
       keys.foldLeft(df)((d, c) =>
         d.withColumn(c, col(c) + lit(r.toLong * 10000000L)))
-    def rep(table: String, keys: String*): Unit =
+    // a star-schema table derives when the whole schema is wanted
+    // ("tpch") OR it is named individually — the big-K rider knob at
+    // table grain: `tables=orders` derives a ×256 orders WITHOUT
+    // paying a ×256 lineitem (the l05/l06 rider case)
+    def on(t: String): Boolean = wanted("tpch") || wanted(t)
+    def rep(table: String, keys: String*): Unit = if (on(table))
       (0 until k).map { r =>
         val base = spark.read.parquet(s"$seed/$table.parquet")
         if (r == 0) base else shift(base, r, keys: _*)
@@ -90,7 +95,7 @@ object ScaleCheck {
         .write.mode("overwrite").parquet(s"$dir/$table.parquet")
     // shared fixed dims: copied once, NOT replicated — duplicate
     // un-shifted dim rows would multiply every dim join ×k
-    Seq("region", "nation").foreach(t =>
+    Seq("region", "nation").filter(on).foreach(t =>
       spark.read.parquet(s"$seed/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet"))
     rep("customer", "c_custkey")
@@ -127,11 +132,21 @@ object ScaleCheck {
     // `deriveonly` then skips the timed subset below (the full-Bench
     // artifact is the measurement, no need to pay a second one).
     val full = args.contains("full") || args.contains("deriveonly")
-    // tables=events[,documents,...] restricts derivation to the named
-    // tables (tpch = the star schema) — the big-K probe knob: a ×256
-    // events rider must not pay a ×256 lineitem derivation
+    // tables=events[,orders,...] restricts derivation to the named
+    // tables (tpch = the whole star schema; individual star tables —
+    // orders, lineitem, customer, supplier, part, region, nation —
+    // derive alone) — the big-K probe knob: a ×256 events or orders
+    // rider must not pay a ×256 lineitem derivation
     val tableFilter = args.find(_.startsWith("tables="))
       .map(_.stripPrefix("tables=").split(",").filter(_.nonEmpty).toSet)
+    // a filtered derivation is deriveonly BY CONSTRUCTION: the timed
+    // subset below reads documents+embeddings+events dirs that a
+    // filtered run never (re)derived at ×K — it would fail on missing
+    // paths or, worse, silently time a stale mixed-scale corpus
+    require(tableFilter.isEmpty || args.contains("deriveonly"),
+      "ScaleCheck: tables= requires deriveonly — the timed subset assumes " +
+        "every table exists at both scales; run the rider's own timing " +
+        "against the derived dirs instead")
     def wanted(t: String): Boolean = tableFilter.forall(_.contains(t))
     val scales = Seq(1, k)
     scales.foreach { s =>
@@ -145,7 +160,7 @@ object ScaleCheck {
       if (wanted("events"))
         replicateEvents(spark.read.parquet(s"$seed/events.parquet"), s)
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
-      if (full && wanted("tpch")) replicateTpch(spark, seed, dir, s)
+      if (full) replicateTpch(spark, seed, dir, s, wanted)
     }
     if (args.contains("deriveonly")) { spark.stop(); return }
 
