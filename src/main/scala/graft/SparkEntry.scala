@@ -171,6 +171,16 @@ object SparkEntry {
     // n_disagree column is the live proof it learned a lexical
     // boundary the raw rules don't encode
     "t21_quality_classifier" -> ((s: SparkSession, dir: String) => TextAnalysis.qualityClassifierStats(s, dir)),
+    // t22: the t21 model as a PERSISTED artifact — train → write →
+    // read → describe runs inside the query (ensureQualityModel is
+    // an idempotent no-op once the artifact exists, the ivf-index
+    // contract), and the oracle RETRAINS from the corpus: persisted
+    // vs retrained bit-equality certified cross-engine every gate run
+    "t22_quality_model" -> ((s: SparkSession, dir: String) => TextAnalysis.qualityModelDatasheet(s, dir)),
+    // t23: the classifier's OPERATING CURVE — kept docs/token mass/
+    // rule disagreement at each micronat threshold on the shared
+    // grid, ONE corpus pass (c21 is this table's thr=0 row)
+    "t23_threshold_curve" -> ((s: SparkSession, dir: String) => TextAnalysis.classifierThresholdCurve(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -248,6 +258,12 @@ object SparkEntry {
     // c21: the t21 model USED as a filter — kept/dropped docs and
     // surviving token mass per (lang, source), the CCNet stage shape
     "c21_classifier_filtered" -> ((s: SparkSession, dir: String) => Curation.classifierFilteredStats(s, dir)),
+    // c22: the INGEST pipeline composed end-to-end — exact-fp
+    // decontam → trained-classifier filter (served from the t22
+    // persisted artifact) → trained-tokenizer ids → budget packs,
+    // with per-lang drop accounting at every stage; the batch twin
+    // of the streaming serve stack (decontam/quality/bpe-id gates)
+    "c22_llm_ingest_chain" -> ((s: SparkSession, dir: String) => Curation.llmIngestChainStats(s, dir)),
     "d18_incr_semdedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalSemanticNearDups(s, dir)),
     "d19_containment" -> ((s: SparkSession, dir: String) => Dedup.containmentPairs(s, dir)),
     // d20: edit-distance near-dups — MinHash-banded candidates (the
@@ -798,13 +814,16 @@ object SparkEntry {
     * order restored by `list(... ORDER BY pos)`, and the c08 packing
     * window replayed verbatim — so the oracle certifies the whole
     * counts → merges → vocab → pack chain end-to-end. */
-  private def c20OracleSql(rounds: Int): String = {
+  /** The BPE id-numbering CTE block (alphabet rank ids 1..A, merge
+    * round r's product A+r, first-creation wins; ends at `wids`:
+    * word → ordered id list) — ONE definition shared by the c20 and
+    * c22 oracles, mirroring the ONE [[graft.ops.Curation
+    * .bpeSymbolIdRow]] on the Spark side. */
+  private def bpeIdCtes(rounds: Int): String = {
     val mt = (1 to rounds)
       .map(i => s"SELECT CAST($i AS BIGINT) AS rnd, l, r2 FROM t$i")
       .mkString("\n         UNION ALL ")
-    s"""WITH RECURSIVE
-       ${bpeTrainingCtes(rounds)},
-       alpha AS (SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS sym
+    s"""alpha AS (SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS sym
          FROM wf),
        aid AS (SELECT sym,
            CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id
@@ -819,7 +838,13 @@ object SparkEntry {
            unnest(range(1, len(syms) + 1)) AS pos
          FROM w$rounds),
        wids AS MATERIALIZED (SELECT word, list(id ORDER BY pos) AS ids
-         FROM wx JOIN sid USING (sym) GROUP BY word),
+         FROM wx JOIN sid USING (sym) GROUP BY word)"""
+  }
+
+  private def c20OracleSql(rounds: Int): String = {
+    s"""WITH RECURSIVE
+       ${bpeTrainingCtes(rounds)},
+       ${bpeIdCtes(rounds)},
        dw AS (SELECT doc_id, lang,
            regexp_extract_all(lower(text), '[a-z]+') AS ws
          FROM documents),
@@ -842,6 +867,60 @@ object SparkEntry {
            THEN array_to_string(ids, ',') END, ',' ORDER BY doc_id), '')
            AS ids_csv
        FROM packed GROUP BY 1, 2 ORDER BY lang, pack_id"""
+  }
+
+  /** c22's oracle: the whole ingest chain replayed in one SQL text —
+    * exact-fingerprint decontamination (the d01 md5 key), per-doc
+    * classifier verdicts from the shared t21 chain (trained on the
+    * FULL corpus, the production artifact order), the shared BPE id
+    * numbering applied to the survivors, the c08/c20 packing window,
+    * and the per-lang stage accounting. Every stage is an
+    * already-certified oracle fragment; what this text certifies is
+    * the COMPOSITION. */
+  private def c22OracleSql(rounds: Int, budget: Long): String = {
+    val fpOf = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    s"""WITH RECURSIVE
+       ${bpeTrainingCtes(rounds)},
+       ${bpeIdCtes(rounds)},
+       $t21ChainCtes,
+       fpb AS (SELECT DISTINCT $fpOf AS fp
+         FROM documents WHERE source = 'src0'),
+       rawd AS (SELECT doc_id, lang, text, $fpOf AS fp
+         FROM documents WHERE source <> 'src0'),
+       surv AS (SELECT doc_id, lang, text FROM rawd
+         WHERE fp NOT IN (SELECT fp FROM fpb)),
+       verd AS (SELECT r.doc_id,
+           CASE WHEN pri.prior + coalesce(sc.s, 0) > 0 THEN 1 ELSE 0 END AS pred
+         FROM r LEFT JOIN sc USING (doc_id) CROSS JOIN pri),
+       dwk AS (SELECT s2.doc_id, s2.lang,
+           regexp_extract_all(lower(s2.text), '[a-z]+') AS ws
+         FROM surv s2 JOIN verd USING (doc_id) WHERE verd.pred = 1),
+       dtokk AS (SELECT doc_id, unnest(ws) AS word,
+           unnest(range(1, len(ws) + 1)) AS wpos
+         FROM dwk),
+       enck AS (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
+         FROM dtokk JOIN wids USING (word) GROUP BY doc_id),
+       dik AS (SELECT dwk.doc_id, dwk.lang,
+           CAST(coalesce(len(e.ids), 0) AS BIGINT) AS n_tok
+         FROM dwk LEFT JOIN enck e USING (doc_id)),
+       packedk AS (SELECT doc_id, lang, n_tok,
+           sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+         FROM dik),
+       prk AS (SELECT lang, count(*) AS n_kept,
+           count(DISTINCT start // $budget) AS n_packs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM packedk GROUP BY 1),
+       rawn AS (SELECT lang, count(*) AS n_raw FROM rawd GROUP BY 1),
+       survn AS (SELECT lang, count(*) AS n_surv FROM surv GROUP BY 1)
+     SELECT rawn.lang AS lang, rawn.n_raw AS n_raw,
+       rawn.n_raw - coalesce(survn.n_surv, 0) AS n_contam,
+       coalesce(survn.n_surv, 0) - coalesce(prk.n_kept, 0) AS n_lowq,
+       coalesce(prk.n_kept, 0) AS n_kept,
+       coalesce(prk.n_packs, 0) AS n_packs,
+       coalesce(prk.n_tokens, 0) AS n_tokens
+     FROM rawn LEFT JOIN survn USING (lang) LEFT JOIN prk USING (lang)
+     ORDER BY lang"""
   }
 
   /** The shared t18/t19 CTE chain — training rounds as generated
@@ -2793,6 +2872,46 @@ object SparkEntry {
            CAST(sum(pred) AS BIGINT) AS n_pred_pass,
            CAST(sum(CASE WHEN pred <> y THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
          FROM fin GROUP BY lang ORDER BY lang""",
+    // t22: the oracle RETRAINS the model the Spark side serves from
+    // its persisted artifact — the datasheet row (vocab size, OOV
+    // weight, prior, weight sign counts and extremes) must be
+    // bit-identical, certifying the parquet round-trip loses nothing
+    "t22_quality_model" ->
+      s"""WITH $t21ChainCtes,
+         oov AS (SELECT
+             CAST(floor(ln(1.0 / CAST(np + v + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln(1.0 / CAST(nf + v + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             AS w_oov
+           FROM tot)
+         SELECT tot.v AS v, oov.w_oov AS w_oov, pri.prior AS prior,
+           CAST(sum(CASE WHEN wt.w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN wt.w < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(sum(CASE WHEN wt.w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           min(wt.w) AS wt_min, max(wt.w) AS wt_max
+         FROM wt CROSS JOIN tot CROSS JOIN pri CROSS JOIN oov
+         GROUP BY 1, 2, 3""",
+    // t23: the trained chain scored once, fanned over the shared
+    // micronat threshold grid — the grid literal is generated from
+    // the ONE Scala definition so the engines cannot grid apart
+    "t23_threshold_curve" ->
+      s"""WITH $t21ChainCtes,
+         sc2 AS (SELECT r.doc_id, r.y, CAST(len(r.w) AS BIGINT) AS n_tok,
+             pri.prior + coalesce(sc.s, 0) AS score
+           FROM r LEFT JOIN sc USING (doc_id) CROSS JOIN pri),
+         th AS (SELECT CAST(unnest([${
+        graft.ops.TextAnalysis.thresholdGridMicronats.mkString(", ")}])
+           AS BIGINT) AS thr)
+         SELECT th.thr AS thr,
+           CAST(sum(CASE WHEN score > thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN score > thr THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CAST(sum(CASE WHEN (CASE WHEN score > thr THEN 1 ELSE 0 END) <> y
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+         FROM sc2 CROSS JOIN th GROUP BY 1 ORDER BY 1""",
+    // c22: the composed ingest chain — decontam → verdict → ids →
+    // packs, one SQL text certifying the composition
+    "c22_llm_ingest_chain" -> c22OracleSql(6, 2048),
     // c21: the SAME trained chain, rolled up as the filter it exists
     // for — kept/dropped docs and surviving token mass per (lang,
     // source), floor-div milli drop rate

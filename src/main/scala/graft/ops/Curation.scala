@@ -313,13 +313,24 @@ object Curation {
     * and cannot desynchronize. Reference analog: the chained
     * map-then-group consumption idiom (streamable/stream.py:230-
     * 353); trained-tokenizer packing is extension surface. */
-  def bpePackedIdsStats(s: SparkSession, dir: String, budget: Long = 2048,
+  /** The trained tokenizer's symbol→id numbering as a ONE-ROW
+    * broadcastable artifact (`sm`: map sym → long id): the alphabet
+    * ranked by the total string order takes ids 1..A (an
+    * Aggregate-dominated vocab-sized window — the sanctioned t09
+    * shape), merge round r's product takes A+r, and a string created
+    * twice keeps its FIRST id (min — the t09 first-wins tie
+    * discipline). Id 0 is RESERVED as the unknown-symbol outcome for
+    * serve paths over unseen text ([[graft.streaming.Streams
+    * .bpeEncodeIdsStream]]); the trainer never assigns it. ONE
+    * definition shared by the batch packer ([[bpePackedIdsStats]],
+    * c20) and the streaming serve path, so batch and stream can
+    * never number the vocabulary differently. Training is memoized
+    * ([[graft.ops.TextAnalysis.bpeTrain]]), so co-calling this with
+    * other artifact consumers costs one training pass total. */
+  def bpeSymbolIdRow(s: SparkSession, dir: String,
       rounds: Int = 6): DataFrame = {
     import graft.ops.TextAnalysis
     val (merges, segs) = TextAnalysis.bpeTrain(s, dir, rounds)
-    // base alphabet: distinct chars of the trained word table, ranked
-    // by the total string order (an Aggregate-dominated vocab-sized
-    // window — the sanctioned t09 shape)
     val alpha = segs
       .select(explode(regexp_extract_all(col("word"), lit("."), lit(0)))
         .as("sym"))
@@ -330,12 +341,18 @@ object Curation {
     val mid = merges.crossJoin(broadcast(aCount))
       .select(concat(col("left_sym"), col("right_sym")).as("sym"),
         (col("a") + col("merge_round")).as("id"))
-    val sid = aid.select(col("sym"), col("id"))
+    aid.select(col("sym"), col("id"))
       .unionByName(mid)
       .groupBy("sym").agg(min("id").as("id")) // first-creation wins
-    val symMap = sid
       .agg(map_from_entries(collect_list(struct(col("sym"), col("id"))))
         .as("sm"))
+  }
+
+  def bpePackedIdsStats(s: SparkSession, dir: String, budget: Long = 2048,
+      rounds: Int = 6): DataFrame = {
+    import graft.ops.TextAnalysis
+    val (_, segs) = TextAnalysis.bpeTrain(s, dir, rounds)
+    val symMap = bpeSymbolIdRow(s, dir, rounds)
     val wordMap = segs.crossJoin(broadcast(symMap))
       .select(col("word"),
         transform(col("syms"), sy => element_at(col("sm"), sy)).as("ids"))
@@ -1015,5 +1032,83 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("chars_new"), col("chars_old"))).as("n_chars"))
       .orderBy("status")
+  }
+
+  /** The LLM-data INGEST pipeline composed end-to-end (c22) — the
+    * batch twin of the streaming serve stack
+    * ([[graft.streaming.Streams.decontamGateStream]] →
+    * [[graft.streaming.Streams.qualityGateStream]] →
+    * [[graft.streaming.Streams.bpeEncodeIdsStream]] → packing):
+    * (1) exact-fingerprint decontamination against the benchmark
+    * set (the d01/c04 md5 key — a leaked eval doc dies at the front
+    * door), (2) the TRAINED t21 classifier as the quality filter,
+    * served from its persisted artifact ([[graft.ops.TextAnalysis
+    * .readQualityModel]] — train once upstream, every ingest run is
+    * a one-file read), (3) the trained tokenizer's id encoding (the
+    * c20 numbering via [[bpeSymbolIdRow]]'s shared definitions), and
+    * (4) budget packing through the ONE [[withPackId]] window c02/
+    * c08/c20 share. Per-lang drop accounting at every stage —
+    * n_raw → n_contam / n_lowq → n_kept, plus packs and surviving
+    * token mass: the numbers an ingest SLO dashboard actually shows.
+    *
+    * What c22 certifies is the COMPOSITION (each stage is already
+    * individually oracled — c04's gate twin, t21/c21, c20): one
+    * DuckDB chain replays fingerprint → verdict → encode → pack and
+    * must match bit-for-bit. Scale shape is the sum of the stages':
+    * benchmark fingerprints and both model rows broadcast; scoring
+    * and encoding are in-row folds; the ONLY corpus shuffle is the
+    * lang-partitioned pack window (the sanctioned c08 shape); every
+    * rollup is languages-wide. Models train on the FULL corpus
+    * upstream of the gate (the production order: artifacts exist
+    * before ingest), so their weights are the same rows t21/c20
+    * certify. */
+  def llmIngestChainStats(s: SparkSession, dir: String,
+      budget: Long = 2048, rounds: Int = 6,
+      benchSource: String = "src0"): DataFrame = {
+    import graft.ops.TextAnalysis
+    val docs = t(s, dir, "documents")
+    val raw = docs.filter(col("source") =!= benchSource)
+    val benchFps = docs.filter(col("source") === benchSource)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val withFp = raw.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val survivors = withFp.join(broadcast(benchFps), Seq("fp"), "left_anti")
+    val scored = survivors
+      .crossJoin(broadcast(TextAnalysis.readQualityModel(s, dir)))
+      .withColumn("pred", (TextAnalysis.classifierScoreCol(
+        col("text"), col("wm"), col("w_oov"), col("prior")) > 0L)
+        .cast("long"))
+    val kept = scored.filter(col("pred") === 1L)
+    // trained-tokenizer encode (the c20 path over the gate survivors;
+    // survivor words ⊆ corpus words, so the word map is total here —
+    // element_at stays fail-loud on a stale artifact)
+    val (_, segs) = TextAnalysis.bpeTrain(s, dir, rounds)
+    val wordMap = segs.crossJoin(broadcast(bpeSymbolIdRow(s, dir, rounds)))
+      .select(col("word"),
+        transform(col("syms"), sy => element_at(col("sm"), sy)).as("ids"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("ids"))))
+        .as("wm2"))
+    val withIds = kept.crossJoin(broadcast(wordMap))
+      .select(col("doc_id"), col("lang"),
+        flatten(transform(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
+          w => element_at(col("wm2"), w))).as("ids"))
+      .withColumn("n_tok", size(col("ids")).cast("long"))
+    val packRollup = withPackId(withIds, budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct("pack_id").as("n_packs"),
+        sum("n_tok").as("n_tokens"))
+    val rawN = raw.groupBy("lang").agg(count(lit(1)).as("n_raw"))
+    val survN = survivors.groupBy("lang").agg(count(lit(1)).as("n_surv"))
+    rawN.join(survN, Seq("lang"), "left")
+      .join(packRollup, Seq("lang"), "left")
+      .select(col("lang"), col("n_raw"),
+        (col("n_raw") - coalesce(col("n_surv"), lit(0L))).as("n_contam"),
+        (coalesce(col("n_surv"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_lowq"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy("lang")
   }
 }

@@ -484,10 +484,32 @@ object Layout {
     * [[zorder3Locality]]'s declarative boxes — measured by the
     * OpsSpec file-statistics test against a single-key baseline). */
   def zorder3Write(df: DataFrame, dimA: String, dimB: String,
-      dimC: String, path: String, files: Int): Unit = {
+      dimC: String, path: String, files: Int): Unit =
+    curve3Write(df, dimA, dimB, dimC, path, files, hilbert = false)
+
+  /** [[zorder3Write]]'s twin on the 3-d HILBERT curve — the key the
+    * l06 measurement showed beats Morton at arbitrary file cuts (a
+    * Hilbert segment of length L keeps O(L^(1/3)) diameter, so every
+    * written file's min/max statistics stay tight on ALL THREE
+    * dimensions even when `files` doesn't align the curve dyadically
+    * — sf0.01, identical cuts: 5 buckets touched vs Morton's 12).
+    * Identical write shape: one bounds job, one range exchange on the
+    * [[graft.functions.HilbertIndex3]] key, in-partition sort, key
+    * dropped from storage. Measured on disk (OpsSpec, sf0.001 orders,
+    * 17 equal-frequency files, identical cuts both layouts): summed
+    * normalized box volume 1.60 vs Morton's 2.89, and 18 vs 39
+    * rect-file intersections over six unaligned triple-dim query
+    * boxes — the fraction of files a reader's min/max skip decision
+    * actually opens. */
+  def hilbert3Write(df: DataFrame, dimA: String, dimB: String,
+      dimC: String, path: String, files: Int): Unit =
+    curve3Write(df, dimA, dimB, dimC, path, files, hilbert = true)
+
+  private def curve3Write(df: DataFrame, dimA: String, dimB: String,
+      dimC: String, path: String, files: Int, hilbert: Boolean): Unit = {
     val clash = df.columns.filter(_.startsWith("__z"))
     require(clash.isEmpty,
-      s"zorder3Write: column name(s) ${clash.mkString(", ")} collide with " +
+      s"curve3Write: column name(s) ${clash.mkString(", ")} collide with " +
         "the reserved __z internal prefix — rename before writing")
     val rng = df.agg(
       min(dimA).as("__z_a_min"), max(dimA).as("__z_a_max"),
@@ -497,7 +519,9 @@ object Layout {
     val qb = quant16(col(dimB), col("__z_b_min"), col("__z_b_max"))
     val qc = quant16(col(dimC), col("__z_c_min"), col("__z_c_max"))
     df.crossJoin(broadcast(rng))
-      .withColumn("__z_curve_key", morton3(qa, qb, qc))
+      .withColumn("__z_curve_key",
+        if (hilbert) graft.functions.HilbertIndex3(qa, qb, qc)
+        else morton3(qa, qb, qc))
       .drop("__z_a_min", "__z_a_max", "__z_b_min", "__z_b_max",
         "__z_c_min", "__z_c_max")
       .repartitionByRange(files, col("__z_curve_key"))

@@ -1058,8 +1058,13 @@ object TextAnalysis {
     * shuffled on the scoring path.
     *
     * Precondition: both weak classes must be non-empty (a one-class
-    * corpus has no trainable signal — the prior's ln(0) would
-    * surface loudly, not silently). Reference analog: arbitrary
+    * corpus has no trainable signal). Spark's `log` returns NULL on
+    * non-positive input — a bare ln(0) prior would silently
+    * NULL-propagate into every score and verdict (zero docs kept, a
+    * gate that drops everything without a word) — so the guard is a
+    * `raise_error` INSIDE the consumed prior column (the quant16
+    * discipline: Catalyst cannot prune it), pinned by the OpsSpec
+    * one-class test. Reference analog: arbitrary
     * scoring callables inside `map` chains
     * (streamable/stream.py:372-392); the trained-model member is
     * extension surface. */
@@ -1122,8 +1127,131 @@ object TextAnalysis {
         (microLn(lit(1.0) / (col("np") + col("v") + 1L).cast("double")) -
           microLn(lit(1.0) / (col("nf") + col("v") + 1L).cast("double")))
           .as("w_oov"),
-        (microLn(col("ndp").cast("double")) -
-          microLn(col("ndf").cast("double"))).as("prior"))
+        when(col("ndp") > 0L && col("ndf") > 0L,
+          microLn(col("ndp").cast("double")) -
+            microLn(col("ndf").cast("double")))
+          .otherwise(raise_error(format_string(
+            "trainQualityModel: weak labels are one-class " +
+              "(pass=%s docs, fail=%s docs) — no trainable signal; " +
+              "widen the corpus or relax the Gopher bounds",
+            col("ndp").cast("string"), col("ndf").cast("string")))
+            .cast("long"))
+          .as("prior"))
+  }
+
+  /** The t21 classifier's micronat threshold grid for [[
+    * classifierThresholdCurve]]: ±1, ±2, ±5 nats around the c21
+    * operating point 0, frozen here so Spark and the oracle can
+    * never grid differently. */
+  val thresholdGridMicronats: Seq[Long] =
+    Seq(-5000000L, -2000000L, -1000000L, 0L, 1000000L, 2000000L, 5000000L)
+
+  /** Classifier OPERATING CURVE (t23): c21 filters at score > 0;
+    * this query shows the whole knob — for each threshold on the
+    * [[thresholdGridMicronats]] grid, the documents and token mass
+    * that would survive and the disagreement with the weak labels.
+    * The number a 100 TB curation owner actually tunes: moving the
+    * cut one nat trades kept-token mass against rule disagreement,
+    * and this emits the full trade-off table in ONE corpus pass (the
+    * c14 contamination-curve discipline — never one pass per
+    * threshold). Plan: score every doc once (broadcast model, in-row
+    * fold), fan each verdict out over the 7-point grid IN-ROW
+    * (explode of a literal array — ×7 on a per-doc summary frame,
+    * not on text), then a 7-group map-side-combined rollup. All
+    * integers: micronat scores, exact counts. */
+  def classifierThresholdCurve(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val fails = gopherFailCols(col("text"), minWords, maxWords)
+    val perDoc = t(s, dir, "documents")
+      .withColumn("y", (!fails.reduce(_ || _)).cast("long"))
+      .crossJoin(broadcast(trainQualityModel(s, dir, minWords, maxWords)))
+      .select(col("y"),
+        classifierScoreCol(col("text"), col("wm"), col("w_oov"),
+          col("prior")).as("score"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    perDoc
+      .select(col("y"), col("score"), col("n_tok"),
+        explode(array(thresholdGridMicronats.map(lit): _*)).as("thr"))
+      .withColumn("keep", (col("score") > col("thr")).cast("long"))
+      .groupBy("thr")
+      .agg(sum("keep").as("n_kept"),
+        sum(col("keep") * col("n_tok")).as("kept_tokens"),
+        sum((col("keep") =!= col("y")).cast("long")).as("n_disagree"))
+      .orderBy("thr")
+  }
+
+  /** Deterministic per-corpus location for the persisted t21 model,
+    * under the session's warehouse dir — the [[graft.ops.Similarity
+    * .ivfIndexPath]] addressing contract: a pure `(spark, dir)`
+    * query can find its artifact from the corpus dir alone. The
+    * Gopher bounds are part of the address (a model trained at
+    * different bounds is a DIFFERENT model; silently serving it
+    * would be a stale-artifact bug), and so is a FORMAT VERSION:
+    * the warehouse outlives code changes, so any semantic change to
+    * [[trainQualityModel]] (tokenization, smoothing, freeze) must
+    * bump `qualityModelVersion` or ensure would happily serve the
+    * old weights while a retraining oracle diverges. */
+  val qualityModelVersion = "v1"
+  def qualityModelPath(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${s.conf.get("spark.sql.warehouse.dir")}/graft_quality_model/" +
+      s"$qualityModelVersion/$safe/mw${minWords}_$maxWords"
+  }
+
+  /** Idempotent train-once: writes the [[trainQualityModel]] row at
+    * [[qualityModelPath]] unless a completed artifact (_SUCCESS
+    * marker) is already there — the [[graft.ops.Similarity
+    * .ensureIvfIndex]] contract for the classifier. This closes the
+    * train-once-serve-forever loop a production gate needs: without
+    * it every new session (and every streaming restart of
+    * [[graft.streaming.Streams.qualityGateStream]]) pays a full
+    * training pass over the corpus. The model is pure longs (the
+    * [[microLn]] freeze), so the parquet round-trip is bit-exact —
+    * a served verdict can never drift from a freshly-trained one
+    * (OpsSpec pins row-level equality, t22's oracle replays the
+    * training chain against the ARTIFACT-served scores). */
+  def ensureQualityModel(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000): String = {
+    val path = qualityModelPath(s, dir, minWords, maxWords)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      trainQualityModel(s, dir, minWords, maxWords)
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** The persisted t21 model as a one-row frame — [[ensureQualityModel]]
+    * then a plain parquet read: consumers broadcast it exactly like
+    * the freshly-trained row, but the lineage is one file scan, not a
+    * training pass (no localCheckpoint discipline needed on the
+    * streaming static side). */
+  def readQualityModel(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    s.read.parquet(ensureQualityModel(s, dir, minWords, maxWords))
+
+  /** Model-artifact datasheet (t22): the persisted classifier
+    * described as data — vocabulary size, OOV weight, class prior,
+    * and the weight distribution's sign counts and extremes. Serves
+    * two jobs at once: (a) the artifact loop (train → persist → read
+    * → describe) runs end-to-end inside a pure registry query, so
+    * every gate run certifies the round-trip; (b) the DuckDB oracle
+    * RETRAINS the model from the corpus and must land on the
+    * identical row — persisted-vs-retrained bit-equality checked
+    * cross-engine (the micronat freeze is what makes that possible).
+    * One in-row map explode over a ONE-ROW frame; corpus untouched
+    * beyond the (memoized, ensure-guarded) training pass. */
+  def qualityModelDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val m = readQualityModel(s, dir)
+    m.select(explode(col("wm")).as(Seq("tok", "wt")),
+        col("w_oov"), col("prior"))
+      .agg(count(lit(1)).as("v"),
+        min("w_oov").as("w_oov"), min("prior").as("prior"),
+        sum((col("wt") > 0L).cast("long")).as("n_pos"),
+        sum((col("wt") < 0L).cast("long")).as("n_neg"),
+        sum((col("wt") === 0L).cast("long")).as("n_zero"),
+        min("wt").as("wt_min"), max("wt").as("wt_max"))
   }
 
   /** The t21 scoring expression over `text` given the

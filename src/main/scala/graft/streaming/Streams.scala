@@ -427,6 +427,31 @@ object Streams {
       .drop("ml", "mr")
   }
 
+  /** [[bpeEncodeStream]] extended to the trainer-visible ID stream:
+    * the segmented subwords are numbered through the broadcast
+    * symbol-id map ([[graft.ops.Curation.bpeSymbolIdRow]] — the SAME
+    * one-row artifact that numbers c20's batch packs, so a streamed
+    * document's ids are bit-identical to the ids the batch packer
+    * would emit for it). Unseen text stays total: a subword the
+    * trained vocabulary never created (an unseen character, or an
+    * unseen digram a partial merge produced) maps to the RESERVED
+    * unknown id 0 via `try_element_at` + coalesce — never a NULL in
+    * the id array, never a thrown lookup, and `n_unk` counts them so
+    * a drifting upstream corpus surfaces as a measurable rate
+    * instead of silent vocabulary rot. Same stateless shape and
+    * static-side persist contract as [[bpeEncodeStream]]: per-doc
+    * cost is one fold + one in-row transform against two broadcast
+    * rows. Emits (doc, ids, n_subwords, n_unk). */
+  def bpeEncodeIdsStream(docs: DataFrame, mergeRow: DataFrame,
+      symRow: DataFrame, rounds: Int = 6): DataFrame =
+    bpeEncodeStream(docs, mergeRow, rounds)
+      .crossJoin(broadcast(symRow))
+      .withColumn("ids", transform(col("syms"),
+        sy => coalesce(try_element_at(col("sm"), sy), lit(0L))))
+      .withColumn("n_unk",
+        size(filter(col("ids"), i => i === 0L)).cast("long"))
+      .drop("sm", "syms", "n_words")
+
   /** Streaming exact-decontamination gate: arriving documents whose
     * whitespace-normalized md5 fingerprint
     * ([[graft.ops.TextAnalysis.fingerprint]] — the d01/c04 exact-

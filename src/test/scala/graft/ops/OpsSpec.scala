@@ -3219,6 +3219,83 @@ class OpsSpec extends SparkSpec {
     assert(boom.getMessage.contains("__z"))
   }
 
+  test("hilbert3Write layout: physical file boxes beat morton's at identical " +
+    "equal-frequency cuts (the l06 gain carried to disk)") {
+    // l06 measured the straddle fix declaratively (5 vs 12 buckets at
+    // non-dyadic index cuts); this is the claim ON DISK: both write
+    // paths range-partition into the same NUMBER of equal-frequency
+    // files (real file cuts — arbitrary row-count positions, never
+    // dyadic), and the no-jump key must yield per-file min/max boxes
+    // whose summed normalized VOLUME is strictly smaller, hence fewer
+    // rect-file intersections for a triple-dim predicate.
+    import org.apache.spark.sql.functions.{min, max}
+    val o = Relational.t(spark, sf0001, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey").cast("long").as("ck"),
+      org.apache.spark.sql.functions.datediff(col("o_orderdate"),
+        org.apache.spark.sql.functions.lit("1992-01-01")).cast("long").as("day"),
+      org.apache.spark.sql.functions.floor(col("o_totalprice") *
+        org.apache.spark.sql.functions.lit(100)).cast("long").as("cents"))
+    val hDir = java.nio.file.Files.createTempDirectory("graft-h3").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z3m").toString
+    Layout.hilbert3Write(o, "ck", "day", "cents", hDir, files = 17)
+    Layout.zorder3Write(o, "ck", "day", "cents", zDir, files = 17)
+    val Array(b) = o.agg(min("ck"), max("ck"), min("day"), max("day"),
+      min("cents"), max("cents")).collect()
+    val spans = Seq((b.getLong(1) - b.getLong(0)).toDouble.max(1),
+      (b.getLong(3) - b.getLong(2)).toDouble.max(1),
+      (b.getLong(5) - b.getLong(4)).toDouble.max(1))
+    def boxes(dir: String): Seq[Seq[(Long, Long)]] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .toSeq.flatMap { f =>
+          val p = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("ck"), max("ck"), min("day"), max("day"),
+              min("cents"), max("cents")).collect()(0)
+          if (p.isNullAt(0)) None
+          else Some(Seq((p.getLong(0), p.getLong(1)),
+            (p.getLong(2), p.getLong(3)), (p.getLong(4), p.getLong(5))))
+        }
+    val (bh, bz) = (boxes(hDir), boxes(zDir))
+    assert(bh.length >= 12 && bz.length >= 12,
+      s"too few files to discriminate: ${bh.length} vs ${bz.length}")
+    // no rows lost, either layout
+    val n = o.count()
+    assert(spark.read.parquet(hDir).count() == n, "hilbert3 write lost rows")
+    assert(spark.read.parquet(zDir).count() == n, "morton3 write lost rows")
+    def volSum(bx: Seq[Seq[(Long, Long)]]): Double = bx.map { dims =>
+      dims.zip(spans).map { case ((lo, hi), s) => (hi - lo) / s }.product
+    }.sum
+    val (vh, vz) = (volSum(bh), volSum(bz))
+    // six unaligned triple-dim query boxes (the 2-d read-side spec's
+    // construction lifted to the cube): files touched = stats boxes
+    // intersecting — the reader's actual skip decision
+    val fracs = Seq(0.07, 0.22, 0.37, 0.52, 0.67, 0.82)
+    val rects = fracs.zip(fracs.reverse).map { case (f, g) =>
+      Seq(f, g, (f + g) / 2).zipWithIndex.map { case (fr, d) =>
+        val lo = (if (d == 0) b.getLong(0) else if (d == 1) b.getLong(2)
+          else b.getLong(4)) + (fr * spans(d)).toLong
+        (lo, lo + (0.125 * spans(d)).toLong)
+      }
+    }
+    def touchSum(bx: Seq[Seq[(Long, Long)]]): Int = rects.map { rect =>
+      bx.count(dims => dims.zip(rect).forall {
+        case ((blo, bhi), (rlo, rhi)) => bhi >= rlo && blo <= rhi })
+    }.sum
+    val (th, tz) = (touchSum(bh), touchSum(bz))
+    info(f"3-d file boxes — volume sums hilbert $vh%.4f vs morton $vz%.4f; " +
+      s"rect-file touches hilbert $th vs morton $tz of ${6 * bz.length} max")
+    assert(vh < vz, f"hilbert3 summed box volume $vh%.4f must beat morton's $vz%.4f")
+    assert(th <= tz, s"hilbert3 must touch at most morton's files: $th vs $tz")
+    // the reserved-prefix guard covers the hilbert path too
+    val boom = intercept[IllegalArgumentException] {
+      Layout.hilbert3Write(o.withColumn("__z_curve_key",
+        org.apache.spark.sql.functions.lit(1L)),
+        "ck", "day", "cents", hDir, files = 2)
+    }
+    assert(boom.getMessage.contains("__z"))
+  }
+
   test("read-side pruning: curve layouts skip files a single-key layout must read; hilbert <= z") {
     // The verdict-r13 ask: prove the measured l02 curve advantage
     // SURVIVES TO THE SCAN. Three physical layouts of the same rows,
@@ -3955,6 +4032,56 @@ class OpsSpec extends SparkSpec {
     val nDis = got.map(_._5).sum; val n = got.map(_._2).sum
     assert(nDis > 0, "classifier must disagree with the raw rules somewhere")
     assert(nDis * 2 < n, s"must agree on the majority: $nDis of $n disagree")
+  }
+
+  test("t22 persisted quality model round-trips bit-identically and ensure is idempotent") {
+    // train-once-serve-forever: the artifact read back from parquet
+    // must equal the freshly-trained row EXACTLY (the model is pure
+    // longs, so there is no tolerance to hide behind), and a second
+    // ensure must not retrain (same _SUCCESS mtime)
+    // start from a clean slate so THIS run exercises the write path
+    // (the warehouse survives across sbt invocations; the path is a
+    // file: URI, so go through the hadoop fs like the ensure does)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stale = new org.apache.hadoop.fs.Path(
+      TextAnalysis.qualityModelPath(spark, sf0001))
+    val hfs = stale.getFileSystem(hconf)
+    if (hfs.exists(stale)) hfs.delete(stale, true)
+    val fresh = TextAnalysis.trainQualityModel(spark, sf0001).collect()(0)
+    val path = TextAnalysis.ensureQualityModel(spark, sf0001)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    assert(hfs.exists(marker), "ensure must leave a completed artifact")
+    val mtime = hfs.getFileStatus(marker).getModificationTime
+    assert(TextAnalysis.ensureQualityModel(spark, sf0001) == path)
+    assert(hfs.getFileStatus(marker).getModificationTime == mtime,
+      "second ensure must not retrain")
+    val served = TextAnalysis.readQualityModel(spark, sf0001).collect()(0)
+    assert(served.getMap[String, Long](0).toMap ==
+      fresh.getMap[String, Long](0).toMap, "weight map drifted in parquet")
+    assert(served.getLong(1) == fresh.getLong(1), "w_oov drifted")
+    assert(served.getLong(2) == fresh.getLong(2), "prior drifted")
+    // the datasheet describes the same artifact consistently
+    val d = TextAnalysis.qualityModelDatasheet(spark, sf0001).collect()(0)
+    assert(d.getLong(0) == fresh.getMap[String, Long](0).size.toLong)
+    assert(d.getLong(0) == d.getLong(3) + d.getLong(4) + d.getLong(5),
+      "sign counts must partition the vocabulary")
+    assert(d.getLong(6) <= d.getLong(7), "wt_min <= wt_max")
+  }
+
+  test("t21 one-class corpus raises loudly instead of NULL-propagating") {
+    // minWords above every document's length makes ALL weak labels
+    // fail — one class, no trainable signal. Spark's log() returns
+    // NULL on 0, so an unguarded prior would silently NULL every
+    // score (a gate that drops everything without a word); the
+    // raise_error guard inside the consumed prior column must fire.
+    val ex = intercept[Exception] {
+      TextAnalysis.trainQualityModel(spark, sf0001, minWords = 1000000)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("one-class")),
+      s"expected the one-class raise, got: $ex")
   }
 
   test("c21 classifier-filter equals the shared NB verdicts; both verdict classes survive") {

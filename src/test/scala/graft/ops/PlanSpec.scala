@@ -592,6 +592,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c22/t23: composed chain broadcasts every artifact; corpus shuffles " +
+    "only for the pack window; curve fans out in-row") {
+    // c22: benchmark fps, model row, tokenizer maps all broadcast —
+    // the corpus-side heavy path is fp anti-join + in-row score +
+    // in-row encode + the ONE lang-partitioned pack window
+    val c = Curation.llmIngestChainStats(spark, sf0001)
+    c.collect()
+    val pc = finalOnly(c.queryExecution.executedPlan.toString)
+    assert(pc.contains("BroadcastNestedLoopJoin") || pc.contains("BroadcastExchange"),
+      s"c22 artifacts must broadcast:\n$pc")
+    assert(!pc.contains("SortMergeJoin") && !pc.contains("CartesianProduct"),
+      s"c22 must not sort-merge or go cartesian:\n$pc")
+    // t23: one scoring pass, a ×7 in-row Generate on the per-doc
+    // summary (never on text), one 7-group rollup. TWO explodes
+    // total: the training pass's token-count explode + the grid
+    // fan-out — a third would mean the curve re-exploded the corpus
+    val t = TextAnalysis.classifierThresholdCurve(spark, sf0001)
+    t.collect()
+    val pt = finalOnly(t.queryExecution.executedPlan.toString)
+    assert("Generate explode".r.findAllIn(pt).length <= 2,
+      s"t23: training token explode + grid fan-out only:\n$pt")
+    assert(!pt.contains("SortMergeJoin") && !pt.contains("CartesianProduct"),
+      s"t23 must not sort-merge or go cartesian:\n$pt")
+  }
+
   test("p11: replica explosion collapses map-side — partial agg below the exchange") {
     val p = plan(Sampling.bootstrapMeans(spark, sf0001))
     val lines = p.linesIterator.toVector

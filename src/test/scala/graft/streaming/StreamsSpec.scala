@@ -694,6 +694,65 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bpeEncodeIdsStream: streamed ids ≡ the c20 numbering; unseen symbols " +
+    "surface as UNK 0, counted, never null") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.ops.{Curation, TextAnalysis}
+    val mergeRow = TextAnalysis.bpeMergeRow(s, sf0001).localCheckpoint()
+    val symRow = Curation.bpeSymbolIdRow(s, sf0001).localCheckpoint()
+    val Array(mRow) = mergeRow.collect()
+    val ml = mRow.getSeq[String](0); val mr = mRow.getSeq[String](1)
+    val sm = symRow.collect()(0).getMap[String, Long](0).toMap
+    assert(sm.nonEmpty && !sm.valuesIterator.contains(0L),
+      "id 0 is reserved for UNK — the trainer must never assign it")
+    // independent plain-Scala model: merge fold then id lookup, UNK=0
+    def applyMerges(w: String): Seq[String] =
+      ml.zip(mr).foldLeft(w.split("").toSeq) { case (syms, (l, r)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+          else out += x
+        }
+        out.toSeq
+      }
+    val re = "[a-z]+".r
+    def modelIds(t0: String): Seq[Long] =
+      re.findAllIn(t0.toLowerCase).toSeq.flatMap(applyMerges)
+        .map(sy => sm.getOrElse(sy, 0L))
+    val corpus = graft.ops.Relational.t(s, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).take(10)
+    // unseen characters (q/z-heavy nonsense) → UNK 0s among real ids
+    val novel = (889000L, "en", "zzqux the vrilmwk")
+    val mem = MemoryStream[Streams.Doc]
+    val q = Streams.bpeEncodeIdsStream(mem.toDF(), mergeRow, symRow)
+      .select("doc_id", "ids", "n_subwords", "n_unk")
+      .writeStream.format("memory").queryName("bpeids").start()
+    try {
+      mem.addData((corpus :+ novel).map { case (id, lang, t0) =>
+        Streams.Doc(id, ts(1), lang, t0) }: _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id, ids, n_subwords, n_unk FROM bpeids")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2),
+          r.getLong(3)))).toMap
+      (corpus :+ novel).foreach { case (id, _, t0) =>
+        val want = modelIds(t0)
+        val (ids, ns, nu) = got(id)
+        assert(ids == want, s"doc $id id stream diverged")
+        assert(ns == want.length && nu == want.count(_ == 0L))
+      }
+      // corpus docs resolve fully in-vocabulary (zero UNK — the
+      // trained alphabet covers its own corpus by construction) while
+      // the planted novel characters surface as counted UNKs
+      assert(corpus.forall(c => got(c._1)._3 == 0L),
+        "corpus text must never hit UNK")
+      assert(got(novel._1)._3 > 0L, "novel characters must surface as UNK 0")
+    } finally q.stop()
+  }
+
   test("decontamGateStream: planted benchmark copies die at ingest, clean docs pass") {
     val s = spark
     import s.implicits._
@@ -744,9 +803,12 @@ class StreamsSpec extends SparkSpec {
     import s.implicits._
     implicit val sq = s.sqlContext
     import graft.ops.TextAnalysis
-    // train once on the gate corpus, checkpoint the one-row artifact
-    // (the scaladoc's static-side persist contract)
-    val model = TextAnalysis.trainQualityModel(s, sf0001).localCheckpoint()
+    // serve from the PERSISTED artifact (train-once-serve-forever:
+    // ensure writes on first call, every later session — and every
+    // streaming restart — is a one-file read, no training pass and no
+    // localCheckpoint discipline needed; the t22 OpsSpec test pins the
+    // artifact bit-equal to a fresh training run)
+    val model = TextAnalysis.readQualityModel(s, sf0001)
     val docs = graft.ops.Relational.t(s, sf0001, "documents")
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
