@@ -307,6 +307,13 @@ object SparkEntry {
     // identical to s20 by construction, certified by the shared oracle
     "s22_routed_indexed" -> ((s: SparkSession, dir: String) =>
       Similarity.ivf2TopKIndexed(s, dir, Similarity.ensureIvfIndex(s, dir))),
+    // s26: index FRESHNESS — deletes as a broadcast tombstone
+    // anti-join on the persisted index's candidate stream (the LSM
+    // shape: immutable index files + a small delete table until
+    // compaction); the vec_id ≡ 3 (mod 7) slice is deterministic
+    // and provably hits live top-k lists
+    "s26_ivf_tombstoned" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfTopKTombstoned(s, dir, Similarity.ensureIvfIndex(s, dir))),
     // s23: the s17 curve widened to the metrics retrieval pipelines
     // tune on — recall@k, MRR, nDCG@k per probe depth, all exact
     // integer arithmetic so the oracle hash-matches
@@ -4039,6 +4046,36 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
            FROM qc) WHERE rn <= 4),
          cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
+         sc AS (SELECT q_id, c_id,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // s26: the s11 oracle with the tombstone filter on the CANDIDATE
+    // stream only — deleted vectors still shaped cell assignment
+    // (codebook rows aren't corpus members), exactly the Spark side's
+    // anti-join placement; ranks re-close over the survivors
+    "s26_ivf_tombstoned" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < 132),
+         ac AS (SELECT a.vec_id AS c_id, cent_id,
+             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e a, cent),
+         assign AS (SELECT c_id, cent_id AS cell FROM (
+           SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         qc AS (SELECT q.vec_id AS q_id, cent_id,
+             floor(list_cosine_similarity(q.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, cent WHERE q.vec_id < 10),
+         probes AS (SELECT q_id, cent_id AS cell FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM qc) WHERE rn <= 4),
+         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell)
+           WHERE q_id <> c_id AND c_id % 7 <> 3),
          sc AS (SELECT q_id, c_id,
              floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
            FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),

@@ -333,6 +333,53 @@ object Similarity {
     topKPerQuery(s, scored, k)
   }
 
+  /** Tombstoned reads over the persisted IVF index (s26) — the index
+    * FRESHNESS half of the write-once contract: real corpora delete
+    * (takedowns, dedup verdicts, retention windows), but a
+    * partition-bucketed index layout is immutable by design, and
+    * rebuilding 10^10 vectors for every delete batch is not a plan.
+    * The LSM answer: deletes accumulate in a small side TABLE and
+    * every query anti-joins candidates against it until the next
+    * compaction folds them into a fresh [[buildIvfIndex]] layout.
+    * Here the tombstone set is the deterministic vec_id ≡ 3 (mod 7)
+    * slice — scattered across cells, guaranteed to hit live top-k
+    * lists (the spec asserts the result actually differs from s11's
+    * — a tombstone pass that deletes nothing certifies nothing).
+    *
+    * Plan shape over [[ivfTopKIndexed]]: ONE extra broadcast
+    * left-anti join on the candidate stream (tombstone sets are
+    * small relative to the corpus by construction — they reset at
+    * every compaction; an unbroadcastable backlog IS the compaction
+    * trigger). The partition-pruned index scan, broadcast probes,
+    * and bounded-heap ranking are untouched; deleted vectors still
+    * count toward cell assignment (their centroids are codebook
+    * rows, not corpus members) exactly as a FAISS `remove_ids` +
+    * unretrained quantizer behaves. */
+  def ivfTopKTombstoned(s: SparkSession, dir: String, indexPath: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 4,
+      nlist: Int = 32): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = topKPerQuery(s,
+      queries.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("cent_id").as("c_id"),
+          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
+      nprobe, sorted = false)
+      .select(col("q_id"), col("c_id").as("cell"))
+    val tombstones = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id").as("c_id"))
+    val idx = s.read.parquet(indexPath)
+    val scored = idx.join(broadcast(probes), "cell")
+      .join(broadcast(tombstones), Seq("c_id"), "left_anti")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(queries), "q_id")
+      .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
+    topKPerQuery(s, scored, k)
+  }
+
   /** Two-level IVF routing — a coarse quantizer OVER THE FINE CODEBOOK
     * (the composite-index structure of FAISS's inverted-multi-index /
     * routed-IVF family, Babenko & Lempitsky 2012): the query no longer

@@ -59,4 +59,39 @@ class IvfIndexSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning on the routed index scan:\n$p")
   }
+
+  test("tombstoned reads (s26): deleted ids vanish, ranks re-close, the " +
+    "delete genuinely bit, and the index scan still prunes") {
+    val idxPath = "/tmp/graft_ivf_index_spec"
+    Similarity.buildIvfIndex(spark, sf0001, idxPath)
+    val live = Similarity.ivfTopKIndexed(spark, sf0001, idxPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val df = Similarity.ivfTopKTombstoned(spark, sf0001, idxPath)
+    val tomb = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // no deleted id survives anywhere in any top-k
+    assert(tomb.forall { case (_, _, cId) => cId % 7 != 3 },
+      "a tombstoned candidate appeared in a top-k list")
+    // the tombstone pass must actually DELETE something that was live
+    // (a no-op delete set certifies nothing)
+    assert(live.exists { case (_, _, cId) => cId % 7 == 3 },
+      "test premise broken: no live top-k entry carries a tombstoned id")
+    assert(tomb.toSeq != live.toSeq, "results must differ from s11's")
+    // ranks re-close densely per query: 1..k with no holes
+    tomb.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length.toLong),
+        s"query $q ranks must re-close after deletes")
+    }
+    // untouched queries (no tombstone in their candidate set) are
+    // bit-identical to the live path
+    val touched = live.collect { case (q, _, cId) if cId % 7 == 3 => q }.toSet
+    val liveBy = live.groupBy(_._1); val tombBy = tomb.groupBy(_._1)
+    (liveBy.keySet -- touched).foreach { q =>
+      assert(tombBy(q).toSeq == liveBy(q).toSeq,
+        s"query $q had no deleted candidate in its top-k but changed")
+    }
+    // the freshness join must not cost the pruning
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the tombstoned scan:\n$p")
+  }
 }

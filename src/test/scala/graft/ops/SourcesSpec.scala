@@ -30,6 +30,26 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("xml round-trip preserves values (Spark 4 native XML source)") {
+    // Spark 4 folded the spark-xml connector into core — one more
+    // interchange format the engine reads/writes without extra deps.
+    // XML has no long/string distinction on read, so compare through
+    // explicit casts of the inferred columns.
+    val df = Relational.t(spark, sf0001, "region")
+      .select(col("r_regionkey").cast("long").as("r_regionkey"),
+        col("r_name"))
+    df.write.mode("overwrite").option("rowTag", "region")
+      .format("xml").save(s"$tmp/region_xml")
+    val back = spark.read.option("rowTag", "region")
+      .format("xml").load(s"$tmp/region_xml")
+      .select(col("r_regionkey").cast("long"), col("r_name").cast("string"))
+      .orderBy("r_regionkey").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    val expected = df.orderBy("r_regionkey").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(back == expected && back.nonEmpty)
+  }
+
   test("orc round-trip preserves values and pushes filters to the scan") {
     val df = Relational.t(spark, sf0001, "supplier")
     df.write.mode("overwrite").orc(s"$tmp/supplier_orc")

