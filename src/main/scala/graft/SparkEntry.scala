@@ -264,6 +264,11 @@ object SparkEntry {
     // with per-lang drop accounting at every stage; the batch twin
     // of the streaming serve stack (decontam/quality/bpe-id gates)
     "c22_llm_ingest_chain" -> ((s: SparkSession, dir: String) => Curation.llmIngestChainStats(s, dir)),
+    // c23: the OTHER CCNet gate — the corpus bigram LM as the quality
+    // signal (keep what the model finds unsurprising), the t17 chain
+    // behind a pure-integer lm < thr·nb predicate; bigram-less docs
+    // counted n_unscored, never silently kept
+    "c23_perplexity_gate" -> ((s: SparkSession, dir: String) => TextAnalysis.perplexityGateStats(s, dir)),
     "d18_incr_semdedup" -> ((s: SparkSession, dir: String) => Dedup.incrementalSemanticNearDups(s, dir)),
     "d19_containment" -> ((s: SparkSession, dir: String) => Dedup.containmentPairs(s, dir)),
     // d20: edit-distance near-dups — MinHash-banded candidates (the
@@ -314,6 +319,14 @@ object SparkEntry {
     // and provably hits live top-k lists
     "s26_ivf_tombstoned" -> ((s: SparkSession, dir: String) =>
       Similarity.ivfTopKTombstoned(s, dir, Similarity.ensureIvfIndex(s, dir))),
+    // s27: COMPACTION — tombstones folded into a fresh immutable
+    // layout (one anti-join + one partitionBy(cell) rewrite, no
+    // retraining), after which the plain s11 read path applies with
+    // no per-query tombstone join; ≡ s26 by construction, certified
+    // by the shared oracle (the s11/s22 pattern)
+    "s27_ivf_compacted" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfTopKIndexed(s, dir,
+        Similarity.ensureCompactedIvfIndex(s, dir))),
     // s23: the s17 curve widened to the metrics retrieval pipelines
     // tune on — recall@k, MRR, nDCG@k per probe depth, all exact
     // integer arithmetic so the oracle hash-matches
@@ -762,6 +775,32 @@ object SparkEntry {
        FROM pb GROUP BY 1 ORDER BY layout"""
   }
 
+  /** The shared t17/c23 bigram-LM chain: tokenize, top-24+OOV class
+    * normalization, bigram/context count tables, per-bigram micronat
+    * terms — ends at CTE `terms` (doc_id, lang, source, vs). ONE
+    * definition feeding both the t17 report and the c23 perplexity
+    * gate, mirroring the ONE `bigramScoredDocs` on the Spark side. */
+  private def bigramLmCtes: String =
+    """toks AS (SELECT doc_id, lang, source,
+             string_split_regex(trim(text), '\s+') AS w FROM documents),
+         tk AS (SELECT doc_id, lang, source, i, w[i] AS tok
+           FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+         vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 24),
+         ntk AS (SELECT doc_id, lang, source, i,
+             CASE WHEN v.tok IS NULL THEN chr(2) ELSE tk.tok END AS ntok
+           FROM tk LEFT JOIN vocab v USING (tok)),
+         bg AS (SELECT a.doc_id, a.lang, a.source, a.ntok AS p,
+             b.ntok AS c2
+           FROM ntk a JOIN ntk b
+             ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         cb AS (SELECT p, c2, count(*) AS cbi FROM bg GROUP BY 1, 2),
+         cx AS (SELECT p, sum(cbi) AS cxx FROM cb GROUP BY 1),
+         terms AS (SELECT bg.doc_id, lang, source,
+             CAST(floor(ln(CAST(cxx + 25 AS DOUBLE)
+               / CAST(cbi + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS vs
+           FROM bg JOIN cb USING (p, c2) JOIN cx USING (p))"""
+
   /** The shared t21/c21 oracle chain: weak Gopher labels (the t08
     * rule SQL) → per-token class counts → add-one-smoothed log-odds
     * frozen to integer micronats (floor(ln·1e6+½) per class BEFORE
@@ -821,6 +860,37 @@ object SparkEntry {
     * order restored by `list(... ORDER BY pos)`, and the c08 packing
     * window replayed verbatim — so the oracle certifies the whole
     * counts → merges → vocab → pack chain end-to-end. */
+  /** The shared s26/s27 oracle: the s11 text with the tombstone
+    * filter on the candidate stream only (deleted vectors still
+    * shaped cell assignment — codebook rows aren't corpus members);
+    * s27 reads the compacted layout, identical by construction. */
+  private def s26Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < 132),
+         ac AS (SELECT a.vec_id AS c_id, cent_id,
+             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e a, cent),
+         assign AS (SELECT c_id, cent_id AS cell FROM (
+           SELECT c_id, cent_id,
+             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM ac) WHERE rn = 1),
+         qc AS (SELECT q.vec_id AS q_id, cent_id,
+             floor(list_cosine_similarity(q.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
+           FROM e q, cent WHERE q.vec_id < 10),
+         probes AS (SELECT q_id, cent_id AS cell FROM (
+           SELECT q_id, cent_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
+           FROM qc) WHERE rn <= 4),
+         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell)
+           WHERE q_id <> c_id AND c_id % 7 <> 3),
+         sc AS (SELECT q_id, c_id,
+             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
+           FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
   /** The BPE id-numbering CTE block (alphabet rank ids 1..A, merge
     * round r's product A+r, first-creation wins; ends at `wids`:
     * word → ordered id list) — ONE definition shared by the c20 and
@@ -2831,25 +2901,7 @@ object SparkEntry {
     // chr(1)/chr(2) are the separator/OOV symbols outside the corpus
     // alphabet
     "t17_bigram_ce" ->
-      """WITH toks AS (SELECT doc_id, lang, source,
-             string_split_regex(trim(text), '\s+') AS w FROM documents),
-         tk AS (SELECT doc_id, lang, source, i, w[i] AS tok
-           FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
-         cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
-         vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 24),
-         ntk AS (SELECT doc_id, lang, source, i,
-             CASE WHEN v.tok IS NULL THEN chr(2) ELSE tk.tok END AS ntok
-           FROM tk LEFT JOIN vocab v USING (tok)),
-         bg AS (SELECT a.doc_id, a.lang, a.source, a.ntok AS p,
-             b.ntok AS c2
-           FROM ntk a JOIN ntk b
-             ON a.doc_id = b.doc_id AND b.i = a.i + 1),
-         cb AS (SELECT p, c2, count(*) AS cbi FROM bg GROUP BY 1, 2),
-         cx AS (SELECT p, sum(cbi) AS cxx FROM cb GROUP BY 1),
-         terms AS (SELECT bg.doc_id, lang, source,
-             CAST(floor(ln(CAST(cxx + 25 AS DOUBLE)
-               / CAST(cbi + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS vs
-           FROM bg JOIN cb USING (p, c2) JOIN cx USING (p)),
+      s"""WITH $bigramLmCtes,
          doc AS (SELECT doc_id, lang, source, count(*) AS nb,
              CAST(sum(vs) AS DOUBLE) / 1000000 / count(*) AS ce
            FROM terms GROUP BY 1, 2, 3)
@@ -2919,6 +2971,29 @@ object SparkEntry {
     // c22: the composed ingest chain — decontam → verdict → ids →
     // packs, one SQL text certifying the composition
     "c22_llm_ingest_chain" -> c22OracleSql(6, 2048),
+    // c23: the shared t17 chain to per-doc integer (lm, nb), the
+    // SAME pure-integer keep predicate, stage-accounted rollup
+    "c23_perplexity_gate" ->
+      s"""WITH $bigramLmCtes,
+         doc AS (SELECT doc_id, lang, source, count(*) AS nb,
+             CAST(sum(vs) AS BIGINT) AS lm
+           FROM terms GROUP BY 1, 2, 3),
+         g AS (SELECT lang, source, count(*) AS n_scored,
+             CAST(sum(CASE WHEN lm < 3200000 * nb THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN lm < 3200000 * nb THEN nb + 1 ELSE 0 END)
+               AS BIGINT) AS kept_tokens
+           FROM doc GROUP BY 1, 2),
+         al AS (SELECT lang, source, count(*) AS n_docs
+           FROM documents GROUP BY 1, 2)
+         SELECT al.lang AS lang, al.source AS source, al.n_docs AS n_docs,
+           coalesce(g.n_scored, 0) AS n_scored,
+           al.n_docs - coalesce(g.n_scored, 0) AS n_unscored,
+           coalesce(g.n_kept, 0) AS n_kept,
+           coalesce(g.kept_tokens, 0) AS kept_tokens,
+           (coalesce(g.n_kept, 0) * 1000)
+             // greatest(coalesce(g.n_scored, 0), 1) AS keep_rate_milli
+         FROM al LEFT JOIN g USING (lang, source) ORDER BY 1, 2""",
     // c21: the SAME trained chain, rolled up as the filter it exists
     // for — kept/dropped docs and surviving token mass per (lang,
     // source), floor-div milli drop rate
@@ -4056,32 +4131,12 @@ object SparkEntry {
     // stream only — deleted vectors still shaped cell assignment
     // (codebook rows aren't corpus members), exactly the Spark side's
     // anti-join placement; ranks re-close over the survivors
-    "s26_ivf_tombstoned" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
-           WHERE vec_id >= 100 AND vec_id < 132),
-         ac AS (SELECT a.vec_id AS c_id, cent_id,
-             floor(list_cosine_similarity(a.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
-           FROM e a, cent),
-         assign AS (SELECT c_id, cent_id AS cell FROM (
-           SELECT c_id, cent_id,
-             row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
-           FROM ac) WHERE rn = 1),
-         qc AS (SELECT q.vec_id AS q_id, cent_id,
-             floor(list_cosine_similarity(q.emb, cent_emb) * 10000 + 0.5) / 10000 AS sim_c
-           FROM e q, cent WHERE q.vec_id < 10),
-         probes AS (SELECT q_id, cent_id AS cell FROM (
-           SELECT q_id, cent_id,
-             row_number() OVER (PARTITION BY q_id ORDER BY sim_c DESC, cent_id) AS rn
-           FROM qc) WHERE rn <= 4),
-         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell)
-           WHERE q_id <> c_id AND c_id % 7 <> 3),
-         sc AS (SELECT q_id, c_id,
-             floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
-           FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
-         r AS (SELECT q_id, c_id, sim,
-           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
-         SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "s26_ivf_tombstoned" -> s26Sql,
+    // s27 reads the COMPACTED layout through the plain s11 path;
+    // results are identical to s26 by construction (same survivors,
+    // same probes, same exact re-ranking), so the shared oracle
+    // certifies the compaction lost and resurrected nothing
+    "s27_ivf_compacted" -> s26Sql,
     // s20: the oracle replays BOTH routing levels with the same
     // r4-rounded sims and (sim desc, id asc) ties — route fine→coarse
     // (rn=1), coarse probes (rn<=3), fine probes over the ROUTED

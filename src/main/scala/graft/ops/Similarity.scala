@@ -355,6 +355,45 @@ object Similarity {
     * count toward cell assignment (their centroids are codebook
     * rows, not corpus members) exactly as a FAISS `remove_ids` +
     * unretrained quantizer behaves. */
+  /** The s26/s27 tombstone set — ONE definition (the deterministic
+    * vec_id ≡ 3 (mod 7) slice) shared by the tombstoned read path
+    * and the compaction, so a query and the compactor can never
+    * disagree about what is deleted. Production swaps this for the
+    * real delete table; everything downstream is shape-identical. */
+  def tombstoneSet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id").as("c_id"))
+
+  /** COMPACTION (s27) — the other half of the s26 LSM contract: fold
+    * the accumulated tombstones into a fresh immutable layout (one
+    * anti-join + one [[writePartitionedByCell]] rewrite; cell
+    * assignment is inherited from the index rows, so no re-training
+    * and no re-scoring), after which queries drop the per-read
+    * tombstone join and the delete table resets to empty. Results
+    * over the compacted index are IDENTICAL to tombstoned reads of
+    * the old one by construction — the s11/s22 oracle-sharing
+    * pattern certifies it cross-engine every gate run. */
+  def compactIvfIndex(s: SparkSession, dir: String, indexPath: String,
+      outPath: String): Unit =
+    writePartitionedByCell(
+      s.read.parquet(indexPath)
+        .join(broadcast(tombstoneSet(s, dir)), Seq("c_id"), "left_anti"),
+      outPath)
+
+  /** Idempotent [[compactIvfIndex]] at a deterministic address (the
+    * [[ensureIvfIndex]] contract; the `_compact` suffix keeps the
+    * live and compacted generations side by side the way an index
+    * epoch directory would). */
+  def ensureCompactedIvfIndex(s: SparkSession, dir: String,
+      nlist: Int = 32): String = {
+    val path = ivfIndexPath(s, dir) + "_compact"
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      compactIvfIndex(s, dir, ensureIvfIndex(s, dir, nlist), path)
+    path
+  }
+
   def ivfTopKTombstoned(s: SparkSession, dir: String, indexPath: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 4,
       nlist: Int = 32): DataFrame = {
@@ -369,8 +408,7 @@ object Similarity {
           r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
       nprobe, sorted = false)
       .select(col("q_id"), col("c_id").as("cell"))
-    val tombstones = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
-      .select(col("vec_id").as("c_id"))
+    val tombstones = tombstoneSet(s, dir)
     val idx = s.read.parquet(indexPath)
     val scored = idx.join(broadcast(probes), "cell")
       .join(broadcast(tombstones), Seq("c_id"), "left_anti")

@@ -675,6 +675,27 @@ object TextAnalysis {
     * corpus alphabet, so the string-keyed bigram map cannot alias. */
   def bigramCrossEntropy(s: SparkSession, dir: String,
       vocabSizeParam: Int = 0): DataFrame = {
+    val scored = bigramScoredDocs(s, dir, vocabSizeParam)
+      .withColumn("ce",
+        col("lm").cast("double") / lit(1e6) / (size(col("ids")) - 1))
+    scored.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        r3(sum(floor(col("ce") * lit(1e6) + lit(0.5))).cast("double") /
+          lit(1e6) / count(lit(1))).as("avg_ce"),
+        r3(min(col("ce"))).as("min_ce"),
+        r3(max(col("ce"))).as("max_ce"))
+      .orderBy("lang", "source")
+  }
+
+  /** The t17 per-document scoring frame — (lang, source, ids, lm)
+    * where `ids` is the class-normalized token array and `lm` the
+    * document's total bigram micronat sum — extracted so the t17
+    * report and the c23 perplexity GATE consume ONE definition of
+    * the model and can never score a document differently. Only
+    * documents with ≥ 1 bigram appear (a one-token document has no
+    * transition evidence). */
+  private def bigramScoredDocs(s: SparkSession, dir: String,
+      vocabSizeParam: Int = 0): DataFrame = {
     val vocabSize = if (vocabSizeParam > 0) vocabSizeParam
       else s.conf.get("graft.unigram.vocab", "24").toInt
     val docs = t(s, dir, "documents")
@@ -723,14 +744,50 @@ object TextAnalysis {
               (cbi + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
               .cast("long")
           }))
-      .withColumn("ce",
-        col("lm").cast("double") / lit(1e6) / (size(col("ids")) - 1))
-    scored.groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"),
-        r3(sum(floor(col("ce") * lit(1e6) + lit(0.5))).cast("double") /
-          lit(1e6) / count(lit(1))).as("avg_ce"),
-        r3(min(col("ce"))).as("min_ce"),
-        r3(max(col("ce"))).as("max_ce"))
+    scored
+  }
+
+  /** LM-perplexity quality gate (c23) — the OTHER CCNet signal: t21
+    * gates on a trained discriminative classifier, this gates on the
+    * corpus bigram LM itself (Wenzek et al. 2020's actual mechanism:
+    * keep text the language model finds unsurprising). A document
+    * survives iff its mean bigram cross-entropy is below
+    * `thrMicronat` micronats/bigram — evaluated as the PURE-INTEGER
+    * predicate lm < thr·nb (no float division anywhere near the
+    * boundary, so Spark and the oracle cannot disagree on a
+    * borderline doc). Documents with no bigram (≤ 1 token) carry no
+    * LM evidence and are counted `n_unscored`, not silently kept —
+    * the conservative curation default, the t21 ties→fail spirit.
+    * Report per (lang, source): total docs, scored, kept, surviving
+    * token mass, floor-div milli keep rate (of scored).
+    *
+    * Plan shape: the shared [[bigramScoredDocs]] pass (tokenize
+    * once, vocab-sized broadcast maps, in-row fold) + one
+    * languages-wide rollup + a tiny all-docs count join. The corpus
+    * never shuffles to be gated. Reference analog: `filter(when=)`
+    * with a scoring callable (streamable/stream.py:230-276). */
+  def perplexityGateStats(s: SparkSession, dir: String,
+      thrMicronat: Long = 3200000L, vocabSizeParam: Int = 0): DataFrame = {
+    val scored = bigramScoredDocs(s, dir, vocabSizeParam)
+      .withColumn("n_tok", size(col("ids")).cast("long"))
+      .withColumn("nb", col("n_tok") - 1L)
+      .withColumn("keep",
+        (col("lm") < lit(thrMicronat) * col("nb")).cast("long"))
+    val g = scored.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_scored"),
+        sum("keep").as("n_kept"),
+        sum(col("keep") * col("n_tok")).as("kept_tokens"))
+    t(s, dir, "documents").groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(g, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        (col("n_docs") - coalesce(col("n_scored"), lit(0L))).as("n_unscored"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        floor(coalesce(col("n_kept"), lit(0L)) * lit(1000L) /
+          greatest(coalesce(col("n_scored"), lit(0L)), lit(1L)))
+          .cast("long").as("keep_rate_milli"))
       .orderBy("lang", "source")
   }
 

@@ -94,4 +94,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning on the tombstoned scan:\n$p")
   }
+
+  test("compaction (s27): folded layout equals tombstoned reads exactly, " +
+    "holds zero deleted rows, keeps the one-file-per-cell shape and DPP") {
+    val idxPath = "/tmp/graft_ivf_index_spec"
+    Similarity.buildIvfIndex(spark, sf0001, idxPath)
+    val outPath = "/tmp/graft_ivf_index_spec_compact"
+    Similarity.compactIvfIndex(spark, sf0001, idxPath, outPath)
+    // identical results through the PLAIN s11 read path — no per-query
+    // tombstone join anymore
+    val viaTomb = Similarity.ivfTopKTombstoned(spark, sf0001, idxPath)
+      .collect().map(_.toSeq).toList
+    val df = Similarity.ivfTopKIndexed(spark, sf0001, outPath)
+    assert(df.collect().map(_.toSeq).toList == viaTomb,
+      "compacted reads must equal tombstoned reads row-for-row")
+    // the layout physically dropped every tombstoned row
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    assert(spark.read.parquet(outPath)
+      .filter(pmod(col("c_id"), lit(7)) === 3).count() == 0,
+      "a tombstoned row survived compaction on disk")
+    // row accounting: live rows minus deletes, nothing else lost
+    val before = spark.read.parquet(idxPath).count()
+    val deleted = spark.read.parquet(idxPath)
+      .filter(pmod(col("c_id"), lit(7)) === 3).count()
+    assert(spark.read.parquet(outPath).count() == before - deleted)
+    // writePartitionedByCell's shape claim holds through compaction:
+    // exactly one data file per surviving cell directory
+    val cells = new java.io.File(outPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cells.nonEmpty)
+    cells.foreach { c =>
+      val files = c.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"cell ${c.getName} has ${files.length} files — compaction must yield one")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the compacted scan:\n$p")
+  }
 }

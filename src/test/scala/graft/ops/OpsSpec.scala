@@ -2638,6 +2638,57 @@ class OpsSpec extends SparkSpec {
     assert(probe.exists(d => ceOf(d._4) != ceOf(d._4.reverse)))
   }
 
+  test("c23: perplexity gate matches the plain-Scala LM's integer verdicts; " +
+    "the gate genuinely splits; raising the threshold keeps monotonically more") {
+    // the same independent add-one LM as the t17 spec, reduced to the
+    // gate's pure-integer predicate lm < thr·nb
+    val docs = Relational.t(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).trim.split("\\s+").toSeq))
+    val cnt = docs.flatMap(_._4).groupBy(identity).map { case (w, v) => w -> v.length }
+    val vocab = cnt.toSeq.sortBy { case (w, c) => (-c, w) }.take(24).map(_._1).toSet
+    val norm = docs.map { case (id, lang, src, ws) =>
+      (id, lang, src, ws.map(w => if (vocab(w)) w else "\u0002"))
+    }.filter(_._4.length >= 2)
+    val bigrams = norm.flatMap(_._4.sliding(2).map(p => (p(0), p(1))).toSeq)
+    val cb = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cx = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    def lmOf(ids: Seq[String]): Long = ids.sliding(2).map { p =>
+      val c = cb.getOrElse((p(0), p(1)), 0L)
+      val x = cx.getOrElse(p(0), 0L)
+      math.floor(math.log((x + 25).toDouble / (c + 1)) * 1e6 + 0.5).toLong
+    }.sum
+    val thr = 3200000L
+    val normIds = norm.map(d => d._1 -> d._4).toMap
+    val expect = docs.groupBy(d => (d._2, d._3)).map { case (k, ds) =>
+      val scored = ds.filter(d => normIds.contains(d._1))
+      val kept = scored.filter { d =>
+        val ids = normIds(d._1)
+        lmOf(ids) < thr * (ids.length - 1)
+      }
+      k -> ((ds.length.toLong, scored.length.toLong,
+        (ds.length - scored.length).toLong, kept.length.toLong,
+        kept.map(d => normIds(d._1).length.toLong).sum,
+        kept.length.toLong * 1000 / math.max(scored.length.toLong, 1L)))
+    }
+    val got = TextAnalysis.perplexityGateStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    assert(got == expect)
+    // the gate must genuinely split at this threshold — all-kept or
+    // all-dropped certifies nothing
+    val totKept = got.values.map(_._4).sum
+    val totScored = got.values.map(_._2).sum
+    assert(totKept > 0 && totKept < totScored,
+      s"gate did not split: $totKept of $totScored kept")
+    // threshold monotonicity: a looser cut keeps a superset count
+    val loose = TextAnalysis.perplexityGateStats(spark, sf0001,
+      thrMicronat = 5000000L).collect().map(_.getLong(5)).sum
+    assert(loose >= totKept)
+  }
+
   test("q42: lateral top-2 matches a plain-Scala per-customer model") {
     val orders = Relational.t(spark, sf0001, "orders")
       .select("o_custkey", "o_orderkey", "o_totalprice").collect()
