@@ -147,6 +147,18 @@ object ScaleCheck {
       "ScaleCheck: tables= requires deriveonly — the timed subset assumes " +
         "every table exists at both scales; run the rider's own timing " +
         "against the derived dirs instead")
+    // a typo'd table name would derive NOTHING and exit 0 — the rider
+    // then times a missing or stale corpus, the hazard the require
+    // above exists to prevent; unknown names fail loudly instead
+    val knownTables = Set("documents", "embeddings", "events", "tpch",
+      "region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem")
+    tableFilter.foreach { f =>
+      val unknown = f -- knownTables
+      require(unknown.isEmpty,
+        s"ScaleCheck: unknown tables= name(s) ${unknown.toSeq.sorted.mkString(",")} " +
+          s"— known: ${knownTables.toSeq.sorted.mkString(",")}")
+    }
     def wanted(t: String): Boolean = tableFilter.forall(_.contains(t))
     val scales = Seq(1, k)
     scales.foreach { s =>

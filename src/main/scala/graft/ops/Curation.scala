@@ -348,21 +348,33 @@ object Curation {
         .as("sm"))
   }
 
-  def bpePackedIdsStats(s: SparkSession, dir: String, budget: Long = 2048,
+  /** The trained tokenizer's word → ordered-id-list map as a ONE-ROW
+    * broadcastable artifact (`bpe_wm`) — the [[bpeSymbolIdRow]]
+    * numbering applied to the trained segmentation, extracted so the
+    * c20 packer and the c22 ingest chain consume ONE definition
+    * (`element_at` stays fail-loud by ANSI contract: every corpus
+    * word is in the trained vocab, a miss means a stale artifact).
+    * The column name is namespaced (`bpe_wm`, not `wm`) so the row
+    * composes with the t21 model row (whose weight map is `wm`)
+    * inside one chain without aliasing. */
+  def bpeWordIdMapRow(s: SparkSession, dir: String,
       rounds: Int = 6): DataFrame = {
-    import graft.ops.TextAnalysis
-    val (_, segs) = TextAnalysis.bpeTrain(s, dir, rounds)
-    val symMap = bpeSymbolIdRow(s, dir, rounds)
-    val wordMap = segs.crossJoin(broadcast(symMap))
+    val (_, segs) = graft.ops.TextAnalysis.bpeTrain(s, dir, rounds)
+    segs.crossJoin(broadcast(bpeSymbolIdRow(s, dir, rounds)))
       .select(col("word"),
         transform(col("syms"), sy => element_at(col("sm"), sy)).as("ids"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("ids"))))
-        .as("wm"))
-    val withIds = t(s, dir, "documents").crossJoin(broadcast(wordMap))
+        .as("bpe_wm"))
+  }
+
+  def bpePackedIdsStats(s: SparkSession, dir: String, budget: Long = 2048,
+      rounds: Int = 6): DataFrame = {
+    val withIds = t(s, dir, "documents")
+      .crossJoin(broadcast(bpeWordIdMapRow(s, dir, rounds)))
       .select(col("doc_id"), col("lang"),
         flatten(transform(
           regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
-          w => element_at(col("wm"), w))).as("ids"))
+          w => element_at(col("bpe_wm"), w))).as("ids"))
       .withColumn("n_tok", size(col("ids")).cast("long"))
     withPackId(withIds, budget)
       .groupBy("lang", "pack_id")
@@ -1078,20 +1090,15 @@ object Curation {
         col("text"), col("wm"), col("w_oov"), col("prior")) > 0L)
         .cast("long"))
     val kept = scored.filter(col("pred") === 1L)
-    // trained-tokenizer encode (the c20 path over the gate survivors;
-    // survivor words ⊆ corpus words, so the word map is total here —
-    // element_at stays fail-loud on a stale artifact)
-    val (_, segs) = TextAnalysis.bpeTrain(s, dir, rounds)
-    val wordMap = segs.crossJoin(broadcast(bpeSymbolIdRow(s, dir, rounds)))
-      .select(col("word"),
-        transform(col("syms"), sy => element_at(col("sm"), sy)).as("ids"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("ids"))))
-        .as("wm2"))
-    val withIds = kept.crossJoin(broadcast(wordMap))
+    // trained-tokenizer encode: the SAME [[bpeWordIdMapRow]] the c20
+    // packer broadcasts (survivor words ⊆ corpus words, so the map is
+    // total here — element_at stays fail-loud on a stale artifact)
+    val withIds = kept.select("doc_id", "lang", "text")
+      .crossJoin(broadcast(bpeWordIdMapRow(s, dir, rounds)))
       .select(col("doc_id"), col("lang"),
         flatten(transform(
           regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
-          w => element_at(col("wm2"), w))).as("ids"))
+          w => element_at(col("bpe_wm"), w))).as("ids"))
       .withColumn("n_tok", size(col("ids")).cast("long"))
     val packRollup = withPackId(withIds, budget)
       .groupBy("lang")

@@ -296,10 +296,7 @@ object Similarity {
     * readers. */
   def ensureIvfIndex(s: SparkSession, dir: String, nlist: Int = 32): String = {
     val path = ivfIndexPath(s, dir)
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) buildIvfIndex(s, dir, path, nlist)
-    path
+    Artifacts.ensure(s, path)(buildIvfIndex(s, dir, path, nlist))
   }
 
   /** [[ivfTopK]] against a [[buildIvfIndex]] layout: identical
@@ -313,7 +310,18 @@ object Similarity {
     * s05's compute-the-index-per-query plan shape. */
   def ivfTopKIndexed(s: SparkSession, dir: String, indexPath: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 4,
-      nlist: Int = 32): DataFrame = {
+      nlist: Int = 32): DataFrame =
+    ivfIndexedScan(s, dir, indexPath, nQueries, k, nprobe, nlist,
+      tombstones = None)
+
+  /** The ONE persisted-index read path behind [[ivfTopKIndexed]] and
+    * [[ivfTopKTombstoned]] — same codebook range, probe selection,
+    * self-filter, and exact re-rank; the tombstoned variant differs
+    * by exactly the optional candidate anti-join, so the s26 ≡ s27
+    * by-construction contract cannot be broken by one twin drifting. */
+  private def ivfIndexedScan(s: SparkSession, dir: String,
+      indexPath: String, nQueries: Int, k: Int, nprobe: Int, nlist: Int,
+      tombstones: Option[DataFrame]): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
@@ -326,7 +334,10 @@ object Similarity {
       nprobe, sorted = false)
       .select(col("q_id"), col("c_id").as("cell"))
     val idx = s.read.parquet(indexPath)
-    val scored = idx.join(broadcast(probes), "cell")
+    val candidates = idx.join(broadcast(probes), "cell")
+    val fresh = tombstones.fold(candidates)(tb =>
+      candidates.join(broadcast(tb), Seq("c_id"), "left_anti"))
+    val scored = fresh
       .filter(col("q_id") =!= col("c_id"))
       .join(broadcast(queries), "q_id")
       .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
@@ -387,36 +398,15 @@ object Similarity {
   def ensureCompactedIvfIndex(s: SparkSession, dir: String,
       nlist: Int = 32): String = {
     val path = ivfIndexPath(s, dir) + "_compact"
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
-      compactIvfIndex(s, dir, ensureIvfIndex(s, dir, nlist), path)
-    path
+    Artifacts.ensure(s, path)(
+      compactIvfIndex(s, dir, ensureIvfIndex(s, dir, nlist), path))
   }
 
   def ivfTopKTombstoned(s: SparkSession, dir: String, indexPath: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 4,
-      nlist: Int = 32): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probes = topKPerQuery(s,
-      queries.crossJoin(broadcast(cent))
-        .select(col("q_id"), col("cent_id").as("c_id"),
-          r4(cosine(col("q_emb"), col("cent_emb"))).as("sim")),
-      nprobe, sorted = false)
-      .select(col("q_id"), col("c_id").as("cell"))
-    val tombstones = tombstoneSet(s, dir)
-    val idx = s.read.parquet(indexPath)
-    val scored = idx.join(broadcast(probes), "cell")
-      .join(broadcast(tombstones), Seq("c_id"), "left_anti")
-      .filter(col("q_id") =!= col("c_id"))
-      .join(broadcast(queries), "q_id")
-      .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
-    topKPerQuery(s, scored, k)
-  }
+      nlist: Int = 32): DataFrame =
+    ivfIndexedScan(s, dir, indexPath, nQueries, k, nprobe, nlist,
+      tombstones = Some(tombstoneSet(s, dir)))
 
   /** Two-level IVF routing — a coarse quantizer OVER THE FINE CODEBOOK
     * (the composite-index structure of FAISS's inverted-multi-index /

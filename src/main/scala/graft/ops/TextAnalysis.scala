@@ -1243,17 +1243,22 @@ object TextAnalysis {
     * query can find its artifact from the corpus dir alone. The
     * Gopher bounds are part of the address (a model trained at
     * different bounds is a DIFFERENT model; silently serving it
-    * would be a stale-artifact bug), and so is a FORMAT VERSION:
+    * would be a stale-artifact bug), and so are a FORMAT VERSION —
     * the warehouse outlives code changes, so any semantic change to
     * [[trainQualityModel]] (tokenization, smoothing, freeze) must
     * bump `qualityModelVersion` or ensure would happily serve the
-    * old weights while a retraining oracle diverges. */
+    * old weights while a retraining oracle diverges — and a CORPUS
+    * CONTENT STAMP (the documents table's mtime, the bpeTrain cache
+    * discipline): a corpus re-derived IN PLACE (ScaleCheck
+    * overwrites its xK dirs; testdata regenerates) must retrain,
+    * not serve weights learned from data that no longer exists. */
   val qualityModelVersion = "v1"
   def qualityModelPath(s: SparkSession, dir: String,
       minWords: Int = 50, maxWords: Int = 100000): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val stamp = new java.io.File(dir, "documents.parquet").lastModified
     s"${s.conf.get("spark.sql.warehouse.dir")}/graft_quality_model/" +
-      s"$qualityModelVersion/$safe/mw${minWords}_$maxWords"
+      s"$qualityModelVersion/$safe/mw${minWords}_${maxWords}_st$stamp"
   }
 
   /** Idempotent train-once: writes the [[trainQualityModel]] row at
@@ -1271,12 +1276,9 @@ object TextAnalysis {
   def ensureQualityModel(s: SparkSession, dir: String,
       minWords: Int = 50, maxWords: Int = 100000): String = {
     val path = qualityModelPath(s, dir, minWords, maxWords)
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    Artifacts.ensure(s, path)(
       trainQualityModel(s, dir, minWords, maxWords)
-        .write.mode("overwrite").parquet(path)
-    path
+        .write.mode("overwrite").parquet(path))
   }
 
   /** The persisted t21 model as a one-row frame — [[ensureQualityModel]]

@@ -804,10 +804,12 @@ class StreamsSpec extends SparkSpec {
       assert(leaked.forall(d => !got.contains(d._1)),
         "a planted leak survived the composed stack")
       assert(got.nonEmpty, "stack over-blocked everything")
-      // ids on the survivors: corpus text resolves fully in-vocabulary
+      // ids on the survivors: every survivor carries a non-empty id
+      // array and corpus text resolves fully in-vocabulary
       val sm = symRow.collect()(0).getMap[String, Long](0).toMap
-      assert(got.values.forall(ids => ids.nonEmpty || true) &&
-        got.values.flatten.forall(id => id != 0L),
+      assert(got.values.forall(_.nonEmpty),
+        "a survivor emerged from the stack with no ids")
+      assert(got.values.flatten.forall(id => id != 0L),
         "corpus survivors must never hit UNK through the stack")
       assert(got.values.flatten.toSet.subsetOf(sm.values.toSet),
         "every emitted id must come from the shared numbering")
