@@ -694,57 +694,100 @@ object TextAnalysis {
     * the model and can never score a document differently. Only
     * documents with ≥ 1 bigram appear (a one-token document has no
     * transition evidence). */
-  private def bigramScoredDocs(s: SparkSession, dir: String,
+  /** The bigram LM's class separator and OOV symbol — both outside
+    * the corpus alphabet, so the string-keyed maps cannot alias. */
+  private val lmSep = "\u0001"
+  private val lmOov = "\u0002"
+
+  /** Token class normalization against the broadcast vocabulary map
+    * (top-V kept, everything else the OOV class) — ONE definition
+    * for the batch model build/score ([[bigramScoredDocs]]) and the
+    * streaming gate ([[graft.streaming.Streams
+    * .perplexityGateStream]]), so the two can never tokenize apart. */
+  def lmNormIdsCol(text: Column, vmap: Column): Column =
+    transform(tokens(text), tk =>
+      when(try_element_at(vmap, tk).isNotNull, tk)
+        .otherwise(lit(lmOov)))
+
+  private def lmBigramAt(ids: Column, i: Column): Column = concat_ws(lmSep,
+    element_at(ids, i + 1), element_at(ids, i + 2))
+
+  /** The per-document bigram micronat sum over `ids` given the
+    * broadcast count maps — the t17/c23 scoring fold as ONE column
+    * definition batch and stream share (`vp1` = V+1 rides the model
+    * row so a serving stream can never smooth against a different
+    * vocabulary size than the trainer's). In-row, no shuffle. */
+  def lmScoreCol(ids: Column, bmap: Column, xmap: Column,
+      vp1: Column): Column =
+    aggregate(sequence(lit(0), size(ids) - 2), lit(0L),
+      (acc, i) => {
+        val cx = coalesce(
+          try_element_at(xmap, element_at(ids, i + 1)), lit(0L))
+        val cbi = coalesce(
+          try_element_at(bmap, lmBigramAt(ids, i)), lit(0L))
+        acc + floor(log((cx + vp1).cast("double") /
+          (cbi + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long")
+      })
+
+  /** The trained bigram LM as a first-class ONE-ROW artifact:
+    * (vmap: kept-vocabulary membership, bmap: bigram → count, xmap:
+    * context → count, vp1: V+1) — everything a serving gate needs to
+    * normalize and score exactly as the trainer did, in one
+    * broadcastable row (all maps vocab-sized: ≤ (V+1)² + V entries).
+    * Long-lived consumers persist/localCheckpoint it (the
+    * [[trainQualityModel]] static-side discipline — its lineage is a
+    * full two-pass corpus scan). */
+  def bigramLmModelRow(s: SparkSession, dir: String,
       vocabSizeParam: Int = 0): DataFrame = {
     val vocabSize = if (vocabSizeParam > 0) vocabSizeParam
       else s.conf.get("graft.unigram.vocab", "24").toInt
+    val (vocabRow, _, bmapRow, xmapRow) = lmModelParts(s, dir, vocabSize)
+    vocabRow.crossJoin(broadcast(bmapRow)).crossJoin(broadcast(xmapRow))
+      .withColumn("vp1", lit(vocabSize.toLong + 1L))
+  }
+
+  /** The shared model-build pipeline: vocabulary row, checkpointed
+    * normalized-id frame (the ONE tokenize pass both the count build
+    * and batch scoring read), and the two count-map rows. */
+  private def lmModelParts(s: SparkSession, dir: String, vocabSize: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
     val cnt = docs.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val vocabRow = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize)
       .agg(map_from_entries(collect_list(struct(col("tok"), lit(1))))
         .as("vmap"))
-    val oov = "\u0002"; val sep = "\u0001"
-    // ONE tokenize+normalize pass, checkpointed: the bigram-count
-    // build AND the scoring pass both read these id arrays
     val nids = docs.crossJoin(broadcast(vocabRow))
       .select(col("lang"), col("source"),
-        transform(tokens(col("text")), tk =>
-          when(try_element_at(col("vmap"), tk).isNotNull, tk)
-            .otherwise(lit(oov))).as("ids"))
+        lmNormIdsCol(col("text"), col("vmap")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .localCheckpoint()
-    def bigramAt(i: Column): Column = concat_ws(sep,
-      element_at(col("ids"), i + 1), element_at(col("ids"), i + 2))
     val cb = nids
       .select(explode(transform(sequence(lit(0), size(col("ids")) - 2),
-        i => bigramAt(i))).as("bg"))
+        i => lmBigramAt(col("ids"), i))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cbi"))
       .localCheckpoint()
     val bmapRow = cb.agg(
       map_from_entries(collect_list(struct(col("bg"), col("cbi"))))
         .as("bmap"))
     val xmapRow = cb
-      .groupBy(substring_index(col("bg"), sep, 1).as("p"))
+      .groupBy(substring_index(col("bg"), lmSep, 1).as("p"))
       .agg(sum("cbi").as("cxx"))
       .agg(map_from_entries(collect_list(struct(col("p"), col("cxx"))))
         .as("xmap"))
-    val vp1 = lit(vocabSize.toLong + 1L)
-    val scored = nids
+    (vocabRow, nids, bmapRow, xmapRow)
+  }
+
+  private def bigramScoredDocs(s: SparkSession, dir: String,
+      vocabSizeParam: Int = 0): DataFrame = {
+    val vocabSize = if (vocabSizeParam > 0) vocabSizeParam
+      else s.conf.get("graft.unigram.vocab", "24").toInt
+    val (_, nids, bmapRow, xmapRow) = lmModelParts(s, dir, vocabSize)
+    nids
       .crossJoin(broadcast(bmapRow)).crossJoin(broadcast(xmapRow))
-      .withColumn("lm",
-        aggregate(sequence(lit(0), size(col("ids")) - 2), lit(0L),
-          (acc, i) => {
-            val cx = coalesce(
-              try_element_at(col("xmap"), element_at(col("ids"), i + 1)),
-              lit(0L))
-            val cbi = coalesce(
-              try_element_at(col("bmap"), bigramAt(i)), lit(0L))
-            acc + floor(log((cx + vp1).cast("double") /
-              (cbi + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
-              .cast("long")
-          }))
-    scored
+      .withColumn("lm", lmScoreCol(col("ids"), col("bmap"), col("xmap"),
+        lit(vocabSize.toLong + 1L)))
   }
 
   /** LM-perplexity quality gate (c23) — the OTHER CCNet signal: t21

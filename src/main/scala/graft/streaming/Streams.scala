@@ -427,6 +427,35 @@ object Streams {
       .drop("ml", "mr")
   }
 
+  /** Streaming LM-perplexity gate — c23's serve path and the fourth
+    * member of the stateless ingest-gate family (decontam fingerprint,
+    * classifier score, BPE ids, now LM surprise): every arriving
+    * document normalizes and scores against the broadcast trained
+    * bigram LM ([[graft.ops.TextAnalysis.bigramLmModelRow]] — vmap,
+    * bmap, xmap, vp1 in ONE row) through the SAME
+    * [[graft.ops.TextAnalysis.lmNormIdsCol]]/[[graft.ops.TextAnalysis
+    * .lmScoreCol]] expressions the batch gate folds, under the SAME
+    * pure-integer keep predicate lm < thrMicronat·n_bigrams — stream
+    * and batch can never verdict apart, and no float division sits
+    * near the boundary. Documents with no bigram carry no LM evidence
+    * and are DROPPED (c23's n_unscored class — the conservative
+    * default, never silently kept). Stateless: no watermark, no state
+    * store; per-doc cost is one normalize + one fold against a
+    * broadcast row. Same static-side persist contract as
+    * [[qualityGateStream]] (the model row's lineage is a two-pass
+    * corpus scan). */
+  def perplexityGateStream(docs: DataFrame, lmModel: DataFrame,
+      thrMicronat: Long = 3200000L): DataFrame = {
+    import graft.ops.TextAnalysis
+    docs.crossJoin(broadcast(lmModel))
+      .withColumn("ids", TextAnalysis.lmNormIdsCol(col("text"), col("vmap")))
+      .withColumn("lm", TextAnalysis.lmScoreCol(
+        col("ids"), col("bmap"), col("xmap"), col("vp1")))
+      .filter(size(col("ids")) >= 2 &&
+        col("lm") < lit(thrMicronat) * (size(col("ids")) - 1))
+      .drop("vmap", "bmap", "xmap", "vp1", "ids")
+  }
+
   /** [[bpeEncodeStream]] extended to the trainer-visible ID stream:
     * the segmented subwords are numbered through the broadcast
     * symbol-id map ([[graft.ops.Curation.bpeSymbolIdRow]] — the SAME

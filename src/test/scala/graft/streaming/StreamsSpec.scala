@@ -861,6 +861,62 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("perplexityGateStream: streamed docs pass/fail exactly as the " +
+    "independent plain-Scala LM; bigram-less docs drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.ops.{Relational, TextAnalysis}
+    val model = TextAnalysis.bigramLmModelRow(s, sf0001).localCheckpoint()
+    // independent plain-Scala replay of the trained model (the c23
+    // OpsSpec model): vocab from raw counts, add-one bigram LM,
+    // integer micronat terms, the same integer keep predicate
+    val docs = Relational.t(s, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val allWords = docs.flatMap(_._3.trim.split("\\s+").toSeq)
+    val cnt = allWords.groupBy(identity).map { case (w, v) => w -> v.length }
+    val vocab = cnt.toSeq.sortBy { case (w, c) => (-c, w) }.take(24).map(_._1).toSet
+    def normOf(t0: String): Seq[String] =
+      t0.trim.split("\\s+").toSeq.map(w => if (vocab(w)) w else "")
+    val corpusBigrams = docs.map(d => normOf(d._3)).filter(_.length >= 2)
+      .flatMap(_.sliding(2).map(p => (p(0), p(1))).toSeq)
+    val cb = corpusBigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cx = corpusBigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    def lmOf(ids: Seq[String]): Long = ids.sliding(2).map { p =>
+      math.floor(math.log((cx.getOrElse(p(0), 0L) + 25).toDouble /
+        (cb.getOrElse((p(0), p(1)), 0L) + 1)) * 1e6 + 0.5).toLong
+    }.sum
+    val thr = 3200000L
+    val expectKept = docs.filter { d =>
+      val ids = normOf(d._3)
+      ids.length >= 2 && lmOf(ids) < thr * (ids.length - 1)
+    }.map(_._1).toSet
+    // a one-token doc must drop (no LM evidence)
+    val tiny = (920000L, "en", "solitary")
+    val mem = MemoryStream[Streams.Doc]
+    val q = Streams.perplexityGateStream(mem.toDF(), model)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("ppxgate").start()
+    try {
+      val (b1, b2) = docs.take(60).splitAt(30)
+      mem.addData((b1 :+ tiny).map { case (id, lang, t0) =>
+        Streams.Doc(id, ts(1), lang, t0) }: _*)
+      q.processAllAvailable()
+      mem.addData(b2.map { case (id, lang, t0) =>
+        Streams.Doc(id, ts(1), lang, t0) }: _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id FROM ppxgate").collect()
+        .map(_.getLong(0)).toSet
+      val streamedIds = docs.take(60).map(_._1).toSet
+      assert(got == (expectKept & streamedIds),
+        s"stream kept ${got.size}, model expects ${(expectKept & streamedIds).size}")
+      assert(!got.contains(tiny._1), "a bigram-less doc slipped the gate")
+      // the gate genuinely splits on the streamed slice
+      assert(got.nonEmpty && got.size < streamedIds.size)
+    } finally q.stop()
+  }
+
   test("qualityGateStream: streamed docs pass/fail exactly as the batch verdict") {
     val s = spark
     import s.implicits._
