@@ -77,6 +77,18 @@ object ScaleCheck {
     * cross replicas (per-replica join fan-out preserved exactly)
     * while nation/region aggregations see ×K bigger groups: the
     * workload a ×K cluster-scale corpus actually presents. */
+  // ONE definition of the derivable-table universe — consumed by the
+  // derivation code AND the tables= validation, so the two can't drift
+  private val nonTpchTables = Set("documents", "embeddings", "events")
+  private val fixedDims = Seq("region", "nation")
+  private val starKeys: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"))
+  private def starTables: Seq[String] = starKeys.map(_._1)
+
   private def replicateTpch(spark: SparkSession, seed: String, dir: String,
       k: Int, wanted: String => Boolean): Unit = {
     def shift(df: DataFrame, r: Int, keys: String*): DataFrame =
@@ -87,7 +99,7 @@ object ScaleCheck {
     // table grain: `tables=orders` derives a ×256 orders WITHOUT
     // paying a ×256 lineitem (the l05/l06 rider case)
     def on(t: String): Boolean = wanted("tpch") || wanted(t)
-    def rep(table: String, keys: String*): Unit = if (on(table))
+    def rep(table: String, keys: Seq[String]): Unit = if (on(table))
       (0 until k).map { r =>
         val base = spark.read.parquet(s"$seed/$table.parquet")
         if (r == 0) base else shift(base, r, keys: _*)
@@ -95,14 +107,10 @@ object ScaleCheck {
         .write.mode("overwrite").parquet(s"$dir/$table.parquet")
     // shared fixed dims: copied once, NOT replicated — duplicate
     // un-shifted dim rows would multiply every dim join ×k
-    Seq("region", "nation").filter(on).foreach(t =>
+    fixedDims.filter(on).foreach(t =>
       spark.read.parquet(s"$seed/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet"))
-    rep("customer", "c_custkey")
-    rep("supplier", "s_suppkey")
-    rep("part", "p_partkey")
-    rep("orders", "o_orderkey", "o_custkey")
-    rep("lineitem", "l_orderkey", "l_partkey", "l_suppkey")
+    starKeys.foreach { case (table, keys) => rep(table, keys) }
   }
 
   /** sf0.1 seed embedding count — the n the banding rules size
@@ -147,13 +155,15 @@ object ScaleCheck {
       "ScaleCheck: tables= requires deriveonly — the timed subset assumes " +
         "every table exists at both scales; run the rider's own timing " +
         "against the derived dirs instead")
-    // a typo'd table name would derive NOTHING and exit 0 — the rider
-    // then times a missing or stale corpus, the hazard the require
-    // above exists to prevent; unknown names fail loudly instead
-    val knownTables = Set("documents", "embeddings", "events", "tpch",
-      "region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem")
+    // a typo'd or EMPTY table filter would derive NOTHING and exit 0 —
+    // the rider then times a missing or stale corpus, the hazard the
+    // require above exists to prevent; fail loudly instead
+    val knownTables = nonTpchTables + "tpch" ++ fixedDims ++ starTables
     tableFilter.foreach { f =>
+      require(f.nonEmpty,
+        "ScaleCheck: tables= names no tables — drop the flag to derive " +
+          "everything, or name some of: " +
+          knownTables.toSeq.sorted.mkString(","))
       val unknown = f -- knownTables
       require(unknown.isEmpty,
         s"ScaleCheck: unknown tables= name(s) ${unknown.toSeq.sorted.mkString(",")} " +

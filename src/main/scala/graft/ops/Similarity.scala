@@ -285,9 +285,19 @@ object Similarity {
     * under the session's warehouse dir — the write-once/probe-forever
     * storage contract made addressable from just the corpus dir (what
     * lets a pure `(spark, dir) => DataFrame` query find its index). */
-  def ivfIndexPath(s: SparkSession, dir: String): String = {
+  def ivfIndexPath(s: SparkSession, dir: String): String =
+    s"${ivfStampDir(s, dir)}/main"
+
+  /** The per-corpus-GENERATION directory both index layouts (main +
+    * compacted) live under: the embeddings table's content stamp is
+    * part of the address, so a corpus re-derived in place gets a
+    * fresh build instead of silently serving neighbors from data
+    * that no longer exists (the quality-model discipline; superseded
+    * generations are swept by [[ensureIvfIndex]]). */
+  private def ivfStampDir(s: SparkSession, dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${s.conf.get("spark.sql.warehouse.dir")}/graft_ivf_index/$safe"
+    val stamp = Artifacts.contentStamp(s, dir, "embeddings")
+    s"${s.conf.get("spark.sql.warehouse.dir")}/graft_ivf_index/$safe/st$stamp"
   }
 
   /** Idempotent build: writes the [[buildIvfIndex]] layout for `dir`
@@ -296,6 +306,7 @@ object Similarity {
     * readers. */
   def ensureIvfIndex(s: SparkSession, dir: String, nlist: Int = 32): String = {
     val path = ivfIndexPath(s, dir)
+    Artifacts.sweepSuperseded(s, ivfStampDir(s, dir), "st")
     Artifacts.ensure(s, path)(buildIvfIndex(s, dir, path, nlist))
   }
 
@@ -397,7 +408,7 @@ object Similarity {
     * epoch directory would). */
   def ensureCompactedIvfIndex(s: SparkSession, dir: String,
       nlist: Int = 32): String = {
-    val path = ivfIndexPath(s, dir) + "_compact"
+    val path = s"${ivfStampDir(s, dir)}/compact"
     Artifacts.ensure(s, path)(
       compactIvfIndex(s, dir, ensureIvfIndex(s, dir, nlist), path))
   }
@@ -866,8 +877,9 @@ object Similarity {
   def semanticIndexPath(s: SparkSession, dir: String,
       nlist: Int, iters: Int): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val stamp = Artifacts.contentStamp(s, dir, "embeddings")
     s"${s.conf.get("spark.sql.warehouse.dir")}/graft_semantic_index/" +
-      s"${safe}_nl${nlist}_it$iters"
+      s"${safe}_nl${nlist}_it${iters}_st$stamp"
   }
 
   /** Idempotent write-once build of [[semanticIndex]]: the member
@@ -887,6 +899,8 @@ object Similarity {
       iters: Int = 2): String = {
     val nl = graft.ops.Dedup.resolvedNlist(s, nlist)
     val root = semanticIndexPath(s, dir, nl, iters)
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    Artifacts.sweepSuperseded(s, root, s"${safe}_nl${nl}_it${iters}_st")
     val marker = new org.apache.hadoop.fs.Path(s"$root/codebook/_SUCCESS")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {

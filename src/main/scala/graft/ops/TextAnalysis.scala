@@ -742,7 +742,12 @@ object TextAnalysis {
       vocabSizeParam: Int = 0): DataFrame = {
     val vocabSize = if (vocabSizeParam > 0) vocabSizeParam
       else s.conf.get("graft.unigram.vocab", "24").toInt
-    val (vocabRow, _, bmapRow, xmapRow) = lmModelParts(s, dir, vocabSize)
+    // checkpointNids = false: the model-row path reads the
+    // normalized-id frame exactly ONCE (to build the counts) — a
+    // corpus-sized materialization would buy nothing here; only the
+    // batch report/gate's second (scoring) pass justifies it
+    val (vocabRow, _, bmapRow, xmapRow) =
+      lmModelParts(s, dir, vocabSize, checkpointNids = false)
     vocabRow.crossJoin(broadcast(bmapRow)).crossJoin(broadcast(xmapRow))
       .withColumn("vp1", lit(vocabSize.toLong + 1L))
   }
@@ -750,7 +755,8 @@ object TextAnalysis {
   /** The shared model-build pipeline: vocabulary row, checkpointed
     * normalized-id frame (the ONE tokenize pass both the count build
     * and batch scoring read), and the two count-map rows. */
-  private def lmModelParts(s: SparkSession, dir: String, vocabSize: Int)
+  private def lmModelParts(s: SparkSession, dir: String, vocabSize: Int,
+      checkpointNids: Boolean = true)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
     val cnt = docs.select(explode(tokens(col("text"))).as("tok"))
@@ -762,8 +768,8 @@ object TextAnalysis {
       .select(col("lang"), col("source"),
         lmNormIdsCol(col("text"), col("vmap")).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .localCheckpoint()
-    val cb = nids
+    val nidsShared = if (checkpointNids) nids.localCheckpoint() else nids
+    val cb = nidsShared
       .select(explode(transform(sequence(lit(0), size(col("ids")) - 2),
         i => lmBigramAt(col("ids"), i))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cbi"))
@@ -776,7 +782,7 @@ object TextAnalysis {
       .agg(sum("cbi").as("cxx"))
       .agg(map_from_entries(collect_list(struct(col("p"), col("cxx"))))
         .as("xmap"))
-    (vocabRow, nids, bmapRow, xmapRow)
+    (vocabRow, nidsShared, bmapRow, xmapRow)
   }
 
   private def bigramScoredDocs(s: SparkSession, dir: String,
@@ -1299,7 +1305,7 @@ object TextAnalysis {
   def qualityModelPath(s: SparkSession, dir: String,
       minWords: Int = 50, maxWords: Int = 100000): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val stamp = new java.io.File(dir, "documents.parquet").lastModified
+    val stamp = Artifacts.contentStamp(s, dir, "documents")
     s"${s.conf.get("spark.sql.warehouse.dir")}/graft_quality_model/" +
       s"$qualityModelVersion/$safe/mw${minWords}_${maxWords}_st$stamp"
   }
@@ -1319,6 +1325,10 @@ object TextAnalysis {
   def ensureQualityModel(s: SparkSession, dir: String,
       minWords: Int = 50, maxWords: Int = 100000): String = {
     val path = qualityModelPath(s, dir, minWords, maxWords)
+    // superseded corpus generations are swept, not abandoned: without
+    // this, every in-place re-derivation (new stamp, new dir) leaves
+    // the old model directory behind forever
+    Artifacts.sweepSuperseded(s, path, s"mw${minWords}_${maxWords}_st")
     Artifacts.ensure(s, path)(
       trainQualityModel(s, dir, minWords, maxWords)
         .write.mode("overwrite").parquet(path))

@@ -449,10 +449,15 @@ object Streams {
     import graft.ops.TextAnalysis
     docs.crossJoin(broadcast(lmModel))
       .withColumn("ids", TextAnalysis.lmNormIdsCol(col("text"), col("vmap")))
+      // the bigram-less filter comes BEFORE the scoring projection
+      // (the batch bigramScoredDocs order): the fold's element_at
+      // probes index past a 1-token array, which throws under ANSI —
+      // relying on predicate pushdown + And short-circuit to guard a
+      // throwing expression is a plan-shape bet, not a contract
+      .filter(size(col("ids")) >= 2)
       .withColumn("lm", TextAnalysis.lmScoreCol(
         col("ids"), col("bmap"), col("xmap"), col("vp1")))
-      .filter(size(col("ids")) >= 2 &&
-        col("lm") < lit(thrMicronat) * (size(col("ids")) - 1))
+      .filter(col("lm") < lit(thrMicronat) * (size(col("ids")) - 1))
       .drop("vmap", "bmap", "xmap", "vp1", "ids")
   }
 
