@@ -181,6 +181,11 @@ object SparkEntry {
     // rule disagreement at each micronat threshold on the shared
     // grid, ONE corpus pass (c21 is this table's thr=0 row)
     "t23_threshold_curve" -> ((s: SparkSession, dir: String) => TextAnalysis.classifierThresholdCurve(s, dir)),
+    // t24: the bigram LM as a PERSISTED artifact (the t22 pattern for
+    // the fourth gate's model) — train → write → read → describe
+    // inside the query; the oracle RETRAINS the LM from the corpus,
+    // so persisted-vs-retrained is certified cross-engine per gate run
+    "t24_bigram_lm_model" -> ((s: SparkSession, dir: String) => TextAnalysis.bigramLmDatasheet(s, dir)),
     // — sampling (training-data pipeline) —
     "p01_stratified_sample" -> (Sampling.sampledDocStats _),
     "p02_train_val_test" -> ((s: SparkSession, dir: String) => Curation.splitStats(s, dir)),
@@ -2968,6 +2973,19 @@ object SparkEntry {
            CAST(sum(CASE WHEN (CASE WHEN score > thr THEN 1 ELSE 0 END) <> y
              THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
          FROM sc2 CROSS JOIN th GROUP BY 1 ORDER BY 1""",
+    // t24: the oracle retrains the bigram LM (the shared t17/c23
+    // chain's count tables) and must land on the ARTIFACT-served
+    // datasheet bit-for-bit — the t22 persisted-vs-retrained
+    // certification for the fourth gate's model (vp1 = 24 + 1, the
+    // same add-one-over-V+1 constant the terms CTE smooths with)
+    "t24_bigram_lm_model" ->
+      s"""WITH $bigramLmCtes
+         SELECT (SELECT count(*) FROM vocab) AS v,
+           CAST(25 AS BIGINT) AS vp1,
+           (SELECT count(*) FROM cb) AS n_bigrams,
+           (SELECT count(*) FROM cx) AS n_contexts,
+           (SELECT CAST(sum(cbi) AS BIGINT) FROM cb) AS n_transitions,
+           (SELECT CAST(max(cbi) AS BIGINT) FROM cb) AS c_max""",
     // c22: the composed ingest chain — decontam → verdict → ids →
     // packs, one SQL text certifying the composition
     "c22_llm_ingest_chain" -> c22OracleSql(6, 2048),

@@ -3,11 +3,19 @@ package graft.ops
 import org.apache.spark.sql.SparkSession
 
 /** The ONE _SUCCESS-guarded idempotent-build idiom behind every
-  * persisted artifact (IVF index, compacted index, quality model) —
-  * extracted so a fix to the idiom reaches all of them at once. A
-  * prior write that died BEFORE its _SUCCESS marker leaves no marker,
-  * so the next ensure re-runs the build; every builder writes with
-  * mode("overwrite"), which clears the partial remnants first. */
+  * persisted artifact (IVF index, compacted index, quality model,
+  * bigram LM) — extracted so a fix to the idiom reaches all of them
+  * at once. A prior write that died BEFORE its _SUCCESS marker leaves
+  * no marker, so the next ensure re-runs the build; every builder
+  * writes with mode("overwrite"), which clears the partial remnants
+  * first. Known limit, stated not hidden: ensure's exists-then-build
+  * is per-session idempotence, not a cross-session lock — two
+  * sessions racing the SAME cold address both build (the overwrite
+  * keeps the layout consistent; the loser's work is wasted, not
+  * wrong). A deployment wanting build-once across concurrent writers
+  * puts a coordination layer (a catalog, a lock service) in front;
+  * the address scheme here is deliberately pure so that layer can be
+  * added without touching any reader. */
 private[graft] object Artifacts {
   def ensure(s: SparkSession, path: String)(build: => Unit): String = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
@@ -17,33 +25,69 @@ private[graft] object Artifacts {
   }
 
   /** The corpus CONTENT STAMP every persisted artifact's address must
-    * carry (quality model, IVF index): the source table's mtime
-    * through the Hadoop FileSystem API — java.io.File.lastModified
-    * silently returns 0 on any non-local dir (hdfs://, s3a://),
-    * which would degrade the staleness guard to a no-op exactly
-    * where a real deployment needs it. A missing table raises
-    * (an artifact address for data that doesn't exist is a caller
-    * bug, not a cache miss). */
-  def contentStamp(s: SparkSession, dir: String, table: String): Long = {
+    * carry (quality model, bigram LM, IVF index), derived from the
+    * source table's DATA FILES — max child mtime + total byte length
+    * — never the directory status: object stores (s3a://) report a
+    * synthetic prefix's mtime as zero/meaningless, so a dir-level
+    * stamp degrades the staleness guard to a constant exactly on the
+    * deployments that need it, and mtime alone has millisecond
+    * granularity, so a re-derivation landing in the same tick would
+    * silently keep serving the stale artifact — the byte total
+    * breaks that tie for any materially different corpus. Reads
+    * through the Hadoop FileSystem API (java.io.File.lastModified
+    * has the same silent-zero failure on non-local paths). A missing
+    * table raises (an artifact address for data that doesn't exist
+    * is a caller bug, not a cache miss). */
+  def contentStamp(s: SparkSession, dir: String, table: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(p).getModificationTime
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val status = fs.getFileStatus(p) // raises on a missing table
+    if (status.isFile) s"${status.getModificationTime}-${status.getLen}"
+    else {
+      val files = fs.listStatus(p).filter(_.isFile)
+      if (files.isEmpty) s"${status.getModificationTime}-0"
+      else s"${files.map(_.getModificationTime).max}-${files.map(_.getLen).sum}"
+    }
   }
 
-  /** Sweep superseded content-stamp generations: deletes every
-    * sibling of `keep` under its parent whose name shares `prefix`
-    * but is not `keep` itself — the bpeTrain-cache discipline for
-    * on-disk artifacts, so re-derived corpora don't accumulate
-    * abandoned model directories without bound. */
-  def sweepSuperseded(s: SparkSession, keep: String, prefix: String): Unit = {
+  /** Sweep superseded content-stamp generations, RETAINING the most
+    * recent `retain` of them: deletes siblings of `keep` under its
+    * parent whose name shares `prefix`, except `keep` itself and the
+    * `retain` newest others (by filesystem mtime). Retention exists
+    * because readers resolve paths eagerly and evaluate lazily — a
+    * still-running query, or a streaming static side re-read per
+    * micro-batch, can hold a path to the generation an in-place
+    * corpus re-derivation just superseded; deleting it mid-flight
+    * fails that job. One surviving predecessor covers the window (a
+    * reader two re-derivations behind is already reading data that
+    * was rewritten under it twice); accumulation stays bounded at
+    * retain + 1 generations — the bpeTrain-cache discipline for
+    * on-disk artifacts. */
+  def sweepSuperseded(s: SparkSession, keep: String, prefix: String,
+      retain: Int = 1): Unit = {
     val keepPath = new org.apache.hadoop.fs.Path(keep)
     val fs = keepPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val parent = keepPath.getParent
-    if (fs.exists(parent))
-      fs.listStatus(parent).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith(prefix) && name != keepPath.getName)
-          fs.delete(st.getPath, true)
-      }
+    if (fs.exists(parent)) {
+      val superseded = fs.listStatus(parent)
+        .filter { st =>
+          val name = st.getPath.getName
+          name.startsWith(prefix) && name != keepPath.getName
+        }
+        .sortBy(-_.getModificationTime)
+      superseded.drop(retain).foreach(st => fs.delete(st.getPath, true))
+    }
+  }
+
+  /** The corpus-dir component of every artifact address: the
+    * path-safe sanitization PLUS a short hash of the RAW dir.
+    * Sanitization alone collides (`/a/b` and `/a_b` both map to
+    * `_a_b`), leaving two different corpora disambiguated only by
+    * their content stamps — the hash retires that class outright. */
+  def dirTag(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"$safe-$h"
   }
 }

@@ -295,9 +295,9 @@ object Similarity {
     * that no longer exists (the quality-model discipline; superseded
     * generations are swept by [[ensureIvfIndex]]). */
   private def ivfStampDir(s: SparkSession, dir: String): String = {
-    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val stamp = Artifacts.contentStamp(s, dir, "embeddings")
-    s"${s.conf.get("spark.sql.warehouse.dir")}/graft_ivf_index/$safe/st$stamp"
+    s"${s.conf.get("spark.sql.warehouse.dir")}/graft_ivf_index/" +
+      s"${Artifacts.dirTag(dir)}/st$stamp"
   }
 
   /** Idempotent build: writes the [[buildIvfIndex]] layout for `dir`
@@ -876,10 +876,9 @@ object Similarity {
     * `(spark, dir)` query can find its index. */
   def semanticIndexPath(s: SparkSession, dir: String,
       nlist: Int, iters: Int): String = {
-    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val stamp = Artifacts.contentStamp(s, dir, "embeddings")
     s"${s.conf.get("spark.sql.warehouse.dir")}/graft_semantic_index/" +
-      s"${safe}_nl${nlist}_it${iters}_st$stamp"
+      s"${Artifacts.dirTag(dir)}_nl${nlist}_it${iters}_st$stamp"
   }
 
   /** Idempotent write-once build of [[semanticIndex]]: the member
@@ -899,8 +898,8 @@ object Similarity {
       iters: Int = 2): String = {
     val nl = graft.ops.Dedup.resolvedNlist(s, nlist)
     val root = semanticIndexPath(s, dir, nl, iters)
-    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    Artifacts.sweepSuperseded(s, root, s"${safe}_nl${nl}_it${iters}_st")
+    Artifacts.sweepSuperseded(s, root,
+      s"${Artifacts.dirTag(dir)}_nl${nl}_it${iters}_st")
     val marker = new org.apache.hadoop.fs.Path(s"$root/codebook/_SUCCESS")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {

@@ -431,8 +431,12 @@ object Streams {
     * member of the stateless ingest-gate family (decontam fingerprint,
     * classifier score, BPE ids, now LM surprise): every arriving
     * document normalizes and scores against the broadcast trained
-    * bigram LM ([[graft.ops.TextAnalysis.bigramLmModelRow]] — vmap,
-    * bmap, xmap, vp1 in ONE row) through the SAME
+    * bigram LM (vmap, bmap, xmap, vp1 in ONE row — pass
+    * [[graft.ops.TextAnalysis.readBigramLmModel]], the PERSISTED
+    * artifact whose lineage is one file scan, so the static side's
+    * per-micro-batch re-evaluation costs a file read, not the
+    * two-pass training scan [[graft.ops.TextAnalysis
+    * .bigramLmModelRow]] would re-run) through the SAME
     * [[graft.ops.TextAnalysis.lmNormIdsCol]]/[[graft.ops.TextAnalysis
     * .lmScoreCol]] expressions the batch gate folds, under the SAME
     * pure-integer keep predicate lm < thrMicronat·n_bigrams — stream
@@ -441,9 +445,7 @@ object Streams {
     * and are DROPPED (c23's n_unscored class — the conservative
     * default, never silently kept). Stateless: no watermark, no state
     * store; per-doc cost is one normalize + one fold against a
-    * broadcast row. Same static-side persist contract as
-    * [[qualityGateStream]] (the model row's lineage is a two-pass
-    * corpus scan). */
+    * broadcast row. */
   def perplexityGateStream(docs: DataFrame, lmModel: DataFrame,
       thrMicronat: Long = 3200000L): DataFrame = {
     import graft.ops.TextAnalysis

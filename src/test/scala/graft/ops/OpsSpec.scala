@@ -4119,6 +4119,98 @@ class OpsSpec extends SparkSpec {
     assert(d.getLong(6) <= d.getLong(7), "wt_min <= wt_max")
   }
 
+  test("artifact content stamp reads DATA FILES (not the dir) and breaks " +
+    "same-tick mtime ties by byte total; sweep retains one predecessor") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stamp").toFile
+    try {
+      val tbl = new java.io.File(root, "docs.parquet")
+      tbl.mkdirs()
+      val part = new java.io.File(tbl, "part-0")
+      java.nio.file.Files.write(part.toPath, "abcd".getBytes)
+      val s1 = Artifacts.contentStamp(spark, root.toString, "docs")
+      // a corpus re-derived IN PLACE within the same mtime tick must
+      // still change the stamp if the bytes changed (the byte total
+      // is part of the stamp)
+      val m = part.lastModified()
+      java.nio.file.Files.write(part.toPath, "abcdefgh".getBytes)
+      part.setLastModified(m)
+      val s2 = Artifacts.contentStamp(spark, root.toString, "docs")
+      assert(s1 != s2, "same-tick re-derivation kept the stale stamp")
+      // touching the DIRECTORY (a new sibling dir bumps its mtime on
+      // most filesystems) must not move the stamp — only data files do
+      val s3 = Artifacts.contentStamp(spark, root.toString, "docs")
+      new java.io.File(tbl, "subdir").mkdirs()
+      assert(Artifacts.contentStamp(spark, root.toString, "docs") == s3)
+      // missing table raises (address for absent data = caller bug)
+      intercept[Exception] {
+        Artifacts.contentStamp(spark, root.toString, "nope")
+      }
+      // sweep retention: keep + the single newest superseded gen
+      // survive; older generations go (bounded accumulation without
+      // deleting the one a lazy reader may still hold)
+      val wh = new java.io.File(root, "artifacts"); wh.mkdirs()
+      val gens = Seq("st1", "st2", "st3", "st4").map { g =>
+        val d = new java.io.File(wh, g); d.mkdirs()
+        d.setLastModified(1000000000000L + g.last.toLong * 1000)
+        d
+      }
+      Artifacts.sweepSuperseded(spark, gens.last.toString, "st")
+      assert(gens(3).exists, "keep itself must survive")
+      assert(gens(2).exists, "the newest superseded generation must be retained")
+      assert(!gens(0).exists && !gens(1).exists,
+        "older superseded generations must be swept")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(root)
+    }
+  }
+
+  test("t24 persisted bigram LM round-trips bit-identically and ensure is idempotent") {
+    // the t22 contract for the fourth gate's model: the artifact read
+    // back from parquet must equal the freshly-trained row EXACTLY
+    // (pure longs and map keys — no tolerance to hide behind), and a
+    // second ensure must not retrain. Clean slate first so THIS run
+    // exercises the write path (the warehouse survives sbt runs).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stale = new org.apache.hadoop.fs.Path(
+      TextAnalysis.bigramLmPath(spark, sf0001))
+    val hfs = stale.getFileSystem(hconf)
+    if (hfs.exists(stale)) hfs.delete(stale, true)
+    val fresh = TextAnalysis.bigramLmModelRow(spark, sf0001).collect()(0)
+    val path = TextAnalysis.ensureBigramLmModel(spark, sf0001)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    assert(hfs.exists(marker), "ensure must leave a completed artifact")
+    val mtime = hfs.getFileStatus(marker).getModificationTime
+    assert(TextAnalysis.ensureBigramLmModel(spark, sf0001) == path)
+    assert(hfs.getFileStatus(marker).getModificationTime == mtime,
+      "second ensure must not retrain")
+    val served = TextAnalysis.readBigramLmModel(spark, sf0001).collect()(0)
+    val f = fresh.schema.fieldNames.zipWithIndex.toMap
+    val g = served.schema.fieldNames.zipWithIndex.toMap
+    assert(served.getMap[String, Int](g("vmap")).toMap ==
+      fresh.getMap[String, Int](f("vmap")).toMap, "vmap drifted in parquet")
+    assert(served.getMap[String, Long](g("bmap")).toMap ==
+      fresh.getMap[String, Long](f("bmap")).toMap, "bmap drifted in parquet")
+    assert(served.getMap[String, Long](g("xmap")).toMap ==
+      fresh.getMap[String, Long](f("xmap")).toMap, "xmap drifted in parquet")
+    assert(served.getLong(g("vp1")) == fresh.getLong(f("vp1")),
+      "vp1 drifted in parquet")
+    // the datasheet describes the same artifact consistently
+    val d = TextAnalysis.bigramLmDatasheet(spark, sf0001).collect()(0)
+    assert(d.getLong(0) == fresh.getMap[String, Int](f("vmap")).size.toLong)
+    assert(d.getLong(1) == fresh.getLong(f("vp1")))
+    assert(d.getLong(2) == fresh.getMap[String, Long](f("bmap")).size.toLong)
+    assert(d.getLong(3) == fresh.getMap[String, Long](f("xmap")).size.toLong)
+    assert(d.getLong(4) ==
+      fresh.getMap[String, Long](f("xmap")).values.sum,
+      "total transition mass must equal the context-count sum")
+    assert(d.getLong(5) ==
+      fresh.getMap[String, Long](f("bmap")).values.max,
+      "c_max must be the modal bigram's count")
+  }
+
   test("t21 one-class corpus raises loudly instead of NULL-propagating") {
     // minWords above every document's length makes ALL weak labels
     // fail — one class, no trainable signal. Spark's log() returns

@@ -867,7 +867,12 @@ class StreamsSpec extends SparkSpec {
     import s.implicits._
     implicit val sq = s.sqlContext
     import graft.ops.{Relational, TextAnalysis}
-    val model = TextAnalysis.bigramLmModelRow(s, sf0001).localCheckpoint()
+    // serve from the PERSISTED artifact (the qualityGateStream
+    // discipline: ensure writes on first call, every later session —
+    // and every streaming restart — is a one-file read, no training
+    // pass and no localCheckpoint ceremony; the t24 OpsSpec test pins
+    // the artifact bit-equal to a fresh training run)
+    val model = TextAnalysis.readBigramLmModel(s, sf0001)
     // independent plain-Scala replay of the trained model (the c23
     // OpsSpec model): vocab from raw counts, add-one bigram LM,
     // integer micronat terms, the same integer keep predicate
