@@ -102,6 +102,13 @@ object SparkEntry {
     // l06: the straddle finding's FIX measured — the no-jump 3-d
     // Hilbert key (Skilling kernel) vs 3-d Morton on the same cuts
     "l06_cube_hilbert" -> (Layout.cubePruningHilbert _),
+    // l07: the per-segment statistics-box TABLE behind l06's summary
+    // — box bounds, row counts, integer volume, and the reader's
+    // min/max skip verdict for every file-grain segment of BOTH 3-d
+    // curves, putting the on-disk layout claim (Hilbert boxes ~half
+    // of Morton's volume at identical cuts — the OpsSpec real-footer
+    // measurement) under the cross-engine gate
+    "l07_cube_file_boxes" -> (Layout.cubeFileBoxes _),
     // — event analytics (SURVEY §2.8 event-time re-grounding) —
     "e01_hourly" -> (Events.hourlyStats _),
     "e02_sessions" -> (Events.sessionStats _),
@@ -265,9 +272,11 @@ object SparkEntry {
     "c21_classifier_filtered" -> ((s: SparkSession, dir: String) => Curation.classifierFilteredStats(s, dir)),
     // c22: the INGEST pipeline composed end-to-end — exact-fp
     // decontam → trained-classifier filter (served from the t22
-    // persisted artifact) → trained-tokenizer ids → budget packs,
-    // with per-lang drop accounting at every stage; the batch twin
-    // of the streaming serve stack (decontam/quality/bpe-id gates)
+    // persisted artifact) → LM-perplexity gate (served from the t24
+    // persisted artifact, the c23 predicate) → trained-tokenizer ids
+    // → budget packs, with per-lang four-stage drop accounting
+    // (n_raw → n_contam / n_lowq / n_surprising → n_kept); the batch
+    // twin of the full streaming serve stack (all four gates)
     "c22_llm_ingest_chain" -> ((s: SparkSession, dir: String) => Curation.llmIngestChainStats(s, dir)),
     // c23: the OTHER CCNet gate — the corpus bigram LM as the quality
     // signal (keep what the model finds unsurprising), the t17 chain
@@ -332,6 +341,15 @@ object SparkEntry {
     "s27_ivf_compacted" -> ((s: SparkSession, dir: String) =>
       Similarity.ivfTopKIndexed(s, dir,
         Similarity.ensureCompactedIvfIndex(s, dir))),
+    // s28: the EPOCH-RESOLVED read — ensureCompactedIvfIndex flips
+    // the CURRENT pointer, so this resolves to the PLAIN read over
+    // the compacted layout (no per-query tombstone join in the
+    // plan); ≡ s26/s27 by construction, the shared-oracle pattern;
+    // IvfIndexSpec pins both sides of the switch
+    "s28_ivf_epoch" -> ((s: SparkSession, dir: String) => {
+      Similarity.ensureCompactedIvfIndex(s, dir)
+      Similarity.ivfTopKCurrent(s, dir)
+    }),
     // s23: the s17 curve widened to the metrics retrieval pipelines
     // tune on — recall@k, MRR, nDCG@k per probe depth, all exact
     // integer arithmetic so the oracle hash-matches
@@ -673,7 +691,7 @@ object SparkEntry {
     * driven low-bit flip (one xor-chain column, materialized once),
     * and the Hilbert index as the SAME five-stage interleave spread
     * the morton3 side uses, with x0 at the top bit of each triple. */
-  private def l06OracleSql: String = {
+  private def cube3PerBucketCtes: String = {
     val planes = (15 to 1 by -1).map { k =>
       val q = 1L << k; val p = q - 1L
       val prev = if (k == 15) "h0" else s"pC${k + 1}"
@@ -769,8 +787,13 @@ object SparkEntry {
            min(qa) AS a_lo, max(qa) AS a_hi,
            min(qb) AS b_lo, max(qb) AS b_hi,
            min(qc) AS c_lo, max(qc) AS c_hi,
+           count(*) AS n_rows,
            CAST(sum(in_box) AS BIGINT) AS rows_in
-         FROM tagged GROUP BY 1, 2)
+         FROM tagged GROUP BY 1, 2)"""
+  }
+
+  private def l06OracleSql: String =
+    s"""$cube3PerBucketCtes
        SELECT layout, count(*) AS buckets_total,
          CAST(sum(CASE WHEN a_hi >= 9000 AND a_lo <= 17191
            AND b_hi >= 25000 AND b_lo <= 33191
@@ -778,33 +801,52 @@ object SparkEntry {
            AS buckets_touched,
          CAST(sum(rows_in) AS BIGINT) AS rows_matched
        FROM pb GROUP BY 1 ORDER BY layout"""
-  }
 
-  /** The shared t17/c23 bigram-LM chain: tokenize, top-24+OOV class
-    * normalization, bigram/context count tables, per-bigram micronat
-    * terms — ends at CTE `terms` (doc_id, lang, source, vs). ONE
-    * definition feeding both the t17 report and the c23 perplexity
-    * gate, mirroring the ONE `bigramScoredDocs` on the Spark side. */
-  private def bigramLmCtes: String =
-    """toks AS (SELECT doc_id, lang, source,
+  /** l07's oracle: the SAME 42-CTE dual-curve replay, ending at the
+    * per-segment statistics boxes themselves instead of l06's
+    * touched-count rollup — box bounds, row counts, integer volume,
+    * and the reader's skip verdict per segment. */
+  private def l07OracleSql: String =
+    s"""$cube3PerBucketCtes
+       SELECT layout, bucket, a_lo, a_hi, b_lo, b_hi, c_lo, c_hi,
+         n_rows, rows_in,
+         (a_hi - a_lo + 1) * (b_hi - b_lo + 1) * (c_hi - c_lo + 1)
+           AS volume,
+         CAST(CASE WHEN a_hi >= 9000 AND a_lo <= 17191
+           AND b_hi >= 25000 AND b_lo <= 33191
+           AND c_hi >= 41000 AND c_lo <= 49191 THEN 1 ELSE 0 END AS BIGINT)
+           AS touched
+       FROM pb ORDER BY layout, bucket"""
+
+  /** The shared t17/c23/t24/c22 bigram-LM chain: tokenize, top-24+OOV
+    * class normalization, bigram/context count tables, per-bigram
+    * micronat terms — ends at CTE `terms` (doc_id, lang, source, vs).
+    * ONE definition feeding the t17 report, the c23 perplexity gate,
+    * the t24 datasheet retrain, and (prefixed, so its CTE names
+    * cannot collide with the t21 chain's `tk`/`cnt` in one WITH
+    * block) the c22 composed-chain oracle — mirroring the ONE
+    * `bigramScoredDocs` on the Spark side. */
+  private def bigramLmCtes: String = bigramLmCtes("")
+  private def bigramLmCtes(q: String): String =
+    raw"""${q}toks AS (SELECT doc_id, lang, source,
              string_split_regex(trim(text), '\s+') AS w FROM documents),
-         tk AS (SELECT doc_id, lang, source, i, w[i] AS tok
-           FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
-         cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
-         vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 24),
-         ntk AS (SELECT doc_id, lang, source, i,
-             CASE WHEN v.tok IS NULL THEN chr(2) ELSE tk.tok END AS ntok
-           FROM tk LEFT JOIN vocab v USING (tok)),
-         bg AS (SELECT a.doc_id, a.lang, a.source, a.ntok AS p,
+         ${q}tk AS (SELECT doc_id, lang, source, i, w[i] AS tok
+           FROM ${q}toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         ${q}cnt AS (SELECT tok, count(*) AS c FROM ${q}tk GROUP BY 1),
+         ${q}vocab AS (SELECT tok FROM ${q}cnt ORDER BY c DESC, tok LIMIT 24),
+         ${q}ntk AS (SELECT doc_id, lang, source, i,
+             CASE WHEN v.tok IS NULL THEN chr(2) ELSE ${q}tk.tok END AS ntok
+           FROM ${q}tk LEFT JOIN ${q}vocab v USING (tok)),
+         ${q}bg AS (SELECT a.doc_id, a.lang, a.source, a.ntok AS p,
              b.ntok AS c2
-           FROM ntk a JOIN ntk b
+           FROM ${q}ntk a JOIN ${q}ntk b
              ON a.doc_id = b.doc_id AND b.i = a.i + 1),
-         cb AS (SELECT p, c2, count(*) AS cbi FROM bg GROUP BY 1, 2),
-         cx AS (SELECT p, sum(cbi) AS cxx FROM cb GROUP BY 1),
-         terms AS (SELECT bg.doc_id, lang, source,
+         ${q}cb AS (SELECT p, c2, count(*) AS cbi FROM ${q}bg GROUP BY 1, 2),
+         ${q}cx AS (SELECT p, sum(cbi) AS cxx FROM ${q}cb GROUP BY 1),
+         ${q}terms AS (SELECT ${q}bg.doc_id, lang, source,
              CAST(floor(ln(CAST(cxx + 25 AS DOUBLE)
                / CAST(cbi + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS vs
-           FROM bg JOIN cb USING (p, c2) JOIN cx USING (p))"""
+           FROM ${q}bg JOIN ${q}cb USING (p, c2) JOIN ${q}cx USING (p))"""
 
   /** The shared t21/c21 oracle chain: weak Gopher labels (the t08
     * rule SQL) → per-token class counts → add-one-smoothed log-odds
@@ -954,17 +996,26 @@ object SparkEntry {
   /** c22's oracle: the whole ingest chain replayed in one SQL text —
     * exact-fingerprint decontamination (the d01 md5 key), per-doc
     * classifier verdicts from the shared t21 chain (trained on the
-    * FULL corpus, the production artifact order), the shared BPE id
-    * numbering applied to the survivors, the c08/c20 packing window,
-    * and the per-lang stage accounting. Every stage is an
-    * already-certified oracle fragment; what this text certifies is
-    * the COMPOSITION. */
-  private def c22OracleSql(rounds: Int, budget: Long): String = {
+    * FULL corpus, the production artifact order), the LM-perplexity
+    * gate from the shared (prefixed) bigram-LM chain under the same
+    * pure-integer lm < thr·nb predicate (an inner join to the terms
+    * rollup drops bigram-less docs exactly as the Spark size filter
+    * does), the shared BPE id numbering applied to the survivors,
+    * the c08/c20 packing window, and the per-lang four-stage
+    * accounting. Every stage is an already-certified oracle fragment
+    * (c04, t21/c21, c23/t24, c20); what this text certifies is the
+    * COMPOSITION. */
+  private def c22OracleSql(rounds: Int, budget: Long,
+      thrMicronat: Long): String = {
     val fpOf = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
     s"""WITH RECURSIVE
        ${bpeTrainingCtes(rounds)},
        ${bpeIdCtes(rounds)},
        $t21ChainCtes,
+       ${bigramLmCtes("lm_")},
+       lmdoc AS (SELECT lm_terms.doc_id AS doc_id, count(*) AS nb,
+           CAST(sum(vs) AS BIGINT) AS lm
+         FROM lm_terms GROUP BY 1),
        fpb AS (SELECT DISTINCT $fpOf AS fp
          FROM documents WHERE source = 'src0'),
        rawd AS (SELECT doc_id, lang, text, $fpOf AS fp
@@ -974,9 +1025,14 @@ object SparkEntry {
        verd AS (SELECT r.doc_id,
            CASE WHEN pri.prior + coalesce(sc.s, 0) > 0 THEN 1 ELSE 0 END AS pred
          FROM r LEFT JOIN sc USING (doc_id) CROSS JOIN pri),
-       dwk AS (SELECT s2.doc_id, s2.lang,
-           regexp_extract_all(lower(s2.text), '[a-z]+') AS ws
+       clsk AS (SELECT s2.doc_id, s2.lang, s2.text
          FROM surv s2 JOIN verd USING (doc_id) WHERE verd.pred = 1),
+       lmk AS (SELECT clsk.doc_id, clsk.lang, clsk.text
+         FROM clsk JOIN lmdoc USING (doc_id)
+         WHERE lm < $thrMicronat * nb),
+       dwk AS (SELECT doc_id, lang,
+           regexp_extract_all(lower(text), '[a-z]+') AS ws
+         FROM lmk),
        dtokk AS (SELECT doc_id, unnest(ws) AS word,
            unnest(range(1, len(ws) + 1)) AS wpos
          FROM dwk),
@@ -994,14 +1050,17 @@ object SparkEntry {
            CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM packedk GROUP BY 1),
        rawn AS (SELECT lang, count(*) AS n_raw FROM rawd GROUP BY 1),
-       survn AS (SELECT lang, count(*) AS n_surv FROM surv GROUP BY 1)
+       survn AS (SELECT lang, count(*) AS n_surv FROM surv GROUP BY 1),
+       clsn AS (SELECT lang, count(*) AS n_cls FROM clsk GROUP BY 1)
      SELECT rawn.lang AS lang, rawn.n_raw AS n_raw,
        rawn.n_raw - coalesce(survn.n_surv, 0) AS n_contam,
-       coalesce(survn.n_surv, 0) - coalesce(prk.n_kept, 0) AS n_lowq,
+       coalesce(survn.n_surv, 0) - coalesce(clsn.n_cls, 0) AS n_lowq,
+       coalesce(clsn.n_cls, 0) - coalesce(prk.n_kept, 0) AS n_surprising,
        coalesce(prk.n_kept, 0) AS n_kept,
        coalesce(prk.n_packs, 0) AS n_packs,
        coalesce(prk.n_tokens, 0) AS n_tokens
-     FROM rawn LEFT JOIN survn USING (lang) LEFT JOIN prk USING (lang)
+     FROM rawn LEFT JOIN survn USING (lang) LEFT JOIN clsn USING (lang)
+       LEFT JOIN prk USING (lang)
      ORDER BY lang"""
   }
 
@@ -2745,6 +2804,8 @@ object SparkEntry {
     // MATERIALIZED plane CTEs + gray/parity + the interleave spread,
     // next to the morton3 cascade (see l06OracleSql)
     "l06_cube_hilbert" -> l06OracleSql,
+    // l07: the same dual-curve replay, read out per segment
+    "l07_cube_file_boxes" -> l07OracleSql,
     // l03: all three layout keys + the statistics-intersection
     // rollup replayed over one quantized scan (see l03OracleSql)
     "l03_curve_pruning" -> l03OracleSql,
@@ -2988,7 +3049,7 @@ object SparkEntry {
            (SELECT CAST(max(cbi) AS BIGINT) FROM cb) AS c_max""",
     // c22: the composed ingest chain — decontam → verdict → ids →
     // packs, one SQL text certifying the composition
-    "c22_llm_ingest_chain" -> c22OracleSql(6, 2048),
+    "c22_llm_ingest_chain" -> c22OracleSql(6, 2048, 3200000L),
     // c23: the shared t17 chain to per-doc integer (lm, nb), the
     // SAME pure-integer keep predicate, stage-accounted rollup
     "c23_perplexity_gate" ->
@@ -4155,6 +4216,9 @@ object SparkEntry {
     // same probes, same exact re-ranking), so the shared oracle
     // certifies the compaction lost and resurrected nothing
     "s27_ivf_compacted" -> s26Sql,
+    // s28 resolves through the flipped epoch pointer to the same
+    // compacted layout — the third member of the shared-oracle family
+    "s28_ivf_epoch" -> s26Sql,
     // s20: the oracle replays BOTH routing levels with the same
     // r4-rounded sims and (sim desc, id asc) ties — route fine→coarse
     // (rn=1), coarse probes (rn<=3), fine probes over the ROUTED

@@ -1050,33 +1050,43 @@ object Curation {
     * batch twin of the streaming serve stack
     * ([[graft.streaming.Streams.decontamGateStream]] →
     * [[graft.streaming.Streams.qualityGateStream]] →
-    * [[graft.streaming.Streams.bpeEncodeIdsStream]] → packing):
+    * [[graft.streaming.Streams.perplexityGateStream]] →
+    * [[graft.streaming.Streams.bpeEncodeIdsStream]] → packing), ALL
+    * FOUR quality signals in one chain:
     * (1) exact-fingerprint decontamination against the benchmark
     * set (the d01/c04 md5 key — a leaked eval doc dies at the front
     * door), (2) the TRAINED t21 classifier as the quality filter,
     * served from its persisted artifact ([[graft.ops.TextAnalysis
     * .readQualityModel]] — train once upstream, every ingest run is
-    * a one-file read), (3) the trained tokenizer's id encoding (the
-    * c20 numbering via [[bpeSymbolIdRow]]'s shared definitions), and
-    * (4) budget packing through the ONE [[withPackId]] window c02/
-    * c08/c20 share. Per-lang drop accounting at every stage —
-    * n_raw → n_contam / n_lowq → n_kept, plus packs and surviving
-    * token mass: the numbers an ingest SLO dashboard actually shows.
+    * a one-file read), (3) the LM-perplexity gate (the c23 CCNet
+    * signal, served from the persisted bigram LM
+    * [[graft.ops.TextAnalysis.readBigramLmModel]]) under the SAME
+    * pure-integer lm < thr·nb predicate — bigram-less docs DROP,
+    * c23's conservative n_unscored default, (4) the trained
+    * tokenizer's id encoding (the c20 numbering via
+    * [[bpeSymbolIdRow]]'s shared definitions), and (5) budget
+    * packing through the ONE [[withPackId]] window c02/c08/c20
+    * share. Per-lang drop accounting at every stage —
+    * n_raw → n_contam / n_lowq / n_surprising → n_kept, plus packs
+    * and surviving token mass: the numbers an ingest SLO dashboard
+    * actually shows.
     *
     * What c22 certifies is the COMPOSITION (each stage is already
-    * individually oracled — c04's gate twin, t21/c21, c20): one
-    * DuckDB chain replays fingerprint → verdict → encode → pack and
-    * must match bit-for-bit. Scale shape is the sum of the stages':
-    * benchmark fingerprints and both model rows broadcast; scoring
-    * and encoding are in-row folds; the ONLY corpus shuffle is the
+    * individually oracled — c04's gate twin, t21/c21, c23/t24,
+    * c20): one DuckDB chain replays fingerprint → verdict →
+    * surprise → encode → pack and must match bit-for-bit. Scale
+    * shape is the sum of the stages': benchmark fingerprints and
+    * all three model rows broadcast; scoring, LM folding and
+    * encoding are in-row; the ONLY corpus shuffle is the
     * lang-partitioned pack window (the sanctioned c08 shape); every
     * rollup is languages-wide. Models train on the FULL corpus
     * upstream of the gate (the production order: artifacts exist
-    * before ingest), so their weights are the same rows t21/c20
-    * certify. */
+    * before ingest), so their weights are the same rows
+    * t21/t22/t24/c20 certify. */
   def llmIngestChainStats(s: SparkSession, dir: String,
       budget: Long = 2048, rounds: Int = 6,
-      benchSource: String = "src0"): DataFrame = {
+      benchSource: String = "src0",
+      thrMicronat: Long = 3200000L): DataFrame = {
     import graft.ops.TextAnalysis
     val docs = t(s, dir, "documents")
     val raw = docs.filter(col("source") =!= benchSource)
@@ -1090,10 +1100,23 @@ object Curation {
         col("text"), col("wm"), col("w_oov"), col("prior")) > 0L)
         .cast("long"))
     val kept = scored.filter(col("pred") === 1L)
+    // LM-perplexity gate on the classifier's survivors — the shared
+    // lmNormIdsCol/lmScoreCol expressions against the broadcast
+    // persisted model; the size filter PRECEDES the scoring
+    // projection (the perplexityGateStream ANSI contract: the fold's
+    // element_at probes past a one-token array)
+    val lmGated = kept.select("doc_id", "lang", "text")
+      .crossJoin(broadcast(TextAnalysis.readBigramLmModel(s, dir)))
+      .withColumn("lmids",
+        TextAnalysis.lmNormIdsCol(col("text"), col("vmap")))
+      .filter(size(col("lmids")) >= 2)
+      .withColumn("lm", TextAnalysis.lmScoreCol(
+        col("lmids"), col("bmap"), col("xmap"), col("vp1")))
+      .filter(col("lm") < lit(thrMicronat) * (size(col("lmids")) - 1))
     // trained-tokenizer encode: the SAME [[bpeWordIdMapRow]] the c20
     // packer broadcasts (survivor words ⊆ corpus words, so the map is
     // total here — element_at stays fail-loud on a stale artifact)
-    val withIds = kept.select("doc_id", "lang", "text")
+    val withIds = lmGated.select("doc_id", "lang", "text")
       .crossJoin(broadcast(bpeWordIdMapRow(s, dir, rounds)))
       .select(col("doc_id"), col("lang"),
         flatten(transform(
@@ -1107,12 +1130,16 @@ object Curation {
         sum("n_tok").as("n_tokens"))
     val rawN = raw.groupBy("lang").agg(count(lit(1)).as("n_raw"))
     val survN = survivors.groupBy("lang").agg(count(lit(1)).as("n_surv"))
+    val clsN = kept.groupBy("lang").agg(count(lit(1)).as("n_cls"))
     rawN.join(survN, Seq("lang"), "left")
+      .join(clsN, Seq("lang"), "left")
       .join(packRollup, Seq("lang"), "left")
       .select(col("lang"), col("n_raw"),
         (col("n_raw") - coalesce(col("n_surv"), lit(0L))).as("n_contam"),
         (coalesce(col("n_surv"), lit(0L)) -
-          coalesce(col("n_kept"), lit(0L))).as("n_lowq"),
+          coalesce(col("n_cls"), lit(0L))).as("n_lowq"),
+        (coalesce(col("n_cls"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_surprising"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("n_packs"), lit(0L)).as("n_packs"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))

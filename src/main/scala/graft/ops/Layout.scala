@@ -320,7 +320,31 @@ object Layout {
     * groups; the oracle replays Skilling's plane sweeps as generated
     * CTE stages (the l02 discipline, one engine certifying the
     * other's kernel). */
-  def cubePruningHilbert(s: SparkSession, dir: String): DataFrame = {
+  def cubePruningHilbert(s: SparkSession, dir: String): DataFrame =
+    cube3PerBucket(s, dir).groupBy("layout")
+      .agg(
+        count(lit(1)).as("buckets_total"),
+        sum(cube3Touched.cast("long")).as("buckets_touched"),
+        sum("rows_in").as("rows_matched"))
+      .orderBy("layout")
+
+  /** Does a segment's statistics box intersect the fixed triple-dim
+    * query box — the reader's min/max skip decision, ONE definition
+    * for the l06 rollup and the l07 per-segment table. */
+  private def cube3Touched: Column =
+    col("a_hi") >= rectCkLo && col("a_lo") <= rectCkHi &&
+      col("b_hi") >= rectDayLo && col("b_lo") <= rectDayHi &&
+      col("c_hi") >= rectCentsLo && col("c_lo") <= rectCentsHi
+
+  /** The shared l06/l07 per-segment frame: orders quantized onto the
+    * 16-bit cube, keyed by BOTH 3-d curves (Hilbert via the
+    * [[graft.functions.HilbertIndex3]] kernel, Morton via
+    * [[morton3]] — an in-scan explode, 2 rows per input row), cut
+    * into the same ~257 non-dyadic segments, and reduced to each
+    * segment's min/max statistics box + row counts. ONE map-side-
+    * combined shuffle onto ≤ 2·258 groups; everything downstream is
+    * segment-sized. */
+  private def cube3PerBucket(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(
       col("o_custkey").cast("long").as("ck"),
       datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
@@ -349,23 +373,40 @@ object Layout {
             .cast("long").as("bucket"))))
         .as("t"),
       col("qa"), col("qb"), col("qc"), col("in_box"))
-    val perBucket = tagged
+    tagged
       .groupBy(col("t.layout").as("layout"), col("t.bucket").as("bucket"))
       .agg(
         min("qa").as("a_lo"), max("qa").as("a_hi"),
         min("qb").as("b_lo"), max("qb").as("b_hi"),
         min("qc").as("c_lo"), max("qc").as("c_hi"),
+        count(lit(1)).as("n_rows"),
         sum("in_box").as("rows_in"))
-    perBucket.groupBy("layout")
-      .agg(
-        count(lit(1)).as("buckets_total"),
-        sum((col("a_hi") >= rectCkLo && col("a_lo") <= rectCkHi &&
-          col("b_hi") >= rectDayLo && col("b_lo") <= rectDayHi &&
-          col("c_hi") >= rectCentsLo && col("c_lo") <= rectCentsHi)
-          .cast("long")).as("buckets_touched"),
-        sum("rows_in").as("rows_matched"))
-      .orderBy("layout")
   }
+
+  /** Per-segment box-statistics table (l07) — the DATA behind l06's
+    * summary counts, lifted into the registry so the on-disk layout
+    * claim sits under the cross-engine gate: for every curve segment
+    * of BOTH 3-d layouts (the same ~257 non-dyadic cuts l05/l06
+    * measure — the file-grain model of [[pruneGrain3]]), the min/max
+    * statistics box a parquet footer would store, its integer volume
+    * (the quantity the OpsSpec `hilbert3Write` test measures on real
+    * footers: Hilbert's summed boxes are ~half of Morton's at
+    * identical cuts), the segment's row count, the rows actually in
+    * the query box, and whether a reader's min/max skip decision
+    * would open it. The DuckDB oracle replays both curve cascades
+    * (the 42-CTE Skilling chain, the l06 discipline) to the
+    * identical table. Output is segment-sized (≤ 2·258 rows) at any
+    * corpus scale. */
+  def cubeFileBoxes(s: SparkSession, dir: String): DataFrame =
+    cube3PerBucket(s, dir)
+      .select(col("layout"), col("bucket"),
+        col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"),
+        col("c_lo"), col("c_hi"), col("n_rows"), col("rows_in"),
+        ((col("a_hi") - col("a_lo") + 1L) *
+          (col("b_hi") - col("b_lo") + 1L) *
+          (col("c_hi") - col("c_lo") + 1L)).as("volume"),
+        cube3Touched.cast("long").as("touched"))
+      .orderBy("layout", "bucket")
 
   /** The cents slice of [[cubePruning]]'s query box — the same 1/8
     * unaligned-window construction as the ck/day bounds. */

@@ -403,15 +403,83 @@ object Similarity {
       outPath)
 
   /** Idempotent [[compactIvfIndex]] at a deterministic address (the
-    * [[ensureIvfIndex]] contract; the `_compact` suffix keeps the
-    * live and compacted generations side by side the way an index
-    * epoch directory would). */
+    * [[ensureIvfIndex]] contract; `/compact` keeps the live and
+    * compacted layouts side by side under one generation dir), then
+    * FLIPS the epoch pointer: readers resolving through
+    * [[ivfCurrentEpoch]] ([[ivfTopKCurrent]], s28) switch to the
+    * plain path over the compacted layout, and the tombstone set is
+    * thereby RETIRED for this generation — a production delete TABLE
+    * would be truncated at the same moment; the deterministic
+    * [[tombstoneSet]] simply stops being applied. This closes the
+    * s26 → s27 LSM lifecycle as a loop instead of a manual step. */
   def ensureCompactedIvfIndex(s: SparkSession, dir: String,
       nlist: Int = 32): String = {
     val path = s"${ivfStampDir(s, dir)}/compact"
     Artifacts.ensure(s, path)(
       compactIvfIndex(s, dir, ensureIvfIndex(s, dir, nlist), path))
+    if (ivfCurrentEpoch(s, dir) != "compact") writeIvfEpoch(s, dir, "compact")
+    path
   }
+
+  /** The index EPOCH pointer — the LSM-manifest CURRENT idiom for
+    * the s26/s27 lifecycle: a tiny file under the generation's stamp
+    * dir naming which layout readers resolve. Absent (no compaction
+    * has completed for this generation) ⇒ "main", whose reads apply
+    * the per-query tombstone anti-join; "compact" ⇒ the folded
+    * layout, read PLAIN. The two sides return identical rows by
+    * construction (the s26 ≡ s27 shared-oracle contract), so a
+    * reader racing the flip can never see a wrong answer — only the
+    * pre- or post-compaction plan for the same result. */
+  def ivfCurrentEpoch(s: SparkSession, dir: String): String = {
+    val marker = ivfEpochMarker(s, dir)
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) "main"
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+  }
+
+  private def ivfEpochMarker(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(s"${ivfStampDir(s, dir)}/CURRENT")
+
+  private def writeIvfEpoch(s: SparkSession, dir: String,
+      epoch: String): Unit = {
+    val marker = ivfEpochMarker(s, dir)
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(marker.getParent, "CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(epoch.getBytes("UTF-8")) finally out.close()
+    // write-then-rename; the delete+rename pair is the portable
+    // overwrite (HDFS rename refuses to clobber). The tiny no-marker
+    // window is harmless by construction: a reader that misses
+    // CURRENT falls back to "main", whose tombstoned read returns
+    // the same rows the compacted read does.
+    if (fs.exists(marker)) fs.delete(marker, false)
+    fs.rename(tmp, marker)
+  }
+
+  /** The EPOCH-RESOLVED read path (s28): one entry point a query
+    * fleet keeps calling across the whole index lifecycle. Before
+    * any compaction it is exactly [[ivfTopKTombstoned]] over `/main`
+    * (the s26 freshness contract); after [[ensureCompactedIvfIndex]]
+    * flips CURRENT it is exactly [[ivfTopKIndexed]] over `/compact`
+    * — the per-query anti-join drops OUT OF THE PLAN, not just out
+    * of the result (IvfIndexSpec pins both plan shapes and row
+    * identity across the switch). At 100 TB this is the operational
+    * point: compaction re-points every reader atomically through one
+    * tiny marker, no query redeploys, and the freshness tax (one
+    * broadcast anti-join per read) is paid only between delete
+    * batches and their compaction. */
+  def ivfTopKCurrent(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nprobe: Int = 4, nlist: Int = 32): DataFrame =
+    if (ivfCurrentEpoch(s, dir) == "compact")
+      ivfIndexedScan(s, dir, s"${ivfStampDir(s, dir)}/compact",
+        nQueries, k, nprobe, nlist, tombstones = None)
+    else
+      ivfIndexedScan(s, dir, ensureIvfIndex(s, dir, nlist),
+        nQueries, k, nprobe, nlist, tombstones = Some(tombstoneSet(s, dir)))
 
   def ivfTopKTombstoned(s: SparkSession, dir: String, indexPath: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 4,

@@ -90,7 +90,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // wrong arity
     val e1 = intercept[AnalysisException](
       s.sql("SELECT hyperplane_buckets(embedding, 4) FROM emb_ext4").collect())
-    assert(e1.getMessage.contains("three arguments"))
+    assert(e1.getMessage.contains("takes 3 arguments"))
     // non-literal bits argument
     val e2 = intercept[AnalysisException](
       s.sql("SELECT hyperplane_buckets(embedding, CAST(vec_id AS INT), 8) FROM emb_ext4").collect())
@@ -101,6 +101,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("[1, 63]"))
     val e4 = intercept[AnalysisException](
       s.sql("SELECT cosine_similarity(embedding) FROM emb_ext4").collect())
-    assert(e4.getMessage.contains("two arguments"))
+    assert(e4.getMessage.contains("takes 2 arguments"))
+  }
+
+  test("hilbert_index / hilbert_index3 are callable from SQL and match " +
+    "the Column API (the manifest's free rider)") {
+    val s = SparkSpec.session
+    GraftExtensions.register(s)
+    import org.apache.spark.sql.functions._
+    s.range(64).select(col("id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(65536L)).as("a"),
+        pmod(xxhash64(col("id"), lit(2)), lit(65536L)).as("b"),
+        pmod(xxhash64(col("id"), lit(3)), lit(65536L)).as("c"))
+      .createOrReplaceTempView("hx_ext")
+    val sql = s.sql(
+      "SELECT id, hilbert_index(a, b) AS h2, hilbert_index3(a, b, c) AS h3 " +
+        "FROM hx_ext")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val api = s.sql("SELECT id, a, b, c FROM hx_ext")
+      .select(col("id"),
+        graft.functions.HilbertIndex(col("a"), col("b")).as("h2"),
+        graft.functions.HilbertIndex3(col("a"), col("b"), col("c")).as("h3"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sql == api && sql.size == 64)
   }
 }

@@ -180,13 +180,30 @@ class FunctionsSpec extends SparkSpec {
           .cast("float")).as("emb"),
       transform(sequence(lit(0), lit(7)), i =>
         xxhash64(col("id"), i, lit("hs"))).as("hs"))
-    def allKernels = df.select(col("id"),
-      HilbertIndex3(col("a"), col("b"), col("c")).as("h3"),
-      HilbertIndex(col("a"), col("b")).as("h2"),
-      CosineSimilarity(col("emb"), col("emb")).as("cos"),
-      HyperplaneBuckets(col("emb"), 4, 2).as("bk"),
-      MinHashSig(col("hs"), 4).as("sig"),
-      SimHash(col("hs")).as("sim"))
+    // the projection ENUMERATES THE MANIFEST (Kernels.all — the same
+    // list GraftExtensions registers), each kernel instantiated
+    // through its own SQL builder over typed sample args: a kernel
+    // enrolled in the manifest is compile-gated by construction, and
+    // the completeness spec below makes enrollment itself mandatory
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    // int args go in as catalyst Literals — what the SQL parser hands
+    // the builder (a Column-wrapped lit() arrives as an unresolved
+    // node the literal-extraction check rightly rejects)
+    def e(c: org.apache.spark.sql.Column): Expression =
+      GraftBridge.expression(c)
+    val sampleArgs: Map[String, Seq[Expression]] = Map(
+      "cosine_similarity" -> Seq(e(col("emb")), e(col("emb"))),
+      "hyperplane_buckets" -> Seq(e(col("emb")), Literal(4), Literal(2)),
+      "minhash_sig" -> Seq(e(col("hs")), Literal(4)),
+      "simhash" -> Seq(e(col("hs"))),
+      "hilbert_index" -> Seq(e(col("a")), e(col("b"))),
+      "hilbert_index3" -> Seq(e(col("a")), e(col("b")), e(col("c"))))
+    assert(sampleArgs.keySet == Kernels.all.map(_.sqlName).toSet,
+      "every manifest kernel needs sample args here (and no strays)")
+    def allKernels = df.select(col("id") +: Kernels.all.map(k =>
+      GraftBridge.column(k.build(sampleArgs(k.sqlName)))
+        .as(k.sqlName)): _*)
     val baseline = allKernels.collect().map(r => r.getLong(0) -> r.toSeq).toMap
     val conf = s.conf
     val prevFallback = conf.getOption("spark.sql.codegen.fallback")
@@ -202,6 +219,47 @@ class FunctionsSpec extends SparkSpec {
       prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
         conf.set("spark.sql.codegen.factoryMode", _))
     }
+  }
+
+  test("kernel manifest is COMPLETE: every concrete Expression class in " +
+    "graft.functions is enrolled in Kernels.all") {
+    // the enrollment gate: a 7th kernel dropped into this package
+    // without a manifest entry must fail HERE, not silently escape
+    // the CODEGEN_ONLY compile gate (and SQL registration) that only
+    // manifest members receive. Scan the package's class files off
+    // the classloader and keep concrete Expression subclasses.
+    import scala.jdk.CollectionConverters._
+    val urls = java.util.Collections
+      .list(getClass.getClassLoader.getResources("graft/functions")).asScala
+    val classNames = urls.flatMap { u =>
+      u.getProtocol match {
+        case "file" =>
+          Option(new java.io.File(u.toURI).listFiles()).toSeq.flatten
+            .map(_.getName).filter(_.endsWith(".class"))
+        case _ => Seq.empty // jar-packaged runs fall back to dir scan only
+      }
+    }
+    assert(classNames.nonEmpty,
+      "classpath scan found no classes — the completeness gate went blind")
+    val exprClasses = classNames
+      .map(_.stripSuffix(".class"))
+      .filterNot(_.contains("$")) // companions, lambdas, inner classes
+      .map(n => Class.forName(s"graft.functions.$n"))
+      .filter(c =>
+        classOf[org.apache.spark.sql.catalyst.expressions.Expression]
+          .isAssignableFrom(c) &&
+        !java.lang.reflect.Modifier.isAbstract(c.getModifiers))
+      .toSet
+    val enrolled: Set[Class[_]] = Kernels.all.map(_.exprClass).toSet
+    assert(exprClasses.map(c => c: Class[_]) == enrolled,
+      s"manifest drift — on classpath but not enrolled: " +
+        s"${(exprClasses.map(c => c: Class[_]) -- enrolled).map(_.getName)}; " +
+        s"enrolled but not on classpath: " +
+        s"${(enrolled -- exprClasses.map(c => c: Class[_])).map(_.getName)}")
+    // and the manifest itself is well-formed: distinct SQL names,
+    // distinct classes
+    assert(Kernels.all.map(_.sqlName).distinct.size == Kernels.all.size)
+    assert(Kernels.all.map(_.exprClass).distinct.size == Kernels.all.size)
   }
 
   test("TopKAggregator matches the sort-then-take model exactly") {

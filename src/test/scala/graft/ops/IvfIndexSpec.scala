@@ -132,4 +132,48 @@ class IvfIndexSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning on the compacted scan:\n$p")
   }
+
+  test("epoch switch (s28): CURRENT resolves tombstoned-over-main before " +
+    "the flip and PLAIN-over-compact after — identical rows, the anti-join " +
+    "leaves the plan, DPP intact on both sides") {
+    import org.apache.hadoop.fs.Path
+    // clean slate for the GENERATION (the warehouse outlives sbt runs):
+    // drop the pointer and the compacted layout so THIS run exercises
+    // the pre-flip side first
+    val main = Similarity.ensureIvfIndex(spark, sf0001)
+    val genDir = new Path(main).getParent
+    val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(genDir, "CURRENT"), false)
+    fs.delete(new Path(genDir, "compact"), true)
+    assert(Similarity.ivfCurrentEpoch(spark, sf0001) == "main",
+      "an absent pointer must resolve to the main epoch")
+    val pre = Similarity.ivfTopKCurrent(spark, sf0001)
+    val preRows = pre.collect().map(_.toSeq).toList
+    val pPre = pre.queryExecution.executedPlan.toString
+    assert(pPre.contains("LeftAnti"),
+      s"pre-flip reads must apply the tombstone anti-join:\n$pPre")
+    assert(pPre.toLowerCase.contains("dynamicpruning"),
+      s"no DPP on the pre-flip scan:\n$pPre")
+    assert(preRows == Similarity.ivfTopKTombstoned(spark, sf0001, main)
+      .collect().map(_.toSeq).toList,
+      "pre-flip resolver must equal the explicit tombstoned read")
+    // compact → the ensure flips the pointer
+    Similarity.ensureCompactedIvfIndex(spark, sf0001)
+    assert(Similarity.ivfCurrentEpoch(spark, sf0001) == "compact",
+      "ensureCompactedIvfIndex must flip CURRENT")
+    val post = Similarity.ivfTopKCurrent(spark, sf0001)
+    val postRows = post.collect().map(_.toSeq).toList
+    val pPost = post.queryExecution.executedPlan.toString
+    assert(!pPost.contains("LeftAnti"),
+      s"post-flip reads must take the PLAIN path — the tombstone join " +
+        s"must leave the PLAN, not just the result:\n$pPost")
+    assert(pPost.toLowerCase.contains("dynamicpruning"),
+      s"no DPP on the post-flip scan:\n$pPost")
+    assert(postRows == preRows,
+      "the switch must be invisible in results — identical rows on both sides")
+    // idempotent flip: a second ensure neither rebuilds nor unflips
+    assert(Similarity.ensureCompactedIvfIndex(spark, sf0001) ==
+      s"$genDir/compact")
+    assert(Similarity.ivfCurrentEpoch(spark, sf0001) == "compact")
+  }
 }

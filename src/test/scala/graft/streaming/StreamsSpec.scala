@@ -753,31 +753,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("composed serve stack: decontam → quality → bpe-ids chained on one " +
-    "stream reproduces the c22 batch chain's kept set and ids") {
+  test("composed serve stack: decontam → quality → perplexity → bpe-ids " +
+    "chained on one stream reproduces the c22 batch chain's kept set and ids") {
     val s = spark
     import s.implicits._
     implicit val sq = s.sqlContext
     import graft.ops.{Curation, Relational, TextAnalysis}
-    // the three artifacts, persisted per the static-side contract
+    // the four artifacts, persisted per the static-side contract
     val bench = Relational.t(s, sf0001, "documents")
       .where(col("source") === "src0")
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
       .distinct().localCheckpoint()
     val model = TextAnalysis.readQualityModel(s, sf0001)
+    val lmModel = TextAnalysis.readBigramLmModel(s, sf0001)
     val mergeRow = TextAnalysis.bpeMergeRow(s, sf0001).localCheckpoint()
     val symRow = Curation.bpeSymbolIdRow(s, sf0001).localCheckpoint()
     val docs = Relational.t(s, sf0001, "documents")
       .select("doc_id", "lang", "text", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
-    // stream the non-benchmark corpus + 3 planted benchmark leaks
-    val corpus = docs.filter(_._4 != "src0").take(40)
+    // stream a wide non-benchmark slice (enough that the LM gate
+    // genuinely bites — the corpus premise is asserted below) plus
+    // 3 planted benchmark leaks
+    val corpus = docs.filter(_._4 != "src0").take(120)
     val leaked = docs.filter(_._4 == "src0").take(3).zipWithIndex
       .map { case ((_, lang, t0, _), i) => (910000L + i, lang, t0) }
     val mem = MemoryStream[Streams.Doc]
     val stacked = Streams.bpeEncodeIdsStream(
-      Streams.qualityGateStream(
-        Streams.decontamGateStream(mem.toDF(), bench), model),
+      Streams.perplexityGateStream(
+        Streams.qualityGateStream(
+          Streams.decontamGateStream(mem.toDF(), bench), model), lmModel),
       mergeRow, symRow)
     val q = stacked.select("doc_id", "ids")
       .writeStream.format("memory").queryName("servestack").start()
@@ -788,19 +792,36 @@ class StreamsSpec extends SparkSpec {
       val got = s.sql("SELECT doc_id, ids FROM servestack").collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       // batch expectation: the c22 stage semantics on the same docs —
-      // fp anti-join then the shared scoring verdict
+      // fp anti-join, the shared scoring verdict, then the shared LM
+      // fold under the integer keep predicate
       val streamed = (corpus.map(d => (d._1, d._2, d._3)) ++ leaked).toSeq
         .toDF("doc_id", "lang", "text")
-      val expectKept = streamed
+      val afterQuality = streamed
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
         .join(broadcast(bench), Seq("fp"), "left_anti")
         .crossJoin(broadcast(model))
         .withColumn("score", TextAnalysis.classifierScoreCol(
           col("text"), col("wm"), col("w_oov"), col("prior")))
         .filter(col("score") > 0L)
+        .select("doc_id", "lang", "text")
+      val qualityKept = afterQuality.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val expectKept = afterQuality
+        .crossJoin(broadcast(lmModel))
+        .withColumn("lmids",
+          TextAnalysis.lmNormIdsCol(col("text"), col("vmap")))
+        .filter(size(col("lmids")) >= 2)
+        .withColumn("lmv", TextAnalysis.lmScoreCol(
+          col("lmids"), col("bmap"), col("xmap"), col("vp1")))
+        .filter(col("lmv") < lit(3200000L) * (size(col("lmids")) - 1))
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(got.keySet == expectKept,
         s"serve stack kept ${got.keySet.size}, batch chain ${expectKept.size}")
+      // the fourth gate genuinely bit on this slice (a pass-through
+      // perplexity stage would certify nothing)
+      assert(expectKept != qualityKept,
+        "test premise broken: the LM gate dropped nothing the " +
+          "classifier kept — widen the streamed slice")
       assert(leaked.forall(d => !got.contains(d._1)),
         "a planted leak survived the composed stack")
       assert(got.nonEmpty, "stack over-blocked everything")
