@@ -20,12 +20,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   * `build` performs the arity/literal validation a SQL caller needs
   * (raising AnalysisException via the bridge so the error is
   * positioned, not a raw IllegalArgumentException escaping function
-  * resolution); `sample` instantiates the kernel over typed sample
-  * argument expressions for the compile gate.
+  * resolution).
   */
 private[graft] case class KernelDef(
     sqlName: String,
-    usage: String,
     exprClass: Class[_ <: Expression],
     build: Seq[Expression] => Expression)
 
@@ -39,24 +37,20 @@ private[graft] object Kernels {
       s"$fn: $name must be an integer literal, got ${other.sql}")
   }
 
-  private def arity(fn: String, usage: String, n: Int,
-      exprs: Seq[Expression]): Unit =
+  private def arity(usage: String, n: Int, exprs: Seq[Expression]): Unit =
     if (exprs.length != n)
       analysisError(s"$usage takes $n argument${if (n == 1) "" else "s"}; " +
         s"got ${exprs.length}")
 
   val all: Seq[KernelDef] = Seq(
-    KernelDef("cosine_similarity", "cosine_similarity(a, b)",
-      classOf[CosineSimilarityExpr],
+    KernelDef("cosine_similarity", classOf[CosineSimilarityExpr],
       { exprs =>
-        arity("cosine_similarity", "cosine_similarity(a, b)", 2, exprs)
+        arity("cosine_similarity(a, b)", 2, exprs)
         CosineSimilarityExpr(exprs(0), exprs(1))
       }),
-    KernelDef("hyperplane_buckets", "hyperplane_buckets(emb, bits, tables)",
-      classOf[HyperplaneBucketsExpr],
+    KernelDef("hyperplane_buckets", classOf[HyperplaneBucketsExpr],
       { exprs =>
-        arity("hyperplane_buckets", "hyperplane_buckets(emb, bits, tables)",
-          3, exprs)
+        arity("hyperplane_buckets(emb, bits, tables)", 3, exprs)
         val bits = intLit(exprs(1), "hyperplane_buckets", "bits")
         val tables = intLit(exprs(2), "hyperplane_buckets", "tables")
         if (bits < 1 || bits > 63 || tables < 1)
@@ -64,31 +58,27 @@ private[graft] object Kernels {
             s"tables >= 1; got bits=$bits, tables=$tables")
         HyperplaneBucketsExpr(exprs(0), bits, tables)
       }),
-    KernelDef("minhash_sig", "minhash_sig(hashes, num_hashes)",
-      classOf[MinHashSigExpr],
+    KernelDef("minhash_sig", classOf[MinHashSigExpr],
       { exprs =>
-        arity("minhash_sig", "minhash_sig(hashes, num_hashes)", 2, exprs)
+        arity("minhash_sig(hashes, num_hashes)", 2, exprs)
         val n = intLit(exprs(1), "minhash_sig", "num_hashes")
         if (n < 1)
           analysisError(s"minhash_sig: num_hashes must be >= 1; got $n")
         MinHashSigExpr(exprs(0), n)
       }),
-    KernelDef("simhash", "simhash(token_hashes)",
-      classOf[SimHashExpr],
+    KernelDef("simhash", classOf[SimHashExpr],
       { exprs =>
-        arity("simhash", "simhash(token_hashes)", 1, exprs)
+        arity("simhash(token_hashes)", 1, exprs)
         SimHashExpr(exprs(0))
       }),
-    KernelDef("hilbert_index", "hilbert_index(a, b)",
-      classOf[HilbertIndexExpr],
+    KernelDef("hilbert_index", classOf[HilbertIndexExpr],
       { exprs =>
-        arity("hilbert_index", "hilbert_index(a, b)", 2, exprs)
+        arity("hilbert_index(a, b)", 2, exprs)
         HilbertIndexExpr(exprs(0), exprs(1))
       }),
-    KernelDef("hilbert_index3", "hilbert_index3(a, b, c)",
-      classOf[HilbertIndex3Expr],
+    KernelDef("hilbert_index3", classOf[HilbertIndex3Expr],
       { exprs =>
-        arity("hilbert_index3", "hilbert_index3(a, b, c)", 3, exprs)
+        arity("hilbert_index3(a, b, c)", 3, exprs)
         HilbertIndex3Expr(exprs(0), exprs(1), exprs(2))
       }))
 }

@@ -44,9 +44,19 @@ private[graft] object Artifacts {
     val status = fs.getFileStatus(p) // raises on a missing table
     if (status.isFile) s"${status.getModificationTime}-${status.getLen}"
     else {
-      val files = fs.listStatus(p).filter(_.isFile)
-      if (files.isEmpty) s"${status.getModificationTime}-0"
-      else s"${files.map(_.getModificationTime).max}-${files.map(_.getLen).sum}"
+      // RECURSIVE file walk: a partitionBy-written table keeps its
+      // data files under key= subdirectories — a top-level listing
+      // would see only _SUCCESS and degrade the byte-total tie-break
+      // to a constant exactly for partitioned sources
+      val it = fs.listFiles(p, true)
+      var maxM = 0L; var totLen = 0L; var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        maxM = math.max(maxM, f.getModificationTime)
+        totLen += f.getLen; n += 1
+      }
+      if (n == 0) s"${status.getModificationTime}-0"
+      else s"$maxM-$totLen"
     }
   }
 
@@ -83,7 +93,15 @@ private[graft] object Artifacts {
     * path-safe sanitization PLUS a short hash of the RAW dir.
     * Sanitization alone collides (`/a/b` and `/a_b` both map to
     * `_a_b`), leaving two different corpora disambiguated only by
-    * their content stamps — the hash retires that class outright. */
+    * their content stamps — the hash retires that class outright.
+    * Migration note, stated not hidden: changing the address scheme
+    * (this hash, a format-version bump) orphans trees written under
+    * the OLD scheme — the sweep operates within one address's
+    * parent, so prior-scheme directories are never matched and never
+    * deleted. A deployment upgrading across a scheme change prunes
+    * the artifact roots (graft_quality_model/, graft_bigram_lm/,
+    * graft_ivf_index/, graft_semantic_index/) by age out-of-band,
+    * once. */
   def dirTag(dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val h = java.security.MessageDigest.getInstance("MD5")

@@ -1094,25 +1094,26 @@ object Curation {
       .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
     val withFp = raw.withColumn("fp", TextAnalysis.fingerprint(col("text")))
     val survivors = withFp.join(broadcast(benchFps), Seq("fp"), "left_anti")
-    val scored = survivors
+    def classified(df: DataFrame): DataFrame = df
       .crossJoin(broadcast(TextAnalysis.readQualityModel(s, dir)))
       .withColumn("pred", (TextAnalysis.classifierScoreCol(
         col("text"), col("wm"), col("w_oov"), col("prior")) > 0L)
         .cast("long"))
-    val kept = scored.filter(col("pred") === 1L)
-    // LM-perplexity gate on the classifier's survivors — the shared
-    // lmNormIdsCol/lmScoreCol expressions against the broadcast
-    // persisted model; the size filter PRECEDES the scoring
-    // projection (the perplexityGateStream ANSI contract: the fold's
-    // element_at probes past a one-token array)
-    val lmGated = kept.select("doc_id", "lang", "text")
-      .crossJoin(broadcast(TextAnalysis.readBigramLmModel(s, dir)))
-      .withColumn("lmids",
-        TextAnalysis.lmNormIdsCol(col("text"), col("vmap")))
-      .filter(size(col("lmids")) >= 2)
-      .withColumn("lm", TextAnalysis.lmScoreCol(
-        col("lmids"), col("bmap"), col("xmap"), col("vp1")))
-      .filter(col("lm") < lit(thrMicronat) * (size(col("lmids")) - 1))
+    // stage-count legs read ONE narrow checkpointed verdict pass
+    // (lang, pred — bytes per doc, never text), so the fp anti-join
+    // and the classifier fold run once for BOTH counters instead of
+    // once per counter; the payload path below re-runs them once
+    // more — in production that second pass IS the ingest write, so
+    // the chain's total is two corpus passes: verdicts + payload
+    val flags = classified(survivors).select("lang", "pred")
+      .localCheckpoint()
+    val kept = classified(survivors).filter(col("pred") === 1L)
+    // LM-perplexity gate on the classifier's survivors — THE shared
+    // [[TextAnalysis.perplexityGate]] definition the streaming serve
+    // path delegates to, against the broadcast persisted model
+    val lmGated = TextAnalysis.perplexityGate(
+      kept.select("doc_id", "lang", "text"),
+      TextAnalysis.readBigramLmModel(s, dir), thrMicronat)
     // trained-tokenizer encode: the SAME [[bpeWordIdMapRow]] the c20
     // packer broadcasts (survivor words ⊆ corpus words, so the map is
     // total here — element_at stays fail-loud on a stale artifact)
@@ -1129,8 +1130,9 @@ object Curation {
         countDistinct("pack_id").as("n_packs"),
         sum("n_tok").as("n_tokens"))
     val rawN = raw.groupBy("lang").agg(count(lit(1)).as("n_raw"))
-    val survN = survivors.groupBy("lang").agg(count(lit(1)).as("n_surv"))
-    val clsN = kept.groupBy("lang").agg(count(lit(1)).as("n_cls"))
+    val survN = flags.groupBy("lang").agg(count(lit(1)).as("n_surv"))
+    val clsN = flags.filter(col("pred") === 1L)
+      .groupBy("lang").agg(count(lit(1)).as("n_cls"))
     rawN.join(survN, Seq("lang"), "left")
       .join(clsN, Seq("lang"), "left")
       .join(packRollup, Seq("lang"), "left")

@@ -455,9 +455,15 @@ object Similarity {
     // overwrite (HDFS rename refuses to clobber). The tiny no-marker
     // window is harmless by construction: a reader that misses
     // CURRENT falls back to "main", whose tombstoned read returns
-    // the same rows the compacted read does.
+    // the same rows the compacted read does. The flip itself must be
+    // LOUD on failure — HDFS rename reports false instead of
+    // throwing, and a silently unflipped pointer would leave every
+    // reader paying the tombstone join while the caller believes
+    // compaction completed.
     if (fs.exists(marker)) fs.delete(marker, false)
-    fs.rename(tmp, marker)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(
+        s"ivf epoch flip failed: rename($tmp -> $marker) returned false")
   }
 
   /** The EPOCH-RESOLVED read path (s28): one entry point a query

@@ -844,6 +844,29 @@ object TextAnalysis {
       aggregate(map_values(col("bmap")), lit(0L), (a, x) => greatest(a, x))
         .as("c_max"))
 
+  /** The LM-perplexity GATE as one DataFrame transform — THE single
+    * definition of "this document survives the fourth signal",
+    * consumed by the batch chain ([[graft.ops.Curation
+    * .llmIngestChainStats]]), the streaming serve path
+    * ([[graft.streaming.Streams.perplexityGateStream]] delegates
+    * here verbatim — stream and batch CANNOT verdict apart), and the
+    * composed-stack spec's expectation: normalize against the
+    * broadcast model's vmap, drop bigram-less docs (the size filter
+    * PRECEDES the scoring projection — the fold's element_at throws
+    * under ANSI past a one-token array), fold the integer score,
+    * keep iff lm < thrMicronat · n_bigrams. Emits survivors with
+    * `lm` attached; the model columns and normalized ids are
+    * internal. Input must not already carry ids/lm columns. */
+  def perplexityGate(docs: DataFrame, lmModel: DataFrame,
+      thrMicronat: Long = 3200000L): DataFrame =
+    docs.crossJoin(broadcast(lmModel))
+      .withColumn("ids", lmNormIdsCol(col("text"), col("vmap")))
+      .filter(size(col("ids")) >= 2)
+      .withColumn("lm",
+        lmScoreCol(col("ids"), col("bmap"), col("xmap"), col("vp1")))
+      .filter(col("lm") < lit(thrMicronat) * (size(col("ids")) - 1))
+      .drop("vmap", "bmap", "xmap", "vp1", "ids")
+
   /** The t17 per-document scoring frame — (lang, source, ids, lm)
     * where `ids` is the class-normalized token array and `lm` the
     * document's total bigram micronat sum — SERVED from the

@@ -447,21 +447,10 @@ object Streams {
     * store; per-doc cost is one normalize + one fold against a
     * broadcast row. */
   def perplexityGateStream(docs: DataFrame, lmModel: DataFrame,
-      thrMicronat: Long = 3200000L): DataFrame = {
-    import graft.ops.TextAnalysis
-    docs.crossJoin(broadcast(lmModel))
-      .withColumn("ids", TextAnalysis.lmNormIdsCol(col("text"), col("vmap")))
-      // the bigram-less filter comes BEFORE the scoring projection
-      // (the batch bigramScoredDocs order): the fold's element_at
-      // probes index past a 1-token array, which throws under ANSI —
-      // relying on predicate pushdown + And short-circuit to guard a
-      // throwing expression is a plan-shape bet, not a contract
-      .filter(size(col("ids")) >= 2)
-      .withColumn("lm", TextAnalysis.lmScoreCol(
-        col("ids"), col("bmap"), col("xmap"), col("vp1")))
-      .filter(col("lm") < lit(thrMicronat) * (size(col("ids")) - 1))
-      .drop("vmap", "bmap", "xmap", "vp1", "ids")
-  }
+      thrMicronat: Long = 3200000L): DataFrame =
+    // the stream IS the shared batch gate — one definition, so the
+    // c22 chain stage and this serve path cannot verdict apart
+    graft.ops.TextAnalysis.perplexityGate(docs, lmModel, thrMicronat)
 
   /** [[bpeEncodeStream]] extended to the trainer-visible ID stream:
     * the segmented subwords are numbered through the broadcast
