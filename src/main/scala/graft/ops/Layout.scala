@@ -274,16 +274,23 @@ object Layout {
         (col("qa").between(rectCkLo, rectCkHi) &&
           col("qb").between(rectDayLo, rectDayHi) &&
           col("qc").between(rectCentsLo, rectCentsHi)).cast("long"))
-    val tagged = base.select(
+    // layout keys are PRE-COMPUTED columns, the explode fans out tiny
+    // structs of them — inlining the curve kernels into the explode
+    // fuses everything into ONE generated method past HotSpot's
+    // 8000-byte JIT ceiling, and the whole scan stage silently runs
+    // in the bytecode interpreter (~40× slower, measured at ×16; the
+    // l07 finding — a Project splits per-column and stays JIT-able)
+    val keyed = base
+      .withColumn("b3", floor(morton3(col("qa"), col("qb"), col("qc"))
+        / lit(pruneGrain3)).cast("long"))
+      .withColumn("b2", floor(morton(col("qa"), col("qb")) / lit(pruneGrain))
+        .cast("long"))
+      .withColumn("b1", floor(col("qa") / lit(256L)).cast("long"))
+    val tagged = keyed.select(
       explode(array(
-        struct(lit("zorder3d").as("layout"),
-          floor(morton3(col("qa"), col("qb"), col("qc")) / lit(pruneGrain3))
-            .cast("long").as("bucket")),
-        struct(lit("zorder2d_ck_day").as("layout"),
-          floor(morton(col("qa"), col("qb")) / lit(pruneGrain))
-            .cast("long").as("bucket")),
-        struct(lit("single_ck").as("layout"),
-          floor(col("qa") / lit(256L)).cast("long").as("bucket"))))
+        struct(lit("zorder3d").as("layout"), col("b3").as("bucket")),
+        struct(lit("zorder2d_ck_day").as("layout"), col("b2").as("bucket")),
+        struct(lit("single_ck").as("layout"), col("b1").as("bucket"))))
         .as("t"),
       col("qa"), col("qb"), col("qc"), col("in_box"))
     val perBucket = tagged
@@ -363,14 +370,21 @@ object Layout {
         (col("qa").between(rectCkLo, rectCkHi) &&
           col("qb").between(rectDayLo, rectDayHi) &&
           col("qc").between(rectCentsLo, rectCentsHi)).cast("long"))
-    val tagged = base.select(
+    // keys pre-computed OUTSIDE the explode (the l05 JIT-ceiling
+    // comment): both 48-bit kernels in one fused Generate method
+    // exceed HotSpot's 8000-byte JIT limit and the stage runs
+    // interpreted — measured 11.6 s vs 0.13 s at ×16 for the
+    // identical rows
+    val keyed = base
+      .withColumn("bh",
+        floor(graft.functions.HilbertIndex3(col("qa"), col("qb"), col("qc"))
+          / lit(pruneGrain3)).cast("long"))
+      .withColumn("bz", floor(morton3(col("qa"), col("qb"), col("qc"))
+        / lit(pruneGrain3)).cast("long"))
+    val tagged = keyed.select(
       explode(array(
-        struct(lit("hilbert3d").as("layout"),
-          floor(graft.functions.HilbertIndex3(col("qa"), col("qb"), col("qc"))
-            / lit(pruneGrain3)).cast("long").as("bucket")),
-        struct(lit("zorder3d").as("layout"),
-          floor(morton3(col("qa"), col("qb"), col("qc")) / lit(pruneGrain3))
-            .cast("long").as("bucket"))))
+        struct(lit("hilbert3d").as("layout"), col("bh").as("bucket")),
+        struct(lit("zorder3d").as("layout"), col("bz").as("bucket"))))
         .as("t"),
       col("qa"), col("qb"), col("qc"), col("in_box"))
     tagged
@@ -468,16 +482,20 @@ object Layout {
       (col("qck").between(rectCkLo, rectCkHi) &&
         col("qday").between(rectDayLo, rectDayHi))
         .cast("long").as("in_rect"))
-    val tagged = base.select(
+    // keys pre-computed OUTSIDE the explode (the l05/l07 JIT-ceiling
+    // finding applies to the 2-d trio as well)
+    val keyed = base
+      .withColumn("bz", floor(morton(col("qck"), col("qday")) / grain)
+        .cast("long"))
+      .withColumn("bh",
+        floor(graft.functions.HilbertIndex(col("qck"), col("qday")) / grain)
+          .cast("long"))
+      .withColumn("b1", floor(col("qck") / lit(256L)).cast("long"))
+    val tagged = keyed.select(
       explode(array(
-        struct(lit("zorder").as("layout"),
-          floor(morton(col("qck"), col("qday")) / grain).cast("long")
-            .as("bucket")),
-        struct(lit("hilbert").as("layout"),
-          floor(graft.functions.HilbertIndex(col("qck"), col("qday")) / grain)
-            .cast("long").as("bucket")),
-        struct(lit("single_ck").as("layout"),
-          floor(col("qck") / lit(256L)).cast("long").as("bucket"))))
+        struct(lit("zorder").as("layout"), col("bz").as("bucket")),
+        struct(lit("hilbert").as("layout"), col("bh").as("bucket")),
+        struct(lit("single_ck").as("layout"), col("b1").as("bucket"))))
         .as("t"),
       col("qck"), col("qday"), col("in_rect"))
     val perBucket = tagged

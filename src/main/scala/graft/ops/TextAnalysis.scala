@@ -851,21 +851,32 @@ object TextAnalysis {
     * ([[graft.streaming.Streams.perplexityGateStream]] delegates
     * here verbatim — stream and batch CANNOT verdict apart), and the
     * composed-stack spec's expectation: normalize against the
-    * broadcast model's vmap, drop bigram-less docs (the size filter
-    * PRECEDES the scoring projection — the fold's element_at throws
-    * under ANSI past a one-token array), fold the integer score,
-    * keep iff lm < thrMicronat · n_bigrams. Emits survivors with
-    * `lm` attached; the model columns and normalized ids are
-    * internal. Input must not already carry ids/lm columns. */
+    * broadcast model's vmap, drop bigram-less docs (no LM evidence —
+    * the conservative c23 default), keep iff the integer fold
+    * lm < thrMicronat · n_bigrams. Emits the surviving docs; the
+    * model columns never leave.
+    *
+    * The keep predicate is ONE `exists` over a single-element array
+    * so the normalized-id array is a LAMBDA-BOUND VALUE — the
+    * let-binding SQL lacks. Phrased as a projected `ids` column that
+    * the gate later drops, CollapseProject + filter pushdown INLINE
+    * the whole tokenize-normalize expression into the fold's
+    * per-step `element_at(ids, i)`, and every fold step re-tokenizes
+    * the document — O(tokens²) per doc, measured 92 s vs ~2 s at a
+    * ×16 corpus for identical survivors. (c23's report keeps `ids`
+    * in its output frame, which blocks the inline — that asymmetry
+    * is why only the gate shape hit it.) The `when` guard keeps the
+    * fold off bigram-less docs, where its element_at would throw
+    * under ANSI. */
   def perplexityGate(docs: DataFrame, lmModel: DataFrame,
       thrMicronat: Long = 3200000L): DataFrame =
     docs.crossJoin(broadcast(lmModel))
-      .withColumn("ids", lmNormIdsCol(col("text"), col("vmap")))
-      .filter(size(col("ids")) >= 2)
-      .withColumn("lm",
-        lmScoreCol(col("ids"), col("bmap"), col("xmap"), col("vp1")))
-      .filter(col("lm") < lit(thrMicronat) * (size(col("ids")) - 1))
-      .drop("vmap", "bmap", "xmap", "vp1", "ids")
+      .filter(exists(array(lmNormIdsCol(col("text"), col("vmap"))), idsv =>
+        when(size(idsv) >= 2,
+          lmScoreCol(idsv, col("bmap"), col("xmap"), col("vp1")) <
+            lit(thrMicronat) * (size(idsv) - 1))
+          .otherwise(lit(false))))
+      .drop("vmap", "bmap", "xmap", "vp1")
 
   /** The t17 per-document scoring frame — (lang, source, ids, lm)
     * where `ids` is the class-normalized token array and `lm` the
