@@ -617,6 +617,72 @@ class PlanSpec extends SparkSpec {
       s"t23 must not sort-merge or go cartesian:\n$pt")
   }
 
+  test("layout explodes fan out PRE-COMPUTED keys — no curve kernel inside " +
+    "a Generate (the 8000-byte JIT ceiling pin)") {
+    // the r17 lesson: curve kernels inlined into explode(array(struct(..)))
+    // fuse into ONE generated method past HotSpot's 8000-byte JIT limit
+    // — the stage compiles (the codegen gate passes), values stay exact,
+    // and the scan runs 40-90× slower in the bytecode interpreter. The
+    // fix pre-projects each key as its own column; this pin guards that
+    // shape against an optimizer change (or a future edit) re-inlining
+    // the kernels: every Generate's generator must reference only
+    // attributes and literals — no hilbert/morton arithmetic.
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    for ((name, df) <- Seq(
+        "l03" -> Layout.curvePruning(spark, sf0001),
+        "l05" -> Layout.cubePruning(spark, sf0001),
+        "l06" -> Layout.cubePruningHilbert(spark, sf0001),
+        "l07" -> Layout.cubeFileBoxes(spark, sf0001))) {
+      val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+      assert(gens.nonEmpty, s"$name lost its layout explode entirely")
+      gens.foreach { g =>
+        val gs = g.generator.toString.toLowerCase
+        // kernel MARKERS, not layout labels: 'hilbert' alone is the
+        // struct's literal layout tag and must stay
+        assert(!gs.contains("hilbert_index") && !gs.contains("shiftleft"),
+          s"$name: a curve kernel was inlined back into the Generate — " +
+            s"the fused method exceeds the JIT ceiling and the stage " +
+            s"runs interpreted:\n$gs")
+      }
+    }
+  }
+
+  test("perplexityGate tokenizes each doc ONCE — the id array stays " +
+    "lambda-bound, never inlined into the fold (the inline-quadratic pin)") {
+    // the r17 lesson: phrased as a projected-then-dropped ids column,
+    // CollapseProject + filter pushdown inline the tokenize-normalize
+    // into the fold's per-step element_at — O(tokens²) per doc (92 s vs
+    // 1.5 s at ×16, identical survivors). The exists-let-binding keeps
+    // ONE tokenize per row; this pin counts the split() occurrences in
+    // the optimized gate predicate so a regression (any rephrasing that
+    // lets Catalyst duplicate the normalize) fails loudly.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter => LFilter, Join => LJoin}
+    val df = TextAnalysis.perplexityGate(
+      Relational.t(spark, sf0001, "documents")
+        .select("doc_id", "lang", "text"),
+      TextAnalysis.readBigramLmModel(spark, sf0001))
+    // the predicate may live in a Filter or get folded into the
+    // broadcast join's condition — collect both
+    val conds = df.queryExecution.optimizedPlan.collect {
+      case f: LFilter => f.condition.toString
+      case j: LJoin if j.condition.isDefined => j.condition.get.toString
+    }
+    val gateConds = conds.filter(_.toLowerCase.contains("split"))
+    assert(gateConds.nonEmpty, "the gate predicate vanished from the plan")
+    gateConds.foreach { c =>
+      val n = "split\\(".r.findAllIn(c.toLowerCase).length
+      assert(n == 1,
+        s"the tokenizer appears $n times in the gate predicate — the id " +
+          s"array is no longer evaluated once per document:\n$c")
+    }
+    // and the gate genuinely evaluates (sanity: it keeps a nonempty,
+    // strict subset at the gate corpus)
+    val kept = df.count()
+    val all = Relational.t(spark, sf0001, "documents").count()
+    assert(kept > 0 && kept < all)
+  }
+
   test("p11: replica explosion collapses map-side — partial agg below the exchange") {
     val p = plan(Sampling.bootstrapMeans(spark, sf0001))
     val lines = p.linesIterator.toVector
