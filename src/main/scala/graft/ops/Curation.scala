@@ -1094,17 +1094,19 @@ object Curation {
       .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
     val withFp = raw.withColumn("fp", TextAnalysis.fingerprint(col("text")))
     val survivors = withFp.join(broadcast(benchFps), Seq("fp"), "left_anti")
+    // the model row resolves (artifact address + broadcast) ONCE for
+    // both consumers below
+    val model = broadcast(TextAnalysis.readQualityModel(s, dir))
     def classified(df: DataFrame): DataFrame = df
-      .crossJoin(broadcast(TextAnalysis.readQualityModel(s, dir)))
+      .crossJoin(model)
       .withColumn("pred", (TextAnalysis.classifierScoreCol(
         col("text"), col("wm"), col("w_oov"), col("prior")) > 0L)
         .cast("long"))
-    // stage-count legs read ONE narrow checkpointed verdict pass
-    // (lang, pred — bytes per doc, never text), so the fp anti-join
-    // and the classifier fold run once for BOTH counters instead of
-    // once per counter; the payload path below re-runs them once
-    // more — in production that second pass IS the ingest write, so
-    // the chain's total is two corpus passes: verdicts + payload
+    // the classifier-verdict counter reads ONE narrow checkpointed
+    // pass (lang, pred — bytes per doc, never text); the payload path
+    // below re-runs the fold once more — in production that second
+    // pass IS the ingest write, so the chain's total is two corpus
+    // passes: verdicts + payload
     val flags = classified(survivors).select("lang", "pred")
       .localCheckpoint()
     val kept = classified(survivors).filter(col("pred") === 1L)
@@ -1117,7 +1119,7 @@ object Curation {
     // trained-tokenizer encode: the SAME [[bpeWordIdMapRow]] the c20
     // packer broadcasts (survivor words ⊆ corpus words, so the map is
     // total here — element_at stays fail-loud on a stale artifact)
-    val withIds = lmGated.select("doc_id", "lang", "text")
+    val withIds = lmGated
       .crossJoin(broadcast(bpeWordIdMapRow(s, dir, rounds)))
       .select(col("doc_id"), col("lang"),
         flatten(transform(
@@ -1130,7 +1132,12 @@ object Curation {
         countDistinct("pack_id").as("n_packs"),
         sum("n_tok").as("n_tokens"))
     val rawN = raw.groupBy("lang").agg(count(lit(1)).as("n_raw"))
-    val survN = flags.groupBy("lang").agg(count(lit(1)).as("n_surv"))
+    // n_surv counts the MODEL-INDEPENDENT survivors frame, not flags:
+    // the flags pass rides the model cross join, and a model artifact
+    // that reads empty would silently zero the survivor count (and
+    // report every doc contaminated) instead of only zeroing the
+    // model-dependent verdict counters
+    val survN = survivors.groupBy("lang").agg(count(lit(1)).as("n_surv"))
     val clsN = flags.filter(col("pred") === 1L)
       .groupBy("lang").agg(count(lit(1)).as("n_cls"))
     rawN.join(survN, Seq("lang"), "left")

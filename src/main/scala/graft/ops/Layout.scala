@@ -236,8 +236,11 @@ object Layout {
     * its cents statistics span everything, so it touches every
     * (ck, day)-intersecting segment regardless of the cents
     * predicate; the 3-d curve's boxes are selective on cents too and
-    * touch strictly fewer. ONE orders pass (in-scan explode of three
-    * codegen'd keys), one map-side-combined shuffle onto ≤ 3·258
+    * touch strictly fewer. ONE orders pass — each layout key computed
+    * as its OWN projected column (JIT-able per column; inlining them
+    * into the explode fuses one method past HotSpot's 8000-byte JIT
+    * limit, the measured r17 cliff) and the explode fanning out tiny
+    * key structs — then one map-side-combined shuffle onto ≤ 3·258
     * groups; the oracle replays every cascade in integer arithmetic.
     *
     * Measured finding (the l02/l03 honesty discipline): the strict
@@ -322,8 +325,9 @@ object Layout {
     * Hilbert segment of length L has O(L^(1/3)) diameter, so its
     * boxes stay tight on EVERY axis at arbitrary cuts — the 3-d
     * analog of the measured l03 hilbert ≤ zorder result. One orders
-    * pass (both curve keys are register-loop kernels inside the
-    * scan's project), one map-side-combined shuffle onto ≤ 2·258
+    * pass (both curve keys are register-loop kernels, each its OWN
+    * projected column upstream of the explode — the JIT-ceiling
+    * shape), one map-side-combined shuffle onto ≤ 2·258
     * groups; the oracle replays Skilling's plane sweeps as generated
     * CTE stages (the l02 discipline, one engine certifying the
     * other's kernel). */
@@ -346,7 +350,8 @@ object Layout {
   /** The shared l06/l07 per-segment frame: orders quantized onto the
     * 16-bit cube, keyed by BOTH 3-d curves (Hilbert via the
     * [[graft.functions.HilbertIndex3]] kernel, Morton via
-    * [[morton3]] — an in-scan explode, 2 rows per input row), cut
+    * [[morton3]] — each key its own projected column, then a tiny
+    * 2-rows-per-input explode of the key structs), cut
     * into the same ~257 non-dyadic segments, and reduced to each
     * segment's min/max statistics box + row counts. ONE map-side-
     * combined shuffle onto ≤ 2·258 groups; everything downstream is
