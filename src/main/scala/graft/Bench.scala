@@ -42,6 +42,21 @@ object Bench {
         s"SPARK_GRAFT_ONLY names unknown queries: ${missing.toSeq.sorted.mkString(",")}")
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // SPARK_GRAFT_CONSUME=collect drives every timed query through
+    // .collect() instead of .count() — the prune-hidden-family probe:
+    // count() lets Catalyst PRUNE non-key expressions out of a final
+    // aggregate, so fold/kernel stages whose outputs prune are
+    // under-measured (both r17 interpreted-execution cliffs — 40-90×
+    // — were invisible to the count-shaped harness until a
+    // collect-shaped registry query happened to exercise the path).
+    // Announced in every JSON line ("consume") so a collect-mode
+    // artifact can never masquerade as a protocol run.
+    val consumeMode = sys.env.getOrElse("SPARK_GRAFT_CONSUME", "count")
+    require(consumeMode == "count" || consumeMode == "collect",
+      s"SPARK_GRAFT_CONSUME must be count|collect, got $consumeMode")
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      if (consumeMode == "collect") { df.collect(); () }
+      else { df.count(); () }
     val baselineSet = Set(
       "d01_exact_dedup", "d02_dup_groups", "d03_ngram_jaccard",
       "d04_minhash_lsh", "d05_simhash_pairs", "e01_hourly",
@@ -89,7 +104,7 @@ object Bench {
       .filterNot { case (n, _) => skipped.contains(n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
     // A query that throws records -1.0 (NOT its elapsed-to-exception
@@ -97,7 +112,7 @@ object Bench {
     // success in the JSON, and min-of-passes must not launder it.
     def steadyPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { consume(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       spark.catalog.clearCache()
       name -> dt
@@ -112,7 +127,7 @@ object Bench {
     // reader knows which numbers carried host contention.
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { consume(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       spark.catalog.clearCache()
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
@@ -164,7 +179,7 @@ object Bench {
     def totalLine(m: Seq[(String, Double)]): String = {
       val qj = m.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","schema":"graft-bench-v3","value":${r3(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"passes":$passes,$onlyJson"queries_total":${results.size},"queries_omitted":${results.size - m.size},"skipped":$skippedJson,"noisy":$noisyJson,"queries":$qj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","schema":"graft-bench-v3","value":${r3(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"passes":$passes,"consume":"$consumeMode",$onlyJson"queries_total":${results.size},"queries_omitted":${results.size - m.size},"skipped":$skippedJson,"noisy":$noisyJson,"queries":$qj,"sf":"$sfDir"}"""
     }
     // largest prefix of the prioritized order whose line fits
     val kept = (prioritized.size to 0 by -1).view
@@ -181,7 +196,7 @@ object Bench {
     // so the next round diffs complete registries, not tail windows.
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "/tmp/graft_bench_full.json")
     val fullJson =
-      s"""{"schema":"graft-bench-full-v1","total":${r3(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"passes":$passes,$onlyJson"skipped":$skippedJson,"noisy":$noisyJson,"queries":$qs,"spread":$spreadJson,"sf":"$sfDir"}"""
+      s"""{"schema":"graft-bench-full-v1","total":${r3(total)},"unit":"sec","n":${results.count(_._2 >= 0)},"passes":$passes,"consume":"$consumeMode",$onlyJson"skipped":$skippedJson,"noisy":$noisyJson,"queries":$qs,"spread":$spreadJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -350,6 +350,14 @@ object SparkEntry {
       Similarity.ensureCompactedIvfIndex(s, dir)
       Similarity.ivfTopKCurrent(s, dir)
     }),
+    // s29: the epoch-resolved ROUTED read — s22's recommended
+    // production query shape given the s28 freshness lifecycle
+    // (tombstone anti-join over /main before the flip, plain read of
+    // /compact after); rows identical either side by construction,
+    // so ONE tombstoned-s20 oracle certifies whichever epoch the
+    // gate finds; IvfIndexSpec pins both plan shapes + row identity
+    "s29_routed_current" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivf2TopKCurrent(s, dir)),
     // s23: the s17 curve widened to the metrics retrieval pipelines
     // tune on — recall@k, MRR, nDCG@k per probe depth, all exact
     // integer arithmetic so the oracle hash-matches
@@ -826,6 +834,11 @@ object SparkEntry {
     * cannot collide with the t21 chain's `tk`/`cnt` in one WITH
     * block) the c22 composed-chain oracle — mirroring the ONE
     * `bigramScoredDocs` on the Spark side. */
+  /** The c23/c22 perplexity-gate threshold literal, generated from
+    * the ONE Scala default so the oracle predicate cannot drift from
+    * the Spark gate's. */
+  private def c23Thr: Long = graft.ops.TextAnalysis.perplexityThrDefault
+
   private def bigramLmCtes: String = bigramLmCtes("")
   private def bigramLmCtes(q: String): String =
     raw"""${q}toks AS (SELECT doc_id, lang, source,
@@ -833,7 +846,8 @@ object SparkEntry {
          ${q}tk AS (SELECT doc_id, lang, source, i, w[i] AS tok
            FROM ${q}toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
          ${q}cnt AS (SELECT tok, count(*) AS c FROM ${q}tk GROUP BY 1),
-         ${q}vocab AS (SELECT tok FROM ${q}cnt ORDER BY c DESC, tok LIMIT 24),
+         ${q}vocab AS (SELECT tok FROM ${q}cnt ORDER BY c DESC, tok
+           LIMIT ${graft.ops.TextAnalysis.lmVocabDefault}),
          ${q}ntk AS (SELECT doc_id, lang, source, i,
              CASE WHEN v.tok IS NULL THEN chr(2) ELSE ${q}tk.tok END AS ntok
            FROM ${q}tk LEFT JOIN ${q}vocab v USING (tok)),
@@ -844,22 +858,28 @@ object SparkEntry {
          ${q}cb AS (SELECT p, c2, count(*) AS cbi FROM ${q}bg GROUP BY 1, 2),
          ${q}cx AS (SELECT p, sum(cbi) AS cxx FROM ${q}cb GROUP BY 1),
          ${q}terms AS (SELECT ${q}bg.doc_id, lang, source,
-             CAST(floor(ln(CAST(cxx + 25 AS DOUBLE)
+             CAST(floor(ln(CAST(cxx + ${
+      graft.ops.TextAnalysis.lmVocabDefault + 1} AS DOUBLE)
                / CAST(cbi + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS vs
            FROM ${q}bg JOIN ${q}cb USING (p, c2) JOIN ${q}cx USING (p))"""
 
   /** The shared t21/c21 oracle chain: weak Gopher labels (the t08
-    * rule SQL) → per-token class counts → add-one-smoothed log-odds
+    * rule SQL) → per-token class counts → top-N vocabulary cap
+    * (count desc, token asc — the LIMIT literal is generated from
+    * the ONE [[graft.ops.TextAnalysis.classifierVocabDefault]], so
+    * the engines cannot cap apart) with the below-cap class mass
+    * trained into the single OOV outcome → add-one-smoothed log-odds
     * frozen to integer micronats (floor(ln·1e6+½) per class BEFORE
     * the difference — the t11 discipline, so weights/scores/verdicts
-    * are exact longs on both engines) → per-doc score>0 verdicts.
-    * Ends at CTE `fin` (lang, source, y, n_tok, pred); Spark folds
-    * each doc's token array in-row while this chain unnest-joins in
-    * hash order, but integer sums are order-free. ONE definition
-    * feeding both rollups, mirroring the ONE `classifierScoreCol` on
-    * the Spark side. */
+    * are exact longs on both engines) → per-doc score>0 verdicts
+    * (out-of-cap tokens score the trained `w_oov`). Ends at CTE
+    * `fin` (lang, source, y, n_tok, pred); Spark folds each doc's
+    * token array in-row while this chain unnest-joins in hash order,
+    * but integer sums are order-free. ONE definition feeding both
+    * rollups, mirroring the ONE `classifierScoreCol` on the Spark
+    * side. */
   private def t21ChainCtes: String =
-    """x AS MATERIALIZED (
+    raw"""x AS MATERIALIZED (
            SELECT doc_id, lang, source,
              string_split_regex(trim(text), '\s+') AS w
            FROM documents),
@@ -879,8 +899,16 @@ object SparkEntry {
          cnt AS MATERIALIZED (SELECT tok, CAST(sum(y) AS BIGINT) AS cp,
              CAST(sum(1 - y) AS BIGINT) AS cf
            FROM tk GROUP BY tok),
-         tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
-             CAST(sum(cf) AS BIGINT) AS nf, count(*) AS v FROM cnt),
+         vcap AS MATERIALIZED (SELECT tok, cp, cf FROM cnt
+           ORDER BY cp + cf DESC, tok
+           LIMIT ${graft.ops.TextAnalysis.classifierVocabDefault}),
+         tot AS (SELECT a.np, a.nf, b.v,
+             a.np - b.npi AS cpo, a.nf - b.nfi AS cfo
+           FROM (SELECT CAST(sum(cp) AS BIGINT) AS np,
+               CAST(sum(cf) AS BIGINT) AS nf FROM cnt) a
+           CROSS JOIN (SELECT count(*) AS v,
+               CAST(coalesce(sum(cp), 0) AS BIGINT) AS npi,
+               CAST(coalesce(sum(cf), 0) AS BIGINT) AS nfi FROM vcap) b),
          pri AS (SELECT
              CAST(floor(ln(CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
            - CAST(floor(ln(CAST(CAST(sum(1 - y) AS BIGINT) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
@@ -891,9 +919,16 @@ object SparkEntry {
                * 1000000 + 0.5) AS BIGINT)
            - CAST(floor(ln(CAST(cf + 1 AS DOUBLE) / CAST(nf + v + 1 AS DOUBLE))
                * 1000000 + 0.5) AS BIGINT) AS w
-           FROM cnt CROSS JOIN tot),
-         sc AS (SELECT tk.doc_id, CAST(sum(wt.w) AS BIGINT) AS s
-           FROM tk JOIN wt USING (tok) GROUP BY 1),
+           FROM vcap CROSS JOIN tot),
+         oov AS (SELECT
+             CAST(floor(ln(CAST(cpo + 1 AS DOUBLE) / CAST(np + v + 1 AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln(CAST(cfo + 1 AS DOUBLE) / CAST(nf + v + 1 AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS w_oov
+           FROM tot),
+         sc AS (SELECT tk.doc_id,
+             CAST(sum(coalesce(wt.w, oov.w_oov)) AS BIGINT) AS s
+           FROM tk LEFT JOIN wt USING (tok) CROSS JOIN oov GROUP BY 1),
          fin AS (SELECT r.lang, r.source, r.y,
              CAST(len(r.w) AS BIGINT) AS n_tok,
              CASE WHEN pri.prior + coalesce(sc.s, 0) > 0 THEN 1 ELSE 0 END AS pred
@@ -1603,9 +1638,14 @@ object SparkEntry {
 
   /** s20's oracle (also bound to s22 — the persisted-path results are
     * identical by construction, so ONE text certifies both, the
-    * s11/s05 pattern): the full two-level routing replayed in SQL. */
-  private val s20Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    * s11/s05 pattern): the full two-level routing replayed in SQL.
+    * `tsFilter` is the s26-style tombstone slice filter on the
+    * candidate stream — empty for s20/s22, the vec_id ≡ 3 (mod 7)
+    * drop for s29's epoch-resolved read (whose pre- and post-flip
+    * plans return identical rows by construction, so the ONE
+    * tombstoned text certifies whichever epoch the gate finds). */
+  private def s20SqlWith(tsFilter: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
            WHERE vec_id >= 100 AND vec_id < 132),
          co AS (SELECT vec_id AS co_id, emb AS co_emb FROM e
@@ -1640,13 +1680,17 @@ object SparkEntry {
            SELECT c_id, cent_id,
              row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
            FROM ac) WHERE rn = 1),
-         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell) WHERE q_id <> c_id),
+         cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell)
+           WHERE q_id <> c_id$tsFilter),
          sc AS (SELECT q_id, c_id,
              floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
            FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
          r AS (SELECT q_id, c_id, sim,
            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
          SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  private val s20Sql: String = s20SqlWith("")
+  private val s29Sql: String = s20SqlWith(" AND c_id % 7 <> 3")
 
   /** s21's oracle: shared routing CTEs (codebooks, fine→coarse route,
     * corpus assignment, the s05 one-level baseline), then per curve
@@ -3002,12 +3046,7 @@ object SparkEntry {
     // weight, prior, weight sign counts and extremes) must be
     // bit-identical, certifying the parquet round-trip loses nothing
     "t22_quality_model" ->
-      s"""WITH $t21ChainCtes,
-         oov AS (SELECT
-             CAST(floor(ln(1.0 / CAST(np + v + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
-           - CAST(floor(ln(1.0 / CAST(nf + v + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
-             AS w_oov
-           FROM tot)
+      s"""WITH $t21ChainCtes
          SELECT tot.v AS v, oov.w_oov AS w_oov, pri.prior AS prior,
            CAST(sum(CASE WHEN wt.w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
            CAST(sum(CASE WHEN wt.w < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
@@ -3037,19 +3076,21 @@ object SparkEntry {
     // t24: the oracle retrains the bigram LM (the shared t17/c23
     // chain's count tables) and must land on the ARTIFACT-served
     // datasheet bit-for-bit — the t22 persisted-vs-retrained
-    // certification for the fourth gate's model (vp1 = 24 + 1, the
-    // same add-one-over-V+1 constant the terms CTE smooths with)
+    // certification for the fourth gate's model (vp1 = V + 1, the
+    // same add-one-over-V+1 constant the terms CTE smooths with —
+    // both literals generated from the ONE lmVocabDefault)
     "t24_bigram_lm_model" ->
       s"""WITH $bigramLmCtes
          SELECT (SELECT count(*) FROM vocab) AS v,
-           CAST(25 AS BIGINT) AS vp1,
+           CAST(${graft.ops.TextAnalysis.lmVocabDefault + 1} AS BIGINT) AS vp1,
            (SELECT count(*) FROM cb) AS n_bigrams,
            (SELECT count(*) FROM cx) AS n_contexts,
            (SELECT CAST(sum(cbi) AS BIGINT) FROM cb) AS n_transitions,
            (SELECT CAST(max(cbi) AS BIGINT) FROM cb) AS c_max""",
     // c22: the composed ingest chain — decontam → verdict → ids →
     // packs, one SQL text certifying the composition
-    "c22_llm_ingest_chain" -> c22OracleSql(6, 2048, 3200000L),
+    "c22_llm_ingest_chain" ->
+      c22OracleSql(6, 2048, graft.ops.TextAnalysis.perplexityThrDefault),
     // c23: the shared t17 chain to per-doc integer (lm, nb), the
     // SAME pure-integer keep predicate, stage-accounted rollup
     "c23_perplexity_gate" ->
@@ -3058,9 +3099,9 @@ object SparkEntry {
              CAST(sum(vs) AS BIGINT) AS lm
            FROM terms GROUP BY 1, 2, 3),
          g AS (SELECT lang, source, count(*) AS n_scored,
-             CAST(sum(CASE WHEN lm < 3200000 * nb THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN lm < $c23Thr * nb THEN 1 ELSE 0 END)
                AS BIGINT) AS n_kept,
-             CAST(sum(CASE WHEN lm < 3200000 * nb THEN nb + 1 ELSE 0 END)
+             CAST(sum(CASE WHEN lm < $c23Thr * nb THEN nb + 1 ELSE 0 END)
                AS BIGINT) AS kept_tokens
            FROM doc GROUP BY 1, 2),
          al AS (SELECT lang, source, count(*) AS n_docs
@@ -4231,6 +4272,9 @@ object SparkEntry {
     // re-ranking), so the s20 oracle certifies the persisted path too
     // — the s11/s05 sharing pattern
     "s22_routed_indexed" -> s20Sql,
+    // s29: s20's routing text over the tombstone-filtered candidate
+    // stream — valid in BOTH epochs (compaction folds the same slice)
+    "s29_routed_current" -> s29Sql,
     "s05_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e

@@ -80,5 +80,10 @@ private[graft] object Kernels {
       { exprs =>
         arity("hilbert_index3(a, b, c)", 3, exprs)
         HilbertIndex3Expr(exprs(0), exprs(1), exprs(2))
+      }),
+    KernelDef("sorted_lookup", classOf[SortedLookupExpr],
+      { exprs =>
+        arity("sorted_lookup(keys, vals, key)", 3, exprs)
+        SortedLookupExpr(exprs(0), exprs(1), exprs(2))
       }))
 }

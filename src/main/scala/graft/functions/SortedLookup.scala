@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: binary search over a SORTED string-key
+  * array with a parallel values array — the bounded-probe replacement
+  * for `element_at` on a broadcast MapType whose key set GROWS with
+  * the corpus.
+  *
+  * Spark's map probe (`GetMapValue` over `ArrayBasedMapData`) is a
+  * LINEAR scan of the key array, so probing a corpus-vocabulary-sized
+  * map (Heaps' law: V ~ n^β) makes per-token work O(V) — the r17 t21
+  * finding class (6.41× per 4× measured at ×64 before the vocabulary
+  * cap). Where the map's key set CAN be capped, the cap is the right
+  * fix ([[graft.ops.TextAnalysis.trainQualityModel]]); where it
+  * cannot — the trained BPE word → ids table is keyed by every
+  * distinct corpus word by construction — this kernel makes the probe
+  * O(log V): the builder sorts once
+  * (`sort_array(collect_list(struct(key, value)))`, Spark's
+  * UTF8String binary order — the SAME order the search compares in),
+  * and each lookup is a register-loop bisection.
+  *
+  * Miss contract: a missing key RAISES (with the key in the message)
+  * — the `element_at` ANSI fail-loud contract of the two call sites
+  * ([[graft.ops.Curation.bpePackedIdsStats]],
+  * [[graft.ops.Curation.llmIngestChainStats]]): every corpus word is
+  * in the trained vocabulary, so a miss means a stale artifact, and
+  * encoding a document against the wrong tokenizer must abort, not
+  * null-propagate. The value type is generic (`vals` element type);
+  * a null element returns null.
+  *
+  * Reference analog: arbitrary per-element callables inside `map`
+  * chains (streamable/stream.py:230-276); the sorted-probe kernel is
+  * extension surface (the "custom Expression beats UDF" rung, same
+  * as [[CosineSimilarityExpr]]).
+  */
+case class SortedLookupExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(_, _), StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        "sorted_lookup expects (array<string>, array<T>, string), got " +
+          s"${f.simpleString}, ${s.simpleString}, ${t.simpleString}")
+    }
+
+  override def dataType: DataType =
+    second.dataType.asInstanceOf[ArrayType].elementType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_lookup"
+
+  private def miss(k: UTF8String): Nothing =
+    throw new java.util.NoSuchElementException(
+      s"sorted_lookup: key '$k' not found — the sorted key array does " +
+        "not contain it (stale artifact? keys must be sort_array-sorted)")
+
+  override def nullSafeEval(ks: Any, vs: Any, k: Any): Any = {
+    val keys = ks.asInstanceOf[ArrayData]
+    val vals = vs.asInstanceOf[ArrayData]
+    val key = k.asInstanceOf[UTF8String]
+    var lo = 0
+    var hi = keys.numElements() - 1
+    var pos = -1
+    while (lo <= hi && pos < 0) {
+      val mid = (lo + hi) >>> 1
+      val c = keys.getUTF8String(mid).compareTo(key)
+      if (c == 0) pos = mid
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    if (pos < 0) miss(key)
+    if (vals.isNullAt(pos)) null else vals.get(pos, dataType)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ks, vs, k) => {
+      val lo = ctx.freshName("slLo")
+      val hi = ctx.freshName("slHi")
+      val mid = ctx.freshName("slMid")
+      val cmp = ctx.freshName("slCmp")
+      val pos = ctx.freshName("slPos")
+      val javaType = CodeGenerator.javaType(dataType)
+      val getV = CodeGenerator.getValue(vs, dataType, pos)
+      val exprCls = classOf[SortedLookupExpr].getName
+      // miss raising lives in a static helper on the companion so the
+      // generated method stays tiny (the 8000-byte JIT-ceiling
+      // discipline); operators sit at line END (the stripMargin rule)
+      s"""
+         |int $lo = 0;
+         |int $hi = $ks.numElements() - 1;
+         |int $pos = -1;
+         |while ($lo <= $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  int $cmp = $ks.getUTF8String($mid).compareTo($k);
+         |  if ($cmp == 0) { $pos = $mid; break; }
+         |  else if ($cmp < 0) { $lo = $mid + 1; }
+         |  else { $hi = $mid - 1; }
+         |}
+         |if ($pos < 0) { $exprCls.raiseMiss($k); }
+         |if ($vs.isNullAt($pos)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ($javaType) $getV;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SortedLookupExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object SortedLookupExpr {
+  /** Generated-code miss hook — one static call keeps the kernel's
+    * generated method small. */
+  def raiseMiss(k: UTF8String): Unit =
+    throw new java.util.NoSuchElementException(
+      s"sorted_lookup: key '$k' not found — the sorted key array does " +
+        "not contain it (stale artifact? keys must be sort_array-sorted)")
+}
+
+object SortedLookup {
+  /** Column API: `SortedLookup(keys, vals, key)`. */
+  def apply(keys: Column, vals: Column, key: Column): Column =
+    GraftBridge.column(SortedLookupExpr(GraftBridge.expression(keys),
+      GraftBridge.expression(vals), GraftBridge.expression(key)))
+}

@@ -55,7 +55,11 @@ private[graft] object Artifacts {
         maxM = math.max(maxM, f.getModificationTime)
         totLen += f.getLen; n += 1
       }
-      if (n == 0) s"${status.getModificationTime}-0"
+      // explicit sentinel, NOT the directory's own mtime (the exact
+      // dir-level signal this stamp exists to avoid — synthetic on
+      // object stores): any two empty generations have identical
+      // content, so one shared stamp is semantically right
+      if (n == 0) "empty-0"
       else s"$maxM-$totLen"
     }
   }
@@ -84,7 +88,11 @@ private[graft] object Artifacts {
           val name = st.getPath.getName
           name.startsWith(prefix) && name != keepPath.getName
         }
-        .sortBy(-_.getModificationTime)
+        // mtime ties within one clock tick (and moves when children
+        // are touched) — the path-name secondary sort makes retention
+        // deterministic under both
+        .sortBy(st => (-st.getModificationTime, st.getPath.getName))(
+          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
       superseded.drop(retain).foreach(st => fs.delete(st.getPath, true))
     }
   }

@@ -304,10 +304,11 @@ object Curation {
     * are vocabulary-sized broadcast one-row frames (the t19
     * broadcast argument — the corpus never reshuffles for the
     * tokenizer); per-doc encoding is ONE in-row
-    * transform-and-flatten over the doc's word array
-    * (`element_at` on the word map is fail-loud by ANSI contract —
-    * every corpus word is in the trained vocab, a miss means the
-    * artifact is stale); packing and the per-pack ordered-id csv are
+    * transform-and-flatten over the doc's word array (the
+    * [[graft.functions.SortedLookup]] kernel — an O(log V) bisection
+    * over the sorted word array, fail-loud by contract: every corpus
+    * word is in the trained vocab, a miss means the artifact is
+    * stale); packing and the per-pack ordered-id csv are
     * the [[withPackId]] / [[packedIdsStats]] machinery unchanged,
     * so the stream/order/boundary contract is shared with c02/c08
     * and cannot desynchronize. Reference analog: the chained
@@ -348,23 +349,36 @@ object Curation {
         .as("sm"))
   }
 
-  /** The trained tokenizer's word → ordered-id-list map as a ONE-ROW
-    * broadcastable artifact (`bpe_wm`) — the [[bpeSymbolIdRow]]
-    * numbering applied to the trained segmentation, extracted so the
-    * c20 packer and the c22 ingest chain consume ONE definition
-    * (`element_at` stays fail-loud by ANSI contract: every corpus
-    * word is in the trained vocab, a miss means a stale artifact).
-    * The column name is namespaced (`bpe_wm`, not `wm`) so the row
-    * composes with the t21 model row (whose weight map is `wm`)
-    * inside one chain without aliasing. */
+  /** The trained tokenizer's word → ordered-id-list table as a
+    * ONE-ROW broadcastable artifact of SORTED PARALLEL ARRAYS
+    * (`bpe_wk`: words ascending, `bpe_wv`: the matching id lists) —
+    * the [[bpeSymbolIdRow]] numbering applied to the trained
+    * segmentation, extracted so the c20 packer and the c22 ingest
+    * chain consume ONE definition. NOT a MapType: this table is
+    * keyed by every distinct corpus word, the one tokenizer
+    * structure whose key set cannot be capped (Heaps' law — it IS
+    * the vocabulary), and Spark's map probe is a linear scan, so an
+    * `element_at` per word occurrence would make encoding
+    * O(words · V) at corpus scale (the r17 t21 finding class).
+    * Consumers probe with the [[graft.functions.SortedLookup]]
+    * kernel instead — O(log V) bisection over the sorted keys, and
+    * still fail-loud: a word missing from the trained vocab RAISES
+    * (stale artifact), the same abort contract the previous ANSI
+    * `element_at` carried. Column names are namespaced (`bpe_wk`/
+    * `bpe_wv`) so the row composes with the t21 model row inside
+    * one chain without aliasing. */
   def bpeWordIdMapRow(s: SparkSession, dir: String,
       rounds: Int = 6): DataFrame = {
     val (_, segs) = graft.ops.TextAnalysis.bpeTrain(s, dir, rounds)
     segs.crossJoin(broadcast(bpeSymbolIdRow(s, dir, rounds)))
       .select(col("word"),
         transform(col("syms"), sy => element_at(col("sm"), sy)).as("ids"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("ids"))))
-        .as("bpe_wm"))
+      // sort_array on struct(word, ids) orders by word in UTF8String
+      // binary order — the SAME order the kernel's compareTo bisects
+      .agg(sort_array(collect_list(struct(col("word"), col("ids"))))
+        .as("kv"))
+      .select(transform(col("kv"), x => x("word")).as("bpe_wk"),
+        transform(col("kv"), x => x("ids")).as("bpe_wv"))
   }
 
   def bpePackedIdsStats(s: SparkSession, dir: String, budget: Long = 2048,
@@ -374,7 +388,8 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         flatten(transform(
           regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
-          w => element_at(col("bpe_wm"), w))).as("ids"))
+          w => graft.functions.SortedLookup(
+            col("bpe_wk"), col("bpe_wv"), w))).as("ids"))
       .withColumn("n_tok", size(col("ids")).cast("long"))
     withPackId(withIds, budget)
       .groupBy("lang", "pack_id")
@@ -1086,7 +1101,7 @@ object Curation {
   def llmIngestChainStats(s: SparkSession, dir: String,
       budget: Long = 2048, rounds: Int = 6,
       benchSource: String = "src0",
-      thrMicronat: Long = 3200000L): DataFrame = {
+      thrMicronat: Long = TextAnalysis.perplexityThrDefault): DataFrame = {
     import graft.ops.TextAnalysis
     val docs = t(s, dir, "documents")
     val raw = docs.filter(col("source") =!= benchSource)
@@ -1117,14 +1132,16 @@ object Curation {
       kept.select("doc_id", "lang", "text"),
       TextAnalysis.readBigramLmModel(s, dir), thrMicronat)
     // trained-tokenizer encode: the SAME [[bpeWordIdMapRow]] the c20
-    // packer broadcasts (survivor words ⊆ corpus words, so the map is
-    // total here — element_at stays fail-loud on a stale artifact)
+    // packer broadcasts (survivor words ⊆ corpus words, so the table
+    // is total here — the sorted_lookup kernel stays fail-loud on a
+    // stale artifact and probes in O(log V), not a map linear scan)
     val withIds = lmGated
       .crossJoin(broadcast(bpeWordIdMapRow(s, dir, rounds)))
       .select(col("doc_id"), col("lang"),
         flatten(transform(
           regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
-          w => element_at(col("bpe_wm"), w))).as("ids"))
+          w => graft.functions.SortedLookup(
+            col("bpe_wk"), col("bpe_wv"), w))).as("ids"))
       .withColumn("n_tok", size(col("ids")).cast("long"))
     val packRollup = withPackId(withIds, budget)
       .groupBy("lang")

@@ -433,11 +433,17 @@ object Similarity {
   def ivfCurrentEpoch(s: SparkSession, dir: String): String = {
     val marker = ivfEpochMarker(s, dir)
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) "main"
-    else {
+    // open DIRECTLY and treat not-found as "main": an exists-then-open
+    // pair has a window where a reader concurrent with the flip's
+    // delete+rename sees exists=true then open fail — the fallback on
+    // the open itself is what makes the scaladoc's "a reader racing
+    // the flip only ever sees the pre- or post-flip plan" actually true
+    try {
       val in = fs.open(marker)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => "main"
     }
   }
 
@@ -610,19 +616,59 @@ object Similarity {
     * layout read. */
   def ivf2TopKIndexed(s: SparkSession, dir: String, indexPath: String,
       nQueries: Int = 10, k: Int = 5, nlist: Int = 32, ncoarse: Int = 8,
-      cprobe: Int = 3, nprobe: Int = 4): DataFrame = {
+      cprobe: Int = 3, nprobe: Int = 4): DataFrame =
+    ivf2IndexedScan(s, dir, indexPath, nQueries, k, nlist, ncoarse,
+      cprobe, nprobe, tombstones = None)
+
+  /** The ONE routed persisted-index read path behind
+    * [[ivf2TopKIndexed]] and [[ivf2TopKCurrent]] — the
+    * [[ivfIndexedScan]] twin contract: the tombstoned variant
+    * differs by exactly the optional candidate anti-join, so the
+    * epoch-resolved path cannot drift from the raw-path s20/s22
+    * identity. */
+  private def ivf2IndexedScan(s: SparkSession, dir: String,
+      indexPath: String, nQueries: Int, k: Int, nlist: Int, ncoarse: Int,
+      cprobe: Int, nprobe: Int, tombstones: Option[DataFrame]): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val fineProbes = routedFineProbes(s, emb, queries, nlist, ncoarse,
       cprobe, nprobe)
     val idx = s.read.parquet(indexPath)
-    val scored = idx.join(broadcast(fineProbes), "cell")
+    val candidates = idx.join(broadcast(fineProbes), "cell")
+    val fresh = tombstones.fold(candidates)(tb =>
+      candidates.join(broadcast(tb), Seq("c_id"), "left_anti"))
+    val scored = fresh
       .filter(col("q_id") =!= col("c_id"))
       .join(broadcast(queries), "q_id")
       .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
     topKPerQuery(s, scored, k)
   }
+
+  /** The epoch-resolved ROUTED read (s29) — [[ivfTopKCurrent]]'s
+    * freshness lifecycle given to the query shape the 100 TB story
+    * actually recommends (s22: two-level router + persisted
+    * partition-pruned layout). Before any compaction it reads
+    * `/main` with the per-query tombstone anti-join; after
+    * [[ensureCompactedIvfIndex]] flips CURRENT it reads `/compact`
+    * PLAIN (the anti-join leaves the plan, not just the result) —
+    * so the recommended production path sees deletes immediately
+    * and survives a compaction flip with no query redeploys, the
+    * s28 contract verbatim. Both sides return identical rows by
+    * construction (compaction folds the SAME [[tombstoneSet]]), so
+    * ONE oracle — s20's routing text with the tombstone slice
+    * filtered out — certifies the path in whichever epoch the gate
+    * finds it. */
+  def ivf2TopKCurrent(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32, ncoarse: Int = 8, cprobe: Int = 3,
+      nprobe: Int = 4): DataFrame =
+    if (ivfCurrentEpoch(s, dir) == "compact")
+      ivf2IndexedScan(s, dir, s"${ivfStampDir(s, dir)}/compact",
+        nQueries, k, nlist, ncoarse, cprobe, nprobe, tombstones = None)
+    else
+      ivf2IndexedScan(s, dir, ensureIvfIndex(s, dir, nlist),
+        nQueries, k, nlist, ncoarse, cprobe, nprobe,
+        tombstones = Some(tombstoneSet(s, dir)))
 
   /** Router recall curve (s21) — the s17 measured-advisory pattern on
     * the COARSE-PROBE axis: how much of the one-level IVF result does

@@ -387,7 +387,7 @@ object TextAnalysis {
   def unigramCrossEntropy(s: SparkSession, dir: String,
       vocabSizeParam: Int = 0): DataFrame = {
     val vocabSize = if (vocabSizeParam > 0) vocabSizeParam
-      else s.conf.get("graft.unigram.vocab", "24").toInt
+      else s.conf.get("graft.unigram.vocab", lmVocabDefault.toString).toInt
     val docs = t(s, dir, "documents")
     val cnt = docs.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
@@ -723,11 +723,26 @@ object TextAnalysis {
           .cast("long")
       })
 
+  /** Default LM vocabulary size (conf `graft.unigram.vocab` overrides)
+    * — ONE definition: [[lmVocabSize]] resolves the Spark side from it
+    * and [[graft.SparkEntry]] generates the oracle-SQL `LIMIT`/V+1
+    * literals from it (the thresholdGridMicronats pattern), so a
+    * default change can never mis-align persisted-vs-retrained
+    * certification. SIZED TO THIS CORPUS (31 distinct tokens) so both
+    * the in-vocab and OOV-class paths score real tokens every gate
+    * run — see [[unigramCrossEntropy]]. */
+  val lmVocabDefault = 24
+
+  /** Default micronat threshold of the LM perplexity gate (t17/c23/
+    * c22 and the streaming serve path) — ONE definition feeding the
+    * Scala default args and the oracle-SQL literals. */
+  val perplexityThrDefault = 3200000L
+
   /** The configured LM vocabulary size — one resolution rule for the
     * trainer, the artifact address, and every consumer. */
   private def lmVocabSize(s: SparkSession, vocabSizeParam: Int): Int =
     if (vocabSizeParam > 0) vocabSizeParam
-    else s.conf.get("graft.unigram.vocab", "24").toInt
+    else s.conf.get("graft.unigram.vocab", lmVocabDefault.toString).toInt
 
   /** The trained bigram LM as a first-class ONE-ROW artifact:
     * (vmap: kept-vocabulary membership, bmap: bigram → count, xmap:
@@ -869,7 +884,7 @@ object TextAnalysis {
     * fold off bigram-less docs, where its element_at would throw
     * under ANSI. */
   def perplexityGate(docs: DataFrame, lmModel: DataFrame,
-      thrMicronat: Long = 3200000L): DataFrame =
+      thrMicronat: Long = perplexityThrDefault): DataFrame =
     docs.crossJoin(broadcast(lmModel))
       .filter(exists(array(lmNormIdsCol(col("text"), col("vmap"))), idsv =>
         when(size(idsv) >= 2,
@@ -923,7 +938,8 @@ object TextAnalysis {
     * never shuffles to be gated. Reference analog: `filter(when=)`
     * with a scoring callable (streamable/stream.py:230-276). */
   def perplexityGateStats(s: SparkSession, dir: String,
-      thrMicronat: Long = 3200000L, vocabSizeParam: Int = 0): DataFrame = {
+      thrMicronat: Long = perplexityThrDefault,
+      vocabSizeParam: Int = 0): DataFrame = {
     val scored = bigramScoredDocs(s, dir, vocabSizeParam)
       .withColumn("n_tok", size(col("ids")).cast("long"))
       .withColumn("nb", col("n_tok") - 1L)
@@ -1261,11 +1277,14 @@ object TextAnalysis {
     * bit-identical weights, scores, and verdicts.
     *
     * Scoring is in-row: the weight map rides a broadcast ONE-ROW
-    * frame (model size = vocabulary, the same broadcast class as the
-    * t11/t18/t19 model maps; a vocabulary too big to broadcast
-    * drops to a (tok)-keyed join or a [[vocabRankMap]]-capped model
-    * — the corpus-side plan is unchanged either way), and each
-    * document folds its own token array once:
+    * frame BOUNDED at [[classifierVocabSize]] entries — the model
+    * vocabulary is CAPPED at the top-N tokens by total occurrence,
+    * with all below-cap mass trained into the single OOV outcome
+    * (the c23 top-24+OOV discipline). The cap is what makes this a
+    * 100 TB design: Spark's map probe is a linear scan, so an
+    * uncapped (corpus-vocabulary-sized, Heaps'-law-growing) map made
+    * scoring O(tokens · V) — measured 6.41× per 4× at ×64 before the
+    * cap. Each document folds its own token array once:
     * score = prior + Σ w(tok), predict pass iff score > 0 (ties →
     * fail, the conservative curation default). The corpus is never
     * shuffled on the scoring path.
@@ -1310,8 +1329,27 @@ object TextAnalysis {
     * per micro-batch, and this frame's lineage is a full training
     * pass. See [[qualityClassifierStats]] for the full training
     * contract. */
+  /** Default classifier vocabulary cap (conf `graft.classifier.vocab`
+    * overrides) — ONE definition: [[classifierVocabSize]] resolves the
+    * Spark side from it and [[graft.SparkEntry]] generates the oracle
+    * `LIMIT` literal from it, so the six dependent oracles (t21, t22,
+    * t23, c21, c22 + the streaming gate's batch twin) can never cap
+    * apart from the trainer. SIZED TO THIS CORPUS like
+    * [[lmVocabDefault]]: 31 distinct whitespace tokens, so at 24 both
+    * the in-cap and trained-OOV scoring paths carry real mass every
+    * gate run. */
+  val classifierVocabDefault = 24
+
+  /** The configured t21 vocabulary cap — one resolution rule for the
+    * trainer, the artifact address, and every consumer (the
+    * [[lmVocabSize]] contract). */
+  def classifierVocabSize(s: SparkSession): Int =
+    s.conf.get("graft.classifier.vocab", classifierVocabDefault.toString)
+      .toInt
+
   def trainQualityModel(s: SparkSession, dir: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val cap = classifierVocabSize(s)
     val fails = gopherFailCols(col("text"), minWords, maxWords)
     val docsY = t(s, dir, "documents")
       .withColumn("y", (!fails.reduce(_ || _)).cast("long"))
@@ -1321,13 +1359,34 @@ object TextAnalysis {
       .select(col("y"), explode(tokens(col("text"))).as("tok"))
       .groupBy("tok")
       .agg(sum(col("y")).as("cp"), sum(lit(1L) - col("y")).as("cf"))
-      .localCheckpoint() // consumed twice: totals + weight rows
-    val tot = cnt.agg(sum("cp").as("np"), sum("cf").as("nf"),
-      count(lit(1)).as("v"))
+      .localCheckpoint() // consumed thrice: totals + cap head + weights
+    // the vocabulary CAP: only the top-`cap` tokens by total
+    // occurrence (count desc, token asc — the vocabRankMap tie
+    // contract) carry their own weight; everything below the cap is
+    // ONE trained OOV outcome whose counts are the leftover class
+    // mass. This bounds the served weight map at `cap` entries no
+    // matter how the corpus vocabulary grows (Heaps' law: V ~ n^β) —
+    // the map probe inside [[classifierScoreCol]] is a linear scan,
+    // so an uncapped map made scoring O(tokens · V), measured 6.41×
+    // per 4× at a ×64 corpus. TakeOrdered on the checkpointed count
+    // frame: deterministic (tok is unique), bounded-heap, re-derived
+    // cheaply by both consumers below.
+    val capped = cnt
+      .orderBy((col("cp") + col("cf")).desc, col("tok")).limit(cap)
+    val tot = cnt.agg(sum("cp").as("npa"), sum("cf").as("nfa"))
+      .crossJoin(broadcast(capped.agg(
+        coalesce(sum("cp"), lit(0L)).as("npi"),
+        coalesce(sum("cf"), lit(0L)).as("nfi"),
+        count(lit(1)).as("v"))))
+      .select(col("npa").as("np"), col("nfa").as("nf"), col("v"),
+        (col("npa") - col("npi")).as("cpo"),
+        (col("nfa") - col("nfi")).as("cfo"))
     val pri = docsY.agg(sum("y").as("ndp"), sum(lit(1L) - col("y")).as("ndf"))
-    // add-one smoothing over v tokens + 1 OOV outcome; each class
-    // log-prob frozen to micronats independently, weight = difference
-    val wRows = cnt.crossJoin(broadcast(tot)).select(col("tok"),
+    // add-one smoothing over v in-cap tokens + 1 OOV outcome; each
+    // class log-prob frozen to micronats independently, weight =
+    // difference. Degenerate check: cap ≥ V makes cpo = cfo = 0 and
+    // this reproduces the uncapped model bit-for-bit.
+    val wRows = capped.crossJoin(broadcast(tot)).select(col("tok"),
       (microLn((col("cp") + 1L).cast("double") /
           (col("np") + col("v") + 1L).cast("double")) -
         microLn((col("cf") + 1L).cast("double") /
@@ -1337,8 +1396,10 @@ object TextAnalysis {
         .as("wm"))
       .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
       .select(col("wm"),
-        (microLn(lit(1.0) / (col("np") + col("v") + 1L).cast("double")) -
-          microLn(lit(1.0) / (col("nf") + col("v") + 1L).cast("double")))
+        (microLn((col("cpo") + 1L).cast("double") /
+            (col("np") + col("v") + 1L).cast("double")) -
+          microLn((col("cfo") + 1L).cast("double") /
+            (col("nf") + col("v") + 1L).cast("double")))
           .as("w_oov"),
         when(col("ndp") > 0L && col("ndf") > 0L,
           microLn(col("ndp").cast("double")) -
@@ -1408,13 +1469,14 @@ object TextAnalysis {
     * discipline): a corpus re-derived IN PLACE (ScaleCheck
     * overwrites its xK dirs; testdata regenerates) must retrain,
     * not serve weights learned from data that no longer exists. */
-  val qualityModelVersion = "v1"
+  val qualityModelVersion = "v2" // v2: top-N vocabulary cap + trained OOV mass
   def qualityModelPath(s: SparkSession, dir: String,
       minWords: Int = 50, maxWords: Int = 100000): String = {
     val stamp = Artifacts.contentStamp(s, dir, "documents")
+    val cap = classifierVocabSize(s)
     s"${s.conf.get("spark.sql.warehouse.dir")}/graft_quality_model/" +
       s"$qualityModelVersion/${Artifacts.dirTag(dir)}/" +
-      s"mw${minWords}_${maxWords}_st$stamp"
+      s"mw${minWords}_${maxWords}_cv${cap}_st$stamp"
   }
 
   /** Idempotent train-once: writes the [[trainQualityModel]] row at
@@ -1435,7 +1497,8 @@ object TextAnalysis {
     // superseded corpus generations are swept, not abandoned: without
     // this, every in-place re-derivation (new stamp, new dir) leaves
     // the old model directory behind forever
-    Artifacts.sweepSuperseded(s, path, s"mw${minWords}_${maxWords}_st")
+    Artifacts.sweepSuperseded(s, path,
+      s"mw${minWords}_${maxWords}_cv${classifierVocabSize(s)}_st")
     Artifacts.ensure(s, path)(
       trainQualityModel(s, dir, minWords, maxWords)
         .write.mode("overwrite").parquet(path))

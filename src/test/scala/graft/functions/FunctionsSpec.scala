@@ -198,7 +198,13 @@ class FunctionsSpec extends SparkSpec {
       "minhash_sig" -> Seq(e(col("hs")), Literal(4)),
       "simhash" -> Seq(e(col("hs"))),
       "hilbert_index" -> Seq(e(col("a")), e(col("b"))),
-      "hilbert_index3" -> Seq(e(col("a")), e(col("b")), e(col("c"))))
+      "hilbert_index3" -> Seq(e(col("a")), e(col("b")), e(col("c"))),
+      // sorted keys + per-row long values; the key always hits (a
+      // miss RAISES by contract, which would abort the gate)
+      "sorted_lookup" -> Seq(
+        e(array(lit("ka"), lit("kb"), lit("kc"))),
+        e(array(col("a"), col("b"), col("c"))),
+        e(lit("kb"))))
     assert(sampleArgs.keySet == Kernels.all.map(_.sqlName).toSet,
       "every manifest kernel needs sample args here (and no strays)")
     def allKernels = df.select(col("id") +: Kernels.all.map(k =>

@@ -176,4 +176,41 @@ class IvfIndexSpec extends SparkSpec {
       s"$genDir/compact")
     assert(Similarity.ivfCurrentEpoch(spark, sf0001) == "compact")
   }
+
+  test("epoch switch (s29): the ROUTED production read resolves " +
+    "tombstoned-over-main before the flip and PLAIN-over-compact after — " +
+    "identical rows, the anti-join leaves the plan, DPP intact, and the " +
+    "tombstones genuinely bite") {
+    import org.apache.hadoop.fs.Path
+    // clean slate for the generation, pre-flip side first (s28's drill)
+    val main = Similarity.ensureIvfIndex(spark, sf0001)
+    val genDir = new Path(main).getParent
+    val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(genDir, "CURRENT"), false)
+    fs.delete(new Path(genDir, "compact"), true)
+    val pre = Similarity.ivf2TopKCurrent(spark, sf0001)
+    val preRows = pre.collect().map(_.toSeq).toList
+    val pPre = pre.queryExecution.executedPlan.toString
+    assert(pPre.contains("LeftAnti"),
+      s"pre-flip routed reads must apply the tombstone anti-join:\n$pPre")
+    assert(pPre.toLowerCase.contains("dynamicpruning"),
+      s"no DPP on the pre-flip routed scan:\n$pPre")
+    // a delete pass that deletes nothing certifies nothing: the
+    // lifecycle result must genuinely differ from the raw s22 read
+    val raw = Similarity.ivf2TopKIndexed(spark, sf0001, main)
+      .collect().map(_.toSeq).toList
+    assert(preRows != raw,
+      "tombstones must hit live routed top-k lists on this corpus")
+    Similarity.ensureCompactedIvfIndex(spark, sf0001)
+    val post = Similarity.ivf2TopKCurrent(spark, sf0001)
+    val postRows = post.collect().map(_.toSeq).toList
+    val pPost = post.queryExecution.executedPlan.toString
+    assert(!pPost.contains("LeftAnti"),
+      s"post-flip routed reads must take the PLAIN path — the tombstone " +
+        s"join must leave the PLAN, not just the result:\n$pPost")
+    assert(pPost.toLowerCase.contains("dynamicpruning"),
+      s"no DPP on the post-flip routed scan:\n$pPost")
+    assert(postRows == preRows,
+      "the switch must be invisible in routed results — identical rows")
+  }
 }

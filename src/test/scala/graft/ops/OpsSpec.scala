@@ -4048,18 +4048,28 @@ class OpsSpec extends SparkSpec {
     val cf = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     labeled.foreach { case (_, _, w, y) =>
       w.foreach(tk => if (y == 1L) cp(tk) += 1 else cf(tk) += 1) }
-    val vocab = cp.keySet ++ cf.keySet
+    // the top-N vocabulary cap (count desc, token asc), below-cap
+    // class mass trained into the single OOV outcome — the capped
+    // trainQualityModel contract, independently re-derived
+    val cap = TextAnalysis.classifierVocabDefault
+    val vocab = (cp.keySet ++ cf.keySet).toSeq
+      .sortBy(tk => (-(cp(tk) + cf(tk)), tk)).take(cap)
+    assert(vocab.size < (cp.keySet ++ cf.keySet).size,
+      "gate corpus must have out-of-cap tokens (the OOV path must bite)")
     val v = vocab.size.toLong
     val np = cp.values.sum; val nf = cf.values.sum
     val wt = vocab.map(tk => tk ->
       (micro((cp(tk) + 1).toDouble / (np + v + 1)) -
         micro((cf(tk) + 1).toDouble / (nf + v + 1)))).toMap
+    val cpo = np - vocab.map(cp).sum; val cfo = nf - vocab.map(cf).sum
+    val wOov = micro((cpo + 1).toDouble / (np + v + 1)) -
+      micro((cfo + 1).toDouble / (nf + v + 1))
     val ndp = labeled.count(_._4 == 1L).toLong
     val ndf = labeled.length - ndp
     assert(ndp > 0 && ndf > 0, "gate corpus must witness both weak classes")
     val prior = micro(ndp.toDouble) - micro(ndf.toDouble)
     labeled.map { case (lang, src, w, y) =>
-      val s = prior + w.map(wt).sum
+      val s = prior + w.map(tk => wt.getOrElse(tk, wOov)).sum
       (lang, src, w.length.toLong, y, if (s > 0) 1L else 0L)
     }.toSeq
   }
