@@ -27,14 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF8String binary order — the SAME order the search compares in),
   * and each lookup is a register-loop bisection.
   *
-  * Miss contract: a missing key RAISES (with the key in the message)
-  * — the `element_at` ANSI fail-loud contract of the two call sites
+  * Miss contract: a missing key returns NULL — the `try_element_at`
+  * semantics, which lets each call site choose its own miss policy:
+  * the LM scoring fold ([[graft.ops.TextAnalysis.lmScoreCol]]) maps
+  * an unseen bigram to count 0 via `coalesce` (a legitimate,
+  * expected miss), while the BPE encoders
   * ([[graft.ops.Curation.bpePackedIdsStats]],
-  * [[graft.ops.Curation.llmIngestChainStats]]): every corpus word is
-  * in the trained vocabulary, so a miss means a stale artifact, and
-  * encoding a document against the wrong tokenizer must abort, not
-  * null-propagate. The value type is generic (`vals` element type);
-  * a null element returns null.
+  * [[graft.ops.Curation.llmIngestChainStats]]) coalesce into a
+  * `raise_error` — every corpus word is in the trained vocabulary,
+  * so a miss there means a stale artifact and must abort. The value
+  * type is generic (`vals` element type); a null element also
+  * returns null.
   *
   * Reference analog: arbitrary per-element callables inside `map`
   * chains (streamable/stream.py:230-276); the sorted-probe kernel is
@@ -58,11 +61,6 @@ case class SortedLookupExpr(first: Expression, second: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "sorted_lookup"
 
-  private def miss(k: UTF8String): Nothing =
-    throw new java.util.NoSuchElementException(
-      s"sorted_lookup: key '$k' not found — the sorted key array does " +
-        "not contain it (stale artifact? keys must be sort_array-sorted)")
-
   override def nullSafeEval(ks: Any, vs: Any, k: Any): Any = {
     val keys = ks.asInstanceOf[ArrayData]
     val vals = vs.asInstanceOf[ArrayData]
@@ -77,8 +75,7 @@ case class SortedLookupExpr(first: Expression, second: Expression,
       else if (c < 0) lo = mid + 1
       else hi = mid - 1
     }
-    if (pos < 0) miss(key)
-    if (vals.isNullAt(pos)) null else vals.get(pos, dataType)
+    if (pos < 0 || vals.isNullAt(pos)) null else vals.get(pos, dataType)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -91,10 +88,8 @@ case class SortedLookupExpr(first: Expression, second: Expression,
       val pos = ctx.freshName("slPos")
       val javaType = CodeGenerator.javaType(dataType)
       val getV = CodeGenerator.getValue(vs, dataType, pos)
-      val exprCls = classOf[SortedLookupExpr].getName
-      // miss raising lives in a static helper on the companion so the
-      // generated method stays tiny (the 8000-byte JIT-ceiling
-      // discipline); operators sit at line END (the stripMargin rule)
+      // operators sit at line END (the stripMargin rule); the whole
+      // search is a register loop, far under the JIT ceiling
       s"""
          |int $lo = 0;
          |int $hi = $ks.numElements() - 1;
@@ -106,8 +101,7 @@ case class SortedLookupExpr(first: Expression, second: Expression,
          |  else if ($cmp < 0) { $lo = $mid + 1; }
          |  else { $hi = $mid - 1; }
          |}
-         |if ($pos < 0) { $exprCls.raiseMiss($k); }
-         |if ($vs.isNullAt($pos)) {
+         |if ($pos < 0 || $vs.isNullAt($pos)) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = ($javaType) $getV;
@@ -120,14 +114,6 @@ case class SortedLookupExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
-object SortedLookupExpr {
-  /** Generated-code miss hook — one static call keeps the kernel's
-    * generated method small. */
-  def raiseMiss(k: UTF8String): Unit =
-    throw new java.util.NoSuchElementException(
-      s"sorted_lookup: key '$k' not found — the sorted key array does " +
-        "not contain it (stale artifact? keys must be sort_array-sorted)")
-}
 
 object SortedLookup {
   /** Column API: `SortedLookup(keys, vals, key)`. */

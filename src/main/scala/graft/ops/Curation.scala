@@ -381,6 +381,19 @@ object Curation {
         transform(col("kv"), x => x("ids")).as("bpe_wv"))
   }
 
+  /** The fail-loud word probe over [[bpeWordIdMapRow]]'s sorted
+    * arrays — ONE definition for the c20 packer and the c22 ingest
+    * chain: [[graft.functions.SortedLookup]] returns null on a miss,
+    * and here a miss means the corpus contains a word the trained
+    * vocabulary lacks (a stale tokenizer artifact), so the null is
+    * escalated to a raise INSIDE the consumed column (the quant16
+    * discipline — Catalyst cannot prune it). */
+  private def bpeIdsOrRaise(w: Column): Column = coalesce(
+    graft.functions.SortedLookup(col("bpe_wk"), col("bpe_wv"), w),
+    raise_error(format_string(
+      "bpe encode: word '%s' is not in the trained vocabulary — " +
+        "stale tokenizer artifact", w)).cast("array<bigint>"))
+
   def bpePackedIdsStats(s: SparkSession, dir: String, budget: Long = 2048,
       rounds: Int = 6): DataFrame = {
     val withIds = t(s, dir, "documents")
@@ -388,8 +401,7 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         flatten(transform(
           regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
-          w => graft.functions.SortedLookup(
-            col("bpe_wk"), col("bpe_wv"), w))).as("ids"))
+          w => bpeIdsOrRaise(w))).as("ids"))
       .withColumn("n_tok", size(col("ids")).cast("long"))
     withPackId(withIds, budget)
       .groupBy("lang", "pack_id")
@@ -1140,8 +1152,7 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         flatten(transform(
           regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
-          w => graft.functions.SortedLookup(
-            col("bpe_wk"), col("bpe_wv"), w))).as("ids"))
+          w => bpeIdsOrRaise(w))).as("ids"))
       .withColumn("n_tok", size(col("ids")).cast("long"))
     val packRollup = withPackId(withIds, budget)
       .groupBy("lang")

@@ -705,19 +705,52 @@ object TextAnalysis {
   private def lmBigramAt(ids: Column, i: Column): Column = concat_ws(lmSep,
     element_at(ids, i + 1), element_at(ids, i + 2))
 
+  /** The persisted LM row projected to SERVE shape: the bigram and
+    * context count MAPS become SORTED PARALLEL ARRAYS (bk/bv, xk/xv)
+    * for the [[graft.functions.SortedLookup]] bisection, vmap and
+    * vp1 ride along unchanged. ONE definition every scoring consumer
+    * goes through ([[perplexityGate]], [[bigramScoredDocs]], and via
+    * them the streaming gate), evaluated once per broadcast row —
+    * never per corpus row.
+    *
+    * Why: the scoring fold probes bmap once per bigram STEP, and
+    * Spark's map probe is a linear scan — bounded here (≤ (V+1)² =
+    * 625 entries at the default cap, so the per-4× slope was always
+    * fine), but the CONSTANT is ~300 string comparisons per step,
+    * and the r18 collect-mode bench rider measured it: c23 6.98 s vs
+    * 0.47 s count-shaped at sf0.1 (count() prunes the fold), t17
+    * 7.11 s. The bisection is ≤10 comparisons per probe on the same
+    * 625 keys. `array_sort(map_entries(m))` orders struct(key, value)
+    * by key in UTF8String binary order — the SAME order the kernel
+    * compares in. */
+  def lmServeCols(model: DataFrame): DataFrame = {
+    def keysOf(m: Column) =
+      transform(array_sort(map_entries(m)), e => e("key"))
+    def valsOf(m: Column) =
+      transform(array_sort(map_entries(m)), e => e("value"))
+    model.select(col("vmap"), col("vp1"),
+      keysOf(col("bmap")).as("bk"), valsOf(col("bmap")).as("bv"),
+      keysOf(col("xmap")).as("xk"), valsOf(col("xmap")).as("xv"))
+  }
+
   /** The per-document bigram micronat sum over `ids` given the
-    * broadcast count maps — the t17/c23 scoring fold as ONE column
-    * definition batch and stream share (`vp1` = V+1 rides the model
-    * row so a serving stream can never smooth against a different
-    * vocabulary size than the trainer's). In-row, no shuffle. */
-  def lmScoreCol(ids: Column, bmap: Column, xmap: Column,
-      vp1: Column): Column =
+    * broadcast SERVE-shape count tables ([[lmServeCols]]) — the
+    * t17/c23 scoring fold as ONE column definition batch and stream
+    * share (`vp1` = V+1 rides the model row so a serving stream can
+    * never smooth against a different vocabulary size than the
+    * trainer's). In-row, no shuffle; each probe is a
+    * [[graft.functions.SortedLookup]] bisection, an unseen bigram or
+    * context legitimately misses to count 0. */
+  def lmScoreCol(ids: Column, bk: Column, bv: Column, xk: Column,
+      xv: Column, vp1: Column): Column =
     aggregate(sequence(lit(0), size(ids) - 2), lit(0L),
       (acc, i) => {
         val cx = coalesce(
-          try_element_at(xmap, element_at(ids, i + 1)), lit(0L))
+          graft.functions.SortedLookup(xk, xv, element_at(ids, i + 1)),
+          lit(0L))
         val cbi = coalesce(
-          try_element_at(bmap, lmBigramAt(ids, i)), lit(0L))
+          graft.functions.SortedLookup(bk, bv, lmBigramAt(ids, i)),
+          lit(0L))
         acc + floor(log((cx + vp1).cast("double") /
           (cbi + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
           .cast("long")
@@ -885,13 +918,14 @@ object TextAnalysis {
     * under ANSI. */
   def perplexityGate(docs: DataFrame, lmModel: DataFrame,
       thrMicronat: Long = perplexityThrDefault): DataFrame =
-    docs.crossJoin(broadcast(lmModel))
+    docs.crossJoin(broadcast(lmServeCols(lmModel)))
       .filter(exists(array(lmNormIdsCol(col("text"), col("vmap"))), idsv =>
         when(size(idsv) >= 2,
-          lmScoreCol(idsv, col("bmap"), col("xmap"), col("vp1")) <
+          lmScoreCol(idsv, col("bk"), col("bv"), col("xk"), col("xv"),
+            col("vp1")) <
             lit(thrMicronat) * (size(idsv) - 1))
           .otherwise(lit(false))))
-      .drop("vmap", "bmap", "xmap", "vp1")
+      .drop("vmap", "bk", "bv", "xk", "xv", "vp1")
 
   /** The t17 per-document scoring frame — (lang, source, ids, lm)
     * where `ids` is the class-normalized token array and `lm` the
@@ -909,13 +943,15 @@ object TextAnalysis {
   private def bigramScoredDocs(s: SparkSession, dir: String,
       vocabSizeParam: Int = 0): DataFrame =
     t(s, dir, "documents")
-      .crossJoin(broadcast(readBigramLmModel(s, dir, vocabSizeParam)))
+      .crossJoin(broadcast(lmServeCols(
+        readBigramLmModel(s, dir, vocabSizeParam))))
       .select(col("lang"), col("source"),
         lmNormIdsCol(col("text"), col("vmap")).as("ids"),
-        col("bmap"), col("xmap"), col("vp1"))
+        col("bk"), col("bv"), col("xk"), col("xv"), col("vp1"))
       .filter(size(col("ids")) >= 2)
       .withColumn("lm",
-        lmScoreCol(col("ids"), col("bmap"), col("xmap"), col("vp1")))
+        lmScoreCol(col("ids"), col("bk"), col("bv"), col("xk"),
+          col("xv"), col("vp1")))
       .select("lang", "source", "ids", "lm")
 
   /** LM-perplexity quality gate (c23) — the OTHER CCNet signal: t21

@@ -447,7 +447,8 @@ object Streams {
     * store; per-doc cost is one normalize + one fold against a
     * broadcast row. */
   def perplexityGateStream(docs: DataFrame, lmModel: DataFrame,
-      thrMicronat: Long = 3200000L): DataFrame =
+      thrMicronat: Long = graft.ops.TextAnalysis.perplexityThrDefault)
+      : DataFrame =
     // the stream IS the shared batch gate — one definition, so the
     // c22 chain stage and this serve path cannot verdict apart
     graft.ops.TextAnalysis.perplexityGate(docs, lmModel, thrMicronat)

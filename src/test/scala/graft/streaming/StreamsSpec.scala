@@ -807,12 +807,13 @@ class StreamsSpec extends SparkSpec {
       val qualityKept = afterQuality.select("doc_id").collect()
         .map(_.getLong(0)).toSet
       val expectKept = afterQuality
-        .crossJoin(broadcast(lmModel))
+        .crossJoin(broadcast(TextAnalysis.lmServeCols(lmModel)))
         .withColumn("lmids",
           TextAnalysis.lmNormIdsCol(col("text"), col("vmap")))
         .filter(size(col("lmids")) >= 2)
         .withColumn("lmv", TextAnalysis.lmScoreCol(
-          col("lmids"), col("bmap"), col("xmap"), col("vp1")))
+          col("lmids"), col("bk"), col("bv"), col("xk"), col("xv"),
+          col("vp1")))
         .filter(col("lmv") < lit(3200000L) * (size(col("lmids")) - 1))
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(got.keySet == expectKept,
