@@ -1106,4 +1106,60 @@ class StreamsSpec extends SparkSpec {
       assert(rows.toList == List((100L, 1L), (100L, 2L)))
     } finally q.stop()
   }
+
+  test("artifact hot-swap under a LIVE stream: the IVF epoch flip between " +
+    "micro-batches re-points the per-batch resolver — no restart, no state " +
+    "store, identical rows across the switch") {
+    // the serve-forever claim end to end: a production query fleet
+    // re-resolves its artifacts per micro-batch (the foreachBatch
+    // idiom — batch sinks run arbitrary per-batch jobs), so a
+    // compaction flipping CURRENT mid-stream must re-point the NEXT
+    // batch atomically while the stream keeps running. Witnessed
+    // here: batch 0 resolves the main epoch (tombstone LeftAnti in
+    // its executed plan), the flip happens while the query is live,
+    // batch 1 resolves compact (plain plan) — same rows, no restart.
+    import graft.ops.Similarity
+    import org.apache.hadoop.fs.Path
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // clean generation slate: pre-flip side first (the IvfIndexSpec
+    // epoch-test drill — the warehouse outlives sbt runs)
+    val main = Similarity.ensureIvfIndex(s, sf0001)
+    val genDir = new Path(main).getParent
+    val fs = genDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(genDir, "CURRENT"), false)
+    fs.delete(new Path(genDir, "compact"), true)
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Boolean, List[Seq[Any]])]
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().writeStream.foreachBatch {
+      (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val df = Similarity.ivf2TopKCurrent(s, sf0001)
+        val rows = df.collect().map(_.toSeq).toList
+        seen += ((id, Similarity.ivfCurrentEpoch(s, sf0001),
+          df.queryExecution.executedPlan.toString.contains("LeftAnti"),
+          rows))
+        ()
+    }.start()
+    try {
+      mem.addData(1L)
+      q.processAllAvailable()
+      // THE FLIP — stream still running
+      Similarity.ensureCompactedIvfIndex(s, sf0001)
+      mem.addData(2L)
+      q.processAllAvailable()
+      assert(seen.size == 2, s"expected two micro-batches, saw $seen")
+      val (_, e0, anti0, rows0) = seen(0)
+      val (_, e1, anti1, rows1) = seen(1)
+      assert(e0 == "main" && anti0,
+        "batch 0 must resolve the main epoch with the tombstone anti-join")
+      assert(e1 == "compact" && !anti1,
+        "batch 1 must resolve the compacted epoch with the PLAIN plan — " +
+          "the flip must reach the running stream's next batch")
+      assert(rows0 == rows1,
+        "the swap must be invisible in results — identical rows either side")
+    } finally q.stop()
+  }
 }
