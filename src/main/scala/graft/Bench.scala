@@ -206,8 +206,8 @@ object Bench {
     // `schema` versions the contract (v3: final line carries the
     // window-sized `queries` map; v2's final line had none and the
     // harness recorded "parsed": null every round).
-    println(s"""{"metric":"spread","spread":$spreadJson}""")
-    println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spread","consume":"$consumeMode","spread":$spreadJson}""")
+    println(s"""{"metric":"detail","consume":"$consumeMode","queries":$qs,"sf":"$sfDir"}""")
     println(kept)
     spark.stop()
   }

@@ -65,11 +65,23 @@ case class SortedLookupExpr(first: Expression, second: Expression,
     val keys = ks.asInstanceOf[ArrayData]
     val vals = vs.asInstanceOf[ArrayData]
     val key = k.asInstanceOf[UTF8String]
+    // parallel-array contract enforced loudly: a length mismatch would
+    // otherwise read past the values region (garbage on unsafe rows),
+    // and a null key slot would NPE here while comparing as "" under
+    // codegen — same guards in both execution paths so the engines
+    // cannot diverge
+    if (keys.numElements() != vals.numElements())
+      throw new IllegalArgumentException(
+        s"sorted_lookup: keys (${keys.numElements()}) and vals " +
+          s"(${vals.numElements()}) must be parallel arrays")
     var lo = 0
     var hi = keys.numElements() - 1
     var pos = -1
     while (lo <= hi && pos < 0) {
       val mid = (lo + hi) >>> 1
+      if (keys.isNullAt(mid))
+        throw new IllegalArgumentException(
+          "sorted_lookup: null key element — keys must be non-null")
       val c = keys.getUTF8String(mid).compareTo(key)
       if (c == 0) pos = mid
       else if (c < 0) lo = mid + 1
@@ -91,11 +103,19 @@ case class SortedLookupExpr(first: Expression, second: Expression,
       // operators sit at line END (the stripMargin rule); the whole
       // search is a register loop, far under the JIT ceiling
       s"""
+         |if ($ks.numElements() != $vs.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "sorted_lookup: keys and vals must be parallel arrays");
+         |}
          |int $lo = 0;
          |int $hi = $ks.numElements() - 1;
          |int $pos = -1;
          |while ($lo <= $hi) {
          |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($ks.isNullAt($mid)) {
+         |    throw new IllegalArgumentException(
+         |      "sorted_lookup: null key element - keys must be non-null");
+         |  }
          |  int $cmp = $ks.getUTF8String($mid).compareTo($k);
          |  if ($cmp == 0) { $pos = $mid; break; }
          |  else if ($cmp < 0) { $lo = $mid + 1; }

@@ -285,8 +285,18 @@ object Similarity {
     * under the session's warehouse dir — the write-once/probe-forever
     * storage contract made addressable from just the corpus dir (what
     * lets a pure `(spark, dir) => DataFrame` query find its index). */
-  def ivfIndexPath(s: SparkSession, dir: String): String =
-    s"${ivfStampDir(s, dir)}/main"
+  def ivfIndexPath(s: SparkSession, dir: String, nlist: Int = 32): String =
+    s"${ivfStampDir(s, dir)}/main_nl$nlist"
+
+  /** The compacted layout's address for the SAME (generation, nlist)
+    * family — nlist is part of BOTH layout addresses (the
+    * qualityModelPath every-hyperparameter discipline): an index
+    * built at a different cell count is a DIFFERENT index, and
+    * resolving one through the other would silently drop probes for
+    * cells the stored layout never wrote. */
+  private def ivfCompactPath(s: SparkSession, dir: String,
+      nlist: Int): String =
+    s"${ivfStampDir(s, dir)}/compact_nl$nlist"
 
   /** The per-corpus-GENERATION directory both index layouts (main +
     * compacted) live under: the embeddings table's content stamp is
@@ -305,7 +315,7 @@ object Similarity {
     * already there. Call once in job setup; queries then stay pure
     * readers. */
   def ensureIvfIndex(s: SparkSession, dir: String, nlist: Int = 32): String = {
-    val path = ivfIndexPath(s, dir)
+    val path = ivfIndexPath(s, dir, nlist)
     Artifacts.sweepSuperseded(s, ivfStampDir(s, dir), "st")
     Artifacts.ensure(s, path)(buildIvfIndex(s, dir, path, nlist))
   }
@@ -414,10 +424,11 @@ object Similarity {
     * s26 → s27 LSM lifecycle as a loop instead of a manual step. */
   def ensureCompactedIvfIndex(s: SparkSession, dir: String,
       nlist: Int = 32): String = {
-    val path = s"${ivfStampDir(s, dir)}/compact"
+    val path = ivfCompactPath(s, dir, nlist)
     Artifacts.ensure(s, path)(
       compactIvfIndex(s, dir, ensureIvfIndex(s, dir, nlist), path))
-    if (ivfCurrentEpoch(s, dir) != "compact") writeIvfEpoch(s, dir, "compact")
+    if (ivfCurrentEpoch(s, dir, nlist) != "compact")
+      writeIvfEpoch(s, dir, "compact", nlist)
     path
   }
 
@@ -430,8 +441,9 @@ object Similarity {
     * construction (the s26 ≡ s27 shared-oracle contract), so a
     * reader racing the flip can never see a wrong answer — only the
     * pre- or post-compaction plan for the same result. */
-  def ivfCurrentEpoch(s: SparkSession, dir: String): String = {
-    val marker = ivfEpochMarker(s, dir)
+  def ivfCurrentEpoch(s: SparkSession, dir: String,
+      nlist: Int = 32): String = {
+    val marker = ivfEpochMarker(s, dir, nlist)
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     // open DIRECTLY and treat not-found as "main": an exists-then-open
     // pair has a window where a reader concurrent with the flip's
@@ -447,14 +459,16 @@ object Similarity {
     }
   }
 
-  private def ivfEpochMarker(s: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(s"${ivfStampDir(s, dir)}/CURRENT")
+  private def ivfEpochMarker(s: SparkSession, dir: String, nlist: Int) =
+    new org.apache.hadoop.fs.Path(
+      s"${ivfStampDir(s, dir)}/CURRENT_nl$nlist")
 
   private def writeIvfEpoch(s: SparkSession, dir: String,
-      epoch: String): Unit = {
-    val marker = ivfEpochMarker(s, dir)
+      epoch: String, nlist: Int): Unit = {
+    val marker = ivfEpochMarker(s, dir, nlist)
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(marker.getParent, "CURRENT.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
+      s"CURRENT_nl$nlist.tmp")
     val out = fs.create(tmp, true)
     try out.write(epoch.getBytes("UTF-8")) finally out.close()
     // write-then-rename; the delete+rename pair is the portable
@@ -486,8 +500,8 @@ object Similarity {
     * batches and their compaction. */
   def ivfTopKCurrent(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, nprobe: Int = 4, nlist: Int = 32): DataFrame =
-    if (ivfCurrentEpoch(s, dir) == "compact")
-      ivfIndexedScan(s, dir, s"${ivfStampDir(s, dir)}/compact",
+    if (ivfCurrentEpoch(s, dir, nlist) == "compact")
+      ivfIndexedScan(s, dir, ivfCompactPath(s, dir, nlist),
         nQueries, k, nprobe, nlist, tombstones = None)
     else
       ivfIndexedScan(s, dir, ensureIvfIndex(s, dir, nlist),
@@ -662,8 +676,8 @@ object Similarity {
   def ivf2TopKCurrent(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, nlist: Int = 32, ncoarse: Int = 8, cprobe: Int = 3,
       nprobe: Int = 4): DataFrame =
-    if (ivfCurrentEpoch(s, dir) == "compact")
-      ivf2IndexedScan(s, dir, s"${ivfStampDir(s, dir)}/compact",
+    if (ivfCurrentEpoch(s, dir, nlist) == "compact")
+      ivf2IndexedScan(s, dir, ivfCompactPath(s, dir, nlist),
         nQueries, k, nlist, ncoarse, cprobe, nprobe, tombstones = None)
     else
       ivf2IndexedScan(s, dir, ensureIvfIndex(s, dir, nlist),

@@ -857,6 +857,12 @@ object TextAnalysis {
     val vocabSize = lmVocabSize(s, vocabSizeParam)
     val path = bigramLmPath(s, dir, vocabSize)
     Artifacts.sweepSuperseded(s, path, s"vs${vocabSize}_st")
+    // version-level sweep — the ensureQualityModel bounded-versions
+    // contract, symmetric here so a future bigramLmVersion bump
+    // cannot strand the old tree
+    Artifacts.sweepSuperseded(s,
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_bigram_lm/" +
+        bigramLmVersion, "v")
     Artifacts.ensure(s, path)(
       bigramLmModelRow(s, dir, vocabSize)
         .write.mode("overwrite").parquet(path))
@@ -1535,6 +1541,14 @@ object TextAnalysis {
     // the old model directory behind forever
     Artifacts.sweepSuperseded(s, path,
       s"mw${minWords}_${maxWords}_cv${classifierVocabSize(s)}_st")
+    // VERSION-level sweep: a format bump (v1 → v2 at the r18
+    // vocabulary cap) orphans the prior version's whole tree, which
+    // no code path ever visits again — retain one predecessor
+    // version (a lazy reader still on old code), delete older, so
+    // accumulation is bounded at two versions
+    Artifacts.sweepSuperseded(s,
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_quality_model/" +
+        qualityModelVersion, "v")
     Artifacts.ensure(s, path)(
       trainQualityModel(s, dir, minWords, maxWords)
         .write.mode("overwrite").parquet(path))

@@ -143,8 +143,8 @@ class IvfIndexSpec extends SparkSpec {
     val main = Similarity.ensureIvfIndex(spark, sf0001)
     val genDir = new Path(main).getParent
     val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(genDir, "CURRENT"), false)
-    fs.delete(new Path(genDir, "compact"), true)
+    fs.delete(new Path(genDir, "CURRENT_nl32"), false)
+    fs.delete(new Path(genDir, "compact_nl32"), true)
     assert(Similarity.ivfCurrentEpoch(spark, sf0001) == "main",
       "an absent pointer must resolve to the main epoch")
     val pre = Similarity.ivfTopKCurrent(spark, sf0001)
@@ -173,7 +173,7 @@ class IvfIndexSpec extends SparkSpec {
       "the switch must be invisible in results — identical rows on both sides")
     // idempotent flip: a second ensure neither rebuilds nor unflips
     assert(Similarity.ensureCompactedIvfIndex(spark, sf0001) ==
-      s"$genDir/compact")
+      s"$genDir/compact_nl32")
     assert(Similarity.ivfCurrentEpoch(spark, sf0001) == "compact")
   }
 
@@ -186,8 +186,8 @@ class IvfIndexSpec extends SparkSpec {
     val main = Similarity.ensureIvfIndex(spark, sf0001)
     val genDir = new Path(main).getParent
     val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(genDir, "CURRENT"), false)
-    fs.delete(new Path(genDir, "compact"), true)
+    fs.delete(new Path(genDir, "CURRENT_nl32"), false)
+    fs.delete(new Path(genDir, "compact_nl32"), true)
     val pre = Similarity.ivf2TopKCurrent(spark, sf0001)
     val preRows = pre.collect().map(_.toSeq).toList
     val pPre = pre.queryExecution.executedPlan.toString

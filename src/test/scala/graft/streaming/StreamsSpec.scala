@@ -1128,8 +1128,8 @@ class StreamsSpec extends SparkSpec {
     val main = Similarity.ensureIvfIndex(s, sf0001)
     val genDir = new Path(main).getParent
     val fs = genDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(genDir, "CURRENT"), false)
-    fs.delete(new Path(genDir, "compact"), true)
+    fs.delete(new Path(genDir, "CURRENT_nl32"), false)
+    fs.delete(new Path(genDir, "compact_nl32"), true)
     val seen = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, Boolean, List[Seq[Any]])]
     val mem = MemoryStream[Long]
