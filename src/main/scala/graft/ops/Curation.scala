@@ -419,8 +419,9 @@ object Curation {
     * and the TOKEN MASS that survives — the number a data budget is
     * planned against, which t21's doc-count report doesn't carry.
     * Scoring is the shared [[graft.ops.TextAnalysis
-    * .classifierScoreCol]] over the broadcast
-    * [[graft.ops.TextAnalysis.trainQualityModel]] row, so filter and
+    * .classifierScoreCol]] over the broadcast PERSISTED model row
+    * ([[graft.ops.TextAnalysis.readQualityModel]] — t22 certifies
+    * persisted ≡ retrained bit-equality), so filter and
     * report can never disagree with t21's verdicts; the corpus-side
     * plan is one in-row scoring scan + the per-(lang, source)
     * aggregate — the corpus never shuffles before the report. All
@@ -432,7 +433,7 @@ object Curation {
     import graft.ops.TextAnalysis
     t(s, dir, "documents")
       .crossJoin(broadcast(
-        TextAnalysis.trainQualityModel(s, dir, minWords, maxWords)))
+        TextAnalysis.readQualityModel(s, dir, minWords, maxWords)))
       .withColumn("score", TextAnalysis.classifierScoreCol(
         col("text"), col("wm"), col("w_oov"), col("prior")))
       .withColumn("pred", (col("score") > 0L).cast("long"))

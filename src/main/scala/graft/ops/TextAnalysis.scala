@@ -1347,7 +1347,11 @@ object TextAnalysis {
     val fails = gopherFailCols(col("text"), minWords, maxWords)
     val docsY = t(s, dir, "documents")
       .withColumn("y", (!fails.reduce(_ || _)).cast("long"))
-    docsY.crossJoin(broadcast(trainQualityModel(s, dir, minWords, maxWords)))
+    // SERVED from the persisted artifact (the c22/streaming path —
+    // t22 certifies persisted ≡ retrained bit-equality every gate
+    // run, so the report cannot differ from an inline retrain; the
+    // training pass runs once per corpus generation inside ensure)
+    docsY.crossJoin(broadcast(readQualityModel(s, dir, minWords, maxWords)))
       .withColumn("score",
         classifierScoreCol(col("text"), col("wm"), col("w_oov"), col("prior")))
       .withColumn("pred", (col("score") > 0L).cast("long"))
@@ -1480,7 +1484,7 @@ object TextAnalysis {
     val fails = gopherFailCols(col("text"), minWords, maxWords)
     val perDoc = t(s, dir, "documents")
       .withColumn("y", (!fails.reduce(_ || _)).cast("long"))
-      .crossJoin(broadcast(trainQualityModel(s, dir, minWords, maxWords)))
+      .crossJoin(broadcast(readQualityModel(s, dir, minWords, maxWords)))
       .select(col("y"),
         classifierScoreCol(col("text"), col("wm"), col("w_oov"),
           col("prior")).as("score"),

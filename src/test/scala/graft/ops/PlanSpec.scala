@@ -585,10 +585,12 @@ class PlanSpec extends SparkSpec {
         s"model must broadcast:\n$p")
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
         s"must not sort-merge or go cartesian:\n$p")
-      // shuffles: ONE token-count exchange on the training pass + the
-      // tiny report agg — the scoring scan itself is in-row
+      // shuffles: the model is ARTIFACT-SERVED (one file read — the
+      // training token-count exchange runs once per corpus generation
+      // inside ensure, not per query), so only the tiny report agg
+      // remains; the scoring scan itself is in-row
       assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
-        s"training token-count + report agg only:\n$p")
+        s"report agg (and nothing heavier) only:\n$p")
     }
   }
 
