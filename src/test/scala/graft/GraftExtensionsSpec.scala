@@ -43,6 +43,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_lookup is callable from SQL and matches the Column API") {
+    val s = SparkSpec.session
+    GraftExtensions.register(s)
+    val sql = s.sql(
+      """SELECT sorted_lookup(array('aa', 'mm', 'zz'),
+        |  array(id, id * 10, id * 100), 'mm') AS v,
+        |  sorted_lookup(array('aa', 'mm', 'zz'),
+        |  array(id, id * 10, id * 100), 'qq') AS miss
+        |FROM range(5)""".stripMargin).collect()
+    assert(sql.length == 5)
+    sql.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i * 10L, "SQL lookup value wrong")
+      assert(r.isNullAt(1), "SQL miss must be null")
+    }
+    // arity misuse is a positioned analysis error, not a runtime blowup
+    val ex = intercept[Exception] {
+      s.sql("SELECT sorted_lookup(array('a'), array(1))").collect()
+    }
+    assert(ex.getMessage.contains("sorted_lookup"), s"got: ${ex.getMessage}")
+  }
+
   test("hyperplane_buckets is callable from SQL and matches the Column API") {
     val s = SparkSpec.session
     GraftExtensions.register(s)

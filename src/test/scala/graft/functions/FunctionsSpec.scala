@@ -21,6 +21,77 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("sorted_lookup: hit at both bisection ends, miss -> null, null " +
+    "value slot -> null, and the two loud guards — identical in " +
+    "interpreted and codegen-only execution") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // spark.range input so the projection lands in WholeStageCodegen
+    // under CODEGEN_ONLY (the compile-gate discipline)
+    def frame = s.range(8).select(col("id"),
+      // keys sorted in UTF8 binary order; values carry a per-row term
+      array(lit("aa"), lit("mm"), lit("zz")).as("ks"),
+      array(col("id"), col("id") * 10, col("id") * 100).as("vs"))
+    def runCases(): Seq[(Long, Any, Any, Any, Any)] = frame.select(col("id"),
+        SortedLookup(col("ks"), col("vs"), lit("aa")).as("first"),
+        SortedLookup(col("ks"), col("vs"), lit("zz")).as("last"),
+        SortedLookup(col("ks"), col("vs"), lit("mm")).as("mid"),
+        SortedLookup(col("ks"), col("vs"), lit("qq")).as("miss"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3),
+        r.get(4))).toSeq
+    def expect(rows: Seq[(Long, Any, Any, Any, Any)]): Unit =
+      rows.foreach { case (id, f, l, m, miss) =>
+        assert(f == id && l == id * 100 && m == id * 10,
+          s"row $id: hit values wrong: $f/$m/$l")
+        assert(miss == null, s"row $id: a miss must be null, got $miss")
+      }
+    // default conf (whole-stage codegen on the range input)
+    expect(runCases())
+    // a null VALUE slot returns null; the key still resolves
+    val nv = s.range(2).select(
+      SortedLookup(array(lit("a"), lit("b")),
+        array(lit(null).cast("long"), lit(7L)), lit("a")).as("x"),
+      SortedLookup(array(lit("a"), lit("b")),
+        array(lit(null).cast("long"), lit(7L)), lit("b")).as("y"))
+      .collect()
+    nv.foreach(r => { assert(r.isNullAt(0)); assert(r.getLong(1) == 7L) })
+    // guard 1: parallel-array length mismatch raises (silent
+    // garbage on unsafe rows without it — the self-review find)
+    val exLen = intercept[Exception] {
+      s.range(1).select(SortedLookup(array(lit("a"), lit("b"), lit("c")),
+        array(lit(1L), lit(2L)), lit("c"))).collect()
+    }
+    assert(exLen.getMessage != null || exLen.getCause != null)
+    // guard 2: a null KEY slot raises identically in both paths (it
+    // NPE'd interpreted but compared as "" under codegen pre-guard)
+    val exKey = intercept[Exception] {
+      s.range(1).select(SortedLookup(
+        array(lit("a"), lit(null).cast("string")),
+        array(lit(1L), lit(2L)), lit("b"))).collect()
+    }
+    assert(exKey.getMessage != null || exKey.getCause != null)
+    // the same value matrix under CODEGEN_ONLY and NO_CODEGEN — the
+    // two engine paths may not disagree on any case
+    val conf = s.conf
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      conf.set("spark.sql.codegen.fallback", "false")
+      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val forced = runCases()
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      conf.set("spark.sql.codegen.fallback", "true")
+      val interp = runCases()
+      expect(forced); expect(interp)
+      assert(forced == interp, "codegen and interpreted eval diverged")
+    } finally {
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("native cosine participates in codegen (no fallback)") {
     val s = spark
     val emb = s.read.parquet(s"$sf0001/embeddings.parquet").limit(5)
