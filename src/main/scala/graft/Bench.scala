@@ -51,12 +51,24 @@ object Bench {
     // collect-shaped registry query happened to exercise the path).
     // Announced in every JSON line ("consume") so a collect-mode
     // artifact can never masquerade as a protocol run.
+    // SPARK_GRAFT_CONSUME=write completes the measurement triad
+    // (r18's collect rider closed the prune-hidden class; write
+    // closes the SINK-shaped class): count() prunes aggregate
+    // inputs, collect() materializes compute but pays none of the
+    // sort/partition/compression work of a real parquet sink — the
+    // work the layout family (l01-l07) and compaction paths exist to
+    // do. The sink is a tmp dir overwritten per query, so the rider
+    // times write-path cost, not disk accumulation.
     val consumeMode = sys.env.getOrElse("SPARK_GRAFT_CONSUME", "count")
-    require(consumeMode == "count" || consumeMode == "collect",
-      s"SPARK_GRAFT_CONSUME must be count|collect, got $consumeMode")
-    def consume(df: org.apache.spark.sql.DataFrame): Unit =
-      if (consumeMode == "collect") { df.collect(); () }
-      else { df.count(); () }
+    require(Set("count", "collect", "write").contains(consumeMode),
+      s"SPARK_GRAFT_CONSUME must be count|collect|write, got $consumeMode")
+    lazy val writeSink = java.nio.file.Files
+      .createTempDirectory("graft_bench_write").toString + "/sink"
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = consumeMode match {
+      case "collect" => df.collect(); ()
+      case "write" => df.write.mode("overwrite").parquet(writeSink); ()
+      case _ => df.count(); ()
+    }
     val baselineSet = Set(
       "d01_exact_dedup", "d02_dup_groups", "d03_ngram_jaccard",
       "d04_minhash_lsh", "d05_simhash_pairs", "e01_hourly",
@@ -100,6 +112,9 @@ object Bench {
     try graft.ops.Similarity.ensureSemanticIndex(spark, sfDir)
     catch { case e: Throwable => System.err.println(
       s"[bench] WARN ensureSemanticIndex failed — d18 will pay index training inside its timed pass: $e") }
+    try graft.ops.Similarity.ensureCodebook(spark, sfDir)
+    catch { case e: Throwable => System.err.println(
+      s"[bench] WARN ensureCodebook failed — the trained-codebook families (s06/s07/s31/d12/d13/s13/c13) will pay Lloyd training inside their timed pass: $e") }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skipped.contains(n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }

@@ -358,6 +358,28 @@ object SparkEntry {
     // gate finds; IvfIndexSpec pins both plan shapes + row identity
     "s29_routed_current" -> ((s: SparkSession, dir: String) =>
       Similarity.ivf2TopKCurrent(s, dir)),
+    // s30: FILTERED search on the production path — s10's metadata
+    // pre-filter composed into the epoch-resolved routed read: the
+    // predicate lands on the v2 index layout's in-row label column
+    // (pushed into the DPP-pruned parquet scan), filtering candidates
+    // BEFORE the ranking heap — never post-filtering a fixed-k
+    // result (the starvation trap s10's oracle certifies against);
+    // PlanSpec pins the pushed filter, IvfIndexSpec pins parity
+    // across the epoch flip with the filter on
+    "s30_filtered_routed" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivf2TopKCurrentFiltered(s, dir)),
+    // s31: routing over the TRAINED codebook — the s07 → s20
+    // composition: the persisted Lloyd codebook (ensureCodebook) as
+    // the router's fine level; with cprobe = ncoarse this reduces to
+    // s07 exactly (SimilaritySpec pins the identity)
+    "s31_routed_trained" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivf2TopKTrained(s, dir)),
+    // s32: the codebook-artifact datasheet — ensure → read → describe
+    // inside a pure query; the oracle RETRAINS the codebook (unrolled
+    // Lloyd) and must land on the identical row: persisted ≡
+    // retrained certified cross-engine every gate run (t22's pattern)
+    "s32_codebook_datasheet" -> ((s: SparkSession, dir: String) =>
+      Similarity.codebookDatasheet(s, dir)),
     // s23: the s17 curve widened to the metrics retrieval pipelines
     // tune on — recall@k, MRR, nDCG@k per probe depth, all exact
     // integer arithmetic so the oracle hash-matches
@@ -1310,6 +1332,20 @@ object SparkEntry {
        FROM c${iters}m LEFT JOIN cnt ON cnt.cell = c${iters}m.cell
        ORDER BY c${iters}m.cell, dim"""
 
+  /** s32's oracle: retrain the codebook (the s06 Lloyd CTEs) and
+    * describe it on the integer ten-thousandths grid — the Spark side
+    * serves the PERSISTED artifact, so hash-equality here IS the
+    * persisted-vs-retrained certification (the t22 pattern; sums over
+    * exact integers are order-free, so nothing in the row is a
+    * float). */
+  private def s32OracleSql(nlist: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(nlist, iters)},
+       g AS (SELECT cell, dim, CAST(floor(cval * 10000 + 0.5) AS BIGINT) AS cv4
+         FROM c${iters}m)
+       SELECT count(DISTINCT cell) AS cells, count(DISTINCT dim) AS dims,
+         count(*) AS n, CAST(sum(cv4) AS BIGINT) AS cv4_sum,
+         min(cv4) AS cv4_min, max(cv4) AS cv4_max FROM g"""
+
   /** s07's oracle: the trained codebook (quantized to the same r4
     * published precision the Spark side consumes) driving s05's IVF
     * probe/score/rank structure — train → index → query, one SQL. */
@@ -1636,18 +1672,20 @@ object SparkEntry {
          $selects ORDER BY nprobe"""
   }
 
-  /** s20's oracle (also bound to s22 — the persisted-path results are
-    * identical by construction, so ONE text certifies both, the
-    * s11/s05 pattern): the full two-level routing replayed in SQL.
-    * `tsFilter` is the s26-style tombstone slice filter on the
-    * candidate stream — empty for s20/s22, the vec_id ≡ 3 (mod 7)
-    * drop for s29's epoch-resolved read (whose pre- and post-flip
-    * plans return identical rows by construction, so the ONE
-    * tombstoned text certifies whichever epoch the gate finds). */
-  private def s20SqlWith(tsFilter: String): String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
-           WHERE vec_id >= 100 AND vec_id < 132),
+  /** The routed-IVF oracle body shared by s20/s22/s29/s30/s31 — the
+    * full two-level routing replayed in SQL, parameterized by (a) the
+    * FINE-codebook prefix CTEs (`prefix` must define `e(vec_id, emb
+    * [, label])` and `cent(cent_id, cent_emb)` — the seeded range for
+    * s20's family, the unrolled-Lloyd chain for s31), and (b) a
+    * candidate-stream filter: empty for s20/s22/s31, the vec_id ≡ 3
+    * (mod 7) tombstone drop for s29's epoch-resolved read, tombstone
+    * + label membership for s30's filtered production read (the
+    * filter sits in the `cand` CTE — BEFORE the ranking window,
+    * mirroring the Spark side's filter-before-heap contract). One
+    * body, so no routed variant's oracle can drift from the s20
+    * structure its identity claims certify against. */
+  private def routedIvfSql(prefix: String, candFilter: String): String =
+    s"""WITH $prefix,
          co AS (SELECT vec_id AS co_id, emb AS co_emb FROM e
            WHERE vec_id >= 200 AND vec_id < 208),
          rt AS (SELECT cent_id, co_id,
@@ -1681,7 +1719,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY c_id ORDER BY sim_c DESC, cent_id) AS rn
            FROM ac) WHERE rn = 1),
          cand AS (SELECT q_id, c_id FROM assign JOIN probes USING (cell)
-           WHERE q_id <> c_id$tsFilter),
+           WHERE q_id <> c_id$candFilter),
          sc AS (SELECT q_id, c_id,
              floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
            FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
@@ -1689,8 +1727,31 @@ object SparkEntry {
            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
          SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
-  private val s20Sql: String = s20SqlWith("")
-  private val s29Sql: String = s20SqlWith(" AND c_id % 7 <> 3")
+  /** The seeded fine-codebook prefix (s20's family). `label` rides
+    * the `e` CTE for s30's candidate-membership filter — harmless
+    * surplus for the variants that never reference it. */
+  private val seededRoutedPrefix: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e
+           WHERE vec_id >= 100 AND vec_id < 132)"""
+
+  private val s20Sql: String = routedIvfSql(seededRoutedPrefix, "")
+  private val s29Sql: String =
+    routedIvfSql(seededRoutedPrefix, " AND c_id % 7 <> 3")
+  /** s30: s29's tombstone drop + the label pre-membership — both on
+    * the CANDIDATE stream, before the ranking window (the
+    * starvation-trap contract). */
+  private val s30Sql: String = routedIvfSql(seededRoutedPrefix,
+    " AND c_id % 7 <> 3 AND c_id IN (SELECT vec_id FROM e WHERE label = 2)")
+  /** s31: the unrolled-Lloyd chain (s07's trained codebook at its
+    * published r4 precision) driving s20's routing structure — the
+    * trained fine codebook as `cent`, everything downstream the
+    * shared routed body verbatim. */
+  private val s31Sql: String = routedIvfSql(
+    s"""${kmeansCtes(32, 2)},
+         cent AS (SELECT cell AS cent_id,
+           list(${oracleR4("cval")} ORDER BY dim) AS cent_emb
+         FROM c2m GROUP BY cell)""", "")
 
   /** s21's oracle: shared routing CTEs (codebooks, fine→coarse route,
     * corpus assignment, the s05 one-level baseline), then per curve
@@ -4275,6 +4336,18 @@ object SparkEntry {
     // s29: s20's routing text over the tombstone-filtered candidate
     // stream — valid in BOTH epochs (compaction folds the same slice)
     "s29_routed_current" -> s29Sql,
+    // s30: s29's text + the label membership on the SAME candidate
+    // stream (filter before the ranking window — the filter-before-
+    // heap contract the Spark side pins in-plan); valid in both epochs
+    "s30_filtered_routed" -> s30Sql,
+    // s31: the unrolled-Lloyd trained codebook driving s20's routing
+    // text — the oracle retrains, the Spark side serves the persisted
+    // artifact, so the hash-match certifies train→persist→route
+    "s31_routed_trained" -> s31Sql,
+    // s32: the oracle RETRAINS the codebook (the s06 Lloyd CTEs) and
+    // aggregates the same integer ten-thousandths grid the artifact
+    // serves — persisted ≡ retrained cross-engine per gate run
+    "s32_codebook_datasheet" -> s32OracleSql(nlist = 32, iters = 2),
     "s05_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e

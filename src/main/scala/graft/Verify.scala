@@ -21,9 +21,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // setup: persisted-index queries (s11) read a pre-built layout;
-    // building here keeps the query runs themselves pure readers
+    // setup: persisted-artifact queries (s11 index, the trained-
+    // codebook families) read pre-built layouts; building here keeps
+    // the query runs themselves pure readers
     graft.ops.Similarity.ensureIvfIndex(spark, sfDir)
+    graft.ops.Similarity.ensureCodebook(spark, sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -89,10 +89,21 @@ private[graft] object Artifacts {
           name.startsWith(prefix) && name != keepPath.getName
         }
         // mtime ties within one clock tick (and moves when children
-        // are touched) — the path-name secondary sort makes retention
-        // deterministic under both
-        .sortBy(st => (-st.getModificationTime, st.getPath.getName))(
-          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+        // are touched) — the secondary sort makes retention
+        // deterministic under both. When the suffix after `prefix` is
+        // purely numeric (the version-level sweeps: v1, v2, …, v10),
+        // compare it AS A NUMBER — reverse-lexicographic name order
+        // would rank "v9" above "v10" and retain the OLDER tree on an
+        // mtime tie; non-numeric suffixes (content stamps) keep the
+        // reverse-lex name fallback unchanged
+        .sortBy { st =>
+          val name = st.getPath.getName
+          val suffix = name.stripPrefix(prefix)
+          val num = if (suffix.nonEmpty && suffix.forall(_.isDigit))
+            suffix.toLong else -1L
+          (-st.getModificationTime, -num, name)
+        }(Ordering.Tuple3(Ordering.Long, Ordering.Long,
+          Ordering.String.reverse))
       superseded.drop(retain).foreach(st => fs.delete(st.getPath, true))
     }
   }

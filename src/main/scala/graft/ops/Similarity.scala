@@ -254,13 +254,19 @@ object Similarity {
       nlist: Int = 32): Unit = {
     val emb = t(s, dir, "embeddings")
     val cent = seededCentroids(emb, nlist)
-    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // v2 layout: the filterable METADATA (label) rides every index
+    // row — filtered search (s30) then pushes its predicate into the
+    // (already partition-pruned) index scan instead of joining the
+    // corpus back in per query, which at 100 TB is the difference
+    // between pruned I/O and a corpus-sized equi-join
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("label"))
     val assigned = corpus.crossJoin(broadcast(cent))
       .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
       .groupBy("c_id")
       .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"),
-        first(col("c_emb")).as("c_emb"))
-      .select(col("c_id"), col("c_emb"), (-col("m.nc")).as("cell"))
+        first(col("c_emb")).as("c_emb"), first(col("label")).as("label"))
+      .select(col("c_id"), col("c_emb"), col("label"), (-col("m.nc")).as("cell"))
     writePartitionedByCell(assigned, indexPath)
   }
 
@@ -281,12 +287,23 @@ object Similarity {
     df.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** IVF layout FORMAT VERSION — part of every layout address (the
+    * [[graft.ops.TextAnalysis.qualityModelVersion]] discipline): the
+    * warehouse outlives code, so a semantic change to what
+    * [[buildIvfIndex]] writes (v2: the `label` metadata column rides
+    * every index row for filtered search — s30) must move the address
+    * or ensure would serve a layout the new read path cannot filter.
+    * Superseded-format trees inside a live generation are deleted by
+    * [[sweepLegacyLayouts]] (they are unreadable by current code —
+    * keeping them only leaks disk). */
+  private val ivfFormatVersion = "v2"
+
   /** Deterministic per-corpus location for the persisted IVF index,
     * under the session's warehouse dir — the write-once/probe-forever
     * storage contract made addressable from just the corpus dir (what
     * lets a pure `(spark, dir) => DataFrame` query find its index). */
   def ivfIndexPath(s: SparkSession, dir: String, nlist: Int = 32): String =
-    s"${ivfStampDir(s, dir)}/main_nl$nlist"
+    s"${ivfStampDir(s, dir)}/main_${ivfFormatVersion}_nl$nlist"
 
   /** The compacted layout's address for the SAME (generation, nlist)
     * family — nlist is part of BOTH layout addresses (the
@@ -296,7 +313,7 @@ object Similarity {
     * cells the stored layout never wrote. */
   private def ivfCompactPath(s: SparkSession, dir: String,
       nlist: Int): String =
-    s"${ivfStampDir(s, dir)}/compact_nl$nlist"
+    s"${ivfStampDir(s, dir)}/compact_${ivfFormatVersion}_nl$nlist"
 
   /** The per-corpus-GENERATION directory both index layouts (main +
     * compacted) live under: the embeddings table's content stamp is
@@ -317,7 +334,40 @@ object Similarity {
   def ensureIvfIndex(s: SparkSession, dir: String, nlist: Int = 32): String = {
     val path = ivfIndexPath(s, dir, nlist)
     Artifacts.sweepSuperseded(s, ivfStampDir(s, dir), "st")
+    sweepLegacyLayouts(s, dir)
     Artifacts.ensure(s, path)(buildIvfIndex(s, dir, path, nlist))
+  }
+
+  /** Delete SUPERSEDED-FORMAT layout entries inside the live
+    * generation dir. The stamp-level sweep only matches sibling
+    * GENERATIONS (prefix "st"); a format bump renames the leaf
+    * entries under the SAME generation, so pre-bump trees (the
+    * unsuffixed pre-r18 `main`/`compact`/`CURRENT`, r18's
+    * `main_nlN` family, any `_vK_` older than [[ivfFormatVersion]])
+    * would otherwise sit unreferenced forever — and, worse, an
+    * r18-era deployment that had flipped its unsuffixed or nl-only
+    * CURRENT would silently re-resolve to "main" and rebuild. No
+    * current code path can read an old-format tree (v2 reads expect
+    * the label column), so deletion is the only correct disposition;
+    * one marker-or-tree delete per name pattern, driver-side, once
+    * per ensure. */
+  private def sweepLegacyLayouts(s: SparkSession, dir: String): Unit = {
+    val gen = new org.apache.hadoop.fs.Path(ivfStampDir(s, dir))
+    val fs = gen.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(gen)) {
+      val curV = ivfFormatVersion.stripPrefix("v").toInt
+      val legacy = "^(main|compact|CURRENT)(_nl\\d+)?(\\.tmp)?$".r
+      val versioned = "^(main|compact|CURRENT)_v(\\d+)_nl\\d+(\\.tmp)?$".r
+      fs.listStatus(gen).foreach { st =>
+        val name = st.getPath.getName
+        val stale = name match {
+          case legacy(_*) => true
+          case versioned(_, v, _) => v.toInt < curV
+          case _ => false
+        }
+        if (stale) fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** [[ivfTopK]] against a [[buildIvfIndex]] layout: identical
@@ -461,14 +511,14 @@ object Similarity {
 
   private def ivfEpochMarker(s: SparkSession, dir: String, nlist: Int) =
     new org.apache.hadoop.fs.Path(
-      s"${ivfStampDir(s, dir)}/CURRENT_nl$nlist")
+      s"${ivfStampDir(s, dir)}/CURRENT_${ivfFormatVersion}_nl$nlist")
 
   private def writeIvfEpoch(s: SparkSession, dir: String,
       epoch: String, nlist: Int): Unit = {
     val marker = ivfEpochMarker(s, dir, nlist)
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
-      s"CURRENT_nl$nlist.tmp")
+      s"CURRENT_${ivfFormatVersion}_nl$nlist.tmp")
     val out = fs.create(tmp, true)
     try out.write(epoch.getBytes("UTF-8")) finally out.close()
     // write-then-rename; the delete+rename pair is the portable
@@ -568,14 +618,18 @@ object Similarity {
         first(col("cent_emb")).as("cent_emb"))
       .select(col("cent_id"), col("cent_emb"), (-col("m.nc")).as("co_cell"))
 
-  /** The two-level probe selection shared by s20/s22: level 1 ranks
-    * the coarse codebook (cprobe cells), level 2 ranks ONLY the fine
-    * centroids routed under them (nprobe cells) — the scan this
-    * family exists to shrink. Returns (q_id, cell). */
+  /** The two-level probe selection shared by s20/s22/s29/s30/s31:
+    * level 1 ranks the coarse codebook (cprobe cells), level 2 ranks
+    * ONLY the fine centroids routed under them (nprobe cells) — the
+    * scan this family exists to shrink. The FINE codebook is a
+    * parameter ((cent_id, cent_emb) — [[seededCentroids]] for the
+    * seeded family, the persisted trained codebook for s31), so
+    * every routed variant shares ONE routing definition and cannot
+    * drift from the s20 identity its oracles certify. Returns
+    * (q_id, cell). */
   private def routedFineProbes(s: SparkSession, emb: DataFrame,
-      queries: DataFrame, nlist: Int, ncoarse: Int, cprobe: Int,
+      queries: DataFrame, fine: DataFrame, ncoarse: Int, cprobe: Int,
       nprobe: Int): DataFrame = {
-    val fine = seededCentroids(emb, nlist)
     val coarse = coarseCodebook(emb, ncoarse)
     val route = fineToCoarseRoute(coarse, fine)
     val coarseProbes = topKPerQuery(s,
@@ -597,10 +651,22 @@ object Similarity {
       k: Int = 5, nlist: Int = 32, ncoarse: Int = 8, cprobe: Int = 3,
       nprobe: Int = 4): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val fine = seededCentroids(emb, nlist)
+    routedScan(s, emb, seededCentroids(emb, nlist), nQueries, k,
+      ncoarse, cprobe, nprobe)
+  }
+
+  /** The ONE per-query routed-IVF scan body behind [[ivf2TopK]] (s20,
+    * seeded fine codebook) and [[ivf2TopKTrained]] (s31, persisted
+    * TRAINED fine codebook): route → probe → assign → score → rank,
+    * parameterized only by the fine codebook frame, so the two
+    * variants are identical by construction everywhere except the
+    * centroids themselves. */
+  private def routedScan(s: SparkSession, emb: DataFrame,
+      fine: DataFrame, nQueries: Int, k: Int, ncoarse: Int, cprobe: Int,
+      nprobe: Int): DataFrame = {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val fineProbes = routedFineProbes(s, emb, queries, nlist, ncoarse,
+    val fineProbes = routedFineProbes(s, emb, queries, fine, ncoarse,
       cprobe, nprobe)
     val corpus = emb.select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"))
@@ -612,6 +678,28 @@ object Similarity {
       .join(corpus, "c_id")
       .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
     topKPerQuery(s, scored, k)
+  }
+
+  /** Routing over the TRAINED codebook (s31) — the s07 → s20
+    * composition that completes the ANN ladder's production story:
+    * the persisted Lloyd codebook ([[ensureCodebook]], read at s07's
+    * published r4 precision) becomes the FINE level of the two-level
+    * router, so a production deployment trains once, persists, and
+    * every routed query serves from the artifact — no seeded
+    * stand-in, no per-driver retrain. Everything except the fine
+    * centroids is [[ivf2TopK]] verbatim (the shared [[routedScan]] /
+    * [[routedFineProbes]] bodies): coarse codebook, route
+    * construction, probe selection, assignment, exact re-rank. With
+    * cprobe = ncoarse the router is exhaustive and the result
+    * reduces to [[ivfTopKTrained]] (s07) EXACTLY — SimilaritySpec
+    * pins that identity, and the DuckDB oracle replays the unrolled
+    * Lloyd chain through s20's routing structure every gate run. */
+  def ivf2TopKTrained(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nlist: Int = 32, ncoarse: Int = 8, cprobe: Int = 3,
+      nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    routedScan(s, emb, trainedFineCodebook(s, dir, nlist, iters),
+      nQueries, k, ncoarse, cprobe, nprobe)
   }
 
   /** [[ivf2TopK]] against a [[buildIvfIndex]] layout — the COMPOSED
@@ -642,13 +730,21 @@ object Similarity {
     * identity. */
   private def ivf2IndexedScan(s: SparkSession, dir: String,
       indexPath: String, nQueries: Int, k: Int, nlist: Int, ncoarse: Int,
-      cprobe: Int, nprobe: Int, tombstones: Option[DataFrame]): DataFrame = {
+      cprobe: Int, nprobe: Int, tombstones: Option[DataFrame],
+      candFilter: Option[Column] = None): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val fineProbes = routedFineProbes(s, emb, queries, nlist, ncoarse,
-      cprobe, nprobe)
-    val idx = s.read.parquet(indexPath)
+    val fineProbes = routedFineProbes(s, emb, queries,
+      seededCentroids(emb, nlist), ncoarse, cprobe, nprobe)
+    // the metadata PRE-filter (s30) applies to the index scan itself —
+    // Catalyst pushes it into the parquet read (PushedFilters), where
+    // it composes with the DPP cell pruning: candidates are filtered
+    // BEFORE the ranking heap ever sees them, so top-k is never
+    // starved the way post-filtering a fixed-k result is (the trap
+    // s10's oracle certifies against, here on the production path)
+    val idx0 = s.read.parquet(indexPath)
+    val idx = candFilter.fold(idx0)(idx0.filter)
     val candidates = idx.join(broadcast(fineProbes), "cell")
     val fresh = tombstones.fold(candidates)(tb =>
       candidates.join(broadcast(tb), Seq("c_id"), "left_anti"))
@@ -675,14 +771,38 @@ object Similarity {
     * finds it. */
   def ivf2TopKCurrent(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, nlist: Int = 32, ncoarse: Int = 8, cprobe: Int = 3,
-      nprobe: Int = 4): DataFrame =
+      nprobe: Int = 4, candFilter: Option[Column] = None): DataFrame =
     if (ivfCurrentEpoch(s, dir, nlist) == "compact")
       ivf2IndexedScan(s, dir, ivfCompactPath(s, dir, nlist),
-        nQueries, k, nlist, ncoarse, cprobe, nprobe, tombstones = None)
+        nQueries, k, nlist, ncoarse, cprobe, nprobe, tombstones = None,
+        candFilter = candFilter)
     else
       ivf2IndexedScan(s, dir, ensureIvfIndex(s, dir, nlist),
         nQueries, k, nlist, ncoarse, cprobe, nprobe,
-        tombstones = Some(tombstoneSet(s, dir)))
+        tombstones = Some(tombstoneSet(s, dir)), candFilter = candFilter)
+
+  /** FILTERED search on the production path (s30) — the query a
+    * 100 TB retrieval user actually runs: "top-k among `label = L`,
+    * over the FRESH index". s10's metadata pre-filter meets the
+    * epoch-resolved routed read ([[ivf2TopKCurrent]]): the predicate
+    * lands on the v2 index layout's in-row `label` column, so it is
+    * PUSHED into the (DPP-pruned) parquet index scan — candidates
+    * are filtered between the scan and the exact verify, never after
+    * the ranking heap (post-filtering a fixed-k result returns < k
+    * rows whenever the neighborhood is label-diverse — the
+    * starvation trap s10's oracle certifies against, honored here on
+    * the lifecycle path). Tombstones, the epoch flip, and the DPP
+    * story are exactly s29's; a probed cell whose qualifying
+    * candidates number < k legitimately returns fewer rows — the
+    * IVF-filtered contract every ANN library documents. Reference
+    * analog: the predicate-filter chains of
+    * streamable/stream.py:230-253 composed with the persisted-index
+    * read. */
+  def ivf2TopKCurrentFiltered(s: SparkSession, dir: String,
+      label: Int = 2, nQueries: Int = 10, k: Int = 5, nlist: Int = 32,
+      ncoarse: Int = 8, cprobe: Int = 3, nprobe: Int = 4): DataFrame =
+    ivf2TopKCurrent(s, dir, nQueries, k, nlist, ncoarse, cprobe, nprobe,
+      candFilter = Some(col("label") === label))
 
   /** Router recall curve (s21) — the s17 measured-advisory pattern on
     * the COARSE-PROBE axis: how much of the one-level IVF result does
@@ -816,38 +936,55 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
-  /** Session-scoped trained-codebook cache. Six query families (s06,
-    * s07, d12, d13, s13, c13) consume the SAME Lloyd training; in
-    * production the codebook is a train-once ARTIFACT reused across
-    * every downstream job (the s11 persisted-index contract, held in
-    * memory), not a per-query ephemeral — so the checkpointed
-    * centroid frame is memoized per (session, dir, nlist, iters).
-    * Only the nlist×dim centroid frame is cached (KBs, corpus-size-
-    * independent); assignment stays lazy, so every consumer still
-    * pays its own honest corpus scan. Keyed on the SparkSession
-    * instance: a fresh session retrains (checkpointed blocks die with
-    * their session), and Bench's between-query `clearCache()` cannot
-    * silently drop it mid-measurement — the first consumer (or the
-    * warmup pass) pays training, exactly like `ensureIvfIndex`.
-    *
-    * Two staleness/leak guards: the key carries the CANONICAL path
-    * and the embeddings table's last-modified stamp, so a same-
-    * session overwrite of the corpus (regenerated tmp dir, rewritten
-    * sf dir) misses the cache and retrains on the new data instead of
-    * silently serving stale centroids; and every lookup first sweeps
-    * entries whose session has stopped, so a long-lived JVM cycling
-    * SparkSessions (sequential suites, services) cannot pin dead
-    * session graphs. Entries for superseded mtimes of a LIVE session
-    * are dropped by the same sweep predicate. A concurrent first call
-    * may train twice and discard one result (getOrElseUpdate is not
-    * atomic across the training job) — a bounded one-off, not a
-    * correctness issue. */
-  private val centCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Long, Int, Int), DataFrame]
+  /** Codebook artifact FORMAT VERSION — the
+    * [[graft.ops.TextAnalysis.qualityModelVersion]] discipline for
+    * the trained k-means codebook: any semantic change to
+    * [[trainCodebookFrame]] (seeding, update rule, degeneracy
+    * handling, the decimal-sum freeze) must bump it, or ensure would
+    * serve centroids trained by code that no longer exists while the
+    * six consumers' retraining oracles diverge. */
+  val codebookVersion = "v1"
 
-  private def embStamp(dir: String): (String, Long) = {
-    val f = new java.io.File(dir, "embeddings.parquet")
-    (f.getParentFile.getCanonicalPath, f.lastModified)
+  /** Deterministic per-corpus address of the persisted trained
+    * codebook — every training hyperparameter (nlist, iters) plus
+    * the embeddings table's content stamp in the path (the
+    * [[graft.ops.TextAnalysis.qualityModelPath]] contract): a
+    * codebook trained at different settings or on a re-derived
+    * corpus is a DIFFERENT codebook, and a pure `(spark, dir)` query
+    * must be able to find the right one from the corpus dir alone. */
+  def codebookPath(s: SparkSession, dir: String, nlist: Int,
+      iters: Int): String = {
+    val stamp = Artifacts.contentStamp(s, dir, "embeddings")
+    s"${s.conf.get("spark.sql.warehouse.dir")}/graft_codebook/" +
+      s"$codebookVersion/${Artifacts.dirTag(dir)}/" +
+      s"nl${nlist}_it${iters}_st$stamp"
+  }
+
+  /** Idempotent train-once for the k-means codebook — the r18
+    * verdict's missing artifact: [[trainedCentroids]] was memoized
+    * per SESSION, so every new driver retrained (a full Lloyd corpus
+    * pass × iters) before any trained-IVF query could run; at 100 TB
+    * that is the restart cost [[graft.ops.TextAnalysis
+    * .ensureQualityModel]] already retired for the classifier. Same
+    * discipline: _SUCCESS-guarded build at [[codebookPath]],
+    * superseded corpus GENERATIONS swept (stamp level), superseded
+    * FORMAT VERSIONS swept with one-predecessor retention. The
+    * persisted frame is the melted (cell, dim, cval) codebook at
+    * FULL double precision — parquet round-trips IEEE-754 doubles
+    * bit-exactly, so a served codebook is bit-identical to a freshly
+    * trained one (KmeansSpec pins row-level equality; the s32
+    * datasheet oracle retrains in DuckDB and certifies the served
+    * grid cross-engine every gate run). */
+  def ensureCodebook(s: SparkSession, dir: String, nlist: Int = 32,
+      iters: Int = 2): String = {
+    val path = codebookPath(s, dir, nlist, iters)
+    Artifacts.sweepSuperseded(s, path, s"nl${nlist}_it${iters}_st")
+    Artifacts.sweepSuperseded(s,
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_codebook/" +
+        codebookVersion, "v")
+    Artifacts.ensure(s, path)(
+      trainCodebookFrame(s, dir, nlist, iters)
+        .write.mode("overwrite").parquet(path))
   }
 
   /** The ONE definition of the per-cell pairwise-cosine arithmetic
@@ -875,60 +1012,75 @@ object Similarity {
     }
   }
 
-  /** The Lloyd-training core shared by [[kmeansCodebook]] (publishes
-    * centroids + member counts) and [[ivfTopKTrained]] (needs only the
-    * centroids — skipping the counts saves a whole corpus assignment
-    * pass). Returns (melted centroid frame (cell, dim, cval — raw
-    * doubles, NOT r4-rounded), a LAZY final-assignment frame). */
-  private[ops] def trainedCentroids(s: SparkSession, dir: String,
-      nlist: Int, iters: Int): (DataFrame, DataFrame) = {
-    require(nlist >= 1 && iters >= 1)
+  /** One Lloyd-assignment pass of `emb` against a melted codebook
+    * frame — ONE definition shared by the trainer's per-round update
+    * and every consumer's final lazy assignment, so training-time
+    * and serve-time assignment can never see differently-built
+    * codebooks. */
+  private def assignAgainstCodebook(emb: DataFrame,
+      c: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("demb"))
+      .crossJoin(broadcast(collapseCodebook(c)))
+      .select(col("vec_id"), col("cell"),
+        r4(cosine(col("demb"), col("cemb"))).as("sim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim").as("s"), (-col("cell")).as("nc"))).as("x"))
+      .select(col("vec_id"), (-col("x.nc")).as("cell"))
+
+  /** The Lloyd TRAINING pass — [[ensureCodebook]]'s build lambda,
+    * kept separately callable so KmeansSpec can certify
+    * persisted ≡ retrained at full double bits every suite run.
+    * Returns the final codebook melted to (cell, dim, cval — raw
+    * doubles, NOT r4-rounded). */
+  private[ops] def trainCodebookFrame(s: SparkSession, dir: String,
+      nlist: Int, iters: Int): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // melted corpus: (vec_id, dim, v) — v widened to double (exact).
     // NOT checkpointed: the melt is a narrow projection off the scan
-    // (cheap to recompute per consumer), and measured, materializing
+    // (cheap to recompute per round), and measured, materializing
     // it costs more than the re-reads — the [[embeddingNearDupPairs]]
     // reasoning; only the ITERATED frame (cent) needs the lineage cut
     val m = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("dim", "v0")))
       .select(col("vec_id"), col("dim"), col("v0").cast("double").as("v"))
-    val corpus = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("demb"))
-    def assign(c: DataFrame): DataFrame = {
-      corpus.crossJoin(broadcast(collapseCodebook(c)))
-        .select(col("vec_id"), col("cell"),
-          r4(cosine(col("demb"), col("cemb"))).as("sim"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("sim").as("s"), (-col("cell")).as("nc"))).as("x"))
-        .select(col("vec_id"), (-col("x.nc")).as("cell"))
+    // round-0 codebook: the s05 seed vectors (ids [100, 100+nlist))
+    var cent = m.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
+      .select((col("vec_id") - 100).as("cell"), col("dim"), col("v").as("cval"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val a = assignAgainstCodebook(emb, cent)
+      val updated = m.join(a, "vec_id")
+        .groupBy("cell", "dim")
+        .agg((sum(col("v").cast("decimal(20,10)")).cast("double") /
+          count(lit(1))).as("cval"))
+      // Lloyd degeneracy: a cell that attracted no members keeps its
+      // previous centroid rather than vanishing
+      val kept = cent.join(updated.select("cell").distinct(),
+        Seq("cell"), "left_anti")
+      cent = updated.unionByName(kept).localCheckpoint()
     }
+    cent
+  }
 
-    val (canon, stamp) = embStamp(dir)
-    centCache.keySet.foreach { k =>
-      if (k._1.sparkContext.isStopped ||
-        (k._1.eq(s) && k._2 == canon && k._3 != stamp)) centCache.remove(k)
-    }
-    val trained = centCache.getOrElseUpdate((s, canon, stamp, nlist, iters), {
-      // round-0 codebook: the s05 seed vectors (ids [100, 100+nlist))
-      var cent = m.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
-        .select((col("vec_id") - 100).as("cell"), col("dim"), col("v").as("cval"))
-        .localCheckpoint()
-      (1 to iters).foreach { _ =>
-        val a = assign(cent)
-        val updated = m.join(a, "vec_id")
-          .groupBy("cell", "dim")
-          .agg((sum(col("v").cast("decimal(20,10)")).cast("double") /
-            count(lit(1))).as("cval"))
-        // Lloyd degeneracy: a cell that attracted no members keeps its
-        // previous centroid rather than vanishing
-        val kept = cent.join(updated.select("cell").distinct(),
-          Seq("cell"), "left_anti")
-        cent = updated.unionByName(kept).localCheckpoint()
-      }
-      cent
-    })
-
-    (trained, assign(trained))
+  /** The trained-codebook SERVE path shared by [[kmeansCodebook]]
+    * (publishes centroids + member counts) and [[ivfTopKTrained]]
+    * (needs only the centroids — skipping the counts saves a whole
+    * corpus assignment pass). Returns (melted centroid frame (cell,
+    * dim, cval — raw doubles, NOT r4-rounded), a LAZY
+    * final-assignment frame). Served from the PERSISTED
+    * [[ensureCodebook]] artifact: the lineage of the centroid frame
+    * is one KB-sized file scan — a fresh driver against a populated
+    * warehouse runs zero training jobs (the warm-start contract),
+    * where the r18 session memo retrained per driver. Only the
+    * nlist×dim codebook is stored (corpus-size-independent);
+    * assignment stays lazy, so every consumer still pays its own
+    * honest corpus scan. */
+  private[ops] def trainedCentroids(s: SparkSession, dir: String,
+      nlist: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(nlist >= 1 && iters >= 1)
+    val trained = s.read.parquet(ensureCodebook(s, dir, nlist, iters))
+    (trained, assignAgainstCodebook(t(s, dir, "embeddings"), trained))
   }
 
   /** Final trained assignment with the vector carried IN-ROW:
@@ -957,6 +1109,47 @@ object Similarity {
       .select(col("vec_id"), (-col("best.nc")).as("cell"),
         col("best.s").as("csim"), col("emb"))
   }
+
+  /** The trained codebook at its PUBLISHED r4 precision as
+    * (cent_id, cent_emb) — the exact frame every trained-IVF query
+    * ranks against, ONE definition shared by [[ivfTopKTrained]] (s07)
+    * and [[ivf2TopKTrained]] (s31) so the identity they certify
+    * against each other (cprobe = ncoarse ⇒ s31 ≡ s07) cannot drift.
+    * cvals are r4-rounded exactly like the published codebook (the
+    * oracle quantizes identically), but via [[trainedCentroids]]
+    * directly: the published n_members requires a whole extra corpus
+    * assignment pass that these queries — which re-assign the corpus
+    * themselves — would pay for nothing. */
+  private[ops] def trainedFineCodebook(s: SparkSession, dir: String,
+      nlist: Int, iters: Int): DataFrame =
+    trainedCentroids(s, dir, nlist, iters)._1
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), r4(col("cval")).as("cval")))).as("p"))
+      .select(col("cell").as("cent_id"), transform(col("p"), x => x("cval")).as("cent_emb"))
+
+  /** Codebook-artifact datasheet (s32) — the
+    * [[graft.ops.TextAnalysis.qualityModelDatasheet]] pattern for
+    * the persisted k-means codebook: ensure → read → describe runs
+    * inside a pure registry query, so every gate run certifies the
+    * train → persist → serve round-trip, and the DuckDB oracle
+    * RETRAINS the codebook from the corpus (the unrolled Lloyd
+    * chain) and must land on the identical row — persisted ≡
+    * retrained certified cross-engine on the r4 grid every consumer
+    * reads (integer ten-thousandths, so the sum is exact and
+    * order-free; KmeansSpec separately pins FULL-double-bit equality
+    * in-engine). One aggregate over the nlist×dim artifact frame —
+    * corpus untouched beyond the ensure-guarded training pass. */
+  def codebookDatasheet(s: SparkSession, dir: String, nlist: Int = 32,
+      iters: Int = 2): DataFrame =
+    s.read.parquet(ensureCodebook(s, dir, nlist, iters))
+      .select(col("cell"), col("dim"),
+        floor(col("cval") * lit(1e4) + lit(0.5)).cast("long").as("cv4"))
+      .agg(countDistinct(col("cell")).as("cells"),
+        countDistinct(col("dim")).as("dims"),
+        count(lit(1)).as("n"),
+        sum("cv4").as("cv4_sum"),
+        min("cv4").as("cv4_min"),
+        max("cv4").as("cv4_max"))
 
   /** The trained codebook collapsed to ONE broadcastable row — a
     * `cents` array of (cell, cemb) structs, nlist×dim doubles
@@ -1366,16 +1559,7 @@ object Similarity {
   def ivfTopKTrained(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, nlist: Int = 32, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    // trained codebook, melted → per-cell double arrays. cvals are
-    // r4-rounded exactly like the PUBLISHED codebook (the oracle
-    // quantizes identically), but via [[trainedCentroids]] directly:
-    // the published n_members requires a whole extra corpus
-    // assignment pass that this query — which re-assigns the corpus
-    // itself two lines down — would pay for nothing
-    val cent = trainedCentroids(s, dir, nlist, iters)._1
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("dim"), r4(col("cval")).as("cval")))).as("p"))
-      .select(col("cell").as("cent_id"), transform(col("p"), x => x("cval")).as("cent_emb"))
+    val cent = trainedFineCodebook(s, dir, nlist, iters)
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val assign = corpus.crossJoin(broadcast(cent))
       .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))

@@ -724,13 +724,21 @@ object TextAnalysis {
     * by key in UTF8String binary order — the SAME order the kernel
     * compares in. */
   def lmServeCols(model: DataFrame): DataFrame = {
-    def keysOf(m: Column) =
-      transform(array_sort(map_entries(m)), e => e("key"))
-    def valsOf(m: Column) =
-      transform(array_sort(map_entries(m)), e => e("value"))
-    model.select(col("vmap"), col("vp1"),
-      keysOf(col("bmap")).as("bk"), valsOf(col("bmap")).as("bv"),
-      keysOf(col("xmap")).as("xk"), valsOf(col("xmap")).as("xv"))
+    // ONE named sorted-entry column per map, with keys and values
+    // projected FROM it — the sort order that the bisection kernel
+    // depends on is written once, so an edit cannot desynchronize
+    // bk from bv (the r18 advice; whether the optimizer re-inlines
+    // the sort under the projections is costless on this one-row
+    // broadcast frame — the named column exists for single-definition
+    // safety, not speed)
+    model
+      .withColumn("bkv", array_sort(map_entries(col("bmap"))))
+      .withColumn("xkv", array_sort(map_entries(col("xmap"))))
+      .select(col("vmap"), col("vp1"),
+        transform(col("bkv"), e => e("key")).as("bk"),
+        transform(col("bkv"), e => e("value")).as("bv"),
+        transform(col("xkv"), e => e("key")).as("xk"),
+        transform(col("xkv"), e => e("value")).as("xv"))
   }
 
   /** The per-document bigram micronat sum over `ids` given the

@@ -55,21 +55,39 @@ class FunctionsSpec extends SparkSpec {
         array(lit(null).cast("long"), lit(7L)), lit("b")).as("y"))
       .collect()
     nv.foreach(r => { assert(r.isNullAt(0)); assert(r.getLong(1) == 7L) })
-    // guard 1: parallel-array length mismatch raises (silent
-    // garbage on unsafe rows without it — the self-review find)
+    // the guard exceptions surface wrapped (SparkException → cause);
+    // pin the guard's OWN message through the chain — a bare
+    // "some exception was thrown" assert is vacuous (any OOB would
+    // pass it, so removing the guard would not fail the test)
+    def msgChain(e: Throwable): String =
+      Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+        .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+        .mkString(" | ")
+    // guard 1: parallel-array length mismatch raises LOUDLY. The
+    // arrays cross an exchange so the kernel probes UnsafeArrayData —
+    // the representation where a removed guard returns SILENT GARBAGE
+    // instead of throwing: only the guard's own message can pass here
+    val mm = s.range(1).select(
+      array(lit("a"), lit("b"), lit("c")).as("ks"),
+      array(col("id") + 1L, col("id") + 2L).as("vs"))
+      .repartition(1)
     val exLen = intercept[Exception] {
-      s.range(1).select(SortedLookup(array(lit("a"), lit("b"), lit("c")),
-        array(lit(1L), lit(2L)), lit("c"))).collect()
+      mm.select(SortedLookup(col("ks"), col("vs"), lit("c"))).collect()
     }
-    assert(exLen.getMessage != null || exLen.getCause != null)
+    assert(msgChain(exLen).contains("parallel arrays"),
+      s"length guard must fire with its own message, got: ${msgChain(exLen)}")
     // guard 2: a null KEY slot raises identically in both paths (it
-    // NPE'd interpreted but compared as "" under codegen pre-guard)
+    // NPE'd interpreted but compared as "" under codegen pre-guard);
+    // non-foldable null slot + exchange for the same unsafe-row reason
+    val nk = s.range(1).select(
+      array(lit("a"), when(col("id") < 0L, lit("x"))).as("ks"),
+      array(col("id") + 1L, col("id") + 2L).as("vs"))
+      .repartition(1)
     val exKey = intercept[Exception] {
-      s.range(1).select(SortedLookup(
-        array(lit("a"), lit(null).cast("string")),
-        array(lit(1L), lit(2L)), lit("b"))).collect()
+      nk.select(SortedLookup(col("ks"), col("vs"), lit("b"))).collect()
     }
-    assert(exKey.getMessage != null || exKey.getCause != null)
+    assert(msgChain(exKey).contains("null key element"),
+      s"null-key guard must fire with its own message, got: ${msgChain(exKey)}")
     // the same value matrix under CODEGEN_ONLY and NO_CODEGEN — the
     // two engine paths may not disagree on any case
     val conf = s.conf

@@ -143,8 +143,8 @@ class IvfIndexSpec extends SparkSpec {
     val main = Similarity.ensureIvfIndex(spark, sf0001)
     val genDir = new Path(main).getParent
     val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(genDir, "CURRENT_nl32"), false)
-    fs.delete(new Path(genDir, "compact_nl32"), true)
+    fs.delete(new Path(genDir, "CURRENT_v2_nl32"), false)
+    fs.delete(new Path(genDir, "compact_v2_nl32"), true)
     assert(Similarity.ivfCurrentEpoch(spark, sf0001) == "main",
       "an absent pointer must resolve to the main epoch")
     val pre = Similarity.ivfTopKCurrent(spark, sf0001)
@@ -173,7 +173,7 @@ class IvfIndexSpec extends SparkSpec {
       "the switch must be invisible in results — identical rows on both sides")
     // idempotent flip: a second ensure neither rebuilds nor unflips
     assert(Similarity.ensureCompactedIvfIndex(spark, sf0001) ==
-      s"$genDir/compact_nl32")
+      s"$genDir/compact_v2_nl32")
     assert(Similarity.ivfCurrentEpoch(spark, sf0001) == "compact")
   }
 
@@ -186,8 +186,8 @@ class IvfIndexSpec extends SparkSpec {
     val main = Similarity.ensureIvfIndex(spark, sf0001)
     val genDir = new Path(main).getParent
     val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(genDir, "CURRENT_nl32"), false)
-    fs.delete(new Path(genDir, "compact_nl32"), true)
+    fs.delete(new Path(genDir, "CURRENT_v2_nl32"), false)
+    fs.delete(new Path(genDir, "compact_v2_nl32"), true)
     val pre = Similarity.ivf2TopKCurrent(spark, sf0001)
     val preRows = pre.collect().map(_.toSeq).toList
     val pPre = pre.queryExecution.executedPlan.toString
@@ -212,5 +212,90 @@ class IvfIndexSpec extends SparkSpec {
       s"no DPP on the post-flip routed scan:\n$pPost")
     assert(postRows == preRows,
       "the switch must be invisible in routed results — identical rows")
+  }
+
+  test("filtered routed read (s30): the label pre-filter holds across the " +
+    "epoch flip — identical rows both sides, predicate pushed into the " +
+    "index scan, candidates filtered BEFORE the ranking heap, tombstones " +
+    "and DPP intact") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    // clean slate for the generation, pre-flip side first (s28's drill)
+    val main = Similarity.ensureIvfIndex(spark, sf0001)
+    val genDir = new Path(main).getParent
+    val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(genDir, "CURRENT_v2_nl32"), false)
+    fs.delete(new Path(genDir, "compact_v2_nl32"), true)
+    val pre = Similarity.ivf2TopKCurrentFiltered(spark, sf0001)
+    val preRows = pre.collect().map(_.toSeq).toList
+    assert(preRows.nonEmpty, "the filtered read must return candidates")
+    val pPre = pre.queryExecution.executedPlan.toString
+    assert(pPre.contains("LeftAnti"),
+      s"pre-flip filtered reads must keep the tombstone anti-join:\n$pPre")
+    assert(pPre.toLowerCase.contains("dynamicpruning"),
+      s"no DPP on the pre-flip filtered scan:\n$pPre")
+    assert(pPre.contains("EqualTo(label,2)"),
+      s"the label predicate must be PUSHED into the index parquet scan:\n$pPre")
+    // every survivor genuinely matches the predicate AND the tombstone
+    val labelOf = Relational.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    preRows.foreach { r =>
+      val cId = r(2).asInstanceOf[Long]
+      assert(labelOf(cId) == 2, s"candidate $cId has label ${labelOf(cId)}")
+      assert(cId % 7 != 3, s"tombstoned candidate $cId survived the filter path")
+    }
+    // filter-BEFORE-heap, not post-filtering a fixed-k result: the
+    // filtered read must surface label-2 candidates the unfiltered
+    // top-k never ranked (post-filtering s29's k rows could only ever
+    // SHRINK per-query lists — never introduce a new candidate)
+    val unfiltered = Similarity.ivf2TopKCurrent(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val introduced = preRows.map(r =>
+      (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+      .filterNot(unfiltered.contains)
+    assert(introduced.nonEmpty,
+      "the filtered heap must rank candidates the unfiltered top-k cut — " +
+        "a result explainable by post-filtering certifies nothing")
+    // THE FLIP — the filtered production read survives it unchanged
+    Similarity.ensureCompactedIvfIndex(spark, sf0001)
+    val post = Similarity.ivf2TopKCurrentFiltered(spark, sf0001)
+    val postRows = post.collect().map(_.toSeq).toList
+    val pPost = post.queryExecution.executedPlan.toString
+    assert(!pPost.contains("LeftAnti"),
+      s"post-flip filtered reads must take the PLAIN path:\n$pPost")
+    assert(pPost.contains("EqualTo(label,2)"),
+      s"the pushed label predicate must survive the flip:\n$pPost")
+    assert(pPost.toLowerCase.contains("dynamicpruning"),
+      s"no DPP on the post-flip filtered scan:\n$pPost")
+    assert(postRows == preRows,
+      "the epoch switch must be invisible to the filtered read")
+  }
+
+  test("v2 layout migration: ensureIvfIndex deletes superseded-format " +
+    "entries inside the live generation (the unsuffixed pre-r18 trio and " +
+    "the r18 nl-only family) and leaves current-format trees alone") {
+    import org.apache.hadoop.fs.Path
+    val main = Similarity.ensureIvfIndex(spark, sf0001)
+    val genDir = new Path(main).getParent
+    val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant every legacy shape a real warehouse could hold: pre-r18
+    // unsuffixed, r18 nl-suffixed (marker + tree + stale tmp)
+    Seq("main", "compact", "CURRENT", "main_nl32", "compact_nl64")
+      .foreach(n => fs.mkdirs(new Path(genDir, n)))
+    Seq("CURRENT_nl32", "CURRENT_nl32.tmp").foreach { n =>
+      val out = fs.create(new Path(genDir, n), true)
+      out.write("compact".getBytes("UTF-8")); out.close()
+    }
+    Similarity.ensureIvfIndex(spark, sf0001)
+    Seq("main", "compact", "CURRENT", "main_nl32", "compact_nl64",
+      "CURRENT_nl32", "CURRENT_nl32.tmp").foreach { n =>
+      assert(!fs.exists(new Path(genDir, n)),
+        s"legacy entry $n must be swept — stale formats leak disk and " +
+          "an r18 CURRENT would silently re-point readers at 'main'")
+    }
+    // the live v2 tree is untouched and still serves
+    assert(fs.exists(new Path(s"$main/_SUCCESS")))
+    assert(Similarity.ivfTopKIndexed(spark, sf0001, main).collect().nonEmpty)
   }
 }

@@ -55,18 +55,37 @@ class KmeansSpec extends SparkSpec {
     assert(cells(0L).head._2 == 2L)
   }
 
-  test("trained codebook is a session artifact: same key memoizes, other keys retrain") {
-    // six query families consume one Lloyd training; the checkpointed
-    // centroid frame is memoized per (session, dir, nlist, iters) —
-    // identical FRAME on a repeat call (not merely equal values), a
-    // fresh training for any other key, and the memoized frame still
-    // feeds the oracle-certified consumers (s06/s07/d12 specs)
-    val a = Similarity.trainedCentroids(spark, sf0001, 32, 2)._1
-    val b = Similarity.trainedCentroids(spark, sf0001, 32, 2)._1
-    assert(a eq b, "repeat call must return the memoized centroid frame")
-    val c = Similarity.trainedCentroids(spark, sf0001, 16, 2)._1
-    assert(!(c eq a), "different nlist must train its own codebook")
-    assert(c.select("cell").distinct().count() == 16)
+  test("trained codebook is a PERSISTED artifact: ensure is build-once, " +
+    "hyperparameters address their own trees, and persisted equals " +
+    "retrained at full double bits") {
+    // six query families consume one Lloyd training; r18 memoized it
+    // per SESSION (every new driver retrained — a full corpus pass ×
+    // iters before any trained-IVF query); r19 gives it the
+    // ensureQualityModel treatment: _SUCCESS-guarded build at a
+    // stamped address, then every consumer serves from the artifact
+    val path = Similarity.ensureCodebook(spark, sf0001, 32, 2)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker))
+    val mtime = fs.getFileStatus(marker).getModificationTime
+    // repeat ensure is a marker read, not a rebuild
+    assert(Similarity.ensureCodebook(spark, sf0001, 32, 2) == path)
+    assert(fs.getFileStatus(marker).getModificationTime == mtime)
+    // every training hyperparameter is part of the ADDRESS
+    val path16 = Similarity.ensureCodebook(spark, sf0001, 16, 2)
+    assert(path16 != path, "different nlist must address its own artifact")
+    assert(Similarity.trainedCentroids(spark, sf0001, 16, 2)._1
+      .select("cell").distinct().count() == 16)
+    // the serve-path contract: the artifact read is BIT-IDENTICAL to
+    // a fresh training pass (parquet round-trips IEEE-754 doubles
+    // exactly; the decimal-sum update rule is deterministic) — the
+    // full-precision half of the s32 oracle's r4-grid certification
+    val served = Similarity.trainedCentroids(spark, sf0001, 32, 2)._1
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val retrained = Similarity.trainCodebookFrame(spark, sf0001, 32, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(served == retrained,
+      "persisted codebook must equal a fresh training bit-for-bit")
   }
 
   test("cosine kernel accepts double arrays and matches the composable form") {

@@ -626,6 +626,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("trained-routed IVF (s31): exhaustive router reduces to the " +
+      "one-level trained IVF (s07) exactly — the s07 → s20 composition " +
+      "identity") {
+    // cprobe = ncoarse makes the coarse level a no-op, so s31 must
+    // equal s07 row-for-row: same persisted codebook, same corpus
+    // assignment, same probe cut, same exact re-rank — the identity
+    // that certifies the composition introduced nothing of its own
+    val oneLevel = Similarity.ivfTopKTrained(spark, sf0001)
+      .collect().map(_.toSeq).toList
+    val exhaustive = Similarity.ivf2TopKTrained(spark, sf0001, cprobe = 8)
+      .collect().map(_.toSeq).toList
+    assert(exhaustive == oneLevel,
+      "cprobe=ncoarse trained-routed IVF must reduce to s07 exactly")
+    // the registry configuration (cprobe=3): well-formed per-query
+    // lists, and sims on the overlap agree with the exhaustive run
+    // (same exact scoring — routing may only restrict the pool)
+    val routed = Similarity.ivf2TopKTrained(spark, sf0001).collect()
+    val perQ = routed.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.size == 10)
+    perQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to rows.length),
+        s"query $q ranks not contiguous")
+      assert(rows.length <= 5)
+    }
+    val exSims = exhaustive.map(r =>
+      (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long]) -> r(3)).toMap
+    routed.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      exSims.get(key).foreach(s =>
+        assert(s == r.getAs[Double]("sim"), s"sim drift on $key"))
+    }
+  }
+
   test("router recall curve ends at exactly 1000 vs one-level IVF") {
     val curve = Similarity.cprobeRecallCurve(spark, sf0001).collect()
     assert(curve.length == 4)
@@ -926,6 +959,24 @@ class OpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
     val e2 = intercept[Exception] { Similarity.pqTopK(spark, dir2).collect() }
     assert(e2.getMessage != null)
+  }
+
+  test("sweepSuperseded: numeric suffixes tie-break numerically — an " +
+    "mtime tie retains v10 over v9 (reverse-lex would keep the older tree)") {
+    val parent = java.nio.file.Files.createTempDirectory("graft-sweep")
+    val dirs = Seq("v9", "v10", "v11").map { n =>
+      val d = parent.resolve(n).toFile
+      assert(d.mkdir()); n -> d
+    }.toMap
+    // force an exact mtime tie between the two predecessors
+    val tick = (System.currentTimeMillis() / 1000) * 1000
+    assert(dirs("v9").setLastModified(tick))
+    assert(dirs("v10").setLastModified(tick))
+    Artifacts.sweepSuperseded(spark, parent.resolve("v11").toString, "v")
+    assert(dirs("v11").exists(), "keep itself must survive")
+    assert(dirs("v10").exists(),
+      "the NEWER version must be the retained predecessor on an mtime tie")
+    assert(!dirs("v9").exists(), "the older version must be swept")
   }
 
   test("simhash recall advisory reproduces the documented sf0.1 operating point") {

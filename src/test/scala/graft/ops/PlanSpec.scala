@@ -124,6 +124,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKAggregator"), "s20 missing the typed top-k aggregate")
   }
 
+  test("s30: the label predicate is pushed into the index parquet scan — " +
+      "filter BEFORE the bounded-heap ranking, composed with DPP, " +
+      "everything else s29's plan shape") {
+    Similarity.ensureIvfIndex(spark, sf0001)
+    val df = Similarity.ivf2TopKCurrentFiltered(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the predicate reaches the SCAN (PushedFilters), so qualifying
+    // candidates are selected before any join or ranking operator —
+    // post-filtering a fixed-k result would show the filter ABOVE the
+    // TopKAggregator instead (the starvation trap)
+    assert(p.contains("EqualTo(label,2)"),
+      s"label predicate must be pushed into the index scan:\n$p")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the pushed filter must not cost the DPP cell pruning:\n$p")
+    assert(p.contains("TopKAggregator"), "s30 missing the typed top-k heap")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "s30 must keep s29's broadcast-only join shape")
+  }
+
+  test("s31: routing over the trained codebook keeps s20's shape — " +
+      "codebook lineage is ONE artifact file scan, no training joins, " +
+      "no SMJ, bounded-heap ranking") {
+    val df = Similarity.ivf2TopKTrained(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "trained-routed joins must broadcast — the corpus cannot shuffle-sort")
+    assert(!p.contains("CartesianProduct"),
+      "codebook crosses must be broadcast nested loops, never shuffled")
+    assert(!finalOnly(p).contains("Window"), "s31 plans a Window sort")
+    assert(p.contains("TopKAggregator"), "s31 missing the typed top-k aggregate")
+  }
+
   test("sketch signatures run as native kernels, not interpreted lambda folds") {
     // regression gate: the fused Expression kernels must stay in the
     // plans — a revert to transform/aggregate higher-order functions

@@ -1136,8 +1136,8 @@ class StreamsSpec extends SparkSpec {
     val main = Similarity.ensureIvfIndex(s, sf0001)
     val genDir = new Path(main).getParent
     val fs = genDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(genDir, "CURRENT_nl32"), false)
-    fs.delete(new Path(genDir, "compact_nl32"), true)
+    fs.delete(new Path(genDir, "CURRENT_v2_nl32"), false)
+    fs.delete(new Path(genDir, "compact_v2_nl32"), true)
     val seen = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, Boolean, List[Seq[Any]])]
     val mem = MemoryStream[Long]
@@ -1169,5 +1169,66 @@ class StreamsSpec extends SparkSpec {
       assert(rows0 == rows1,
         "the swap must be invisible in results — identical rows either side")
     } finally q.stop()
+  }
+
+  test("artifact hot-swap under a LIVE stream #2: a MODEL generation flip " +
+    "(classifier vocab-cap bump → new address, new training) between " +
+    "micro-batches re-points the per-batch resolver — no restart, no state " +
+    "store, both generations witnessed in the served weights") {
+    // the IVF-epoch witness (above) applied to a trained MODEL
+    // artifact: the per-batch resolver (foreachBatch) re-ensures the
+    // quality model each micro-batch; a generation change mid-stream
+    // (here the cap bump — a corpus re-derivation flips the address
+    // the same way, through the content stamp) must train + serve the
+    // NEW artifact on the next batch while the stream keeps running.
+    // Batch 0 serves the cv24 generation, batch 1 the cv8 one; the
+    // gate is the ONE Streams.qualityGateStream definition both
+    // batches run through.
+    import graft.ops.TextAnalysis
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prevCap = s.conf.getOption("graft.classifier.vocab")
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Map[String, Long], Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val path = TextAnalysis.ensureQualityModel(s, sf0001)
+        val model = s.read.parquet(path)
+        val m = model.select(col("wm")).head.getMap[String, Long](0)
+        val gated = Streams.qualityGateStream(batch, model).count()
+        seen += ((id, path, m.toMap, gated))
+        ()
+    }.start()
+    try {
+      mem.addData((1L, "alpha beta gamma"))
+      q.processAllAvailable()
+      // THE GENERATION FLIP — stream still running, no restart
+      s.conf.set("graft.classifier.vocab", "8")
+      mem.addData((2L, "alpha beta gamma"))
+      q.processAllAvailable()
+      assert(seen.size == 2, s"expected two micro-batches, saw $seen")
+      val (_, pathA, wmA, _) = seen(0)
+      val (_, pathB, wmB, _) = seen(1)
+      assert(pathA.contains("_cv24_") && pathB.contains("_cv8_"),
+        s"the cap must be part of the resolved ADDRESS: $pathA vs $pathB")
+      assert(wmA.size == 24 && wmB.size == 8,
+        "each batch must serve its own generation's weight map")
+      assert(wmB.keySet.subsetOf(wmA.keySet),
+        "top-8-by-occurrence must be a subset of top-24 — same trainer, " +
+          "same tie contract, smaller cap")
+      // the new generation genuinely TRAINED (its marker exists) and
+      // the old one is still intact (no sweep across cap families)
+      val fs = new org.apache.hadoop.fs.Path(pathB)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$pathB/_SUCCESS")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$pathA/_SUCCESS")))
+    } finally {
+      prevCap.fold(s.conf.unset("graft.classifier.vocab"))(
+        s.conf.set("graft.classifier.vocab", _))
+      q.stop()
+    }
   }
 }
