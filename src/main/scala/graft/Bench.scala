@@ -114,7 +114,10 @@ object Bench {
       s"[bench] WARN ensureSemanticIndex failed — d18 will pay index training inside its timed pass: $e") }
     try graft.ops.Similarity.ensureCodebook(spark, sfDir)
     catch { case e: Throwable => System.err.println(
-      s"[bench] WARN ensureCodebook failed — the trained-codebook families (s06/s07/s31/d12/d13/s13/c13) will pay Lloyd training inside their timed pass: $e") }
+      s"[bench] WARN ensureCodebook failed — the trained-codebook families (s06/s07/s31/s32/d12/d13/s13/c13) will pay Lloyd training inside their timed pass: $e") }
+    try graft.ops.Similarity.ensureTrainedIvfIndex(spark, sfDir)
+    catch { case e: Throwable => System.err.println(
+      s"[bench] WARN ensureTrainedIvfIndex failed — s33 will pay the index build inside its timed pass: $e") }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skipped.contains(n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }

@@ -380,6 +380,12 @@ object SparkEntry {
     // retrained certified cross-engine every gate run (t22's pattern)
     "s32_codebook_datasheet" -> ((s: SparkSession, dir: String) =>
       Similarity.codebookDatasheet(s, dir)),
+    // s33: the COMPLETE production stack — persisted trained codebook
+    // + persisted trained-cell DPP-pruned layout + router + exact
+    // verify; ≡ s31 by construction (one buildIvfIndexWith body, one
+    // routedFineProbes), so s31's retraining oracle certifies it
+    "s33_trained_indexed" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivf2TopKTrainedIndexed(s, dir)),
     // s23: the s17 curve widened to the metrics retrieval pipelines
     // tune on — recall@k, MRR, nDCG@k per probe depth, all exact
     // integer arithmetic so the oracle hash-matches
@@ -4348,6 +4354,11 @@ object SparkEntry {
     // aggregates the same integer ten-thousandths grid the artifact
     // serves — persisted ≡ retrained cross-engine per gate run
     "s32_codebook_datasheet" -> s32OracleSql(nlist = 32, iters = 2),
+    // s33 reads the PERSISTED trained-cell layout through the router;
+    // identical to s31 by construction (same codebook, same
+    // assignment body, same routing), so s31's unrolled-Lloyd oracle
+    // certifies the persisted path too — the s11/s05 sharing pattern
+    "s33_trained_indexed" -> s31Sql,
     "s05_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e

@@ -26,6 +26,7 @@ object Verify {
     // the query runs themselves pure readers
     graft.ops.Similarity.ensureIvfIndex(spark, sfDir)
     graft.ops.Similarity.ensureCodebook(spark, sfDir)
+    graft.ops.Similarity.ensureTrainedIvfIndex(spark, sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

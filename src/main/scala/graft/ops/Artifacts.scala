@@ -83,10 +83,21 @@ private[graft] object Artifacts {
     val fs = keepPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val parent = keepPath.getParent
     if (fs.exists(parent)) {
+      def numSuffix(name: String): Option[Long] = {
+        val suffix = name.stripPrefix(prefix)
+        if (suffix.nonEmpty && suffix.forall(_.isDigit)) Some(suffix.toLong)
+        else None
+      }
+      val keepNum = numSuffix(keepPath.getName)
       val superseded = fs.listStatus(parent)
         .filter { st =>
           val name = st.getPath.getName
-          name.startsWith(prefix) && name != keepPath.getName
+          name.startsWith(prefix) && name != keepPath.getName &&
+            // a numerically GREATER sibling is not superseded — it is
+            // a newer binary's live tree (version-level sweeps on a
+            // mixed fleet: an old binary must never delete v2 because
+            // v0's directory mtime happened to be fresher)
+            !(keepNum.isDefined && numSuffix(name).exists(_ > keepNum.get))
         }
         // mtime ties within one clock tick (and moves when children
         // are touched) — the secondary sort makes retention

@@ -251,9 +251,19 @@ object Similarity {
     * (one broadcast-join scan + one partitioned write), amortize over
     * every query batch. */
   def buildIvfIndex(s: SparkSession, dir: String, indexPath: String,
-      nlist: Int = 32): Unit = {
+      nlist: Int = 32): Unit =
+    buildIvfIndexWith(s, dir, indexPath,
+      seededCentroids(t(s, dir, "embeddings"), nlist))
+
+  /** The ONE index-layout build body behind [[buildIvfIndex]] (seeded
+    * codebook) and [[ensureTrainedIvfIndex]] (persisted TRAINED
+    * codebook): assignment against the given (cent_id, cent_emb)
+    * frame, then the [[writePartitionedByCell]] layout — so the two
+    * index families can never diverge in anything but their
+    * centroids. */
+  private def buildIvfIndexWith(s: SparkSession, dir: String,
+      indexPath: String, cent: DataFrame): Unit = {
     val emb = t(s, dir, "embeddings")
-    val cent = seededCentroids(emb, nlist)
     // v2 layout: the filterable METADATA (label) rides every index
     // row — filtered search (s30) then pushes its predicate into the
     // (already partition-pruned) index scan instead of joining the
@@ -303,7 +313,12 @@ object Similarity {
     * storage contract made addressable from just the corpus dir (what
     * lets a pure `(spark, dir) => DataFrame` query find its index). */
   def ivfIndexPath(s: SparkSession, dir: String, nlist: Int = 32): String =
-    s"${ivfStampDir(s, dir)}/main_${ivfFormatVersion}_nl$nlist"
+    s"${ivfStampDir(s, dir)}/${mainIvfLeaf(nlist)}"
+
+  /** ONE definition of the main layout's leaf name — shared by the
+    * address and the ensure so the two cannot drift. */
+  private def mainIvfLeaf(nlist: Int): String =
+    s"main_${ivfFormatVersion}_nl$nlist"
 
   /** The compacted layout's address for the SAME (generation, nlist)
     * family — nlist is part of BOTH layout addresses (the
@@ -332,9 +347,13 @@ object Similarity {
     * already there. Call once in job setup; queries then stay pure
     * readers. */
   def ensureIvfIndex(s: SparkSession, dir: String, nlist: Int = 32): String = {
-    val path = ivfIndexPath(s, dir, nlist)
-    Artifacts.sweepSuperseded(s, ivfStampDir(s, dir), "st")
-    sweepLegacyLayouts(s, dir)
+    // resolve the generation dir ONCE (it embeds a contentStamp file
+    // walk of the corpus table — threading it through the sweeps
+    // keeps ensure at one walk, not three)
+    val gen = ivfStampDir(s, dir)
+    val path = s"$gen/${mainIvfLeaf(nlist)}"
+    Artifacts.sweepSuperseded(s, gen, "st")
+    sweepLegacyLayouts(s, gen)
     Artifacts.ensure(s, path)(buildIvfIndex(s, dir, path, nlist))
   }
 
@@ -350,24 +369,76 @@ object Similarity {
     * current code path can read an old-format tree (v2 reads expect
     * the label column), so deletion is the only correct disposition;
     * one marker-or-tree delete per name pattern, driver-side, once
-    * per ensure. */
-  private def sweepLegacyLayouts(s: SparkSession, dir: String): Unit = {
-    val gen = new org.apache.hadoop.fs.Path(ivfStampDir(s, dir))
-    val fs = gen.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(gen)) {
+    * per ensure. Assumes a SINGLE-VERSION fleet per warehouse
+    * (stated, not hidden — the [[Artifacts.ensure]] contract): an
+    * r18 binary sharing this warehouse mid-upgrade would see its
+    * layout deleted under a running query and rebuild it; a
+    * deployment upgrading a shared warehouse drains old-binary
+    * readers first, exactly as the [[Artifacts.dirTag]] migration
+    * note prescribes for address-scheme changes. Entries of a NEWER
+    * format than this binary's are never touched. */
+  private def sweepLegacyLayouts(s: SparkSession, gen: String): Unit = {
+    val genPath = new org.apache.hadoop.fs.Path(gen)
+    val fs = genPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(genPath)) {
       val curV = ivfFormatVersion.stripPrefix("v").toInt
+      val curCb = codebookVersion.stripPrefix("v").toInt
       val legacy = "^(main|compact|CURRENT)(_nl\\d+)?(\\.tmp)?$".r
-      val versioned = "^(main|compact|CURRENT)_v(\\d+)_nl\\d+(\\.tmp)?$".r
-      fs.listStatus(gen).foreach { st =>
+      val versioned =
+        "^(main|compact|CURRENT)_v(\\d+)_nl\\d+(\\.tmp)?$".r
+      val trained =
+        "^trained_v(\\d+)_cbv(\\d+)_nl\\d+_it\\d+(\\.tmp)?$".r
+      fs.listStatus(genPath).foreach { st =>
         val name = st.getPath.getName
         val stale = name match {
           case legacy(_*) => true
           case versioned(_, v, _) => v.toInt < curV
+          case trained(v, cb, _) => v.toInt < curV || cb.toInt < curCb
           case _ => false
         }
         if (stale) fs.delete(st.getPath, true)
       }
     }
+  }
+
+  /** Deterministic address of the TRAINED-codebook index layout under
+    * the same embeddings-stamped generation dir as the seeded
+    * layouts. EVERY semantic input is in the address (the
+    * [[codebookPath]] rule): nlist and iters because an index
+    * assigned by a differently-trained codebook is a different
+    * index, and BOTH format versions — the layout's own
+    * ([[ivfFormatVersion]]) and the codebook's
+    * ([[codebookVersion]]): a codebook format bump retrains the
+    * centroids, and a trained layout whose cells were assigned by
+    * the OLD centroids must not be served against routing that uses
+    * the new ones (the r19 self-review find). */
+  def trainedIvfIndexPath(s: SparkSession, dir: String, nlist: Int = 32,
+      iters: Int = 2): String =
+    s"${ivfStampDir(s, dir)}/${trainedIvfLeaf(nlist, iters)}"
+
+  /** ONE definition of the trained layout's leaf name — shared by the
+    * address and the ensure so the two cannot drift. */
+  private def trainedIvfLeaf(nlist: Int, iters: Int): String =
+    s"trained_${ivfFormatVersion}_cb${codebookVersion}_nl${nlist}_it$iters"
+
+  /** Idempotent build of the trained-codebook index layout (the s33
+    * half of the production stack): the SAME [[buildIvfIndexWith]]
+    * body as the seeded index, assigned against the PERSISTED
+    * [[ensureCodebook]] centroids at their published r4 precision —
+    * so the layout's cells are exactly the cells every trained-IVF
+    * query computes per-query (s07/s31), and the persisted read is
+    * identical to the per-query plan by construction. Build chain on
+    * a cold warehouse: ensureCodebook (train once) → one assignment
+    * scan → one partitioned write; on a warm one: two marker reads. */
+  def ensureTrainedIvfIndex(s: SparkSession, dir: String,
+      nlist: Int = 32, iters: Int = 2): String = {
+    require(nlist >= 1 && iters >= 1)
+    val gen = ivfStampDir(s, dir)
+    val path = s"$gen/${trainedIvfLeaf(nlist, iters)}"
+    Artifacts.sweepSuperseded(s, gen, "st")
+    sweepLegacyLayouts(s, gen)
+    Artifacts.ensure(s, path)(buildIvfIndexWith(s, dir, path,
+      trainedFineCodebook(s, dir, nlist, iters)))
   }
 
   /** [[ivfTopK]] against a [[buildIvfIndex]] layout: identical
@@ -702,6 +773,28 @@ object Similarity {
       nQueries, k, ncoarse, cprobe, nprobe)
   }
 
+  /** The COMPLETE production ANN stack in one read (s33): persisted
+    * TRAINED codebook ([[ensureCodebook]]) → persisted trained-cell
+    * index layout ([[ensureTrainedIvfIndex]], DPP-pruned) → two-level
+    * router → exact verify. This is s22's composition with every
+    * seeded stand-in replaced by its train-once artifact: a cold
+    * warehouse pays Lloyd training and one index build ONCE; every
+    * query after that is two marker reads, ~1.4k codebook dot
+    * products, and nprobe/nlist of the data. Results are identical to
+    * [[ivf2TopKTrained]] (s31) by construction — same
+    * [[routedFineProbes]], same assignment (the layout's cells ARE
+    * the per-query cells: one [[buildIvfIndexWith]] body against the
+    * same r4-published codebook), same exact re-rank — so s31's
+    * unrolled-Lloyd oracle certifies this path too (the s11/s05
+    * sharing pattern); IvfIndexSpec pins the equality and the pruning
+    * subquery in the executed plan. */
+  def ivf2TopKTrainedIndexed(s: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nlist: Int = 32, ncoarse: Int = 8,
+      cprobe: Int = 3, nprobe: Int = 4, iters: Int = 2): DataFrame =
+    ivf2IndexedScan(s, dir, ensureTrainedIvfIndex(s, dir, nlist, iters),
+      nQueries, k, nlist, ncoarse, cprobe, nprobe, tombstones = None,
+      trainedFine = Some(trainedFineCodebook(s, dir, nlist, iters)))
+
   /** [[ivf2TopK]] against a [[buildIvfIndex]] layout — the COMPOSED
     * production query path at 100 TB: the router cuts the per-query
     * centroid scan (s20's claim) AND dynamic partition pruning cuts
@@ -731,12 +824,14 @@ object Similarity {
   private def ivf2IndexedScan(s: SparkSession, dir: String,
       indexPath: String, nQueries: Int, k: Int, nlist: Int, ncoarse: Int,
       cprobe: Int, nprobe: Int, tombstones: Option[DataFrame],
-      candFilter: Option[Column] = None): DataFrame = {
+      candFilter: Option[Column] = None,
+      trainedFine: Option[DataFrame] = None): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val fineProbes = routedFineProbes(s, emb, queries,
-      seededCentroids(emb, nlist), ncoarse, cprobe, nprobe)
+      trainedFine.getOrElse(seededCentroids(emb, nlist)), ncoarse,
+      cprobe, nprobe)
     // the metadata PRE-filter (s30) applies to the index scan itself —
     // Catalyst pushes it into the parquet read (PushedFilters), where
     // it composes with the DPP cell pruning: candidates are filtered
@@ -977,6 +1072,11 @@ object Similarity {
     * grid cross-engine every gate run). */
   def ensureCodebook(s: SparkSession, dir: String, nlist: Int = 32,
       iters: Int = 2): String = {
+    // the guard the session memo used to enforce at its single entry
+    // point — here at the ARTIFACT boundary, because a degenerate
+    // nl0/it0 tree persisted under a _SUCCESS marker would be served
+    // forever (the r19 self-review find)
+    require(nlist >= 1 && iters >= 1)
     val path = codebookPath(s, dir, nlist, iters)
     Artifacts.sweepSuperseded(s, path, s"nl${nlist}_it${iters}_st")
     Artifacts.sweepSuperseded(s,

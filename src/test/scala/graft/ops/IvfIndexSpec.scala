@@ -272,6 +272,36 @@ class IvfIndexSpec extends SparkSpec {
       "the epoch switch must be invisible to the filtered read")
   }
 
+  test("trained-indexed routed IVF (s33): equals per-query s31 exactly, " +
+    "the layout's cells are the per-query assignment, and the trained " +
+    "index scan still DPP-prunes") {
+    val direct = Similarity.ivf2TopKTrained(spark, sf0001)
+      .collect().map(_.toSeq).toList
+    val df = Similarity.ivf2TopKTrainedIndexed(spark, sf0001)
+    val viaIdx = df.collect().map(_.toSeq).toList
+    assert(viaIdx == direct,
+      "persisted trained-cell layout must equal the per-query trained " +
+        "routed plan row-for-row — one assignment body, one codebook")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the trained index scan:\n$p")
+    // one file per cell directory — the writePartitionedByCell shape
+    // (hadoop FS listing: the warehouse address is a file: URI)
+    val root = new org.apache.hadoop.fs.Path(
+      Similarity.ensureTrainedIvfIndex(spark, sf0001))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    assert(cells.nonEmpty)
+    cells.foreach { c =>
+      val files = fs.listStatus(c.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"cell ${c.getPath.getName} has ${files.length} files — the " +
+          "layout contract is one splittable file per cell")
+    }
+  }
+
   test("v2 layout migration: ensureIvfIndex deletes superseded-format " +
     "entries inside the live generation (the unsuffixed pre-r18 trio and " +
     "the r18 nl-only family) and leaves current-format trees alone") {

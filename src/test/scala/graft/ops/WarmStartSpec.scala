@@ -22,6 +22,7 @@ class WarmStartSpec extends SparkSpec {
     Similarity.ensureIvfIndex(spark, sf0001)
     Similarity.ensureCompactedIvfIndex(spark, sf0001)
     Similarity.ensureCodebook(spark, sf0001)
+    Similarity.ensureTrainedIvfIndex(spark, sf0001)
     Similarity.ensureSemanticIndex(spark, sf0001)
     TextAnalysis.ensureQualityModel(spark, sf0001)
     TextAnalysis.ensureBigramLmModel(spark, sf0001)
@@ -43,6 +44,7 @@ class WarmStartSpec extends SparkSpec {
       Similarity.ensureIvfIndex(ns, sf0001)
       Similarity.ensureCompactedIvfIndex(ns, sf0001)
       Similarity.ensureCodebook(ns, sf0001)
+      Similarity.ensureTrainedIvfIndex(ns, sf0001)
       Similarity.ensureSemanticIndex(ns, sf0001)
       TextAnalysis.ensureQualityModel(ns, sf0001)
       TextAnalysis.ensureBigramLmModel(ns, sf0001)
@@ -53,12 +55,19 @@ class WarmStartSpec extends SparkSpec {
       // (shuffle-stage materialization via CompletableFuture + final),
       // which would make the "exactly the sentinel" bound ambiguous
       ns.sparkContext.parallelize(Seq(1), 1).count()
+      // wait for the SENTINEL'S OWN event, not just any JobStart — if
+      // a regression ran one hidden job during the ensures, its event
+      // could land first and satisfy a jobs>0 wait while the
+      // sentinel's was still queued (the window the flush closes)
+      def sentinelSeen() =
+        names.toArray(Array.empty[String]).exists(_.contains("WarmStartSpec"))
       val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
-      while (jobs.get == 0 && System.nanoTime < deadline) Thread.sleep(20)
+      while (!sentinelSeen() && System.nanoTime < deadline) Thread.sleep(20)
+      assert(sentinelSeen(), "sentinel job event never arrived")
       assert(jobs.get == 1,
         s"artifact resolution must run ZERO jobs against a populated " +
           s"warehouse (expected only the sentinel; saw ${jobs.get}: " +
-          s"${names.toArray.mkString(" // ")})")
+          s"${names.toArray(Array.empty[String]).mkString(" // ")})")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
