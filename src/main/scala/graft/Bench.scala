@@ -117,7 +117,10 @@ object Bench {
       s"[bench] WARN ensureCodebook failed — the trained-codebook families (s06/s07/s31/s32/d12/d13/s13/c13) will pay Lloyd training inside their timed pass: $e") }
     try graft.ops.Similarity.ensureTrainedIvfIndex(spark, sfDir)
     catch { case e: Throwable => System.err.println(
-      s"[bench] WARN ensureTrainedIvfIndex failed — s33 will pay the index build inside its timed pass: $e") }
+      s"[bench] WARN ensureTrainedIvfIndex failed — s33/s34 will pay the index build inside their timed pass: $e") }
+    try graft.ops.TextAnalysis.ensureBpeModel(spark, sfDir)
+    catch { case e: Throwable => System.err.println(
+      s"[bench] WARN ensureBpeModel failed — the tokenizer families (t18/t19/t20/c20/c22) will pay BPE training inside their timed pass: $e") }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skipped.contains(n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }

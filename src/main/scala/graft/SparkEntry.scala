@@ -386,6 +386,12 @@ object SparkEntry {
     // routedFineProbes), so s31's retraining oracle certifies it
     "s33_trained_indexed" -> ((s: SparkSession, dir: String) =>
       Similarity.ivf2TopKTrainedIndexed(s, dir)),
+    // s34: s30's metadata pre-filter on the TRAINED stack — the label
+    // predicate pushed into the trained layout's DPP-pruned scan,
+    // filter-before-heap; filter capability symmetric across both
+    // index families through the one ivf2IndexedScan seam
+    "s34_filtered_trained" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivf2TopKTrainedFiltered(s, dir)),
     // s23: the s17 curve widened to the metrics retrieval pipelines
     // tune on — recall@k, MRR, nDCG@k per probe depth, all exact
     // integer arithmetic so the oracle hash-matches
@@ -1319,7 +1325,7 @@ object SparkEntry {
            SELECT * FROM c${i - 1}m WHERE cell NOT IN (SELECT DISTINCT cell FROM u$i)),
          c${i}a AS (SELECT cell, list(cval ORDER BY dim) AS cemb FROM c${i}m GROUP BY cell)"""
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
        m AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim, emb[CAST(i AS INT)] AS v
              FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)),
        c0a AS (SELECT vec_id - 100 AS cell, emb AS cemb FROM e
@@ -1753,11 +1759,20 @@ object SparkEntry {
     * published r4 precision) driving s20's routing structure — the
     * trained fine codebook as `cent`, everything downstream the
     * shared routed body verbatim. */
-  private val s31Sql: String = routedIvfSql(
+  /** The trained fine-codebook prefix (s31's family): the unrolled
+    * Lloyd chain at s07's published r4 precision as `cent`. */
+  private val trainedRoutedPrefix: String =
     s"""${kmeansCtes(32, 2)},
          cent AS (SELECT cell AS cent_id,
            list(${oracleR4("cval")} ORDER BY dim) AS cent_emb
-         FROM c2m GROUP BY cell)""", "")
+         FROM c2m GROUP BY cell)"""
+
+  private val s31Sql: String = routedIvfSql(trainedRoutedPrefix, "")
+  /** s34: the label pre-membership on s31's candidate stream — the
+    * s30 filter on the trained family (no tombstones: the trained
+    * layout has no delete lifecycle yet, stated in COVERAGE.md). */
+  private val s34Sql: String = routedIvfSql(trainedRoutedPrefix,
+    " AND c_id IN (SELECT vec_id FROM e WHERE label = 2)")
 
   /** s21's oracle: shared routing CTEs (codebooks, fine→coarse route,
     * corpus assignment, the s05 one-level baseline), then per curve
@@ -4359,6 +4374,9 @@ object SparkEntry {
     // assignment body, same routing), so s31's unrolled-Lloyd oracle
     // certifies the persisted path too — the s11/s05 sharing pattern
     "s33_trained_indexed" -> s31Sql,
+    // s34: s31's trained routing text + the label membership on the
+    // same candidate stream — filter before the ranking window
+    "s34_filtered_trained" -> s34Sql,
     "s05_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e

@@ -27,6 +27,7 @@ object Verify {
     graft.ops.Similarity.ensureIvfIndex(spark, sfDir)
     graft.ops.Similarity.ensureCodebook(spark, sfDir)
     graft.ops.Similarity.ensureTrainedIvfIndex(spark, sfDir)
+    graft.ops.TextAnalysis.ensureBpeModel(spark, sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

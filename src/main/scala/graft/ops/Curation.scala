@@ -299,8 +299,9 @@ object Curation {
     * different splits (("a","bc") then ("ab","c")); the string keeps
     * its FIRST id (min), the t09 first-wins tie discipline.
     *
-    * Scale shape: training is memoized ([[graft.ops.TextAnalysis
-    * .bpeTrain]]'s artifact cache); the symbol-id and word→ids maps
+    * Scale shape: training is a persisted train-once artifact
+    * ([[graft.ops.TextAnalysis.ensureBpeModel]], r19 — formerly a
+    * session memo); the symbol-id and word→ids maps
     * are vocabulary-sized broadcast one-row frames (the t19
     * broadcast argument — the corpus never reshuffles for the
     * tokenizer); per-doc encoding is ONE in-row

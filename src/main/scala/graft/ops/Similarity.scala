@@ -795,6 +795,25 @@ object Similarity {
       nQueries, k, nlist, ncoarse, cprobe, nprobe, tombstones = None,
       trainedFine = Some(trainedFineCodebook(s, dir, nlist, iters)))
 
+  /** FILTERED search over the TRAINED production stack (s34) — s30's
+    * metadata pre-filter on s33's read: the v2 layout body writes the
+    * `label` column into the trained-cell layout too, so the
+    * predicate pushes into the DPP-pruned trained index scan and
+    * candidates are filtered between the scan and the exact verify —
+    * before the ranking heap, never after it (the s10 starvation
+    * contract). With this the filter capability is symmetric across
+    * both index families: a retrieval user filters on the seeded
+    * lifecycle path (s30) and on the trained path (s34) through the
+    * SAME [[ivf2IndexedScan]] seam. */
+  def ivf2TopKTrainedFiltered(s: SparkSession, dir: String,
+      label: Int = 2, nQueries: Int = 10, k: Int = 5, nlist: Int = 32,
+      ncoarse: Int = 8, cprobe: Int = 3, nprobe: Int = 4,
+      iters: Int = 2): DataFrame =
+    ivf2IndexedScan(s, dir, ensureTrainedIvfIndex(s, dir, nlist, iters),
+      nQueries, k, nlist, ncoarse, cprobe, nprobe, tombstones = None,
+      candFilter = Some(col("label") === label),
+      trainedFine = Some(trainedFineCodebook(s, dir, nlist, iters)))
+
   /** [[ivf2TopK]] against a [[buildIvfIndex]] layout — the COMPOSED
     * production query path at 100 TB: the router cuts the per-query
     * centroid scan (s20's claim) AND dynamic partition pruning cuts

@@ -1101,67 +1101,107 @@ object TextAnalysis {
   def bpeMerges(s: SparkSession, dir: String, rounds: Int = 6): DataFrame =
     bpeTrain(s, dir, rounds)._1
 
-  /** Session-scoped trained-BPE memo — the
-    * [[graft.ops.Similarity]] centCache discipline verbatim: in
-    * production the merge table is a train-once ARTIFACT consumed by
-    * every downstream tokenize (t18 publishes it, t19 applies it),
-    * so the checkpointed (merges, segmented-vocab) pair is memoized
-    * per (session, canonical dir + documents mtime, rounds); entries
-    * of stopped sessions (and superseded mtimes of live ones) are
-    * swept on every lookup. Both frames are vocabulary-sized (KBs),
-    * corpus-size-independent. */
-  private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Long, Int), (DataFrame, DataFrame)]
+  /** BPE tokenizer artifact FORMAT VERSION — the
+    * [[qualityModelVersion]] discipline for the trained merge table:
+    * any semantic change to [[trainBpeFrames]] (word extraction,
+    * pair counting, the greedy fold, tie contract) must bump it or
+    * ensure would serve segmentations trained by code that no longer
+    * exists while four retraining oracles diverge. */
+  val bpeModelVersion = "v1"
 
-  private def docStamp(dir: String): (String, Long) = {
-    val f = new java.io.File(dir, "documents.parquet")
-    (f.getParentFile.getCanonicalPath, f.lastModified)
+  /** Deterministic address of the persisted BPE model — rounds +
+    * format version + the documents table's content stamp (the
+    * [[qualityModelPath]] contract). */
+  def bpeModelPath(s: SparkSession, dir: String, rounds: Int): String = {
+    val stamp = Artifacts.contentStamp(s, dir, "documents")
+    s"${s.conf.get("spark.sql.warehouse.dir")}/graft_bpe_model/" +
+      s"$bpeModelVersion/${Artifacts.dirTag(dir)}/r${rounds}_st$stamp"
   }
 
-  /** The training core shared by [[bpeMerges]] (publishes the merge
-    * table) and [[bpeEncodeStats]] (applies the final segmentation).
-    * Returns (merge table (merge_round, left_sym, right_sym,
-    * pair_count), final segmented vocabulary (word, freq, syms)). */
+  /** Idempotent train-once for the BPE tokenizer — the LAST
+    * session-scoped trained artifact in the engine, retired with the
+    * [[graft.ops.Similarity.ensureCodebook]] discipline (r19): the
+    * merge table and segmented vocabulary that EVERY tokenize
+    * consumes (t18 publishes, t19/c20/c22 apply, the streaming BPE
+    * gates serve) used to be memoized per session, so each new
+    * driver paid `rounds` corpus-vocabulary training passes before
+    * its first encode. Now: _SUCCESS-guarded build at a stamped
+    * address — merges and vocab under one root, the vocab (written
+    * LAST) carrying the marker so a crash between the two writes
+    * leaves no marker and the next call rebuilds (the
+    * `ensureSemanticIndex` pair contract). Both frames are pure
+    * strings + longs, so the parquet round-trip is bit-exact, and
+    * the four existing retraining oracles (t18/t19/c20/c22) become
+    * persisted-vs-retrained certifications on every gate run. */
+  def ensureBpeModel(s: SparkSession, dir: String,
+      rounds: Int = 6): String = {
+    require(rounds >= 1)
+    val root = bpeModelPath(s, dir, rounds)
+    Artifacts.sweepSuperseded(s, root, s"r${rounds}_st")
+    Artifacts.sweepSuperseded(s,
+      s"${s.conf.get("spark.sql.warehouse.dir")}/graft_bpe_model/" +
+        bpeModelVersion, "v")
+    val marker = new org.apache.hadoop.fs.Path(s"$root/vocab/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val (merges, vocab) = trainBpeFrames(s, dir, rounds)
+      merges.write.mode("overwrite").parquet(s"$root/merges")
+      vocab.write.mode("overwrite").parquet(s"$root/vocab")
+    }
+    root
+  }
+
+  /** The trained-BPE SERVE path shared by [[bpeMerges]] (publishes
+    * the merge table) and [[bpeEncodeStats]] (applies the final
+    * segmentation) — a read of the persisted [[ensureBpeModel]]
+    * pair. Returns (merge table (merge_round, left_sym, right_sym,
+    * pair_count), final segmented vocabulary (word, freq, syms)),
+    * both vocabulary-sized (KBs), corpus-size-independent; the
+    * lineage of each is one file scan, so a fresh driver runs zero
+    * training jobs against a populated warehouse (WarmStartSpec). */
   private[ops] def bpeTrain(s: SparkSession, dir: String,
       rounds: Int): (DataFrame, DataFrame) = {
+    val root = ensureBpeModel(s, dir, rounds)
+    (s.read.parquet(s"$root/merges").orderBy("merge_round"),
+      s.read.parquet(s"$root/vocab"))
+  }
+
+  /** The BPE TRAINING pass — [[ensureBpeModel]]'s build lambda,
+    * separately callable so OpsSpec can certify persisted ≡
+    * retrained row equality every suite run. */
+  private[ops] def trainBpeFrames(s: SparkSession, dir: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1)
-    val (canon, stamp) = docStamp(dir)
-    bpeCache.keySet.foreach { k =>
-      if (k._1.sparkContext.isStopped ||
-        (k._1.eq(s) && k._2 == canon && k._3 != stamp)) bpeCache.remove(k)
-    }
-    bpeCache.getOrElseUpdate((s, canon, stamp, rounds), {
-      val docs = t(s, dir, "documents")
-      var words = docs
-        .select(explode(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+"), lit(0))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .select(col("word"), col("freq"),
-          regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
+    val docs = t(s, dir, "documents")
+    var words = docs
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
+      .localCheckpoint()
+    var merged: Seq[DataFrame] = Nil
+    (1 to rounds).foreach { r =>
+      val top1 = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+        .agg(sum("freq").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1)
         .localCheckpoint()
-      var merged: Seq[DataFrame] = Nil
-      (1 to rounds).foreach { r =>
-        val top1 = words
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-          .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
-          .agg(sum("freq").as("pair_count"))
-          .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
-          .limit(1)
-          .localCheckpoint()
-        merged = merged :+ top1.select(lit(r.toLong).as("merge_round"),
-          col("left_sym"), col("right_sym"), col("pair_count"))
-        words = words.crossJoin(broadcast(top1))
-          .withColumn("syms",
-            mergeFold(col("syms"), col("left_sym"), col("right_sym")))
-          .drop("left_sym", "right_sym", "pair_count")
-          .localCheckpoint()
-      }
-      (merged.reduce(_ unionByName _).orderBy("merge_round"), words)
-    })
+      merged = merged :+ top1.select(lit(r.toLong).as("merge_round"),
+        col("left_sym"), col("right_sym"), col("pair_count"))
+      words = words.crossJoin(broadcast(top1))
+        .withColumn("syms",
+          mergeFold(col("syms"), col("left_sym"), col("right_sym")))
+        .drop("left_sym", "right_sym", "pair_count")
+        .localCheckpoint()
+    }
+    (merged.reduce(_ unionByName _).orderBy("merge_round"), words)
   }
 
   /** The trained merge table as a broadcastable ONE-ROW frame

@@ -302,6 +302,36 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("filtered trained read (s34): label predicate pushed into the " +
+    "trained layout's scan, candidates filtered BEFORE the heap, every " +
+    "survivor matches, DPP intact") {
+    import org.apache.spark.sql.functions.col
+    val df = Similarity.ivf2TopKTrainedFiltered(spark, sf0001)
+    val rows = df.collect().map(_.toSeq).toList
+    assert(rows.nonEmpty, "the filtered trained read must return candidates")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(label,2)"),
+      s"the label predicate must be PUSHED into the trained index scan:\n$p")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no DPP on the filtered trained scan:\n$p")
+    val labelOf = Relational.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val cId = r(2).asInstanceOf[Long]
+      assert(labelOf(cId) == 2, s"candidate $cId has label ${labelOf(cId)}")
+    }
+    // filter-BEFORE-heap: the filtered read must surface label-2
+    // candidates the unfiltered trained top-k never ranked
+    val unfiltered = Similarity.ivf2TopKTrainedIndexed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val introduced = rows.map(r =>
+      (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+      .filterNot(unfiltered.contains)
+    assert(introduced.nonEmpty,
+      "the filtered heap must rank candidates the unfiltered top-k cut")
+  }
+
   test("v2 layout migration: ensureIvfIndex deletes superseded-format " +
     "entries inside the live generation (the unsuffixed pre-r18 trio and " +
     "the r18 nl-only family) and leaves current-format trees alone") {

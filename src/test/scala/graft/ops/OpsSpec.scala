@@ -961,6 +961,28 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage != null)
   }
 
+  test("BPE model is a PERSISTED artifact: ensure is build-once and the " +
+    "served pair equals a fresh training exactly") {
+    val root = TextAnalysis.ensureBpeModel(spark, sf0001)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/vocab/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker))
+    val mtime = fs.getFileStatus(marker).getModificationTime
+    assert(TextAnalysis.ensureBpeModel(spark, sf0001) == root)
+    assert(fs.getFileStatus(marker).getModificationTime == mtime,
+      "repeat ensure must be a marker read, not a rebuild")
+    // served ≡ retrained, both frames (strings + longs: bit-exact)
+    val (sm, sv) = TextAnalysis.bpeTrain(spark, sf0001, 6)
+    val (tm, tv) = TextAnalysis.trainBpeFrames(spark, sf0001, 6)
+    assert(sm.collect().map(_.toSeq).toList == tm.collect().map(_.toSeq).toList,
+      "persisted merge table must equal a fresh training row-for-row")
+    def vset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList))
+      .toSet
+    assert(vset(sv) == vset(tv),
+      "persisted segmented vocabulary must equal a fresh training")
+  }
+
   test("sweepSuperseded: numeric suffixes tie-break numerically — an " +
     "mtime tie retains v10 over v9 (reverse-lex would keep the older tree)") {
     val parent = java.nio.file.Files.createTempDirectory("graft-sweep")

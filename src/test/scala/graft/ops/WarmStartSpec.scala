@@ -5,7 +5,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 
 /** The warm-start drill (r18 verdict stretch): the per-artifact
   * "train once, serve forever" claims (t22 classifier, t24 LM, s11
-  * IVF, s32 codebook, d18 semantic index) certified TOGETHER as a
+  * IVF, s32 codebook, s33 trained index, d18 semantic index, the
+  * t18 BPE tokenizer) certified TOGETHER as a
   * job-count fact — a fresh session against a fully-populated
   * warehouse must resolve every persisted artifact without running a
   * single Spark job. At 100 TB this is the restart cost: each of
@@ -26,6 +27,7 @@ class WarmStartSpec extends SparkSpec {
     Similarity.ensureSemanticIndex(spark, sf0001)
     TextAnalysis.ensureQualityModel(spark, sf0001)
     TextAnalysis.ensureBigramLmModel(spark, sf0001)
+    TextAnalysis.ensureBpeModel(spark, sf0001)
     // the restart shape: a NEW SparkSession (fresh conf/catalog —
     // ensure* has no session-level memo left to help it; everything
     // must resolve through path + marker alone)
@@ -48,6 +50,7 @@ class WarmStartSpec extends SparkSpec {
       Similarity.ensureSemanticIndex(ns, sf0001)
       TextAnalysis.ensureQualityModel(ns, sf0001)
       TextAnalysis.ensureBigramLmModel(ns, sf0001)
+      TextAnalysis.ensureBpeModel(ns, sf0001)
       // flush the ASYNC listener bus with one sentinel action: events
       // are delivered in order, so once the sentinel's JobStart has
       // landed, any earlier JobStart would have landed before it. A
