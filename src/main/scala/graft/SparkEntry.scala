@@ -392,6 +392,17 @@ object SparkEntry {
     // index families through the one ivf2IndexedScan seam
     "s34_filtered_trained" -> ((s: SparkSession, dir: String) =>
       Similarity.ivf2TopKTrainedFiltered(s, dir)),
+    // s35: the trained family's freshness lifecycle — tombstoned reads
+    // over the persisted trained layout pre-flip, plain compacted read
+    // after its own _CURRENT flips; ONE tombstoned-s31 oracle valid in
+    // both epochs (the s29 pattern, now symmetric across families)
+    "s35_trained_current" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivf2TopKTrainedCurrent(s, dir)),
+    // s36: THE production read — trained codebook + trained DPP-pruned
+    // layout + router + pushed metadata filter + freshness, one query;
+    // oracle = s31's trained text + tombstone + label membership
+    "s36_production_read" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivf2TopKProduction(s, dir)),
     // s23: the s17 curve widened to the metrics retrieval pipelines
     // tune on — recall@k, MRR, nDCG@k per probe depth, all exact
     // integer arithmetic so the oracle hash-matches
@@ -1773,6 +1784,13 @@ object SparkEntry {
     * layout has no delete lifecycle yet, stated in COVERAGE.md). */
   private val s34Sql: String = routedIvfSql(trainedRoutedPrefix,
     " AND c_id IN (SELECT vec_id FROM e WHERE label = 2)")
+  /** s35: the trained family's epoch-resolved read — tombstone slice
+    * on s31's candidate stream (both epochs return these rows). */
+  private val s35Sql: String = routedIvfSql(trainedRoutedPrefix,
+    " AND c_id % 7 <> 3")
+  /** s36: the full production composition — tombstones + label. */
+  private val s36Sql: String = routedIvfSql(trainedRoutedPrefix,
+    " AND c_id % 7 <> 3 AND c_id IN (SELECT vec_id FROM e WHERE label = 2)")
 
   /** s21's oracle: shared routing CTEs (codebooks, fine→coarse route,
     * corpus assignment, the s05 one-level baseline), then per curve
@@ -4377,6 +4395,12 @@ object SparkEntry {
     // s34: s31's trained routing text + the label membership on the
     // same candidate stream — filter before the ranking window
     "s34_filtered_trained" -> s34Sql,
+    // s35: s31's text + the tombstone slice — valid in BOTH epochs of
+    // the trained family (compaction folds the same slice)
+    "s35_trained_current" -> s35Sql,
+    // s36: tombstones + label membership on s31's candidate stream —
+    // the full production composition, valid in both epochs
+    "s36_production_read" -> s36Sql,
     "s05_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e

@@ -387,13 +387,13 @@ object Similarity {
       val versioned =
         "^(main|compact|CURRENT)_v(\\d+)_nl\\d+(\\.tmp)?$".r
       val trained =
-        "^trained_v(\\d+)_cbv(\\d+)_nl\\d+_it\\d+(\\.tmp)?$".r
+        "^trained_v(\\d+)_cbv(\\d+)_nl\\d+_it\\d+(_compact|_CURRENT)?(\\.tmp)?$".r
       fs.listStatus(genPath).foreach { st =>
         val name = st.getPath.getName
         val stale = name match {
           case legacy(_*) => true
           case versioned(_, v, _) => v.toInt < curV
-          case trained(v, cb, _) => v.toInt < curV || cb.toInt < curCb
+          case trained(v, cb, _, _) => v.toInt < curV || cb.toInt < curCb
           case _ => false
         }
         if (stale) fs.delete(st.getPath, true)
@@ -440,6 +440,71 @@ object Similarity {
     Artifacts.ensure(s, path)(buildIvfIndexWith(s, dir, path,
       trainedFineCodebook(s, dir, nlist, iters)))
   }
+
+  private def trainedCompactPath(s: SparkSession, dir: String,
+      nlist: Int, iters: Int): String =
+    s"${ivfStampDir(s, dir)}/${trainedIvfLeaf(nlist, iters)}_compact"
+
+  /** [[ensureCompactedIvfIndex]] for the TRAINED family — the same
+    * compaction body (one anti-join of the SAME [[tombstoneSet]] +
+    * one partitionBy(cell) rewrite; the trained cells and the label
+    * column flow through untouched), the same write-then-flip: the
+    * family's own `_CURRENT` pointer re-points every trained reader
+    * atomically, independently of the seeded family's lifecycle.
+    * With this the delete → tombstoned-read → compact → flip loop is
+    * symmetric across both index families. */
+  def ensureCompactedTrainedIvfIndex(s: SparkSession, dir: String,
+      nlist: Int = 32, iters: Int = 2): String = {
+    val path = trainedCompactPath(s, dir, nlist, iters)
+    Artifacts.ensure(s, path)(compactIvfIndex(s, dir,
+      ensureTrainedIvfIndex(s, dir, nlist, iters), path))
+    if (trainedIvfEpoch(s, dir, nlist, iters) != "compact")
+      writeEpochMarker(s, trainedEpochMarker(s, dir, nlist, iters),
+        "compact")
+    path
+  }
+
+  /** The epoch-resolved TRAINED read (s35) — [[ivf2TopKCurrent]]'s
+    * freshness contract on the trained stack: pre-flip, the
+    * candidate stream of the persisted trained layout anti-joins the
+    * broadcast tombstone set; after [[ensureCompactedTrainedIvfIndex]]
+    * flips the family's `_CURRENT`, the read is PLAIN over the
+    * compacted layout (the anti-join leaves the plan). Identical
+    * rows either side by construction (compaction folds the same
+    * deterministic slice), so ONE oracle — s31's trained routing
+    * text with the tombstone filter — certifies whichever epoch the
+    * gate finds. `candFilter` composes the s34 metadata pre-filter
+    * into the same read, giving [[ivf2TopKProduction]]. */
+  def ivf2TopKTrainedCurrent(s: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nlist: Int = 32, ncoarse: Int = 8,
+      cprobe: Int = 3, nprobe: Int = 4, iters: Int = 2,
+      candFilter: Option[Column] = None): DataFrame = {
+    val fine = Some(trainedFineCodebook(s, dir, nlist, iters))
+    if (trainedIvfEpoch(s, dir, nlist, iters) == "compact")
+      ivf2IndexedScan(s, dir, trainedCompactPath(s, dir, nlist, iters),
+        nQueries, k, nlist, ncoarse, cprobe, nprobe, tombstones = None,
+        candFilter = candFilter, trainedFine = fine)
+    else
+      ivf2IndexedScan(s, dir, ensureTrainedIvfIndex(s, dir, nlist, iters),
+        nQueries, k, nlist, ncoarse, cprobe, nprobe,
+        tombstones = Some(tombstoneSet(s, dir)),
+        candFilter = candFilter, trainedFine = fine)
+  }
+
+  /** THE production read (s36) — every piece of the ANN story in one
+    * query: persisted TRAINED codebook, persisted trained-cell
+    * DPP-pruned layout, two-level router, metadata pre-filter pushed
+    * into the scan (filter-before-heap), and the freshness lifecycle
+    * (tombstones pre-flip, plain compacted read post-flip). This is
+    * the query shape a 100 TB retrieval deployment actually serves;
+    * everything it composes is individually oracled and the
+    * composition itself hash-certifies against s31's trained routing
+    * text + tombstone + label filters, valid in both epochs. */
+  def ivf2TopKProduction(s: SparkSession, dir: String, label: Int = 2,
+      nQueries: Int = 10, k: Int = 5, nlist: Int = 32, ncoarse: Int = 8,
+      cprobe: Int = 3, nprobe: Int = 4, iters: Int = 2): DataFrame =
+    ivf2TopKTrainedCurrent(s, dir, nQueries, k, nlist, ncoarse, cprobe,
+      nprobe, iters, candFilter = Some(col("label") === label))
 
   /** [[ivfTopK]] against a [[buildIvfIndex]] layout: identical
     * results (same codebook, same probes, same exact re-ranking), but
@@ -563,8 +628,19 @@ object Similarity {
     * reader racing the flip can never see a wrong answer — only the
     * pre- or post-compaction plan for the same result. */
   def ivfCurrentEpoch(s: SparkSession, dir: String,
-      nlist: Int = 32): String = {
-    val marker = ivfEpochMarker(s, dir, nlist)
+      nlist: Int = 32): String =
+    epochOf(s, ivfEpochMarker(s, dir, nlist))
+
+  /** The trained family's epoch pointer — [[ivfCurrentEpoch]] keyed
+    * by the trained layout's full address tag (both format versions,
+    * nlist, iters), so the two families' lifecycles are independent:
+    * compacting the seeded index never re-points a trained reader. */
+  def trainedIvfEpoch(s: SparkSession, dir: String, nlist: Int = 32,
+      iters: Int = 2): String =
+    epochOf(s, trainedEpochMarker(s, dir, nlist, iters))
+
+  private def epochOf(s: SparkSession,
+      marker: org.apache.hadoop.fs.Path): String = {
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     // open DIRECTLY and treat not-found as "main": an exists-then-open
     // pair has a window where a reader concurrent with the flip's
@@ -584,12 +660,20 @@ object Similarity {
     new org.apache.hadoop.fs.Path(
       s"${ivfStampDir(s, dir)}/CURRENT_${ivfFormatVersion}_nl$nlist")
 
+  private def trainedEpochMarker(s: SparkSession, dir: String,
+      nlist: Int, iters: Int) =
+    new org.apache.hadoop.fs.Path(
+      s"${ivfStampDir(s, dir)}/${trainedIvfLeaf(nlist, iters)}_CURRENT")
+
   private def writeIvfEpoch(s: SparkSession, dir: String,
-      epoch: String, nlist: Int): Unit = {
-    val marker = ivfEpochMarker(s, dir, nlist)
+      epoch: String, nlist: Int): Unit =
+    writeEpochMarker(s, ivfEpochMarker(s, dir, nlist), epoch)
+
+  private def writeEpochMarker(s: SparkSession,
+      marker: org.apache.hadoop.fs.Path, epoch: String): Unit = {
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
-      s"CURRENT_${ivfFormatVersion}_nl$nlist.tmp")
+      s"${marker.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(epoch.getBytes("UTF-8")) finally out.close()
     // write-then-rename; the delete+rename pair is the portable

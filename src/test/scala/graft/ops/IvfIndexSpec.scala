@@ -332,6 +332,79 @@ class IvfIndexSpec extends SparkSpec {
       "the filtered heap must rank candidates the unfiltered top-k cut")
   }
 
+  test("trained-family epoch switch (s35/s36): tombstoned-over-main before " +
+    "the flip, PLAIN-over-compact after, identical rows, independent of " +
+    "the seeded family's pointer, and the production read (filter + " +
+    "fresh) holds parity across the flip") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    // clean slate for the TRAINED family's lifecycle (its own pointer)
+    val main = Similarity.ensureTrainedIvfIndex(spark, sf0001)
+    val genDir = new Path(main).getParent
+    val leaf = new Path(main).getName
+    val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(genDir, s"${leaf}_CURRENT"), false)
+    fs.delete(new Path(genDir, s"${leaf}_compact"), true)
+    assert(Similarity.trainedIvfEpoch(spark, sf0001) == "main",
+      "an absent trained pointer must resolve to the main epoch")
+    val pre = Similarity.ivf2TopKTrainedCurrent(spark, sf0001)
+    val preRows = pre.collect().map(_.toSeq).toList
+    val pPre = pre.queryExecution.executedPlan.toString
+    assert(pPre.contains("LeftAnti"),
+      s"pre-flip trained reads must apply the tombstone anti-join:\n$pPre")
+    assert(pPre.toLowerCase.contains("dynamicpruning"),
+      s"no DPP on the pre-flip trained scan:\n$pPre")
+    // tombstones must genuinely bite vs the raw s33 read
+    val raw = Similarity.ivf2TopKTrainedIndexed(spark, sf0001)
+      .collect().map(_.toSeq).toList
+    assert(preRows != raw,
+      "tombstones must hit live trained top-k lists on this corpus")
+    val prodPre = Similarity.ivf2TopKProduction(spark, sf0001)
+      .collect().map(_.toSeq).toList
+    // THE FLIP — the trained family's own pointer
+    Similarity.ensureCompactedTrainedIvfIndex(spark, sf0001)
+    assert(Similarity.trainedIvfEpoch(spark, sf0001) == "compact")
+    val post = Similarity.ivf2TopKTrainedCurrent(spark, sf0001)
+    val postRows = post.collect().map(_.toSeq).toList
+    val pPost = post.queryExecution.executedPlan.toString
+    assert(!pPost.contains("LeftAnti"),
+      s"post-flip trained reads must take the PLAIN path:\n$pPost")
+    assert(pPost.toLowerCase.contains("dynamicpruning"),
+      s"no DPP on the post-flip trained scan:\n$pPost")
+    assert(postRows == preRows,
+      "the trained flip must be invisible in results")
+    // the full production read: parity across the flip, filter pushed,
+    // every survivor matches predicate AND tombstone
+    val prodPost = Similarity.ivf2TopKProduction(spark, sf0001)
+    val prodPostRows = prodPost.collect().map(_.toSeq).toList
+    assert(prodPostRows == prodPre,
+      "the production read must hold parity across the trained flip")
+    val pProd = prodPost.queryExecution.executedPlan.toString
+    assert(pProd.contains("EqualTo(label,2)"),
+      s"the production read's filter must stay pushed:\n$pProd")
+    val labelOf = Relational.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    prodPostRows.foreach { r =>
+      val cId = r(2).asInstanceOf[Long]
+      assert(labelOf(cId) == 2 && cId % 7 != 3,
+        s"production survivor $cId violates filter or tombstone")
+    }
+    // family independence: the trained flip writes the trained
+    // family's OWN pointer file and leaves the seeded family's marker
+    // state untouched (each family resolves through its own file)
+    assert(fs.exists(new Path(genDir, s"${leaf}_CURRENT")),
+      "the trained family must own its own pointer file")
+    val seededBefore = Similarity.ivfCurrentEpoch(spark, sf0001)
+    fs.delete(new Path(genDir, s"${leaf}_CURRENT"), false)
+    assert(Similarity.trainedIvfEpoch(spark, sf0001) == "main",
+      "deleting the trained pointer must re-resolve ONLY that family")
+    assert(Similarity.ivfCurrentEpoch(spark, sf0001) == seededBefore,
+      "the seeded family's epoch must be unaffected by the trained marker")
+    // restore the flipped state for suite-order hygiene
+    Similarity.ensureCompactedTrainedIvfIndex(spark, sf0001)
+  }
+
   test("v2 layout migration: ensureIvfIndex deletes superseded-format " +
     "entries inside the live generation (the unsuffixed pre-r18 trio and " +
     "the r18 nl-only family) and leaves current-format trees alone") {

@@ -24,6 +24,7 @@ class WarmStartSpec extends SparkSpec {
     Similarity.ensureCompactedIvfIndex(spark, sf0001)
     Similarity.ensureCodebook(spark, sf0001)
     Similarity.ensureTrainedIvfIndex(spark, sf0001)
+    Similarity.ensureCompactedTrainedIvfIndex(spark, sf0001)
     Similarity.ensureSemanticIndex(spark, sf0001)
     TextAnalysis.ensureQualityModel(spark, sf0001)
     TextAnalysis.ensureBigramLmModel(spark, sf0001)
@@ -47,6 +48,7 @@ class WarmStartSpec extends SparkSpec {
       Similarity.ensureCompactedIvfIndex(ns, sf0001)
       Similarity.ensureCodebook(ns, sf0001)
       Similarity.ensureTrainedIvfIndex(ns, sf0001)
+      Similarity.ensureCompactedTrainedIvfIndex(ns, sf0001)
       Similarity.ensureSemanticIndex(ns, sf0001)
       TextAnalysis.ensureQualityModel(ns, sf0001)
       TextAnalysis.ensureBigramLmModel(ns, sf0001)
