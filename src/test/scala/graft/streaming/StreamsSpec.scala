@@ -1231,4 +1231,64 @@ class StreamsSpec extends SparkSpec {
       q.stop()
     }
   }
+
+  test("artifact hot-swap under a LIVE stream #3: the TRAINED family's epoch " +
+    "flip re-points the production read (s36) between micro-batches — no " +
+    "restart, identical rows, and the seeded family's pointer is untouched") {
+    // the r18 IVF witness applied to the family the round made
+    // symmetric: the trained layout's OWN _CURRENT pointer flips while
+    // a stream serving THE production composition (trained codebook +
+    // DPP layout + router + pushed filter + freshness) keeps running.
+    // Batch 0 must resolve main (tombstone LeftAnti in the executed
+    // plan), batch 1 compact (plain plan), same rows — and because the
+    // two families resolve through different marker files, the seeded
+    // epoch reads the same before and after the trained flip.
+    import graft.ops.Similarity
+    import org.apache.hadoop.fs.Path
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // clean slate for the trained pointer (the IvfIndexSpec drill —
+    // the warehouse outlives sbt runs)
+    val main = Similarity.ensureTrainedIvfIndex(s, sf0001)
+    val genDir = new Path(main).getParent
+    val leaf = new Path(main).getName
+    val fs = genDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(genDir, s"${leaf}_CURRENT"), false)
+    fs.delete(new Path(genDir, s"${leaf}_compact"), true)
+    val seededBefore = Similarity.ivfCurrentEpoch(s, sf0001)
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Boolean, List[Seq[Any]])]
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().writeStream.foreachBatch {
+      (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val df = Similarity.ivf2TopKProduction(s, sf0001)
+        val rows = df.collect().map(_.toSeq).toList
+        seen += ((id, Similarity.trainedIvfEpoch(s, sf0001),
+          df.queryExecution.executedPlan.toString.contains("LeftAnti"),
+          rows))
+        ()
+    }.start()
+    try {
+      mem.addData(1L)
+      q.processAllAvailable()
+      // THE FLIP — the trained family's own pointer, stream live
+      Similarity.ensureCompactedTrainedIvfIndex(s, sf0001)
+      mem.addData(2L)
+      q.processAllAvailable()
+      assert(seen.size == 2, s"expected two micro-batches, saw $seen")
+      val (_, e0, anti0, rows0) = seen(0)
+      val (_, e1, anti1, rows1) = seen(1)
+      assert(e0 == "main" && anti0,
+        "batch 0 must serve the main trained epoch with the anti-join")
+      assert(e1 == "compact" && !anti1,
+        "batch 1 must serve the compacted trained epoch with the PLAIN " +
+          "plan — the flip must reach the running stream's next batch")
+      assert(rows0 == rows1,
+        "the trained swap must be invisible in the production results")
+      assert(Similarity.ivfCurrentEpoch(s, sf0001) == seededBefore,
+        "flipping the trained pointer must not re-point the seeded family")
+    } finally q.stop()
+  }
 }
