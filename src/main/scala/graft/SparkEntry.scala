@@ -1780,8 +1780,9 @@ object SparkEntry {
 
   private val s31Sql: String = routedIvfSql(trainedRoutedPrefix, "")
   /** s34: the label pre-membership on s31's candidate stream — the
-    * s30 filter on the trained family (no tombstones: the trained
-    * layout has no delete lifecycle yet, stated in COVERAGE.md). */
+    * s30 filter on the trained family, deliberately WITHOUT the
+    * freshness terms so it isolates the filter cost (the delete
+    * lifecycle landed the same round as s35/s36, which compose it). */
   private val s34Sql: String = routedIvfSql(trainedRoutedPrefix,
     " AND c_id IN (SELECT vec_id FROM e WHERE label = 2)")
   /** s35: the trained family's epoch-resolved read — tombstone slice

@@ -454,14 +454,26 @@ object Similarity {
     * With this the delete → tombstoned-read → compact → flip loop is
     * symmetric across both index families. */
   def ensureCompactedTrainedIvfIndex(s: SparkSession, dir: String,
-      nlist: Int = 32, iters: Int = 2): String = {
-    val path = trainedCompactPath(s, dir, nlist, iters)
-    Artifacts.ensure(s, path)(compactIvfIndex(s, dir,
-      ensureTrainedIvfIndex(s, dir, nlist, iters), path))
-    if (trainedIvfEpoch(s, dir, nlist, iters) != "compact")
-      writeEpochMarker(s, trainedEpochMarker(s, dir, nlist, iters),
-        "compact")
-    path
+      nlist: Int = 32, iters: Int = 2): String =
+    ensureCompactedAt(s, dir,
+      ensureTrainedIvfIndex(s, dir, nlist, iters),
+      trainedCompactPath(s, dir, nlist, iters),
+      trainedEpochMarker(s, dir, nlist, iters))
+
+  /** The compact-then-flip body — ONE definition for both index
+    * families, parameterized by the (live ensure, compact path,
+    * marker) triple that IS a family, the same way [[epochOf]] /
+    * [[writeEpochMarker]] already share the pointer primitives: a
+    * lifecycle-policy change (e.g. a flip-failure protocol, a third
+    * layout family) lands here once or not at all. */
+  private def ensureCompactedAt(s: SparkSession, dir: String,
+      livePath: => String, compactPath: String,
+      marker: org.apache.hadoop.fs.Path): String = {
+    Artifacts.ensure(s, compactPath)(
+      compactIvfIndex(s, dir, livePath, compactPath))
+    if (epochOf(s, marker) != "compact")
+      writeEpochMarker(s, marker, "compact")
+    compactPath
   }
 
   /** The epoch-resolved TRAINED read (s35) — [[ivf2TopKCurrent]]'s
@@ -478,18 +490,36 @@ object Similarity {
   def ivf2TopKTrainedCurrent(s: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nlist: Int = 32, ncoarse: Int = 8,
       cprobe: Int = 3, nprobe: Int = 4, iters: Int = 2,
-      candFilter: Option[Column] = None): DataFrame = {
-    val fine = Some(trainedFineCodebook(s, dir, nlist, iters))
-    if (trainedIvfEpoch(s, dir, nlist, iters) == "compact")
-      ivf2IndexedScan(s, dir, trainedCompactPath(s, dir, nlist, iters),
+      candFilter: Option[Column] = None): DataFrame =
+    epochResolvedScan(s, dir,
+      trainedEpochMarker(s, dir, nlist, iters),
+      ensureTrainedIvfIndex(s, dir, nlist, iters),
+      trainedCompactPath(s, dir, nlist, iters),
+      nQueries, k, nlist, ncoarse, cprobe, nprobe, candFilter,
+      trainedFine = Some(trainedFineCodebook(s, dir, nlist, iters)))
+
+  /** The epoch-branched read body — ONE definition for both index
+    * families (the [[ensureCompactedAt]] twin on the read side):
+    * marker says "compact" ⇒ plain scan of the compacted layout;
+    * anything else ⇒ the live layout with the tombstone anti-join.
+    * The freshness CONTRACT (identical rows either side, a reader
+    * racing the flip sees only the pre- or post-flip plan) is a
+    * property of this one body, not of each family's copy of it. */
+  private def epochResolvedScan(s: SparkSession, dir: String,
+      marker: org.apache.hadoop.fs.Path, livePath: => String,
+      compactPath: String, nQueries: Int, k: Int, nlist: Int,
+      ncoarse: Int, cprobe: Int, nprobe: Int,
+      candFilter: Option[Column],
+      trainedFine: Option[DataFrame] = None): DataFrame =
+    if (epochOf(s, marker) == "compact")
+      ivf2IndexedScan(s, dir, compactPath,
         nQueries, k, nlist, ncoarse, cprobe, nprobe, tombstones = None,
-        candFilter = candFilter, trainedFine = fine)
+        candFilter = candFilter, trainedFine = trainedFine)
     else
-      ivf2IndexedScan(s, dir, ensureTrainedIvfIndex(s, dir, nlist, iters),
+      ivf2IndexedScan(s, dir, livePath,
         nQueries, k, nlist, ncoarse, cprobe, nprobe,
         tombstones = Some(tombstoneSet(s, dir)),
-        candFilter = candFilter, trainedFine = fine)
-  }
+        candFilter = candFilter, trainedFine = trainedFine)
 
   /** THE production read (s36) — every piece of the ANN story in one
     * query: persisted TRAINED codebook, persisted trained-cell
@@ -609,14 +639,9 @@ object Similarity {
     * [[tombstoneSet]] simply stops being applied. This closes the
     * s26 → s27 LSM lifecycle as a loop instead of a manual step. */
   def ensureCompactedIvfIndex(s: SparkSession, dir: String,
-      nlist: Int = 32): String = {
-    val path = ivfCompactPath(s, dir, nlist)
-    Artifacts.ensure(s, path)(
-      compactIvfIndex(s, dir, ensureIvfIndex(s, dir, nlist), path))
-    if (ivfCurrentEpoch(s, dir, nlist) != "compact")
-      writeIvfEpoch(s, dir, "compact", nlist)
-    path
-  }
+      nlist: Int = 32): String =
+    ensureCompactedAt(s, dir, ensureIvfIndex(s, dir, nlist),
+      ivfCompactPath(s, dir, nlist), ivfEpochMarker(s, dir, nlist))
 
   /** The index EPOCH pointer — the LSM-manifest CURRENT idiom for
     * the s26/s27 lifecycle: a tiny file under the generation's stamp
@@ -664,10 +689,6 @@ object Similarity {
       nlist: Int, iters: Int) =
     new org.apache.hadoop.fs.Path(
       s"${ivfStampDir(s, dir)}/${trainedIvfLeaf(nlist, iters)}_CURRENT")
-
-  private def writeIvfEpoch(s: SparkSession, dir: String,
-      epoch: String, nlist: Int): Unit =
-    writeEpochMarker(s, ivfEpochMarker(s, dir, nlist), epoch)
 
   private def writeEpochMarker(s: SparkSession,
       marker: org.apache.hadoop.fs.Path, epoch: String): Unit = {
@@ -970,14 +991,9 @@ object Similarity {
   def ivf2TopKCurrent(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, nlist: Int = 32, ncoarse: Int = 8, cprobe: Int = 3,
       nprobe: Int = 4, candFilter: Option[Column] = None): DataFrame =
-    if (ivfCurrentEpoch(s, dir, nlist) == "compact")
-      ivf2IndexedScan(s, dir, ivfCompactPath(s, dir, nlist),
-        nQueries, k, nlist, ncoarse, cprobe, nprobe, tombstones = None,
-        candFilter = candFilter)
-    else
-      ivf2IndexedScan(s, dir, ensureIvfIndex(s, dir, nlist),
-        nQueries, k, nlist, ncoarse, cprobe, nprobe,
-        tombstones = Some(tombstoneSet(s, dir)), candFilter = candFilter)
+    epochResolvedScan(s, dir, ivfEpochMarker(s, dir, nlist),
+      ensureIvfIndex(s, dir, nlist), ivfCompactPath(s, dir, nlist),
+      nQueries, k, nlist, ncoarse, cprobe, nprobe, candFilter)
 
   /** FILTERED search on the production path (s30) — the query a
     * 100 TB retrieval user actually runs: "top-k among `label = L`,
