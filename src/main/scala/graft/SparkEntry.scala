@@ -403,6 +403,13 @@ object SparkEntry {
     // oracle = s31's trained text + tombstone + label membership
     "s36_production_read" -> ((s: SparkSession, dir: String) =>
       Similarity.ivf2TopKProduction(s, dir)),
+    // s37: the fresh-ingest SHADOW read — ids re-ingested since the
+    // last index build leave the index's candidate stream (broadcast
+    // anti-join) and their updated buffer rows are brute-scored into
+    // the same ranking heap: the LSM memtable read path on the
+    // candidate axis; deletes-then-reingests resolve to the buffer
+    "s37_shadowed_current" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivf2TopKShadowed(s, dir)),
     // s23: the s17 curve widened to the metrics retrieval pipelines
     // tune on — recall@k, MRR, nDCG@k per probe depth, all exact
     // integer arithmetic so the oracle hash-matches
@@ -1707,7 +1714,8 @@ object SparkEntry {
     * mirroring the Spark side's filter-before-heap contract). One
     * body, so no routed variant's oracle can drift from the s20
     * structure its identity claims certify against. */
-  private def routedIvfSql(prefix: String, candFilter: String): String =
+  private def routedIvfSql(prefix: String, candFilter: String,
+      scExtra: String = ""): String =
     s"""WITH $prefix,
          co AS (SELECT vec_id AS co_id, emb AS co_emb FROM e
            WHERE vec_id >= 200 AND vec_id < 208),
@@ -1746,8 +1754,9 @@ object SparkEntry {
          sc AS (SELECT q_id, c_id,
              floor(list_cosine_similarity(q.emb, c.emb) * 10000 + 0.5) / 10000 AS sim
            FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.c_id),
+         scAll AS (SELECT q_id, c_id, sim FROM sc$scExtra),
          r AS (SELECT q_id, c_id, sim,
-           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM sc)
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM scAll)
          SELECT q_id, rnk, c_id, sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   /** The seeded fine-codebook prefix (s20's family). `label` rides
@@ -1792,6 +1801,18 @@ object SparkEntry {
   /** s36: the full production composition — tombstones + label. */
   private val s36Sql: String = routedIvfSql(trainedRoutedPrefix,
     " AND c_id % 7 <> 3 AND c_id IN (SELECT vec_id FROM e WHERE label = 2)")
+  /** s37: tombstone + shadow exclusion on the index candidates, the
+    * fresh-buffer brute branch (sign-flipped embeddings = the
+    * updated versions) unioned before the one rank window; buffer
+    * rows carry NO tombstone filter — the buffer is strictly newer,
+    * so delete-then-reingest resolves to the re-ingested row. */
+  private val s37Sql: String = routedIvfSql(trainedRoutedPrefix,
+    " AND c_id % 7 <> 3 AND c_id % 13 <> 7",
+    """
+           UNION ALL SELECT q.vec_id AS q_id, b.vec_id AS c_id,
+             floor(list_cosine_similarity(q.emb, list_transform(b.emb, v -> -v)) * 10000 + 0.5) / 10000 AS sim
+           FROM e q, e b
+           WHERE q.vec_id < 10 AND b.vec_id % 13 = 7 AND q.vec_id <> b.vec_id""")
 
   /** s21's oracle: shared routing CTEs (codebooks, fine→coarse route,
     * corpus assignment, the s05 one-level baseline), then per curve
@@ -4402,6 +4423,11 @@ object SparkEntry {
     // s36: tombstones + label membership on s31's candidate stream —
     // the full production composition, valid in both epochs
     "s36_production_read" -> s36Sql,
+    // s37: s31's text + tombstone + shadow exclusion on the index
+    // stream, the fresh-buffer brute branch unioned before the ONE
+    // rank window — valid in both epochs (the buffer never compacts
+    // into this generation by definition)
+    "s37_shadowed_current" -> s37Sql,
     "s05_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e

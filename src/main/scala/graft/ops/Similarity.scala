@@ -510,16 +510,19 @@ object Similarity {
       compactPath: String, nQueries: Int, k: Int, nlist: Int,
       ncoarse: Int, cprobe: Int, nprobe: Int,
       candFilter: Option[Column],
-      trainedFine: Option[DataFrame] = None): DataFrame =
+      trainedFine: Option[DataFrame] = None,
+      shadow: Option[DataFrame] = None): DataFrame =
     if (epochOf(s, marker) == "compact")
       ivf2IndexedScan(s, dir, compactPath,
         nQueries, k, nlist, ncoarse, cprobe, nprobe, tombstones = None,
-        candFilter = candFilter, trainedFine = trainedFine)
+        candFilter = candFilter, trainedFine = trainedFine,
+        shadow = shadow)
     else
       ivf2IndexedScan(s, dir, livePath,
         nQueries, k, nlist, ncoarse, cprobe, nprobe,
         tombstones = Some(tombstoneSet(s, dir)),
-        candFilter = candFilter, trainedFine = trainedFine)
+        candFilter = candFilter, trainedFine = trainedFine,
+        shadow = shadow)
 
   /** THE production read (s36) — every piece of the ANN story in one
     * query: persisted TRAINED codebook, persisted trained-cell
@@ -535,6 +538,47 @@ object Similarity {
       cprobe: Int = 3, nprobe: Int = 4, iters: Int = 2): DataFrame =
     ivf2TopKTrainedCurrent(s, dir, nQueries, k, nlist, ncoarse, cprobe,
       nprobe, iters, candFilter = Some(col("label") === label))
+
+  /** The fresh-ingest BUFFER — vectors (re-)ingested since the last
+    * index build, not yet in any indexed layout: the LSM memtable of
+    * the ANN story. Deterministic stand-in for a real ingest table:
+    * ids `vec_id % 13 == 7` re-arrive with an UPDATED embedding (the
+    * sign-flipped original — exact in both engines, so the oracle
+    * hash-matches), which makes formerly anti-correlated corpus
+    * vectors strong matches: the buffer genuinely changes top-k, in
+    * both directions. Size contract mirrors [[tombstoneSet]]'s: the
+    * buffer resets at every index rebuild, so smallness is an
+    * operational invariant — an unbroadcastable buffer IS the
+    * rebuild trigger. */
+  def freshBuffer(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(13)) === 7)
+      .select(col("vec_id").as("c_id"),
+        transform(col("embedding"), v => -v).as("c_emb"))
+
+  /** The SHADOWED epoch-resolved read (s37) — [[ivf2TopKTrainedCurrent]]
+    * with the fresh-ingest buffer composed in: re-ingested ids leave
+    * the index's candidate stream (their indexed rows are stale
+    * versions — one broadcast anti-join), their buffer rows are
+    * brute-scored against every query, and ONE ranking heap serves
+    * the union. Ordering contract: the buffer is strictly newer than
+    * the tombstone set by construction (a production ingest layer
+    * assigns monotonic sequence numbers), so a delete-then-reingest
+    * resolves to the re-ingested row — ids in BOTH deterministic
+    * slices (vec_id ≡ 59 mod 91) are served from the buffer, which
+    * the shared oracle certifies on every gate run. Valid in both
+    * epochs (compaction folds tombstones, never the buffer), so the
+    * ONE s31-derived oracle text covers whichever epoch the gate
+    * finds — the s35 pattern with the buffer union appended. */
+  def ivf2TopKShadowed(s: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nlist: Int = 32, ncoarse: Int = 8,
+      cprobe: Int = 3, nprobe: Int = 4, iters: Int = 2): DataFrame =
+    epochResolvedScan(s, dir,
+      trainedEpochMarker(s, dir, nlist, iters),
+      ensureTrainedIvfIndex(s, dir, nlist, iters),
+      trainedCompactPath(s, dir, nlist, iters),
+      nQueries, k, nlist, ncoarse, cprobe, nprobe, candFilter = None,
+      trainedFine = Some(trainedFineCodebook(s, dir, nlist, iters)),
+      shadow = Some(freshBuffer(s, dir)))
 
   /** [[ivfTopK]] against a [[buildIvfIndex]] layout: identical
     * results (same codebook, same probes, same exact re-ranking), but
@@ -949,7 +993,8 @@ object Similarity {
       indexPath: String, nQueries: Int, k: Int, nlist: Int, ncoarse: Int,
       cprobe: Int, nprobe: Int, tombstones: Option[DataFrame],
       candFilter: Option[Column] = None,
-      trainedFine: Option[DataFrame] = None): DataFrame = {
+      trainedFine: Option[DataFrame] = None,
+      shadow: Option[DataFrame] = None): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -967,11 +1012,24 @@ object Similarity {
     val candidates = idx.join(broadcast(fineProbes), "cell")
     val fresh = tombstones.fold(candidates)(tb =>
       candidates.join(broadcast(tb), Seq("c_id"), "left_anti"))
-    val scored = fresh
+    // the fresh-ingest buffer SHADOWS the index (s37): ids re-ingested
+    // since the last index build are excluded from the index's
+    // candidate stream (their indexed rows are stale versions) and
+    // their buffer rows are brute-scored into the SAME ranking heap —
+    // the LSM memtable read path, on the candidate axis
+    val veiled = shadow.fold(fresh)(b => fresh.join(
+      broadcast(b.select(col("c_id"))), Seq("c_id"), "left_anti"))
+    val scored = veiled
       .filter(col("q_id") =!= col("c_id"))
       .join(broadcast(queries), "q_id")
       .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
-    topKPerQuery(s, scored, k)
+      .select(col("q_id"), col("c_id"), col("sim"))
+    val all = shadow.fold(scored)(b => scored.unionByName(
+      queries.crossJoin(broadcast(b))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
+        .select(col("q_id"), col("c_id"), col("sim"))))
+    topKPerQuery(s, all, k)
   }
 
   /** The epoch-resolved ROUTED read (s29) — [[ivfTopKCurrent]]'s

@@ -405,6 +405,57 @@ class IvfIndexSpec extends SparkSpec {
     Similarity.ensureCompactedTrainedIvfIndex(spark, sf0001)
   }
 
+  test("shadowed read (s37): the fresh-ingest buffer shadows the index " +
+    "candidate stream (anti-join + brute union into ONE heap), " +
+    "delete-then-reingest resolves to the buffer, and parity holds " +
+    "across the trained epoch flip") {
+    import org.apache.hadoop.fs.Path
+    // clean slate at the main epoch (the trained-family drill pattern)
+    val main = Similarity.ensureTrainedIvfIndex(spark, sf0001)
+    val genDir = new Path(main).getParent
+    val leaf = new Path(main).getName
+    val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(genDir, s"${leaf}_CURRENT"), false)
+    fs.delete(new Path(genDir, s"${leaf}_compact"), true)
+    val pre = Similarity.ivf2TopKShadowed(spark, sf0001)
+    val preRows = pre.collect().map(_.toSeq).toList
+    // AQE's toString prints the Final AND Initial plans — count
+    // anti-joins in the final section only
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val pPre = finalPlan(pre)
+    // pre-flip plan: TWO anti-joins (tombstone + shadow) and the
+    // buffer union feeding one ranking aggregation
+    assert("LeftAnti".r.findAllIn(pPre).size == 2,
+      s"pre-flip shadowed reads need tombstone AND shadow anti-joins:\n$pPre")
+    assert(pPre.contains("Union"),
+      s"the buffer brute branch must union into the heap:\n$pPre")
+    // the shadow genuinely bites: results differ from the unshadowed
+    // epoch read, buffer ids are SERVED, and an id in both slices
+    // (deleted AND re-ingested, vec_id ≡ 59 mod 91) resolves to the
+    // buffer — the ordering contract visible in results
+    val unshadowed = Similarity.ivf2TopKTrainedCurrent(spark, sf0001)
+      .collect().map(_.toSeq).toList
+    assert(preRows != unshadowed,
+      "the buffer must change top-k on this corpus")
+    val servedBuf = preRows.filter(r => r(2).asInstanceOf[Long] % 13 == 7)
+    assert(servedBuf.nonEmpty,
+      "updated buffer rows must reach top-k on this corpus")
+    assert(preRows.exists(r => r(2).asInstanceOf[Long] % 91 == 59),
+      "a delete-then-reingest id must be served from the buffer here")
+    // THE FLIP — tombstones fold into the layout; the buffer does not
+    Similarity.ensureCompactedTrainedIvfIndex(spark, sf0001)
+    val post = Similarity.ivf2TopKShadowed(spark, sf0001)
+    val postRows = post.collect().map(_.toSeq).toList
+    val pPost = finalPlan(post)
+    assert("LeftAnti".r.findAllIn(pPost).size == 1,
+      s"post-flip only the SHADOW anti-join may remain:\n$pPost")
+    assert(pPost.contains("Union"),
+      s"the buffer branch must survive the flip:\n$pPost")
+    assert(postRows == preRows,
+      "the epoch flip must be invisible in shadowed results")
+  }
+
   test("v2 layout migration: ensureIvfIndex deletes superseded-format " +
     "entries inside the live generation (the unsuffixed pre-r18 trio and " +
     "the r18 nl-only family) and leaves current-format trees alone") {
