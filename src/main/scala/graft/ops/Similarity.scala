@@ -490,13 +490,15 @@ object Similarity {
   def ivf2TopKTrainedCurrent(s: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nlist: Int = 32, ncoarse: Int = 8,
       cprobe: Int = 3, nprobe: Int = 4, iters: Int = 2,
-      candFilter: Option[Column] = None): DataFrame =
+      candFilter: Option[Column] = None,
+      shadow: Option[DataFrame] = None): DataFrame =
     epochResolvedScan(s, dir,
       trainedEpochMarker(s, dir, nlist, iters),
       ensureTrainedIvfIndex(s, dir, nlist, iters),
       trainedCompactPath(s, dir, nlist, iters),
       nQueries, k, nlist, ncoarse, cprobe, nprobe, candFilter,
-      trainedFine = Some(trainedFineCodebook(s, dir, nlist, iters)))
+      trainedFine = Some(trainedFineCodebook(s, dir, nlist, iters)),
+      shadow = shadow)
 
   /** The epoch-branched read body — ONE definition for both index
     * families (the [[ensureCompactedAt]] twin on the read side):
@@ -552,7 +554,7 @@ object Similarity {
     * rebuild trigger. */
   def freshBuffer(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(13)) === 7)
-      .select(col("vec_id").as("c_id"),
+      .select(col("vec_id").as("c_id"), col("label"),
         transform(col("embedding"), v => -v).as("c_emb"))
 
   /** The SHADOWED epoch-resolved read (s37) — [[ivf2TopKTrainedCurrent]]
@@ -571,13 +573,10 @@ object Similarity {
     * finds — the s35 pattern with the buffer union appended. */
   def ivf2TopKShadowed(s: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nlist: Int = 32, ncoarse: Int = 8,
-      cprobe: Int = 3, nprobe: Int = 4, iters: Int = 2): DataFrame =
-    epochResolvedScan(s, dir,
-      trainedEpochMarker(s, dir, nlist, iters),
-      ensureTrainedIvfIndex(s, dir, nlist, iters),
-      trainedCompactPath(s, dir, nlist, iters),
-      nQueries, k, nlist, ncoarse, cprobe, nprobe, candFilter = None,
-      trainedFine = Some(trainedFineCodebook(s, dir, nlist, iters)),
+      cprobe: Int = 3, nprobe: Int = 4, iters: Int = 2,
+      candFilter: Option[Column] = None): DataFrame =
+    ivf2TopKTrainedCurrent(s, dir, nQueries, k, nlist, ncoarse, cprobe,
+      nprobe, iters, candFilter = candFilter,
       shadow = Some(freshBuffer(s, dir)))
 
   /** [[ivfTopK]] against a [[buildIvfIndex]] layout: identical
@@ -1016,7 +1015,14 @@ object Similarity {
     // since the last index build are excluded from the index's
     // candidate stream (their indexed rows are stale versions) and
     // their buffer rows are brute-scored into the SAME ranking heap —
-    // the LSM memtable read path, on the candidate axis
+    // the LSM memtable read path, on the candidate axis. The
+    // anti-join uses the UNFILTERED buffer ids (a stale indexed row
+    // is stale even when its update fails the metadata filter), while
+    // the scored buffer branch applies the same candFilter as the
+    // index scan — so the shadow seam composes with the
+    // filtered/production reads without serving predicate-violating
+    // buffer rows (the buffer carries the candidate's metadata for
+    // exactly this reason)
     val veiled = shadow.fold(fresh)(b => fresh.join(
       broadcast(b.select(col("c_id"))), Seq("c_id"), "left_anti"))
     val scored = veiled
@@ -1024,11 +1030,14 @@ object Similarity {
       .join(broadcast(queries), "q_id")
       .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
       .select(col("q_id"), col("c_id"), col("sim"))
-    val all = shadow.fold(scored)(b => scored.unionByName(
-      queries.crossJoin(broadcast(b))
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
-        .select(col("q_id"), col("c_id"), col("sim"))))
+    val all = shadow.fold(scored) { b0 =>
+      val b = candFilter.fold(b0)(b0.filter)
+      scored.unionByName(
+        queries.crossJoin(broadcast(b))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
+          .select(col("q_id"), col("c_id"), col("sim")))
+    }
     topKPerQuery(s, all, k)
   }
 

@@ -454,6 +454,26 @@ class IvfIndexSpec extends SparkSpec {
       s"the buffer branch must survive the flip:\n$pPost")
     assert(postRows == preRows,
       "the epoch flip must be invisible in shadowed results")
+    // the seam COMPOSES: the filtered shadow read (the shadowed
+    // production shape) must never serve a predicate-violating row
+    // from EITHER provenance — buffer rows failing the filter stay
+    // out while their stale indexed versions stay shadowed; buffer
+    // rows passing it may be served even when tombstoned (buffer wins)
+    import org.apache.spark.sql.functions.col
+    val composed = Similarity.ivf2TopKShadowed(spark, sf0001,
+      candFilter = Some(col("label") === 2))
+      .collect().map(_.toSeq).toList
+    val labelOf = Relational.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(composed.nonEmpty)
+    composed.foreach { r =>
+      val cId = r(2).asInstanceOf[Long]
+      assert(labelOf(cId) == 2,
+        s"filtered shadow survivor $cId violates the predicate")
+      assert(cId % 7 != 3 || cId % 13 == 7,
+        s"tombstoned non-buffer id $cId must not be served")
+    }
   }
 
   test("v2 layout migration: ensureIvfIndex deletes superseded-format " +
