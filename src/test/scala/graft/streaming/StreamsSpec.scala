@@ -1291,4 +1291,74 @@ class StreamsSpec extends SparkSpec {
         "flipping the trained pointer must not re-point the seeded family")
     } finally q.stop()
   }
+
+  test("artifact hot-swap under a LIVE stream #4: the fresh-ingest buffer " +
+    "GROWS between micro-batches — the per-batch resolver re-derives the " +
+    "shadow table, new arrivals bite the next batch's top-k, no restart") {
+    // the fourth freshness axis, live: a production query fleet reads
+    // the ingest table per micro-batch (foreachBatch), so a vector
+    // arriving mid-stream must shadow its stale indexed version and
+    // enter ranking on the NEXT batch while the stream keeps running —
+    // no restart, no index rebuild, no state store. Batch 0 serves the
+    // deterministic buffer; one more "arrival" lands; batch 1 differs
+    // exactly where the arrival bites, and both plans carry the
+    // buffer Union.
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.{col, transform => atransform}
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = Similarity.freshBuffer(s, sf0001)
+    // the mid-stream arrival: one more id re-ingested (sign-flipped,
+    // the freshBuffer convention), not in the deterministic slice —
+    // id 212 is served at rank 1 in the pre-arrival read on this
+    // corpus, so displacing its stale indexed version MUST move top-k
+    val arrival = graft.ops.Relational.t(s, sf0001, "embeddings")
+      .filter(col("vec_id") === 212)
+      .select(col("vec_id").as("c_id"), col("label"),
+        atransform(col("embedding"), v => -v).as("c_emb"))
+    @volatile var buffer = base
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, List[Seq[Any]])]
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().writeStream.foreachBatch {
+      (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val df = Similarity.ivf2TopKTrainedCurrent(s, sf0001,
+          shadow = Some(buffer))
+        seen += ((id,
+          df.queryExecution.executedPlan.toString.contains("Union"),
+          df.collect().map(_.toSeq).toList))
+        ()
+    }.start()
+    try {
+      mem.addData(1L)
+      q.processAllAvailable()
+      // THE ARRIVAL — stream still running, buffer re-derived next batch
+      buffer = base.unionByName(arrival)
+      mem.addData(2L)
+      q.processAllAvailable()
+      assert(seen.size == 2, s"expected two micro-batches, saw $seen")
+      val (_, u0, rows0) = seen(0)
+      val (_, u1, rows1) = seen(1)
+      assert(u0 && u1, "both batches must carry the buffer union")
+      assert(rows0 != rows1,
+        "the arrival must change top-k on the next batch")
+      // id 212's stale indexed version must be gone from batch 1
+      // wherever batch 0 served it, and any served id-212 row is the
+      // update: its sim differs from batch 0's for the same query
+      val stale0 = rows0.filter(r => r(2).asInstanceOf[Long] == 212L)
+      val fresh1 = rows1.filter(r => r(2).asInstanceOf[Long] == 212L)
+      assert(stale0.nonEmpty,
+        "id 212 must be served from the index in batch 0 on this corpus")
+      stale0.foreach { r0 =>
+        val q0 = r0(0)
+        fresh1.find(_(0) == q0).foreach { r1 =>
+          assert(r1(3) != r0(3),
+            s"batch 1 must serve id 212's UPDATE for query $q0, not " +
+              "the stale indexed version")
+        }
+      }
+    } finally q.stop()
+  }
 }
