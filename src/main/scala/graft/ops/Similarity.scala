@@ -200,12 +200,11 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probes = probeCells(s, queries, cent, nprobe)
       .select(col("q_id"), col("cell"))
-    val candidates = assign.join(broadcast(probes), "cell")
+    // assignment carries c_emb in-row, so scoring needs no corpus
+    // re-join (and no assignment exchange) — see [[seededAssign]]
+    val scored = assign.join(broadcast(probes), "cell")
       .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "c_id")
-    val scored = candidates
       .join(broadcast(queries), "q_id")
-      .join(corpus, "c_id")
       .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
     topKPerQuery(s, scored, k)
   }
@@ -218,15 +217,31 @@ object Similarity {
     emb.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
 
-  /** Cell assignment: nearest centroid by (r4 sim desc, cent_id asc) —
-    * a map-side max of an orderable struct, no window, no shuffle
-    * beyond the groupBy on c_id (which AQE coalesces). */
+  /** The seeded codebook collapsed to ONE broadcastable row — the
+    * [[trainedCodebookRow]] shape for the seeded family: a `cents`
+    * array of (cell, cemb) structs, nlist×dim floats regardless of
+    * corpus size. The static half of [[seededAssign]]'s in-row argmax. */
+  private def seededCodebookRow(cent: DataFrame): DataFrame =
+    cent.agg(collect_list(struct(col("cent_id").as("cell"),
+      col("cent_emb").as("cemb"))).as("cents"))
+
+  /** Cell assignment with the vector carried IN-ROW: (c_id, cell,
+    * c_emb). Nearest centroid by (r4 sim desc, cent_id asc), computed
+    * per-row by [[bestCellStruct]] against the one-row broadcast
+    * codebook — value-identical to the old groupBy
+    * `max(struct(sim, -cent_id))` aggregation (same r4-rounded kernel
+    * cosine, same highest-sim-then-lowest-cell tie-break; the
+    * [[trainedAssignedVectors]] equivalence argument, applied to the
+    * seeded family). The old shape cost a corpus×nlist melt +
+    * Sort + Exchange + SortAggregate (struct-max is not
+    * hash-aggregable) and DROPPED the embedding, forcing every scorer
+    * to equi-join the corpus back on c_id — a second corpus-sized
+    * exchange at 100 TB. Here assignment is one map-side scan, zero
+    * shuffles, and the embedding never leaves its row. */
   private def seededAssign(corpus: DataFrame, cent: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(cent))
-      .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
-      .groupBy("c_id")
-      .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("c_id"), (-col("m.nc")).as("cell"))
+    corpus.crossJoin(broadcast(seededCodebookRow(cent)))
+      .withColumn("best", bestCellStruct(col("cents"), col("c_emb")))
+      .select(col("c_id"), (-col("best.nc")).as("cell"), col("c_emb"))
 
   /** Probe selection — itself a top-k (k = nprobe) over the broadcast
     * centroid table: same bounded heap, no window even on the tiny
@@ -269,14 +284,16 @@ object Similarity {
     // (already partition-pruned) index scan instead of joining the
     // corpus back in per query, which at 100 TB is the difference
     // between pruned I/O and a corpus-sized equi-join
+    // in-row argmax against the one-row broadcast codebook (the
+    // [[seededAssign]] shape) — the build's only shuffle is the
+    // by-cell write repartition; the old groupBy assignment paid a
+    // corpus×nlist Sort + Exchange + SortAggregate first
     val corpus = emb.select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"), col("label"))
-    val assigned = corpus.crossJoin(broadcast(cent))
-      .withColumn("sim_c", r4(cosine(col("c_emb"), col("cent_emb"))))
-      .groupBy("c_id")
-      .agg(max(struct(col("sim_c").as("s"), (-col("cent_id")).as("nc"))).as("m"),
-        first(col("c_emb")).as("c_emb"), first(col("label")).as("label"))
-      .select(col("c_id"), col("c_emb"), col("label"), (-col("m.nc")).as("cell"))
+    val assigned = corpus.crossJoin(broadcast(seededCodebookRow(cent)))
+      .withColumn("best", bestCellStruct(col("cents"), col("c_emb")))
+      .select(col("c_id"), col("c_emb"), col("label"),
+        (-col("best.nc")).as("cell"))
     writePartitionedByCell(assigned, indexPath)
   }
 
@@ -892,9 +909,7 @@ object Similarity {
     val assign = seededAssign(corpus, fine)
     val scored = assign.join(broadcast(fineProbes), "cell")
       .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "c_id")
       .join(broadcast(queries), "q_id")
-      .join(corpus, "c_id")
       .withColumn("sim", r4(cosine(col("q_emb"), col("c_emb"))))
     topKPerQuery(s, scored, k)
   }
@@ -1148,7 +1163,6 @@ object Similarity {
     val scoredCand = assign.join(broadcast(cells), "cell")
       .filter(col("q_id") =!= col("c_id"))
       .join(broadcast(queries), "q_id")
-      .join(corpus, "c_id")
       .select(col("q_id"), col("cell"), col("c_id"),
         r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
       .localCheckpoint()
@@ -2075,28 +2089,35 @@ object Similarity {
       .select(col("jexp").as("j"), col("cexp").as("c"),
         when(col("cw").isNull, raise_error(missingMsg)).otherwise(col("cw")).as("cw"),
         when(col("cw").isNull, raise_error(missingMsg)).otherwise(col("norm2")).as("norm2"))
-    // encode: per (vec, subspace) argmin over the broadcast codebook —
-    // min of an orderable struct (r4(L2²), codeword id), the ivfTopK
-    // assignment shape per subspace
-    val enc = emb
-      .select(col("vec_id"), explode(subspaces(col("emb"))).as("s"))
-      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-      .join(broadcast(cb), "j")
-      .select(col("vec_id"), col("j"),
-        struct(r4(dot(zip_with(col("sv"), col("cw"), (x, y) => x - y),
-          zip_with(col("sv"), col("cw"), (x, y) => x - y))).as("d"),
-          col("c"), col("norm2")).as("cand"))
-      .groupBy("vec_id", "j").agg(min("cand").as("best"))
-      .select(col("vec_id"), col("j"), col("best.c").as("code"),
-        col("best.norm2").as("n2"))
-    // one row per vector: j-ordered code array + reconstructed norm²
-    // (folded in j order — deterministic, matching the oracle's
-    // list_sum over an ORDER BY j list)
-    val codes = enc.groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("j"), col("code"), col("n2")))).as("cj"))
+    // encode: per (vec, subspace) argmin over the broadcast codebook,
+    // computed IN-ROW against the codebook collapsed to ONE
+    // broadcastable row ((j, c)-sorted, so subspace j's codewords are
+    // exactly the array slice [j·codebookSize, +codebookSize)) — the
+    // [[seededAssign]] in-row-argmax discipline applied to PQ. The
+    // old shape melted the corpus ×m and paid TWO corpus-sized
+    // exchanges (min-of-struct is not hash-aggregable, so each was a
+    // Sort + Exchange + SortAggregate); here encoding is one map-side
+    // scan with zero shuffles. Value-identical: same r4(L2²) per
+    // (subvector, codeword) — `array_min` over struct(d, c, n2) is
+    // the same (d asc, c asc) lexicographic argmin as the old
+    // min(struct) aggregation, and the j-order fold of norm² is now
+    // literally the array order.
+    val cbRow = cb.agg(array_sort(collect_list(struct(col("j"), col("c"),
+      col("cw"), col("norm2")))).as("cbs"))
+    val codes = emb.crossJoin(broadcast(cbRow))
       .select(col("vec_id"),
-        transform(col("cj"), x => x("code")).as("codes"),
-        aggregate(transform(col("cj"), x => x("n2")), lit(0.0),
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val sv = slice(col("emb"), j * w + 1, lit(w))
+          array_min(transform(
+            slice(col("cbs"), j * codebookSize + 1, lit(codebookSize)),
+            e => struct(
+              r4(dot(zip_with(sv, e("cw"), (x, y) => x - y),
+                zip_with(sv, e("cw"), (x, y) => x - y))).as("d"),
+              e("c").as("c"), e("norm2").as("n2"))))
+        }).as("bests"))
+      .select(col("vec_id"),
+        transform(col("bests"), b => b("c")).as("codes"),
+        aggregate(transform(col("bests"), b => b("n2")), lit(0.0),
           (acc, v) => acc + v).as("vnorm2"))
     // per-query ADC table: dot(query subvector, codeword) for every
     // (subspace, codeword), as a broadcastable lookup map; plus ‖q‖.
@@ -2270,7 +2291,6 @@ object Similarity {
     val scored = assign.join(broadcast(probes), "cell")
       .filter(col("q_id") =!= col("c_id"))
       .join(broadcast(queries), "q_id")
-      .join(corpus, "c_id")
       .select(col("q_id"), col("c_id"), col("probe_rnk"),
         r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
       .localCheckpoint()
@@ -2368,7 +2388,6 @@ object Similarity {
     val scored = assign.join(broadcast(probes), "cell")
       .filter(col("q_id") =!= col("c_id"))
       .join(broadcast(queries), "q_id")
-      .join(corpus, "c_id")
       .select(col("q_id"), col("c_id"), col("probe_rnk"),
         r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
       .localCheckpoint()
