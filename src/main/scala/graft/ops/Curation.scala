@@ -41,7 +41,7 @@ object Curation {
     // 100 TB the checkpoint holds 8-byte shingle hashes, a few % of
     // corpus bytes)
     val sets = Dedup.shingleHashSets(t(s, dir, "documents"), n,
-      carry = Seq("source")).localCheckpoint()
+      carry = Seq("source")).localCheckpoint(eager = false)
     overlapFlags(sets, benchSource, minOverlap)
       .select("doc_id", "n_sh", "n_hit", "overlap")
       .orderBy("doc_id")
@@ -203,21 +203,21 @@ object Curation {
     // checkpointed sets frame is the pipeline's working index (at
     // 100 TB this is the difference between one and two corpus scans)
     val sets = Dedup.shingleHashSets(docs, n, carry = Seq("source"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // checkpointed: consumed by BOTH the cleanSets anti-join and the
     // final corpus anti-join — left lazy, the second consumer would
     // re-run the whole contamination semi-join + count pass (the exact
     // re-derivation the sets checkpoint exists to avoid); the flagged
     // list is contamination-sized, so materializing it is cheap
     val flagged = overlapFlags(sets, benchSource, minOverlap)
-      .select("doc_id").localCheckpoint()
+      .select("doc_id").localCheckpoint(eager = false)
     // checkpointed: minhashLshPairsFromSets consumes its sets three
     // times, and re-deriving them re-runs the contamination semi-join
     // per consumer (the FromSets contract — caller materializes)
     val cleanSets = sets.filter(col("source") =!= benchSource)
       .join(flagged, Seq("doc_id"), "left_anti")
       .select("doc_id", "hs", "n_sh")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val pairs = Dedup.minhashLshPairsFromSets(cleanSets, threshold = threshold)
     val dropped = Dedup.connectedComponents(
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
@@ -578,7 +578,7 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("q"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val hist = d.groupBy("q").agg(sum("n_tok").as("bucket_tokens"))
     val wq = Window.orderBy(col("q").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -701,7 +701,7 @@ object Curation {
     require(minOverlap > 0.0,
       s"minOverlap must be > 0 (zero-hit docs are structurally absent); got $minOverlap")
     val sets = Dedup.shingleHashSets(t(s, dir, "documents"), n,
-      carry = Seq("source")).localCheckpoint()
+      carry = Seq("source")).localCheckpoint(eager = false)
     val bench = sets.filter(col("source") === benchSource)
       .select(explode(col("hs")).as("h")).distinct()
     val bloom = bloomOf(bench, "h", mBits, k)
@@ -815,7 +815,7 @@ object Curation {
           transform(sequence(lit(0), size(col("w")) - n),
             i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
           .otherwise(array().cast("array<bigint>")).as(s"hs$n")): _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     ns.map { n =>
       val bench = sets.filter(col("source") === benchSource)
         .select(explode(col(s"hs$n")).as("h")).distinct()
@@ -1137,7 +1137,7 @@ object Curation {
     // pass IS the ingest write, so the chain's total is two corpus
     // passes: verdicts + payload
     val flags = classified(survivors).select("lang", "pred")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val kept = classified(survivors).filter(col("pred") === 1L)
     // LM-perplexity gate on the classifier's survivors — THE shared
     // [[TextAnalysis.perplexityGate]] definition the streaming serve

@@ -116,7 +116,7 @@ object Dedup {
     // join sides + two size lookups) but a cache() entry would leak
     // into the caller's session for the life of the SparkSession (see
     // [[minhashLshPairs]]); checkpointed blocks are GC-cleaned.
-    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
+    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint(eager = false)
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     // sizes are carried on the set rows — no counting aggregation
     val sizes = sets.select(col("doc_id"), col("n_sh"))
@@ -171,7 +171,7 @@ object Dedup {
   def containmentPairs(s: SparkSession, dir: String, n: Int = 5,
       threshold: Double = 0.7): DataFrame = {
     val thMilli = math.round(threshold * 1000)
-    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
+    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint(eager = false)
     val sh = sets.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("h"))
     // global shingle document-frequencies: vocab-sized, joins unhinted
     // (AQE broadcasts at gate scale; web-scale degrades to a hash
@@ -273,7 +273,7 @@ object Dedup {
       bands: Int = 16, rows: Int = 2,
       threshold: Double = 0.6): DataFrame =
     // the one materialized frame: narrow, consumed 3× (see scaladoc)
-    minhashLshPairsFromSets(shingleHashSets(docs, n).localCheckpoint(),
+    minhashLshPairsFromSets(shingleHashSets(docs, n).localCheckpoint(eager = false),
       bands, rows, threshold)
 
   /** The sets-level seam: near-dup pairs from an ALREADY-MATERIALIZED
@@ -350,7 +350,7 @@ object Dedup {
   def editDistancePairs(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 16, rows: Int = 2, maxDist: Int = 10): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sets = shingleHashSets(docs, n).localCheckpoint()
+    val sets = shingleHashSets(docs, n).localCheckpoint(eager = false)
     val cand = minhashLshCandidates(sets, bands, rows)
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
@@ -540,7 +540,7 @@ object Dedup {
     // undirected: propagate both ways
     val bi = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // init fused with the first edge hop: label₀(v) = min(v, minimum
     // neighbor) — the same single shuffle the plain vertex-set
     // distinct() would cost, but one full propagation round ahead
@@ -696,7 +696,7 @@ object Dedup {
     // batch: index = ALL docs' bands (in production, the stored band
     // table); probe = the batch — the join is batch-sized, and the
     // a < b predicate de-dups the new-vs-new pairs
-    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
+    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint(eager = false)
     minhashLshPairsFromSets(sets, bands, rows, threshold,
       probeFilter = Some(col("doc_id") >= splitId))
   }
@@ -744,7 +744,7 @@ object Dedup {
     // aggregate folds per doc run once); the melted bands are left to
     // ReuseExchange — see the materialization note on
     // [[minhashLshPairs]]
-    simhashPairsFromSig(simhashes(s, dir).localCheckpoint(),
+    simhashPairsFromSig(simhashes(s, dir).localCheckpoint(eager = false),
       maxHamming, bands)
 
   /** [[simhashPairs]] over an already-materialized (doc_id, simhash)
@@ -808,7 +808,7 @@ object Dedup {
     // survive the verify inner join) — at 100 TB this halves the
     // pipeline's text reads.
     val fused = sketchSets(t(s, dir, "documents"), n, Seq.empty,
-      withSimhash = true).localCheckpoint()
+      withSimhash = true).localCheckpoint(eager = false)
     val pairs = simhashPairsFromSig(fused.select("doc_id", "simhash"),
         maxHamming)
       .select(col("doc_a"), col("doc_b"))
@@ -836,7 +836,7 @@ object Dedup {
   def simhashRecallAdvisory(s: SparkSession, dir: String, n: Int = 5,
       threshold: Double = 0.6, bands: Int = 8): DataFrame = {
     val fused = sketchSets(t(s, dir, "documents"), n, Seq.empty,
-      withSimhash = true).localCheckpoint()
+      withSimhash = true).localCheckpoint(eager = false)
     val exact = ngramJaccardPairs(s, dir, n, threshold)
       .select("doc_a", "doc_b")
     val sig = fused.select("doc_id", "simhash")
@@ -1017,7 +1017,7 @@ object Dedup {
       iters: Int = 2, threshold: Double = 0.4): DataFrame = {
     val k = resolvedNlist(s, nlist)
     val assigned = Similarity.trainedAssignedVectors(s, dir, k, iters)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val a = assigned.select(col("vec_id").as("ia"), col("emb").as("ea"),
       col("cell").as("ca"))
     val b = assigned.select(col("vec_id").as("ib"), col("emb").as("eb"),
@@ -1056,7 +1056,7 @@ object Dedup {
   def crossSourceNearDupMatrix(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 16, rows: Int = 2, threshold: Double = 0.6): DataFrame = {
     val sets = shingleHashSets(t(s, dir, "documents"), n,
-      carry = Seq("source")).localCheckpoint()
+      carry = Seq("source")).localCheckpoint(eager = false)
     val pairs = minhashLshPairsFromSets(sets, bands, rows, threshold)
     val src = sets.select(col("doc_id"), col("source"))
     pairs
@@ -1140,7 +1140,7 @@ object Dedup {
       .select(col("doc_id"),
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
         graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val exDrop = docs.groupBy("fp")
       .agg(min("doc_id").as("keep"), count(lit(1)).as("c"))
       .where(col("c") >= 2)
@@ -1177,7 +1177,7 @@ object Dedup {
     val rows = docs
       .select(col("doc_id"), posexplode(blockHashes))
       .toDF("doc_id", "bi", "h")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val rep = rows.groupBy("h")
       .agg(min(struct(col("doc_id"), col("bi"))).as("first"),
         count(lit(1)).as("n"))
@@ -1276,7 +1276,7 @@ object Dedup {
       "cuts below the banding operating point (0.6) lose the exactness contract")
     require(thresholdsMilli.distinct == thresholdsMilli,
       "duplicate cuts would fan the grid join out to duplicate rows")
-    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint()
+    val sets = shingleHashSets(t(s, dir, "documents"), n).localCheckpoint(eager = false)
     val pairs = minhashLshPairsFromSets(sets,
         threshold = thresholdsMilli.min / 1000.0)
       .withColumn("j_milli", floor(col("jaccard") * 1000 + 0.5).cast("long"))

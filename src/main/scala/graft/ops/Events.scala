@@ -440,7 +440,7 @@ object Events {
       .groupBy("user_id")
       .agg(max("ms").as("last_ms"), count(lit(1)).as("freq"),
         sum("cents").as("mon_cents"))
-      .localCheckpoint() // one purchase scan feeds cutpoints AND scoring
+      .localCheckpoint(eager = false) // one purchase scan feeds cutpoints AND scoring
     val cuts = per.agg(
       expr("percentile(last_ms, array(0.25, 0.5, 0.75))").as("rq"),
       expr("percentile(freq, array(0.25, 0.5, 0.75))").as("fq"),

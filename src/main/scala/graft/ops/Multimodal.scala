@@ -538,7 +538,7 @@ object Multimodal {
         while (i < 64) { if (px(i) * 64L > tot) hash |= (1L << i); i += 1 }
         (m.media_id, hash)
       }
-    }.toDF("media_id", "hash").localCheckpoint()
+    }.toDF("media_id", "hash").localCheckpoint(eager = false)
     val banded = hashes.select(col("media_id"), col("hash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("hash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -644,7 +644,7 @@ object Multimodal {
             (mid, hash)
           }
         }
-      }.toDF("media_id", "hash").localCheckpoint()
+      }.toDF("media_id", "hash").localCheckpoint(eager = false)
     val banded = sigs.select(col("media_id"), col("hash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("hash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -231,7 +231,7 @@ object Sampling {
     val docs = t(s, dir, "documents")
     val cnt = docs.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cr"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val tcnt = docs.filter(col("source") === targetSource)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("ct"))
@@ -261,7 +261,7 @@ object Sampling {
         col("lm").cast("double") / lit(1e6) / size(toks).cast("long"))
       .select(col("lang"), col("source"),
         floor(col("avg_lam") * lit(1e6) + lit(0.5)).cast("long").as("dm"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val thresholdRow = perDoc.agg(sum("dm").as("tot"),
       count(lit(1)).as("n_corpus"))
     perDoc.crossJoin(broadcast(thresholdRow))
@@ -392,7 +392,7 @@ object Sampling {
       lit(0.5)).cast("long")
     val per = t(s, dir, "documents")
       .select(col("lang"), col("doc_id"), qi.as("qi"))
-      .localCheckpoint() // 24-byte/doc frame feeds totals AND multiplicity
+      .localCheckpoint(eager = false) // 24-byte/doc frame feeds totals AND multiplicity
     val tot = per.agg(sum("qi").as("w"), count(lit(1)).as("n"))
     val dec = "decimal(38,0)"
     per.crossJoin(broadcast(tot))

@@ -1145,7 +1145,7 @@ object Similarity {
       .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("cent_id"), col("co_rnk"),
         r4(cosine(col("q_emb"), col("cent_emb"))).as("sim"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // per curve point: re-rank the routed fine subset to nprobe cells
     val probesAll = cprobes.map { cp =>
       topKPerQuery(s,
@@ -1154,7 +1154,7 @@ object Similarity {
         nprobe, sorted = false)
         .select(lit(cp.toLong).as("cprobe"), col("q_id"),
           col("c_id").as("cell"))
-    }.reduce(_ union _).localCheckpoint()
+    }.reduce(_ union _).localCheckpoint(eager = false)
     // ONE corpus pass over the union of all probed cells
     val corpus = emb.select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"))
@@ -1165,9 +1165,9 @@ object Similarity {
       .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("cell"), col("c_id"),
         r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val baseline = ivfTopK(s, dir, nQueries, k, nlist, nprobe)
-      .select("q_id", "c_id").localCheckpoint()
+      .select("q_id", "c_id").localCheckpoint(eager = false)
     val perCp = cprobes.map { cp =>
       topKPerQuery(s,
         scoredCand.join(
@@ -2293,9 +2293,9 @@ object Similarity {
       .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("c_id"), col("probe_rnk"),
         r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val truth = nativeTopK(s, dir, nQueries, k)
-      .select("q_id", "c_id").localCheckpoint()
+      .select("q_id", "c_id").localCheckpoint(eager = false)
     val perNp = nprobes.map { np =>
       topKPerQuery(s, scored.filter(col("probe_rnk") <= np), k, sorted = false)
         .join(truth, Seq("q_id", "c_id"))
@@ -2331,7 +2331,7 @@ object Similarity {
   def quantRecallAudit(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5): DataFrame = {
     val truth = nativeTopK(s, dir, nQueries, k)
-      .select("q_id", "c_id").localCheckpoint()
+      .select("q_id", "c_id").localCheckpoint(eager = false)
     val methods = Seq(
       "s08_sq" -> sqTopK(s, dir, nQueries, k),
       "s09_pq" -> pqTopK(s, dir, nQueries, k),
@@ -2390,9 +2390,9 @@ object Similarity {
       .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("c_id"), col("probe_rnk"),
         r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val truth = nativeTopK(s, dir, nQueries, k)
-      .select("q_id", "c_id").localCheckpoint()
+      .select("q_id", "c_id").localCheckpoint(eager = false)
     val gains = ndcgGainsMicro(k)
     val idcgMicro = gains.sum
     // rank → discount lookup as an array literal (ranks are 1..k)
@@ -2499,9 +2499,9 @@ object Similarity {
       .join(corpus, "c_id")
       .select(col("q_id"), col("c_id"), col("min_dist"),
         r4(cosine(col("q_emb"), col("c_emb"))).as("sim"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val truth = nativeTopK(s, dir, nQueries, k)
-      .select("q_id", "c_id").localCheckpoint()
+      .select("q_id", "c_id").localCheckpoint(eager = false)
     val modes = Seq(
       "multi_t4" -> scored,
       "single_t4" -> scored.filter(col("min_dist") === 0))

@@ -322,7 +322,7 @@ object TextAnalysis {
     val base = t(s, dir, "documents")
       .select(Seq(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
         ++ tfCols: _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val statAggs =
       Seq(count(lit(1)).cast("double").as("n_docs"),
         avg(col("n_tokens")).as("avg_len")) ++
@@ -391,7 +391,7 @@ object TextAnalysis {
     val docs = t(s, dir, "documents")
     val cnt = docs.select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nRow = cnt.agg(sum("c").as("n"))
     val vocabRow = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize)
       .agg(map_from_entries(collect_list(struct(col("tok"), col("c")))).as("vmap"))
@@ -508,7 +508,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("w")) - n),
         i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("h"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val rep = wins.distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select(col("h").as("rh"))
@@ -552,7 +552,7 @@ object TextAnalysis {
     val docs = t(s, dir, "documents")
     val cnt = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val glob = cnt.groupBy("tok").agg(sum("c").as("g"))
     val tot = cnt.agg(sum("c").as("ng"))
     val srcTot = cnt.groupBy("source")
@@ -628,7 +628,7 @@ object TextAnalysis {
     val toks = t(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def bucket(i: Int): Column = cmsBucket(i, width, col("tok"))
     val cms = cmsTable(toks, depth, width)
     val wc = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
@@ -808,7 +808,7 @@ object TextAnalysis {
     val vocabRow = cnt.orderBy(col("c").desc, col("tok")).limit(vocabSize)
       .agg(map_from_entries(collect_list(struct(col("tok"), lit(1))))
         .as("vmap"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nids = docs.crossJoin(broadcast(vocabRow))
       .select(lmNormIdsCol(col("text"), col("vmap")).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -816,7 +816,7 @@ object TextAnalysis {
       .select(explode(transform(sequence(lit(0), size(col("ids")) - 2),
         i => lmBigramAt(col("ids"), i))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cbi"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val bmapRow = cb.agg(
       map_from_entries(collect_list(struct(col("bg"), col("cbi"))))
         .as("bmap"))
@@ -1040,7 +1040,7 @@ object TextAnalysis {
     val docs = t(s, dir, "documents")
     val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val dfr = tk.groupBy("tok").agg(count(lit(1)).as("df"))
     val nRow = docs.agg(count(lit(1)).as("n_corpus"))
     val byDoc = Window.partitionBy("doc_id")
@@ -1271,7 +1271,7 @@ object TextAnalysis {
         lit("[a-z]+"), lit(0))).as("word"))
       .groupBy("lang", "word").agg(count(lit(1)).as("n"))
     val seg = occ.join(broadcast(segs.select(col("word"), col("syms"))), "word")
-      .localCheckpoint() // two consumers below; vocab-sized × langs
+      .localCheckpoint(eager = false) // two consumers below; vocab-sized × langs
     val base = seg.groupBy("lang").agg(
       sum(col("n")).as("n_words"),
       sum(col("n") * size(col("syms"))).as("n_subwords"))
@@ -1453,7 +1453,7 @@ object TextAnalysis {
       .select(col("y"), explode(tokens(col("text"))).as("tok"))
       .groupBy("tok")
       .agg(sum(col("y")).as("cp"), sum(lit(1L) - col("y")).as("cf"))
-      .localCheckpoint() // consumed thrice: totals + cap head + weights
+      .localCheckpoint(eager = false) // consumed thrice: totals + cap head + weights
     // the vocabulary CAP: only the top-`cap` tokens by total
     // occurrence (count desc, token asc — the vocabRankMap tie
     // contract) carry their own weight; everything below the cap is
