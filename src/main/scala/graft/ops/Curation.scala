@@ -762,9 +762,14 @@ object Curation {
           i => xxhash64(concat_ws(" ", slice(col("wd"), i + 1, lit(w)))))))
       .toDF("doc_id", "pos", "h")
     // d11's repeated-hash aggregation, but keeping first_doc for the
-    // keep-the-first-copy contract; per-doc distinctness first so
-    // within-doc repetition never fakes a cross-doc repeat
-    val rep = wins.select("doc_id", "h").distinct()
+    // keep-the-first-copy contract; per-doc distinctness IN-ROW
+    // (array_distinct before the explode — the d11 spanHashes shape)
+    // so within-doc repetition never fakes a cross-doc repeat: the
+    // old corpus-wide distinct() paid a second window-volume exchange
+    // + hash-agg for a dedup that is per-document by definition
+    val rep = base.filter(size(col("wd")) >= w)
+      .select(col("doc_id"),
+        explode(Dedup.shingleHashArr(col("wd"), w)).as("h"))
       .groupBy("h")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .filter(col("n_docs") >= 2)

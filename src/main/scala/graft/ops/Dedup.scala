@@ -72,10 +72,18 @@ object Dedup {
     docs.select(col("doc_id") +: carried :+ toks.as("w"): _*)
       .filter(size(col("w")) >= n)
       .select(col("doc_id") +: (carried ++ sim) :+
-        array_distinct(transform(sequence(lit(0), size(col("w")) - n),
-          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))).as("hs"): _*)
+        shingleHashArr(col("w"), n).as("hs"): _*)
       .withColumn("n_sh", size(col("hs")).cast("long"))
   }
+
+  /** The per-doc DISTINCT shingle-hash ARRAY expression over a token
+    * array column — ONE definition behind [[sketchSets]] and the
+    * all-docs fused scans (d16), so the shingle formula cannot
+    * drift between consumers. Caller guarantees size(w) ≥ n (or
+    * guards with `when`): sequence() rejects a negative upper bound. */
+  private[ops] def shingleHashArr(w: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(0), size(w) - n),
+      i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(n))))))
 
   /** Exact dedup via content fingerprint, first-wins (lowest doc_id
     * survives), summarized per lang. */
@@ -1079,9 +1087,8 @@ object Dedup {
     val spanHashes = docs
       .select(col("doc_id"), toks.as("wd"))
       .filter(size(col("wd")) >= w)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(spanStarts(col("wd")),
-          i => xxhash64(concat_ws(" ", slice(col("wd"), i + 1, lit(w))))))).as("h"))
+      .select(col("doc_id"),
+        explode(shingleHashArr(col("wd"), w)).as("h"))
     val rep = spanHashes.groupBy("h")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .filter(col("n_docs") >= 2)
@@ -1136,11 +1143,26 @@ object Dedup {
     * the flagged frame (`stack`, not three scans). */
   def dedupFunnel(s: SparkSession, dir: String, n: Int = 5,
       threshold: Double = 0.6): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // ONE corpus scan feeds every stage (the c06 shared-sets
+    // discipline, extended to the funnel's ALL-docs totals): exact
+    // fingerprint, token count, AND the near-dup shingle sets come
+    // from a single checkpointed projection — short docs carry an
+    // empty hs (they cannot shingle, so they never pair) instead of
+    // being filtered out, because stage 0's totals count them. The
+    // old shape paid two full text scans + tokenizations (one for
+    // fp/nt, one inside minhashLshPairs).
+    val toks = split(trim(col("text")), "\\s+")
+    val fused = t(s, dir, "documents")
       .select(col("doc_id"),
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
-        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+        toks.as("w"))
+      .select(col("doc_id"), col("fp"), col("nt"),
+        when(size(col("w")) >= n, shingleHashArr(col("w"), n))
+          .otherwise(array().cast("array<bigint>")).as("hs"))
+      .withColumn("n_sh", size(col("hs")).cast("long"))
       .localCheckpoint(eager = false)
+    val docs = fused.select("doc_id", "fp", "nt")
     val exDrop = docs.groupBy("fp")
       .agg(min("doc_id").as("keep"), count(lit(1)).as("c"))
       .where(col("c") >= 2)
@@ -1148,7 +1170,9 @@ object Dedup {
     val flagged = docs.join(exDrop, col("fp") === col("dfp"))
       .where(col("doc_id") =!= col("keep"))
       .select(col("doc_id"), lit(1).as("ex"))
-    val pairs = minhashLshPairs(s, dir, n, threshold = threshold)
+    val pairs = minhashLshPairsFromSets(
+      fused.filter(col("n_sh") > 0).select("doc_id", "hs", "n_sh"),
+      threshold = threshold)
     val nearDrop = connectedComponents(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .filter(col("id") =!= col("cluster"))

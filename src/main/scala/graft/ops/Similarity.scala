@@ -1999,9 +1999,14 @@ object Similarity {
     * lookup maps and shuffles nothing; ranking is the bounded-heap
     * [[topKPerQuery]]. */
   def pqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      m: Int = 8, codebookSize: Int = 16, dimParam: Int = 0): DataFrame = {
-    val (codes, qtab) = pqCodesAndQueryTables(s, dir, nQueries, m,
-      codebookSize, dimParam)
+      m: Int = 8, codebookSize: Int = 16, dimParam: Int = 0,
+      shared: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // `shared`: a caller-materialized (codes, qtab) pair — the s19
+    // audit seam: the encode pass is an index-build cost, and an
+    // audit running several PQ members over the SAME codebook params
+    // should pay it once, not once per member
+    val (codes, qtab) = shared.getOrElse(
+      pqCodesAndQueryTables(s, dir, nQueries, m, codebookSize, dimParam))
     // ADC scan: m in-row map lookups per candidate, summed in j order
     val scored = codes.crossJoin(broadcast(qtab))
       .filter(col("q_id") =!= col("vec_id"))
@@ -2163,7 +2168,8 @@ object Similarity {
     * exist to measure. */
   def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, nlist: Int = 32, nprobe: Int = 4, m: Int = 8,
-      codebookSize: Int = 16, dimParam: Int = 0): DataFrame = {
+      codebookSize: Int = 16, dimParam: Int = 0,
+      shared: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val cent = seededCentroids(emb, nlist)
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -2175,8 +2181,8 @@ object Similarity {
     val cand = assign.join(broadcast(probes), "cell")
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id")
-    val (codes, qtab) = pqCodesAndQueryTables(s, dir, nQueries, m,
-      codebookSize, dimParam)
+    val (codes, qtab) = shared.getOrElse(
+      pqCodesAndQueryTables(s, dir, nQueries, m, codebookSize, dimParam))
     val scored = cand
       .join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
       .join(broadcast(qtab), "q_id")
@@ -2332,10 +2338,18 @@ object Similarity {
       k: Int = 5): DataFrame = {
     val truth = nativeTopK(s, dir, nQueries, k)
       .select("q_id", "c_id").localCheckpoint(eager = false)
+    // ONE PQ encode pass feeds both quantization members (s09's full
+    // ADC scan and s18's cell-pruned one): the per-vector code table
+    // is an index-build artifact, identical for both, so the audit
+    // materializes it once instead of paying the corpus encode twice
+    val (codesRaw, qtabRaw) = pqCodesAndQueryTables(s, dir, nQueries,
+      m = 8, codebookSize = 16, dimParam = 0)
+    val sharedPq = Some((codesRaw.localCheckpoint(eager = false),
+      qtabRaw.localCheckpoint(eager = false)))
     val methods = Seq(
       "s08_sq" -> sqTopK(s, dir, nQueries, k),
-      "s09_pq" -> pqTopK(s, dir, nQueries, k),
-      "s18_ivfpq" -> ivfPqTopK(s, dir, nQueries, k))
+      "s09_pq" -> pqTopK(s, dir, nQueries, k, shared = sharedPq),
+      "s18_ivfpq" -> ivfPqTopK(s, dir, nQueries, k, shared = sharedPq))
     val per = methods.map { case (name, df) =>
       df.select("q_id", "c_id").join(truth, Seq("q_id", "c_id"))
         .agg(count(lit(1)).as("n_hits"))
