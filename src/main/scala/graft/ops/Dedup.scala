@@ -85,6 +85,28 @@ object Dedup {
     array_distinct(transform(sequence(lit(0), size(w) - n),
       i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(n))))))
 
+  /** [[sketchSets]] keeping EVERY document — short docs carry an
+    * empty `hs` (they cannot shingle, so they never pair; callers
+    * feed the LSH stage `filter(n_sh > 0)`, which is exactly the
+    * row set [[sketchSets]] emits) — plus caller-computed carry
+    * columns riding the one scan (lang, n_chars, quality, token
+    * counts). The d16 one-scan discipline generalized: a survivor
+    * summary or funnel whose FINAL aggregation needs the whole
+    * corpus used to re-scan and re-tokenize the text per stage; now
+    * ONE checkpointed projection feeds sketching and every summary
+    * column, so the corpus text is read and tokenized exactly once
+    * per query. `docs` must hold doc_id, text, and the `carry`
+    * columns (already computed — this body only tokenizes). */
+  private[ops] def sketchSetsAllDocs(docs: DataFrame, n: Int,
+      carry: Seq[String]): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs.select(col("doc_id") +: carry.map(col) :+ toks.as("w"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        when(size(col("w")) >= n, shingleHashArr(col("w"), n))
+          .otherwise(array().cast("array<bigint>")).as("hs"): _*)
+      .withColumn("n_sh", size(col("hs")).cast("long"))
+  }
+
   /** Exact dedup via content fingerprint, first-wins (lowest doc_id
     * survives), summarized per lang. */
   def exactDedupByLang(s: SparkSession, dir: String): DataFrame = {
@@ -626,6 +648,11 @@ object Dedup {
     val dropped = connectedComponents(edges)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("doc_id"))
+    // the survivor summary deliberately RE-reads the parquet table:
+    // it needs only (doc_id, lang, n_chars) — a column-pruned scan —
+    // where routing it through the sketch checkpoint would drag the
+    // shingle arrays through every row (LogicalRDD has no column
+    // pruning); measured, the pruned re-scan wins at every SF
     t(s, dir, "documents")
       .join(dropped, Seq("doc_id"), "left_anti")
       .groupBy("lang")
@@ -650,10 +677,20 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     val pairs = minhashLshPairs(s, dir, n, threshold = threshold)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // the quality column is consumed twice (election + survivor
+    // summary) and costs a full tokenize per derivation — checkpoint
+    // the NARROW (doc_id, lang, n_chars, q) frame once, so the text
+    // is scored exactly once and both consumers read 30-byte rows.
+    // (Deliberately NOT fused into the sketch checkpoint: LogicalRDD
+    // has no column pruning, so riding the shingle arrays along would
+    // cost more than this one narrow frame — the d08 re-scan note.)
     val quality = t(s, dir, "documents").select(col("doc_id"),
+      col("lang"), col("n_chars"),
       TextAnalysis.qualityScore(col("text")).as("q"))
+      .localCheckpoint(eager = false)
     val members = connectedComponents(edges)
-      .join(quality, col("id") === quality("doc_id"))
+      .join(quality.select(col("doc_id"), col("q")),
+        col("id") === col("doc_id"))
       .select(col("id"), col("cluster"), col("q"))
     val canon = members.groupBy("cluster")
       .agg(max(struct(col("q"), (-col("id")).as("neg_id"))).as("m"))
@@ -661,9 +698,7 @@ object Dedup {
     val dropped = members.join(canon, "cluster")
       .filter(col("id") =!= col("keep_id"))
       .select(col("id").as("doc_id"))
-    t(s, dir, "documents")
-      .join(quality.select(col("doc_id").as("qid"), col("q")),
-        col("doc_id") === col("qid"))
+    quality
       .join(dropped, Seq("doc_id"), "left_anti")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -1151,16 +1186,12 @@ object Dedup {
     // being filtered out, because stage 0's totals count them. The
     // old shape paid two full text scans + tokenizations (one for
     // fp/nt, one inside minhashLshPairs).
-    val toks = split(trim(col("text")), "\\s+")
-    val fused = t(s, dir, "documents")
-      .select(col("doc_id"),
+    val fused = sketchSetsAllDocs(
+      t(s, dir, "documents").select(col("doc_id"),
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
         graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
-        toks.as("w"))
-      .select(col("doc_id"), col("fp"), col("nt"),
-        when(size(col("w")) >= n, shingleHashArr(col("w"), n))
-          .otherwise(array().cast("array<bigint>")).as("hs"))
-      .withColumn("n_sh", size(col("hs")).cast("long"))
+        col("text")),
+      n, carry = Seq("fp", "nt"))
       .localCheckpoint(eager = false)
     val docs = fused.select("doc_id", "fp", "nt")
     val exDrop = docs.groupBy("fp")
