@@ -2094,35 +2094,41 @@ object Similarity {
       .select(col("jexp").as("j"), col("cexp").as("c"),
         when(col("cw").isNull, raise_error(missingMsg)).otherwise(col("cw")).as("cw"),
         when(col("cw").isNull, raise_error(missingMsg)).otherwise(col("norm2")).as("norm2"))
-    // encode: per (vec, subspace) argmin over the broadcast codebook,
-    // computed IN-ROW against the codebook collapsed to ONE
-    // broadcastable row ((j, c)-sorted, so subspace j's codewords are
-    // exactly the array slice [j·codebookSize, +codebookSize)) — the
-    // [[seededAssign]] in-row-argmax discipline applied to PQ. The
-    // old shape melted the corpus ×m and paid TWO corpus-sized
-    // exchanges (min-of-struct is not hash-aggregable, so each was a
-    // Sort + Exchange + SortAggregate); here encoding is one map-side
-    // scan with zero shuffles. Value-identical: same r4(L2²) per
-    // (subvector, codeword) — `array_min` over struct(d, c, n2) is
-    // the same (d asc, c asc) lexicographic argmin as the old
-    // min(struct) aggregation, and the j-order fold of norm² is now
-    // literally the array order.
-    val cbRow = cb.agg(array_sort(collect_list(struct(col("j"), col("c"),
-      col("cw"), col("norm2")))).as("cbs"))
-    val codes = emb.crossJoin(broadcast(cbRow))
+    // encode: per (vec, subspace) argmin over the broadcast codebook —
+    // min of an orderable struct (r4(L2²), codeword id), the ivfTopK
+    // assignment shape per subspace. NOTE (r19-opt): two in-row
+    // reformulations (the seededAssign one-row-codebook argmax, and
+    // an explode-then-in-row-argmin hybrid keeping sv an attribute)
+    // were built, verified hash-identical, and REVERTED: neither
+    // reliably beat this shape at ×16 (same-context 2-pass A/B:
+    // hybrid lost s09 by ~14% and won s18 by ~13% — within the
+    // session's noise band — and the fully-in-row form hit the r17
+    // inline-quadratic trap outright, ~1.5× on s09: a lambda-bound
+    // slice() re-evaluates per codeword). Per-codeword work here is
+    // interpreted zip_with/aggregate lambdas, so nesting it inside a
+    // transform/array_min loop buys back little of the two narrow
+    // sort-aggregate exchanges it removes (the r16 codegen lesson;
+    // contrast seededAssign, whose per-element work is one compiled
+    // kernel call and whose in-row form measurably wins).
+    val enc = emb
+      .select(col("vec_id"), explode(subspaces(col("emb"))).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+      .join(broadcast(cb), "j")
+      .select(col("vec_id"), col("j"),
+        struct(r4(dot(zip_with(col("sv"), col("cw"), (x, y) => x - y),
+          zip_with(col("sv"), col("cw"), (x, y) => x - y))).as("d"),
+          col("c"), col("norm2")).as("cand"))
+      .groupBy("vec_id", "j").agg(min("cand").as("best"))
+      .select(col("vec_id"), col("j"), col("best.c").as("code"),
+        col("best.norm2").as("n2"))
+    // one row per vector: j-ordered code array + reconstructed norm²
+    // (folded in j order — deterministic, matching the oracle's
+    // list_sum over an ORDER BY j list)
+    val codes = enc.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("code"), col("n2")))).as("cj"))
       .select(col("vec_id"),
-        transform(sequence(lit(0), lit(m - 1)), j => {
-          val sv = slice(col("emb"), j * w + 1, lit(w))
-          array_min(transform(
-            slice(col("cbs"), j * codebookSize + 1, lit(codebookSize)),
-            e => struct(
-              r4(dot(zip_with(sv, e("cw"), (x, y) => x - y),
-                zip_with(sv, e("cw"), (x, y) => x - y))).as("d"),
-              e("c").as("c"), e("norm2").as("n2"))))
-        }).as("bests"))
-      .select(col("vec_id"),
-        transform(col("bests"), b => b("c")).as("codes"),
-        aggregate(transform(col("bests"), b => b("n2")), lit(0.0),
+        transform(col("cj"), x => x("code")).as("codes"),
+        aggregate(transform(col("cj"), x => x("n2")), lit(0.0),
           (acc, v) => acc + v).as("vnorm2"))
     // per-query ADC table: dot(query subvector, codeword) for every
     // (subspace, codeword), as a broadcastable lookup map; plus ‖q‖.
