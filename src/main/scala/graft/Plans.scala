@@ -14,6 +14,10 @@ object Plans {
     val (outDir, suffix, only) = args match {
       case Array(a, b)    => (a, b, None)
       case Array(a, b, f) => (a, b, Some(f.split(",").filter(_.nonEmpty).toSet))
+      case _ =>
+        System.err.println(
+          "usage: graft.Plans <outDir> <suffix> [name,name,...]")
+        sys.exit(2)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,12 +31,21 @@ object Plans {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // same pre-built artifacts as Bench: the plans must describe the
-    // artifact-served reads the bench times, not inline rebuilds
-    try graft.ops.Similarity.ensureIvfIndex(spark, sfDir) catch { case _: Throwable => }
-    try graft.ops.Similarity.ensureSemanticIndex(spark, sfDir) catch { case _: Throwable => }
-    try graft.ops.Similarity.ensureCodebook(spark, sfDir) catch { case _: Throwable => }
-    try graft.ops.Similarity.ensureTrainedIvfIndex(spark, sfDir) catch { case _: Throwable => }
-    try graft.ops.TextAnalysis.ensureBpeModel(spark, sfDir) catch { case _: Throwable => }
+    // artifact-served reads the bench times, not inline rebuilds.
+    // NonFatal only, and LOUD: a plan pair dumped without artifacts
+    // silently describes inline-rebuild plans — the drift this tool
+    // exists to prevent — so a failed build must be visible in the
+    // dump log.
+    def setup(name: String)(build: => Unit): Unit =
+      try build catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[plans] WARN $name failed — dumped plans " +
+          s"describe INLINE-REBUILD shapes for its queries: $e")
+      }
+    setup("ensureIvfIndex")(graft.ops.Similarity.ensureIvfIndex(spark, sfDir))
+    setup("ensureSemanticIndex")(graft.ops.Similarity.ensureSemanticIndex(spark, sfDir))
+    setup("ensureCodebook")(graft.ops.Similarity.ensureCodebook(spark, sfDir))
+    setup("ensureTrainedIvfIndex")(graft.ops.Similarity.ensureTrainedIvfIndex(spark, sfDir))
+    setup("ensureBpeModel")(graft.ops.TextAnalysis.ensureBpeModel(spark, sfDir))
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
