@@ -85,5 +85,15 @@ private[graft] object Kernels {
       { exprs =>
         arity("sorted_lookup(keys, vals, key)", 3, exprs)
         SortedLookupExpr(exprs(0), exprs(1), exprs(2))
+      }),
+    KernelDef("pq_encode", classOf[PqEncodeExpr],
+      { exprs =>
+        arity("pq_encode(emb, cwflat, norm2s, m, codebook_size)", 5, exprs)
+        val m = intLit(exprs(3), "pq_encode", "m")
+        val cs = intLit(exprs(4), "pq_encode", "codebook_size")
+        if (m < 1 || cs < 1)
+          analysisError("pq_encode: m and codebook_size must be >= 1; " +
+            s"got m=$m, codebook_size=$cs")
+        PqEncodeExpr(exprs(0), exprs(1), exprs(2), m, cs)
       }))
 }

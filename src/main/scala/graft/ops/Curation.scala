@@ -92,7 +92,7 @@ object Curation {
 
   /** Per-stratum quality quota: keep the `k` highest-quality docs per
     * lang — the "best N per domain" curation stage. Ranking reuses the
-    * bounded-heap [[graft.functions.TopKAggregator]] (O(k) state and
+    * bounded-heap [[TopKRowsAgg]] kernel (O(k) state and
     * shuffle bytes per stratum on both aggregation sides) rather than
     * a per-lang window: at 100 TB a stratum holds billions of docs and
     * a window would sort ALL of them to cut at k. Tie-break (quality
@@ -100,21 +100,17 @@ object Curation {
     * window's `ORDER BY q DESC, doc_id`, which is what the DuckDB
     * oracle runs. */
   def qualityQuota(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    import s.implicits._
-    import graft.functions.{Scored, TopKAggregator}
+    // r20: native TopKRowsAgg kernel replaces the typed Aggregator —
+    // same bounded heap and (q desc, doc_id asc) order, no
+    // row↔object conversion stage (see Similarity.topKPerQuery)
     t(s, dir, "documents")
-      .select(col("lang"), col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("q"))
-      .as[(String, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => Scored(r._2, r._3))
-      .agg(new TopKAggregator(k).toColumn)
-      .flatMap { case (lang, tops) =>
-        tops.zipWithIndex.map { case (sc, i) =>
-          (lang, (i + 1).toLong, sc.id, sc.score)
-        }
-      }
-      .toDF("lang", "rnk", "doc_id", "quality")
+      .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+        TextAnalysis.qualityScore(col("text")).cast("double").as("q"))
+      .groupBy("lang")
+      .agg(TopKRows(k, col("doc_id"), col("q")).as("tops"))
+      .select(col("lang"), posexplode(col("tops")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"), col("col.score").as("quality"))
       .orderBy("lang", "rnk")
   }
 

@@ -47,7 +47,19 @@ object Dedup {
     * Jaccard over hashed shingle sets equals Jaccard over the strings
     * up to xxhash64 collisions — P(any collision) ≈ m²/2⁶⁵ ≈ 10⁻⁸ at a
     * million distinct shingles. Output: (doc_id, hs Array[Long],
-    * n_sh). */
+    * n_sh).
+    *
+    * Lazy-checkpoint discipline (applies to EVERY
+    * `localCheckpoint(eager = false)` consumer of these frames, noted
+    * once here): lazy local checkpoints snapshot data as-of the FIRST
+    * action. That is safe because (a) every checkpointed frame in
+    * this library is DETERMINISTIC (pure functions of the parquet
+    * inputs — a future rand()-based stage must NOT copy the
+    * eager=false pattern: under task retries a concurrent consumer
+    * branch could observe values the checkpoint didn't snapshot), and
+    * (b) every first consumer is a full aggregate/join — a
+    * limit-shaped first consumer would materialize only the partitions
+    * the limit touched and is a correctness hazard. */
   def shingleHashSets(docs: DataFrame, n: Int,
       carry: Seq[String] = Seq.empty): DataFrame =
     sketchSets(docs, n, carry, withSimhash = false)

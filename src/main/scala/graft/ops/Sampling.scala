@@ -286,7 +286,7 @@ object Sampling {
     * corpus preserves previously-drawn rows unless pushed out.
     *
     * Scale design: the per-stratum cut reuses the bounded-heap
-    * [[graft.functions.TopKAggregator]] (the c05 discipline — O(k)
+    * [[TopKRowsAgg]] kernel (the c05 discipline — O(k)
     * state and shuffle bytes per stratum on BOTH aggregation sides);
     * a per-source window would sort a billion-row stratum to cut at
     * k. Ranking uses the first 13 md5 hex chars as an exact-in-double
@@ -294,20 +294,22 @@ object Sampling {
     * lowercase hex prefix lexicographically — identical order, ties
     * (coincident 13-char prefixes) broken by doc_id on both sides. */
   def stratifiedFixedSample(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import s.implicits._
-    import graft.functions.{Scored, TopKAggregator}
+    // r20: native TopKRowsAgg kernel replaces the typed Aggregator —
+    // same bounded heap, no row↔object conversion stage (see
+    // Similarity.topKPerQuery). Score is the NEGATED draw (the
+    // heap keeps highest score first = lowest draw first), exactly
+    // the old `Scored(id, -draw.toDouble)`; draws are 52-bit so the
+    // long→double negation is exact.
     t(s, dir, "documents")
-      .select(col("source"), col("doc_id"),
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
         conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
           .cast("long").as("draw"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => Scored(r._2, -r._3.toDouble))
-      .agg(new TopKAggregator(k).toColumn)
-      .flatMap { case (src, tops) =>
-        tops.zipWithIndex.map { case (sc, i) => (src, (i + 1).toLong, sc.id) }
-      }
-      .toDF("source", "rnk", "doc_id")
+      .groupBy("source")
+      .agg(TopKRows(k, col("doc_id"),
+        -(col("draw").cast("double"))).as("tops"))
+      .select(col("source"), posexplode(col("tops")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"))
       .orderBy("source", "rnk")
   }
 

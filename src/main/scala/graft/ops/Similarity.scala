@@ -89,7 +89,7 @@ object Similarity {
   }
 
   /** Rank a (q_id, c_id, sim) frame to top-k per query with the
-    * bounded-heap [[graft.functions.TopKAggregator]] — O(k) state and
+    * bounded-heap [[TopKRowsAgg]] kernel — O(k) state and
     * shuffle bytes per query on BOTH the partial (map) and final
     * (reduce) aggregation sides, where the `row_number` window must
     * shuffle and sort every candidate of a group before cutting at k.
@@ -100,17 +100,25 @@ object Similarity {
     * formulations is byte-identical. */
   private def topKPerQuery(s: SparkSession, scored: DataFrame, k: Int,
       sorted: Boolean = true): DataFrame = {
-    import s.implicits._
-    import graft.functions.{Scored, TopKAggregator}
-    val ranked = scored.select(col("q_id"), col("c_id"), col("sim"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => Scored(r._2, r._3))
-      .agg(new TopKAggregator(k).toColumn)
-      .flatMap { case (q, tops) =>
-        tops.zipWithIndex.map { case (sc, i) => (q, (i + 1).toLong, sc.id, sc.score) }
-      }
-      .toDF("q_id", "rnk", "c_id", "sim")
+    // r20: the typed-Aggregator formulation (groupByKey + mapValues +
+    // agg + flatMap) ran under DeserializeToObject/AppendColumns/
+    // SerializeFromObject — every candidate row converted Tungsten →
+    // Scala tuple → Tungsten, the one non-codegen stage on every ANN
+    // ranking path. The native [[TopKRowsAgg]] kernel keeps the same
+    // bounded heap (same (sim desc, c_id asc) order, same O(k) state
+    // both aggregation sides) but reads rows directly; results are
+    // bit-identical (TopKRowsSpec pins the matrix, the 25 consumer
+    // oracles pin the paths). The casts replicate the old
+    // `as[(Long, Long, Double)]` conversions (no-ops when already
+    // long/double).
+    val ranked = scored.select(col("q_id").cast("long").as("q_id"),
+        col("c_id").cast("long").as("c_id"),
+        col("sim").cast("double").as("sim"))
+      .groupBy("q_id")
+      .agg(TopKRows(k, col("c_id"), col("sim")).as("tops"))
+      .select(col("q_id"), posexplode(col("tops")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("c_id"), col("col.score").as("sim"))
     // the presentation sort is for terminal results only — mid-plan
     // callers (IVF probe selection) immediately re-join and would pay
     // the exchange+sort for nothing
@@ -222,8 +230,21 @@ object Similarity {
     * array of (cell, cemb) structs, nlist×dim floats regardless of
     * corpus size. The static half of [[seededAssign]]'s in-row argmax. */
   private def seededCodebookRow(cent: DataFrame): DataFrame =
+    // Empty-codebook guard (r19 advisory): with zero seed vectors the
+    // old crossJoin+groupBy shape produced zero rows, but the one-row
+    // collected form would yield cents=[] and assign every corpus row
+    // cell=NULL — harmless for probe joins (null never matches) but
+    // buildIvfIndex would write a cell=null partition instead of
+    // nothing. The raise_error lives INSIDE `cents` (the data
+    // dependency of every assignment), so a seedless corpus fails
+    // loudly at first action instead of degrading; costs one branch
+    // on a ONE-ROW frame, nothing corpus-sized.
     cent.agg(collect_list(struct(col("cent_id").as("cell"),
-      col("cent_emb").as("cemb"))).as("cents"))
+      col("cent_emb").as("cemb"))).as("c0"))
+      .select(when(size(col("c0")) === 0, raise_error(lit(
+        "seededCodebookRow: no seed centroids — corpus lacks vec_ids " +
+          "in the seed range [100, 100+nlist)"))).otherwise(col("c0"))
+        .as("cents"))
 
   /** Cell assignment with the vector carried IN-ROW: (c_id, cell,
     * c_emb). Nearest centroid by (r4 sim desc, cent_id asc), computed
@@ -1999,7 +2020,8 @@ object Similarity {
     * lookup maps and shuffles nothing; ranking is the bounded-heap
     * [[topKPerQuery]]. */
   def pqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      m: Int = 8, codebookSize: Int = 16, dimParam: Int = 0,
+      m: Int = PqM, codebookSize: Int = PqCodebookSize,
+      dimParam: Int = PqDimParam,
       shared: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     // `shared`: a caller-materialized (codes, qtab) pair — the s19
     // audit seam: the encode pass is an index-build cost, and an
@@ -2014,6 +2036,17 @@ object Similarity {
         adcSim(m, codebookSize).as("sim"))
     topKPerQuery(s, scored, k)
   }
+
+  /** The ONE set of PQ hyperparameter defaults. [[pqTopK]] (s09),
+    * [[ivfPqTopK]] (s18) and [[quantRecallAudit]] (s19) all read
+    * THESE constants, so the audit can never silently measure a
+    * different quantization config than the standalone queries it
+    * certifies (r19 advisory: the audit hardcoded its own copy of
+    * the defaults, which would drift invisibly if either signature
+    * changed). */
+  private[graft] val PqM = 8
+  private[graft] val PqCodebookSize = 16
+  private[graft] val PqDimParam = 0
 
   /** The ADC cosine for one candidate row: m in-row lookups into the
     * broadcast per-query table, summed in j order, normalized by
@@ -2094,42 +2127,35 @@ object Similarity {
       .select(col("jexp").as("j"), col("cexp").as("c"),
         when(col("cw").isNull, raise_error(missingMsg)).otherwise(col("cw")).as("cw"),
         when(col("cw").isNull, raise_error(missingMsg)).otherwise(col("norm2")).as("norm2"))
-    // encode: per (vec, subspace) argmin over the broadcast codebook —
-    // min of an orderable struct (r4(L2²), codeword id), the ivfTopK
-    // assignment shape per subspace. NOTE (r19-opt): two in-row
-    // reformulations (the seededAssign one-row-codebook argmax, and
-    // an explode-then-in-row-argmin hybrid keeping sv an attribute)
-    // were built, verified hash-identical, and REVERTED: neither
-    // reliably beat this shape at ×16 (same-context 2-pass A/B:
-    // hybrid lost s09 by ~14% and won s18 by ~13% — within the
-    // session's noise band — and the fully-in-row form hit the r17
-    // inline-quadratic trap outright, ~1.5× on s09: a lambda-bound
-    // slice() re-evaluates per codeword). Per-codeword work here is
-    // interpreted zip_with/aggregate lambdas, so nesting it inside a
-    // transform/array_min loop buys back little of the two narrow
-    // sort-aggregate exchanges it removes (the r16 codegen lesson;
-    // contrast seededAssign, whose per-element work is one compiled
-    // kernel call and whose in-row form measurably wins).
-    val enc = emb
-      .select(col("vec_id"), explode(subspaces(col("emb"))).as("s"))
-      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-      .join(broadcast(cb), "j")
-      .select(col("vec_id"), col("j"),
-        struct(r4(dot(zip_with(col("sv"), col("cw"), (x, y) => x - y),
-          zip_with(col("sv"), col("cw"), (x, y) => x - y))).as("d"),
-          col("c"), col("norm2")).as("cand"))
-      .groupBy("vec_id", "j").agg(min("cand").as("best"))
-      .select(col("vec_id"), col("j"), col("best.c").as("code"),
-        col("best.norm2").as("n2"))
-    // one row per vector: j-ordered code array + reconstructed norm²
-    // (folded in j order — deterministic, matching the oracle's
-    // list_sum over an ORDER BY j list)
-    val codes = enc.groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("j"), col("code"), col("n2")))).as("cj"))
-      .select(col("vec_id"),
-        transform(col("cj"), x => x("code")).as("codes"),
-        aggregate(transform(col("cj"), x => x("n2")), lit(0.0),
-          (acc, v) => acc + v).as("vnorm2"))
+    // encode: the codegen [[graft.functions.PqEncodeExpr]] kernel —
+    // one fused compiled loop per row over the one-row broadcast
+    // codebook, ZERO exchanges. Replaces (r20) the melt → broadcast
+    // join → struct-argmin aggregate → collect_list shape, which paid
+    // two corpus-sized Sort + Exchange + SortAggregate rounds per
+    // encode. History: the r19-opt round tried the in-row form
+    // WITHOUT codegen (interpreted zip_with/aggregate lambdas nested
+    // in transform/array_min) and correctly reverted it — a
+    // lambda-bound slice() re-evaluates per codeword, ~1.5× worse at
+    // ×16. The kernel is the follow-up that experiment queued: the
+    // per-codeword work is one compiled loop (the seededAssign
+    // profile, where in-row wins). Value identity is argued at the
+    // kernel (same fold order, same r4 sequence, same argmin
+    // tie-break) and pinned by the s09/s18/s19 oracles end to end.
+    // The codebook collapses to ONE broadcastable row: codewords
+    // flattened j-major (the sort key (j, c) is the struct's leading
+    // fields), norms at j·codebookSize + c. The incomplete-codebook
+    // raise_error still rides inside cw/norm2 — collect_list is a
+    // data dependency of every encoded row, unprunable.
+    val cbRow = cb
+      .agg(array_sort(collect_list(struct(col("j"), col("c"), col("cw"),
+        col("norm2")))).as("e"))
+      .select(flatten(transform(col("e"), x => x("cw"))).as("cwflat"),
+        transform(col("e"), x => x("norm2")).as("norm2s"))
+    val codes = emb.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), graft.functions.PqEncode(col("emb"),
+        col("cwflat"), col("norm2s"), m, codebookSize).as("pe"))
+      .select(col("vec_id"), col("pe.codes").as("codes"),
+        col("pe.vnorm2").as("vnorm2"))
     // per-query ADC table: dot(query subvector, codeword) for every
     // (subspace, codeword), as a broadcastable lookup map; plus ‖q‖.
     // Plain inner join: `cb` already certified itself complete above.
@@ -2173,8 +2199,8 @@ object Similarity {
     * ranking error) — the trade the curve advisories (s17, d13)
     * exist to measure. */
   def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5, nlist: Int = 32, nprobe: Int = 4, m: Int = 8,
-      codebookSize: Int = 16, dimParam: Int = 0,
+      k: Int = 5, nlist: Int = 32, nprobe: Int = 4, m: Int = PqM,
+      codebookSize: Int = PqCodebookSize, dimParam: Int = PqDimParam,
       shared: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val cent = seededCentroids(emb, nlist)
@@ -2349,7 +2375,7 @@ object Similarity {
     // is an index-build artifact, identical for both, so the audit
     // materializes it once instead of paying the corpus encode twice
     val (codesRaw, qtabRaw) = pqCodesAndQueryTables(s, dir, nQueries,
-      m = 8, codebookSize = 16, dimParam = 0)
+      m = PqM, codebookSize = PqCodebookSize, dimParam = PqDimParam)
     val sharedPq = Some((codesRaw.localCheckpoint(eager = false),
       qtabRaw.localCheckpoint(eager = false)))
     val methods = Seq(

@@ -293,7 +293,19 @@ class FunctionsSpec extends SparkSpec {
       "sorted_lookup" -> Seq(
         e(array(lit("ka"), lit("kb"), lit("kc"))),
         e(array(col("a"), col("b"), col("c"))),
-        e(lit("kb"))))
+        e(lit("kb"))),
+      // m=4 subspaces × 2 codewords over the 16-dim emb (w=4):
+      // cwflat 4·2·4 = 32 doubles, norm2s 8 doubles, data-dependent
+      // so the kernel lands in the WholeStageCodegen template
+      "pq_encode" -> Seq(
+        e(col("emb")),
+        e(transform(sequence(lit(0), lit(31)), i =>
+          pmod(xxhash64(col("id"), i, lit("cw")), lit(1000L)).cast("double")
+            / 500.0 - 1.0)),
+        e(transform(sequence(lit(0), lit(7)), i =>
+          pmod(xxhash64(col("id"), i, lit("n2")), lit(1000L)).cast("double")
+            / 100.0)),
+        Literal(4), Literal(2)))
     assert(sampleArgs.keySet == Kernels.all.map(_.sqlName).toSet,
       "every manifest kernel needs sample args here (and no strays)")
     def allKernels = df.select(col("id") +: Kernels.all.map(k =>

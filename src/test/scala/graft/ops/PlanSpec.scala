@@ -121,7 +121,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "codebook crosses must be broadcast nested loops, never a shuffled cartesian")
     assert(!finalOnly(p).contains("Window"), "s20 plans a Window sort")
-    assert(p.contains("TopKAggregator"), "s20 missing the typed top-k aggregate")
+    assert(p.contains("topk_rows"), "s20 missing the bounded-heap topk_rows kernel")
   }
 
   test("s30: the label predicate is pushed into the index parquet scan — " +
@@ -139,7 +139,7 @@ class PlanSpec extends SparkSpec {
       s"label predicate must be pushed into the index scan:\n$p")
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"the pushed filter must not cost the DPP cell pruning:\n$p")
-    assert(p.contains("TopKAggregator"), "s30 missing the typed top-k heap")
+    assert(p.contains("topk_rows"), "s30 missing the bounded-heap topk_rows kernel")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "s30 must keep s29's broadcast-only join shape")
   }
@@ -155,7 +155,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "codebook crosses must be broadcast nested loops, never shuffled")
     assert(!finalOnly(p).contains("Window"), "s31 plans a Window sort")
-    assert(p.contains("TopKAggregator"), "s31 missing the typed top-k aggregate")
+    assert(p.contains("topk_rows"), "s31 missing the bounded-heap topk_rows kernel")
   }
 
   test("sketch signatures run as native kernels, not interpreted lambda folds") {
@@ -191,7 +191,7 @@ class PlanSpec extends SparkSpec {
       df.collect()
       val p = finalOnly(df.queryExecution.executedPlan.toString)
       assert(!p.contains("Window"), s"$name plans a Window sort")
-      assert(p.contains("TopKAggregator"), s"$name missing the typed top-k aggregate")
+      assert(p.contains("topk_rows"), s"$name missing the bounded-heap topk_rows kernel")
     }
   }
 
@@ -239,7 +239,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "the (mins,maxs) row must broadcast")
     assert(!p.contains("Window"), "s08 plans a Window sort")
-    assert(p.contains("TopKAggregator"), "s08 missing the typed top-k aggregate")
+    assert(p.contains("topk_rows"), "s08 missing the bounded-heap topk_rows kernel")
   }
 
   test("s09: codebook and ADC tables broadcast; ranking is the bounded heap") {
@@ -248,7 +248,7 @@ class PlanSpec extends SparkSpec {
     val p = finalOnly(df.queryExecution.executedPlan.toString)
     assert(p.contains("BroadcastExchange"), "codebook/ADC tables must broadcast")
     assert(!p.contains("Window"), "s09 plans a Window sort")
-    assert(p.contains("TopKAggregator"), "s09 missing the typed top-k aggregate")
+    assert(p.contains("topk_rows"), "s09 missing the bounded-heap topk_rows kernel")
   }
 
   test("s18: probes and ADC tables broadcast; ranking is the bounded heap") {
@@ -258,7 +258,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"),
       "centroids/probes/codebook/ADC tables must broadcast")
     assert(!p.contains("Window"), "s18 plans a Window sort")
-    assert(p.contains("TopKAggregator"), "s18 missing the typed top-k aggregate")
+    assert(p.contains("topk_rows"), "s18 missing the bounded-heap topk_rows kernel")
   }
 
   test("c07: the PII scrub plans no shuffle before the per-lang summary") {
