@@ -195,10 +195,19 @@ object Curation {
       threshold: Double = 0.6, trainFrac: Double = 0.8,
       valFrac: Double = 0.1): DataFrame = {
     val docs = t(s, dir, "documents")
-    // ONE tokenize+hash pass feeds BOTH contamination and dedup: the
-    // checkpointed sets frame is the pipeline's working index (at
-    // 100 TB this is the difference between one and two corpus scans)
-    val sets = Dedup.shingleHashSets(docs, n, carry = Seq("source"))
+    // ONE tokenize+hash pass feeds contamination, dedup AND the final
+    // summary (r20; previously the summary re-scanned and re-tokenized
+    // the corpus text — at 100 TB the difference between one and two
+    // text passes). sketchSetsAllDocs keeps short docs (empty hs — they
+    // cannot shingle, so they are inert in the overlap explode and the
+    // n_sh>0 LSH filter below reproduces the old sketch row set
+    // exactly) and carries the summary's scalar columns (lang, n_chars)
+    // plus the token count from the same tokenize. The extra scalars
+    // cost the checkpoint three narrow columns; the summary in exchange
+    // reads ZERO parquet and tokenizes ZERO text.
+    val sets = Dedup.sketchSetsAllDocs(
+        docs.select("doc_id", "text", "source", "lang", "n_chars"), n,
+        carry = Seq("source", "lang", "n_chars"), withNTok = true)
       .localCheckpoint(eager = false)
     // checkpointed: consumed by BOTH the cleanSets anti-join and the
     // final corpus anti-join — left lazy, the second consumer would
@@ -210,7 +219,11 @@ object Curation {
     // checkpointed: minhashLshPairsFromSets consumes its sets three
     // times, and re-deriving them re-runs the contamination semi-join
     // per consumer (the FromSets contract — caller materializes)
-    val cleanSets = sets.filter(col("source") =!= benchSource)
+    // n_sh > 0 keeps exactly the rows the short-doc-filtering
+    // shingleHashSets used to emit (a doc shingles iff it has >= n
+    // tokens iff hs is non-empty)
+    val cleanSets = sets.filter(col("source") =!= benchSource &&
+        col("n_sh") > 0)
       .join(flagged, Seq("doc_id"), "left_anti")
       .select("doc_id", "hs", "n_sh")
       .localCheckpoint(eager = false)
@@ -219,13 +232,16 @@ object Curation {
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("doc_id"))
-    docs.filter(col("source") =!= benchSource)
+    // final summary off the SAME checkpoint: short docs are present
+    // (sketchSetsAllDocs keeps them), lang/n_chars/nt ride the one
+    // tokenize — no second corpus scan, no second tokenize
+    sets.filter(col("source") =!= benchSource)
       .join(flagged, Seq("doc_id"), "left_anti")
       .join(dropped, Seq("doc_id"), "left_anti")
       .withColumn("split", splitAssign(col("doc_id"), trainFrac, valFrac))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
-        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("sum_tokens"))
+        sum("nt").as("sum_tokens"))
       .orderBy("split", "lang")
   }
 

@@ -110,10 +110,16 @@ object Dedup {
     * per query. `docs` must hold doc_id, text, and the `carry`
     * columns (already computed — this body only tokenizes). */
   private[ops] def sketchSetsAllDocs(docs: DataFrame, n: Int,
-      carry: Seq[String]): DataFrame = {
+      carry: Seq[String], withNTok: Boolean = false): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
+    // nt = size(tokens(text)) derived from the SAME tokenize as the
+    // shingles (tokens ≡ split(trim, \s+) — TextAnalysis.tokens), so
+    // a summary consumer that needs the corpus token count reads it
+    // off this one scan instead of re-tokenizing the text (the c06
+    // second-tokenize fix; r4 of the d16 one-scan discipline)
+    val nt = if (withNTok) Seq(size(col("w")).cast("long").as("nt")) else Nil
     docs.select(col("doc_id") +: carry.map(col) :+ toks.as("w"): _*)
-      .select(col("doc_id") +: carry.map(col) :+
+      .select(col("doc_id") +: (carry.map(col) ++ nt) :+
         when(size(col("w")) >= n, shingleHashArr(col("w"), n))
           .otherwise(array().cast("array<bigint>")).as("hs"): _*)
       .withColumn("n_sh", size(col("hs")).cast("long"))
@@ -554,18 +560,24 @@ object Dedup {
     * it is built on).
     *
     * Driver-chattiness contract: ONE action per round. Each round's
-    * whole lineage (edge hop + doubling hop) materializes in a single
-    * `localCheckpoint` job, and the convergence sum rides that same
-    * job via `observe()` (a CollectMetrics accumulator) instead of a
-    * separate `.head` — on a 1000-executor cluster the loop costs
-    * rounds+2 scheduler round-trips, not 3× that. The edge hop is
-    * deliberately union-free (left join + `least` over the full label
-    * set, which is total over the vertex set by construction): the
-    * old `labels.union(msgs)` shape crashed Catalyst's Union
-    * constraint rewrite when the frontier later met itself in the
-    * doubling self-join (AttributeMap key-not-found, re-verified on
-    * Spark 4.1.2), which is what used to force a second per-round
-    * checkpoint. OpsSpec pins the action count with a
+    * whole lineage materializes in a single `localCheckpoint` job,
+    * and the convergence sum rides that same job via `observe()` (a
+    * CollectMetrics accumulator) instead of a separate `.head` — on a
+    * 1000-executor cluster the loop costs rounds+2 scheduler
+    * round-trips, not 3× that. r20 round shape: the edge-hop,
+    * pointer-jump and self messages UNION into one min-aggregation
+    * (two vertex-sized exchanges per round — the label-by-cluster
+    * pointer join and the message aggregation — and the pre-
+    * partitioned edge table never re-shuffles), replacing the
+    * hop → left-join → doubling-self-join chain. Union hazard note
+    * (why an earlier union shape was removed): `labels.union(msgs)`
+    * built from MID-LINEAGE frames crashed Catalyst's Union
+    * constraint rewrite when the frontier met itself in the doubling
+    * self-join (AttributeMap key-not-found, re-verified on Spark
+    * 4.1.2); the r20 union branches are all direct projections of
+    * the CHECKPOINTED LogicalRDD leaf, which does not trigger it
+    * (OpsSpec's chain/clique/converge matrix re-certifies every
+    * gate). OpsSpec pins the action count with a
     * QueryExecutionListener. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.Observation
@@ -579,9 +591,15 @@ object Dedup {
       val ckpt = df.observe(obs, sumExpr).localCheckpoint()
       (ckpt, obs.get("label_sum").asInstanceOf[java.math.BigDecimal])
     }
-    // undirected: propagate both ways
+    // undirected: propagate both ways. Pre-partitioned by src ONCE
+    // (r20): every round's edge hop joins on src — without this, the
+    // EDGE table (the largest per-round frame at corpus scale)
+    // re-shuffles every round; with it, only the vertex-sized label
+    // table moves (and at gate scale the labels broadcast, so the
+    // upfront repartition is the only edge movement at any scale).
     val bi = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint(eager = false)
     // init fused with the first edge hop: label₀(v) = min(v, minimum
     // neighbor) — the same single shuffle the plain vertex-set
@@ -593,22 +611,36 @@ object Dedup {
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      // hop 1: neighbor labels flow along edges; keep the min. `labels`
-      // is total over the vertex set, so a left join + least covers
-      // both "kept own label" and "took a neighbor's" without a union.
-      val msgMin = bi.join(labels, bi("src") === labels("id"))
-        .groupBy(col("dst").as("id")).agg(min("cluster").as("msg"))
-      val hopped = labels.join(msgMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("msg"), col("cluster"))).as("cluster"))
-      // hop 2 (pointer doubling): follow the label's own label; every
-      // label value is a vertex id present in `hopped`, and labels
-      // only decrease, so the lookup always lands and never regresses
+      // FUSED round (r20): edge-hop messages, pointer-jump messages
+      // and the self label all flow into ONE min-aggregation —
+      // label'(v) = min(l(v), min_{u→v} l(u), l(l(v))) — instead of
+      // the old hop → left-join → doubling-self-join chain (three
+      // vertex-sized operators, two of them keyed off the fresh hop).
+      // One aggregation exchange + one label-by-cluster join exchange
+      // per round, both vertex-sized; the edge table never moves (see
+      // `bi` above). Convergence/identity argument: labels are
+      // monotone non-increasing, every message stays inside the
+      // component, and a fixpoint of this update is constant along
+      // edges and closed under self-pointing — which forces the
+      // component minimum, the SAME fixpoint the hop+doubling round
+      // reaches (the round COUNT may differ by a constant; the
+      // convergence sum still strictly decreases until the fixpoint,
+      // and OpsSpec's chain bound pins the round budget). The pointer
+      // jump reads the PRE-hop labels (l(l(v)), not hop(hop(v))) —
+      // that is what lets the three message families share one
+      // shuffle. unionByName on three projections of the CHECKPOINTED
+      // frame (a LogicalRDD leaf) — not of mid-lineage frames, which
+      // is the shape that used to crash Catalyst's Union constraint
+      // rewrite (see the scaladoc note).
+      val selfMsgs = labels.select(col("id"), col("cluster").as("msg"))
+      val edgeMsgs = bi.join(labels, bi("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster").as("msg"))
+      val ptrMsgs = labels.toDF("pid", "pcl")
+        .join(labels.toDF("jid", "jcl"), col("pcl") === col("jid"))
+        .select(col("pid").as("id"), col("jcl").as("msg"))
       val (next, nextSum) = observedCheckpoint(
-        hopped
-          .join(hopped.select(col("id").as("cluster"),
-            col("cluster").as("cluster2")), "cluster")
-          .select(col("id"), least(col("cluster"), col("cluster2")).as("cluster")),
+        selfMsgs.unionByName(edgeMsgs).unionByName(ptrMsgs)
+          .groupBy("id").agg(min("msg").as("cluster")),
         s"cc_round_$iter")
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
