@@ -292,8 +292,20 @@ object Streams {
   def nearDupProbeStream(docs: DataFrame, corpus: DataFrame, n: Int = 5,
       bands: Int = 16, rows: Int = 2, threshold: Double = 0.6,
       withFingerprint: Boolean = false): DataFrame =
+    // r20: the inline-built index is lazily checkpointed — the static
+    // side of a stream-static join re-evaluates EVERY micro-batch, so
+    // without this the whole corpus re-sketched per batch (tokenize →
+    // shingles → minhash → melt ×bands). The checkpoint materializes
+    // inside batch 0's job and later batches read the blocks — zero
+    // static-side recomputation (StreamsSpec's accumulator witness).
+    // Snapshot semantics are this op's documented contract (the index
+    // is corpus-as-of-start; production uses the persisted bucketed
+    // layout via nearDupProbeStreamIndexed). The sketching lineage is
+    // deterministic — the eager=false precondition (see
+    // Dedup.sketchSets).
     nearDupProbeStreamIndexed(docs,
-      nearDupBandIndex(corpus, n, bands, rows, withFingerprint),
+      nearDupBandIndex(corpus, n, bands, rows, withFingerprint)
+        .localCheckpoint(eager = false),
       n, bands, rows, threshold)
 
   /** The static band index [[nearDupProbeStream]] probes, as a

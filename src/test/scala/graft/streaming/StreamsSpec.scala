@@ -510,6 +510,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupProbeStream: the static band index is sketched ONCE, " +
+      "not re-evaluated per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // accumulator-instrumented corpus: every evaluation of a corpus
+    // row bumps the counter, so a static side that re-sketches per
+    // batch doubles it — the r20 lazy-checkpoint contract says two
+    // micro-batches cost ONE corpus pass
+    val acc = s.sparkContext.longAccumulator("corpus_evals")
+    val corpus = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDS().map { r => acc.add(1); r }.toDF("doc_id", "text")
+    val mem = MemoryStream[Streams.Doc]
+    val q = Streams.nearDupProbeStream(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("probe_once")
+      .outputMode("append").start()
+    try {
+      mem.addData(Streams.Doc(101, ts(1), "en", "a b c d e f g h"))
+      q.processAllAvailable()
+      val afterFirst = acc.value
+      assert(afterFirst == 2L,
+        s"batch 0 must sketch the 2-doc corpus exactly once, saw $afterFirst evals")
+      mem.addData(Streams.Doc(104, ts(2), "en", "p q r s t u v w"))
+      q.processAllAvailable()
+      assert(acc.value == afterFirst,
+        s"batch 1 re-evaluated the static side: ${acc.value} corpus evals " +
+          s"after two batches (expected $afterFirst)")
+      // and the probe results are the indexed-path results
+      val all = s.sql("SELECT doc_a, doc_b, jaccard FROM probe_once ORDER BY doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(all.toList == List((1L, 101L, 1.0), (2L, 104L, 1.0)))
+    } finally q.stop()
+  }
+
   test("nearDupProbeStreamIndexed: a persisted prebuilt index gives identical results") {
     val s = spark
     import s.implicits._
