@@ -1925,17 +1925,21 @@ object Similarity {
     * constant dimension (mx == mn) dequantizes to that constant. */
   def sqTopK(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5): DataFrame = {
+    // r20: per-dim min/max via the one-pass [[MinMaxVecAgg]] kernel —
+    // O(dim) state per partition, ONE aggregation — instead of the
+    // posexplode melt, which materialized corpus×dim rows and paid
+    // two aggregation rounds (measured: ~30% of s08 at sf0.1). Values
+    // are identical by the kernel's melt-equivalence contract (same
+    // per-dim min/max doubles, shorter/null rows contribute exactly
+    // what the explode contributed). A flat 2·dim-scalar-aggregate
+    // formulation was tried first and REGRESSED ~1.4× — 128 aggregate
+    // buffer fields fall out of whole-stage codegen; the imperative
+    // kernel is the shape that wins (the TopKRowsAgg lesson).
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"),
         x => x.cast("double")).as("emb"))
-    val params = emb
-      .select(posexplode(col("emb")).as(Seq("dim", "v")))
-      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("pn"),
-        array_sort(collect_list(struct(col("dim"), col("mx")))).as("px"))
-      .select(transform(col("pn"), x => x("mn")).as("mins"),
-        transform(col("px"), x => x("mx")).as("maxs"))
+    val params = emb.groupBy().agg(MinMaxVec(col("emb")).as("mm"))
+      .select(col("mm.mins").as("mins"), col("mm.maxs").as("maxs"))
     // dequantized vector: deq_i = mn_i + code_i * (mx_i - mn_i) / 254,
     // code_i = floor((v_i - mn_i) / (mx_i - mn_i) * 254 + 0.5) ∈ [0,254]
     // (stored int8 as code_i - 127; the shift cancels in dequant)
