@@ -833,6 +833,20 @@ object Curation {
             i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
           .otherwise(array().cast("array<bigint>")).as(s"hs$n")): _*)
       .localCheckpoint(eager = false)
+    // NOTE (r20-opt): fusing the |ns| passes into one melt
+    // (explode(map(n → hs_n)) → one (n,h) semi-join → groupBy(n)) was
+    // built, oracle-verified, measured, and REVERTED: anchor-relative
+    // ~1.10× WORSE at sf0.1 — the map() melt copies all three hash
+    // arrays per row before exploding, which outweighs the saved
+    // per-branch stages at any volume where the explode dominates
+    // (total exploded rows are identical either way). Two traps for a
+    // re-attempt, priced on the way: (a) completing hitless sizes via
+    // a literal-n-frame LEFT JOIN reads 0.15× under the count-shaped
+    // bench because Catalyst eliminates a left join against a
+    // unique-key aggregate when no right column survives — the number
+    // is a lie (collect-mode measured 1.73 s); per-n GLOBAL aggs are
+    // the unprunable completion; (b) the per-branch shape below keeps
+    // hitless-n rows by construction. Keep the branches.
     ns.map { n =>
       val bench = sets.filter(col("source") === benchSource)
         .select(explode(col(s"hs$n")).as("h")).distinct()
