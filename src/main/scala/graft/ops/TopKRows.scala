@@ -63,6 +63,15 @@ private[graft] final class TopKState(val k: Int) {
   * paths) and the TopKRowsSpec bit-identity matrix vs the typed
   * aggregator.
   *
+  * Production note: like the typed Aggregator it replaces, this runs
+  * under `ObjectHashAggregate`, which falls back to sort-based
+  * aggregation past `spark.sql.objectHashAggregate.sortBased.
+  * fallbackThreshold` (default 128) distinct groups per task — state
+  * stays O(k) either way, but a deployment ranking millions of
+  * queries per task should raise the threshold or pre-partition by
+  * q_id. Not a regression: the conversion-node removal is orthogonal
+  * to the aggregation strategy.
+  *
   * Null contract: a null id or score RAISES — identical to the typed
   * path, whose `as[(Long, Long, Double)]` encoder raised on null
   * fields; a null similarity reaching the ranker is a corrupt
